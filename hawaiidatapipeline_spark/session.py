@@ -1,0 +1,71 @@
+"""SparkSession factory and runtime-config normalization.
+
+The reference client read endpoint/token config from ``config/*.yml``
+(reference ``.gitignore:21-22``); our analog is a session factory with the
+engine's canonical configs. Because the harness may hand us an
+already-constructed session, every config we *require* for correctness
+(UTC timezone, Arrow) is also applied at runtime via ``prepare_session``,
+which only touches runtime-settable confs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe to set on a live session (runtime-settable).
+_RUNTIME_CONFS = {
+    # Deterministic timestamp semantics vs the DuckDB oracle (SURVEY.md §7 risk 2).
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow-vectorized pandas interchange for all Python UDF paths.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Adaptive execution: runtime partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # ANSI off: tolerate malformed casts as NULL (SODA-style dynamic data).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Normalize a (possibly externally-created) session's runtime confs."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable at runtime in this build — keep going
+    return spark
+
+
+def get_spark(
+    app_name: str = "hawaiidatapipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build the engine's canonical session.
+
+    Local default mirrors the harness: ``local[$SPARK_GRAFT_CPUS]`` with
+    shuffle partitions sized to the core count — at cluster scale these are
+    overridden by spark-submit confs, and AQE coalesces down from a larger
+    initial number.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Files: pack small fixture files, but at 100 TB the default 128 MiB
+        # split size applies per executor task.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return prepare_session(builder.getOrCreate())

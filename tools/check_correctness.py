@@ -1,0 +1,142 @@
+"""Local twin of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same Parquet files, then compares row count, column names,
+and an order-insensitive value hash (columns sorted by name, rows sorted,
+values canonicalized). Use while iterating so driver-side mismatches are
+caught before the round ends.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon(v):
+    """Canonicalize a cell value for hashing, tolerantly across engines."""
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table_fingerprint(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
+    import hashlib
+
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from hawaiidatapipeline_spark.session import get_spark
+
+    spark = get_spark()
+    qs = E.queries()
+    oracles = E.oracle_sql()
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_weak = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e!r}"[:500])
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"WEAK {name}: rows={len(srows)} ({dt:.1f}s) [no oracle]")
+            n_weak += 1
+            continue
+        try:
+            rel = con.execute(oracles[name])
+            dcols = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e!r}"[:500])
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            hs = table_fingerprint(scols, srows)
+            hd = table_fingerprint(dcols, drows)
+            if hs != hd:
+                problems.append("value-hash mismatch")
+                # show a sample difference
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                set_s = {tuple(canon(r[i]) for i in order_s) for r in srows}
+                set_d = {tuple(canon(r[i]) for i in order_d) for r in drows}
+                only_s = list(set_s - set_d)[:2]
+                only_d = list(set_d - set_s)[:2]
+                if only_s:
+                    problems.append(f"spark-only: {only_s}")
+                if only_d:
+                    problems.append(f"duck-only: {only_d}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(str(p) for p in problems)[:800])
+            n_fail += 1
+        else:
+            print(f"PASS {name}: rows={len(srows)} ({dt:.1f}s)")
+            n_pass += 1
+
+    print(f"\n== {n_pass} pass, {n_weak} weak, {n_fail} fail ==")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
