@@ -1,0 +1,72 @@
+"""Benchmark harness — one JSON line with per-query wall time.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``. Each query is forced to full materialization
+with the noop sink (measures compute, not driver collect). A tiny warmup
+query first absorbs JVM/codegen startup so the numbers are engine time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the shuffles/joins
+# that dominate at scale.
+HEADLINE = [
+    "pricing_summary",
+    "join_inner_broadcast",
+    "join_inner_sortmerge",
+    "join_asof",
+    "agg_multikey",
+    "agg_rollup",
+    "win_topk_per_group",
+    "win_running_rows",
+    "stream_session",
+    "stream_sliding",
+    "fulltext_search",
+    "llm_dedup_exact",
+    "llm_dedup_minhash",
+    "llm_tfidf_topterms",
+    "llm_cosine_topk",
+    "udf_pandas_scalar",
+]
+
+
+def main() -> None:
+    from hawaiidatapipeline_spark.queries import collect
+    from hawaiidatapipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="hdp-bench")
+    queries, _ = collect()
+
+    # warmup: JVM + codegen + parquet footer caches
+    queries["pricing_summary"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_query_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Near-duplicate detection operators (SURVEY.md §2.J).
+
+- ``minhash_candidate_pairs``: banded MinHash-LSH. Signature building is one
+  explode + groupBy (linear); candidate generation is an equality join on
+  (band, band-signature) — shuffle volume linear in docs × bands. Jaccard is
+  then ESTIMATED from the signatures themselves (fraction of agreeing
+  min-hashes), so the whole pipeline never touches token sets again: no
+  quadratic explode-join, bounded per-pair work. At 100 TB this is the only
+  viable shape; the exact pairwise operator in queries/llm.py is its
+  fixture-scale recall oracle.
+- ``simhash_signatures``: 64-bit SimHash per doc from token hashes — Hamming-
+  distance bucketing for the "same idea, few words changed" regime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize_distinct(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, token) pairs, distinct — whitespace tokens as 1-shingles."""
+    return df.select(id_col, F.explode(F.split(text_col, " ")).alias("token")).distinct()
+
+
+def shingles_distinct(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) pairs, distinct — n-word shingles built entirely with
+    JVM higher-order functions (transform over sequence). Word n-grams are
+    the discriminative unit for near-dup detection: over a small vocabulary,
+    1-gram token SETS of unrelated docs overlap heavily, while shared
+    n-grams imply shared phrasing."""
+    return (
+        df.select(id_col, F.split(F.col(text_col), " ").alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(id_col, "_toks", F.explode(F.sequence(F.lit(0), F.size("_toks") - n)).alias("i"))
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", *[F.element_at(F.col("_toks"), F.col("i") + 1 + k) for k in range(n)]
+            ).alias("token"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    tok: DataFrame, n_hashes: int = 32, id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per doc with n_hashes min-hash columns h0..h{n-1}.
+    xxhash64(token, seed_i) stays entirely in codegen; the groupBy is a
+    partial-aggregated min — one linear shuffle."""
+    return tok.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("token", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    tau: float = 0.6,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b, est_jaccard ≥ tau) via banded LSH over
+    word n-gram shingles (default trigrams).
+
+    est_jaccard = fraction of the n_hashes min-hashes that agree — the
+    standard unbiased MinHash estimator. Returns (doc_a, doc_b, est_jaccard).
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signatures(shingles_distinct(df, shingle_n, id_col, text_col), n_hashes, id_col)
+
+    bands = sig.select(
+        id_col,
+        *[F.col(f"h{i}") for i in range(n_hashes)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, *[f"h{i}" for i in range(n_hashes)], "bs.band", "bs.sig")
+
+    x, y = bands.alias("x"), bands.alias("y")
+    agree = sum(
+        F.when(F.col(f"x.h{i}") == F.col(f"y.h{i}"), 1).otherwise(0) for i in range(n_hashes)
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+            (agree / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= tau)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc: sign of the per-bit sum of ±1 contributions
+    from each distinct trigram-shingle's xxhash64 bits. Near-dups differ in
+    few bits → bucket by bit-ranges, compare Hamming distance within buckets."""
+    tok = shingles_distinct(df, 3, id_col, text_col).withColumn("th", F.xxhash64("token"))
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(n_bits)
+        ]
+    )
+    sig = bit_sums.select(
+        id_col,
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << i))
+            for i in range(n_bits - 1)  # top bit left clear: keep the long positive
+        ).alias("simhash"),
+    )
+    return sig

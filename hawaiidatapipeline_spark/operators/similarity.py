@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (SURVEY.md §2.J).
+
+Three tiers, trading exactness for scale:
+
+1. ``cosine_pairs_exact`` — higher-order array functions (zip_with +
+   aggregate), fully JVM-side, O(n²) pairs. The semantics oracle.
+2. ``cosine_topk_gemm`` — blocked matrix multiply: the candidate side is
+   normalized once and broadcast (like a broadcast-join build side); each
+   Arrow batch of the probe side does one numpy GEMM against it and emits
+   only its local top-k, so the shuffle carries k rows per probe row, never
+   the n² similarity matrix. This is the classic distributed brute-force
+   k-NN layout; exact results, n·k shuffle volume.
+3. ``cosine_topk_lsh`` — random-hyperplane (SimHash) bucketing: probe and
+   candidate vectors only meet inside matching buckets → sub-quadratic
+   candidate generation at 100 TB, approximate recall. (The IVF analog —
+   k-means coarse quantizer — has the same join shape; hyperplane buckets
+   avoid an iterative training step.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(u, v):
+    return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+
+
+def with_norm(df: DataFrame, vec_col: str = "emb") -> DataFrame:
+    """Add the L2 norm of an array<double> column (JVM-side)."""
+    return df.withColumn("norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+
+
+def as_double_vec(df: DataFrame, src: str = "embedding", dst: str = "emb") -> DataFrame:
+    """Cast array<float> → array<double>; all similarity math runs in f64 so
+    results are stable across engines and summation orders."""
+    return df.withColumn(dst, F.transform(src, lambda x: x.cast("double")))
+
+
+def cosine_pairs_exact(df: DataFrame, id_col: str = "vec_id", vec_col: str = "emb") -> DataFrame:
+    """All (a < b) pairs with exact cosine similarity — O(n²), fixture-scale
+    oracle path. Returns (vec_a, vec_b, cos_sim) unrounded."""
+    e = with_norm(df, vec_col)
+    a, b = e.alias("a"), e.alias("b")
+    return a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+        F.col(f"a.{id_col}").alias("vec_a"),
+        F.col(f"b.{id_col}").alias("vec_b"),
+        (_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (F.col("a.norm") * F.col("b.norm"))).alias(
+            "cos_sim"
+        ),
+    )
+
+
+def cosine_topk_gemm(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    local_k_factor: int = 3,
+) -> DataFrame:
+    """Exact top-k (a < b) cosine pairs via blocked GEMM.
+
+    The full normalized candidate matrix is broadcast to executors (an
+    index structure, like a broadcast-join build side — at 100 TB the index
+    is sharded per LSH/IVF bucket instead, see ``cosine_topk_lsh``); each
+    Arrow batch multiplies against it and keeps ``local_k_factor * k`` local
+    winners so post-rounding global ties can still be broken exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    local_k = k * local_k_factor
+
+    def block(batches):
+        b_ids, b_mat = bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            a_ids = batch[id_col].to_numpy()
+            a_mat = np.stack(batch[vec_col].to_numpy()).astype("float64")
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = a_mat @ b_mat.T  # (batch, N)
+            mask = b_ids[None, :] <= a_ids[:, None]  # keep only b > a
+            sims[mask] = -np.inf
+            take = min(local_k, sims.shape[1])
+            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            rows_a, rows_b, rows_s = [], [], []
+            for i in range(sims.shape[0]):
+                for j in idx[i]:
+                    s = sims[i, j]
+                    if np.isfinite(s):
+                        rows_a.append(a_ids[i])
+                        rows_b.append(b_ids[j])
+                        rows_s.append(s)
+            yield pd.DataFrame({"vec_a": rows_a, "vec_b": rows_b, "cos_sim": rows_s})
+
+    out = df.select(id_col, vec_col).mapInPandas(
+        block, "vec_a bigint, vec_b bigint, cos_sim double"
+    )
+    return out.orderBy(F.round("cos_sim", 6).desc(), "vec_a", "vec_b").limit(k)
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine pairs via random-hyperplane LSH.
+
+    Each vector gets ``n_tables`` bucket signatures (sign pattern against
+    ``n_planes`` fixed random hyperplanes); pairs are generated only inside
+    matching (table, bucket) cells via an equality join — linear shuffle,
+    sub-quadratic pairs. Recall rises with n_tables; exactness only within
+    retrieved candidates. The 100 TB path; rows-only (W) checkable.
+    """
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    sig_cols = []
+    for t in range(n_tables):
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(w)) for w in planes[t, p]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                >= 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(n_planes)
+        ]
+        sig = bits[0]
+        for b in bits[1:]:
+            sig = sig + b
+        sig_cols.append(F.struct(F.lit(t).alias("t"), sig.alias("sig")))
+
+    bucketed = df.select(
+        id_col, vec_col, F.explode(F.array(*sig_cols)).alias("bk")
+    ).select(id_col, vec_col, "bk.t", "bk.sig")
+
+    e = with_norm(bucketed, vec_col)
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            (
+                _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("cos_sim"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return cand.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b").limit(k)

@@ -1,0 +1,244 @@
+"""Aggregations (SURVEY.md §2.D) — the SoQL ``$group``/``$having`` surface plus
+Ruby ``group_by``/``reduce``, and the [NS] extensions (rollup/cube/grouping
+sets, statistical moments, extrema, percentiles).
+
+All of these run as Spark partial+final hash aggregation: the map-side combine
+means the shuffle carries one row per (partition × group), so even at 100 TB
+the exchanged volume is bounded by group cardinality, not input rows.
+Floating aggregates are rounded to 6 dp on both sides (SURVEY.md §7 risk 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+
+@q(
+    "agg_groupby_basic",
+    """SELECT l_returnflag,
+              count(*)                          AS n_items,
+              round(sum(l_quantity), 6)         AS total_qty,
+              round(avg(l_extendedprice), 6)    AS avg_price,
+              round(min(l_extendedprice), 6)    AS min_price,
+              round(max(l_extendedprice), 6)    AS max_price
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 6).alias("total_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+    )
+
+
+@q(
+    "agg_global",
+    """SELECT count(*)                       AS n_orders,
+              round(sum(o_totalprice), 6)    AS gross,
+              round(avg(o_totalprice), 6)    AS avg_order,
+              round(min(o_totalprice), 6)    AS smallest,
+              round(max(o_totalprice), 6)    AS biggest
+       FROM orders""",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("gross"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_order"),
+        F.round(F.min("o_totalprice"), 6).alias("smallest"),
+        F.round(F.max("o_totalprice"), 6).alias("biggest"),
+    )
+
+
+@q(
+    "agg_multikey",
+    """SELECT user_id, event_type, count(*) AS n_events,
+              round(sum(value), 6) AS total_value
+       FROM events GROUP BY user_id, event_type""",
+)
+def agg_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@q(
+    "agg_count_distinct",
+    """SELECT o_orderpriority,
+              count(DISTINCT o_custkey) AS n_customers,
+              count(*)                  AS n_orders
+       FROM orders GROUP BY o_orderpriority""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct → Spark expands to a two-phase partial-distinct plan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@q("agg_approx_count_distinct")  # W: HLL++ sketch — not oracle-matchable
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality — the 100 TB path where exact distinct's
+    per-key state would blow memory. Rows-only check (sketch ≠ DuckDB HLL)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+
+
+@q(
+    "agg_having",
+    """SELECT c_nationkey, count(*) AS n_customers,
+              round(sum(c_acctbal), 6) AS nation_balance
+       FROM customer GROUP BY c_nationkey HAVING count(*) > 50""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 6).alias("nation_balance"),
+        )
+        .filter(F.col("n_customers") > 50)
+    )
+
+
+@q(
+    "agg_rollup",
+    """SELECT r_name, n_name, count(*) AS n_customers,
+              round(sum(c_acctbal), 6) AS balance
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP (r_name, n_name)""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region→nation→grand total."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    enriched = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return enriched.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 6).alias("balance"),
+    )
+
+
+@q(
+    "agg_cube",
+    """SELECT lang, source, count(*) AS n_docs
+       FROM documents GROUP BY CUBE (lang, source)""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@q(
+    "agg_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping-set list via the SQL entry point (§3.2 EP2)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS qty
+           FROM lineitem_gs
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))"""
+    )
+
+
+@q(
+    "agg_stats",
+    """SELECT c_nationkey,
+              round(stddev_samp(c_acctbal), 6) AS sd_bal,
+              round(var_samp(c_acctbal), 6)    AS var_bal,
+              round(stddev_pop(c_acctbal), 6)  AS sdp_bal,
+              round(var_pop(c_acctbal), 6)     AS varp_bal
+       FROM customer GROUP BY c_nationkey""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.stddev_samp("c_acctbal"), 6).alias("sd_bal"),
+        F.round(F.var_samp("c_acctbal"), 6).alias("var_bal"),
+        F.round(F.stddev_pop("c_acctbal"), 6).alias("sdp_bal"),
+        F.round(F.var_pop("c_acctbal"), 6).alias("varp_bal"),
+    )
+
+
+@q(
+    "agg_minby_maxby",
+    """SELECT c_nationkey,
+              arg_max(c_name, c_acctbal) AS richest,
+              arg_min(c_name, c_acctbal) AS poorest
+       FROM customer GROUP BY c_nationkey""",
+)
+def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-valued extrema (value of one column at another's min/max).
+    Deterministic because fixture acctbals are tie-free per nation; the
+    engine's tie-safe variant is max_by over a (value, pk) struct."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.expr("max_by(c_name, c_acctbal)").alias("richest"),
+        F.expr("min_by(c_name, c_acctbal)").alias("poorest"),
+    )
+
+
+@q(
+    "agg_collect_sorted",
+    """SELECT s_nationkey, list(s_name ORDER BY s_name) AS supplier_names
+       FROM supplier GROUP BY s_nationkey""",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation, sorted for determinism (collect order is not)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.sort_array(F.collect_list("s_name")).alias("supplier_names")
+    )
+
+
+@q(
+    "agg_percentile",
+    """SELECT o_orderpriority,
+              round(quantile_cont(o_totalprice, 0.5), 6)  AS median_price,
+              round(quantile_cont(o_totalprice, 0.9), 6)  AS p90_price
+       FROM orders GROUP BY o_orderpriority""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile (sorts each group's values — at 100 TB
+    prefer the approx variant below)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+    )
+
+
+@q("agg_percentile_approx")  # W: t-digest-style sketch — not oracle-matchable
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile — bounded-memory sketch, mergeable across
+    partitions; the scale path for quantiles."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("median_price_approx")
+    )

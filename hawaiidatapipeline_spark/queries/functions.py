@@ -1,0 +1,322 @@
+"""Scalar-function families (SURVEY.md §2.H) — the SoQL scalar library plus
+Ruby string/date munging, as built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen; no Python in the hot path).
+
+Oracle-parity notes (probed against DuckDB 1.0):
+- DuckDB ``year()``/``floor()``/``datediff`` return BIGINT/DECIMAL/etc. —
+  integer-valued computed columns are cast to BIGINT on BOTH sides.
+- DuckDB ``dayofweek`` is 0=Sunday; Spark ``dayofweek`` is 1=Sunday → oracle
+  adds 1.
+- ``sign``: Spark double vs DuckDB tinyint → oracle casts to DOUBLE.
+- Spark ``slice(arr, start, length)`` vs DuckDB ``list_slice(l, start,
+  end_inclusive)``.
+- Floating results rounded to 6 dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+
+@q(
+    "fn_string",
+    """SELECT c_custkey,
+              upper(c_name)                       AS uname,
+              lower(c_mktsegment)                 AS lseg,
+              concat(c_name, ':', c_mktsegment)   AS tagged,
+              substring(c_name, 1, 8)             AS prefix8,
+              trim(c_name)                        AS trimmed,
+              length(c_name)::BIGINT              AS name_len,
+              lpad(c_custkey::VARCHAR, 12, '0')   AS padded_key,
+              replace(c_name, 'Customer', 'Cust') AS short_name
+       FROM customer""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.concat_ws(":", "c_name", "c_mktsegment").alias("tagged"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.trim("c_name").alias("trimmed"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.expr("replace(c_name, 'Customer', 'Cust')").alias("short_name"),
+    )
+
+
+@q(
+    "fn_regex",
+    r"""SELECT c_custkey,
+               regexp_extract(c_name, 'Customer#(\d+)', 1)        AS key_digits,
+               regexp_extract(c_name, 'Customer#(\d+)', 1)::BIGINT AS key_num,
+               regexp_replace(c_name, '0+', '0', 'g')             AS squeezed,
+               regexp_matches(c_name, '^Customer#0{3}')           AS has_triple_zero
+        FROM customer""",
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep to RE2-compatible patterns so Java regex ≡ DuckDB RE2."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).alias("key_digits"),
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("long").alias("key_num"),
+        F.regexp_replace("c_name", "0+", "0").alias("squeezed"),
+        F.col("c_name").rlike("^Customer#0{3}").alias("has_triple_zero"),
+    )
+
+
+@q(
+    "fn_date_extract",
+    """SELECT o_orderkey,
+              year(o_orderdate)            AS o_year,
+              month(o_orderdate)           AS o_month,
+              day(o_orderdate)             AS o_day,
+              (dayofweek(o_orderdate) + 1) AS o_dow,
+              quarter(o_orderdate)         AS o_quarter,
+              dayofyear(o_orderdate)       AS o_doy
+       FROM orders""",
+)
+def fn_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.dayofweek("o_orderdate").cast("long").alias("o_dow"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        F.dayofyear("o_orderdate").cast("long").alias("o_doy"),
+    )
+
+
+@q(
+    "fn_date_trunc",
+    """SELECT date_trunc('month', o_orderdate)::DATE AS order_month,
+              count(*) AS n_orders,
+              round(sum(o_totalprice), 6) AS month_revenue
+       FROM orders GROUP BY 1""",
+)
+def fn_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation as a rollup key — the canonical time-partitioning idiom."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("month_revenue"),
+        )
+    )
+
+
+@q(
+    "fn_date_arith",
+    """SELECT o_orderkey,
+              date_diff('day', o_orderdate, DATE '2000-01-01')  AS days_to_y2k,
+              (o_orderdate + INTERVAL 30 DAY)::DATE             AS due_date,
+              (o_orderdate - INTERVAL 7 DAY)::DATE              AS week_before,
+              floor(epoch(o_orderdate))::BIGINT                 AS epoch_s
+       FROM orders""",
+)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
+        F.date_sub(F.col("o_orderdate"), 7).alias("week_before"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@q(
+    "fn_math",
+    """SELECT l_orderkey, l_linenumber,
+              round(l_extendedprice, 1)                  AS rounded1,
+              floor(l_extendedprice)::BIGINT             AS floored,
+              ceil(l_extendedprice)::BIGINT              AS ceiled,
+              abs(l_quantity - 25.0)                     AS dist25,
+              round(ln(l_extendedprice), 6)              AS log_price,
+              round(log10(l_extendedprice), 6)           AS log10_price,
+              round(pow(l_discount, 2), 6)               AS disc_sq,
+              round(sqrt(l_quantity), 6)                 AS root_qty,
+              (l_orderkey % 7)                           AS key_mod7,
+              sign(l_quantity - 25.0)::DOUBLE            AS side
+       FROM lineitem""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("rounded1"),
+        F.floor("l_extendedprice").alias("floored"),
+        F.ceil("l_extendedprice").alias("ceiled"),
+        F.abs(F.col("l_quantity") - 25.0).alias("dist25"),
+        F.round(F.log("l_extendedprice"), 6).alias("log_price"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.round(F.sqrt("l_quantity"), 6).alias("root_qty"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.signum(F.col("l_quantity") - 25.0).alias("side"),
+    )
+
+
+@q(
+    "fn_conditional",
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice >= 200000 THEN 'high'
+                   WHEN o_totalprice >= 75000  THEN 'mid'
+                   ELSE 'low' END                          AS price_band,
+              coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+              greatest(o_totalprice, 100000.0)             AS floor_price,
+              least(o_totalprice, 100000.0)                AS capped_price
+       FROM orders""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 200000, "high")
+        .when(F.col("o_totalprice") >= 75000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("floor_price"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("capped_price"),
+    )
+
+
+@q(
+    "fn_cast",
+    """SELECT c_custkey,
+              c_custkey::VARCHAR            AS key_str,
+              c_nationkey::BIGINT           AS nation_l,
+              c_nationkey::DOUBLE           AS nation_d,
+              substring(c_name, 10, 9)::BIGINT AS parsed_key,
+              (c_acctbal > 0)               AS in_credit
+       FROM customer""",
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoQL ``to_number``/``to_text`` analog. double→int is avoided — Spark
+    truncates while DuckDB rounds; the engine's policy is explicit
+    floor/ceil/round before integer casts."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_custkey").cast("string").alias("key_str"),
+        F.col("c_nationkey").cast("long").alias("nation_l"),
+        F.col("c_nationkey").cast("double").alias("nation_d"),
+        F.substring("c_name", 10, 9).cast("long").alias("parsed_key"),
+        (F.col("c_acctbal") > 0).alias("in_credit"),
+    )
+
+
+@q(
+    "fn_json",
+    """SELECT event_id,
+              json_extract_string(props, '$.k')          AS k_str,
+              json_extract_string(props, '$.k')::BIGINT  AS k_num,
+              json_extract_string(props, '$.missing')    AS absent
+       FROM events""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SODA nested-object analog: typed extraction from a JSON string column."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+        F.get_json_object("props", "$.missing").alias("absent"),
+    )
+
+
+@q(
+    "fn_map",
+    """SELECT event_id,
+              json_extract_string(props, '$.k')::INT AS k_val,
+              1::BIGINT                              AS n_keys,
+              'k'                                    AS first_key
+       FROM events""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_json`` → MapType — the dynamic-schema path for free-form props.
+    (Fixture props are single-key objects; oracle encodes that shape.)"""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.IntegerType()))
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).cast("long").alias("n_keys"),
+        F.element_at(F.array_sort(F.map_keys(m)), 1).alias("first_key"),
+    )
+
+
+@q(
+    "fn_array",
+    """SELECT doc_id,
+              len(string_split(text, ' '))::BIGINT                 AS n_tokens,
+              list_contains(string_split(text, ' '), 'merge')      AS has_merge,
+              list_slice(string_split(text, ' '), 1, 3)            AS first3,
+              string_split(text, ' ')[2]                           AS second_token,
+              list_sort(list_slice(string_split(text, ' '), 1, 5)) AS first5_sorted
+       FROM documents""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_contains(toks, "merge").alias("has_merge"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.element_at(toks, 2).alias("second_token"),
+        F.array_sort(F.slice(toks, 1, 5)).alias("first5_sorted"),
+    )
+
+
+@q(
+    "fn_explode",
+    """SELECT doc_id, t.token, t.pos::BIGINT AS pos
+       FROM documents,
+            LATERAL (SELECT unnest(string_split(text, ' ')) AS token,
+                            generate_subscripts(string_split(text, ' '), 1) AS pos) t
+       WHERE doc_id < 100""",
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array → rows with position (UNNEST WITH ORDINALITY). posexplode is
+    0-based → +1 to match SQL subscripts."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).select("doc_id", "token", (F.col("pos0") + 1).cast("long").alias("pos"))
+
+
+@q(
+    "fn_hash",
+    """SELECT doc_id,
+              md5(lower(trim(text)))    AS content_md5,
+              sha256(lang || ':' || source) AS tag_sha
+       FROM documents""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content hashing for keys/dedup ids. xxhash64 exists Spark-side but is
+    seed-incompatible with other engines, so the checked query uses md5/sha2."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
+        F.sha2(F.concat_ws(":", "lang", "source"), 256).alias("tag_sha"),
+    )

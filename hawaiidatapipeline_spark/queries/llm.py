@@ -1,0 +1,303 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.J, [NS] mandate):
+deduplication, similarity search, text analysis, corpus profiling.
+
+Scale design notes (the part the fixtures can't show):
+- Exact dedup is hash-groupBy — embarrassingly parallel at any scale.
+- Pairwise Jaccard / brute-force cosine are the CORRECTNESS baselines,
+  quadratic by construction and only run at fixture scale. The 100 TB paths
+  are ``llm_dedup_minhash`` (banded MinHash-LSH: candidate generation via
+  equality join on band signatures — linear shuffle volume) and the IVF-style
+  bucketed cosine in operators/similarity.py.
+- Everything is built from JVM-side primitives (explode/groupBy/higher-order
+  array functions); no Python UDF in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+
+# ------------------------------------------------------------------ dedup
+
+
+@q(
+    "llm_dedup_exact",
+    """WITH hashed AS (
+         SELECT doc_id, md5(lower(trim(text))) AS content_md5,
+                row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                   ORDER BY doc_id) AS rn,
+                count(*)    OVER (PARTITION BY md5(lower(trim(text)))) AS n_copies
+         FROM documents)
+       SELECT doc_id, content_md5, n_copies FROM hashed WHERE rn = 1""",
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash, keep lowest doc_id.
+    At 100 TB: same plan — one shuffle on the 128-bit hash; group state is
+    O(1) per duplicate cluster."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    wp = Window.partitionBy("content_md5")
+    return (
+        d.withColumn("content_md5", h)
+        .withColumn("rn", F.row_number().over(wp.orderBy("doc_id")))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wp))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_md5", "n_copies")
+    )
+
+
+_JACCARD_TAU = 0.6
+
+_JACCARD_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common::DOUBLE / (sa.n_tok + sb.n_tok - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common::DOUBLE / (sa.n_tok + sb.n_tok - n_common) >= {_JACCARD_TAU}
+"""
+
+
+@q("llm_dedup_jaccard", _JACCARD_SQL)
+def llm_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact token-set Jaccard ≥ τ.
+
+    Inverted-index self-join (token → doc list) rather than doc×doc cross
+    join: pairs are only generated for docs sharing ≥1 token. Still
+    worst-case quadratic — this is the exact baseline; the scale path is
+    ``llm_dedup_minhash`` below.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@q("llm_dedup_minhash")  # W: xxhash64-seeded MinHash — engine-specific hashes
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates — the 100 TB replacement for pairwise
+    Jaccard (operators/dedup.py). Candidate pairs come from an equality join
+    on banded signatures (linear shuffle); Jaccard is estimated from the
+    signatures themselves, so nothing quadratic ever runs. Rows-only check
+    (hash seeds are Spark-specific); recall is validated against
+    ``llm_dedup_jaccard`` in the pytest suite."""
+    from hawaiidatapipeline_spark.operators.dedup import minhash_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(d, tau=_JACCARD_TAU, n_hashes=32, n_bands=8)
+    return pairs.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+@q("llm_simhash_buckets")  # W: xxhash64-based SimHash — engine-specific
+def llm_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: 64-bit signature per doc + its dedup bucket
+    (top 16 bits) — the Hamming-distance near-dup path (operators/dedup.py)."""
+    from hawaiidatapipeline_spark.operators.dedup import simhash_signatures
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = simhash_signatures(d)
+    return sig.select(
+        "doc_id", "simhash", F.shiftright("simhash", 47).alias("bucket")
+    )
+
+
+# ------------------------------------------------------- similarity search
+
+
+@q(
+    "llm_cosine_topk",
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       ORDER BY cos_sim DESC, vec_a, vec_b
+       LIMIT 20""",
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar embedding pairs by cosine, exact.
+
+    Runs the blocked-GEMM operator (operators/similarity.py): normalized
+    candidate matrix broadcast once, each Arrow batch of probes does one
+    numpy matmul and emits only local winners — exact results with n·k
+    (never n²) shuffle volume. The zip_with/aggregate pair variant in the
+    same module is the pure-JVM semantics oracle, and ``cosine_topk_lsh``
+    the sub-quadratic 100 TB path.
+    """
+    from hawaiidatapipeline_spark.operators.similarity import as_double_vec, cosine_topk_gemm
+
+    e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    top = cosine_topk_gemm(e, k=20)
+    return top.select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@q(
+    "llm_knn_label",
+    """WITH sims AS (
+         SELECT q.vec_id AS query_id, n.label,
+                list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS s,
+                n.vec_id AS neighbor_id
+         FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+         WHERE q.vec_id < 100
+       ),
+       topk AS (
+         SELECT query_id, label FROM (
+           SELECT query_id, label,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS rn
+           FROM sims) WHERE rn <= 5
+       ),
+       votes AS (
+         SELECT query_id, label, count(*) AS n_votes FROM topk GROUP BY 1, 2
+       )
+       SELECT query_id, label AS predicted_label FROM (
+         SELECT query_id, label,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label) AS rn
+         FROM votes) WHERE rn = 1""",
+)
+def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-label classification for the first 100 vectors.
+    Ties broken by (votes desc, label asc) — fully deterministic."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    e = e.withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    queries = e.filter(F.col("vec_id") < 100).alias("q")
+    neigh = e.alias("n")
+    sims = queries.join(neigh, F.col("q.vec_id") != F.col("n.vec_id")).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("n.label").alias("label"),
+        F.col("n.vec_id").alias("neighbor_id"),
+        (dot(F.col("q.emb"), F.col("n.emb")) / (F.col("q.norm") * F.col("n.norm"))).alias("s"),
+    )
+    w_knn = Window.partitionBy("query_id").orderBy(F.col("s").desc(), "neighbor_id")
+    topk = sims.withColumn("rn", F.row_number().over(w_knn)).filter(F.col("rn") <= 5)
+    votes = topk.groupBy("query_id", "label").agg(F.count(F.lit(1)).alias("n_votes"))
+    w_vote = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "label")
+    return (
+        votes.withColumn("rn", F.row_number().over(w_vote))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"))
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+
+@q(
+    "llm_tfidf_topterms",
+    """WITH tf AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents
+       ),
+       tf_counts AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+       df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT doc_id, term,
+                tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS score
+         FROM tf_counts JOIN df USING (term) CROSS JOIN n
+       )
+       SELECT doc_id, term, round(score, 6) AS tfidf FROM (
+         SELECT doc_id, term, score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+         FROM scored) WHERE rn <= 5""",
+)
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per doc. Explicit counts (never HashingTF) keep it
+    deterministic and oracle-checkable; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    sklearn-style). df is a broadcast-sized side table at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0)).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", F.round("score", 6).alias("tfidf"))
+    )
+
+
+@q(
+    "llm_text_stats",
+    """SELECT doc_id, lang, source,
+              len(string_split(text, ' '))::BIGINT AS n_tokens,
+              round(length(replace(text, ' ', ''))::DOUBLE
+                    / len(string_split(text, ' ')), 6) AS avg_token_len,
+              (n_chars = length(text))             AS chars_ok
+       FROM documents""",
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality metrics: token count, mean token length, metadata
+    validation — the filter inputs of a training-data quality gate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(toks), 6
+        ).alias("avg_token_len"),
+        (F.col("n_chars") == F.length("text")).alias("chars_ok"),
+    )
+
+
+@q(
+    "llm_lang_source_matrix",
+    """SELECT lang, source, count(*) AS n_docs,
+              sum(n_chars) AS total_chars
+       FROM documents GROUP BY CUBE (lang, source)""",
+)
+def llm_lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: docs × lang × source contingency with all-margins
+    (CUBE) — the corpus-composition dashboard query."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )

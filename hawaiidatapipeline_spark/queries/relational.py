@@ -1,0 +1,241 @@
+"""Relational core — projection / filter / fulltext / distinct (SURVEY.md §2.B),
+sorts / limit / offset / top-k (§2.F), set operations (§2.G).
+
+These are the SoQL ``$select/$where/$order/$limit/$offset`` surface of the
+reference (server-side SoQL) plus its client-side Ruby ``Enumerable`` set
+algebra, re-expressed declaratively so Catalyst pushes filters and projections
+into the Parquet scan. At 100 TB each of these is a single scan stage with no
+shuffle (sorts excepted — global sorts are range-partitioned exchanges; top-k
+is TakeOrderedAndProject, no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+
+# ---------------------------------------------------------------- §2.B
+
+
+@q(
+    "project_select",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoQL ``$select=a,b`` — column pruning reaches the scan (ReadSchema)."""
+    return load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@q(
+    "project_alias",
+    "SELECT c_custkey AS id, c_name AS customer_name, c_acctbal AS balance FROM customer",
+)
+def project_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoQL ``$select=a AS x``."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_acctbal").alias("balance"),
+    )
+
+
+@q(
+    "project_computed",
+    """SELECT l_orderkey, l_linenumber,
+              round(l_extendedprice * (1 - l_discount), 6) AS net_price,
+              round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
+       FROM lineitem""",
+)
+def project_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic expressions in the projection (constant-folded, codegen'd)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(net, 6).alias("net_price"),
+        F.round(net * (1 + F.col("l_tax")), 6).alias("charged"),
+    )
+
+
+@q(
+    "filter_compare",
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000.0",
+)
+def filter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison predicate — shows up in PushedFilters on the Parquet scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_totalprice") > 100000.0).select("o_orderkey", "o_totalprice")
+
+
+@q(
+    "filter_boolean",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+       WHERE (l_discount > 0.05 AND l_quantity < 10.0) OR NOT (l_returnflag = 'N')""",
+)
+def filter_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        ((F.col("l_discount") > 0.05) & (F.col("l_quantity") < 10.0))
+        | ~(F.col("l_returnflag") == "N")
+    ).select("l_orderkey", "l_linenumber")
+
+
+@q(
+    "filter_in_between_null",
+    """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         AND o_totalprice BETWEEN 50000.0 AND 150000.0
+         AND o_custkey IS NOT NULL""",
+)
+def filter_in_between_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(50000.0, 150000.0)
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@q(
+    "filter_like",
+    """SELECT p_partkey, p_name, p_brand FROM part
+       WHERE p_name LIKE '%widget%' OR (p_name LIKE 'red%' AND p_brand LIKE '%#1%')""",
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoQL ``like`` / ``starts_with`` / ``contains``."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%widget%")
+        | (F.col("p_name").startswith("red") & F.col("p_brand").contains("#1"))
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@q(
+    "fulltext_search",
+    """SELECT doc_id, lang, source FROM documents
+       WHERE lower(text) LIKE '%merge%' OR lower(lang) LIKE '%merge%'
+          OR lower(source) LIKE '%merge%'""",
+)
+def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoQL ``$q`` — case-insensitive token match ORed across all text columns."""
+    d = load_table(spark, sf_dir, "documents")
+    needle = "merge"
+    cond = None
+    for colname in ("text", "lang", "source"):  # all string columns
+        c = F.lower(F.col(colname)).contains(needle)
+        cond = c if cond is None else (cond | c)
+    return d.filter(cond).select("doc_id", "lang", "source")
+
+
+@q(
+    "distinct_rows",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT — partial-agg dedup before the exchange (map-side)."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------- §2.F
+
+
+@q(
+    "sort_multikey",
+    """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+       ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC""",
+)
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort: range-partitioned exchange, sampled boundaries."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy(
+        F.col("o_orderpriority").asc_nulls_first(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@q(
+    "limit_n",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100",
+)
+def limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoQL ``$limit`` under a total order (PK tiebreak → deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy("o_orderkey").select("o_orderkey", "o_totalprice").limit(100)
+
+
+@q(
+    "offset_paging",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 25 OFFSET 50",
+)
+def offset_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoQL ``$offset`` paging — the reference's fetch-all loop page shape.
+    Native DataFrame offset (Spark 4)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy("o_orderkey").select("o_orderkey", "o_totalprice").offset(50).limit(25)
+
+
+@q(
+    "topk_global",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""",
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- §2.G
+
+
+_RICH = "SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0"
+_BUILDING = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+
+
+def _rich(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000.0).select("c_custkey")
+    )
+
+
+def _building(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+
+
+@q("set_union_all", f"{_RICH} UNION ALL {_BUILDING}")
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union — pure concatenation, no shuffle."""
+    return _rich(spark, sf_dir).unionByName(_building(spark, sf_dir))
+
+
+@q("set_union_distinct", f"{_RICH} UNION {_BUILDING}")
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rich(spark, sf_dir).union(_building(spark, sf_dir)).distinct()
+
+
+@q("set_intersect", f"{_RICH} INTERSECT {_BUILDING}")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rich(spark, sf_dir).intersect(_building(spark, sf_dir))
+
+
+@q("set_except", f"{_RICH} EXCEPT {_BUILDING}")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT (``subtract``); ``exceptAll`` is the bag variant."""
+    return _rich(spark, sf_dir).subtract(_building(spark, sf_dir))

@@ -34,9 +34,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Schema comes from the Parquet footer; filters
-    and projections applied by callers push down to the scan (Catalyst)."""
+    and projections applied by callers push down to the scan (Catalyst).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS); Spark's reader has no nanos
+    type, so it's read as long (``nanosAsLong`` conf in session.py) and
+    converted here to a µs timestamp (truncation — same as DuckDB's ns→µs)."""
     prepare_session(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -26,6 +26,9 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # ANSI off: tolerate malformed casts as NULL (SODA-style dynamic data).
     "spark.sql.ansi.enabled": "false",
+    # events.parquet carries TIMESTAMP(NANOS) which the Parquet reader rejects;
+    # read as long nanos, converted to µs timestamps in registry.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

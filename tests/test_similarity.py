@@ -1,0 +1,61 @@
+"""Similarity operators: GEMM top-k must equal the exact pair ranking;
+LSH recall sanity on fixture embeddings."""
+
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.operators.similarity import (
+    as_double_vec,
+    cosine_pairs_exact,
+    cosine_topk_gemm,
+    cosine_topk_lsh,
+)
+from hawaiidatapipeline_spark.registry import load_table
+
+from .conftest import SF0001
+
+
+def _topk_exact(e, k):
+    return (
+        cosine_pairs_exact(e)
+        .orderBy(F.round("cos_sim", 6).desc(), "vec_a", "vec_b")
+        .limit(k)
+        .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def test_gemm_equals_exact(spark):
+    e = as_double_vec(load_table(spark, SF0001, "embeddings"))
+    exact = [tuple(r) for r in _topk_exact(e, 20).collect()]
+    gemm = [
+        tuple(r)
+        for r in cosine_topk_gemm(e, k=20)
+        .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .collect()
+    ]
+    assert gemm == exact
+
+
+def test_lsh_finds_planted_near_duplicates(spark):
+    """Fixture embeddings are near-uniform random (best cosine ≈ 0.5 — no
+    true neighbors), where bucketed LSH legitimately has low recall. The
+    meaningful property: genuinely-near vectors land in shared buckets. We
+    plant 20 perturbed copies and require LSH to surface them."""
+    import numpy as np
+
+    base = load_table(spark, SF0001, "embeddings").limit(20).toPandas()
+    rng = np.random.default_rng(7)
+    planted = []
+    for _, row in base.iterrows():
+        v = np.array(row["embedding"], dtype="float64")
+        noisy = v + rng.normal(0, 0.02, v.shape)  # cos ≈ 0.999
+        planted.append((int(row["vec_id"]) + 10_000, [float(x) for x in noisy]))
+    extra = spark.createDataFrame(planted, "vec_id bigint, embedding array<double>")
+    all_vecs = as_double_vec(
+        load_table(spark, SF0001, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(extra)
+    )
+    got = {(r.vec_a, r.vec_b) for r in cosine_topk_lsh(all_vecs, k=40, n_tables=8).collect()}
+    expected = {(int(i), int(i) + 10_000) for i in base["vec_id"]}
+    recall = len(expected & got) / len(expected)
+    assert recall >= 0.8, f"planted-pair recall too low: {recall}"
