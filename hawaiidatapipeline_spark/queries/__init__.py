@@ -27,6 +27,7 @@ _MODULES = (
     "functions",
     "events",
     "llm",
+    "textanalysis",
     "udfs",
     "sources",
 )

@@ -1,0 +1,188 @@
+"""Streaming sources, jobs, and sinks.
+
+Design stance for 100 TB event streams:
+- file/object-store source (`readStream` over a landed directory) — the
+  SODA-polling analog: an ingester lands JSON/parquet pages, Spark tails
+  the directory incrementally;
+- every aggregation carries a watermark so state is evicted; without one,
+  per-key state grows unboundedly;
+- sinks: parquet (append, exactly-once via WAL+manifest), foreachBatch for
+  merge/upsert targets, memory only in tests.
+
+Each job function takes and returns DataFrames, so the same code path runs
+in batch mode (the twins in queries/events.py) and streaming mode — the
+Structured Streaming unification Spark is built around.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from hawaiidatapipeline_spark.registry import load_table
+from hawaiidatapipeline_spark.session import prepare_session
+
+DEFAULT_WATERMARK = "1 hour"
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental file source over the events table.
+
+    Schema is pinned from the batch read (a streaming source must not infer);
+    the nanos→µs conversion mirrors registry.load_table. ``maxFilesPerTrigger``
+    keeps micro-batches bounded when a backlog of landed files exists.
+
+    The file source tails a DIRECTORY (the landing zone an ingester appends
+    pages into); the single-file fixture is staged into one on first use.
+    """
+    prepare_session(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    landing = os.path.join("/root/repo/.cache", "landing_events_" + sf_dir.strip("/").replace("/", "_"))
+    staged = os.path.join(landing, "events.parquet")
+    if not os.path.exists(staged):
+        import shutil
+
+        os.makedirs(landing, exist_ok=True)
+        shutil.copyfile(src, staged)
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(landing)
+    )
+    from pyspark.sql.types import LongType
+
+    if isinstance(stream.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+# ------------------------------------------------------------------ jobs
+
+
+def tumbling_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming twin of queries/events.stream_tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "user_id", "n_events", "total_value")
+    )
+
+
+def session_aggregate(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming twin of queries/events.stream_session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Stateful dedup: first arrival per event_id wins; state for ids older
+    than the watermark horizon is evicted (the unbounded-state guard)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Enrich the stream with a static dim — supported natively; the static
+    side is re-broadcast per micro-batch, no state involved."""
+    return events.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        events.user_id == F.col("c_custkey"),
+        "left",
+    ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")
+
+
+def lifetime_counters(events: DataFrame) -> DataFrame:
+    """Per-user lifetime counters via ``applyInPandasWithState`` — the custom
+    stateful-operator escape hatch (arbitrary per-key state across batches).
+    State: (n_events, total_value); no timeout — lifetime semantics."""
+
+    def update(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def late_data_audit(events: DataFrame, threshold: str = "30 minutes"):
+    """foreachBatch sink splitting each micro-batch into on-time vs late
+    (event time older than the batch's max seen minus threshold) — the
+    side-channel audit the watermark silently drops otherwise. Returns the
+    writer factory; caller attaches `.foreachBatch(fn)`."""
+    audits: list[tuple[int, int, int]] = []
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        mx = batch_df.agg(F.max("ts")).collect()[0][0]
+        if mx is None:
+            return
+        late = batch_df.filter(F.col("ts") < F.lit(mx) - F.expr(f"INTERVAL {threshold}"))
+        audits.append((batch_id, batch_df.count(), late.count()))
+
+    fn.audits = audits  # inspection hook for tests
+    return fn
+
+
+# ------------------------------------------------------------------ sinks
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain the stream with availableNow into an in-memory table; returns
+    the result DataFrame. Test/dev only — production sinks are parquet
+    (append + checkpointLocation) or foreachBatch."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str):
+    """Production file sink: append mode, exactly-once via the checkpoint
+    WAL + output manifest. Caller owns trigger cadence."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,65 @@
+"""Streaming-equivalence layer (SURVEY.md §5.2 item 4): each streaming job
+replayed over the closed sf0.001 events input must equal its batch twin."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.queries import events as batch_twins
+from hawaiidatapipeline_spark.registry import load_table
+from hawaiidatapipeline_spark.streaming import runtime
+
+from .conftest import SF0001
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    stream = runtime.tumbling_counts(runtime.stream_events(spark, SF0001))
+    got = runtime.run_to_memory(stream, "t_tumbling")
+    want = batch_twins.stream_tumbling(spark, SF0001)
+    cols = ["win_start", "user_id", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_session_equals_batch(spark):
+    stream = runtime.session_aggregate(runtime.stream_events(spark, SF0001))
+    got = runtime.run_to_memory(stream, "t_session")
+    want = batch_twins.stream_session(spark, SF0001)
+    cols = ["user_id", "session_start", "session_end", "n_events", "session_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_dedup_keeps_unique_ids(spark):
+    stream = runtime.dedup_events(runtime.stream_events(spark, SF0001))
+    got = runtime.run_to_memory(stream, "t_dedup", output_mode="append")
+    batch = load_table(spark, SF0001, "events")
+    assert got.count() == batch.select("event_id").distinct().count()
+
+
+def test_stream_static_join(spark):
+    customer = load_table(spark, SF0001, "customer")
+    stream = runtime.stream_static_join(runtime.stream_events(spark, SF0001), customer)
+    got = runtime.run_to_memory(stream, "t_enrich", output_mode="append")
+    assert got.count() == load_table(spark, SF0001, "events").count()
+    # users that exist in customer got a segment
+    n_matched = got.filter(F.col("c_mktsegment").isNotNull()).count()
+    assert n_matched > 0
+
+
+def test_lifetime_counters_match_batch_aggregate(spark):
+    stream = runtime.lifetime_counters(runtime.stream_events(spark, SF0001))
+    got = runtime.run_to_memory(stream, "t_counters", output_mode="update")
+    # update mode may emit a row per user per batch; the LAST per user is the total
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+    )
+    want = (
+        load_table(spark, SF0001, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    assert _rows(final, cols) == _rows(want, cols)
