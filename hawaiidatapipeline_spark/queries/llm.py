@@ -119,6 +119,86 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+_NGRAM_TAU = 0.5
+
+_NGRAM_JACCARD_SQL = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+tok AS (
+  SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS sh
+  FROM words t1
+  JOIN words t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  JOIN words t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= {_NGRAM_TAU}
+"""
+
+
+@q("llm_dedup_jaccard_ngram", _NGRAM_JACCARD_SQL)
+def llm_dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact TRIGRAM-shingle Jaccard ≥ τ — the
+    discriminative variant (shared trigrams ⇒ shared phrasing, where 1-gram
+    token sets saturate on a small vocabulary). Exact ground truth for the
+    MinHash estimate below; shingling from operators/dedup.py."""
+    from hawaiidatapipeline_spark.operators.dedup import shingles_distinct
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = shingles_distinct(d, 3)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= _NGRAM_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_EMB_TAU = 0.45
+
+
+@q(
+    "llm_dedup_embedding",
+    f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {_EMB_TAU}""",
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: semantic duplicate pairs above a cosine
+    threshold — catches paraphrases that shingle/token methods miss. Exact
+    JVM pair computation at fixture scale; at 100 TB candidates come from
+    ``cosine_topk_lsh`` buckets instead of all pairs."""
+    from hawaiidatapipeline_spark.operators.similarity import as_double_vec, cosine_pairs_exact
+
+    e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    pairs = cosine_pairs_exact(e)
+    return pairs.filter(F.col("cos_sim") >= _EMB_TAU).select(
+        "vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
 @q("llm_simhash_buckets")  # W: xxhash64-based SimHash — engine-specific
 def llm_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints: 64-bit signature per doc + its dedup bucket

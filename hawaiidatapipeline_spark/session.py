@@ -64,9 +64,14 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        # Files: pack small fixture files, but at 100 TB the default 128 MiB
-        # split size applies per executor task.
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Split size governs scan parallelism. Local default 8 MiB so the
+        # single-file fixtures still fan out across cores; real clusters set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES=134217728 (128 MiB) — at 100 TB the
+        # concern flips from "enough tasks" to "not too many".
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in _RUNTIME_CONFS.items():

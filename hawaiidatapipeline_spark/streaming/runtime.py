@@ -113,6 +113,39 @@ def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")
 
 
+def interval_stream_stream_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Time-bounded stream-stream join (SURVEY.md §2.C last row): each
+    purchase joins clicks of the same user within the preceding ``lookback``.
+
+    Both sides carry watermarks and the join predicate bounds event-time
+    distance — that pair of constraints is what lets the state store evict
+    buffered rows; an unbounded stream-stream join would hold both streams
+    forever. Inner join ⇒ append-mode output.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL {lookback} AND p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "click_id", "c_ts")
+
+
 def lifetime_counters(events: DataFrame) -> DataFrame:
     """Per-user lifetime counters via ``applyInPandasWithState`` — the custom
     stateful-operator escape hatch (arbitrary per-key state across batches).

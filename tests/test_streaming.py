@@ -48,6 +48,26 @@ def test_stream_static_join(spark):
     assert n_matched > 0
 
 
+def test_interval_stream_stream_join_equals_batch(spark):
+    src = runtime.stream_events(spark, SF0001)
+    purchases = src.filter(F.col("event_type") == "purchase")
+    clicks = src.filter(F.col("event_type") == "click")
+    joined = runtime.interval_stream_stream_join(purchases, clicks, "10 minutes")
+    got = runtime.run_to_memory(joined, "t_interval", output_mode="append")
+
+    batch = load_table(spark, SF0001, "events")
+    bp = batch.filter(F.col("event_type") == "purchase")
+    bc = batch.filter(F.col("event_type") == "click")
+    want = bp.alias("p").join(
+        bc.alias("c"),
+        F.expr(
+            "p.user_id = c.user_id AND c.ts BETWEEN p.ts - INTERVAL 10 minutes AND p.ts"
+        ),
+    )
+    assert got.count() == want.count()
+    assert got.count() > 0
+
+
 def test_lifetime_counters_match_batch_aggregate(spark):
     stream = runtime.lifetime_counters(runtime.stream_events(spark, SF0001))
     got = runtime.run_to_memory(stream, "t_counters", output_mode="update")
