@@ -1,0 +1,98 @@
+"""The user-facing Engine facade — the reference's console workflow reborn.
+
+The reference's documented UX (SURVEY.md §0.2): start a console, make a
+client from config, list/search the portal catalog, fetch a dataset by id,
+munge rows, export/cache locally. The Engine maps each step onto the Spark
+stack:
+
+    eng = Engine.local(sf_dir="/root/testdata/sf0.1")
+    eng.catalog()                      # list datasets (name, cols, rows)
+    eng.search("doc")                  # catalog search by name substring
+    df = eng.table("lineitem")         # fetch → DataFrame (lazy, not rows)
+    eng.sql("SELECT ... FROM lineitem")# SoQL analog — full SQL
+    eng.export(df, "out", fmt="csv")   # the local-cache/export step
+    eng.pipeline("daily")              # stage-DAG builder (plans/)
+
+The crucial inversion vs the reference: ``table()`` returns a *lazy plan*
+over distributed storage, not materialized rows in client memory — the
+100 TB discipline baked into the API shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hawaiidatapipeline_spark.plans.pipeline import Pipeline
+from hawaiidatapipeline_spark.registry import DEFAULT_SF_DIR, TABLES, load_table
+from hawaiidatapipeline_spark.session import get_spark, prepare_session
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = prepare_session(spark)
+        self.sf_dir = sf_dir
+        self._registered = False
+
+    @classmethod
+    def local(cls, sf_dir: str = DEFAULT_SF_DIR, **session_kwargs) -> "Engine":
+        return cls(get_spark(**session_kwargs), sf_dir)
+
+    # ------------------------------------------------------------ catalog
+
+    def catalog(self) -> DataFrame:
+        """Dataset listing (name, n_columns, n_rows) — the portal catalog."""
+        from hawaiidatapipeline_spark.registry import catalog
+
+        return catalog(self.spark, self.sf_dir)
+
+    def search(self, needle: str) -> DataFrame:
+        """Catalog search by name substring (case-insensitive)."""
+        from pyspark.sql import functions as F
+
+        return self.catalog().filter(F.lower("table_name").contains(needle.lower()))
+
+    # ------------------------------------------------------------ access
+
+    def table(self, name: str) -> DataFrame:
+        """Fetch a dataset as a lazy DataFrame (the '4x4 id' fetch analog)."""
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}; catalog: {', '.join(TABLES)}")
+        return load_table(self.spark, self.sf_dir, name)
+
+    def register_views(self) -> None:
+        """Make every catalog table visible to ``sql()`` as a temp view."""
+        from hawaiidatapipeline_spark.registry import register_all
+
+        register_all(self.spark, self.sf_dir)
+        self._registered = True
+
+    def sql(self, query: str) -> DataFrame:
+        """SQL entry point over the registered catalog (SoQL's successor)."""
+        if not self._registered:
+            self.register_views()
+        return self.spark.sql(query)
+
+    # ------------------------------------------------------------ export
+
+    def export(self, df: DataFrame, path: str, fmt: str = "parquet", **options) -> str:
+        """The reference's cache/export step. Parquet is canonical; CSV/JSON
+        for interchange. Returns the written path."""
+        writer = df.write.mode("overwrite").options(**options)
+        if fmt == "csv":
+            writer = writer.option("header", True)
+        getattr(writer, fmt)(path)
+        return path
+
+    def cache_stage(self, df: DataFrame, name: str, cache_dir: str = "/root/repo/.cache") -> DataFrame:
+        """Materialize an intermediate to parquet and reload it (lineage cut
+        + cross-session reuse) — the engine-side 'local cache'."""
+        path = os.path.join(cache_dir, "stages", name)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    # ------------------------------------------------------------ pipeline
+
+    def pipeline(self, name: str, checkpoint_dir: str | None = None) -> Pipeline:
+        return Pipeline(self.spark, name, checkpoint_dir)

@@ -1,0 +1,83 @@
+"""Skew-handling operators (SURVEY.md §4.2; [NS] 100 TB design).
+
+AQE's skew-join splitting covers sort-merge joins at runtime; these helpers
+cover the cases AQE can't:
+
+- ``salted_aggregate``: two-phase aggregation for skewed GROUP BY keys.
+  Phase 1 aggregates (key, salt) — the hot key's rows spread over
+  ``n_salts`` reducers; phase 2 merges the per-salt partials. Works for any
+  algebraic aggregate (sum/count/min/max — avg passed as sum+count).
+- ``salted_join``: fact-side salt × dim-side replication, for joining a
+  skewed fact key against a non-broadcastable dim. Each fact row gets a
+  random-but-deterministic salt (hash of a stable column set); every dim
+  row is replicated once per salt, so the join key becomes (key, salt) and
+  the hot key's rows land on ``n_salts`` different reducers.
+
+Both return results identical to the unsalted plan (tests/test_skew.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    n_salts: int = 16,
+    salt_src: Sequence[str] | None = None,
+) -> DataFrame:
+    """Two-phase (partial-over-salt, then merge) aggregation.
+
+    ``aggs`` maps output name → aggregate Column; the expression must be
+    decomposable (re-applying sum/min/max/count-as-sum over partials must
+    equal the direct aggregate). For count use ``F.count(...)`` — the merge
+    phase sums it.
+    """
+    salt = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(n_salts))
+        if salt_src
+        else (F.rand(seed=42) * n_salts).cast("int")
+    )
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(*[expr.alias(f"_p_{name}") for name, expr in aggs.items()])
+    )
+
+    def merge_expr(name: str, expr: Column) -> Column:
+        # count partials merge by SUM; everything else re-applies itself.
+        fn_name = expr._jc.toString().lower()
+        if fn_name.startswith("count"):
+            return F.sum(f"_p_{name}").alias(name)
+        if fn_name.startswith("min"):
+            return F.min(f"_p_{name}").alias(name)
+        if fn_name.startswith("max"):
+            return F.max(f"_p_{name}").alias(name)
+        return F.sum(f"_p_{name}").alias(name)
+
+    return phase1.groupBy(*keys).agg(
+        *[merge_expr(name, expr) for name, expr in aggs.items()]
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join fact⋈dim on ``key`` with fact-side salting + dim-side
+    replication. Use when the dim is too big to broadcast and the fact key
+    is skewed. Output columns = fact columns + dim columns (minus its key).
+    """
+    salted_fact = fact.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    replicated_dim = dim.select("*", salts)
+    joined = salted_fact.join(replicated_dim, [key, "_salt"], how)
+    return joined.drop("_salt")

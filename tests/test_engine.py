@@ -1,0 +1,47 @@
+"""Engine facade: the reference's console workflow end-to-end."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.engine import Engine
+
+from .conftest import SF0001
+
+
+@pytest.fixture()
+def eng(spark):
+    return Engine(spark, SF0001)
+
+
+def test_catalog_and_search(eng):
+    cat = {r.table_name: r.n_rows for r in eng.catalog().collect()}
+    assert cat["lineitem"] == 6000 and cat["region"] == 5
+    found = [r.table_name for r in eng.search("Doc").collect()]
+    assert found == ["documents"]
+
+
+def test_table_fetch_and_unknown(eng):
+    assert eng.table("nation").count() == 25
+    with pytest.raises(KeyError, match="unknown table"):
+        eng.table("nope")
+
+
+def test_sql_entry_point(eng):
+    n = eng.sql("SELECT count(*) AS n FROM orders WHERE o_totalprice > 100000").collect()[0].n
+    assert n > 0
+
+
+def test_export_roundtrip(eng, tmp_path):
+    df = eng.table("region")
+    path = eng.export(df, str(tmp_path / "region_csv"), fmt="csv")
+    back = eng.spark.read.option("header", True).schema(df.schema).csv(path)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(tuple(r) for r in df.collect())
+
+
+def test_cache_stage_cuts_lineage(eng, tmp_path):
+    from hawaiidatapipeline_spark.plans import audit
+
+    df = eng.table("orders").filter(F.col("o_totalprice") > 200000)
+    cached = eng.cache_stage(df, "big_orders", cache_dir=str(tmp_path))
+    assert cached.count() == df.count()
+    assert "Scan parquet" in audit.explain_str(cached)

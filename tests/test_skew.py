@@ -1,0 +1,69 @@
+"""Salting and bucketing: results identical to unsalted plans; bucketed
+joins elide exchanges."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.operators.bucketing import cobucketed_join, write_bucketed
+from hawaiidatapipeline_spark.operators.skew import salted_aggregate, salted_join
+from hawaiidatapipeline_spark.plans import audit
+from hawaiidatapipeline_spark.registry import load_table
+
+from .conftest import SF0001
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_aggregate_equals_plain(spark):
+    li = load_table(spark, SF0001, "lineitem")
+    plain = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 6).alias("qty"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    salted = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n": F.count(F.lit(1)),
+            "qty": F.sum("l_quantity"),
+            "lo": F.min("l_extendedprice"),
+            "hi": F.max("l_extendedprice"),
+        },
+        n_salts=8,
+    ).select("l_returnflag", "n", F.round("qty", 6).alias("qty"), "lo", "hi")
+    assert _sorted_rows(salted) == _sorted_rows(plain)
+
+
+def test_salted_join_equals_plain(spark):
+    li = load_table(spark, SF0001, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF0001, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    )
+    salted = salted_join(li, o, "l_orderkey", n_salts=4).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    )
+    assert _sorted_rows(salted) == _sorted_rows(plain)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # managed tables land in ./spark-warehouse (gitignored); warehouse.dir is
+    # a static conf and can't be pointed at tmp_path on a live session
+    li = load_table(spark, SF0001, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF0001, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "li_bkt", "l_orderkey", n_buckets=4, sort_col="l_orderkey")
+    write_bucketed(o, "o_bkt", "l_orderkey", n_buckets=4, sort_col="l_orderkey")
+    joined = cobucketed_join(spark, "li_bkt", "o_bkt", "l_orderkey")
+    assert audit.num_exchanges(joined) == 0, audit.explain_str(joined, "simple")
+    # and it still returns the right row count
+    assert joined.count() == li.join(o, "l_orderkey").count()
+    spark.sql("DROP TABLE IF EXISTS li_bkt")
+    spark.sql("DROP TABLE IF EXISTS o_bkt")
