@@ -2,8 +2,10 @@
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``. Each query is forced to full materialization
-with the noop sink (measures compute, not driver collect). A tiny warmup
-query first absorbs JVM/codegen startup so the numbers are engine time.
+with the noop sink (measures compute, not driver collect). A warmup pass
+absorbs JVM/codegen/Python-worker startup, then each query runs twice and
+the better time is reported (single-node container timings are noisy —
+best-of-2 measures the engine, not scheduler jitter).
 """
 
 from __future__ import annotations
@@ -46,15 +48,23 @@ def main() -> None:
     spark = get_spark(app_name="hdp-bench")
     queries, _ = collect()
 
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + codegen + parquet footer caches, and the Python/Arrow
+    # worker pool (daemon fork + first Arrow batch), so per-query numbers
+    # measure engine time rather than one-time process startup.
     queries["pricing_summary"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    spark.range(1000).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

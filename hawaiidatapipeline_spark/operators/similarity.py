@@ -91,15 +91,16 @@ def cosine_topk_gemm(
             sims[mask] = -np.inf
             take = min(local_k, sims.shape[1])
             idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-            rows_a, rows_b, rows_s = [], [], []
-            for i in range(sims.shape[0]):
-                for j in idx[i]:
-                    s = sims[i, j]
-                    if np.isfinite(s):
-                        rows_a.append(a_ids[i])
-                        rows_b.append(b_ids[j])
-                        rows_s.append(s)
-            yield pd.DataFrame({"vec_a": rows_a, "vec_b": rows_b, "cos_sim": rows_s})
+            top_sims = np.take_along_axis(sims, idx, axis=1)
+            keep = np.isfinite(top_sims)
+            rows_i, cols_j = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[rows_i],
+                    "vec_b": b_ids[idx[rows_i, cols_j]],
+                    "cos_sim": top_sims[rows_i, cols_j],
+                }
+            )
 
     out = df.select(id_col, vec_col).mapInPandas(
         block, "vec_a bigint, vec_b bigint, cos_sim double"

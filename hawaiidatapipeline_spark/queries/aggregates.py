@@ -242,3 +242,44 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("median_price_approx")
     )
+
+
+@q(
+    "agg_pivot",
+    """SELECT l_linestatus,
+              round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 6) AS A,
+              round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 6) AS N,
+              round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 6) AS R
+       FROM lineitem GROUP BY l_linestatus""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): one column per l_returnflag value. Pivot
+    values are declared explicitly, so no extra distinct-values job runs and
+    the plan stays a single partial+final aggregate — the conditional-sum
+    rewrite Catalyst applies is exactly the SQL oracle's CASE form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 6))
+    )
+
+
+@q(
+    "reshape_unpivot",
+    """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice::DOUBLE AS value
+       FROM part
+       UNION ALL
+       SELECT p_partkey, 'p_size' AS metric, p_size::DOUBLE AS value
+       FROM part""",
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (long reshape) — Spark 4 native ``unpivot``: narrow scan
+    (only the id + value columns are read) and zero shuffles; the oracle is
+    the classic UNION ALL rewrite."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double"),
+        F.col("p_size").cast("double"),
+    ).unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "value")

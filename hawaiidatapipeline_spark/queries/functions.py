@@ -320,3 +320,47 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
         F.sha2(F.concat_ws(":", "lang", "source"), 256).alias("tag_sha"),
     )
+
+
+@q(
+    "fn_geo_distance",
+    """WITH pts AS (
+         SELECT c_custkey,
+                (c_custkey * 7919 % 18000) / 100.0 - 90.0    AS lat,
+                (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+         FROM customer
+       )
+       SELECT c_custkey, round(lat, 6) AS lat, round(lon, 6) AS lon,
+              round(2.0 * 6371000.0 * asin(sqrt(
+                  pow(sin(radians(21.3069 - lat) / 2), 2)
+                  + cos(radians(lat)) * cos(radians(21.3069))
+                    * pow(sin(radians(-157.8583 - lon) / 2), 2))), 2) AS dist_m
+       FROM pts
+       WHERE round(2.0 * 6371000.0 * asin(sqrt(
+                 pow(sin(radians(21.3069 - lat) / 2), 2)
+                 + cos(radians(lat)) * cos(radians(21.3069))
+                   * pow(sin(radians(-157.8583 - lon) / 2), 2))), 2) <= 3000000.0""",
+)
+def fn_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SODA ``location`` surface: SoQL ``distance_in_meters`` +
+    ``within_circle`` (functions/geo.py), composed from built-in trig so the
+    whole predicate stays in codegen. Coordinates are derived from c_custkey
+    with integer arithmetic (fixtures carry no geo columns) — identical on
+    both engines, so the oracle is exact. Circle center: Honolulu."""
+    from hawaiidatapipeline_spark.functions.geo import distance_in_meters
+
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    dist = F.round(
+        distance_in_meters(F.col("lat"), F.col("lon"), F.lit(21.3069), F.lit(-157.8583)), 2
+    )
+    return pts.filter(dist <= 3000000.0).select(
+        "c_custkey",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        dist.alias("dist_m"),
+    )

@@ -233,10 +233,12 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same module is the pure-JVM semantics oracle, and ``cosine_topk_lsh``
     the sub-quadratic 100 TB path.
     """
-    from hawaiidatapipeline_spark.operators.similarity import as_double_vec, cosine_topk_gemm
+    from hawaiidatapipeline_spark.operators.similarity import cosine_topk_gemm
 
-    e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
-    top = cosine_topk_gemm(e, k=20)
+    # Raw array<float> goes straight over Arrow; the GEMM kernel upcasts to
+    # f64 on the numpy side (cheaper than a JVM-side transform cast).
+    e = load_table(spark, sf_dir, "embeddings")
+    top = cosine_topk_gemm(e, k=20, vec_col="embedding")
     return top.select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
