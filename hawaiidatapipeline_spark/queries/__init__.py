@@ -30,6 +30,7 @@ _MODULES = (
     "textanalysis",
     "udfs",
     "sources",
+    "pipeline_demo",
 )
 
 

@@ -1,0 +1,104 @@
+"""The training-corpus pipeline, end to end ([NS] north star).
+
+One checked query that runs the whole LLM-data workflow through the
+Pipeline DAG (plans/pipeline.py): language-ID → quality gate → exact
+dedup (keep-first) → per-language corpus profile. Each stage is the same
+operator the standalone queries check individually; this entry proves they
+compose — the reference's fetch→munge→cache chain reborn as a staged,
+lineage-tracked DAG whose oracle is one nested SQL statement.
+
+At 100 TB each stage boundary is a natural parquet checkpoint
+(``checkpoint=True`` + a checkpoint_dir): lineage cut, AQE re-stats, and
+restartability between the expensive dedup shuffle and downstream profiling.
+Here the DAG runs un-checkpointed so the whole thing stays one Catalyst plan
+— stages fuse into two shuffles (dedup window + final agg), which is the
+point: orchestration adds structure, not materialization cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.functions.text import lang_id, quality_score
+from hawaiidatapipeline_spark.plans.pipeline import Pipeline
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.queries.textanalysis import _BEST_SQL, _PRED_SQL
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+_QUALITY_SQL = (
+    "round(least(len(string_split(text, ' ')) / 64.0, 1.0)"
+    " * (len(list_distinct(string_split(text, ' ')))::DOUBLE"
+    " / len(string_split(text, ' '))), 6)"
+)
+
+_CORPUS_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, text, source,
+         {_PRED_SQL} AS pred_lang,
+         {_QUALITY_SQL} AS quality
+  FROM documents
+),
+gated AS (SELECT * FROM scored WHERE quality >= 0.3),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                 ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1
+)
+SELECT pred_lang, source,
+       count(*) AS n_docs,
+       round(avg(quality), 6) AS avg_quality,
+       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens
+FROM deduped GROUP BY pred_lang, source
+"""
+
+
+@q("llm_corpus_pipeline", _CORPUS_SQL)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → lang-ID → quality ≥ 0.3 → exact dedup → per-lang profile,
+    composed as a Pipeline DAG. Stays lazy end-to-end: the DAG wires stages,
+    Catalyst plans them as one query."""
+    p = Pipeline(spark, "corpus")
+    p.stage("docs", lambda c: load_table(spark, sf_dir, "documents"))
+    p.stage(
+        "scored",
+        lambda c: c.get("docs").select(
+            "doc_id",
+            "text",
+            "source",
+            lang_id(F.col("text")).alias("pred_lang"),
+            quality_score(F.col("text")).alias("quality"),
+        ),
+        depends=("docs",),
+    )
+    p.stage(
+        "gated",
+        lambda c: c.get("scored").filter(F.col("quality") >= 0.3),
+        depends=("scored",),
+    )
+
+    def dedup(c):
+        w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+        return (
+            c.get("gated")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    p.stage("deduped", dedup, depends=("gated",))
+    p.stage(
+        "profile",
+        lambda c: c.get("deduped")
+        .groupBy("pred_lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+        ),
+        depends=("deduped",),
+    )
+    return p.run()["profile"]
