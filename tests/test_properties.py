@@ -1,0 +1,66 @@
+"""Property-based tests (hypothesis): the skew operators must be
+*algebraically invisible* — salted plans return exactly the rows of their
+unsalted twins on arbitrary inputs, including duplicate keys, empty frames,
+negative values, and single-salt degenerate configs."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.operators.skew import salted_aggregate, salted_join
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key (few distinct → collisions)
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+SLOW = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+@given(rows=ROWS, n_salts=st.integers(min_value=1, max_value=8))
+@SLOW
+def test_salted_aggregate_equals_plain(spark, rows, n_salts):
+    df = spark.createDataFrame(rows or [(0, 0)], "k int, v int")
+    if not rows:
+        df = df.filter(F.lit(False))
+    aggs = {
+        "total": F.sum("v"),
+        "n": F.count(F.lit(1)),
+        "lo": F.min("v"),
+        "hi": F.max("v"),
+    }
+    salted = salted_aggregate(df, ["k"], aggs, n_salts=n_salts)
+    plain = df.groupBy("k").agg(*[c.alias(n) for n, c in aggs.items()])
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+@given(
+    fact=ROWS,
+    dim=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5), st.text("ab", max_size=3)),
+        min_size=0,
+        max_size=10,
+        unique_by=lambda t: t[0],  # dim key unique, like a real dimension
+    ),
+    n_salts=st.integers(min_value=1, max_value=8),
+)
+@SLOW
+def test_salted_join_equals_plain(spark, fact, dim, n_salts):
+    f = spark.createDataFrame(fact or [(0, 0)], "k int, v int")
+    d = spark.createDataFrame(dim or [(0, "x")], "k int, name string")
+    if not fact:
+        f = f.filter(F.lit(False))
+    if not dim:
+        d = d.filter(F.lit(False))
+    salted = salted_join(f, d, "k", n_salts=n_salts)
+    plain = f.join(d, "k")
+    cols = plain.columns
+    assert sorted(map(tuple, salted.select(cols).collect())) == sorted(
+        map(tuple, plain.collect())
+    )
