@@ -31,6 +31,7 @@ _MODULES = (
     "udfs",
     "sources",
     "pipeline_demo",
+    "training",
 )
 
 

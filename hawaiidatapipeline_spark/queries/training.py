@@ -1,0 +1,132 @@
+"""Training-corpus curation checked queries ([NS] north star) — the
+operators/curation.py surface: PII scrubbing, benchmark decontamination,
+repetition filtering, sequence packing. All pure-codegen DataFrame plans
+with exact DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.operators.curation import (
+    decontaminate,
+    pack_sequences,
+    repetition_stats,
+    scrub_pii,
+)
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+# Fixtures carry no real PII, so the scrub query PLANTS deterministic
+# address/phone strings from doc_id (identically on both engines) and
+# proves they are found and removed.
+_PII_PLANT_SQL = (
+    "text || ' contact user' || doc_id || '@example.com tel 808-555-' "
+    "|| lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+
+@q(
+    "llm_pii_scrub",
+    f"""WITH planted AS (
+         SELECT doc_id, {_PII_PLANT_SQL} AS text FROM documents
+       )
+       SELECT doc_id,
+              (len(regexp_extract_all(text, '{_EMAIL_RE}'))
+               + len(regexp_extract_all(text, '{_PHONE_RE}')))::BIGINT AS n_pii,
+              md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                 '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+       FROM planted""",
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/curation.py scrub_pii): regex patterns kept
+    to the Java-regex ∩ RE2 common subset so the oracle is exact; output
+    compares the scrubbed text by md5."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 808-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(planted).select(
+        "doc_id", "n_pii", F.md5("text").alias("scrubbed_md5")
+    )
+
+
+_SHINGLE8_SQL = """
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM words),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS sh FROM idx)
+"""
+
+
+@q(
+    "llm_decontaminate",
+    f"""WITH {_SHINGLE8_SQL},
+       bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+       hit AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.sh = b.sh)
+       SELECT d.doc_id, d.lang, d.source FROM documents d
+       JOIN hit h ON d.doc_id = h.doc_id""",
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.py): every doc sharing
+    an 8-gram with the probe set (doc_id % 50 = 0 stands in for an eval
+    suite) is flagged. Probe shingles broadcast; the corpus never shuffles.
+    ``keep_clean=False`` returns the contaminated docs so the checked result
+    is the small, interesting side."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    flagged = decontaminate(d, bench, n=8, keep_clean=False)
+    return flagged.select("doc_id", "lang", "source")
+
+
+@q(
+    "llm_repetition_filter",
+    f"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
+       sh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM idx)
+       SELECT doc_id,
+              count(*) AS n_shingles,
+              count(DISTINCT sh) AS n_distinct,
+              round(1.0 - count(DISTINCT sh) / count(*), 6) AS dup_frac
+       FROM sh GROUP BY doc_id""",
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signal (operators/curation.py
+    repetition_stats, n=3): duplicate-trigram fraction per doc; the
+    downstream gate (drop docs with dup_frac above a policy threshold) is a
+    plain filter on this result."""
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_stats(d, n=3)
+
+
+@q(
+    "llm_pack_sequences",
+    """WITH sized AS (
+         SELECT doc_id, source,
+                len(string_split(text, ' '))::BIGINT AS n_tokens
+         FROM documents
+       )
+       SELECT doc_id, source, n_tokens,
+              (floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 512.0))::BIGINT AS bin_id
+       FROM sized""",
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/curation.py pack_sequences): greedy
+    sequential assignment of docs to 512-token training bins per source
+    stream — a running-sum window, one shuffle, deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, bin_tokens=512).select(
+        "doc_id", "source", "n_tokens", "bin_id"
+    )

@@ -1,0 +1,61 @@
+"""Curation operator edge cases (operators/curation.py)."""
+
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.operators.curation import (
+    decontaminate,
+    pack_sequences,
+    repetition_stats,
+    scrub_pii,
+)
+
+
+def test_scrub_pii_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org tel 808-555-1234"),
+            (2, "no pii here 12-34-56"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert rows[1].n_pii == 3
+    assert rows[1].text == "mail <EMAIL> and <EMAIL> tel <PHONE>"
+    assert rows[2].n_pii == 0 and rows[2].text == "no pii here 12-34-56"
+    assert rows[3].n_pii == 0
+
+
+def test_decontaminate_both_directions(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "v w x y z"), (3, "p q r s t")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, "z z a b c d e")], "doc_id long, text string")
+    clean = decontaminate(corpus, bench, n=3, keep_clean=True)
+    dirty = decontaminate(corpus, bench, n=3, keep_clean=False)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
+    assert sorted(r.doc_id for r in dirty.collect()) == [1]
+
+
+def test_repetition_stats_exact(spark):
+    # "a b a b a b" trigrams: [a b a, b a b, a b a, b a b] -> 4 total, 2 distinct
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in repetition_stats(df, n=3).collect()}
+    assert out[1].n_shingles == 4 and out[1].n_distinct == 2
+    assert abs(out[1].dup_frac - 0.5) < 1e-9
+    assert 2 not in out  # shorter than n -> no shingles, no row
+
+
+def test_pack_sequences_bins(spark):
+    df = spark.createDataFrame(
+        [(i, "s", " ".join(["t"] * 30)) for i in range(1, 6)],
+        "doc_id long, source string, text string",
+    )
+    out = {r.doc_id: r.bin_id for r in pack_sequences(df, bin_tokens=64).collect()}
+    # cumulative before: 0,30,60,90,120 -> bins 0,0,0,1,1
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
+    # packing never splits a doc and bins are monotone in doc order
+    assert sorted(out.values()) == list(out[k] for k in sorted(out))
