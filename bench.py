@@ -37,6 +37,9 @@ HEADLINE = [
     "llm_dedup_minhash",
     "llm_tfidf_topterms",
     "llm_cosine_topk",
+    "llm_corpus_pipeline",
+    "llm_decontaminate",
+    "llm_pack_sequences",
     "udf_pandas_scalar",
 ]
 

@@ -130,3 +130,36 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, bin_tokens=512).select(
         "doc_id", "source", "n_tokens", "bin_id"
     )
+
+
+@q(
+    "llm_mixture_sample",
+    """WITH ranked AS (
+         SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+                CASE WHEN substr(source, 4)::INT % 3 = 0 THEN 4
+                     WHEN substr(source, 4)::INT % 3 = 1 THEN 2
+                     ELSE 1 END AS keep_every
+         FROM documents
+       )
+       SELECT doc_id, source FROM ranked WHERE rn % keep_every = 1 OR keep_every = 1""",
+)
+def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture construction: systematic per-source downsampling (keep
+    every k-th doc in doc_id order; k encodes the per-source mixture weight —
+    1/4, 1/2 or 1/1 keyed off the source id). Deterministic unlike Bernoulli
+    ``sample()`` (whose seeded RNG is engine-specific, so it could only be a
+    weak check) — at 100 TB the same plan is one window per source stream.
+    The stable doc_id order stands in for position in the source shard."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    src_n = F.substring("source", 4, 10).cast("int")
+    keep_every = F.when(src_n % 3 == 0, 4).when(src_n % 3 == 1, 2).otherwise(1)
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"),
+                 keep_every.alias("keep_every"))
+        .filter((F.col("rn") % F.col("keep_every") == 1) | (F.col("keep_every") == 1))
+        .select("doc_id", "source")
+    )
