@@ -283,3 +283,43 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").cast("double"),
         F.col("p_size").cast("double"),
     ).unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "value")
+
+
+@q(
+    "agg_salted_skew",
+    """SELECT user_id,
+              count(*) AS n_events,
+              round(sum(value), 6) AS total_value,
+              round(min(value), 6) AS min_value,
+              round(max(value), 6) AS max_value
+       FROM events GROUP BY user_id""",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on the skew-friendly user_id key
+    (operators/skew.py): phase 1 aggregates (key, salt) so a hot key's rows
+    spread over 16 reducers, phase 2 merges partials. The oracle is the
+    plain GROUP BY — salting must be algebraically invisible (also
+    property-tested in tests/test_properties.py). sum(value) merges as
+    sum-of-sums; rounding happens only after the final merge."""
+    from hawaiidatapipeline_spark.operators.skew import salted_aggregate
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        e,
+        ["user_id"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum("value"),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+        n_salts=16,
+        salt_src=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )

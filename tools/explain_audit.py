@@ -49,6 +49,10 @@ AUDITS: dict[str, list[str]] = {
     "llm_dedup_exact": ["partial_agg_or_window", "codegen"],
     "llm_tfidf_topterms": ["partial_agg", "codegen"],
     "fn_explode": ["generate_exec", "codegen"],
+    "llm_decontaminate": ["broadcast_any", "no_cartesian", "codegen"],
+    "llm_pack_sequences": ["window_exec", "pruning", "codegen"],
+    "llm_corpus_pipeline": ["partial_agg", "window_exec", "pruning", "codegen"],
+    "agg_salted_skew": ["partial_agg", "pruning", "codegen"],
 }
 
 
