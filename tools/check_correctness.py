@@ -61,13 +61,23 @@ def table_fingerprint(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--plain-session"]
+    plain = "--plain-session" in sys.argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as E
-    from hawaiidatapipeline_spark.session import get_spark
 
-    spark = get_spark()
+    if plain:
+        # Driver-style session: no engine confs. Catches hidden dependencies
+        # on our own session factory (the real driver builds its own session).
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from hawaiidatapipeline_spark.session import get_spark
+
+        spark = get_spark()
     qs = E.queries()
     oracles = E.oracle_sql()
 
