@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (SURVEY.md §2.J).
 
-Three tiers, trading exactness for scale:
+Four tiers, trading exactness for scale:
 
 1. ``cosine_pairs_exact`` — higher-order array functions (zip_with +
    aggregate), fully JVM-side, O(n²) pairs. The semantics oracle.
@@ -12,9 +12,10 @@ Three tiers, trading exactness for scale:
    k-NN layout; exact results, n·k shuffle volume.
 3. ``cosine_topk_lsh`` — random-hyperplane (SimHash) bucketing: probe and
    candidate vectors only meet inside matching buckets → sub-quadratic
-   candidate generation at 100 TB, approximate recall. (The IVF analog —
-   k-means coarse quantizer — has the same join shape; hyperplane buckets
-   avoid an iterative training step.)
+   candidate generation at 100 TB, approximate recall; data-oblivious.
+4. ``cosine_topk_ivf`` — k-means coarse quantizer (IVF-Flat shape): same
+   join-on-cell structure as LSH but the index is trained on the data
+   distribution; Spark ML k-means keeps training distributed.
 """
 
 from __future__ import annotations
@@ -176,5 +177,52 @@ def cosine_topk_lsh(
             ).alias("cos_sim"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return cand.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b").limit(k)
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine pairs via an IVF (inverted-file) coarse
+    quantizer: k-means assigns every vector to a cell; candidate pairs are
+    generated only inside a cell (the classic IVF-Flat search shape, nprobe=1
+    for pair mining). Complements ``cosine_topk_lsh``: the quantizer is
+    *trained on the data distribution* (k-means centroids follow density)
+    where hyperplane LSH is data-oblivious.
+
+    Scale shape: training samples a bounded subset to the driver via Spark
+    ML's distributed k-means; assignment is one map; candidate generation
+    shuffles on cell id — linear, never n². Recall is bounded by cell purity;
+    raise n_cells and add multi-probe for tighter recall at scale.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(id_col, vec_col).withColumn("_fv", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="_cell")
+    model = km.fit(feat)
+    assigned = with_norm(model.transform(feat).drop("_fv"), vec_col)
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            (
+                _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("cos_sim"),
+        )
     )
     return cand.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b").limit(k)

@@ -242,6 +242,19 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+@q("llm_cosine_ivf")  # W: k-means cell assignment — seed/engine specific
+def llm_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-quantized approximate cosine top-k (operators/similarity.py
+    cosine_topk_ivf): k-means cells bound the candidate join, so pair
+    generation is linear in rows × cell size. Rows-only check; recall vs the
+    exact GEMM result is asserted in tests/test_similarity.py."""
+    from hawaiidatapipeline_spark.operators.similarity import as_double_vec, cosine_topk_ivf
+
+    e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    top = cosine_topk_ivf(e, k=20)
+    return top.select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 @q(
     "llm_knn_label",
     """WITH sims AS (

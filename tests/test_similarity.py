@@ -59,3 +59,30 @@ def test_lsh_finds_planted_near_duplicates(spark):
     expected = {(int(i), int(i) + 10_000) for i in base["vec_id"]}
     recall = len(expected & got) / len(expected)
     assert recall >= 0.8, f"planted-pair recall too low: {recall}"
+
+
+def test_ivf_finds_planted_near_duplicates(spark):
+    """Same planted-near-dup protocol as the LSH test: a trained k-means
+    quantizer must co-locate vectors at cosine ≈ 0.999 (a perturbed copy
+    lands in the same cell unless it falls on a cell boundary)."""
+    import numpy as np
+
+    from hawaiidatapipeline_spark.operators.similarity import cosine_topk_ivf
+
+    base = load_table(spark, SF0001, "embeddings").limit(20).toPandas()
+    rng = np.random.default_rng(7)
+    planted = []
+    for _, row in base.iterrows():
+        v = np.array(row["embedding"], dtype="float64")
+        noisy = v + rng.normal(0, 0.02, v.shape)
+        planted.append((int(row["vec_id"]) + 10_000, [float(x) for x in noisy]))
+    extra = spark.createDataFrame(planted, "vec_id bigint, embedding array<double>")
+    all_vecs = as_double_vec(
+        load_table(spark, SF0001, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(extra)
+    )
+    got = {(r.vec_a, r.vec_b) for r in cosine_topk_ivf(all_vecs, k=40, n_cells=8).collect()}
+    expected = {(int(i), int(i) + 10_000) for i in base["vec_id"]}
+    recall = len(expected & got) / len(expected)
+    assert recall >= 0.8, f"planted-pair recall too low: {recall}"
