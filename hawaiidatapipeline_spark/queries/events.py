@@ -134,3 +134,92 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts")
     )
+
+
+@q(
+    "ts_resample",
+    """WITH spans AS (
+         SELECT user_id,
+                date_trunc('hour', min(ts)) AS lo,
+                date_trunc('hour', max(ts)) AS hi
+         FROM events GROUP BY user_id
+       ),
+       grid AS (
+         SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+         FROM spans
+       ),
+       actual AS (
+         SELECT user_id, date_trunc('hour', ts) AS bucket,
+                count(*) AS n_events, round(sum(value), 6) AS total_value
+         FROM events GROUP BY 1, 2
+       )
+       SELECT g.user_id, g.bucket,
+              coalesce(a.n_events, 0) AS n_events,
+              coalesce(a.total_value, 0.0) AS total_value
+       FROM grid g LEFT JOIN actual a
+         ON g.user_id = a.user_id AND g.bucket = a.bucket""",
+)
+def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: a dense hourly grid per user
+    (sequence + explode over each user's [min, max] span) left-joined to the
+    actual hourly aggregate; empty buckets become explicit zero rows —
+    the shape chart/forecast consumers need. Scale: the grid is generated
+    from the per-user span aggregate (tiny), the join shuffles on
+    (user, bucket) — linear; grid size is bounded by span × resolution,
+    never by event count."""
+    e = load_table(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    actual = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    return grid.join(actual, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+@q(
+    "ts_fill_forward",
+    """WITH masked AS (
+         SELECT event_id, user_id, ts,
+                CASE WHEN event_type <> 'error' THEN round(value, 6) END AS v
+         FROM events
+       )
+       SELECT event_id, user_id, v AS value_raw,
+              last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+       FROM masked""",
+)
+def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill interpolation: error events mask their reading to NULL
+    (deterministic stand-in for sensor dropout); the fill carries the last
+    non-null value per user in (ts, event_id) order. One window shuffle on
+    user_id; per-key state is a single value regardless of history length."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "error", F.round("value", 6))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        v.alias("value_raw"),
+        F.last(v, ignorenulls=True).over(w).alias("value_filled"),
+    )

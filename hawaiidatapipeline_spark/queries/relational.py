@@ -239,3 +239,27 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT DISTINCT (``subtract``); ``exceptAll`` is the bag variant."""
     return _rich(spark, sf_dir).subtract(_building(spark, sf_dir))
+
+
+@q(
+    "subquery_scalar_correlated",
+    """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 6) AS o_totalprice
+       FROM orders o1
+       WHERE o_totalprice > (
+           SELECT 1.5 * avg(o_totalprice) FROM orders o2
+           WHERE o2.o_orderpriority = o1.o_orderpriority)""",
+)
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL entry point — Catalyst's
+    RewriteCorrelatedScalarSubquery decorrelates it into an aggregate +
+    join (the plan a hand-written join would produce), so the declarative
+    form costs nothing at scale. Exercises parser → analyzer → decorrelation
+    (SURVEY.md §3.2 entry point 2)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 6) AS o_totalprice
+           FROM orders_sq o1
+           WHERE o_totalprice > (
+               SELECT 1.5 * avg(o_totalprice) FROM orders_sq o2
+               WHERE o2.o_orderpriority = o1.o_orderpriority)"""
+    )
