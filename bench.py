@@ -32,6 +32,7 @@ HEADLINE = [
     "win_running_rows",
     "stream_session",
     "stream_sliding",
+    "ts_resample",
     "fulltext_search",
     "llm_dedup_exact",
     "llm_dedup_minhash",

@@ -26,6 +26,9 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # ANSI off: tolerate malformed casts as NULL (SODA-style dynamic data).
     "spark.sql.ansi.enabled": "false",
+    # zstd for all parquet sinks: ~30% smaller than snappy at comparable
+    # decode speed — at 100 TB the storage/IO saving dominates the cpu cost.
+    "spark.sql.parquet.compression.codec": "zstd",
     # events.parquet carries TIMESTAMP(NANOS) which the Parquet reader rejects;
     # read as long nanos, converted to µs timestamps in registry.load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
