@@ -364,3 +364,67 @@ def fn_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lon", 6).alias("lon"),
         dist.alias("dist_m"),
     )
+
+
+@q(
+    "fn_url_parse",
+    """WITH urls AS (
+         SELECT c_custkey,
+                'https://portal' || (c_custkey % 3) || '.hawaii.gov/api/views/'
+                  || c_mktsegment || '?page=' || (c_custkey % 7) AS url
+         FROM customer
+       )
+       SELECT c_custkey,
+              regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+              regexp_extract(url, '://([^/]+)/', 1) AS host,
+              regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+              regexp_extract(url, 'page=([0-9]+)', 1)::BIGINT AS page
+       FROM urls""",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SODA ``url`` type surface: scheme/host/path/query-param
+    extraction. Implemented with portable regexes (Java ∩ RE2) rather than
+    Spark's ``parse_url`` so the oracle is exact; URLs are synthesized from
+    keys (fixtures carry none) in the portal's resource-URL shape."""
+    c = load_table(spark, sf_dir, "customer")
+    urls = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("https://portal"),
+            (F.col("c_custkey") % 3).cast("string"),
+            F.lit(".hawaii.gov/api/views/"),
+            F.col("c_mktsegment"),
+            F.lit("?page="),
+            (F.col("c_custkey") % 7).cast("string"),
+        ).alias("url"),
+    )
+    return urls.select(
+        "c_custkey",
+        F.regexp_extract("url", r"^([a-z]+)://", 1).alias("scheme"),
+        F.regexp_extract("url", r"://([^/]+)/", 1).alias("host"),
+        F.regexp_extract("url", r"://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", r"page=([0-9]+)", 1).cast("long").alias("page"),
+    )
+
+
+@q(
+    "fn_money_decimal",
+    """SELECT o_orderpriority,
+              sum(o_totalprice::DECIMAL(18,2)) AS total_money,
+              min(o_totalprice::DECIMAL(18,2)) AS min_money,
+              max(o_totalprice::DECIMAL(18,2)) AS max_money
+       FROM orders GROUP BY o_orderpriority""",
+)
+def fn_money_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SODA ``money`` type: exact DECIMAL(18,2) arithmetic. Unlike the
+    double aggregates elsewhere (rounded to 6 dp to absorb summation-order
+    differences), decimal sums are EXACT in any order on both engines — no
+    rounding appears on either side. This is the engine's recommended type
+    for monetary measures at 100 TB (bit-for-bit reproducible re-runs)."""
+    o = load_table(spark, sf_dir, "orders")
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select("o_orderpriority", money.alias("m")).groupBy("o_orderpriority").agg(
+        F.sum("m").alias("total_money"),
+        F.min("m").alias("min_money"),
+        F.max("m").alias("max_money"),
+    )

@@ -263,3 +263,92 @@ def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                SELECT 1.5 * avg(o_totalprice) FROM orders_sq o2
                WHERE o2.o_orderpriority = o1.o_orderpriority)"""
     )
+
+
+@q(
+    "dq_profile",
+    """SELECT 'l_quantity' AS column_name,
+              count(*) - count(l_quantity) AS n_nulls,
+              count(DISTINCT l_quantity) AS n_distinct,
+              round(min(l_quantity), 6)::VARCHAR AS min_value,
+              round(max(l_quantity), 6)::VARCHAR AS max_value
+       FROM lineitem
+       UNION ALL
+       SELECT 'l_returnflag',
+              count(*) - count(l_returnflag),
+              count(DISTINCT l_returnflag),
+              min(l_returnflag), max(l_returnflag)
+       FROM lineitem
+       UNION ALL
+       SELECT 'l_discount',
+              count(*) - count(l_discount),
+              count(DISTINCT l_discount),
+              round(min(l_discount), 6)::VARCHAR,
+              round(max(l_discount), 6)::VARCHAR
+       FROM lineitem""",
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling: per-column null count, exact cardinality,
+    min/max (stringified for a uniform long-format schema) — the validation
+    pass a pipeline runs before publishing a table. All three column
+    profiles come from ONE scan (Spark unions the aggregates; at 100 TB use
+    one pass per few dozen columns, or approx_count_distinct when exact
+    cardinality isn't required)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def prof(col: str, numeric: bool) -> DataFrame:
+        mn, mx = F.min(col), F.max(col)
+        if numeric:
+            mn, mx = F.round(mn, 6).cast("string"), F.round(mx, 6).cast("string")
+        return li.agg(
+            F.lit(col).alias("column_name"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            mn.alias("min_value"),
+            mx.alias("max_value"),
+        )
+
+    return (
+        prof("l_quantity", True)
+        .unionByName(prof("l_returnflag", False))
+        .unionByName(prof("l_discount", True))
+    )
+
+
+@q(
+    "dq_referential",
+    """SELECT 'orders->customer' AS relation, count(*) AS n_orphans
+       FROM orders o WHERE NOT EXISTS
+           (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey)
+       UNION ALL
+       SELECT 'lineitem->orders', count(*)
+       FROM lineitem l WHERE NOT EXISTS
+           (SELECT 1 FROM orders o WHERE l.l_orderkey = o.o_orderkey)
+       UNION ALL
+       SELECT 'customer->nation', count(*)
+       FROM customer c WHERE NOT EXISTS
+           (SELECT 1 FROM nation n WHERE c.c_nationkey = n.n_nationkey)""",
+)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts per
+    foreign-key edge via anti joins (dim side broadcast where small). A
+    healthy pipeline emits all zeros; non-zero rows name the broken edge.
+    At 100 TB each edge is one shuffle-free (broadcast) or single-shuffle
+    anti join — run per partition increment, not over history."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+
+    def edge(name: str, left: DataFrame, right: DataFrame, lk: str, rk: str) -> DataFrame:
+        return (
+            left.join(F.broadcast(right), left[lk] == right[rk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("relation"), "n_orphans")
+        )
+
+    return (
+        edge("orders->customer", o, c, "o_custkey", "c_custkey")
+        .unionByName(edge("lineitem->orders", li, o, "l_orderkey", "o_orderkey"))
+        .unionByName(edge("customer->nation", c, n, "c_nationkey", "n_nationkey"))
+    )
