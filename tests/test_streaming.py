@@ -83,3 +83,26 @@ def test_lifetime_counters_match_batch_aggregate(spark):
     )
     cols = ["user_id", "n_events", "total_value"]
     assert _rows(final, cols) == _rows(want, cols)
+
+
+def test_late_data_audit_counts(spark, tmp_path):
+    """The foreachBatch audit must account for every row (on-time + late ==
+    batch size) and flag rows older than the threshold within each batch."""
+    stream = runtime.stream_events(spark, SF0001)
+    fn = runtime.late_data_audit(stream, threshold="30 minutes")
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total_events = load_table(spark, SF0001, "events").count()
+    assert fn.audits, "no batches audited"
+    assert sum(n for _, n, _ in fn.audits) == total_events
+    for batch_id, n, late in fn.audits:
+        assert 0 <= late <= n, (batch_id, n, late)
+    # sf0.001 spans a month at second granularity: every batch that carries
+    # more than a sliver of the file must contain >30-min-old rows.
+    biggest = max(fn.audits, key=lambda a: a[1])
+    assert biggest[2] > 0
