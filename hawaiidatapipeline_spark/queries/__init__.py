@@ -32,6 +32,7 @@ _MODULES = (
     "sources",
     "pipeline_demo",
     "training",
+    "analytics",
 )
 
 

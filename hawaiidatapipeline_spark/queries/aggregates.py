@@ -24,7 +24,7 @@ QUERIES, ORACLES, q = new_module_registry()
     """SELECT l_returnflag,
               count(*)                          AS n_items,
               round(sum(l_quantity), 6)         AS total_qty,
-              round(avg(l_extendedprice), 6)    AS avg_price,
+              round(sum(l_extendedprice::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_price,
               round(min(l_extendedprice), 6)    AS min_price,
               round(max(l_extendedprice), 6)    AS max_price
        FROM lineitem GROUP BY l_returnflag""",
@@ -34,7 +34,11 @@ def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_quantity"), 6).alias("total_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_price"),
         F.round(F.min("l_extendedprice"), 6).alias("min_price"),
         F.round(F.max("l_extendedprice"), 6).alias("max_price"),
     )
@@ -44,7 +48,7 @@ def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_global",
     """SELECT count(*)                       AS n_orders,
               round(sum(o_totalprice), 6)    AS gross,
-              round(avg(o_totalprice), 6)    AS avg_order,
+              round(sum(o_totalprice::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_order,
               round(min(o_totalprice), 6)    AS smallest,
               round(max(o_totalprice), 6)    AS biggest
        FROM orders""",
@@ -54,7 +58,11 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 6).alias("gross"),
-        F.round(F.avg("o_totalprice"), 6).alias("avg_order"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_order"),
         F.round(F.min("o_totalprice"), 6).alias("smallest"),
         F.round(F.max("o_totalprice"), 6).alias("biggest"),
     )

@@ -1,0 +1,137 @@
+"""Warehouse/product-analytics operators: SCD2 history construction, funnel
+analysis, cohort retention. The reference's consumers did exactly this kind
+of client-side munging over fetched rows (group_by/sort_by chains in Ruby);
+here each is one declarative plan.
+
+Scale notes: all three are single-shuffle window/aggregate shapes keyed on
+the natural partition key (customer / user / cohort) — no pairwise joins, no
+driver materialization, state per key bounded by that key's history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+
+@q(
+    "etl_scd2",
+    """SELECT o_custkey,
+              o_orderkey AS version_key,
+              o_orderdate AS valid_from,
+              lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS valid_to,
+              CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey)
+                   IS NULL THEN TRUE ELSE FALSE END AS is_current
+       FROM orders""",
+)
+def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: each order becomes
+    a version row with a [valid_from, valid_to) range per customer via
+    ``lead``; the open-ended row is flagged current. One window shuffle on
+    the dimension key — the standard merge shape for incremental SCD2 loads
+    (at scale, union the increment with current open rows, re-window, and
+    write back partitioned by is_current)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@q(
+    "events_funnel",
+    """WITH stages AS (
+         SELECT user_id,
+                min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+                min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+         FROM events GROUP BY user_id
+       )
+       SELECT count(*) AS n_users,
+              count(t_signup) AS n_signup,
+              count(CASE WHEN t_click > t_signup THEN 1 END) AS n_signup_then_click,
+              count(CASE WHEN t_purchase > t_click AND t_click > t_signup
+                         THEN 1 END) AS n_full_funnel
+       FROM stages""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users progressing signup → click → purchase, each
+    stage strictly after the previous (first-occurrence semantics via
+    conditional min). One partial+final aggregate over user_id — stage
+    timestamps are a fixed-width accumulator per user regardless of event
+    volume, so the funnel costs the same as a count at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stages = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias(
+            "n_signup_then_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@q(
+    "events_retention",
+    """WITH firsts AS (
+         SELECT user_id, min(ts::DATE) AS cohort_day
+         FROM events GROUP BY user_id
+       ),
+       activity AS (
+         SELECT DISTINCT e.user_id, f.cohort_day,
+                datediff('day', f.cohort_day, e.ts::DATE) AS day_offset
+         FROM events e JOIN firsts f ON e.user_id = f.user_id
+       )
+       SELECT cohort_day, day_offset, count(*) AS n_active_users
+       FROM activity
+       WHERE day_offset <= 7
+       GROUP BY cohort_day, day_offset""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on each
+    subsequent active day (offset ≤ 7). The cohort map (user → first day) is
+    an aggregate that joins back to events — at 100 TB both sides shuffle
+    once on user_id and the distinct bounds state to user × active-day."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )

@@ -16,6 +16,15 @@ from hawaiidatapipeline_spark.registry import load_table
 CUTOFF = "1998-09-02"
 
 
+def _davg(col: str):
+    """Order-independent 6-dp average of an exact-decimal-valued column:
+    exact DECIMAL sum, one final double division — bit-identical across
+    engines and partitionings."""
+    return F.round(
+        F.sum(F.col(col).cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+    )
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -33,9 +42,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # Exact decimal sums ÷ count: the averaged columns hold exact
+            # 2-dp values, so a float avg can land ON a 6-dp rounding
+            # boundary where partial-sum ORDER flips the last digit vs the
+            # oracle. Decimal sums make both engines divide identical
+            # operands (SURVEY.md §7 risk 1).
+            _davg("l_quantity").alias("avg_qty"),
+            _davg("l_extendedprice").alias("avg_price"),
+            _davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -50,9 +64,9 @@ SELECT
   round(sum(l_extendedprice), 6)                                     AS sum_base_price,
   round(sum(l_extendedprice * (1 - l_discount)), 6)                  AS sum_disc_price,
   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)    AS sum_charge,
-  round(avg(l_quantity), 6)                                          AS avg_qty,
-  round(avg(l_extendedprice), 6)                                     AS avg_price,
-  round(avg(l_discount), 6)                                          AS avg_disc,
+  round(sum(l_quantity::DECIMAL(18,6))::DOUBLE / count(*), 6)       AS avg_qty,
+  round(sum(l_extendedprice::DECIMAL(18,6))::DOUBLE / count(*), 6)   AS avg_price,
+  round(sum(l_discount::DECIMAL(18,6))::DOUBLE / count(*), 6)        AS avg_disc,
   count(*)                                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{CUTOFF} 00:00:00'

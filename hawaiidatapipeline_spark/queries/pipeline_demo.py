@@ -50,7 +50,7 @@ deduped AS (
 )
 SELECT pred_lang, source,
        count(*) AS n_docs,
-       round(avg(quality), 6) AS avg_quality,
+       round(sum(quality::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_quality,
        sum(len(string_split(text, ' ')))::BIGINT AS total_tokens
 FROM deduped GROUP BY pred_lang, source
 """
@@ -60,7 +60,13 @@ FROM deduped GROUP BY pred_lang, source
 def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → lang-ID → quality ≥ 0.3 → exact dedup → per-lang profile,
     composed as a Pipeline DAG. Stays lazy end-to-end: the DAG wires stages,
-    Catalyst plans them as one query."""
+    Catalyst plans them as one query.
+
+    avg_quality uses an exact DECIMAL sum with one final double division:
+    quality values are exact 6-dp numbers, and a float avg of them can land
+    exactly on a rounding boundary where summation ORDER flips the 6th digit
+    between engines (observed flake). The decimal sum makes both engines
+    divide identical operands — bit-identical result."""
     p = Pipeline(spark, "corpus")
     p.stage("docs", lambda c: load_table(spark, sf_dir, "documents"))
     p.stage(
@@ -96,7 +102,11 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pred_lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
             F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
         ),
         depends=("deduped",),
