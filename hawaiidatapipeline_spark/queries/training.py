@@ -163,3 +163,47 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") % F.col("keep_every") == 1) | (F.col("keep_every") == 1))
         .select("doc_id", "source")
     )
+
+
+@q(
+    "llm_dedup_fuzzy",
+    """WITH heads AS (
+         SELECT doc_id,
+                string_split(text, ' ')[1] AS first_tok,
+                substr(text, 1, 40) AS head
+         FROM documents
+       )
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              levenshtein(a.head, b.head) AS edit_dist
+       FROM heads a JOIN heads b
+         ON a.first_tok = b.first_tok AND a.doc_id < b.doc_id
+       WHERE levenshtein(a.head, b.head) <= 10""",
+)
+def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup by edit distance on the document head (first 40
+    chars), blocked on the first token so the quadratic Levenshtein only
+    runs inside small candidate blocks — the classic blocking+distance shape
+    of record linkage. Both engines implement the same Levenshtein metric,
+    so the oracle is exact. At 100 TB the blocking key becomes a coarser
+    signature (e.g. simhash band) but the join shape is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    heads = d.select(
+        "doc_id",
+        F.split("text", " ").getItem(0).alias("first_tok"),
+        F.substring("text", 1, 40).alias("head"),
+    )
+    a, b = heads.alias("a"), heads.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.first_tok") == F.col("b.first_tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 10)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+    )
