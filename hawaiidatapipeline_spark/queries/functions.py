@@ -428,3 +428,72 @@ def fn_money_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("m").alias("min_money"),
         F.max("m").alias("max_money"),
     )
+
+
+@q(
+    "fn_array_topk_struct",
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         FROM documents
+       ),
+       ranked AS (
+         SELECT doc_id, token, length(token) AS tok_len,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY length(token) DESC, token) AS rank
+         FROM toks
+       )
+       SELECT doc_id, rank, token, tok_len FROM ranked WHERE rank <= 3""",
+)
+def fn_array_topk_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type manipulation (the SODA nested-object analog taken
+    further): per doc, the 3 longest tokens computed ENTIRELY with
+    higher-order array functions — transform into (neg-length, token)
+    structs, array_sort (field-order comparison gives length desc, token
+    asc), slice, posexplode. Zero shuffles and zero window state: at 100 TB
+    this replaces a window top-k whenever the per-row collection already
+    holds the data — the oracle IS that window formulation, proving
+    equivalence."""
+    d = load_table(spark, sf_dir, "documents")
+    structs = F.transform(
+        F.split("text", " "),
+        lambda t: F.struct((-F.length(t)).alias("nl"), t.alias("token")),
+    )
+    top3 = F.slice(F.array_sort(structs), 1, 3)
+    return (
+        d.select("doc_id", F.posexplode(top3).alias("pos0", "s"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("rank"),
+            F.col("s.token").alias("token"),
+            (-F.col("s.nl")).cast("long").alias("tok_len"),
+        )
+    )
+
+
+@q(
+    "fn_null_semantics",
+    """SELECT e.event_id,
+              v IS NOT DISTINCT FROM w AS nullsafe_eq,
+              coalesce(v, w, 0.0) AS first_present,
+              CASE WHEN v IS NULL THEN 'missing' ELSE 'present' END AS v_status,
+              nullif(e.event_type, 'error') AS type_or_null
+       FROM (SELECT event_id, event_type,
+                    CASE WHEN event_type <> 'error' THEN round(value, 6) END AS v,
+                    CASE WHEN event_type <> 'view'  THEN round(value, 6) END AS w
+             FROM events) e""",
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL null semantics end-to-end: null-safe equality (``<=>`` /
+    IS NOT DISTINCT FROM), coalesce chains, NULL-aware CASE, nullif. The
+    masked v/w columns manufacture all four null/null combinations from
+    deterministic data."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "error", F.round("value", 6))
+    w = F.when(F.col("event_type") != "view", F.round("value", 6))
+    return e.select(
+        "event_id",
+        v.eqNullSafe(w).alias("nullsafe_eq"),
+        F.coalesce(v, w, F.lit(0.0)).alias("first_present"),
+        F.when(v.isNull(), "missing").otherwise("present").alias("v_status"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+    )

@@ -185,3 +185,42 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice")
     )
+
+
+@q(
+    "win_islands",
+    """WITH seq AS (
+         SELECT user_id, event_id, event_type, ts,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                - row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS grp
+         FROM events
+       )
+       SELECT user_id, event_type, grp AS island_key,
+              count(*) AS run_length,
+              min(ts) AS run_start,
+              max(ts) AS run_end
+       FROM seq GROUP BY user_id, event_type, grp
+       HAVING count(*) >= 3""",
+)
+def win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run detection: maximal runs of the SAME event_type
+    per user (the difference-of-row-numbers identity), keeping runs of ≥3 —
+    e.g. 'three errors in a row' alerting. Two windows over the same
+    (user_id) partitioning — Catalyst plans them in one shuffle — then a
+    hash aggregate on the island key."""
+    e = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = e.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_type)
+    )
+    return (
+        seq.groupBy("user_id", "event_type", F.col("grp").alias("island_key"))
+        .agg(
+            F.count(F.lit(1)).alias("run_length"),
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+        )
+        .filter(F.col("run_length") >= 3)
+    )
