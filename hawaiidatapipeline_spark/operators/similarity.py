@@ -59,19 +59,42 @@ def cosine_topk_gemm(
     id_col: str = "vec_id",
     vec_col: str = "emb",
     local_k_factor: int = 3,
+    max_index_rows: int = 4_000_000,
+    fallback: str = "lsh",
 ) -> DataFrame:
     """Exact top-k (a < b) cosine pairs via blocked GEMM.
 
     The full normalized candidate matrix is broadcast to executors (an
-    index structure, like a broadcast-join build side — at 100 TB the index
-    is sharded per LSH/IVF bucket instead, see ``cosine_topk_lsh``); each
-    Arrow batch multiplies against it and keeps ``local_k_factor * k`` local
-    winners so post-rounding global ties can still be broken exactly.
+    index structure, like a broadcast-join build side); each Arrow batch
+    multiplies against it and keeps ``local_k_factor * k`` local winners so
+    post-rounding global ties can still be broken exactly.
+
+    The index build collects (id, vec) to the driver, so it is SIZE-GATED:
+    beyond ``max_index_rows`` (≈4 GB of f64×128-dim on the driver) the call
+    never collects and instead routes to the declared ``fallback`` —
+    ``"lsh"`` (sub-quadratic, approximate — the 100 TB path) or ``"exact"``
+    (pure-JVM all-pairs, exact but O(n²)); ``"error"`` raises so callers that
+    require exact GEMM semantics fail loudly instead of silently degrading.
     """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
+    n_rows = df.count()
+    if n_rows > max_index_rows:
+        if fallback == "lsh":
+            return cosine_topk_lsh(df, k=k, id_col=id_col, vec_col=vec_col)
+        if fallback == "exact":
+            return (
+                cosine_pairs_exact(df, id_col=id_col, vec_col=vec_col)
+                .orderBy(F.round("cos_sim", 6).desc(), "vec_a", "vec_b")
+                .limit(k)
+            )
+        raise ValueError(
+            f"cosine_topk_gemm: {n_rows} rows exceeds max_index_rows="
+            f"{max_index_rows}; broadcast index would OOM the driver "
+            f"(set fallback='lsh'|'exact' or raise the budget)"
+        )
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")

@@ -18,21 +18,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Registry order drives the driver's correctness sweep, which records the
+# FIRST 50 entries per round. Round 1 proved core/relational/joins/aggregates
+# and the first two windows queries (CORRECTNESS_r01.json, 47 green rows);
+# round 2 therefore fronts the 50 never-checked queries
+# (functions 18 + events 6 + llm 12 + textanalysis 5 + udfs 5 + sources 4),
+# leaving training/analytics/pipeline_demo/windows-tail (16) for round 3.
 _MODULES = (
-    "core",
-    "relational",
-    "joins",
-    "aggregates",
-    "windows",
     "functions",
     "events",
     "llm",
     "textanalysis",
     "udfs",
     "sources",
-    "pipeline_demo",
     "training",
     "analytics",
+    "pipeline_demo",
+    "windows",
+    "core",
+    "relational",
+    "joins",
+    "aggregates",
 )
 
 
@@ -43,10 +49,16 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for modname in _MODULES:
+        fqname = f"hawaiidatapipeline_spark.queries.{modname}"
         try:
-            mod = importlib.import_module(f"hawaiidatapipeline_spark.queries.{modname}")
-        except ImportError:
-            continue  # module not built yet
+            mod = importlib.import_module(fqname)
+        except ModuleNotFoundError as exc:
+            # Only tolerate the module file itself being absent; a broken
+            # import INSIDE an existing module must fail loudly, otherwise
+            # its queries silently vanish from the correctness gate.
+            if exc.name == fqname:
+                continue  # module not built yet
+            raise
         for name, fn in getattr(mod, "QUERIES", {}).items():
             if name in queries:
                 raise ValueError(f"duplicate query key: {name}")

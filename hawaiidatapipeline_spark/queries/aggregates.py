@@ -214,14 +214,20 @@ def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "agg_collect_sorted",
-    """SELECT s_nationkey, list(s_name ORDER BY s_name) AS supplier_names
+    """SELECT s_nationkey,
+              array_to_string(list(s_name ORDER BY s_name), '|') AS supplier_names
        FROM supplier GROUP BY s_nationkey""",
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """List aggregation, sorted for determinism (collect order is not)."""
+    """List aggregation, sorted for determinism (collect order is not).
+    Serialized to '|'-joined string: the driver's pandas canonicalizer cannot
+    hash array cells (round-1 TypeError), and a delimited string is equally
+    hash-comparable."""
     s = load_table(spark, sf_dir, "supplier")
     return s.groupBy("s_nationkey").agg(
-        F.sort_array(F.collect_list("s_name")).alias("supplier_names")
+        F.concat_ws("|", F.sort_array(F.collect_list("s_name"))).alias(
+            "supplier_names"
+        )
     )
 
 

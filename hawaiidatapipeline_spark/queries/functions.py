@@ -269,21 +269,26 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT doc_id,
               len(string_split(text, ' '))::BIGINT                 AS n_tokens,
               list_contains(string_split(text, ' '), 'merge')      AS has_merge,
-              list_slice(string_split(text, ' '), 1, 3)            AS first3,
+              array_to_string(list_slice(string_split(text, ' '), 1, 3), '|')
+                                                                   AS first3,
               string_split(text, ' ')[2]                           AS second_token,
-              list_sort(list_slice(string_split(text, ' '), 1, 5)) AS first5_sorted
+              array_to_string(
+                  list_sort(list_slice(string_split(text, ' '), 1, 5)), '|')
+                                                                   AS first5_sorted
        FROM documents""",
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array slice/sort/contains — arrays serialized to '|'-joined strings
+    because the driver's pandas canonicalizer cannot hash array cells."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.array_contains(toks, "merge").alias("has_merge"),
-        F.slice(toks, 1, 3).alias("first3"),
+        F.concat_ws("|", F.slice(toks, 1, 3)).alias("first3"),
         F.element_at(toks, 2).alias("second_token"),
-        F.array_sort(F.slice(toks, 1, 5)).alias("first5_sorted"),
+        F.concat_ws("|", F.array_sort(F.slice(toks, 1, 5))).alias("first5_sorted"),
     )
 
 

@@ -35,6 +35,27 @@ def test_gemm_equals_exact(spark):
     assert gemm == exact
 
 
+def test_gemm_size_gate_never_collects_large_input(spark):
+    """Past max_index_rows the GEMM path must not toPandas() the table:
+    'error' raises loudly; 'lsh'/'exact' route to distributed plans."""
+    import pytest
+
+    e = as_double_vec(load_table(spark, SF0001, "embeddings"))
+    with pytest.raises(ValueError, match="max_index_rows"):
+        cosine_topk_gemm(e, k=5, max_index_rows=10, fallback="error")
+    routed = cosine_topk_gemm(e, k=5, max_index_rows=10, fallback="exact")
+    assert "mapInPandas" not in routed._jdf.queryExecution().analyzed().toString()
+    exact = [tuple(r) for r in _topk_exact(e, 5).collect()]
+    got = [
+        tuple(r)
+        for r in routed.select(
+            "vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim")
+        ).collect()
+    ]
+    assert got == exact
+    assert cosine_topk_gemm(e, k=5, max_index_rows=10, fallback="lsh").count() > 0
+
+
 def test_lsh_finds_planted_near_duplicates(spark):
     """Fixture embeddings are near-uniform random (best cosine ≈ 0.5 — no
     true neighbors), where bucketed LSH legitimately has low recall. The
