@@ -59,9 +59,17 @@ def decontaminate(
     suites are MBs against TBs of corpus, so the corpus is never shuffled."""
     corpus_sh = shingles_distinct(corpus, n, id_col, text_col)
     bench_sh = shingles_distinct(benchmark, n, id_col, text_col).select("token").distinct()
+    # Contaminated = doc has >=1 shingle IN the benchmark set. (Selecting on
+    # "has >=1 shingle NOT in the benchmark" — the round-1 bug — kept any
+    # partially-contaminated doc and silently dropped docs shorter than n
+    # words, which have no shingles at all.)
+    contaminated_ids = (
+        corpus_sh.join(F.broadcast(bench_sh), "token", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
     how = "left_anti" if keep_clean else "left_semi"
-    hit_ids = corpus_sh.join(F.broadcast(bench_sh), "token", how).select(id_col).distinct()
-    return corpus.join(hit_ids, id_col, "left_semi")
+    return corpus.join(contaminated_ids, id_col, how)
 
 
 def repetition_stats(

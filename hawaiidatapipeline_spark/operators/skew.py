@@ -49,16 +49,39 @@ def salted_aggregate(
         .agg(*[expr.alias(f"_p_{name}") for name, expr in aggs.items()])
     )
 
+    def outer_agg_fn(expr: Column) -> tuple[str, bool]:
+        """(function name, is_distinct) of the outermost aggregate, read from
+        a probe plan's ANALYZED form — analysis is driver-side only, no job.
+        str(Column) is NOT enough: count_distinct('x') and count('x') both
+        stringify as "count(x)", and merging a distinct count by SUM silently
+        overcounts values that appear under several salts."""
+        import re
+
+        probe = df.groupBy().agg(expr.alias("_probe"))
+        plan = probe._jdf.queryExecution().analyzed().toString()
+        m = re.search(r"Aggregate \[(\w+)\((distinct)?", plan)
+        if not m:
+            raise ValueError(f"salted_aggregate: cannot classify aggregate {expr}")
+        return m.group(1).lower(), m.group(2) is not None
+
     def merge_expr(name: str, expr: Column) -> Column:
-        # count partials merge by SUM; everything else re-applies itself.
-        fn_name = expr._jc.toString().lower()
-        if fn_name.startswith("count"):
-            return F.sum(f"_p_{name}").alias(name)
-        if fn_name.startswith("min"):
-            return F.min(f"_p_{name}").alias(name)
-        if fn_name.startswith("max"):
-            return F.max(f"_p_{name}").alias(name)
-        return F.sum(f"_p_{name}").alias(name)
+        # Whitelist of salt-decomposable aggregates: count partials merge by
+        # SUM; min/max/sum re-apply themselves. Anything else (avg, stddev,
+        # any DISTINCT form, ...) is NOT mergeable over per-salt partials and
+        # must fail loudly instead of silently re-summing.
+        fn, is_distinct = outer_agg_fn(expr)
+        if not is_distinct:
+            if fn == "count":
+                return F.sum(f"_p_{name}").alias(name)
+            if fn in ("min", "max", "sum"):
+                return getattr(F, fn)(f"_p_{name}").alias(name)
+        raise ValueError(
+            f"salted_aggregate: {name}={fn}{'(distinct)' if is_distinct else ''} "
+            "is not mergeable over salt partials; use sum/count/min/max "
+            "(express avg as sum+count and divide after the merge; for "
+            "count-distinct salt BY THE COUNTED COLUMN via salt_src so each "
+            "distinct value lands in exactly one salt)"
+        )
 
     return phase1.groupBy(*keys).agg(
         *[merge_expr(name, expr) for name, expr in aggs.items()]
@@ -75,7 +98,15 @@ def salted_join(
     """Equi-join fact⋈dim on ``key`` with fact-side salting + dim-side
     replication. Use when the dim is too big to broadcast and the fact key
     is skewed. Output columns = fact columns + dim columns (minus its key).
+
+    Only fact-preserving modes are allowed: under right/full outer joins
+    every unmatched dim row would be emitted once per salt replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — dim replication would "
+            "duplicate unmatched dim rows; use inner or left"
+        )
     salted_fact = fact.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     replicated_dim = dim.select("*", salts)

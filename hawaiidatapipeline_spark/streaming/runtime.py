@@ -99,8 +99,15 @@ def session_aggregate(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> 
 
 def dedup_events(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """Stateful dedup: first arrival per event_id wins; state for ids older
-    than the watermark horizon is evicted (the unbounded-state guard)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    than the watermark horizon is evicted (the unbounded-state guard).
+
+    ``dropDuplicatesWithinWatermark`` is the form that actually evicts:
+    plain ``dropDuplicates([k])`` without the event-time column in the key
+    set keeps every key's state forever, so per-key state grows without
+    bound on an infinite stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
@@ -180,11 +187,25 @@ def late_data_audit(events: DataFrame, threshold: str = "30 minutes"):
     audits: list[tuple[int, int, int]] = []
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        mx = batch_df.agg(F.max("ts")).collect()[0][0]
-        if mx is None:
-            return
-        late = batch_df.filter(F.col("ts") < F.lit(mx) - F.expr(f"INTERVAL {threshold}"))
-        audits.append((batch_id, batch_df.count(), late.count()))
+        # Two jobs over one cached scan (max first — the late predicate needs
+        # it — then total+late in ONE conditional aggregation), instead of
+        # three uncached passes per trigger.
+        batch_df.persist()
+        try:
+            mx = batch_df.agg(F.max("ts")).collect()[0][0]
+            if mx is None:
+                return
+            row = batch_df.agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(
+                    F.when(
+                        F.col("ts") < F.lit(mx) - F.expr(f"INTERVAL {threshold}"), 1
+                    ).otherwise(0)
+                ).alias("late"),
+            ).collect()[0]
+            audits.append((batch_id, row.total, int(row.late or 0)))
+        finally:
+            batch_df.unpersist()
 
     fn.audits = audits  # inspection hook for tests
     return fn

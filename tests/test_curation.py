@@ -27,15 +27,26 @@ def test_scrub_pii_counts_and_redacts(spark):
 
 
 def test_decontaminate_both_directions(spark):
+    # doc 4 is PARTIALLY contaminated (shares "a b c" but also has clean
+    # shingles) — the round-1 inversion kept it; doc 5 is shorter than n
+    # (no shingles at all) and must count as clean, not vanish.
     corpus = spark.createDataFrame(
-        [(1, "a b c d e"), (2, "v w x y z"), (3, "p q r s t")],
+        [
+            (1, "a b c d e"),
+            (2, "v w x y z"),
+            (3, "p q r s t"),
+            (4, "a b c m n o p"),
+            (5, "a b"),
+        ],
         "doc_id long, text string",
     )
     bench = spark.createDataFrame([(100, "z z a b c d e")], "doc_id long, text string")
     clean = decontaminate(corpus, bench, n=3, keep_clean=True)
     dirty = decontaminate(corpus, bench, n=3, keep_clean=False)
-    assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
-    assert sorted(r.doc_id for r in dirty.collect()) == [1]
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3, 5]
+    assert sorted(r.doc_id for r in dirty.collect()) == [1, 4]
+    # clean/dirty partition the corpus: no overlap, nothing lost
+    assert clean.count() + dirty.count() == corpus.count()
 
 
 def test_repetition_stats_exact(spark):

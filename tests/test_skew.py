@@ -38,6 +38,24 @@ def test_salted_aggregate_equals_plain(spark):
     assert _sorted_rows(salted) == _sorted_rows(plain)
 
 
+def test_salted_aggregate_rejects_unmergeable(spark):
+    li = load_table(spark, SF0001, "lineitem")
+    with pytest.raises(ValueError, match="not mergeable"):
+        salted_aggregate(li, ["l_returnflag"], {"a": F.avg("l_quantity")})
+    # count_distinct stringifies like count — must still be rejected
+    with pytest.raises(ValueError, match="not mergeable"):
+        salted_aggregate(li, ["l_returnflag"], {"d": F.count_distinct("l_orderkey")})
+
+
+def test_salted_join_rejects_dim_duplicating_modes(spark):
+    li = load_table(spark, SF0001, "lineitem").select("l_orderkey")
+    o = load_table(spark, SF0001, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        salted_join(li, o, "l_orderkey", how="full_outer")
+
+
 def test_salted_join_equals_plain(spark):
     li = load_table(spark, SF0001, "lineitem").select("l_orderkey", "l_quantity")
     o = load_table(spark, SF0001, "orders").select(
