@@ -13,9 +13,10 @@ splits it:
 3. Optionally ``stream_landed``: tail the same directory incrementally
    (streaming/runtime.py pattern) while the ingester keeps appending.
 
-HTTP is gated behind import-try (no network in this container); the paging
-logic accepts any ``fetch_page(offset, limit) -> list[dict]`` callable so
-tests drive it with a fake (tests/test_ingest.py).
+HTTP runs on stdlib urllib and is exercised end-to-end (fetch → land →
+bulk read) against a loopback SODA stub server in tests/test_ingest.py;
+the paging logic also accepts any ``fetch_page(offset, limit) ->
+list[dict]`` callable for in-memory fakes.
 """
 
 from __future__ import annotations
@@ -34,27 +35,53 @@ except Exception:  # noqa: BLE001
 PageFetcher = Callable[[int, int], list[dict]]
 
 
-def soda_url(domain: str, dataset_id: str, limit: int, offset: int, **params: str) -> str:
+def soda_url(
+    domain: str,
+    dataset_id: str,
+    limit: int,
+    offset: int,
+    base_url: str | None = None,
+    **params: str,
+) -> str:
     """SODA 2.x resource URL with paging params — the reference's query
-    string 'IR' (``$select``/``$where``/... pass through as params)."""
+    string 'IR' (``$select``/``$where``/... pass through as params).
+    ``base_url`` overrides the ``https://{domain}`` origin (tests point it
+    at a loopback stub server)."""
+    from urllib.parse import quote
+
     query = {"$limit": str(limit), "$offset": str(offset), **params}
-    qs = "&".join(f"{k}={v}" for k, v in query.items())
-    return f"https://{domain}/resource/{dataset_id}.json?{qs}"
+    qs = "&".join(f"{quote(k)}={quote(str(v))}" for k, v in query.items())
+    origin = base_url if base_url is not None else f"https://{domain}"
+    return f"{origin}/resource/{dataset_id}.json?{qs}"
 
 
-def http_page_fetcher(domain: str, dataset_id: str, app_token: str | None = None, **params) -> PageFetcher:
-    """Real SODA pager (requires network; unavailable here — the shape is
-    what matters). App token goes in the X-App-Token header exactly as the
-    reference's YAML-configured client did."""
+def http_page_fetcher(
+    domain: str,
+    dataset_id: str,
+    app_token: str | None = None,
+    base_url: str | None = None,
+    timeout: float = 30.0,
+    **params,
+) -> PageFetcher:
+    """Real SODA pager over stdlib urllib. App token goes in the X-App-Token
+    header exactly as the reference's YAML-configured client did. The full
+    fetch→land→read path is exercised in tests against a local loopback HTTP
+    stub (tests/test_ingest.py) — no external network needed."""
 
     def fetch(offset: int, limit: int) -> list[dict]:
         if _urllib_request is None:
             raise NotImplementedError("no HTTP stack available in this environment")
-        req = _urllib_request.Request(soda_url(domain, dataset_id, limit, offset, **params))
+        req = _urllib_request.Request(
+            soda_url(domain, dataset_id, limit, offset, base_url=base_url, **params)
+        )
         if app_token:
             req.add_header("X-App-Token", app_token)
-        with _urllib_request.urlopen(req) as resp:  # pragma: no cover
-            return json.loads(resp.read())
+        with _urllib_request.urlopen(req, timeout=timeout) as resp:
+            body = resp.read()
+        page = json.loads(body)
+        if not isinstance(page, list):
+            raise ValueError(f"SODA page is not a JSON array (got {type(page).__name__})")
+        return page
 
     return fetch
 
