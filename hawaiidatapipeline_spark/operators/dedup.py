@@ -74,9 +74,12 @@ def minhash_candidate_pairs(
     rows_per_band = n_hashes // n_bands
     sig = minhash_signatures(shingles_distinct(df, shingle_n, id_col, text_col), n_hashes, id_col)
 
+    # Candidate generation over NARROW rows only — (doc_id, band, sig) is
+    # ~24 B/row where carrying all n_hashes signature columns through the
+    # band-exploded self-join would be ~8·n_hashes B/row × n_bands replicas.
+    # The wide signatures re-join per UNIQUE candidate pair afterwards.
     bands = sig.select(
         id_col,
-        *[F.col(f"h{i}") for i in range(n_hashes)],
         F.explode(
             F.array(
                 *[
@@ -90,13 +93,10 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("bs"),
-    ).select(id_col, *[f"h{i}" for i in range(n_hashes)], "bs.band", "bs.sig")
+    ).select(id_col, "bs.band", "bs.sig")
 
     x, y = bands.alias("x"), bands.alias("y")
-    agree = sum(
-        F.when(F.col(f"x.h{i}") == F.col(f"y.h{i}"), 1).otherwise(0) for i in range(n_hashes)
-    )
-    return (
+    cand = (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -106,10 +106,24 @@ def minhash_candidate_pairs(
         .select(
             F.col(f"x.{id_col}").alias("doc_a"),
             F.col(f"y.{id_col}").alias("doc_b"),
-            (agree / F.lit(float(n_hashes))).alias("est_jaccard"),
         )
-        .filter(F.col("est_jaccard") >= tau)
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    sig_a = sig.select(
+        F.col(id_col).alias("doc_a"), *[F.col(f"h{i}").alias(f"_a{i}") for i in range(n_hashes)]
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("doc_b"), *[F.col(f"h{i}").alias(f"_b{i}") for i in range(n_hashes)]
+    )
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0) for i in range(n_hashes)
+    )
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", (agree / F.lit(float(n_hashes))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= tau)
     )
 
 

@@ -178,6 +178,38 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "join_salted_skew",
+    """SELECT o_orderpriority,
+              count(*) AS n_items,
+              round(sum(l_extendedprice), 2) AS total_price
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient fact⋈dim join (operators/skew.py salted_join): the
+    fact side is salted, the dim replicated per salt, so one hot orderkey
+    spreads over n_salts reducers instead of stalling a single task — the
+    companion of agg_salted_skew for the skewed JOIN key regime AQE's
+    sort-merge splitting doesn't cover (e.g. broadcast-ineligible dims).
+    Result is identical to the unsalted join, so the oracle is the plain
+    SQL join."""
+    from hawaiidatapipeline_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, "l_orderkey", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@q(
     "join_asof",
     """SELECT p.event_id AS purchase_id, p.user_id,
               c.event_id AS last_click_id

@@ -136,6 +136,40 @@ def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "fulltext_ranked",
+    """WITH scored AS (
+         SELECT doc_id, lang, source,
+                ((len(lower(text)) - len(replace(lower(text), 'merge', ''))) / 5
+                 + (len(lower(source)) - len(replace(lower(source), 'merge', ''))) / 5
+                )::BIGINT AS tf
+         FROM documents
+       )
+       SELECT doc_id, lang, source, tf FROM scored
+       WHERE tf > 0 ORDER BY tf DESC, doc_id LIMIT 50""",
+)
+def fulltext_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoQL ``$q`` with RELEVANCE RANKING — Socrata orders ``$q`` results by
+    match quality, which the boolean ``fulltext_search`` above ignores. Score
+    = term frequency of the needle across the text columns (occurrence count
+    via length arithmetic — pure codegen, no regex), deterministic tiebreak
+    on doc_id so the top-50 set is exact and oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    needle = "merge"
+
+    def tf(colname: str):
+        low = F.lower(F.col(colname))
+        return (F.length(low) - F.length(F.expr(f"replace(lower({colname}), '{needle}', '')"))) / len(needle)
+
+    score = (tf("text") + tf("source")).cast("long")
+    return (
+        d.select("doc_id", "lang", "source", score.alias("tf"))
+        .filter(F.col("tf") > 0)
+        .orderBy(F.col("tf").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+@q(
     "distinct_rows",
     "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
 )

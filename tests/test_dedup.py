@@ -65,6 +65,39 @@ def test_minhash_recall_against_exact(spark):
     assert recall >= 0.8, f"minhash recall too low: {recall:.2f}"
 
 
+def test_minhash_planted_adversarial_near_dups(spark):
+    """Adversarial planting keeps the weak (rows-only) minhash check honest:
+    true near-dups (2 words edited → trigram Jaccard ≈ 0.8) MUST surface;
+    word-scrambled copies (identical token MULTISET, trigram Jaccard ≈ 0 —
+    the case that fools 1-gram dedup) must NOT pass the tau=0.6 gate."""
+    base = (
+        load_table(spark, SF0001, "documents")
+        .filter(F.size(F.split("text", " ")) >= 30)
+        .limit(25)
+        .collect()
+    )
+    assert len(base) == 25
+    rows = []
+    for r in base:
+        words = r.text.split(" ")
+        near = list(words)
+        near[5], near[len(near) // 2] = "qqq", "zzz"  # 2 edits -> J ~ 0.8
+        scrambled = list(reversed(words))  # same multiset, J ~ 0
+        rows.append((int(r.doc_id), r.text))
+        rows.append((int(r.doc_id) + 100_000, " ".join(near)))
+        rows.append((int(r.doc_id) + 200_000, " ".join(scrambled)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(docs, tau=0.6).select("doc_a", "doc_b").collect()
+    }
+    planted = {(int(r.doc_id), int(r.doc_id) + 100_000) for r in base}
+    scrambles = {(int(r.doc_id), int(r.doc_id) + 200_000) for r in base}
+    recall = len(planted & got) / len(planted)
+    assert recall >= 0.9, f"planted near-dup recall too low: {recall:.2f}"
+    assert not (scrambles & got), "word-scrambled docs must not pass trigram LSH"
+
+
 def test_simhash_near_dups_close(spark):
     docs = load_table(spark, SF0001, "documents")
     sig = simhash_signatures(docs)
