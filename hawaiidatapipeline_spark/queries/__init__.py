@@ -31,6 +31,8 @@ _MODULES = (
     "textanalysis",
     "udfs",
     "sources",
+    # -- everything below is outside the round-2 driver window --
+    "multimodal",
     "training",
     "analytics",
     "pipeline_demo",

@@ -1,0 +1,80 @@
+"""Multimodal decode checked queries ([NS] mandate).
+
+These prove the REAL decode path, not just plumbing: payloads are genuine
+BMP / PCM-WAV bytes generated on executors from a closed-form formula of
+the id, Spark decodes them with the stdlib+numpy codecs
+(sources/multimodal.py), and the DuckDB oracle computes the same stats
+directly from the formula — so a decoder that mishandles BMP's bottom-up
+row order, BGR byte order, row padding, or WAV framing hash-mismatches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+
+@q(
+    "multimodal_image_decode",
+    """WITH dims AS (
+         SELECT doc_id AS id, 16 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+         FROM documents
+       ),
+       rws AS (SELECT id, unnest(generate_series(0, h - 1)) AS r FROM dims),
+       mr AS (SELECT id, round(avg((id + r) % 256), 6) AS mean_r
+              FROM rws GROUP BY id)
+       SELECT d.id,
+              d.w::INT AS width,
+              d.h::INT AS height,
+              (d.id % 256)::INT AS top_left_r,
+              mr.mean_r::DOUBLE AS mean_r,
+              ((3 * d.id) % 256)::DOUBLE AS mean_g,
+              ((7 * d.id) % 256)::DOUBLE AS mean_b
+       FROM dims d JOIN mr ON d.id = mr.id""",
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP encode → Arrow-batched decode → per-image stats. top_left_r
+    catches a missed bottom-up flip; mean_g/mean_b catch RGB/BGR swaps;
+    the oracle recomputes every stat from the generator formula."""
+    from hawaiidatapipeline_spark.sources.multimodal import (
+        image_stats,
+        synthetic_image_blobs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return image_stats(synthetic_image_blobs(d))
+
+
+@q(
+    "multimodal_audio_decode",
+    """WITH dims AS (
+         SELECT doc_id AS id, 800 + 8 * (doc_id % 100) AS n FROM documents
+       ),
+       idx AS (SELECT id, unnest(generate_series(0, n - 1)) AS i FROM dims),
+       r AS (SELECT id,
+                    round(sqrt(avg((((id + i) % 200 - 100)
+                                    * ((id + i) % 200 - 100))::DOUBLE)), 6) AS rms
+             FROM idx GROUP BY id)
+       SELECT d.id,
+              d.n::BIGINT AS n_samples,
+              8000::INT AS sample_rate,
+              (d.n // 8)::BIGINT AS duration_ms,
+              (d.id % 200 - 100)::INT AS first_sample,
+              r.rms
+       FROM dims d JOIN r ON d.id = r.id""",
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM-WAV encode → stdlib wave decode → duration / first-sample / RMS.
+    Position-dependent samples make truncated or offset reads visible; the
+    oracle recomputes the RMS from the generator formula."""
+    from hawaiidatapipeline_spark.sources.multimodal import (
+        audio_stats,
+        synthetic_audio_blobs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return audio_stats(synthetic_audio_blobs(d))
