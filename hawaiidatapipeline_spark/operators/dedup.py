@@ -127,6 +127,54 @@ def minhash_candidate_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Group near-dup candidate pairs into clusters: (node, comp) where comp
+    is the minimum node id reachable — the step between pair generation and
+    "keep one doc per duplicate cluster".
+
+    Hash-min label propagation: each iteration every node takes the min of
+    its own label and its neighbors' labels (one join + one groupBy-min),
+    converging in O(graph diameter) rounds — near-dup clusters are
+    star/clique-shaped, so diameter is tiny in practice. The driver-side
+    loop with a per-round convergence action is inherent to iterative graph
+    algorithms on Spark (GraphFrames' CC has the same shape);
+    ``localCheckpoint`` truncates lineage so plans don't grow per round.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(nbr_min).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 64
 ) -> DataFrame:

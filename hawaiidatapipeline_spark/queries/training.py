@@ -165,6 +165,61 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common::DOUBLE / (sa.n_tok + sb.n_tok - n_common) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.node
+)
+SELECT node AS doc_id,
+       min(r) AS cluster_id,
+       node = min(r) AS is_kept
+FROM reach GROUP BY node
+"""
+
+
+@q("llm_dedup_clusters", _CLUSTERS_SQL)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING (operators/dedup.py connected_components): exact
+    Jaccard pairs (tau=0.6, same edge set as llm_dedup_jaccard) grouped into
+    duplicate clusters by hash-min label propagation; cluster_id = min doc_id
+    in the cluster, is_kept marks the canonical survivor — the artifact a
+    dedup pass actually applies. Oracle computes the same components via a
+    recursive transitive-closure CTE (fixture-scale; the Spark path is the
+    O(diameter)-iteration 100 TB shape)."""
+    from hawaiidatapipeline_spark.operators.dedup import connected_components
+    from hawaiidatapipeline_spark.queries.llm import llm_dedup_jaccard
+
+    pairs = llm_dedup_jaccard(spark, sf_dir)
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).alias("is_kept"),
+    )
+
+
 @q(
     "llm_dedup_fuzzy",
     """WITH heads AS (

@@ -98,6 +98,26 @@ def test_minhash_planted_adversarial_near_dups(spark):
     assert not (scrambles & got), "word-scrambled docs must not pass trigram LSH"
 
 
+def test_connected_components_known_graph(spark):
+    """Path graph 1-2-3-4 (diameter 3 — needs real propagation, not one
+    hop), clique {10,11,12}, isolated pair {20,21}."""
+    from hawaiidatapipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_empty(spark):
+    from hawaiidatapipeline_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert connected_components(empty).count() == 0
+
+
 def test_simhash_near_dups_close(spark):
     docs = load_table(spark, SF0001, "documents")
     sig = simhash_signatures(docs)
