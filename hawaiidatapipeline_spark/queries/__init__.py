@@ -33,6 +33,7 @@ _MODULES = (
     "sources",
     # -- everything below is outside the round-2 driver window --
     "multimodal",
+    "soql_demo",
     "training",
     "analytics",
     "pipeline_demo",

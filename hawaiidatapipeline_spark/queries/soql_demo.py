@@ -1,0 +1,61 @@
+"""SoQL compiler checked queries: the reference's SODA request bundles
+(soql.py) executed end-to-end and hash-compared against plain ANSI SQL.
+These prove a reference user's queries run verbatim on the engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+from hawaiidatapipeline_spark.soql import soql_query
+
+QUERIES, ORACLES, q = new_module_registry()
+
+
+@q(
+    "soql_aggregate",
+    """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 6) AS total
+       FROM orders
+       WHERE o_totalprice BETWEEN 1000 AND 200000
+       GROUP BY o_orderpriority HAVING count(*) > 10""",
+)
+def soql_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SODA ``$group``/``$having`` request through the SoQL compiler —
+    the exact parameter bundle a reference user would send to the portal."""
+    o = load_table(spark, sf_dir, "orders")
+    return soql_query(
+        o,
+        {
+            "$select": "o_orderpriority, count(*) AS n, round(sum(o_totalprice), 6) AS total",
+            "$where": "o_totalprice between 1000 and 200000",
+            "$group": "o_orderpriority",
+            "$having": "count(*) > 10",
+        },
+    )
+
+
+@q(
+    "soql_fulltext_paged",
+    """SELECT doc_id, lang, source FROM documents
+       WHERE source LIKE 'src1%'
+         AND (lower(text) LIKE '%merge%' OR lower(lang) LIKE '%merge%'
+              OR lower(source) LIKE '%merge%')
+       ORDER BY doc_id LIMIT 40 OFFSET 10""",
+)
+def soql_fulltext_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$q`` full-text + ``starts_with`` + the reference's paging idiom
+    (``$order``+``$limit``+``$offset`` — its core fetch loop) compiled to
+    one DataFrame plan."""
+    d = load_table(spark, sf_dir, "documents")
+    return soql_query(
+        d,
+        {
+            "$select": "doc_id, lang, source",
+            "$where": "starts_with(source, 'src1')",
+            "$q": "merge",
+            "$order": "doc_id",
+            "$limit": "40",
+            "$offset": "10",
+        },
+    )

@@ -1,0 +1,253 @@
+"""SoQL → Spark compiler: run the reference's actual query language.
+
+The reference was a SODA client — every query its users wrote is a SoQL
+query string bundle (``$select``/``$where``/``$group``/``$having``/
+``$order``/``$limit``/``$offset``/``$q``, dev.socrata.com). This module
+compiles that request surface onto a DataFrame, so a reference user's
+queries run verbatim against the engine:
+
+    soql_query(df, {"$select": "lang, count(*) AS n",
+                    "$where":  "starts_with(source, 'src1')",
+                    "$group":  "lang", "$order": "n DESC", "$limit": "10"})
+
+Strategy: SoQL is close enough to ANSI SQL that the clauses map 1:1 onto a
+single SELECT over a temp view — Catalyst then owns optimization exactly as
+for hand-written SQL. The SoQL-specific pieces are handled explicitly:
+
+- SoQL scalar functions are rewritten to Spark SQL equivalents
+  (``starts_with``→``startswith``, ``date_extract_y``→``year``,
+  ``date_trunc_ym``→``date_trunc('MONTH', …)``, variadic ``case(…)``→
+  ``CASE WHEN``, ``within_circle``/``distance_in_meters``→haversine).
+- ``$q`` (portal full-text search) becomes a case-insensitive ``contains``
+  OR-fold over the frame's string columns — the engine twin of the
+  portal-side text index.
+- Clause text is validated against a conservative token filter before
+  splicing into SQL (identifiers, literals, the SoQL operator set); anything
+  else (semicolons, comments, unknown functions) raises ``SoqlError``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["SoqlError", "soql_query", "rewrite_soql_expr"]
+
+
+class SoqlError(ValueError):
+    """Unsupported or malformed SoQL."""
+
+
+# SoQL name → Spark SQL name, arity-preserving straight renames.
+_RENAME = {
+    "starts_with": "startswith",
+    "date_extract_y": "year",
+    "date_extract_m": "month",
+    "date_extract_d": "day",
+    "date_extract_hh": "hour",
+    "date_extract_woy": "weekofyear",
+    "date_extract_dow": "dayofweek",
+}
+
+# date_trunc_* takes one arg in SoQL; Spark's date_trunc takes (unit, col).
+_TRUNC_UNITS = {"date_trunc_y": "YEAR", "date_trunc_ym": "MONTH", "date_trunc_ymd": "DAY"}
+
+# Spark SQL functions allowed to pass through unchanged (ANSI ∩ SoQL core,
+# plus the aggregates SoQL exposes). Conservative allow-list: anything not
+# here and not SoQL-mapped raises.
+_PASSTHROUGH = {
+    "upper", "lower", "length", "abs", "round", "floor", "ceil", "ceiling",
+    "trim", "ltrim", "rtrim", "contains", "sum", "count", "avg", "min",
+    "max", "coalesce", "concat", "substring", "replace", "stddev", "variance",
+    "year", "month", "day", "hour", "weekofyear", "dayofweek", "startswith",
+    "date_trunc", "like", "between", "exp", "ln", "log", "power", "sqrt",
+    "sin", "cos", "asin", "radians", "pow",
+}
+
+_VIEW_COUNTER = iter(range(10**9))
+
+_TOKEN_RE = re.compile(
+    r"""\s+|                                  # whitespace
+        '(?:[^']|'')*'|                       # string literal ('' escape)
+        \d+(?:\.\d+)?(?:[eE][+-]?\d+)?|       # number
+        [A-Za-z_][A-Za-z_0-9]*|               # identifier / keyword
+        ::|<=|>=|!=|<>|\|\||[-+*/%(),.<>=]    # operators & punctuation
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "and", "or", "not", "in", "between", "is", "null", "true", "false",
+    "like", "asc", "desc", "as", "when", "then", "else", "end", "case",
+    "distinct",
+}
+
+
+def _check_tokens(clause: str, what: str) -> None:
+    """Reject anything outside the SoQL token set BEFORE SQL splicing."""
+    pos = 0
+    while pos < len(clause):
+        m = _TOKEN_RE.match(clause, pos)
+        if not m:
+            raise SoqlError(f"unsupported character in {what} at {clause[pos:pos+10]!r}")
+        tok = m.group(0)
+        pos = m.end()
+        if tok[:1].isalpha() or tok[:1] == "_":
+            low = tok.lower()
+            is_call = clause[pos : pos + 1] == "("
+            if is_call and low not in _PASSTHROUGH and low not in _KEYWORDS:
+                raise SoqlError(f"unsupported SoQL function {tok!r} in {what}")
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not inside parens/strings."""
+    parts, depth, start, i, in_str = [], 0, 0, 0, False
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+        i += 1
+    parts.append(s[start:].strip())
+    return [p for p in parts if p]
+
+
+def _rewrite_calls(s: str, name: str, fn) -> str:
+    """Replace every ``name(args)`` call with ``fn(args_list)``; balanced-
+    paren scan so nested calls survive."""
+    out, i = [], 0
+    pat = re.compile(rf"\b{re.escape(name)}\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(s, i)
+        if not m:
+            out.append(s[i:])
+            return "".join(out)
+        out.append(s[i : m.start()])
+        depth, j, in_str = 1, m.end(), False
+        while depth:
+            if j >= len(s):
+                raise SoqlError(f"unbalanced parens in {name}(...)")
+            c = s[j]
+            if in_str:
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        args = _split_top_level(s[m.end() : j - 1])
+        out.append(fn(args))
+        i = j
+
+
+def rewrite_soql_expr(expr: str) -> str:
+    """SoQL expression → Spark SQL expression (function-level rewrites)."""
+    s = expr
+    # variadic case(c1, v1, c2, v2, ...) → CASE WHEN … END
+    def _case(args: list[str]) -> str:
+        if len(args) < 2 or len(args) % 2:
+            raise SoqlError("case(...) needs an even number of arguments")
+        whens = " ".join(
+            f"WHEN {rewrite_soql_expr(c)} THEN {rewrite_soql_expr(v)}"
+            for c, v in zip(args[::2], args[1::2])
+        )
+        return f"(CASE {whens} END)"
+
+    s = _rewrite_calls(s, "case", _case)
+
+    for soql_name, unit in _TRUNC_UNITS.items():
+        s = _rewrite_calls(
+            s, soql_name, lambda args, u=unit: f"date_trunc('{u}', {', '.join(args)})"
+        )
+
+    # great-circle distance / radius filter over (lat, lon) columns
+    def _dist(args: list[str]) -> str:
+        if len(args) != 4:
+            raise SoqlError("distance_in_meters(lat, lon, lat2, lon2) needs 4 args")
+        lat1, lon1, lat2, lon2 = args
+        return (
+            "(6371008.8 * 2 * asin(sqrt("
+            f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+            f"cos(radians({lat1})) * cos(radians({lat2})) * "
+            f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+        )
+
+    s = _rewrite_calls(s, "distance_in_meters", _dist)
+    s = _rewrite_calls(
+        s,
+        "within_circle",
+        lambda args: f"({_dist(args[:4])} <= ({args[4]}))"
+        if len(args) == 5
+        else (_ for _ in ()).throw(SoqlError("within_circle needs 5 args")),
+    )
+
+    for old, new in _RENAME.items():
+        s = re.sub(rf"\b{old}\s*\(", f"{new}(", s, flags=re.IGNORECASE)
+    return s
+
+
+def soql_query(df: DataFrame, params: dict[str, str]) -> DataFrame:
+    """Execute a SODA request-parameter bundle against a DataFrame.
+
+    Supported keys: ``$select`` ``$where`` ``$group`` ``$having`` ``$order``
+    ``$limit`` ``$offset`` ``$q``. Unknown keys raise ``SoqlError``.
+    """
+    known = {"$select", "$where", "$group", "$having", "$order", "$limit", "$offset", "$q"}
+    unknown = set(params) - known
+    if unknown:
+        raise SoqlError(f"unsupported SODA parameters: {sorted(unknown)}")
+
+    select = rewrite_soql_expr(params.get("$select", "*"))
+    where = rewrite_soql_expr(params["$where"]) if "$where" in params else None
+    group = rewrite_soql_expr(params["$group"]) if "$group" in params else None
+    having = rewrite_soql_expr(params["$having"]) if "$having" in params else None
+    order = rewrite_soql_expr(params["$order"]) if "$order" in params else None
+    for clause, what in [(select, "$select"), (where, "$where"), (group, "$group"),
+                         (having, "$having"), (order, "$order")]:
+        if clause and clause != "*":
+            _check_tokens(clause, what)
+
+    # $q: portal full-text search = case-insensitive containment across all
+    # string columns, ANDed into $where.
+    if "$q" in params:
+        needle = params["$q"].replace("'", "''").lower()
+        str_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
+        if not str_cols:
+            raise SoqlError("$q requires at least one string column")
+        q_pred = "(" + " OR ".join(f"contains(lower({c}), '{needle}')" for c in str_cols) + ")"
+        where = f"({where}) AND {q_pred}" if where else q_pred
+
+    spark = df.sparkSession
+    view = f"_soql_{next(_VIEW_COUNTER)}"
+    df.createOrReplaceTempView(view)
+    sql = [f"SELECT {select} FROM {view}"]
+    if where:
+        sql.append(f"WHERE {where}")
+    if group:
+        sql.append(f"GROUP BY {group}")
+    if having:
+        sql.append(f"HAVING {having}")
+    if order:
+        sql.append(f"ORDER BY {order}")
+    out = spark.sql(" ".join(sql))
+
+    # LIMIT/OFFSET as DataFrame ops so they compose with the ORDER BY above
+    if "$offset" in params:
+        out = out.offset(int(params["$offset"]))
+    if "$limit" in params:
+        out = out.limit(int(params["$limit"]))
+    return out
