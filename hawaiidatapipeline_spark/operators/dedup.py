@@ -72,7 +72,14 @@ def minhash_candidate_pairs(
     standard unbiased MinHash estimator. Returns (doc_a, doc_b, est_jaccard).
     """
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(shingles_distinct(df, shingle_n, id_col, text_col), n_hashes, id_col)
+    # The signature table feeds FOUR plan branches (band self-join ×2,
+    # signature re-join ×2); Catalyst does not reuse the exchange across
+    # them, so without materialization the shingle-explode + 32-way min
+    # aggregation — the expensive linear pass — runs four times.
+    # localCheckpoint computes it once and stores it on executors.
+    sig = minhash_signatures(
+        shingles_distinct(df, shingle_n, id_col, text_col), n_hashes, id_col
+    ).localCheckpoint()
 
     # Candidate generation over NARROW rows only — (doc_id, band, sig) is
     # ~24 B/row where carrying all n_hashes signature columns through the
