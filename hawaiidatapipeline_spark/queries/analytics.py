@@ -51,6 +51,63 @@ def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "etl_merge_upsert",
+    """WITH updates AS (
+         SELECT o_orderkey, o_custkey, o_orderpriority,
+                round(o_totalprice * 1.1, 6) AS o_totalprice,
+                'UPDATED' AS merge_action
+         FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey < 5000
+       ),
+       inserts AS (
+         SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,
+                o_orderpriority, round(o_totalprice, 6) AS o_totalprice,
+                'INSERTED' AS merge_action
+         FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey < 5000
+       ),
+       target AS (
+         SELECT o_orderkey, o_custkey, o_orderpriority,
+                round(o_totalprice, 6) AS o_totalprice,
+                'KEPT' AS merge_action
+         FROM orders WHERE o_orderkey < 5000
+       )
+       SELECT * FROM target
+       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+       UNION ALL SELECT * FROM updates
+       UNION ALL SELECT * FROM inserts""",
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse MERGE (upsert): updates override matching target keys,
+    unmatched update keys insert, untouched target rows carry through —
+    the anti-join + union rewrite of ``MERGE INTO`` for plain-parquet
+    targets (no Delta/Iceberg in this container; with a table format the
+    same logical shape becomes its transactional MERGE). One shuffle on
+    the merge key; at scale, partition the target by key range and
+    rewrite only partitions containing update keys."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    base = o.select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+    )
+    target = base.withColumn("merge_action", F.lit("KEPT"))
+    updates = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 6))
+        .withColumn("merge_action", F.lit("UPDATED"))
+    )
+    inserts = (
+        base.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1000000)
+        .withColumn("merge_action", F.lit("INSERTED"))
+    )
+    merged = (
+        target.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(updates)
+        .unionByName(inserts)
+    )
+    return merged
+
+
+@q(
     "events_funnel",
     """WITH stages AS (
          SELECT user_id,

@@ -5,7 +5,7 @@ with exact DuckDB oracles."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hawaiidatapipeline_spark.operators.curation import (
@@ -162,6 +162,51 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  keep_every.alias("keep_every"))
         .filter((F.col("rn") % F.col("keep_every") == 1) | (F.col("keep_every") == 1))
         .select("doc_id", "source")
+    )
+
+
+@q(
+    "llm_vocab_coverage",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+       total AS (SELECT sum(n) AS t FROM counts),
+       ranked AS (
+         SELECT token, n,
+                row_number() OVER (ORDER BY n DESC, token) AS rnk,
+                sum(n) OVER (ORDER BY n DESC, token
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+         FROM counts
+       )
+       SELECT token, n, rnk,
+              round(cum_n::DOUBLE / (SELECT t FROM total), 6) AS coverage
+       FROM ranked WHERE rnk <= 200""",
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction signal for tokenizer training: top-200 tokens
+    by corpus frequency with cumulative coverage fraction (what share of all
+    token occurrences the first k vocabulary entries explain). Counts and
+    the total are distributed aggregates; only the top slice flows through
+    the single-partition ranking window — at 100 TB, pre-filter to tokens
+    with count above a broadcast threshold so the global window stays
+    small."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    w = Window.orderBy(F.col("n").desc(), "token")
+    ranked = counts.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "cum_n", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 200)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token", "n", "rnk",
+            F.round(F.col("cum_n") / F.col("t"), 6).alias("coverage"),
+        )
     )
 
 
