@@ -210,19 +210,25 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "emb",
     n_cells: int = 16,
+    n_probe: int = 1,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k cosine pairs via an IVF (inverted-file) coarse
-    quantizer: k-means assigns every vector to a cell; candidate pairs are
-    generated only inside a cell (the classic IVF-Flat search shape, nprobe=1
-    for pair mining). Complements ``cosine_topk_lsh``: the quantizer is
-    *trained on the data distribution* (k-means centroids follow density)
-    where hyperplane LSH is data-oblivious.
+    quantizer: k-means assigns every vector to its ``n_probe`` nearest
+    cells; candidate pairs are generated only inside a shared cell (the
+    classic IVF-Flat search shape). Complements ``cosine_topk_lsh``: the
+    quantizer is *trained on the data distribution* (k-means centroids
+    follow density) where hyperplane LSH is data-oblivious.
 
-    Scale shape: training samples a bounded subset to the driver via Spark
-    ML's distributed k-means; assignment is one map; candidate generation
-    shuffles on cell id — linear, never n². Recall is bounded by cell purity;
-    raise n_cells and add multi-probe for tighter recall at scale.
+    ``n_probe`` is the recall lever at scale: vectors near a cell boundary
+    land in several probe lists, so near-neighbor pairs split by the
+    quantizer still meet — candidate volume grows ~linearly with n_probe,
+    never n². Multi-probe assignment is one Arrow-batched GEMM against the
+    broadcast (n_cells × dim) centroid matrix.
+
+    Scale shape: k-means training is distributed (Spark ML); assignment is
+    one map; candidate generation shuffles on cell id — linear. Recall is
+    bounded by cell purity; raise n_cells and n_probe together.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -230,7 +236,39 @@ def cosine_topk_ivf(
     feat = df.select(id_col, vec_col).withColumn("_fv", array_to_vector(F.col(vec_col)))
     km = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="_cell")
     model = km.fit(feat)
-    assigned = with_norm(model.transform(feat).drop("_fv"), vec_col)
+    if n_probe <= 1:
+        assigned = model.transform(feat).drop("_fv")
+    else:
+        import numpy as np
+        import pandas as pd
+
+        centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+        bc = df.sparkSession.sparkContext.broadcast(centers)
+        n_p = min(n_probe, n_cells)
+
+        def probe(batches):
+            c = bc.value
+            c_sq = (c**2).sum(axis=1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+                # squared euclidean to every centroid: |v|² − 2v·c + |c|²
+                d2 = (v**2).sum(axis=1, keepdims=True) - 2 * (v @ c.T) + c_sq[None, :]
+                near = np.argpartition(d2, n_p - 1, axis=1)[:, :n_p]
+                m = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy().repeat(n_p),
+                        vec_col: list(pdf[vec_col].to_numpy().repeat(n_p)),
+                        "_cell": near.reshape(m * n_p).astype("int32"),
+                    }
+                )
+
+        assigned = df.select(id_col, vec_col).mapInPandas(
+            probe, f"{id_col} bigint, {vec_col} array<double>, _cell int"
+        )
+    assigned = with_norm(assigned, vec_col)
 
     a, b = assigned.alias("a"), assigned.alias("b")
     cand = (
@@ -247,5 +285,6 @@ def cosine_topk_ivf(
                 / (F.col("a.norm") * F.col("b.norm"))
             ).alias("cos_sim"),
         )
+        .dropDuplicates(["vec_a", "vec_b"])
     )
     return cand.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b").limit(k)

@@ -107,3 +107,17 @@ def test_ivf_finds_planted_near_duplicates(spark):
     expected = {(int(i), int(i) + 10_000) for i in base["vec_id"]}
     recall = len(expected & got) / len(expected)
     assert recall >= 0.8, f"planted-pair recall too low: {recall}"
+    # multi-probe: with MANY cells (more boundaries) probing 3 lists must
+    # recover at least what single-probe finds, and still clear the bar
+    got1 = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_topk_ivf(all_vecs, k=40, n_cells=32, n_probe=1).collect()
+    }
+    got3 = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_topk_ivf(all_vecs, k=40, n_cells=32, n_probe=3).collect()
+    }
+    r1 = len(expected & got1) / len(expected)
+    r3 = len(expected & got3) / len(expected)
+    assert r3 >= r1, (r1, r3)
+    assert r3 >= 0.8, f"multi-probe recall too low: {r3}"

@@ -85,6 +85,58 @@ def test_lifetime_counters_match_batch_aggregate(spark):
     assert _rows(final, cols) == _rows(want, cols)
 
 
+def test_dedup_state_evicts_with_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must EVICT state for ids older than
+    the watermark horizon — the guard that keeps per-key state bounded on
+    an infinite stream (plain dropDuplicates on a non-time key holds every
+    key forever). Four micro-batches an hour apart with a 30-minute
+    watermark: by the last batch, keys from the first batches must be gone
+    from the state store."""
+    import time
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    n_per_batch, n_batches = 100, 4
+    for k in range(n_batches):
+        df = spark.range(k * n_per_batch, (k + 1) * n_per_batch).select(
+            F.col("id").alias("event_id"),
+            (
+                F.lit("2025-01-01 00:00:00").cast("timestamp")
+                + F.expr(f"INTERVAL {k} HOURS")
+                + F.make_interval(secs=F.col("id") % 60)
+            ).alias("ts"),
+        )
+        df.coalesce(1).write.parquet(str(landing / f"batch_{k}"))
+        time.sleep(1.1)  # distinct mtimes -> file source processes in order
+
+    schema = "event_id bigint, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing / "batch_*"))
+    )
+    deduped = runtime.dedup_events(stream, watermark="30 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup_evict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_evict"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("t_dedup_evict").count() == n_per_batch * n_batches
+    state_rows = [
+        p.stateOperators[0].numRowsTotal
+        for p in q.recentProgress
+        if p.stateOperators
+    ]
+    assert len(state_rows) >= n_batches
+    # eviction bound: at most ~2 batches of keys live at once; without
+    # eviction the final state would hold all 400 keys
+    assert state_rows[-1] <= 2 * n_per_batch, state_rows
+
+
 def test_late_data_audit_counts(spark, tmp_path):
     """The foreachBatch audit must account for every row (on-time + late ==
     batch size) and flag rows older than the threshold within each batch."""
