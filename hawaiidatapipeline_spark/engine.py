@@ -9,7 +9,8 @@ stack:
     eng.catalog()                      # list datasets (name, cols, rows)
     eng.search("doc")                  # catalog search by name substring
     df = eng.table("lineitem")         # fetch → DataFrame (lazy, not rows)
-    eng.sql("SELECT ... FROM lineitem")# SoQL analog — full SQL
+    eng.sql("SELECT ... FROM lineitem")# full SQL over the catalog
+    eng.soql("documents", {"$q": "x"}) # the reference's SODA params, verbatim
     eng.export(df, "out", fmt="csv")   # the local-cache/export step
     eng.pipeline("daily")              # stage-DAG builder (plans/)
 
@@ -73,6 +74,17 @@ class Engine:
         if not self._registered:
             self.register_views()
         return self.spark.sql(query)
+
+    def soql(self, table: str, params: dict[str, str]) -> DataFrame:
+        """The reference's literal request surface: a SODA parameter bundle
+        (``$select``/``$where``/``$group``/``$having``/``$order``/
+        ``$limit``/``$offset``/``$q``) against a dataset —
+        ``eng.soql("documents", {"$q": "merge", "$limit": "100"})`` is the
+        engine twin of the client's portal GET (soql.py compiles it to one
+        Catalyst plan)."""
+        from hawaiidatapipeline_spark.soql import soql_query
+
+        return soql_query(self.table(table), params)
 
     # ------------------------------------------------------------ export
 

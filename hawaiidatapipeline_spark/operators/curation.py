@@ -96,6 +96,46 @@ def repetition_stats(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long docs into overlapping fixed-size token chunks — the
+    context-window preparation step (RAG indexing / pretraining with
+    overlap). Chunk i covers tokens [i·step, i·step + chunk_tokens) with
+    step = chunk_tokens − overlap; the final chunk may be short. Pure
+    higher-order functions (sequence → explode → slice), whole-stage
+    codegen, no UDF; output grows ~n_tokens/step per doc — linear."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(step)))
+    return (
+        df.select(id_col, toks.alias("_toks"), n.alias("_n"), n_chunks.alias("_nc"))
+        .select(
+            id_col,
+            "_toks",
+            "_n",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("chunk_id") * step + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.col("_n") - F.col("chunk_id") * step
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     bin_tokens: int = 512,

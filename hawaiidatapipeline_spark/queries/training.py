@@ -166,6 +166,35 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "llm_chunk_documents",
+    """WITH words AS (
+         SELECT doc_id, string_split(text, ' ') AS w,
+                len(string_split(text, ' ')) AS n
+         FROM documents
+       ),
+       chunks AS (
+         SELECT doc_id, n, w,
+                unnest(generate_series(
+                    0, greatest(1, ceil((n - 8) / 24.0))::BIGINT - 1)) AS chunk_id
+         FROM words
+       )
+       SELECT doc_id, chunk_id,
+              array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+                  AS chunk_text,
+              least(32, n - chunk_id * 24)::BIGINT AS n_tokens
+       FROM chunks""",
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/curation.py chunk_documents):
+    32-token chunks with 8-token overlap (step 24) — the RAG-indexing /
+    packing preparation step, pure sequence→explode→slice codegen."""
+    from hawaiidatapipeline_spark.operators.curation import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
+@q(
     "llm_vocab_coverage",
     """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
        counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),

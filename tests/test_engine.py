@@ -31,6 +31,16 @@ def test_sql_entry_point(eng):
     assert n > 0
 
 
+def test_soql_entry_point(eng):
+    """The reference's SODA parameter bundle runs verbatim via the facade."""
+    got = eng.soql(
+        "documents",
+        {"$select": "doc_id, lang", "$q": "merge", "$order": "doc_id", "$limit": "5"},
+    )
+    rows = got.collect()
+    assert len(rows) <= 5 and all(r.doc_id is not None for r in rows)
+
+
 def test_export_roundtrip(eng, tmp_path):
     df = eng.table("region")
     path = eng.export(df, str(tmp_path / "region_csv"), fmt="csv")
