@@ -53,6 +53,16 @@ AUDITS: dict[str, list[str]] = {
     "llm_pack_sequences": ["window_exec", "pruning", "codegen"],
     "llm_corpus_pipeline": ["partial_agg", "window_exec", "pruning", "codegen"],
     "agg_salted_skew": ["partial_agg", "pruning", "codegen"],
+    "fulltext_ranked": ["take_ordered", "pruning", "codegen"],
+    "join_salted_skew": ["partial_agg", "pruning", "no_cartesian", "codegen"],
+    # (no "pruning" for minhash: signatures are localCheckpoint-materialized,
+    # so the final plan reads the checkpoint RDD, not the parquet scan)
+    "llm_dedup_minhash": ["partial_agg", "no_cartesian", "codegen"],
+    "llm_vocab_coverage": ["partial_agg", "window_exec", "broadcast_any", "codegen"],
+    "llm_chunk_documents": ["no_shuffle_left", "generate_exec", "pruning", "codegen"],
+    "etl_merge_upsert": ["pushdown", "pruning", "no_cartesian", "codegen"],
+    "soql_aggregate": ["pushdown", "partial_agg", "pruning", "codegen"],
+    "multimodal_audio_decode": ["pruning", "no_shuffle_left"],
 }
 
 
