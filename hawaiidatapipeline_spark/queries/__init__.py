@@ -34,6 +34,7 @@ _MODULES = (
     # -- everything below is outside the round-2 driver window --
     "multimodal",
     "soql_demo",
+    "sources_extra",
     "training",
     "analytics",
     "pipeline_demo",
@@ -66,5 +67,8 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
             if name in queries:
                 raise ValueError(f"duplicate query key: {name}")
             queries[name] = fn
-        oracles.update(getattr(mod, "ORACLES", {}))
+        for name, sql in getattr(mod, "ORACLES", {}).items():
+            if name in oracles:
+                raise ValueError(f"duplicate oracle key: {name}")
+            oracles[name] = sql
     return queries, oracles
