@@ -35,6 +35,7 @@ _MODULES = (
     "multimodal",
     "soql_demo",
     "sources_extra",
+    "tpch",
     "training",
     "analytics",
     "pipeline_demo",

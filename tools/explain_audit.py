@@ -63,6 +63,9 @@ AUDITS: dict[str, list[str]] = {
     "etl_merge_upsert": ["pushdown", "pruning", "no_cartesian", "codegen"],
     "soql_aggregate": ["pushdown", "partial_agg", "pruning", "codegen"],
     "multimodal_audio_decode": ["pruning", "no_shuffle_left"],
+    "tpch_q3_shipping_priority": ["pushdown", "smj_or_bhj", "partial_agg", "take_ordered", "codegen"],
+    "tpch_q5_local_supplier_volume": ["pushdown", "broadcast", "partial_agg", "no_cartesian", "codegen"],
+    "tpch_q10_returned_items": ["pushdown", "broadcast", "take_ordered", "codegen"],
 }
 
 
