@@ -121,6 +121,32 @@ def test_http_fetch_land_read_end_to_end(spark, tmp_path):
     assert abs(df.agg({"val": "sum"}).collect()[0][0] - sum(r["val"] for r in rows)) < 1e-6
 
 
+def test_soda_datasource_distributed_read(spark):
+    """Spark 4 Python DataSource: the page plan becomes InputPartitions and
+    each task fetches its own offset window — ingestion parallelism equals
+    the partition count, not one driver loop."""
+    from hawaiidatapipeline_spark.sources.soda_datasource import SodaDataSource
+
+    rows = [{"id": i, "name": f"row{i}", "val": i * 0.5} for i in range(2345)]
+    with _SodaStub(rows) as stub:
+        spark.dataSource.register(SodaDataSource)
+        df = (
+            spark.read.format("soda")
+            .schema("id bigint, name string, val double")
+            .option("base_url", stub.base_url)
+            .option("dataset_id", "test-data")
+            .option("total_rows", "2345")
+            .option("page_size", "500")
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 5  # ceil(2345/500) page windows
+        collected = sorted((r.id, r.name, r.val) for r in df.collect())
+        assert len(collected) == 2345
+        assert collected[1234] == (1234, "row1234", 617.0)
+        # every page window was requested exactly once, in parallel tasks
+        assert sorted(stub.requests) == [(off, min(500, 2345 - off)) for off in range(0, 2345, 500)]
+
+
 def test_http_fetcher_rejects_on_bad_token(tmp_path):
     import urllib.error
 
