@@ -60,6 +60,38 @@ def test_repetition_stats_exact(spark):
     assert 2 not in out  # shorter than n -> no shingles, no row
 
 
+def test_chunk_documents_reconstruction(spark):
+    """Chunking invariants: stripping each chunk's leading overlap and
+    concatenating reconstructs the doc exactly; every chunk except the last
+    is full-size; short docs yield one chunk."""
+    from hawaiidatapipeline_spark.operators.curation import chunk_documents
+
+    texts = [
+        (1, " ".join(f"t{i}" for i in range(100))),
+        (2, " ".join(f"u{i}" for i in range(32))),   # exactly one chunk
+        (3, " ".join(f"v{i}" for i in range(33))),   # spills into a second
+        (4, "solo"),
+        (5, " ".join(f"w{i}" for i in range(24))),   # == step, single chunk
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=32, overlap=8)
+    rows = sorted((r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens) for r in out.collect())
+    by_doc = {}
+    for doc_id, chunk_id, chunk_text, n_tokens in rows:
+        by_doc.setdefault(doc_id, []).append((chunk_id, chunk_text, n_tokens))
+    for doc_id, text in texts:
+        chunks = by_doc[doc_id]
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        rebuilt = chunks[0][1].split(" ")
+        for _, chunk_text, _ in chunks[1:]:
+            rebuilt.extend(chunk_text.split(" ")[8:])  # drop the overlap
+        assert rebuilt == text.split(" "), doc_id
+        for _, chunk_text, n_tokens in chunks[:-1]:
+            assert len(chunk_text.split(" ")) == 32 == n_tokens
+    assert len(by_doc[2]) == 1 and len(by_doc[3]) == 2 and len(by_doc[4]) == 1
+    assert len(by_doc[5]) == 1
+
+
 def test_pack_sequences_bins(spark):
     df = spark.createDataFrame(
         [(i, "s", " ".join(["t"] * 30)) for i in range(1, 6)],
