@@ -113,6 +113,70 @@ def test_distance_in_meters_rewrite():
     assert "asin" in s and "6371008.8" in s
 
 
+def test_offset_beyond_rows_and_empty_result(spark):
+    d = load_table(spark, SF0001, "documents")
+    got = soql_query(
+        d, {"$select": "doc_id", "$order": "doc_id", "$limit": "10", "$offset": "999999"}
+    )
+    assert got.count() == 0
+    none = soql_query(d, {"$select": "doc_id", "$where": "doc_id < 0"})
+    assert none.count() == 0
+
+
+def test_where_fuzz_equals_spark_sql(spark):
+    """Property fuzz: random SoQL $where trees must filter identically to
+    the same expression evaluated by Spark SQL directly (SoQL's predicate
+    grammar is an ANSI subset, so the compiled clause must be semantics-
+    preserving, not just parseable)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    o = load_table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    o = o.localCheckpoint()  # one read; fuzz cases reuse it
+    total = o.count()
+
+    comparisons = st.sampled_from(
+        [
+            "o_totalprice > 100000",
+            "o_totalprice <= 50000.5",
+            "o_orderkey % 7 = 0",
+            "o_orderpriority != '5-LOW'",
+            "o_orderpriority in ('1-URGENT', '2-HIGH')",
+            "o_totalprice between 10000 and 90000",
+            "o_custkey is not null",
+            "o_orderpriority like '1%'",
+            "starts_with(o_orderpriority, '3')",
+            "length(o_orderpriority) > 5",
+        ]
+    )
+
+    def trees(depth):
+        if depth == 0:
+            return comparisons
+        sub = trees(depth - 1)
+        return st.one_of(
+            comparisons,
+            st.tuples(sub, st.sampled_from(["and", "or"]), sub).map(
+                lambda t: f"({t[0]}) {t[1]} ({t[2]})"
+            ),
+            sub.map(lambda s: f"not ({s})"),
+        )
+
+    @given(clause=trees(2))
+    @settings(
+        max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    def run(clause):
+        got = soql_query(o, {"$select": "o_orderkey", "$where": clause}).count()
+        want = o.filter(F.expr(rewrite_soql_expr(clause))).count()
+        assert got == want, clause
+        assert 0 <= got <= total
+
+    run()
+
+
 def test_rejects_unsupported(spark):
     d = load_table(spark, SF0001, "documents")
     with pytest.raises(SoqlError, match="unsupported SoQL function"):
