@@ -98,6 +98,41 @@ def test_minhash_planted_adversarial_near_dups(spark):
     assert not (scrambles & got), "word-scrambled docs must not pass trigram LSH"
 
 
+def test_winnowing_fingerprints_position_robust(spark):
+    """Winnowing's defining property: inserting words at the FRONT of a doc
+    (shifting every downstream position) must preserve most fingerprints —
+    positional k-gram hashing would share none. Unrelated docs share few."""
+    from hawaiidatapipeline_spark.functions.text import winnowing_fingerprints
+
+    base = (
+        load_table(spark, SF0001, "documents")
+        .filter(F.size(F.split("text", " ")) >= 40)
+        .limit(15)
+        .collect()
+    )
+    rows = []
+    for r in base:
+        rows.append((int(r.doc_id), r.text))
+        rows.append((int(r.doc_id) + 100_000, "xxx yyy zzz " + r.text))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fp = winnowing_fingerprints(docs).collect()
+    sets: dict[int, set] = {}
+    for r in fp:
+        sets.setdefault(r.doc_id, set()).add(r.fingerprint)
+    overlaps = []
+    for r in base:
+        a, b = sets[int(r.doc_id)], sets[int(r.doc_id) + 100_000]
+        overlaps.append(len(a & b) / len(a | b))
+    assert sum(o >= 0.5 for o in overlaps) >= 0.8 * len(overlaps), overlaps
+    # unrelated docs: fingerprint overlap stays low
+    ids = [int(r.doc_id) for r in base]
+    cross = [
+        len(sets[ids[i]] & sets[ids[i + 1]]) / len(sets[ids[i]] | sets[ids[i + 1]])
+        for i in range(0, len(ids) - 1, 2)
+    ]
+    assert all(c < 0.5 for c in cross), cross
+
+
 def test_connected_components_known_graph(spark):
     """Path graph 1-2-3-4 (diameter 3 — needs real propagation, not one
     hop), clique {10,11,12}, isolated pair {20,21}."""
