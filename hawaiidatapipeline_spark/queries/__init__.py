@@ -36,6 +36,7 @@ _MODULES = (
     "soql_demo",
     "sources_extra",
     "tpch",
+    "geo_extra",
     "training",
     "analytics",
     "pipeline_demo",
