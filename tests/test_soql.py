@@ -113,6 +113,14 @@ def test_distance_in_meters_rewrite():
     assert "asin" in s and "6371008.8" in s
 
 
+def test_select_distinct(spark):
+    d = load_table(spark, SF0001, "documents")
+    got = soql_query(d, {"$select": "distinct lang"})
+    assert sorted(r.lang for r in got.collect()) == sorted(
+        r.lang for r in d.select("lang").distinct().collect()
+    )
+
+
 def test_offset_beyond_rows_and_empty_result(spark):
     d = load_table(spark, SF0001, "documents")
     got = soql_query(

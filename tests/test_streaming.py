@@ -85,6 +85,34 @@ def test_lifetime_counters_match_batch_aggregate(spark):
     assert _rows(final, cols) == _rows(want, cols)
 
 
+def test_merge_sink_upserts_across_batches(spark, tmp_path):
+    """foreachBatch merge sink: keys arriving in later micro-batches replace
+    earlier versions in the parquet target; new keys append."""
+    import time
+
+    landing = tmp_path / "merge_landing"
+    landing.mkdir()
+    # batch 0: keys 0..9 v=1; batch 1: keys 5..14 v=2 (5..9 upserted)
+    spark.createDataFrame(
+        [(k, 1) for k in range(10)], "k bigint, v int"
+    ).coalesce(1).write.parquet(str(landing / "b0"))
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(k, 2) for k in range(5, 15)], "k bigint, v int"
+    ).coalesce(1).write.parquet(str(landing / "b1"))
+
+    stream = (
+        spark.readStream.schema("k bigint, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing / "b*"))
+    )
+    target = str(tmp_path / "merge_target")
+    q = runtime.run_merge_sink(stream, target, "k", str(tmp_path / "merge_ckpt"))
+    q.awaitTermination()
+    final = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert final == {**{k: 1 for k in range(5)}, **{k: 2 for k in range(5, 15)}}
+
+
 def test_dedup_state_evicts_with_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark must EVICT state for ids older than
     the watermark horizon — the guard that keeps per-key state bounded on
