@@ -349,6 +349,40 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DQ_RULES = {
+    "qty_positive": "l_quantity > 0",
+    "disc_in_range": "l_discount between 0 and 1",
+    "price_floor": "l_extendedprice >= 900",
+    "flag_known": "l_returnflag in ('A', 'N', 'R')",
+}
+
+
+@q(
+    "dq_expectations",
+    f"""WITH base AS (
+         SELECT count(*) AS n_rows,
+                {", ".join(
+                    f"sum(CASE WHEN coalesce({expr}, false) THEN 0 ELSE 1 END) AS v_{name}"
+                    for name, expr in _DQ_RULES.items()
+                )}
+         FROM lineitem)
+       {" UNION ALL ".join(
+           f'''SELECT '{name}' AS rule, v_{name}::BIGINT AS n_violations,
+                      n_rows::BIGINT AS n_rows, v_{name} = 0 AS pass FROM base'''
+           for name in _DQ_RULES
+       )}""",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic expectations gate (operators/quality.py): declared boolean
+    rules become ONE conditional aggregation over a single scan — per-rule
+    violation counts regardless of rule count; null results count as
+    violations (three-valued logic must not slip through a gate)."""
+    from hawaiidatapipeline_spark.operators.quality import expect
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return expect(li, _DQ_RULES)
+
+
 @q(
     "dq_referential",
     """SELECT 'orders->customer' AS relation, count(*) AS n_orphans

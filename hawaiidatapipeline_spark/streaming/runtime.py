@@ -179,6 +179,50 @@ def lifetime_counters(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionized_counters(events: DataFrame, gap_minutes: int = 30, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Custom session aggregation via ``applyInPandasWithState`` with
+    EVENT-TIME TIMEOUT — the state-eviction tier ``lifetime_counters``
+    (NoTimeout) doesn't show: a user's session state flushes as a final
+    row once the watermark passes last-seen + gap, then is REMOVED. This
+    is how a custom stateful operator stays bounded on an infinite
+    stream; the built-in ``session_window`` covers plain aggregates, this
+    escape hatch covers arbitrary per-session state machines."""
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "session_value": [round(total, 6)],
+                }
+            )
+            return
+        n, total, last_ms = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_ms = max(last_ms, int(pdf["ts"].max().timestamp() * 1000))
+        state.update((n, total, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        return
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, session_value double",
+        stateStructType="n bigint, total double, last_ms bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def late_data_audit(events: DataFrame, threshold: str = "30 minutes"):
     """foreachBatch sink splitting each micro-batch into on-time vs late
     (event time older than the batch's max seen minus threshold) — the

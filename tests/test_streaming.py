@@ -85,6 +85,54 @@ def test_lifetime_counters_match_batch_aggregate(spark):
     assert _rows(final, cols) == _rows(want, cols)
 
 
+def test_sessionized_counters_event_time_timeout(spark, tmp_path):
+    """Custom stateful op with EventTimeTimeout: sessions flush as final
+    rows once the watermark (advanced by a later micro-batch) passes
+    last-seen + gap, and their state is removed — bounded state for an
+    arbitrary per-session state machine."""
+    import time
+
+    landing = tmp_path / "sess_landing"
+    landing.mkdir()
+    # batch 0: users 1,2 each 3 events around t0; batch 1 (3h later): user 3
+    # only — its watermark closes users 1 and 2's sessions
+    spark.createDataFrame(
+        [(u, "2025-01-01 00:0%d:00" % i, 1.5) for u in (1, 2) for i in range(3)],
+        "user_id bigint, ts_s string, value double",
+    ).selectExpr("user_id", "cast(ts_s as timestamp) ts", "value").coalesce(
+        1
+    ).write.parquet(str(landing / "b0"))
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(3, "2025-01-01 03:00:00", 9.0)],
+        "user_id bigint, ts_s string, value double",
+    ).selectExpr("user_id", "cast(ts_s as timestamp) ts", "value").coalesce(
+        1
+    ).write.parquet(str(landing / "b1"))
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing / "b*"))
+    )
+    sessions = runtime.sessionized_counters(
+        stream.withWatermark("ts", "10 minutes"), gap_minutes=30
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.user_id: r for r in spark.table("t_sessions").collect()}
+    assert set(got) == {1, 2}  # user 3's session is still open (no later batch)
+    for u in (1, 2):
+        assert got[u].n_events == 3 and abs(got[u].session_value - 4.5) < 1e-9
+
+
 def test_merge_sink_upserts_across_batches(spark, tmp_path):
     """foreachBatch merge sink: keys arriving in later micro-batches replace
     earlier versions in the parquet target; new keys append."""
