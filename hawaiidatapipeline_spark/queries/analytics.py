@@ -108,6 +108,57 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "events_anomaly",
+    """WITH w AS (
+         SELECT event_id, user_id, value,
+                sum(value::DECIMAL(18,6)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS trail_sum,
+                count(*) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS trail_n
+         FROM events
+       )
+       SELECT event_id, user_id,
+              round(value, 6) AS value,
+              round(value / (trail_sum::DOUBLE / trail_n), 6) AS ratio
+       FROM w
+       WHERE trail_n >= 10 AND trail_sum > 0
+         AND value / (trail_sum::DOUBLE / trail_n) >= 1.5""",
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window outlier detection: flag events whose value exceeds
+    1.5× the user's trailing-20 mean. The trailing sum uses DECIMAL(18,6)
+    so partial-sum order cannot move the 6th digit (the cross-engine float
+    discipline) and one identical IEEE division forms the ratio; stddev-
+    based z-scores would differ in final ulps between engines. One window
+    shuffle on user_id — linear at any scale."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    e = load_table(spark, sf_dir, "events")
+    trail_sum = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    trail_n = F.count(F.lit(1)).over(w)
+    ratio = F.col("value") / (trail_sum.cast("double") / trail_n)
+    return (
+        e.select(
+            "event_id", "user_id", "ts", "value",
+            trail_sum.alias("_s"), trail_n.alias("_n"),
+        )
+        .filter((F.col("_n") >= 10) & (F.col("_s") > 0))
+        .withColumn("ratio", F.col("value") / (F.col("_s").cast("double") / F.col("_n")))
+        .filter(F.col("ratio") >= 1.5)
+        .select(
+            "event_id", "user_id",
+            F.round("value", 6).alias("value"),
+            F.round("ratio", 6).alias("ratio"),
+        )
+    )
+
+
+@q(
     "events_funnel",
     """WITH stages AS (
          SELECT user_id,
