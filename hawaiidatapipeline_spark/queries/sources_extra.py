@@ -50,6 +50,82 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "scan_schema_evolution",
+    """WITH v1 AS (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10),
+       v2 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 10)
+       SELECT n_nationkey, n_name, NULL::INT AS n_regionkey FROM v1
+       UNION ALL
+       SELECT n_nationkey, n_name, n_regionkey FROM v2""",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet generations (v2 adds a column)
+    under one prefix, read with ``mergeSchema`` — old files surface NULL for
+    the new column. The append-only evolution story every long-lived landing
+    zone needs; at scale mergeSchema is planning-time footer work only."""
+    n = load_table(spark, sf_dir, "nation")
+    path = _scratch("nation_evolving")
+    n.filter(F.col("n_nationkey") < 10).select("n_nationkey", "n_name").write.mode(
+        "overwrite"
+    ).parquet(path + "/gen=1")
+    n.filter(F.col("n_nationkey") >= 10).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").parquet(path + "/gen=2")
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(path)
+        .select("n_nationkey", "n_name", F.col("n_regionkey").cast("int"))
+    )
+
+
+@q(
+    "udf_cogrouped_map",
+    """WITH p AS (
+         SELECT user_id, count(*) AS n_purchases, round(sum(value), 6) AS purchase_value
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id
+       ),
+       c AS (
+         SELECT user_id, count(*) AS n_clicks
+         FROM events WHERE event_type = 'click' GROUP BY user_id
+       )
+       SELECT coalesce(p.user_id, c.user_id) AS user_id,
+              coalesce(n_purchases, 0)::BIGINT AS n_purchases,
+              coalesce(round(purchase_value, 6), 0.0) AS purchase_value,
+              coalesce(n_clicks, 0)::BIGINT AS n_clicks
+       FROM p FULL OUTER JOIN c ON p.user_id = c.user_id""",
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cogroup(...).applyInPandas`` — the two-sided grouped-map tier
+    (SURVEY.md §2.K): both groups for a key arrive as pandas frames in one
+    call, the escape hatch for per-key merge logic no single-input UDF can
+    express (custom as-of matching, per-key reconciliation). Shuffles both
+    sides on the key once — same cost shape as a join."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "value")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+
+    def merge(key, p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_purchases": [len(p)],
+                "purchase_value": [round(float(p["value"].sum()), 6) if len(p) else 0.0],
+                "n_clicks": [len(c)],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id bigint, n_purchases bigint, purchase_value double, n_clicks bigint",
+        )
+    )
+
+
+@q(
     "udf_arrow_batch",
     """SELECT doc_id, upper(lang) AS lang_u, length(text)::INT AS n_chars
        FROM documents""",
