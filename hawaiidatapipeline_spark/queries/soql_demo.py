@@ -36,6 +36,33 @@ def soql_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "soql_date_functions",
+    """SELECT date_part('month', ts)::INT AS m,
+              date_trunc('day', ts)::TIMESTAMP AS d,
+              count(*) AS n,
+              round(sum(value), 6) AS total
+       FROM events
+       WHERE date_part('year', ts) >= 2024 AND event_type = 'purchase'
+       GROUP BY 1, 2""",
+)
+def soql_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoQL date functions through the compiler (``date_extract_y/m`` →
+    year/month, ``date_trunc_ymd`` → day truncation) — the portal's
+    time-bucketing idiom, cross-checked against DuckDB's date_part/
+    date_trunc."""
+    e = load_table(spark, sf_dir, "events")
+    return soql_query(
+        e,
+        {
+            "$select": "date_extract_m(ts) AS m, date_trunc_ymd(ts) AS d, "
+            "count(*) AS n, round(sum(value), 6) AS total",
+            "$where": "date_extract_y(ts) >= 2024 AND event_type = 'purchase'",
+            "$group": "date_extract_m(ts), date_trunc_ymd(ts)",
+        },
+    )
+
+
+@q(
     "soql_fulltext_paged",
     """SELECT doc_id, lang, source FROM documents
        WHERE source LIKE 'src1%'
