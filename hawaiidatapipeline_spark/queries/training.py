@@ -165,6 +165,75 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PLANT_UNICODE_SQL = (
+    "text || ' caf' || chr(101) || chr(769) || ' ' || chr(233) || 'clair U'"
+    " || chr(117) || chr(776) || 'ber'"
+)
+
+
+@q(
+    "llm_text_normalize",
+    f"""WITH planted AS (
+         SELECT doc_id, {_PLANT_UNICODE_SQL} AS t FROM documents
+       )
+       SELECT doc_id,
+              length(t)::BIGINT AS n_chars_raw,
+              length(nfc_normalize(t))::BIGINT AS n_chars_nfc,
+              md5(strip_accents(lower(nfc_normalize(t)))) AS norm_md5
+       FROM planted""",
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization for corpus cleaning: NFC composition →
+    casefold → accent stripping, the canonical text-canonicalization step
+    before dedup/tokenization (decomposed 'e'+U+0301 and precomposed 'é'
+    must collide). Fixtures are ASCII, so each doc gets a deterministic
+    suffix mixing decomposed and precomposed accents; Arrow-batched pandas
+    UDF over stdlib unicodedata (no built-in Spark NFC), md5-compared
+    against DuckDB's nfc_normalize/strip_accents."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" caf" + chr(101) + chr(769) + " " + chr(233) + "clair U"
+                  + chr(117) + chr(776) + "ber"),
+        ).alias("t"),
+    )
+
+    def normalize(batches):
+        import hashlib
+        import unicodedata
+
+        def norm(s: str) -> str:
+            nfc = unicodedata.normalize("NFC", s).lower()
+            return "".join(
+                c for c in unicodedata.normalize("NFD", nfc)
+                if not unicodedata.combining(c)
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nfc = pdf["t"].map(lambda s: unicodedata.normalize("NFC", s))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars_raw": pdf["t"].map(len).astype("int64"),
+                    "n_chars_nfc": nfc.map(len).astype("int64"),
+                    "norm_md5": pdf["t"].map(
+                        lambda s: hashlib.md5(norm(s).encode()).hexdigest()
+                    ),
+                }
+            )
+
+    return planted.mapInPandas(
+        normalize,
+        "doc_id bigint, n_chars_raw bigint, n_chars_nfc bigint, norm_md5 string",
+    )
+
+
 @q(
     "llm_chunk_documents",
     """WITH words AS (
