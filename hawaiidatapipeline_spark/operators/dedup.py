@@ -45,15 +45,34 @@ def shingles_distinct(
     )
 
 
+def portable_hash64(col, seed: int):
+    """60-bit integer hash identical across engines: the first 15 hex
+    digits of md5('<seed>:' || value), parsed base-16. Slower than
+    xxhash64 (production path) but lets an external engine recompute the
+    EXACT same LSH pipeline — the basis of the exact minhash oracle."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
 def minhash_signatures(
-    tok: DataFrame, n_hashes: int = 32, id_col: str = "doc_id"
+    tok: DataFrame, n_hashes: int = 32, id_col: str = "doc_id", hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """One row per doc with n_hashes min-hash columns h0..h{n-1}.
-    xxhash64(token, seed_i) stays entirely in codegen; the groupBy is a
+    hash_fn="xxhash64" (default): engine-native, fully codegen — the
+    production path. hash_fn="md5": ``portable_hash64`` so another engine
+    can recompute signatures bit-for-bit. Either way the groupBy is a
     partial-aggregated min — one linear shuffle."""
-    return tok.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("token", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
-    )
+    if hash_fn == "xxhash64":
+        cols = [F.min(F.xxhash64("token", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+    elif hash_fn == "md5":
+        cols = [
+            F.min(portable_hash64(F.col("token"), i)).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return tok.groupBy(id_col).agg(*cols)
 
 
 def minhash_candidate_pairs(
@@ -64,12 +83,16 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs (doc_a < doc_b, est_jaccard ≥ tau) via banded LSH over
     word n-gram shingles (default trigrams).
 
     est_jaccard = fraction of the n_hashes min-hashes that agree — the
     standard unbiased MinHash estimator. Returns (doc_a, doc_b, est_jaccard).
+    ``hash_fn="md5"`` switches every hash (token AND band signature) to the
+    portable md5-derived form so an external engine can recompute the whole
+    pipeline exactly.
     """
     rows_per_band = n_hashes // n_bands
     # The signature table feeds FOUR plan branches (band self-join ×2,
@@ -78,8 +101,15 @@ def minhash_candidate_pairs(
     # aggregation — the expensive linear pass — runs four times.
     # localCheckpoint computes it once and stores it on executors.
     sig = minhash_signatures(
-        shingles_distinct(df, shingle_n, id_col, text_col), n_hashes, id_col
+        shingles_distinct(df, shingle_n, id_col, text_col), n_hashes, id_col, hash_fn
     ).localCheckpoint()
+
+    def band_sig(cols):
+        if hash_fn == "md5":
+            return portable_hash64(
+                F.concat_ws(",", *[c.cast("string") for c in cols]), 9999
+            )
+        return F.xxhash64(*cols)
 
     # Candidate generation over NARROW rows only — (doc_id, band, sig) is
     # ~24 B/row where carrying all n_hashes signature columns through the
@@ -92,8 +122,8 @@ def minhash_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        band_sig(
+                            [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
                         ).alias("sig"),
                     )
                     for b in range(n_bands)

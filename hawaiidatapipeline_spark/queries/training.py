@@ -308,6 +308,74 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact-oracle MinHash: portable md5-derived hashes on BOTH engines ---
+_MH_N, _MH_BANDS = 16, 4
+_MH_RPB = _MH_N // _MH_BANDS
+
+
+def _ph(expr: str, seed) -> str:
+    return f"('0x' || substring(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
+
+
+def _minhash_exact_sql() -> str:
+    sig_cols = ",\n                ".join(
+        f"min({_ph('sh', i)}) AS h{i}" for i in range(_MH_N)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM sig".format(
+            b=b,
+            sig=_ph(
+                " || ',' || ".join(
+                    f"h{b * _MH_RPB + r}::VARCHAR" for r in range(_MH_RPB)
+                ),
+                9999,
+            ),
+        )
+        for b in range(_MH_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(_MH_N)
+    )
+    return f"""WITH words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       ),
+       idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+               FROM words),
+       shingle AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+                   FROM idx),
+       sig AS (SELECT doc_id,
+                {sig_cols}
+               FROM shingle GROUP BY doc_id),
+       bands AS ({band_rows}),
+       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       scored AS (SELECT c.doc_a, c.doc_b, ({agree}) AS agree
+                  FROM cand c
+                  JOIN sig a ON a.doc_id = c.doc_a
+                  JOIN sig b ON b.doc_id = c.doc_b)
+       SELECT doc_a, doc_b, round(agree / {_MH_N}.0, 6) AS est_jaccard
+       FROM scored WHERE agree / {_MH_N}.0 >= 0.6"""
+
+
+@q("llm_dedup_minhash_exact", _minhash_exact_sql())
+def llm_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded MinHash-LSH pipeline under an EXACT oracle: every hash
+    (token min-hashes AND band signatures) uses the portable md5-derived
+    form (operators/dedup.py portable_hash64), so DuckDB recomputes
+    signatures → bands → candidates → estimator bit-for-bit. This upgrades
+    the LSH algorithm itself from rows-only-checked to hash-verified; the
+    production twin (llm_dedup_minhash) keeps codegen xxhash64 for speed
+    and stays recall-tested instead."""
+    from hawaiidatapipeline_spark.operators.dedup import minhash_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        d, tau=0.6, n_hashes=_MH_N, n_bands=_MH_BANDS, hash_fn="md5"
+    )
+    return pairs.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
 _CLUSTERS_SQL = """
 WITH RECURSIVE pairs AS (
   WITH tok AS (
