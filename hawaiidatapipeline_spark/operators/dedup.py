@@ -213,12 +213,23 @@ def connected_components(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per doc: sign of the per-bit sum of ±1 contributions
-    from each distinct trigram-shingle's xxhash64 bits. Near-dups differ in
-    few bits → bucket by bit-ranges, compare Hamming distance within buckets."""
-    tok = shingles_distinct(df, 3, id_col, text_col).withColumn("th", F.xxhash64("token"))
+    """SimHash per doc: sign of the per-bit sum of ±1 contributions from
+    each distinct trigram-shingle's hash bits. Near-dups differ in few
+    bits → bucket by bit-ranges, compare Hamming distance within buckets.
+    ``hash_fn="md5"`` uses the 60-bit portable hash (pass n_bits=60) so an
+    external engine can recompute signatures exactly."""
+    if hash_fn == "md5":
+        tok = shingles_distinct(df, 3, id_col, text_col).withColumn(
+            "th", portable_hash64(F.col("token"), 0)
+        )
+    else:
+        tok = shingles_distinct(df, 3, id_col, text_col).withColumn("th", F.xxhash64("token"))
     bit_sums = tok.groupBy(id_col).agg(
         *[
             F.sum(

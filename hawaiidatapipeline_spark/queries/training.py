@@ -376,6 +376,36 @@ def llm_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+@q(
+    "llm_simhash_exact",
+    f"""WITH words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       ),
+       idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+               FROM words),
+       shingle AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+                   FROM idx),
+       hashed AS (SELECT doc_id, {_ph('sh', 0)} AS th FROM shingle),
+       bits AS (SELECT doc_id, unnest(generate_series(0, 58)) AS i, th FROM hashed),
+       bitsum AS (SELECT doc_id, i,
+                         sum(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                  FROM bits GROUP BY doc_id, i)
+       SELECT doc_id,
+              sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+       FROM bitsum GROUP BY doc_id""",
+)
+def llm_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash under an EXACT oracle: portable md5-derived shingle hashes
+    (operators/dedup.py) let DuckDB recompute the per-bit ±1 sums and the
+    recomposed 59-bit signature integer exactly — upgrading the SimHash
+    construction from rows-only-checked to hash-verified (the production
+    twin llm_simhash_buckets keeps codegen xxhash64)."""
+    from hawaiidatapipeline_spark.operators.dedup import simhash_signatures
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(d, n_bits=60, hash_fn="md5")
+
+
 _CLUSTERS_SQL = """
 WITH RECURSIVE pairs AS (
   WITH tok AS (
