@@ -1,0 +1,72 @@
+"""Deterministic mergeable sketches.
+
+Spark's built-in approximate aggregates (HLL++, percentile_approx) are
+engine-internal: correct, mergeable, but not reproducible by another
+engine, so they can only ever be rows-only-checked. This module provides
+the deterministic counterpart used where VERIFIABILITY matters:
+
+- ``histogram_quantile``: fixed-grid histogram quantiles. Two linear
+  passes (per-group bounds, then bucket counts — counts are trivially
+  mergeable across partitions/increments, which is the whole scale story
+  of histogram sketches); the estimate is the upper edge of the bucket
+  where the cumulative count crosses p·n. Error ≤ (max−min)/n_buckets.
+  Every step is integer counts + one identical IEEE division chain, so an
+  external engine reproduces the estimate bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram_quantile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: float = 0.5,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Per-group approximate p-quantile via a fixed histogram grid.
+
+    Returns (group, q_estimate, n, bucket_width). Degenerate groups
+    (min == max) return that value exactly.
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.min(value_col).alias("_mn"),
+        F.max(value_col).alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(n_buckets))
+    with_b = (
+        df.join(bounds, group_col)
+        .withColumn("_w", width)
+        .withColumn(
+            "_b",
+            F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor((F.col(value_col) - F.col("_mn")) / F.col("_w")),
+                    F.lit(n_buckets - 1),
+                )
+            ).cast("long"),
+        )
+    )
+    counts = with_b.groupBy(group_col, "_mn", "_w", "_n", "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wspec = Window.partitionBy(group_col).orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = counts.withColumn("_cum", F.sum("_c").over(wspec))
+    # first bucket where cumulative count reaches ceil(p * n)
+    target = F.ceil(F.lit(p) * F.col("_n"))
+    hits = ranked.filter(F.col("_cum") >= target)
+    first = hits.groupBy(group_col, "_mn", "_w", "_n").agg(F.min("_b").alias("_b_sel"))
+    return first.select(
+        group_col,
+        F.round(F.col("_mn") + (F.col("_b_sel") + 1) * F.col("_w"), 6).alias(
+            "q_estimate"
+        ),
+        F.col("_n").cast("long").alias("n"),
+        F.round("_w", 6).alias("bucket_width"),
+    )

@@ -248,6 +248,56 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "agg_quantile_histogram",
+    """WITH bounds AS (
+         SELECT o_orderpriority,
+                min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+                count(*) AS n
+         FROM orders GROUP BY o_orderpriority
+       ),
+       wb AS (SELECT o_orderpriority, mn, (mx - mn) / 1000.0 AS w, n, mx FROM bounds),
+       bucketed AS (
+         SELECT o.o_orderpriority, wb.mn, wb.w, wb.n,
+                CASE WHEN wb.mx = wb.mn THEN 0
+                     ELSE least(floor((o.o_totalprice - wb.mn) / wb.w), 999)
+                END::BIGINT AS b
+         FROM orders o JOIN wb ON o.o_orderpriority = wb.o_orderpriority
+       ),
+       counts AS (
+         SELECT o_orderpriority, mn, w, n, b, count(*) AS c
+         FROM bucketed GROUP BY 1, 2, 3, 4, 5
+       ),
+       ranked AS (
+         SELECT *, sum(c) OVER (PARTITION BY o_orderpriority ORDER BY b
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM counts
+       ),
+       sel AS (
+         SELECT o_orderpriority, mn, w, n, min(b) AS b_sel
+         FROM ranked WHERE cum >= ceil(0.5 * n)
+         GROUP BY 1, 2, 3, 4
+       )
+       SELECT o_orderpriority,
+              round(mn + (b_sel + 1) * w, 6) AS q_estimate,
+              n::BIGINT AS n,
+              round(w, 6) AS bucket_width
+       FROM sel""",
+)
+def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile sketch (operators/sketches.py):
+    fixed-grid histogram median per group. Unlike percentile_approx's
+    engine-internal t-digest (rows-only checkable), every step here —
+    bounds, integer bucket counts, cumulative crossing, one IEEE division
+    chain — reproduces bit-for-bit in DuckDB, so the APPROXIMATE operator
+    gets an EXACT oracle. Bucket counts merge across partitions/increments,
+    which is the scale story of histogram sketches; error ≤ range/1000."""
+    from hawaiidatapipeline_spark.operators.sketches import histogram_quantile
+
+    o = load_table(spark, sf_dir, "orders")
+    return histogram_quantile(o, "o_orderpriority", "o_totalprice", p=0.5, n_buckets=1000)
+
+
 @q("agg_percentile_approx")  # W: t-digest-style sketch — not oracle-matchable
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentile — bounded-memory sketch, mergeable across

@@ -1,0 +1,48 @@
+"""Histogram-quantile sketch: accuracy bound vs exact percentile, and
+degenerate single-value groups."""
+
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.operators.sketches import histogram_quantile
+from hawaiidatapipeline_spark.registry import load_table
+
+from .conftest import SF0001
+
+
+def test_histogram_median_brackets_order_statistic(spark):
+    """The selected bucket must CONTAIN the ceil(p·n)-th order statistic:
+    upper-edge estimate within one bucket_width above it. (Interpolated
+    percentile() can sit further away across local value gaps — the sketch
+    approximates the order statistic, which is the guarantee that matters.)"""
+    from pyspark.sql import Window
+
+    o = load_table(spark, SF0001, "orders")
+    approx = {
+        r.o_orderpriority: r
+        for r in histogram_quantile(
+            o, "o_orderpriority", "o_totalprice", p=0.5, n_buckets=1000
+        ).collect()
+    }
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = o.select(
+        "o_orderpriority", "o_totalprice", F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    order_stat = {
+        r.o_orderpriority: r.o_totalprice
+        for r in ranked.filter(F.col("rn") == F.ceil(0.5 * F.col("n"))).collect()
+    }
+    for grp, row in approx.items():
+        stat = order_stat[grp]
+        assert stat <= row.q_estimate <= stat + row.bucket_width + 1e-6, (
+            grp, row.q_estimate, stat, row.bucket_width,
+        )
+
+
+def test_histogram_quantile_degenerate_group(spark):
+    df = spark.createDataFrame(
+        [("a", 7.0)] * 5 + [("b", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double"
+    )
+    rows = {r.g: r for r in histogram_quantile(df, "g", "v", p=0.5).collect()}
+    assert rows["a"].q_estimate == 7.0 and rows["a"].n == 5
+    assert 1.0 <= rows["b"].q_estimate <= 3.0
