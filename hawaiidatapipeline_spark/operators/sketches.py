@@ -12,12 +12,49 @@ the deterministic counterpart used where VERIFIABILITY matters:
   where the cumulative count crosses p·n. Error ≤ (max−min)/n_buckets.
   Every step is integer counts + one identical IEEE division chain, so an
   external engine reproduces the estimate bit-for-bit.
+- ``kmv_distinct``: K-minimum-values distinct-count sketch over the
+  portable 60-bit hash. State = the k smallest distinct hashes per group
+  (mergeable: union then re-take k); estimate = (k−1)·2^60 / h_(k), the
+  classic KMV estimator (rel. std. error ≈ 1/√(k−2)). Deterministic and
+  engine-reproducible where HLL++ registers are not.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+_HASH_SPACE = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group approximate distinct count via K-minimum-values.
+
+    Returns (group, est_distinct). Groups with fewer than k distinct
+    hashes report their exact distinct count (the sketch is exact below
+    capacity — same contract as HLL's sparse mode).
+    """
+    hashed = (
+        df.select(group_col, portable_hash64(F.col(value_col).cast("string"), 7).alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("_h")
+    ranked = hashed.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_nd", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    )
+    kth = ranked.filter(
+        (F.col("_rn") == k) | ((F.col("_nd") < k) & (F.col("_rn") == F.col("_nd")))
+    )
+    return kth.select(
+        group_col,
+        F.when(F.col("_nd") < k, F.col("_nd").cast("double"))
+        .otherwise(F.round(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("_h"), 6))
+        .alias("est_distinct"),
+    )
 
 
 def histogram_quantile(

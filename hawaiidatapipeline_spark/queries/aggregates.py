@@ -298,6 +298,39 @@ def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantile(o, "o_orderpriority", "o_totalprice", p=0.5, n_buckets=1000)
 
 
+@q(
+    "agg_distinct_kmv",
+    """WITH hashed AS (
+         SELECT DISTINCT o_orderpriority,
+                ('0x' || substring(md5('7:' || o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+         FROM orders
+       ),
+       ranked AS (
+         SELECT o_orderpriority, h,
+                row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn,
+                count(*) OVER (PARTITION BY o_orderpriority) AS nd
+         FROM hashed
+       ),
+       kth AS (SELECT * FROM ranked WHERE rn = 256 OR (nd < 256 AND rn = nd))
+       SELECT o_orderpriority,
+              CASE WHEN nd < 256 THEN nd::DOUBLE
+                   ELSE round(255.0 * 1152921504606846976.0 / h, 6)
+              END AS est_distinct
+       FROM kth""",
+)
+def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verifiable distinct-count sketch (operators/sketches.py
+    kmv_distinct): K-minimum-values over the portable 60-bit hash — state
+    is the k smallest distinct hashes (mergeable: union, re-take k), the
+    estimate one identical IEEE division. The deterministic counterpart of
+    approx_count_distinct's HLL++, whose registers no other engine can
+    recompute; accuracy vs exact asserted in tests/test_sketches.py."""
+    from hawaiidatapipeline_spark.operators.sketches import kmv_distinct
+
+    o = load_table(spark, sf_dir, "orders")
+    return kmv_distinct(o, "o_orderpriority", "o_custkey", k=256)
+
+
 @q("agg_percentile_approx")  # W: t-digest-style sketch — not oracle-matchable
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentile — bounded-memory sketch, mergeable across

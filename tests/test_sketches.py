@@ -39,6 +39,30 @@ def test_histogram_median_brackets_order_statistic(spark):
         )
 
 
+def test_kmv_distinct_accuracy_and_exact_below_capacity(spark):
+    from hawaiidatapipeline_spark.operators.sketches import kmv_distinct
+
+    o = load_table(spark, SF0001, "orders")
+    est = {
+        r.o_orderpriority: r.est_distinct
+        for r in kmv_distinct(o, "o_orderpriority", "o_custkey", k=128).collect()
+    }
+    exact = {
+        r.o_orderpriority: r.nd
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("nd"))
+        .collect()
+    }
+    for grp, e in est.items():
+        rel = abs(e - exact[grp]) / exact[grp]
+        # KMV rel. std. error ~ 1/sqrt(k-2) ≈ 9% at k=128; allow 3 sigma
+        assert rel < 0.27, (grp, e, exact[grp], rel)
+    # below capacity: exact
+    small = spark.createDataFrame([("g", i % 7) for i in range(100)], "g string, v int")
+    rows = kmv_distinct(small, "g", "v", k=64).collect()
+    assert rows[0].est_distinct == 7.0
+
+
 def test_histogram_quantile_degenerate_group(spark):
     df = spark.createDataFrame(
         [("a", 7.0)] * 5 + [("b", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double"
