@@ -63,6 +63,32 @@ def test_kmv_distinct_accuracy_and_exact_below_capacity(spark):
     assert rows[0].est_distinct == 7.0
 
 
+def test_kmv_state_merges_exactly(spark):
+    """The scale claim made concrete: computing k-min sets on two disjoint
+    halves, unioning the states, and re-taking the k minimum yields the
+    SAME k-th hash — hence the same estimate — as one global pass. This is
+    what lets per-partition / per-increment sketch states combine without
+    revisiting data."""
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    o = load_table(spark, SF0001, "orders")
+    k = 64
+    hashed = o.select(
+        portable_hash64(F.col("o_custkey").cast("string"), 7).alias("h"),
+        (F.col("o_orderkey") % 2).alias("half"),
+    ).distinct()
+    global_kth = (
+        hashed.select("h").distinct().orderBy("h").limit(k).orderBy(F.col("h").desc()).limit(1)
+    ).collect()[0].h
+    half_states = [
+        [r.h for r in hashed.filter(F.col("half") == i).select("h").distinct()
+         .orderBy("h").limit(k).collect()]
+        for i in (0, 1)
+    ]
+    merged_kth = sorted(set(half_states[0]) | set(half_states[1]))[k - 1]
+    assert merged_kth == global_kth
+
+
 def test_histogram_quantile_degenerate_group(spark):
     df = spark.createDataFrame(
         [("a", 7.0)] * 5 + [("b", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double"

@@ -66,6 +66,11 @@ AUDITS: dict[str, list[str]] = {
     "tpch_q3_shipping_priority": ["pushdown", "smj_or_bhj", "partial_agg", "take_ordered", "codegen"],
     "tpch_q5_local_supplier_volume": ["pushdown", "broadcast", "partial_agg", "no_cartesian", "codegen"],
     "tpch_q10_returned_items": ["pushdown", "broadcast", "take_ordered", "codegen"],
+    "llm_dedup_minhash_exact": ["partial_agg", "no_cartesian", "codegen"],
+    "agg_quantile_histogram": ["partial_agg", "window_exec", "pruning", "codegen"],
+    "agg_distinct_kmv": ["partial_agg_or_window", "pruning", "codegen"],
+    "events_anomaly": ["window_exec", "pruning", "codegen"],
+    "dq_expectations": ["partial_agg", "pruning", "codegen"],
 }
 
 
