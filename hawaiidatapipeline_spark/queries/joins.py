@@ -178,6 +178,40 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "join_bloom_prefilter",
+    """SELECT o_orderpriority,
+              count(*) AS n_items,
+              round(sum(l_extendedprice), 2) AS total_price
+       FROM lineitem JOIN (
+         SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 450000
+       ) big ON l_orderkey = big.o_orderkey
+       GROUP BY o_orderpriority""",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit bloom runtime filter (operators/sketches.py): a bloom over
+    the selective dim's keys prunes fact rows with a pure-codegen predicate
+    BEFORE the join shuffle — the user-controlled form of engine-injected
+    bloom runtime filters. False positives only, so the result equals the
+    plain join (the oracle)."""
+    from hawaiidatapipeline_spark.operators.sketches import bloom_prefilter_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    return (
+        bloom_prefilter_join(li, big, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@q(
     "join_salted_skew",
     """SELECT o_orderpriority,
               count(*) AS n_items,

@@ -89,6 +89,30 @@ def test_kmv_state_merges_exactly(spark):
     assert merged_kth == global_kth
 
 
+def test_bloom_prefilter_prunes_without_false_negatives(spark):
+    from hawaiidatapipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_condition,
+        bloom_prefilter_join,
+    )
+
+    li = load_table(spark, SF0001, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        load_table(spark, SF0001, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    plain = li.join(big, li.l_orderkey == big.o_orderkey).count()
+    pruned = bloom_prefilter_join(li, big, "l_orderkey", "o_orderkey")
+    assert pruned.count() == plain  # zero false negatives
+    # the prefilter must actually prune: surviving fact rows << total
+    words = bloom_build(big, "o_orderkey")
+    survivors = li.filter(bloom_condition("l_orderkey", words)).count()
+    total = li.count()
+    assert survivors < total * 0.5, (survivors, total)
+    assert survivors >= plain
+
+
 def test_histogram_quantile_degenerate_group(spark):
     df = spark.createDataFrame(
         [("a", 7.0)] * 5 + [("b", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double"
