@@ -76,15 +76,20 @@ def winnowing_fingerprints(
     text_col: str = "text",
     k: int = 3,
     window: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al.): hash every k-word
     shingle, keep the min hash of each sliding window of ``window``
     positions, dedup — a position-robust fingerprint set whose overlap
     detects partial/reordered plagiarism-style duplication.
 
-    Implementation: posexplode shingles → xxhash64 → min over a ROWS window
+    Implementation: posexplode shingles → hash → min over a ROWS window
     → distinct. One shuffle on doc_id. Returns (id, fingerprint) rows.
+    ``hash_fn="md5"`` uses the portable 60-bit hash so an external engine
+    can recompute the fingerprint set exactly.
     """
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
     toks = F.split(F.col(text_col), " ")
     shingled = (
         df.select(id_col, toks.alias("_t"))
@@ -100,7 +105,12 @@ def winnowing_fingerprints(
                 )
             ).alias("pos", "shingle"),
         )
-        .withColumn("h", F.xxhash64("shingle"))
+        .withColumn(
+            "h",
+            F.xxhash64("shingle")
+            if hash_fn == "xxhash64"
+            else portable_hash64(F.col("shingle"), 0),
+        )
     )
     w = (
         Window.partitionBy(id_col)

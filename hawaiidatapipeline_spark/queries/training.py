@@ -406,6 +406,34 @@ def llm_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(d, n_bits=60, hash_fn="md5")
 
 
+@q(
+    "llm_fingerprint_exact",
+    f"""WITH words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       ),
+       pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+               FROM words WHERE len(w) >= 3),
+       hashed AS (SELECT doc_id, i,
+                         {_ph("array_to_string(w[i:i+2], ' ')", 0)} AS h
+                  FROM pos)
+       SELECT DISTINCT doc_id,
+              min(h) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fingerprint
+       FROM hashed""",
+)
+def llm_fingerprint_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints under an EXACT oracle (functions/text.py with
+    portable hashes): DuckDB recomputes shingle hashes, the sliding-window
+    min, and the distinct fingerprint set bit-for-bit. With this, every
+    engine-internal approximate operator in the inventory has a
+    hash-verified counterpart (minhash, simhash, quantile, distinct count,
+    fingerprints)."""
+    from hawaiidatapipeline_spark.functions.text import winnowing_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d, hash_fn="md5")
+
+
 _CLUSTERS_SQL = """
 WITH RECURSIVE pairs AS (
   WITH tok AS (
