@@ -50,6 +50,39 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "scan_csv_malformed",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record policy: the landing dir gains a file of broken rows
+    (wrong arity, non-numeric keys, truncated lines — what real feeds
+    deliver); ``mode=DROPMALFORMED`` under an explicit schema drops exactly
+    those, so the surviving rows equal the clean table. The PERMISSIVE/
+    corrupt-record-column variant is the audit-trail alternative when
+    dropped rows must be accounted for."""
+    import os
+
+    n = load_table(spark, sf_dir, "nation")
+    path = _scratch("nation_csv_dirty")
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode("overwrite").csv(path)
+    with open(os.path.join(path, "part-malformed.csv"), "w") as fh:
+        fh.write("not_a_number,BROKEN,7\n")  # type error in int column -> dropped
+        fh.write("99,TOO,3,MANY,COLUMNS\n")  # arity too high -> dropped
+        fh.write("100\n")                    # truncated line -> dropped
+        # all-empty line: arity matches so it parses to (null,null,null) and
+        # DROPMALFORMED keeps it — the isNotNull filter below is the policy
+        # decision a real pipeline makes about empty-but-parseable rows
+        fh.write(",,\n")
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+        .filter(F.col("n_nationkey").isNotNull())
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@q(
     "scan_schema_evolution",
     """WITH v1 AS (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10),
        v2 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 10)
