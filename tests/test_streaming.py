@@ -213,6 +213,39 @@ def test_dedup_state_evicts_with_watermark(spark, tmp_path):
     assert state_rows[-1] <= 2 * n_per_batch, state_rows
 
 
+def test_stateful_agg_on_rocksdb_state_store(spark, tmp_path):
+    """The large-state backend: HDFSBackedStateStore holds state in executor
+    heap (fine for fixtures, an OOM at 100 TB of keys); RocksDB spills to
+    local disk. The same tumbling aggregation must produce identical results
+    under the RocksDB provider — proving the engine's stateful ops are
+    backend-agnostic."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = runtime.tumbling_counts(runtime.stream_events(spark, SF0001))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_tumbling_rocks")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "rocks_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("t_tumbling_rocks")
+        want = batch_twins.stream_tumbling(spark, SF0001)
+        cols = ["win_start", "user_id", "n_events", "total_value"]
+        assert _rows(got, cols) == _rows(want, cols)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_late_data_audit_counts(spark, tmp_path):
     """The foreachBatch audit must account for every row (on-time + late ==
     batch size) and flag rows older than the threshold within each batch."""
