@@ -112,3 +112,87 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         depends=("deduped",),
     )
     return p.run()["profile"]
+
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+_CORPUS_V2_SQL = f"""
+WITH scrubbed AS (
+  SELECT doc_id, source,
+         regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS text
+  FROM documents
+),
+words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM scrubbed
+),
+chunked AS (
+  SELECT doc_id, source, n, w,
+         unnest(generate_series(0, greatest(1, ceil((n - 8) / 24.0))::BIGINT - 1)) AS chunk_id
+  FROM words
+),
+ctext AS (
+  SELECT doc_id, source, chunk_id,
+         array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+         least(32, n - chunk_id * 24) AS n_tokens
+  FROM chunked
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(chunk_text)
+                                 ORDER BY doc_id, chunk_id) AS rn
+    FROM ctext) WHERE rn = 1
+)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_chunks,
+       sum(n_tokens)::BIGINT AS total_tokens
+FROM deduped GROUP BY source
+"""
+
+
+@q("llm_corpus_pipeline_v2", _CORPUS_V2_SQL)
+def llm_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-2 operator set composed as one Pipeline DAG: PII scrub →
+    context-window chunking → chunk-level exact dedup (keep first) →
+    per-source corpus profile. Each stage is individually oracle-checked
+    elsewhere (llm_pii_scrub, llm_chunk_documents, llm_dedup_exact); this
+    proves the composition stays ONE Catalyst plan with the same nested-CTE
+    oracle discipline as llm_corpus_pipeline."""
+    from hawaiidatapipeline_spark.operators.curation import chunk_documents, scrub_pii
+
+    p = Pipeline(spark, "corpus_v2")
+    p.stage("docs", lambda c: load_table(spark, sf_dir, "documents"))
+    p.stage("scrubbed", lambda c: scrub_pii(c.get("docs")), depends=("docs",))
+    p.stage(
+        "chunks",
+        lambda c: chunk_documents(c.get("scrubbed"), chunk_tokens=32, overlap=8),
+        depends=("scrubbed",),
+    )
+
+    def dedup(c):
+        w = Window.partitionBy(F.md5(F.col("chunk_text"))).orderBy("doc_id", "chunk_id")
+        return (
+            c.get("chunks")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    p.stage("deduped", dedup, depends=("chunks",))
+    p.stage(
+        "profile",
+        lambda c: c.get("deduped")
+        .join(c.get("docs").select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        ),
+        depends=("deduped", "docs"),
+    )
+    return p.run()["profile"]
