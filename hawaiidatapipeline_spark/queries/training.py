@@ -434,6 +434,41 @@ def llm_fingerprint_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(d, hash_fn="md5")
 
 
+@q(
+    "llm_train_val_split",
+    f"""WITH assigned AS (
+         SELECT doc_id, source,
+                CASE WHEN {_ph('doc_id::VARCHAR', 42)} % 100 < 90 THEN 'train'
+                     WHEN {_ph('doc_id::VARCHAR', 42)} % 100 < 95 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents
+       )
+       SELECT split, count(*) AS n_docs, count(DISTINCT source) AS n_sources
+       FROM assigned GROUP BY split""",
+)
+def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by portable content
+    hash of the stable id — reproducible across engines, runs, and data
+    re-orderings (the property random `sample()` lacks), and stable under
+    incremental appends: a doc's split never changes when new data arrives.
+    Companion of llm_mixture_sample (which covers per-source rates)."""
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(portable_hash64(F.col("doc_id").cast("string"), 42), F.lit(100))
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "source", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )
+
+
 _CLUSTERS_SQL = """
 WITH RECURSIVE pairs AS (
   WITH tok AS (
