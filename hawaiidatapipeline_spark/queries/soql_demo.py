@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
 from hawaiidatapipeline_spark.registry import load_table
-from hawaiidatapipeline_spark.soql import soql_query
+from hawaiidatapipeline_spark.soql import soql_query, soql_query_string
 
 QUERIES, ORACLES, q = new_module_registry()
 
@@ -59,6 +59,26 @@ def soql_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "$where": "date_extract_y(ts) >= 2024 AND event_type = 'purchase'",
             "$group": "date_extract_m(ts), date_trunc_ymd(ts)",
         },
+    )
+
+
+@q(
+    "soql_full_query_string",
+    """SELECT doc_id, lang FROM documents
+       WHERE source LIKE 'src1%'
+         AND (lower(text) LIKE '%merge%' OR lower(lang) LIKE '%merge%'
+              OR lower(source) LIKE '%merge%')
+       ORDER BY doc_id LIMIT 30 OFFSET 5""",
+)
+def soql_full_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Socrata's single-string ``$query`` form (SELECT … WHERE … SEARCH …
+    ORDER BY … LIMIT/OFFSET) parsed into clauses and compiled — the other
+    half of the SoQL request surface next to the parameter bundle."""
+    d = load_table(spark, sf_dir, "documents")
+    return soql_query_string(
+        d,
+        "SELECT doc_id, lang WHERE starts_with(source, 'src1') "
+        "SEARCH 'merge' ORDER BY doc_id LIMIT 30 OFFSET 5",
     )
 
 

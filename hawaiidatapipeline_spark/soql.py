@@ -33,7 +33,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["SoqlError", "soql_query", "rewrite_soql_expr"]
+__all__ = ["SoqlError", "soql_query", "soql_query_string", "rewrite_soql_expr"]
 
 
 class SoqlError(ValueError):
@@ -198,6 +198,72 @@ def rewrite_soql_expr(expr: str) -> str:
     for old, new in _RENAME.items():
         s = re.sub(rf"\b{old}\s*\(", f"{new}(", s, flags=re.IGNORECASE)
     return s
+
+
+_QUERY_CLAUSES = [
+    # SoQL $query clause keyword -> SODA parameter key (longest first so
+    # GROUP BY wins over a bare identifier, SEARCH maps to $q)
+    ("select", "$select"),
+    ("where", "$where"),
+    ("group by", "$group"),
+    ("having", "$having"),
+    ("order by", "$order"),
+    ("limit", "$limit"),
+    ("offset", "$offset"),
+    ("search", "$q"),
+]
+
+
+def parse_soql_string(query: str) -> dict[str, str]:
+    """Split a full SoQL ``$query`` string (``SELECT … WHERE … GROUP BY …
+    ORDER BY … LIMIT n``) into the SODA parameter bundle ``soql_query``
+    consumes. Keyword scanning is string-literal-aware; clauses may appear
+    in any order but at most once."""
+    # find top-level (outside string literals) positions of clause keywords
+    lowered, positions, i, in_str = query.lower(), [], 0, False
+    while i < len(lowered):
+        c = lowered[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+            i += 1
+            continue
+        for kw, param in _QUERY_CLAUSES:
+            end = i + len(kw)
+            if (
+                lowered.startswith(kw, i)
+                and (i == 0 or not (lowered[i - 1].isalnum() or lowered[i - 1] == "_"))
+                and (end >= len(lowered) or not (lowered[end].isalnum() or lowered[end] == "_"))
+            ):
+                positions.append((i, end, param))
+                i = end
+                break
+        else:
+            i += 1
+    if not positions or positions[0][2] != "$select" or positions[0][0] != 0:
+        raise SoqlError("$query must start with SELECT")
+    params: dict[str, str] = {}
+    for idx, (start, end, param) in enumerate(positions):
+        body_end = positions[idx + 1][0] if idx + 1 < len(positions) else len(query)
+        body = query[end:body_end].strip()
+        if param in params:
+            raise SoqlError(f"duplicate {param[1:].upper()} clause in $query")
+        if not body:
+            raise SoqlError(f"empty {param[1:]} clause in $query")
+        if param == "$q":
+            body = body.strip("'")
+        params[param] = body
+    return params
+
+
+def soql_query_string(df: DataFrame, query: str) -> DataFrame:
+    """Execute a full SoQL ``$query`` string — Socrata's single-parameter
+    alternative to the individual ``$select``/``$where``/… params."""
+    return soql_query(df, parse_soql_string(query))
 
 
 def soql_query(df: DataFrame, params: dict[str, str]) -> DataFrame:

@@ -185,6 +185,45 @@ def test_where_fuzz_equals_spark_sql(spark):
     run()
 
 
+def test_query_string_equals_param_bundle(spark):
+    from hawaiidatapipeline_spark.soql import parse_soql_string, soql_query_string
+
+    o = load_table(spark, SF0001, "orders")
+    qs = (
+        "SELECT o_orderpriority, count(*) AS n "
+        "WHERE o_totalprice > 50000 GROUP BY o_orderpriority "
+        "ORDER BY n DESC, o_orderpriority LIMIT 3"
+    )
+    got = soql_query_string(o, qs)
+    want = soql_query(
+        o,
+        {
+            "$select": "o_orderpriority, count(*) AS n",
+            "$where": "o_totalprice > 50000",
+            "$group": "o_orderpriority",
+            "$order": "n DESC, o_orderpriority",
+            "$limit": "3",
+        },
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    # string literals containing keywords must not split clauses
+    params = parse_soql_string("SELECT doc_id WHERE lang = 'where select'")
+    assert params == {"$select": "doc_id", "$where": "lang = 'where select'"}
+
+
+def test_query_string_errors(spark):
+    from hypothesis import strategies as _  # noqa: F401 (keep import pattern uniform)
+
+    from hawaiidatapipeline_spark.soql import parse_soql_string
+
+    with pytest.raises(SoqlError, match="must start with SELECT"):
+        parse_soql_string("WHERE x > 1")
+    with pytest.raises(SoqlError, match="duplicate"):
+        parse_soql_string("SELECT a WHERE x > 1 WHERE y > 2")
+    with pytest.raises(SoqlError, match="empty"):
+        parse_soql_string("SELECT a WHERE")
+
+
 def test_rejects_unsupported(spark):
     d = load_table(spark, SF0001, "documents")
     with pytest.raises(SoqlError, match="unsupported SoQL function"):
