@@ -312,8 +312,17 @@ def soql_query(df: DataFrame, params: dict[str, str]) -> DataFrame:
     out = spark.sql(" ".join(sql))
 
     # LIMIT/OFFSET as DataFrame ops so they compose with the ORDER BY above
+    def _int(key: str) -> int:
+        try:
+            n = int(params[key])
+        except ValueError as exc:
+            raise SoqlError(f"{key} must be an integer, got {params[key]!r}") from exc
+        if n < 0:
+            raise SoqlError(f"{key} must be non-negative, got {n}")
+        return n
+
     if "$offset" in params:
-        out = out.offset(int(params["$offset"]))
+        out = out.offset(_int("$offset"))
     if "$limit" in params:
-        out = out.limit(int(params["$limit"]))
+        out = out.limit(_int("$limit"))
     return out
