@@ -219,6 +219,7 @@ def parse_soql_string(query: str) -> dict[str, str]:
     ORDER BY … LIMIT n``) into the SODA parameter bundle ``soql_query``
     consumes. Keyword scanning is string-literal-aware; clauses may appear
     in any order but at most once."""
+    query = query.strip()
     # find top-level (outside string literals) positions of clause keywords
     lowered, positions, i, in_str = query.lower(), [], 0, False
     while i < len(lowered):
@@ -255,7 +256,9 @@ def parse_soql_string(query: str) -> dict[str, str]:
         if not body:
             raise SoqlError(f"empty {param[1:]} clause in $query")
         if param == "$q":
-            body = body.strip("'")
+            # remove exactly one surrounding quote pair and unescape ''
+            if len(body) >= 2 and body[0] == body[-1] == "'":
+                body = body[1:-1].replace("''", "'")
         params[param] = body
     return params
 

@@ -209,6 +209,9 @@ def test_query_string_equals_param_bundle(spark):
     # string literals containing keywords must not split clauses
     params = parse_soql_string("SELECT doc_id WHERE lang = 'where select'")
     assert params == {"$select": "doc_id", "$where": "lang = 'where select'"}
+    # leading whitespace is legal; SEARCH keeps inner/escaped quotes intact
+    assert parse_soql_string("  SELECT a")["$select"] == "a"
+    assert parse_soql_string("SELECT a SEARCH 'rock''n'''")["$q"] == "rock'n'"
 
 
 def test_query_string_errors(spark):
