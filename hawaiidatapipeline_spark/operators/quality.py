@@ -28,11 +28,21 @@ def expect(df: DataFrame, rules: dict[str, str], fail_fast: bool = False) -> Dat
     """One-scan violation report: each rule contributes a conditional SUM
     (row violates when the expression is false OR null — SQL three-valued
     logic must not let nulls slip through a gate)."""
+    import re
+
     if not rules:
         raise ValueError("expect() needs at least one rule")
+    for name in rules:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", name):
+            raise ValueError(
+                f"rule name {name!r} must be identifier-like (it is spliced "
+                "into the report SQL)"
+            )
+    # coalesce: on an empty frame SUM is NULL, but zero rows violate nothing
     aggs = [F.count(F.lit(1)).alias("_n_rows")] + [
-        F.sum(
-            F.when(F.expr(expr_sql).eqNullSafe(F.lit(True)), 0).otherwise(1)
+        F.coalesce(
+            F.sum(F.when(F.expr(expr_sql).eqNullSafe(F.lit(True)), 0).otherwise(1)),
+            F.lit(0),
         ).alias(f"_v_{name}")
         for name, expr_sql in rules.items()
     ]

@@ -32,3 +32,11 @@ def test_expect_rejects_empty_rules(spark):
     df = spark.createDataFrame([(1,)], "id int")
     with pytest.raises(ValueError):
         expect(df, {})
+    with pytest.raises(ValueError, match="identifier-like"):
+        expect(df, {"bad'name": "id > 0"})
+
+
+def test_expect_empty_frame_passes(spark):
+    df = spark.createDataFrame([], "id int")
+    report = expect(df, {"id_pos": "id > 0"}, fail_fast=True).collect()
+    assert report[0].n_violations == 0 and report[0]["pass"] and report[0].n_rows == 0
