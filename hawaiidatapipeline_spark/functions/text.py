@@ -90,6 +90,13 @@ def winnowing_fingerprints(
     """
     from hawaiidatapipeline_spark.operators.dedup import portable_hash64
 
+    def _shingle_hash(fn: str):
+        if fn == "xxhash64":
+            return F.xxhash64("shingle")
+        if fn == "md5":
+            return portable_hash64(F.col("shingle"), 0)
+        raise ValueError(f"unknown hash_fn {fn!r} (use 'xxhash64' or 'md5')")
+
     toks = F.split(F.col(text_col), " ")
     shingled = (
         df.select(id_col, toks.alias("_t"))
@@ -105,12 +112,7 @@ def winnowing_fingerprints(
                 )
             ).alias("pos", "shingle"),
         )
-        .withColumn(
-            "h",
-            F.xxhash64("shingle")
-            if hash_fn == "xxhash64"
-            else portable_hash64(F.col("shingle"), 0),
-        )
+        .withColumn("h", _shingle_hash(hash_fn))
     )
     w = (
         Window.partitionBy(id_col)
