@@ -159,3 +159,25 @@ def test_http_fetcher_rejects_on_bad_token(tmp_path):
         )
         with pytest.raises(urllib.error.HTTPError):
             fetch(0, 10)
+
+
+def test_compact_dir_merges_small_files(spark, tmp_path):
+    """Landing-zone maintenance: many tiny files → few target-sized files,
+    rows preserved exactly (the small-files problem)."""
+    from pyspark.sql import functions as F
+
+    from hawaiidatapipeline_spark.sources.compact import (
+        compact_dir,
+        data_file_count,
+        dir_bytes,
+    )
+
+    src = str(tmp_path / "fragmented")
+    spark.range(20_000).withColumn("v", F.col("id") * 2).repartition(40).write.parquet(src)
+    assert data_file_count(src) == 40
+    dst = str(tmp_path / "compacted")
+    out = compact_dir(spark, src, dst, target_mb=128)
+    assert data_file_count(dst) <= 2  # well under 128 MB -> one file (+noise)
+    assert out.count() == 20_000
+    assert out.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(20_000))
+    assert dir_bytes(dst) > 0
