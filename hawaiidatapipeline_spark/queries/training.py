@@ -525,6 +525,48 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "llm_contamination_report",
+    f"""WITH {_SHINGLE8_SQL},
+       bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+       hits AS (
+         SELECT s.doc_id, count(*) AS n_overlapping
+         FROM sh s JOIN bench b ON s.sh = b.sh
+         WHERE s.doc_id % 50 != 0
+         GROUP BY s.doc_id
+       )
+       SELECT h.doc_id, d.source, h.n_overlapping,
+              len(string_split(d.text, ' '))::BIGINT AS n_tokens
+       FROM hits h JOIN documents d ON h.doc_id = d.doc_id""",
+)
+def llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination REPORTING (the review artifact behind the drop
+    decision): per contaminated doc, how many distinct 8-grams overlap the
+    benchmark probe set — severity ranking for manual audit, where
+    llm_decontaminate only partitions keep/drop. Probe shingles broadcast;
+    one linear corpus scan."""
+    from hawaiidatapipeline_spark.operators.dedup import shingles_distinct
+
+    d = load_table(spark, sf_dir, "documents")
+    bench_sh = (
+        shingles_distinct(d.filter(F.col("doc_id") % 50 == 0), 8)
+        .select("token")
+        .distinct()
+    )
+    corpus_sh = shingles_distinct(d.filter(F.col("doc_id") % 50 != 0), 8)
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlapping"))
+    )
+    return hits.join(d, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_overlapping",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+
+@q(
     "llm_dedup_fuzzy",
     """WITH heads AS (
          SELECT doc_id,

@@ -181,3 +181,29 @@ def test_compact_dir_merges_small_files(spark, tmp_path):
     assert out.count() == 20_000
     assert out.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(20_000))
     assert dir_bytes(dst) > 0
+
+
+def test_stream_landed_pages(spark, tmp_path):
+    """The ingestion streaming handoff: pages landed by the fetch loop are
+    tailed incrementally by a file-source stream — the pattern where an
+    ingester keeps appending while Spark consumes."""
+    landing = str(tmp_path / "landing_stream")
+    n = land_pages(_fake_api(2345), landing, page_size=1000)
+    assert n == 2345
+    stream = (
+        spark.readStream.schema("id bigint, name string, val double")
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_landed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "landed_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_landed")
+    assert got.count() == 2345
+    assert len(q.recentProgress) >= 3  # one micro-batch per landed page file
