@@ -37,6 +37,7 @@ _MODULES = (
     "sources_extra",
     "tpch",
     "geo_extra",
+    "sampling",
     "training",
     "analytics",
     "pipeline_demo",
