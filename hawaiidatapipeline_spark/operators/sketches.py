@@ -119,6 +119,72 @@ def bloom_prefilter_join(
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
 
 
+def count_min_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 64,
+    seed_base: int = 23,
+) -> DataFrame:
+    """Heavy hitters via a count-min sketch over the portable hash.
+
+    Sketch build is the 100 TB path: depth×width counters (a few KB),
+    built with one map-side-combinable groupBy — the same merge that
+    makes CMS work across partitions, increments, and streaming
+    micro-batches. Estimates NEVER undercount, so every true heavy
+    hitter survives the threshold (no false negatives; collisions can
+    add false positives, which a second exact pass over the tiny
+    survivor set would remove).
+
+    Returns (key, true_cnt, est_cnt) for keys whose estimate reaches
+    ``threshold``. The exact ``true_cnt`` column exists to expose the
+    overestimate bound to the checker; at production scale you would
+    probe the broadcast sketch with a candidate stream instead of
+    re-counting every key.
+    """
+    key_s = F.col(key_col).cast("string")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.pmod(portable_hash64(key_s, seed_base + i), F.lit(width)).alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("ib")
+    ).select("ib.i", "ib.b")
+    sketch = pairs.groupBy("i", "b").agg(F.count(F.lit(1)).alias("_c"))
+    cand = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("true_cnt"))
+    cand_buckets = cand.select(
+        key_col,
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.pmod(
+                            portable_hash64(F.col(key_col).cast("string"), seed_base + i),
+                            F.lit(width),
+                        ).alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("ib"),
+    ).select(key_col, "true_cnt", "ib.i", "ib.b")
+    est = (
+        cand_buckets.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy(key_col, "true_cnt")
+        .agg(F.min("_c").alias("est_cnt"))
+    )
+    return est.filter(F.col("est_cnt") >= threshold)
+
+
 def histogram_quantile(
     df: DataFrame,
     group_col: str,

@@ -38,6 +38,7 @@ _MODULES = (
     "tpch",
     "geo_extra",
     "sampling",
+    "sketches_extra",
     "training",
     "analytics",
     "pipeline_demo",

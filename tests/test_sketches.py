@@ -120,3 +120,30 @@ def test_histogram_quantile_degenerate_group(spark):
     rows = {r.g: r for r in histogram_quantile(df, "g", "v", p=0.5).collect()}
     assert rows["a"].q_estimate == 7.0 and rows["a"].n == 5
     assert 1.0 <= rows["b"].q_estimate <= 3.0
+
+
+def test_cms_never_undercounts_and_finds_all_heavy_hitters(spark):
+    from hawaiidatapipeline_spark.operators.sketches import count_min_heavy_hitters
+
+    e = load_table(spark, SF0001, "events")
+    threshold = 10
+    got = count_min_heavy_hitters(e, "user_id", threshold=threshold, depth=4, width=64)
+    rows = got.collect()
+    # estimate is an upper bound on the true count, always
+    assert all(r["est_cnt"] >= r["true_cnt"] for r in rows)
+    # no false negatives: every true heavy hitter is in the survivor set
+    true_heavy = {
+        r["user_id"]
+        for r in e.groupBy("user_id").count().filter(F.col("count") >= threshold).collect()
+    }
+    assert true_heavy <= {r["user_id"] for r in rows}
+
+
+def test_cms_sketch_width_bounds_overestimate(spark):
+    from hawaiidatapipeline_spark.operators.sketches import count_min_heavy_hitters
+
+    e = load_table(spark, SF0001, "events")
+    # a wide sketch (few collisions) should estimate exactly for most keys
+    wide = count_min_heavy_hitters(e, "user_id", threshold=1, depth=4, width=4096)
+    exact_frac = wide.filter(F.col("est_cnt") == F.col("true_cnt")).count() / wide.count()
+    assert exact_frac > 0.9
