@@ -243,3 +243,69 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@q(
+    "etl_snapshot_diff",
+    """WITH old_snap AS (
+         SELECT o_orderkey AS key, o_totalprice AS val
+         FROM orders WHERE o_orderkey % 10 <> 0
+       ),
+       new_snap AS (
+         SELECT o_orderkey AS key,
+                CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0
+                     ELSE o_totalprice END AS val
+         FROM orders WHERE o_orderkey % 7 <> 0
+       )
+       SELECT coalesce(o.key, n.key) AS key,
+              CASE WHEN o.key IS NULL THEN 'insert'
+                   WHEN n.key IS NULL THEN 'delete'
+                   ELSE 'update' END AS change_type,
+              round(o.val, 2) AS old_val,
+              round(n.val, 2) AS new_val
+       FROM old_snap o FULL OUTER JOIN new_snap n ON o.key = n.key
+       WHERE o.key IS NULL OR n.key IS NULL OR o.val <> n.val""",
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC from full dumps: diff two table snapshots into insert / delete /
+    update rows (the primitive behind incremental loads when the upstream —
+    like a Socrata dataset re-published daily — exposes no change feed).
+
+    Scale shape: one full-outer shuffle join on the key; unchanged rows
+    (the overwhelming majority of a daily diff) are discarded in the same
+    stage, so only the change set survives. At 100 TB, bucket both
+    snapshots by key to make the diff shuffle-free, and compare
+    xxhash64(all value columns) instead of the columns themselves so wide
+    rows diff on one long. Snapshots here are deterministic slices of
+    orders: new drops key%7==0, adds back key%10==0, bumps key%5==0."""
+    o = load_table(spark, sf_dir, "orders")
+    old_snap = (
+        o.filter(F.col("o_orderkey") % 10 != 0)
+        .select(F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("old_full"))
+    )
+    new_snap = (
+        o.filter(F.col("o_orderkey") % 7 != 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 100.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("new_full"),
+        )
+    )
+    joined = old_snap.join(new_snap, "key", "full_outer")
+    return (
+        joined.filter(
+            F.col("old_full").isNull()
+            | F.col("new_full").isNull()
+            | (F.col("old_full") != F.col("new_full"))
+        )
+        .select(
+            "key",
+            F.when(F.col("old_full").isNull(), F.lit("insert"))
+            .when(F.col("new_full").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            F.round("old_full", 2).alias("old_val"),
+            F.round("new_full", 2).alias("new_val"),
+        )
+    )
