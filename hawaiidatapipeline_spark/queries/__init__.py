@@ -39,6 +39,8 @@ _MODULES = (
     "geo_extra",
     "sampling",
     "sketches_extra",
+    "text_extra",
+    "emb_extra",
     "training",
     "analytics",
     "pipeline_demo",

@@ -1,0 +1,68 @@
+"""Embedding-column extras: int8 quantization.
+
+Vector storage is a first-order cost at corpus scale: float32×64 dims is
+256 B/row; symmetric int8 cuts it 4× with bounded reconstruction error
+(≤ scale/2 per element). The whole computation is float→double widening
+(exact), one IEEE division chain, and floor(x+0.5) — identical on both
+engines, so even the quantized codes hash-match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+
+@q(
+    "emb_quantize_int8",
+    """WITH scaled AS (
+         SELECT vec_id, embedding,
+                list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+         FROM embeddings
+       )
+       SELECT vec_id,
+              round(scale, 6) AS scale,
+              CASE WHEN scale = 0
+                   THEN array_to_string(list_transform(embedding, x -> '0'), '|')
+                   ELSE array_to_string(
+                          list_transform(embedding,
+                                         x -> floor(x::DOUBLE / scale + 0.5)::BIGINT::VARCHAR),
+                          '|')
+              END AS codes
+       FROM scaled""",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127, code =
+    floor(x/scale + 0.5). Map-only (no shuffle, no state) — at 100 TB this
+    is a scan-rewrite pass that shrinks the vector column 4× before any
+    ANN index build; codes reconstruct to within scale/2 per element
+    (asserted in tests/test_emb_extra.py). floor(x+0.5) is used instead of
+    round() because the engines disagree on rounding mode, and float→
+    double widening keeps every arithmetic step bit-identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    scaled = e.withColumn("_scale", scale)
+    codes = F.when(
+        F.col("_scale") == 0,
+        F.concat_ws("|", F.transform("embedding", lambda x: F.lit("0"))),
+    ).otherwise(
+        F.concat_ws(
+            "|",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") / F.col("_scale") + 0.5)
+                .cast("long")
+                .cast("string"),
+            ),
+        )
+    )
+    return scaled.select(
+        "vec_id",
+        F.round("_scale", 6).alias("scale"),
+        codes.alias("codes"),
+    )
