@@ -80,8 +80,11 @@ def cosine_topk_gemm(
     import pandas as pd
 
     spark = df.sparkSession
-    n_rows = df.count()
-    if n_rows > max_index_rows:
+    # Size gate folded into the index collect itself: pull at most
+    # budget+1 rows (limit early-stops the scan — no separate count() job,
+    # and driver memory stays bounded by the same budget either way).
+    pdf = df.select(id_col, vec_col).limit(max_index_rows + 1).toPandas()
+    if len(pdf) > max_index_rows:
         if fallback == "lsh":
             return cosine_topk_lsh(df, k=k, id_col=id_col, vec_col=vec_col)
         if fallback == "exact":
@@ -91,11 +94,10 @@ def cosine_topk_gemm(
                 .limit(k)
             )
         raise ValueError(
-            f"cosine_topk_gemm: {n_rows} rows exceeds max_index_rows="
+            f"cosine_topk_gemm: index exceeds max_index_rows="
             f"{max_index_rows}; broadcast index would OOM the driver "
             f"(set fallback='lsh'|'exact' or raise the budget)"
         )
-    pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
