@@ -37,3 +37,48 @@ def cobucketed_join(
     """Join two tables bucketed on the same key with the same bucket count —
     planner elides both exchanges (asserted in tests/test_skew.py)."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def interval_join_binned(
+    points,
+    intervals,
+    on: str,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bin_seconds: int = 1800,
+):
+    """Point-in-interval join between two LARGE tables, as an equi-join.
+
+    Spark plans a raw ``ts BETWEEN start AND end`` predicate between two
+    big tables as a broadcast-nested-loop (driver OOM) or cartesian —
+    both non-starters at 100 TB. The standard fix: bin time into buckets
+    of width >= the max interval length, register each interval under its
+    start and end buckets (<= 2 copies), give each point its single
+    bucket, equi-join on (key, bucket) — a plain shuffled hash join that
+    scales like any other — then apply the exact range predicate to the
+    candidates. Each (point, interval) pair meets in exactly one bucket
+    (the point's), so no dedup pass is needed.
+
+    ``bin_seconds`` MUST be >= the longest interval, else matches are
+    lost; skewed hot buckets are diluted by the partition key ``on``
+    being part of the join key (plus AQE skew splitting).
+    """
+    from pyspark.sql import functions as F
+
+    b = F.lit(int(bin_seconds))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.unix_timestamp(start_col) / b),
+                    F.floor(F.unix_timestamp(end_col) / b),
+                )
+            )
+        ),
+    )
+    pt = points.withColumn("_b", F.floor(F.unix_timestamp(ts_col) / b))
+    return pt.join(iv, [on, "_b"]).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    ).drop("_b")

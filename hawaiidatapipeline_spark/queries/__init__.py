@@ -41,6 +41,7 @@ _MODULES = (
     "sketches_extra",
     "text_extra",
     "emb_extra",
+    "joins_extra",
     "training",
     "analytics",
     "pipeline_demo",
