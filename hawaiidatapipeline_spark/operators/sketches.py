@@ -119,6 +119,30 @@ def bloom_prefilter_join(
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
 
 
+def cms_bucket_pairs(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64, seed_base: int = 23
+) -> DataFrame:
+    """(i, b) sketch coordinates for every row — the shared front half of
+    the batch AND streaming count-min builds (grouping these by (i, b)
+    with count() IS the sketch; in streaming, the counters are the
+    streaming state and micro-batch merge is ordinary partial
+    aggregation)."""
+    key_s = F.col(key_col).cast("string")
+    return df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.pmod(portable_hash64(key_s, seed_base + i), F.lit(width)).alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("ib")
+    ).select("ib.i", "ib.b")
+
+
 def count_min_heavy_hitters(
     df: DataFrame,
     key_col: str,
@@ -143,20 +167,7 @@ def count_min_heavy_hitters(
     probe the broadcast sketch with a candidate stream instead of
     re-counting every key.
     """
-    key_s = F.col(key_col).cast("string")
-    pairs = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        F.pmod(portable_hash64(key_s, seed_base + i), F.lit(width)).alias("b"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("ib")
-    ).select("ib.i", "ib.b")
+    pairs = cms_bucket_pairs(df, key_col, depth, width, seed_base)
     sketch = pairs.groupBy("i", "b").agg(F.count(F.lit(1)).alias("_c"))
     cand = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("true_cnt"))
     cand_buckets = cand.select(

@@ -153,6 +153,26 @@ def interval_stream_stream_join(
     ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "click_id", "c_ts")
 
 
+def streaming_count_min(
+    events: DataFrame, key_col: str = "user_id", depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-min sketch maintained incrementally over micro-batches.
+
+    The sketch's merge property makes this trivial in Structured
+    Streaming: the (i, b) counters ARE the streaming aggregation state,
+    and each micro-batch's partial counts merge by addition — exactly the
+    map-side combine the batch build uses across partitions. State is
+    depth×width rows FOREVER, regardless of stream volume or key
+    cardinality: the unbounded-state problem that plain
+    ``groupBy(key).count()`` has on a high-cardinality key simply
+    disappears. Run in update/complete mode; probe the final counters
+    with operators/sketches.py estimates."""
+    from hawaiidatapipeline_spark.operators.sketches import cms_bucket_pairs
+
+    pairs = cms_bucket_pairs(events, key_col, depth, width)
+    return pairs.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+
+
 def lifetime_counters(events: DataFrame) -> DataFrame:
     """Per-user lifetime counters via ``applyInPandasWithState`` — the custom
     stateful-operator escape hatch (arbitrary per-key state across batches).

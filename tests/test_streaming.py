@@ -267,3 +267,22 @@ def test_late_data_audit_counts(spark, tmp_path):
     # more than a sliver of the file must contain >30-min-old rows.
     biggest = max(fn.audits, key=lambda a: a[1])
     assert biggest[2] > 0
+
+
+def test_streaming_count_min_equals_batch_sketch(spark):
+    """The CMS counters built incrementally over micro-batches must equal
+    the batch-built sketch over the same closed input — the merge
+    property that keeps streaming heavy-hitter state at depth x width
+    rows forever."""
+    from hawaiidatapipeline_spark.operators.sketches import cms_bucket_pairs
+
+    stream = runtime.streaming_count_min(runtime.stream_events(spark, SF0001))
+    got = runtime.run_to_memory(stream, "t_cms", output_mode="complete")
+    batch = (
+        cms_bucket_pairs(load_table(spark, SF0001, "events"), "user_id")
+        .groupBy("i", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    assert _rows(got, ["i", "b", "c"]) == _rows(batch, ["i", "b", "c"])
+    # state size: bounded by the sketch dimensions, not key cardinality
+    assert got.count() <= 4 * 64
