@@ -71,6 +71,16 @@ AUDITS: dict[str, list[str]] = {
     "agg_distinct_kmv": ["partial_agg_or_window", "pruning", "codegen"],
     "events_anomaly": ["window_exec", "pruning", "codegen"],
     "dq_expectations": ["partial_agg", "pruning", "codegen"],
+    # round-2 session additions
+    "sample_bernoulli": ["no_shuffle_left", "pruning", "codegen"],
+    "sample_stratified": ["window_exec", "pruning", "codegen"],
+    "sample_weighted": ["take_ordered", "pruning", "codegen"],
+    "agg_heavy_hitters_cms": ["partial_agg", "broadcast_any", "no_cartesian", "codegen"],
+    "etl_snapshot_diff": ["smj_or_bhj", "pruning", "no_cartesian", "codegen"],
+    "llm_inverted_index": ["partial_agg_or_window", "generate_exec", "pruning", "codegen"],
+    "llm_ngram_counts": ["partial_agg", "generate_exec", "pruning", "codegen"],
+    "emb_quantize_int8": ["no_shuffle_left", "pruning", "codegen"],
+    "join_interval_binned": ["smj_or_bhj", "no_cartesian", "partial_agg", "codegen"],
 }
 
 
