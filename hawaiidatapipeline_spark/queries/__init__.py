@@ -52,9 +52,38 @@ _MODULES = (
     "aggregates",
 )
 
+# The driver's per-round correctness sweep records the FIRST 50 registry
+# entries. _FRONT pins that window to an EXPLICIT key list (in order),
+# decoupled from module placement — adding a query to any module can no
+# longer silently shift the window. Keys listed here but not registered
+# (e.g. a module not built yet) are ignored. Per-round procedure: replace
+# this tuple with the next 50 never-driver-checked keys.
+#
+# Round-2 window: the 50 queries with no CORRECTNESS_r01.json row, in the
+# module order the round-2 registry shipped with.
+_FRONT: tuple[str, ...] = (
+    "fn_string", "fn_regex", "fn_date_extract", "fn_date_trunc",
+    "fn_date_arith", "fn_math", "fn_conditional", "fn_cast", "fn_json",
+    "fn_map", "fn_array", "fn_explode", "fn_hash", "fn_geo_distance",
+    "fn_url_parse", "fn_money_decimal", "fn_array_topk_struct",
+    "fn_null_semantics", "stream_tumbling", "stream_sliding",
+    "stream_session", "stream_dedup", "ts_resample", "ts_fill_forward",
+    "llm_dedup_exact", "llm_dedup_jaccard", "llm_dedup_minhash",
+    "llm_dedup_jaccard_ngram", "llm_dedup_embedding", "llm_simhash_buckets",
+    "llm_cosine_topk", "llm_cosine_ivf", "llm_knn_label",
+    "llm_tfidf_topterms", "llm_text_stats", "llm_lang_source_matrix",
+    "llm_lang_id", "llm_quality_score", "llm_token_count_bpe",
+    "llm_fingerprint", "multimodal_features", "udf_python_scalar",
+    "udf_pandas_scalar", "udf_grouped_map", "udf_grouped_agg",
+    "udtf_python", "scan_csv_roundtrip", "scan_jsonlines", "catalog_list",
+    "sink_parquet_partitioned",
+)
+
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    """Import every query module and merge its QUERIES/ORACLES dicts."""
+    """Import every query module and merge its QUERIES/ORACLES dicts,
+    then move the pinned ``_FRONT`` window keys to the head of the
+    registry (the driver sweeps the first 50 entries per round)."""
     import importlib
 
     queries: dict[str, QueryFn] = {}
@@ -78,4 +107,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
             if name in oracles:
                 raise ValueError(f"duplicate oracle key: {name}")
             oracles[name] = sql
-    return queries, oracles
+    front = [k for k in _FRONT if k in queries]
+    ordered = {k: queries[k] for k in front}
+    ordered.update((k, v) for k, v in queries.items() if k not in ordered)
+    return ordered, oracles

@@ -65,6 +65,13 @@ def test_driver_window_covers_unchecked_queries(registry):
     )
 
 
+def test_driver_window_is_exactly_the_pinned_front(registry):
+    """The sweep window is pinned by queries._FRONT — adding queries to any
+    module must not shift it."""
+    qs, _ = registry
+    assert list(qs)[: len(queries._FRONT)] == list(queries._FRONT)
+
+
 def test_every_query_has_oracle_or_weak_marker(registry):
     qs, oracles = registry
     assert set(oracles) <= set(qs)
