@@ -42,6 +42,7 @@ _MODULES = (
     "text_extra",
     "emb_extra",
     "joins_extra",
+    "layout",
     "training",
     "analytics",
     "pipeline_demo",
