@@ -309,3 +309,65 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("new_full", 2).alias("new_val"),
         )
     )
+
+
+@q(
+    "etl_incremental_agg",
+    """WITH base AS (
+         SELECT o_orderpriority, count(*) AS n, sum(o_totalprice::DECIMAL(18,2)) AS total,
+                min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt
+         FROM orders WHERE o_orderkey % 10 <> 0
+         GROUP BY o_orderpriority
+       ),
+       delta AS (
+         SELECT o_orderpriority, count(*) AS n, sum(o_totalprice::DECIMAL(18,2)) AS total,
+                min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt
+         FROM orders WHERE o_orderkey % 10 = 0
+         GROUP BY o_orderpriority
+       ),
+       merged AS (
+         SELECT o_orderpriority, sum(n) AS n, sum(total) AS total,
+                min(first_dt) AS first_dt, max(last_dt) AS last_dt
+         FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+         GROUP BY o_orderpriority
+       )
+       SELECT o_orderpriority, n, total::DOUBLE AS total, first_dt, last_dt
+       FROM merged""",
+)
+def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: merge a delta batch's partial
+    aggregates into a stored base WITHOUT recomputing history. Only
+    algebraic aggregates (count/sum/min/max — and avg as sum/count) merge
+    this way; the merge input is |groups| rows per side, not raw data, so
+    the nightly cost at 100 TB is proportional to the delta + group
+    cardinality. The query computes base partials (orderkey%10!=0),
+    delta partials (the rest), merges, and the oracle verifies the merged
+    result — which tests/test_incremental.py also asserts equals the
+    direct full aggregate. Decimal sums: merge must be exact, float
+    partial-order must not leak into the stored aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+            F.min("o_orderdate").alias("first_dt"),
+            F.max("o_orderdate").alias("last_dt"),
+        )
+
+    base = partial(o.filter(F.col("o_orderkey") % 10 != 0))
+    delta = partial(o.filter(F.col("o_orderkey") % 10 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total").alias("total"),
+            F.min("first_dt").alias("first_dt"),
+            F.max("last_dt").alias("last_dt"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority", "n", F.col("total").cast("double").alias("total"),
+        "first_dt", "last_dt",
+    )
