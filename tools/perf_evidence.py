@@ -27,6 +27,11 @@ PROBES = [
     ("llm_chunk_documents", "chunking: ZERO shuffle (narrow-only plan)"),
     ("llm_decontaminate", "probe broadcast: corpus never shuffles"),
     ("tpch_q5_local_supplier_volume", "6-table join: shuffle only on the fact chain"),
+    ("sample_bernoulli", "hash Bernoulli sample: ZERO shuffle (map-only filter)"),
+    ("agg_heavy_hitters_cms", "count-min: shuffle ~ depth*width counters, not input rows"),
+    ("join_interval_binned", "large-to-large interval join: equi-join shuffle, no NL blowup"),
+    ("emb_quantize_int8", "int8 quantization: ZERO shuffle (map-only rewrite)"),
+    ("etl_snapshot_diff", "snapshot diff: one full-outer shuffle; change set only survives"),
 ]
 
 
