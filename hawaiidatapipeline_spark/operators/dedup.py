@@ -164,6 +164,88 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_linkage_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    tau: float = 0.6,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus record linkage: (left_id, right_id, est_jaccard ≥ tau)
+    pairs between TWO datasets — entity resolution / near-dup linking
+    across snapshots, as opposed to self-dedup (minhash_candidate_pairs).
+
+    Same LSH shape and scale behavior: each side is signed independently
+    (linear), candidates come from an equi-join of the two narrow
+    (id, band, sig) tables — never a cross product — and similarity is
+    estimated from signatures. Sides can differ in size arbitrarily; if
+    one is small its band table broadcasts. ``hash_fn="md5"`` makes the
+    whole pipeline portable-hash-reproducible (exact oracle)."""
+    rows_per_band = n_hashes // n_bands
+
+    def sign(df: DataFrame) -> DataFrame:
+        return minhash_signatures(
+            shingles_distinct(df, shingle_n, id_col, text_col), n_hashes, id_col, hash_fn
+        ).localCheckpoint()
+
+    def band_sig(cols):
+        if hash_fn == "md5":
+            return portable_hash64(
+                F.concat_ws(",", *[c.cast("string") for c in cols]), 9999
+            )
+        return F.xxhash64(*cols)
+
+    def band_rows(sig: DataFrame, out_id: str) -> DataFrame:
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            band_sig(
+                                [
+                                    F.col(f"h{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("sig"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bs"),
+        ).select(out_id, "bs.band", "bs.sig")
+
+    sig_l, sig_r = sign(left), sign(right)
+    cand = (
+        band_rows(sig_l, "left_id")
+        .join(band_rows(sig_r, "right_id"), ["band", "sig"])
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    wide_l = sig_l.select(
+        F.col(id_col).alias("left_id"), *[F.col(f"h{i}").alias(f"_a{i}") for i in range(n_hashes)]
+    )
+    wide_r = sig_r.select(
+        F.col(id_col).alias("right_id"), *[F.col(f"h{i}").alias(f"_b{i}") for i in range(n_hashes)]
+    )
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0) for i in range(n_hashes)
+    )
+    return (
+        cand.join(wide_l, "left_id")
+        .join(wide_r, "right_id")
+        .select(
+            "left_id", "right_id", (agree / F.lit(float(n_hashes))).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= tau)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

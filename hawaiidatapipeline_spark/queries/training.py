@@ -608,3 +608,75 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
     )
+
+
+def _linkage_exact_sql() -> str:
+    sig_cols = ",\n                ".join(
+        f"min({_ph('sh', i)}) AS h{i}" for i in range(_MH_N)
+    )
+
+    def band_rows(src: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, {sig} AS sig FROM {src}".format(
+                b=b,
+                src=src,
+                sig=_ph(
+                    " || ',' || ".join(
+                        f"h{b * _MH_RPB + r}::VARCHAR" for r in range(_MH_RPB)
+                    ),
+                    9999,
+                ),
+            )
+            for b in range(_MH_BANDS)
+        )
+
+    agree = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(_MH_N)
+    )
+    return f"""WITH words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       ),
+       idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+               FROM words),
+       shingle AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+                   FROM idx),
+       sig AS (SELECT doc_id,
+                {sig_cols}
+               FROM shingle GROUP BY doc_id),
+       sig_l AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+       sig_r AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+       bands_l AS ({band_rows('sig_l')}),
+       bands_r AS ({band_rows('sig_r')}),
+       cand AS (SELECT DISTINCT x.doc_id AS left_id, y.doc_id AS right_id
+                FROM bands_l x JOIN bands_r y
+                  ON x.band = y.band AND x.sig = y.sig),
+       scored AS (SELECT c.left_id, c.right_id, ({agree}) AS agree
+                  FROM cand c
+                  JOIN sig_l a ON a.doc_id = c.left_id
+                  JOIN sig_r b ON b.doc_id = c.right_id)
+       SELECT left_id, right_id, round(agree / {_MH_N}.0, 6) AS est_jaccard
+       FROM scored WHERE agree / {_MH_N}.0 >= 0.6"""
+
+
+@q("llm_linkage_minhash", _linkage_exact_sql())
+def llm_linkage_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus record linkage (entity resolution across snapshots):
+    near-dup pairs BETWEEN two datasets — here the even-id and odd-id
+    halves of `documents` — via banded MinHash-LSH
+    (operators/dedup.py minhash_linkage_pairs). Unlike self-dedup, the
+    candidate step is an equi-join of two independent (id, band, sig)
+    tables — never a cross product; sides may differ in size arbitrarily
+    and the smaller side's band table broadcasts. Portable md5 hashes →
+    DuckDB recomputes the whole pipeline exactly (hash-verified LSH
+    linkage)."""
+    from hawaiidatapipeline_spark.operators.dedup import minhash_linkage_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    left = d.filter(F.col("doc_id") % 2 == 0)
+    right = d.filter(F.col("doc_id") % 2 == 1)
+    pairs = minhash_linkage_pairs(
+        left, right, tau=0.6, n_hashes=_MH_N, n_bands=_MH_BANDS, hash_fn="md5"
+    )
+    return pairs.select(
+        "left_id", "right_id", F.round("est_jaccard", 6).alias("est_jaccard")
+    )

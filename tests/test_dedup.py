@@ -165,3 +165,33 @@ def test_simhash_near_dups_close(spark):
         1 for a, b in exact if bin(sig_map[a] ^ sig_map[b]).count("1") <= 16
     )
     assert close / len(exact) >= 0.9
+
+
+def test_linkage_pairs_equal_cross_parity_selfdedup_pairs(spark):
+    """Linking the even-id and odd-id halves must find exactly the
+    cross-parity subset of the self-dedup candidates (same hash family,
+    same banding) — the two pipelines are the same algorithm."""
+    from hawaiidatapipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_linkage_pairs,
+    )
+    from hawaiidatapipeline_spark.registry import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF0001, "documents")
+    self_pairs = minhash_candidate_pairs(d, tau=0.6, n_hashes=16, n_bands=4)
+    cross = {
+        frozenset((r["doc_a"], r["doc_b"]))
+        for r in self_pairs.collect()
+        if r["doc_a"] % 2 != r["doc_b"] % 2
+    }
+    linked = minhash_linkage_pairs(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        tau=0.6,
+        n_hashes=16,
+        n_bands=4,
+    )
+    got = {frozenset((r["left_id"], r["right_id"])) for r in linked.collect()}
+    assert got == cross
+    assert got, "fixture must contain cross-parity near-dups"
