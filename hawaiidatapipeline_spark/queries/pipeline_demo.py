@@ -196,3 +196,86 @@ def llm_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         depends=("deduped", "docs"),
     )
     return p.run()["profile"]
+
+
+_PH42 = "('0x' || substring(md5('42:' || doc_id::VARCHAR), 1, 15))::BIGINT"
+_PH11 = "('0x' || substring(md5('11:' || doc_id::VARCHAR), 1, 15))::BIGINT"
+
+_CORPUS_V3_SQL = f"""
+WITH sampled AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE {_PH11} % 10000 < 9000
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                 ORDER BY doc_id) AS rn
+    FROM sampled) WHERE rn = 1
+),
+assigned AS (
+  SELECT doc_id, source, text,
+         CASE WHEN {_PH42} % 100 < 90 THEN 'train'
+              WHEN {_PH42} % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM deduped
+)
+SELECT split, count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens
+FROM assigned GROUP BY split
+"""
+
+
+@q("llm_corpus_pipeline_v3", _CORPUS_V3_SQL)
+def llm_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2-session operators composed end to end: deterministic 90%
+    Bernoulli sample (reproducible corpus freeze) → exact dedup →
+    hash-bucket train/val/test assignment → per-split profile — one
+    Pipeline DAG, one Catalyst plan, every stage hash-derived so the full
+    composition is engine-reproducible (the oracle recomputes sample
+    membership, dedup survivors, AND split assignment exactly). The
+    production shape of "cut a training snapshot": nothing here depends
+    on row order, partitioning, or a random seed living outside the
+    data."""
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+    from hawaiidatapipeline_spark.operators.sampling import bernoulli_sample
+
+    p = Pipeline(spark, "corpus_v3")
+    p.stage("docs", lambda c: load_table(spark, sf_dir, "documents"))
+    p.stage(
+        "sampled",
+        lambda c: bernoulli_sample(c.get("docs"), "doc_id", fraction_bp=9000, seed=11),
+        depends=("docs",),
+    )
+
+    def dedup(c):
+        w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+        return (
+            c.get("sampled")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    p.stage("deduped", dedup, depends=("sampled",))
+
+    def assign(c):
+        h = F.pmod(portable_hash64(F.col("doc_id").cast("string"), 42), F.lit(100))
+        return c.get("deduped").withColumn(
+            "split",
+            F.when(h < 90, "train").when(h < 95, "val").otherwise("test"),
+        )
+
+    p.stage("assigned", assign, depends=("deduped",))
+    p.stage(
+        "profile",
+        lambda c: c.get("assigned")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+        ),
+        depends=("assigned",),
+    )
+    return p.run()["profile"]
