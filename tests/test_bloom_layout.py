@@ -67,3 +67,28 @@ def test_bloom_filter_written_and_results_identical(spark, tmp_path):
         map(tuple, spark.read.parquet(bloomed).filter(F.col("row_uid") == probe).collect())
     )
     assert a == b and a
+
+
+def test_corrupt_file_policy_on_landing_zone(spark, tmp_path):
+    """Landing-zone resilience: a truncated/garbage parquet part must not
+    kill the bulk read when the corrupt-files policy is on — at 100 TB a
+    single bad object in a million-file landing zone cannot be allowed to
+    fail the nightly load. Default (strict) behavior must still raise, so
+    corruption is never silently tolerated unless opted into."""
+    import pytest
+
+    li = load_table(spark, SF001, "lineitem").select("l_orderkey", "l_quantity")
+    zone = str(tmp_path / "zone")
+    li.coalesce(2).write.parquet(zone)
+    # drop a garbage object into the zone
+    with open(zone + "/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a parquet file")
+
+    strict = spark.read.parquet(zone)
+    with pytest.raises(Exception):
+        strict.count()
+
+    tolerant = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(zone)
+    )
+    assert tolerant.count() == li.count()
