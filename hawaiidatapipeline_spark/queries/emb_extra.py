@@ -66,3 +66,40 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_scale", 6).alias("scale"),
         codes.alias("codes"),
     )
+
+
+@q(
+    "emb_label_centroids",
+    """WITH ex AS (
+         SELECT label,
+                unnest(generate_series(0, len(embedding) - 1)) AS dim,
+                unnest(embedding) AS x
+         FROM embeddings
+       )
+       SELECT label, dim,
+              round((sum(x::DECIMAL(18,9)) / count(*))::DOUBLE, 6) AS centroid,
+              count(*) AS n_vecs
+       FROM ex GROUP BY label, dim""",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the vector aggregation
+    behind semantic clustering profiles, IVF coarse-quantizer seeding, and
+    class-prototype classification. posexplode + one partial-aggregated
+    groupBy on (label, dim): shuffle volume is labels × dims, independent
+    of corpus size. Sums run in exact DECIMAL so partition order cannot
+    move the 6th digit (the avg-flake class); the per-dim division happens
+    once on identical operands in both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.round(
+                (F.sum(F.col("x").cast("decimal(18,9)")) / F.count(F.lit(1))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
