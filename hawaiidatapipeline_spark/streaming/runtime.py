@@ -338,6 +338,56 @@ def run_merge_sink(stream_df: DataFrame, target_path: str, key: str, checkpoint:
     )
 
 
+def run_aggregate_sink(
+    events: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    key: str = "event_type",
+):
+    """foreachBatch aggregate-maintenance sink: each micro-batch's PARTIAL
+    aggregates (count + exact-decimal sum per key) merge into a stored
+    aggregate table — the streaming face of etl_incremental_agg. Unlike
+    stateful streaming aggregation (whose state lives in the state store),
+    the running aggregate here IS the target table, so any engine can read
+    it mid-stream and the state survives checkpoint loss up to one batch.
+    Merge cost ∝ batch keys + stored group cardinality, never history.
+    NOTE: parquet overwrite is used for the fixture; a table format makes
+    the swap transactional. Exactly-once: batch replay re-merges from the
+    LAST committed table, so the checkpoint WAL must fence double-commits
+    (with plain parquet a crash BETWEEN write and WAL commit can double-
+    count one batch — a known gap table formats close)."""
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(key).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_agg = partial(batch_df)
+        try:
+            current = spark.read.parquet(target_path)
+            merged = (
+                current.unionByName(batch_agg)
+                .groupBy(key)
+                .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+            )
+        except Exception:
+            merged = batch_agg
+        staged = merged.collect()  # tiny: one row per key
+        spark.createDataFrame(staged, merged.schema).write.mode("overwrite").parquet(
+            target_path
+        )
+
+    return (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str):
     """Production file sink: append mode, exactly-once via the checkpoint
     WAL + output manifest. Caller owns trigger cadence."""

@@ -286,3 +286,31 @@ def test_streaming_count_min_equals_batch_sketch(spark):
     assert _rows(got, ["i", "b", "c"]) == _rows(batch, ["i", "b", "c"])
     # state size: bounded by the sketch dimensions, not key cardinality
     assert got.count() <= 4 * 64
+
+
+def test_aggregate_sink_maintains_running_aggregate(spark, tmp_path):
+    """Merging each micro-batch's partial aggregates into the target table
+    must end at exactly the batch aggregate of the whole input — the
+    streaming face of etl_incremental_agg (exact decimal sums, so merge
+    order can't drift the totals)."""
+    target = str(tmp_path / "agg_target")
+    ckpt = str(tmp_path / "ckpt")
+    q = runtime.run_aggregate_sink(
+        runtime.stream_events(spark, SF0001), target, ckpt, key="event_type"
+    )
+    q.awaitTermination()
+    got = {
+        r["event_type"]: (r["n"], float(r["total"]))
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], float(r["total"]))
+        for r in load_table(spark, SF0001, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
