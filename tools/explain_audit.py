@@ -81,6 +81,11 @@ AUDITS: dict[str, list[str]] = {
     "llm_ngram_counts": ["partial_agg", "generate_exec", "pruning", "codegen"],
     "emb_quantize_int8": ["no_shuffle_left", "pruning", "codegen"],
     "join_interval_binned": ["smj_or_bhj", "no_cartesian", "partial_agg", "codegen"],
+    "layout_zorder_key": ["no_shuffle_left", "pruning", "codegen"],
+    "llm_linkage_minhash": ["partial_agg", "no_cartesian", "codegen"],
+    "etl_incremental_agg": ["partial_agg", "pruning", "no_cartesian", "codegen"],
+    "llm_corpus_pipeline_v3": ["partial_agg", "window_exec", "pruning", "codegen"],
+    "emb_label_centroids": ["partial_agg", "generate_exec", "pruning", "codegen"],
 }
 
 
