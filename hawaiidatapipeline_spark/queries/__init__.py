@@ -43,6 +43,7 @@ _MODULES = (
     "emb_extra",
     "joins_extra",
     "layout",
+    "graph_demo",
     "training",
     "analytics",
     "pipeline_demo",
