@@ -86,6 +86,11 @@ AUDITS: dict[str, list[str]] = {
     "etl_incremental_agg": ["partial_agg", "pruning", "no_cartesian", "codegen"],
     "llm_corpus_pipeline_v3": ["partial_agg", "window_exec", "pruning", "codegen"],
     "emb_label_centroids": ["partial_agg", "generate_exec", "pruning", "codegen"],
+    "mine_frequent_pairs": ["smj_or_bhj", "partial_agg", "pruning", "no_cartesian", "codegen"],
+    "mine_association_rules": ["broadcast_any", "partial_agg", "pruning", "no_cartesian", "codegen"],
+    # (final plan is the localCheckpoint scan of the last round's ranks —
+    # the per-round join+agg shape is asserted by its tests, not here)
+    "graph_pagerank_copurchase": ["no_cartesian"],
 }
 
 
