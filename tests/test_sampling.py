@@ -50,3 +50,34 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     mean_picked = picked.agg(F.avg("o_totalprice")).first()[0]
     # weight-proportional selection must skew the sample mean upward
     assert mean_picked > mean_all * 1.15
+
+
+def test_bernoulli_membership_is_append_stable(spark):
+    """Adding new rows never changes old rows' membership — the property
+    that makes hash sampling safe for growing corpora (a re-frozen sample
+    after ingest only ADDS rows; no training doc silently drops out)."""
+    o = load_table(spark, SF0001, "orders")
+    old = o.filter(F.col("o_orderkey") % 3 != 0)
+    s_old = {r["o_orderkey"] for r in bernoulli_sample(old, "o_orderkey", 1000).collect()}
+    s_all = {r["o_orderkey"] for r in bernoulli_sample(o, "o_orderkey", 1000).collect()}
+    old_keys = {r["o_orderkey"] for r in old.select("o_orderkey").collect()}
+    assert s_all & old_keys == s_old
+
+
+def test_stratified_append_displaces_at_most_one_per_stratum(spark):
+    """Appending one row to a stratum changes that stratum's selection by
+    at most one displacement (hash-rank stability claim in the operator
+    docstring)."""
+    o = load_table(spark, SF0001, "orders")
+    base = o.filter(F.col("o_orderkey") != 7)
+    sel_base = {
+        (r["o_orderstatus"], r["o_orderkey"])
+        for r in stratified_fixed_n(base, "o_orderstatus", "o_orderkey", 50).collect()
+    }
+    sel_full = {
+        (r["o_orderstatus"], r["o_orderkey"])
+        for r in stratified_fixed_n(o, "o_orderstatus", "o_orderkey", 50).collect()
+    }
+    # symmetric difference is 0 (new row ranked below cut) or 2 (new row
+    # entered, one displaced)
+    assert len(sel_base ^ sel_full) <= 2
