@@ -680,3 +680,58 @@ def llm_linkage_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "left_id", "right_id", F.round("est_jaccard", 6).alias("est_jaccard")
     )
+
+
+_SURVIVOR_SQL = _CLUSTERS_SQL.replace(
+    """SELECT node AS doc_id,
+       min(r) AS cluster_id,
+       node = min(r) AS is_kept
+FROM reach GROUP BY node
+""",
+    """, comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+quality AS (
+  SELECT doc_id,
+         round(least(len(string_split(text, ' ')) / 64.0, 1.0)
+               * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                  / len(string_split(text, ' '))), 6) AS q
+  FROM documents
+),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id, q.q,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.q DESC, c.doc_id) AS rn
+  FROM comp c JOIN quality q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS survivor_id, q AS quality
+FROM ranked WHERE rn = 1
+""",
+)
+assert "survivor_id" in _SURVIVOR_SQL  # replace() must have matched
+
+
+@q("llm_dedup_survivors", _SURVIVOR_SQL)
+def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship POLICY on top of duplicate clustering: instead of the
+    arbitrary min-id canonical (llm_dedup_clusters), keep the
+    highest-QUALITY document of each near-dup cluster (deterministic
+    tiebreak on doc_id) — what a real corpus dedup applies, since dup
+    clusters often mix a clean original with truncated/boilerplate
+    copies. One extra broadcast-sized join + per-cluster rank over the
+    clustering output; the quality score is the same deterministic
+    signal the corpus pipeline gates on."""
+    from hawaiidatapipeline_spark.functions.text import quality_score
+    from hawaiidatapipeline_spark.operators.dedup import connected_components
+    from hawaiidatapipeline_spark.queries.llm import llm_dedup_jaccard
+
+    d = load_table(spark, sf_dir, "documents")
+    labels = connected_components(llm_dedup_jaccard(spark, sf_dir))
+    quality = d.select("doc_id", quality_score(F.col("text")).alias("q"))
+    joined = labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("q").desc(), "doc_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("survivor_id"), F.col("q").alias("quality"))
+    )
