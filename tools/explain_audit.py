@@ -91,6 +91,7 @@ AUDITS: dict[str, list[str]] = {
     # (final plan is the localCheckpoint scan of the last round's ranks —
     # the per-round join+agg shape is asserted by its tests, not here)
     "graph_pagerank_copurchase": ["no_cartesian"],
+    "llm_dedup_survivors": ["window_exec", "no_cartesian", "codegen"],
 }
 
 
