@@ -1,4 +1,5 @@
-"""Data-layout queries: Z-order key computation (hash-verified)."""
+"""Data-layout queries: Z-order key computation (hash-verified) and
+bucketed-table co-located joins (the shuffle-elimination layout)."""
 
 from __future__ import annotations
 
@@ -7,6 +8,7 @@ from pyspark.sql import functions as F
 
 from hawaiidatapipeline_spark.operators.layout import zvalue, zvalue_sql
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.queries.sources import _scratch
 from hawaiidatapipeline_spark.registry import load_table
 
 QUERIES, ORACLES, q = new_module_registry()
@@ -32,4 +34,64 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_suppkey",
         zvalue(F.col("l_partkey"), F.col("l_suppkey")).alias("zval"),
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 8
+) -> DataFrame:
+    """Persist ``df`` as a parquet table hash-bucketed (and bucket-sorted)
+    by ``key``. Every row with the same key hash lands in the same bucket
+    file index on every table written with the same ``n_buckets`` — the
+    storage-layout contract that lets Catalyst drop BOTH shuffle exchanges
+    from a subsequent equi-join on the bucket key. At 100 TB this is the
+    difference between re-shuffling the fact table on every join and
+    shuffling it exactly once, at write time.
+
+    The pre-write ``repartition(n_buckets, key)`` aligns write tasks with
+    bucket ids (same HashPartitioning), so each bucket is exactly ONE
+    file — without it every task emits a file per bucket it touches
+    (tasks × buckets small files) and Spark must re-Sort bucket reads
+    before a merge join instead of trusting the ``sortBy`` order."""
+    spark = df.sparkSession
+    (
+        df.repartition(n_buckets, F.col(key))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", _scratch(table))
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
+@q(
+    "scan_bucketed_join",
+    """SELECT c_mktsegment, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed tables: both sides are written
+    ``bucketBy(8, custkey)`` and the sort-merge join (forced via the MERGE
+    hint so the tiny fixture dim cannot demote to broadcast) then runs with
+    ZERO shuffle exchanges on either input — bucket i of orders joins
+    bucket i of customer in place; the only exchange left in the plan is
+    the few-row final aggregation. tests/test_bucketed.py asserts the
+    executed join subplan is exchange-free; the oracle proves the layout
+    changes nothing about the result. This is the pre-shuffled fact/dim
+    layout a 100 TB deployment uses for repeated joins on the same key."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    bo = write_bucketed(o, "bk_orders", "o_custkey")
+    bc = write_bucketed(c, "bk_customer", "c_custkey")
+    return (
+        bo.hint("merge")
+        .join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
     )

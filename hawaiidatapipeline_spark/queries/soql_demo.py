@@ -8,7 +8,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
 from hawaiidatapipeline_spark.registry import load_table
-from hawaiidatapipeline_spark.soql import soql_query, soql_query_string
+from hawaiidatapipeline_spark.soql import (
+    soql_query,
+    soql_query_chained,
+    soql_query_string,
+)
 
 QUERIES, ORACLES, q = new_module_registry()
 
@@ -79,6 +83,34 @@ def soql_full_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         d,
         "SELECT doc_id, lang WHERE starts_with(source, 'src1') "
         "SEARCH 'merge' ORDER BY doc_id LIMIT 30 OFFSET 5",
+    )
+
+
+@q(
+    "soql_chained_pipeline",
+    """SELECT lang, n_sources, n_docs, max_source FROM (
+         SELECT lang, count(*) AS n_sources, sum(n)::BIGINT AS n_docs,
+                max(n) AS max_source
+         FROM (SELECT lang, source, count(*) AS n FROM documents
+               GROUP BY lang, source)
+         GROUP BY lang)
+       WHERE n_docs > 66 ORDER BY n_docs DESC, lang LIMIT 3""",
+)
+def soql_chained_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoQL 2.1 chained query (``|>`` pipelines): stage 1 aggregates per
+    (lang, source), stage 2 aggregates the aggregate per lang, stage 3
+    filters/orders/pages the result — Socrata's query-composition idiom.
+    The fold compiles to ONE Catalyst plan (nested subqueries), so the
+    two aggregations share a single partial+final cascade; integer-only
+    measures keep the chain hash-exact across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return soql_query_chained(
+        d,
+        "SELECT lang, source, count(*) AS n GROUP BY lang, source "
+        "|> SELECT lang, count(*) AS n_sources, sum(n) AS n_docs, "
+        "max(n) AS max_source GROUP BY lang "
+        "|> SELECT lang, n_sources, n_docs, max_source "
+        "WHERE n_docs > 66 ORDER BY n_docs DESC, lang LIMIT 3",
     )
 
 

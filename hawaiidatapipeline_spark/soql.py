@@ -33,7 +33,13 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["SoqlError", "soql_query", "soql_query_string", "rewrite_soql_expr"]
+__all__ = [
+    "SoqlError",
+    "soql_query",
+    "soql_query_string",
+    "soql_query_chained",
+    "rewrite_soql_expr",
+]
 
 
 class SoqlError(ValueError):
@@ -263,10 +269,48 @@ def parse_soql_string(query: str) -> dict[str, str]:
     return params
 
 
+def split_soql_chain(query: str) -> list[str]:
+    """Split a chained SoQL query on top-level ``|>`` (SoQL 2.1 query
+    pipelines). The scan is string-literal-aware so ``'a |> b'`` inside a
+    literal never splits."""
+    stages, start, i, in_str = [], 0, 0, False
+    while i < len(query):
+        c = query[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "|" and query[i + 1 : i + 2] == ">":
+            stages.append(query[start:i].strip())
+            i += 1
+            start = i + 1
+        i += 1
+    stages.append(query[start:].strip())
+    if any(not s for s in stages):
+        raise SoqlError("empty stage in chained SoQL query")
+    return stages
+
+
 def soql_query_string(df: DataFrame, query: str) -> DataFrame:
     """Execute a full SoQL ``$query`` string — Socrata's single-parameter
     alternative to the individual ``$select``/``$where``/… params."""
     return soql_query(df, parse_soql_string(query))
+
+
+def soql_query_chained(df: DataFrame, query: str) -> DataFrame:
+    """Execute a SoQL 2.1 chained query: ``SELECT … |> SELECT … |> …``.
+
+    Each ``|>`` stage is a full SoQL query whose FROM is the previous
+    stage's output (aggregates of aggregates, post-aggregation paging —
+    Socrata's composition idiom). Compiled by folding ``soql_query_string``
+    over the stages, so the whole chain is ONE Catalyst plan: nested
+    subqueries the optimizer is free to collapse, prune, and push through —
+    no per-stage materialization."""
+    out = df
+    for stage in split_soql_chain(query):
+        out = soql_query_string(out, stage)
+    return out
 
 
 def soql_query(df: DataFrame, params: dict[str, str]) -> DataFrame:

@@ -92,6 +92,10 @@ AUDITS: dict[str, list[str]] = {
     # the per-round join+agg shape is asserted by its tests, not here)
     "graph_pagerank_copurchase": ["no_cartesian"],
     "llm_dedup_survivors": ["window_exec", "no_cartesian", "codegen"],
+    "soql_chained_pipeline": ["partial_agg", "pruning", "take_ordered", "codegen"],
+    # co-located join: both scans bucketed, the ONLY exchange is the
+    # few-row final aggregation — the join itself shuffles nothing
+    "scan_bucketed_join": ["bucketed_scan", "smj_or_bhj", "max_one_shuffle", "codegen"],
 }
 
 
@@ -154,6 +158,11 @@ def check(name: str, plan: str) -> list[tuple[str, bool, str]]:
             a("take_ordered", "TakeOrderedAndProject" in p, "top-k fused operator")
         elif assertion == "generate_exec":
             a("generate_exec", "Generate" in p, "Generate (explode) operator")
+        elif assertion == "bucketed_scan":
+            a("bucketed_scan", "Bucketed: true" in p, "scan reads bucket layout")
+        elif assertion == "max_one_shuffle":
+            n = p.count("Exchange hashpartitioning")
+            a("max_one_shuffle", n <= 1, f"hash exchanges={n} (join inputs co-located)")
     return res
 
 
