@@ -502,3 +502,32 @@ def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(v.isNull(), "missing").otherwise("present").alias("v_status"),
         F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
     )
+
+
+@q(
+    "fn_timezone",
+    """SELECT date_part('hour', timezone('Pacific/Honolulu', ts::TIMESTAMPTZ))::INT AS hst_hour,
+              count(*) AS n,
+              min(timezone('Pacific/Honolulu', ts::TIMESTAMPTZ)) AS first_local,
+              max(timezone('Pacific/Honolulu', ts::TIMESTAMPTZ)) AS last_local
+       FROM events GROUP BY 1""",
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion — the reference served HAWAII open data, so
+    every portal timestamp is Pacific/Honolulu wall clock over UTC
+    storage. ``from_utc_timestamp`` shifts event times to HST (fixed
+    UTC-10, no DST — immune to tz-database drift between engines) and
+    the local-hour histogram is what a "when do things happen" dashboard
+    query looks like. Oracle: DuckDB's ICU ``timezone()`` under a UTC
+    session recomputes the identical wall-clock values."""
+    e = load_table(spark, sf_dir, "events")
+    lts = F.from_utc_timestamp("ts", "Pacific/Honolulu")
+    return (
+        e.select(lts.alias("lts"))
+        .groupBy(F.hour("lts").alias("hst_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lts").alias("first_local"),
+            F.max("lts").alias("last_local"),
+        )
+    )

@@ -95,3 +95,34 @@ def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("key_sum"),
         )
     )
+
+
+@q(
+    "sink_sorted_export",
+    """SELECT l_orderkey, l_linenumber, l_shipdate,
+              round(l_extendedprice, 6) AS price
+       FROM lineitem""",
+)
+def sink_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally range-sorted export: ``repartitionByRange`` splits the
+    time axis into contiguous slices (one sampling pass picks the
+    boundaries) and ``sortWithinPartitions`` orders rows inside each, so
+    the written files carry DISJOINT min/max ranges on l_shipdate —
+    parquet footer stats then prune time-window scans to the few files
+    that overlap, the 1-D counterpart of the Z-order layout.
+    tests/test_bucketed.py measures the disjointness; the oracle proves
+    the rewrite moves rows without changing them."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.round("l_extendedprice", 6).alias("price"),
+    )
+    path = _scratch("lineitem_sorted")
+    (
+        li.repartitionByRange(8, F.col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)

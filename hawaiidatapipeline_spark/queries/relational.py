@@ -420,3 +420,24 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edge("lineitem->orders", li, o, "l_orderkey", "o_orderkey"))
         .unionByName(edge("customer->nation", c, n, "c_nationkey", "n_nationkey"))
     )
+
+
+@q(
+    "set_union_by_name",
+    """SELECT s_suppkey, s_name, NULL::BIGINT AS s_nationkey
+       FROM supplier WHERE s_suppkey < 60
+       UNION ALL
+       SELECT s_suppkey, NULL::VARCHAR AS s_name, s_nationkey
+       FROM supplier WHERE s_suppkey >= 90""",
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: ``unionByName(allowMissingColumns=True)``
+    aligns frames by COLUMN NAME and null-fills what either side lacks —
+    how heterogeneous landing batches (old files without new columns)
+    stack into one frame without positional-union corruption. The oracle
+    spells out the same alignment with explicit NULL padding (DuckDB's
+    ``UNION ALL BY NAME`` is the engine-native twin)."""
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.filter(F.col("s_suppkey") < 60).select("s_suppkey", "s_name")
+    b = s.filter(F.col("s_suppkey") >= 90).select("s_suppkey", "s_nationkey")
+    return a.unionByName(b, allowMissingColumns=True)

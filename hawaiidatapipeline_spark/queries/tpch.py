@@ -140,3 +140,99 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@q(
+    "tpch_q6_forecast_revenue",
+    """SELECT sum((l_extendedprice * l_discount)::DECIMAL(18,6)) AS revenue,
+              count(*) AS n
+       FROM lineitem
+       WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: forecast-revenue-change — the pure scan benchmark. Every
+    predicate is sargable (all three push to the parquet reader), the agg
+    is one global partial+final pair, and the per-row product is cast to
+    DECIMAL(18,6) before summing so the single-row total is exact in any
+    partition order on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "tpch_q14_promo_effect",
+    """SELECT round(
+                100.0
+                * sum(CASE WHEN p_type LIKE 'PROMO%'
+                           THEN (l_extendedprice * (1 - l_discount))::DECIMAL(18,6)
+                           ELSE 0::DECIMAL(18,6) END)::DOUBLE
+                / sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE,
+              6) AS promo_pct
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'""",
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promo revenue share — month-filtered fact joins the broadcast
+    part dim; conditional aggregation in one pass. Both sums are exact
+    decimals; the single final division happens in identical IEEE double
+    on both engines, so round-6 is stable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    promo = F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(zero))
+    total = F.sum(rev)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * promo.cast("double") / total.cast("double"), 6
+            ).alias("promo_pct")
+        )
+    )
+
+
+@q(
+    "tpch_q18_large_orders",
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+              sum(l.l_quantity::DECIMAL(18,6)) AS total_qty
+       FROM customer c
+       JOIN orders o   ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+       HAVING sum(l.l_quantity::DECIMAL(18,6)) > 300
+       ORDER BY o.o_totalprice DESC, o.o_orderkey
+       LIMIT 20""",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: large-volume orders — full customer⋈orders⋈lineitem chain,
+    grouped on the order grain with a HAVING threshold over an exact
+    decimal quantity sum, then a total-order top-20. The group-by keys
+    ride through unaggregated, so only the decimal sum needs cross-engine
+    care."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )

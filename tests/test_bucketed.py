@@ -93,3 +93,47 @@ def test_bucket_pruning_on_point_lookup(spark):
         assert "SelectedBucketsCount: 1 out of 8" in plan, plan
     finally:
         spark.conf.set(key, prev)
+
+
+def test_sorted_export_files_have_disjoint_ranges(spark):
+    """sink_sorted_export's contract: after repartitionByRange + sort,
+    each parquet file covers a contiguous, non-overlapping l_shipdate
+    slice — footer stats then prune time-window scans to the overlapping
+    files only. Natural (unsorted) layout is the control: its per-file
+    ranges all overlap."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hawaiidatapipeline_spark.queries.layout import sink_sorted_export
+
+    def file_ranges(path):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}[
+                "l_shipdate"
+            ]
+            los, his = [], []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            out.append((min(los), max(his)))
+        return sorted(out)
+
+    sink_sorted_export(spark, SF0001)
+    ranges = file_ranges("/root/repo/.cache/lineitem_sorted")
+    assert len(ranges) == 8
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, f"overlapping file ranges: {ranges}"
+
+    li = load_table(spark, SF0001, "lineitem").select("l_orderkey", "l_shipdate")
+    li.repartition(8).write.mode("overwrite").parquet(
+        "/root/repo/.cache/lineitem_natural"
+    )
+    nat = file_ranges("/root/repo/.cache/lineitem_natural")
+    overlaps = sum(
+        1 for (_, hi_prev), (lo_next, _) in zip(nat, nat[1:]) if hi_prev > lo_next
+    )
+    assert overlaps >= len(nat) - 2, f"control should overlap, got {nat}"

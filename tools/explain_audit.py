@@ -96,6 +96,14 @@ AUDITS: dict[str, list[str]] = {
     # co-located join: both scans bucketed, the ONLY exchange is the
     # few-row final aggregation — the join itself shuffles nothing
     "scan_bucketed_join": ["bucketed_scan", "smj_or_bhj", "max_one_shuffle", "codegen"],
+    "fn_timezone": ["partial_agg", "pruning", "codegen"],
+    "tpch_q6_forecast_revenue": ["pushdown", "pruning", "partial_agg", "codegen"],
+    "tpch_q14_promo_effect": ["pushdown", "broadcast", "partial_agg", "codegen"],
+    "tpch_q18_large_orders": ["smj_or_bhj", "partial_agg", "take_ordered", "codegen"],
+    "set_union_by_name": ["pushdown", "pruning", "codegen"],
+    # final plan is the scan of the exported files; the range-layout
+    # property itself is measured in tests/test_bucketed.py
+    "sink_sorted_export": ["pruning", "no_shuffle_left"],
 }
 
 
