@@ -36,16 +36,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Schema comes from the Parquet footer; filters
     and projections applied by callers push down to the scan (Catalyst).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS); Spark's reader has no nanos
-    type, so it's read as long (``nanosAsLong`` conf in session.py) and
-    converted here to a µs timestamp (truncation — same as DuckDB's ns→µs)."""
+    ``events.ts`` normalization (fixture shape has drifted across rounds):
+    - TIMESTAMP(NANOS) fixtures read as long (``nanosAsLong`` conf in
+      session.py) → rebuilt as µs timestamps (truncation, same as DuckDB);
+    - tz-naive TIMESTAMP(MICROS) fixtures read as TIMESTAMP_NTZ in Spark 4
+      (``inferTimestampNTZ``) → cast to TIMESTAMP. The session timezone is
+      pinned UTC, so the cast is exact and matches DuckDB's reading.
+    Event-time ops (``unix_micros``, ``withWatermark``) require TIMESTAMP,
+    so every downstream consumer relies on this normalization."""
     prepare_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    if name == "events":
+        df = normalize_event_time(df)
+    return df
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (µs, UTC session TZ).
+
+    Accepts the three physical shapes the events fixture has shipped with:
+    long nanos (legacy nanosAsLong read), TIMESTAMP_NTZ (tz-naive µs under
+    Spark 4's NTZ inference), or already-TIMESTAMP (no-op)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dtype, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from hawaiidatapipeline_spark.registry import load_table
+from hawaiidatapipeline_spark.registry import load_table, normalize_event_time
 from hawaiidatapipeline_spark.session import prepare_session
 
 DEFAULT_WATERMARK = "1 hour"
@@ -55,11 +55,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 4)
         .parquet(landing)
     )
-    from pyspark.sql.types import LongType
-
-    if isinstance(stream.schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_time(stream)
 
 
 # ------------------------------------------------------------------ jobs
