@@ -331,7 +331,8 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
          GROUP BY o_orderpriority
        )
-       SELECT o_orderpriority, n, total::DOUBLE AS total, first_dt, last_dt
+       SELECT o_orderpriority, n::BIGINT AS n, total::DOUBLE AS total,
+              first_dt, last_dt
        FROM merged""",
 )
 def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -415,9 +415,9 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "fn_money_decimal",
     """SELECT o_orderpriority,
-              sum(o_totalprice::DECIMAL(18,2)) AS total_money,
-              min(o_totalprice::DECIMAL(18,2)) AS min_money,
-              max(o_totalprice::DECIMAL(18,2)) AS max_money
+              CAST(sum(o_totalprice::DECIMAL(18,2)) AS VARCHAR) AS total_money,
+              CAST(min(o_totalprice::DECIMAL(18,2)) AS VARCHAR) AS min_money,
+              CAST(max(o_totalprice::DECIMAL(18,2)) AS VARCHAR) AS max_money
        FROM orders GROUP BY o_orderpriority""",
 )
 def fn_money_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,13 +425,19 @@ def fn_money_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     double aggregates elsewhere (rounded to 6 dp to absorb summation-order
     differences), decimal sums are EXACT in any order on both engines — no
     rounding appears on either side. This is the engine's recommended type
-    for monetary measures at 100 TB (bit-for-bit reproducible re-runs)."""
+    for monetary measures at 100 TB (bit-for-bit reproducible re-runs).
+
+    Outputs are serialized as canonical decimal STRINGS on both sides:
+    DuckDB's pandas conversion degrades DECIMAL to float64 (lossy at 9
+    significant digits), so comparing the native types hash-mismatches even
+    when the decimals are identical (driver fail, round 2). String form
+    preserves exactness AND survives any client's type bridging."""
     o = load_table(spark, sf_dir, "orders")
     money = F.col("o_totalprice").cast("decimal(18,2)")
     return o.select("o_orderpriority", money.alias("m")).groupBy("o_orderpriority").agg(
-        F.sum("m").alias("total_money"),
-        F.min("m").alias("min_money"),
-        F.max("m").alias("max_money"),
+        F.sum("m").cast("string").alias("total_money"),
+        F.min("m").cast("string").alias("min_money"),
+        F.max("m").cast("string").alias("max_money"),
     )
 
 

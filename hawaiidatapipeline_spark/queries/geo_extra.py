@@ -13,11 +13,14 @@ QUERIES, ORACLES, q = new_module_registry()
 
 # Fixtures carry no geo columns; synthesize deterministic (lat, lon) from
 # the key with integer arithmetic — identical on both engines (same
-# convention as fn_geo_distance).
+# convention as fn_geo_distance). The 0.25 literal is cast to DOUBLE:
+# DuckDB would otherwise type it DECIMAL(3,2) and propagate DECIMAL into
+# the output, which degrades to float64 in the driver's pandas fetch
+# while Spark (double literal) returns true doubles.
 _LATLON_SQL = """
 SELECT c_custkey,
-       (c_custkey % 180 - 90) + 0.25  AS lat,
-       ((7 * c_custkey) % 360 - 180) + 0.25 AS lon
+       (c_custkey % 180 - 90) + 0.25::DOUBLE  AS lat,
+       ((7 * c_custkey) % 360 - 180) + 0.25::DOUBLE AS lon
 FROM customer
 """
 

@@ -386,7 +386,7 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "llm_lang_source_matrix",
     """SELECT lang, source, count(*) AS n_docs,
-              sum(n_chars) AS total_chars
+              sum(n_chars)::BIGINT AS total_chars
        FROM documents GROUP BY CUBE (lang, source)""",
 )
 def llm_lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

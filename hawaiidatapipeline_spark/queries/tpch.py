@@ -144,7 +144,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "tpch_q6_forecast_revenue",
-    """SELECT sum((l_extendedprice * l_discount)::DECIMAL(18,6)) AS revenue,
+    """SELECT CAST(sum((l_extendedprice * l_discount)::DECIMAL(18,6)) AS VARCHAR)
+                AS revenue,
               count(*) AS n
        FROM lineitem
        WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
@@ -156,7 +157,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate is sargable (all three push to the parquet reader), the agg
     is one global partial+final pair, and the per-row product is cast to
     DECIMAL(18,6) before summing so the single-row total is exact in any
-    partition order on both engines."""
+    partition order on both engines. The exact total is emitted as its
+    canonical STRING (decimals degrade to float64 in pandas bridges)."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
     return (
@@ -166,7 +168,10 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(rev).cast("string").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
 
 
@@ -208,7 +213,7 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "tpch_q18_large_orders",
     """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-              sum(l.l_quantity::DECIMAL(18,6)) AS total_qty
+              CAST(sum(l.l_quantity::DECIMAL(18,6)) AS VARCHAR) AS total_qty
        FROM customer c
        JOIN orders o   ON c.c_custkey = o.o_custkey
        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -231,8 +236,10 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(qty).alias("total_qty"))
-        .filter(F.col("total_qty") > 300)
+        .agg(F.sum(qty).alias("_total_qty"))
+        .filter(F.col("_total_qty") > 300)
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
+        .withColumn("total_qty", F.col("_total_qty").cast("string"))
+        .drop("_total_qty")
     )

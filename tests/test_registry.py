@@ -54,6 +54,44 @@ def test_no_complex_output_columns(spark, registry):
     assert not offenders, f"complex output columns crash the driver gate: {offenders}"
 
 
+def test_no_pandas_degrading_output_types(spark, registry):
+    """Round-2 lesson (fn_money_decimal, llm_lang_source_matrix): the driver
+    fetches both sides through pandas, where DuckDB DECIMAL and HUGEINT
+    degrade to float64 while Spark returns Decimal/long — same values,
+    different hash. Ban the degrading types at the schema level on BOTH
+    sides: Spark queries must not emit DecimalType, and oracle SQL must not
+    produce DECIMAL/HUGEINT/UHUGEINT columns (serialize as VARCHAR or cast
+    to BIGINT/DOUBLE instead). DuckDB binds the relation without executing,
+    so this stays schema-analysis-only like the complex-type lint."""
+    import duckdb
+
+    qs, oracles = registry
+    offenders = []
+    for name, fn in qs.items():
+        schema = fn(spark, SF0001).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, T.DecimalType):
+                offenders.append(f"{name}.{field.name}: spark {field.dataType}")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF0001}/{t}.parquet')"
+        )
+    for name, sql in oracles.items():
+        rel = con.sql(sql)
+        for col, dtype in zip(rel.columns, rel.types):
+            s = str(dtype)
+            if s.startswith("DECIMAL") or "HUGEINT" in s:
+                offenders.append(f"{name}.{col}: duckdb {s}")
+    assert not offenders, (
+        f"output types that degrade through the driver's pandas fetch: {offenders}"
+    )
+
+
 def test_driver_window_covers_unchecked_queries(registry):
     """The first 50 registry slots (the driver's per-round sweep size) must
     all be queries with no round-1 correctness row."""

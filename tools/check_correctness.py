@@ -6,6 +6,15 @@ and an order-insensitive value hash (columns sorted by name, rows sorted,
 values canonicalized). Use while iterating so driver-side mismatches are
 caught before the round ends.
 
+Driver-faithfulness (round-2 lesson, VERDICT.md "What's wrong" #4-6): the
+driver fetches BOTH sides through pandas, so engine types that degrade in
+that conversion (DuckDB DECIMAL / HUGEINT -> float64) hash differently even
+when values are equal. This twin therefore fetches Spark via ``toPandas()``
+and DuckDB via ``.df()`` and FAILS on per-column dtype-kind drift (int vs
+float vs object/Decimal) before hashing — the tolerant value canon alone
+silently absorbed exactly the drift that failed `fn_money_decimal` and
+`llm_lang_source_matrix` on the driver.
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -23,6 +32,8 @@ sys.path.insert(0, "/root/repo")
 
 def canon(v):
     """Canonicalize a cell value for hashing, tolerantly across engines."""
+    if type(v).__module__ == "numpy":  # np.int64/float64/bool_ -> python scalar
+        v = v.item()
     if v is None:
         return "\x00NULL"
     if isinstance(v, bool):
@@ -46,6 +57,38 @@ def canon(v):
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def pandas_rows(pdf):
+    """pandas frame -> (cols, rows, dtype-kinds) with NaN/NaT mapped to None.
+
+    Mirrors the driver's pandas-side canonical view. The dtype KIND string
+    ('i' int, 'f' float, 'O' object, 'M' datetime, 'b' bool) is compared
+    across engines: DECIMAL->float64 and HUGEINT->float64 degradation shows
+    up as a kind mismatch ('O'/'i' vs 'f') even when the values round-trip."""
+    import pandas as pd
+
+    cols = list(pdf.columns)
+    kinds = {}
+    for c in cols:
+        kind = pdf[c].dtype.kind
+        if kind == "O" and len(pdf):
+            # refine object columns by the first non-null value's type, so a
+            # Decimal column is distinguishable from a str/date column
+            nonnull = pdf[c].dropna()
+            if len(nonnull):
+                kind = f"O:{type(nonnull.iloc[0]).__name__}"
+        kinds[c] = kind
+    obj = pdf.astype(object)
+    obj = obj.where(pd.notnull(obj), None)
+    rows = [tuple(r) for r in obj.itertuples(index=False, name=None)]
+    return cols, rows, kinds
+
+
+def kinds_compatible(ks, kd):
+    """Same dtype kind, modulo spellings that bridge identically."""
+    norm = lambda k: {"u": "i"}.get(k, k)
+    return norm(ks) == norm(kd)
 
 
 def table_fingerprint(cols, rows):
@@ -96,8 +139,7 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            scols, srows, skinds = pandas_rows(sdf.toPandas())
         except Exception as e:
             print(f"FAIL {name}: spark error: {e!r}"[:500])
             n_fail += 1
@@ -108,9 +150,7 @@ def main():
             n_weak += 1
             continue
         try:
-            rel = con.execute(oracles[name])
-            dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            dcols, drows, dkinds = pandas_rows(con.execute(oracles[name]).df())
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e!r}"[:500])
             n_fail += 1
@@ -120,6 +160,14 @@ def main():
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            drift = [
+                f"{c}: spark={skinds[c]} duck={dkinds[c]}"
+                for c in scols
+                if not kinds_compatible(skinds[c], dkinds[c])
+            ]
+            if drift and len(srows) and len(drows):
+                problems.append(f"dtype drift (degrades in driver pandas): {drift}")
         if not problems:
             hs = table_fingerprint(scols, srows)
             hd = table_fingerprint(dcols, drows)
