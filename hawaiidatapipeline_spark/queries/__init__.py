@@ -19,11 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Registry order drives the driver's correctness sweep, which records the
-# FIRST 50 entries per round. Round 1 proved core/relational/joins/aggregates
-# and the first two windows queries (CORRECTNESS_r01.json, 47 green rows);
-# round 2 therefore fronts the 50 never-checked queries
-# (functions 18 + events 6 + llm 12 + textanalysis 5 + udfs 5 + sources 4),
-# leaving training/analytics/pipeline_demo/windows-tail (16) for round 3.
+# FIRST 50 entries per round. Rounds 1+2 proved 97 keys green
+# (CORRECTNESS_r01.json + CORRECTNESS_r02.json, disjoint windows); the
+# round-3 window (below) fronts the 3 fail-on-record keys (fixed, must
+# re-prove) + 47 never-checked keys, leaving ~30 for round 4.
 _MODULES = (
     "functions",
     "events",
@@ -31,7 +30,7 @@ _MODULES = (
     "textanalysis",
     "udfs",
     "sources",
-    # -- everything below is outside the round-2 driver window --
+    # -- module order no longer affects the driver window (see _FRONT) --
     "multimodal",
     "soql_demo",
     "sources_extra",
@@ -58,27 +57,31 @@ _MODULES = (
 # entries. _FRONT pins that window to an EXPLICIT key list (in order),
 # decoupled from module placement — adding a query to any module can no
 # longer silently shift the window. Keys listed here but not registered
-# (e.g. a module not built yet) are ignored. Per-round procedure: replace
-# this tuple with the next 50 never-driver-checked keys.
+# (e.g. a module not built yet) are ignored. Per-round procedure: run
+# tools/rotate_window.py with all CORRECTNESS_r*.json files — it rewrites
+# this tuple to fail-on-record keys first, then never-checked keys.
 #
-# Round-2 window: the 50 queries with no CORRECTNESS_r01.json row, in the
-# module order the round-2 registry shipped with.
+# Round-3 window: 3 fail-on-record keys (fn_money_decimal,
+# llm_lang_source_matrix, agg_collect_sorted — all fixed this round) +
+# 47 never-driver-checked keys.
 _FRONT: tuple[str, ...] = (
-    "fn_string", "fn_regex", "fn_date_extract", "fn_date_trunc",
-    "fn_date_arith", "fn_math", "fn_conditional", "fn_cast", "fn_json",
-    "fn_map", "fn_array", "fn_explode", "fn_hash", "fn_geo_distance",
-    "fn_url_parse", "fn_money_decimal", "fn_array_topk_struct",
-    "fn_null_semantics", "stream_tumbling", "stream_sliding",
-    "stream_session", "stream_dedup", "ts_resample", "ts_fill_forward",
-    "llm_dedup_exact", "llm_dedup_jaccard", "llm_dedup_minhash",
-    "llm_dedup_jaccard_ngram", "llm_dedup_embedding", "llm_simhash_buckets",
-    "llm_cosine_topk", "llm_cosine_ivf", "llm_knn_label",
-    "llm_tfidf_topterms", "llm_text_stats", "llm_lang_source_matrix",
-    "llm_lang_id", "llm_quality_score", "llm_token_count_bpe",
-    "llm_fingerprint", "multimodal_features", "udf_python_scalar",
-    "udf_pandas_scalar", "udf_grouped_map", "udf_grouped_agg",
-    "udtf_python", "scan_csv_roundtrip", "scan_jsonlines", "catalog_list",
-    "sink_parquet_partitioned",
+    'fn_money_decimal', 'llm_lang_source_matrix', 'agg_collect_sorted',
+    'fn_timezone', 'multimodal_image_decode', 'multimodal_audio_decode',
+    'soql_aggregate', 'soql_date_functions', 'soql_full_query_string',
+    'soql_chained_pipeline', 'soql_fulltext_paged', 'scan_orc_roundtrip',
+    'scan_text_lines', 'scan_csv_malformed', 'scan_schema_evolution',
+    'udf_cogrouped_map', 'udf_arrow_batch', 'tpch_q3_shipping_priority',
+    'tpch_q5_local_supplier_volume', 'tpch_q10_returned_items', 'tpch_q6_forecast_revenue',
+    'tpch_q14_promo_effect', 'tpch_q18_large_orders', 'fn_geo_within_box',
+    'fn_geo_box_then_circle', 'sample_bernoulli', 'sample_stratified',
+    'sample_weighted', 'agg_heavy_hitters_cms', 'mine_frequent_pairs',
+    'mine_association_rules', 'llm_inverted_index', 'llm_ngram_counts',
+    'emb_quantize_int8', 'emb_label_centroids', 'join_interval_binned',
+    'layout_zorder_key', 'scan_bucketed_join', 'sink_sorted_export',
+    'graph_pagerank_copurchase', 'llm_pii_scrub', 'llm_decontaminate',
+    'llm_repetition_filter', 'llm_pack_sequences', 'llm_mixture_sample',
+    'llm_text_normalize', 'llm_chunk_documents', 'llm_vocab_coverage',
+    'llm_dedup_minhash_exact', 'llm_simhash_exact',
 )
 
 

@@ -15,23 +15,40 @@ from .conftest import SF0001
 
 COMPLEX = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
 
-# Queries the round-1 driver already proved green (CORRECTNESS_r01.json).
-# Registry order must keep these AFTER the first 50 slots so the driver's
-# 50-entry round-2 sweep covers only never-checked queries.
-ROUND1_GREEN = {
-    "pricing_summary", "project_select", "project_alias", "project_computed",
-    "filter_compare", "filter_boolean", "filter_in_between_null", "filter_like",
-    "fulltext_search", "distinct_rows", "sort_multikey", "limit_n",
-    "offset_paging", "topk_global", "set_union_all", "set_union_distinct",
-    "set_intersect", "set_except", "subquery_scalar_correlated", "dq_profile",
-    "dq_referential", "join_inner_broadcast", "join_inner_sortmerge",
-    "join_left_outer", "join_right_outer", "join_full_outer", "join_left_semi",
-    "join_left_anti", "join_cross", "join_theta_range", "join_asof",
-    "agg_groupby_basic", "agg_global", "agg_multikey", "agg_count_distinct",
-    "agg_approx_count_distinct", "agg_having", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "agg_stats", "agg_minby_maxby", "agg_collect_sorted",
-    "agg_percentile", "agg_percentile_approx", "agg_pivot", "reshape_unpivot",
-    "agg_salted_skew", "win_ranking", "win_ntile_pct",
+# Queries already driver-proved green in a past round (union of
+# CORRECTNESS_r01.json + CORRECTNESS_r02.json passing/weak-ok rows;
+# regenerate via tools/rotate_window.py). Registry order must keep these
+# AFTER the first 50 slots so each round's 50-entry sweep covers only
+# never-checked (or fail-on-record) queries.
+DRIVER_GREEN = {
+    "agg_approx_count_distinct", "agg_count_distinct", "agg_cube",
+    "agg_global", "agg_groupby_basic", "agg_grouping_sets", "agg_having",
+    "agg_minby_maxby", "agg_multikey", "agg_percentile",
+    "agg_percentile_approx", "agg_pivot", "agg_rollup", "agg_salted_skew",
+    "agg_stats", "catalog_list", "distinct_rows", "dq_profile",
+    "dq_referential", "filter_boolean", "filter_compare",
+    "filter_in_between_null", "filter_like", "fn_array",
+    "fn_array_topk_struct", "fn_cast", "fn_conditional", "fn_date_arith",
+    "fn_date_extract", "fn_date_trunc", "fn_explode", "fn_geo_distance",
+    "fn_hash", "fn_json", "fn_map", "fn_math", "fn_null_semantics",
+    "fn_regex", "fn_string", "fn_url_parse", "fulltext_search", "join_asof",
+    "join_cross", "join_full_outer", "join_inner_broadcast",
+    "join_inner_sortmerge", "join_left_anti", "join_left_outer",
+    "join_left_semi", "join_right_outer", "join_theta_range", "limit_n",
+    "llm_cosine_ivf", "llm_cosine_topk", "llm_dedup_embedding",
+    "llm_dedup_exact", "llm_dedup_jaccard", "llm_dedup_jaccard_ngram",
+    "llm_dedup_minhash", "llm_fingerprint", "llm_knn_label", "llm_lang_id",
+    "llm_quality_score", "llm_simhash_buckets", "llm_text_stats",
+    "llm_tfidf_topterms", "llm_token_count_bpe", "multimodal_features",
+    "offset_paging", "pricing_summary", "project_alias", "project_computed",
+    "project_select", "reshape_unpivot", "scan_csv_roundtrip",
+    "scan_jsonlines", "set_except", "set_intersect", "set_union_all",
+    "set_union_distinct", "sink_parquet_partitioned", "sort_multikey",
+    "stream_dedup", "stream_session", "stream_sliding", "stream_tumbling",
+    "subquery_scalar_correlated", "topk_global", "ts_fill_forward",
+    "ts_resample", "udf_grouped_agg", "udf_grouped_map",
+    "udf_pandas_scalar", "udf_python_scalar", "udtf_python",
+    "win_ntile_pct", "win_ranking",
 }
 
 
@@ -94,10 +111,11 @@ def test_no_pandas_degrading_output_types(spark, registry):
 
 def test_driver_window_covers_unchecked_queries(registry):
     """The first 50 registry slots (the driver's per-round sweep size) must
-    all be queries with no round-1 correctness row."""
+    all be queries with no green driver row yet (fail-on-record keys
+    re-enter the window to re-prove their fixes)."""
     qs, _ = registry
     window = list(qs)[:50]
-    overlap = ROUND1_GREEN.intersection(window)
+    overlap = DRIVER_GREEN.intersection(window)
     assert not overlap, (
         f"round-1-green queries occupy driver window slots: {sorted(overlap)}"
     )

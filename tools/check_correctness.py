@@ -47,7 +47,14 @@ def canon(v):
     if isinstance(v, int):
         return str(v)
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+        v = v.replace(tzinfo=None)
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            # DATE columns arrive as midnight datetime64 from DuckDB's .df()
+            # but as datetime.date from Spark's toPandas — canonicalize both
+            # to the date form (the driver bridges these identically:
+            # fn_date_trunc/fn_date_arith were driver-green in round 2).
+            return v.date().isoformat()
+        return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -86,8 +93,10 @@ def pandas_rows(pdf):
 
 
 def kinds_compatible(ks, kd):
-    """Same dtype kind, modulo spellings that bridge identically."""
-    norm = lambda k: {"u": "i"}.get(k, k)
+    """Same dtype kind, modulo spellings that bridge identically: unsigned
+    ints, and DATE columns (Spark toPandas -> object of datetime.date,
+    DuckDB .df() -> datetime64 at midnight — the driver accepts the pair)."""
+    norm = lambda k: {"u": "i", "O:date": "M", "O:Timestamp": "M", "O:datetime": "M"}.get(k, k)
     return norm(ks) == norm(kd)
 
 
