@@ -50,6 +50,53 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_decode_tolerant",
+    """WITH dims AS (
+         SELECT doc_id AS id, 16 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+         FROM documents
+       ),
+       rws AS (SELECT id, unnest(generate_series(0, h - 1)) AS r FROM dims),
+       mr AS (SELECT id, round(avg((id + r) % 256), 6) AS mean_r
+              FROM rws GROUP BY id)
+       SELECT d.id,
+              CASE WHEN d.id % 2 = 0 THEN d.w::INT END AS width,
+              CASE WHEN d.id % 2 = 0 THEN d.h::INT END AS height,
+              CASE WHEN d.id % 2 = 0 THEN (d.id % 256)::INT END AS top_left_r,
+              CASE WHEN d.id % 2 = 0 THEN mr.mean_r::DOUBLE END AS mean_r,
+              CASE WHEN d.id % 2 = 0 THEN ((3 * d.id) % 256)::DOUBLE END AS mean_g,
+              CASE WHEN d.id % 2 = 0 THEN ((7 * d.id) % 256)::DOUBLE END AS mean_b,
+              (d.id % 2 = 1) AS decode_failed
+       FROM dims d JOIN mr ON d.id = mr.id""",
+)
+def multimodal_decode_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capability-probe degrade path (VERDICT r2 item 9): odd-id payloads are
+    swapped for JPEG-magic bytes no codec in this container can decode;
+    ``image_stats_tolerant`` must emit typed NULLs + a decode_failed flag
+    for them while even-id BMPs decode exactly — one stage, no task
+    failures. The flag (not the raw error text) is oracle-checked because
+    the message wording is environment-specific by design."""
+    from pyspark.sql import functions as F
+
+    from hawaiidatapipeline_spark.sources.multimodal import (
+        image_stats_tolerant,
+        synthetic_image_blobs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    blobs = synthetic_image_blobs(d).withColumn(
+        "payload",
+        F.when(
+            F.col("id") % 2 == 1,
+            F.lit(b"\xff\xd8\xff\xe0\x00\x10JFIF-not-really"),
+        ).otherwise(F.col("payload")),
+    )
+    return image_stats_tolerant(blobs).select(
+        "id", "width", "height", "top_left_r", "mean_r", "mean_g", "mean_b",
+        F.col("decode_error").isNotNull().alias("decode_failed"),
+    )
+
+
+@q(
     "multimodal_audio_decode",
     """WITH dims AS (
          SELECT doc_id AS id, 800 + 8 * (doc_id % 100) AS n FROM documents

@@ -248,14 +248,40 @@ def resize_nearest(img, out_h: int, out_w: int):
     return img[rows][:, cols]
 
 
+def codec_capabilities() -> dict[str, bool]:
+    """Probe which codecs this environment can actually run. The stdlib
+    codecs are always on; JPEG/PNG light up when PIL is importable and
+    compressed audio/video when ffmpeg is on PATH — so the same pipeline
+    code degrades gracefully here and decodes fully on a real cluster
+    image."""
+    import shutil
+
+    caps = {"bmp": True, "ppm": True, "wav_pcm16": True, "rawv": True}
+    try:
+        import PIL.Image  # noqa: F401
+
+        caps["jpeg"] = caps["png"] = True
+    except ImportError:
+        caps["jpeg"] = caps["png"] = False
+    caps["ffmpeg"] = shutil.which("ffmpeg") is not None
+    return caps
+
+
 def decode_image(payload: bytes):
     """Image decode by magic-byte sniffing: BMP and PPM decode for real
-    (stdlib+numpy); compressed formats raise — libjpeg/libpng are not in
-    this container. Swap the raise for a PIL call in a full environment."""
+    (stdlib+numpy); compressed formats decode via PIL when available and
+    raise otherwise — libjpeg/libpng are not in this container."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if codec_capabilities()["jpeg"]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     raise NotImplementedError(
         "compressed image decode stubbed: PIL/libjpeg not available in container"
     )
@@ -269,6 +295,17 @@ def decode_audio(payload: bytes):
     raise NotImplementedError(
         "compressed audio decode stubbed: ffmpeg not available in container"
     )
+
+
+def try_decode_image(payload: bytes):
+    """Capability-gated decode: (image, None) on success, (None, reason) when
+    the payload needs a codec this environment lacks or is malformed. Lets
+    pipelines keep flowing with typed NULLs instead of dying mid-job — at
+    100 TB a single exotic blob must not kill a stage."""
+    try:
+        return decode_image(payload), None
+    except Exception as e:
+        return None, f"{type(e).__name__}: {e}"
 
 
 def synthetic_image_blobs(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -364,6 +401,45 @@ def image_stats(blobs: DataFrame) -> DataFrame:
         run,
         "id bigint, width int, height int, top_left_r int, "
         "mean_r double, mean_g double, mean_b double",
+    )
+
+
+def image_stats_tolerant(blobs: DataFrame) -> DataFrame:
+    """Like image_stats, but undecodable payloads (missing codec, corrupt
+    bytes) yield a row of typed NULLs plus a ``decode_error`` reason instead
+    of failing the task — the capability-probe degrade path. Downstream
+    filters on ``decode_error IS NULL`` keep the clean subset; the error
+    column doubles as the quarantine report."""
+
+    import numpy as np
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cols = ("id", "width", "height", "top_left_r", "mean_r", "mean_g", "mean_b", "decode_error")
+            out = {k: [] for k in cols}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                img, err = try_decode_image(bytes(payload))
+                out["id"].append(int(i))
+                out["decode_error"].append(err)
+                if img is None:
+                    for k in ("width", "height", "top_left_r", "mean_r", "mean_g", "mean_b"):
+                        out[k].append(None)
+                    continue
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["top_left_r"].append(int(img[0, 0, 0]))
+                means = img.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                out["mean_r"].append(round(float(means[0]), 6))
+                out["mean_g"].append(round(float(means[1]), 6))
+                out["mean_b"].append(round(float(means[2]), 6))
+            yield pd.DataFrame(out)
+
+    return blobs.select("id", "payload").mapInPandas(
+        run,
+        "id bigint, width int, height int, top_left_r int, "
+        "mean_r double, mean_g double, mean_b double, decode_error string",
     )
 
 

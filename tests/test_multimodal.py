@@ -105,6 +105,53 @@ def test_image_stats_operator_matches_formula(spark):
         assert abs(r.mean_r - expected_mean_r) < 1e-9
 
 
+def test_codec_capabilities_probe():
+    from hawaiidatapipeline_spark.sources.multimodal import codec_capabilities
+
+    caps = codec_capabilities()
+    assert caps["bmp"] and caps["ppm"] and caps["wav_pcm16"] and caps["rawv"]
+    assert isinstance(caps["jpeg"], bool) and isinstance(caps["ffmpeg"], bool)
+
+
+def test_try_decode_image_degrades_instead_of_raising():
+    from hawaiidatapipeline_spark.sources.multimodal import try_decode_image
+
+    img = _rand_img(3, 4, seed=11)
+    decoded, err = try_decode_image(encode_bmp(img))
+    assert err is None and np.array_equal(decoded, img)
+    decoded, err = try_decode_image(b"\xff\xd8\xff\xe0 not a real jpeg")
+    assert decoded is None and err  # reason string, no raise
+    decoded, err = try_decode_image(b"BM corrupt header")
+    assert decoded is None and err  # malformed payloads degrade too
+
+
+def test_image_stats_tolerant_mixes_null_and_real_rows(spark):
+    from pyspark.sql import functions as F
+
+    from hawaiidatapipeline_spark.sources.multimodal import (
+        image_stats_tolerant,
+        synthetic_image_blobs,
+    )
+
+    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    blobs = synthetic_image_blobs(ids).withColumn(
+        "payload",
+        F.when(F.col("id") % 2 == 1, F.lit(b"\xff\xd8\xff\xe0fake")).otherwise(
+            F.col("payload")
+        ),
+    )
+    rows = {r.id: r for r in image_stats_tolerant(blobs).collect()}
+    assert len(rows) == 40
+    for i in range(40):
+        r = rows[i]
+        if i % 2 == 1:
+            assert r.decode_error and r.width is None and r.mean_r is None
+        else:
+            assert r.decode_error is None
+            assert (r.width, r.height) == (16 + i % 8, 8 + i % 5)
+            assert r.top_left_r == i % 256
+
+
 def test_audio_stats_operator_matches_formula(spark):
     from hawaiidatapipeline_spark.sources.multimodal import (
         audio_stats,
