@@ -39,6 +39,7 @@ _MODULES = (
     "sampling",
     "sketches_extra",
     "text_extra",
+    "curation_extra",
     "emb_extra",
     "joins_extra",
     "layout",

@@ -104,6 +104,11 @@ AUDITS: dict[str, list[str]] = {
     # final plan is the scan of the exported files; the range-layout
     # property itself is measured in tests/test_bucketed.py
     "sink_sorted_export": ["pruning", "no_shuffle_left"],
+    # round-3 session additions
+    "llm_dedup_url": ["partial_agg", "pruning", "no_cartesian", "codegen"],
+    "etl_dedup_incremental": ["smj_or_bhj", "partial_agg", "pruning", "no_cartesian", "codegen"],
+    "llm_length_histogram": ["partial_agg", "pruning", "codegen"],
+    "multimodal_decode_tolerant": ["pruning", "no_shuffle_left"],
 }
 
 
