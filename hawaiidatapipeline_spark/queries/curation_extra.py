@@ -143,6 +143,82 @@ def etl_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first.join(fresh, ["h", "doc_id"]).select("doc_id", "source")
 
 
+_CONTAIN_TAU = 0.5
+_STOP_SHINGLE_DF = 20  # shingles in more docs than this are boilerplate
+
+_CONTAIN_SQL = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+tok AS (
+  SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS sh
+  FROM words t1
+  JOIN words t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  JOIN words t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+),
+kept AS (
+  SELECT sh FROM (SELECT sh, count(*) AS c FROM tok GROUP BY sh)
+  WHERE c <= {_STOP_SHINGLE_DF}
+),
+tokf AS (SELECT t.doc_id, t.sh FROM tok t JOIN kept k USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS n FROM tokf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM tokf a JOIN tokf b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common::DOUBLE / sa.n, 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+WHERE n_common::DOUBLE / sa.n >= {_CONTAIN_TAU}
+"""
+
+
+@q("llm_containment_pairs", _CONTAIN_SQL)
+def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs: fraction of doc A's trigram shingles
+    found in doc B (|S(A)∩S(B)| / |S(A)|, both directions). This is the
+    quote/substring-copy detector symmetric Jaccard misses — a short doc
+    fully embedded in a long one scores containment ≈ 1 while its Jaccard
+    stays tiny. The training-data concern is verbatim repetition
+    (memorization), and repeated substrings are exactly what this flags.
+
+    Scale guards, both mirrored in the oracle so exactness is preserved:
+    shingles in more than ``_STOP_SHINGLE_DF`` docs are dropped before the
+    self-join (boilerplate removal — the same hot-key cap the inverted
+    index applies; without it one viral phrase makes the join quadratic),
+    and pair generation is an inverted-index equi-join on the shingle, so
+    candidates only form where a shingle is genuinely shared. The LSH
+    analog at 100 TB seeds the same pipeline from MinHash bands."""
+    from hawaiidatapipeline_spark.operators.dedup import shingles_distinct
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = shingles_distinct(d, 3)
+    kept = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= _STOP_SHINGLE_DF)
+        .select("token")
+    )
+    tokf = tok.join(kept, "token")
+    sizes = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tokf.alias("a"), tokf.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common") / F.col("sa.n")
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .filter(cont >= _CONTAIN_TAU)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
+
+
 @q(
     "llm_length_histogram",
     """SELECT length(bin(n_chars)) AS log2_bucket,

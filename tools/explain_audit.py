@@ -109,6 +109,7 @@ AUDITS: dict[str, list[str]] = {
     "etl_dedup_incremental": ["smj_or_bhj", "partial_agg", "pruning", "no_cartesian", "codegen"],
     "llm_length_histogram": ["partial_agg", "pruning", "codegen"],
     "multimodal_decode_tolerant": ["pruning", "no_shuffle_left"],
+    "llm_containment_pairs": ["smj_or_bhj", "partial_agg", "pruning", "no_cartesian", "codegen"],
 }
 
 
