@@ -195,6 +195,68 @@ def lifetime_counters(events: DataFrame) -> DataFrame:
     )
 
 
+def transform_with_state_available() -> bool:
+    """``transformWithStateInPandas`` speaks protobuf to its state server;
+    the ``protobuf`` package is not in this container (and installs are
+    off), so the operator is capability-gated the same way JPEG decode is.
+    On a standard cluster image (protobuf ships with most Spark distros)
+    the probe passes and the operator runs as-is."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_counters_tws(events: DataFrame) -> DataFrame:
+    """Per-user lifetime counters via ``transformWithStateInPandas`` — the
+    Spark-4 StatefulProcessor API that supersedes ``applyInPandasWithState``
+    (same job as ``lifetime_counters`` above, kept side-by-side so both
+    stateful tiers stay covered). Differences that matter at scale:
+    typed state handles (value/list/map) live in named column families in
+    the state store instead of one opaque tuple, state is fetched lazily
+    per handle, and timers/TTL are first-class on the handle. Requires the
+    RocksDB state-store provider (column-family support) and the protobuf
+    package (``transform_with_state_available``)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    class RunningCounters(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [StructField("n", LongType()), StructField("total", DoubleType())]
+            )
+            self._state = handle.getValueState("counters", schema)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterable[pd.DataFrame]:
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCounters(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def sessionized_counters(events: DataFrame, gap_minutes: int = 30, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """Custom session aggregation via ``applyInPandasWithState`` with
     EVENT-TIME TIMEOUT — the state-eviction tier ``lifetime_counters``

@@ -85,6 +85,54 @@ def test_lifetime_counters_match_batch_aggregate(spark):
     assert _rows(final, cols) == _rows(want, cols)
 
 
+@pytest.mark.skipif(
+    not runtime.transform_with_state_available(),
+    reason="transformWithStateInPandas needs the protobuf package "
+    "(absent from this container; operator runs on standard cluster images)",
+)
+def test_transform_with_state_counters_match_batch(spark, tmp_path):
+    """transformWithStateInPandas (Spark-4 StatefulProcessor) must agree
+    with the batch aggregate over the closed input — same invariant as the
+    applyInPandasWithState tier, newer API. Needs the RocksDB provider
+    (typed state handles live in named column families)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = runtime.running_counters_tws(runtime.stream_events(spark, SF0001))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("t_tws")
+        final = got.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        want = (
+            load_table(spark, SF0001, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+            )
+        )
+        cols = ["user_id", "n_events", "total_value"]
+        assert _rows(final, cols) == _rows(want, cols)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_sessionized_counters_event_time_timeout(spark, tmp_path):
     """Custom stateful op with EventTimeTimeout: sessions flush as final
     rows once the watermark (advanced by a later micro-batch) passes
