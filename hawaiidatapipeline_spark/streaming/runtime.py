@@ -44,7 +44,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     landing = os.path.join("/root/repo/.cache", "landing_events_" + sf_dir.strip("/").replace("/", "_"))
     staged = os.path.join(landing, "events.parquet")
-    if not os.path.exists(staged):
+    # Re-stage when the fixture changed (driver regenerates testdata between
+    # rounds — a stale staged copy would silently feed old data/schema).
+    src_stat = os.stat(src)
+    if (
+        not os.path.exists(staged)
+        or os.stat(staged).st_size != src_stat.st_size
+        or os.stat(staged).st_mtime < src_stat.st_mtime
+    ):
         import shutil
 
         os.makedirs(landing, exist_ok=True)
