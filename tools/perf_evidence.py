@@ -32,6 +32,9 @@ PROBES = [
     ("join_interval_binned", "large-to-large interval join: equi-join shuffle, no NL blowup"),
     ("emb_quantize_int8", "int8 quantization: ZERO shuffle (map-only rewrite)"),
     ("etl_snapshot_diff", "snapshot diff: one full-outer shuffle; change set only survives"),
+    ("llm_dedup_url", "URL dedup: shuffle ~ one canonical-url column, not documents"),
+    ("etl_dedup_incremental", "incremental dedup: anti-join ships 16-byte hashes only"),
+    ("llm_containment_pairs", "containment: shuffle bounded by kept shingles (stop-shingle cap)"),
 ]
 
 
