@@ -420,3 +420,88 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
     )
+
+
+@q(
+    "agg_mode_deterministic",
+    """WITH counts AS (
+         SELECT l_returnflag, l_quantity, count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_quantity
+       ),
+       ranked AS (
+         SELECT l_returnflag, l_quantity, n,
+                row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY n DESC, l_quantity) AS rnk
+         FROM counts
+       )
+       SELECT l_returnflag, l_quantity AS mode_quantity, n AS n_occurrences
+       FROM ranked WHERE rnk = 1""",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a DETERMINISTIC tie-break (highest count, then
+    smallest value) — engine-native ``mode()`` breaks ties arbitrarily,
+    which can never be hash-verified across engines or even across runs.
+    Two partial+final aggregations plus a per-group rank over the tiny
+    (group, value) count table; the raw rows never enter the window."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "l_quantity")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_quantity"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
+
+
+@q(
+    "agg_corr_deterministic",
+    """WITH s AS (
+         SELECT l_returnflag,
+                count(*) AS n,
+                sum(l_quantity::DECIMAL(18,6))                          AS sx,
+                sum(l_extendedprice::DECIMAL(18,6))                     AS sy,
+                sum((l_quantity * l_extendedprice)::DECIMAL(24,6))      AS sxy,
+                sum((l_quantity * l_quantity)::DECIMAL(24,6))           AS sxx,
+                sum((l_extendedprice * l_extendedprice)::DECIMAL(30,4)) AS syy
+         FROM lineitem GROUP BY l_returnflag
+       )
+       SELECT l_returnflag, n,
+              round(
+                (n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                / sqrt((n * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                       * (n * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+              6) AS corr_qty_price
+       FROM s""",
+)
+def agg_corr_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal co-moments. Engine-native
+    ``corr()`` accumulates floating co-moments in partition order, so the
+    low digits differ run-to-run and engine-to-engine; here the five sums
+    are exact decimals (order-free), and only the final closed-form
+    expression runs in IEEE double — identical on both engines, stable
+    at any parallelism. This is the template for every second-moment
+    statistic (covariance, variance, z-scores) at 100 TB: partial+final
+    decimal sums, floats only at the very end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c, t: F.col(c).cast(t)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("l_quantity", "decimal(18,6)")).alias("sx"),
+        F.sum(d("l_extendedprice", "decimal(18,6)")).alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(24,6)")).alias("sxy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(24,6)")).alias("sxx"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(30,4)")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return s.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))

@@ -223,3 +223,144 @@ def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.alias("value_raw"),
         F.last(v, ignorenulls=True).over(w).alias("value_filled"),
     )
+
+
+@q(
+    "ts_interpolate_linear",
+    """WITH masked AS (
+         SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+                CASE WHEN event_type <> 'error' THEN round(value, 6) END AS v
+         FROM events
+       ),
+       ctx AS (
+         SELECT event_id, user_id, us, v,
+                last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+                last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                  OVER w_prev AS prev_us,
+                first_value(v IGNORE NULLS) OVER w_next AS next_v,
+                first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                  OVER w_next AS next_us
+         FROM masked
+         WINDOW
+           w_prev AS (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_next AS (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       )
+       SELECT event_id, user_id, v AS value_raw,
+              round(CASE
+                WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+                WHEN next_us = prev_us THEN prev_v
+                ELSE prev_v + (next_v - prev_v)
+                     * ((us - prev_us)::DOUBLE / (next_us - prev_us))
+              END, 6) AS value_interp
+       FROM ctx""",
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of masked readings — the fill for continuous
+    sensors where forward-fill (``ts_fill_forward``) would step. Each NULL
+    takes prev + (next−prev)·Δt-fraction from the nearest non-null
+    neighbors per user; boundary NULLs (no neighbor on one side) stay
+    NULL. Two mirror-image window passes on the same (user_id) shuffle —
+    per-key state is one value+timestamp per direction regardless of gap
+    length, so an arbitrarily long dropout costs nothing extra. The time
+    fraction is computed on integer epoch-µs, and prev/next are exact
+    row values, so the single final float expression is identical IEEE
+    on both engines (round 6)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    v = F.when(F.col("event_type") != "error", F.round("value", 6))
+    base = e.select("event_id", "user_id", us.alias("us"), v.alias("v"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    vus = F.when(F.col("v").isNotNull(), F.col("us"))
+    ctx = base.select(
+        "event_id",
+        "user_id",
+        "us",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(vus, ignorenulls=True).over(w_prev).alias("prev_us"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(vus, ignorenulls=True).over(w_next).alias("next_us"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), F.lit(None))
+        .when(F.col("next_us") == F.col("prev_us"), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (
+                (F.col("us") - F.col("prev_us")).cast("double")
+                / (F.col("next_us") - F.col("prev_us"))
+            )
+        )
+    )
+    return ctx.select(
+        "event_id",
+        "user_id",
+        F.col("v").alias("value_raw"),
+        F.round(interp, 6).alias("value_interp"),
+    )
+
+
+@q(
+    "events_user_lifecycle",
+    """WITH active AS (
+         SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week_start
+         FROM events
+       ),
+       marked AS (
+         SELECT user_id, week_start,
+                lag(week_start) OVER (PARTITION BY user_id ORDER BY week_start)
+                  AS prev_week
+         FROM active
+       ),
+       status AS (
+         SELECT week_start,
+                CASE WHEN prev_week IS NULL THEN 'new'
+                     WHEN week_start - prev_week = 7 THEN 'retained'
+                     ELSE 'resurrected' END AS status,
+                user_id
+         FROM marked
+       )
+       SELECT week_start, status, count(*) AS n_users
+       FROM status GROUP BY week_start, status""",
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly user-lifecycle classification (new / retained / resurrected)
+    — the growth-accounting dashboard behind every activity metric. One
+    distinct on (user, week), one lag window on the same user shuffle,
+    then a small week×status aggregate; 'churned' is the complement
+    (absent this week, active last) and derivable by shifting the same
+    lag. Weeks are Monday-aligned ``date_trunc`` on both engines."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    active = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week_start")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week_start")
+    marked = active.withColumn("prev_week", F.lag("week_start").over(w))
+    status = (
+        F.when(F.col("prev_week").isNull(), "new")
+        .when(F.datediff("week_start", "prev_week") == 7, "retained")
+        .otherwise("resurrected")
+    )
+    return (
+        marked.select("week_start", status.alias("status"), "user_id")
+        .groupBy("week_start", "status")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

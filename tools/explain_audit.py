@@ -110,6 +110,10 @@ AUDITS: dict[str, list[str]] = {
     "llm_length_histogram": ["partial_agg", "pruning", "codegen"],
     "multimodal_decode_tolerant": ["pruning", "no_shuffle_left"],
     "llm_containment_pairs": ["smj_or_bhj", "partial_agg", "pruning", "no_cartesian", "codegen"],
+    "ts_interpolate_linear": ["window_exec", "single_shuffle_family", "pruning", "codegen"],
+    "events_user_lifecycle": ["window_exec", "partial_agg", "pruning", "codegen"],
+    "agg_mode_deterministic": ["partial_agg", "window_exec", "pruning", "codegen"],
+    "agg_corr_deterministic": ["partial_agg", "pruning", "codegen"],
 }
 
 
