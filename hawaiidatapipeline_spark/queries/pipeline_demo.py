@@ -279,3 +279,92 @@ def llm_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         depends=("assigned",),
     )
     return p.run()["profile"]
+
+
+_CRAWL_V4_SQL = """
+WITH urls AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'https://site' || (doc_id // 2 % 20)
+                   || '.example.com/p/' || (doc_id // 2 % 50)
+                   || '?ref=' || (doc_id // 2 % 3)
+              ELSE 'https://Site' || (doc_id // 2 % 20)
+                   || '.Example.COM/p/' || (doc_id // 2 % 50)
+                   || '?ref=' || (doc_id // 2 % 3)
+                   || '&utm_source=feed&utm_campaign=spring#frag'
+         END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(lower(url), '#.*$', ''),
+           '[&]utm_[a-z_]+=[^&#]*', '', 'g') AS cu
+  FROM urls
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY cu),
+survivors AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+content AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM survivors
+),
+final AS (SELECT * FROM content WHERE rn = 1)
+SELECT length(bin(n_chars)) AS log2_bucket, source,
+       count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM final GROUP BY log2_bucket, source
+"""
+
+
+@q("llm_corpus_pipeline_v4", _CRAWL_V4_SQL)
+def llm_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-refresh pipeline composing the round-3 curation operators:
+    URL-canonicalization dedup (surface forms of the same page) → exact
+    content dedup among survivors → length-bucket × source profile of the
+    final corpus. Same Pipeline-DAG shape as v1–v3: three shuffles total
+    (canonical-url group, content-hash window, final agg), one Catalyst
+    plan, every stage individually oracle-checked by its standalone query
+    (llm_dedup_url, llm_dedup_exact, llm_length_histogram)."""
+    from hawaiidatapipeline_spark.queries.curation_extra import (
+        _synth_urls,
+        canonicalize_url,
+    )
+
+    p = Pipeline(spark, "crawl_refresh")
+    p.stage("docs", lambda c: load_table(spark, sf_dir, "documents"))
+    p.stage(
+        "url_keep",
+        lambda c: _synth_urls(c.get("docs"))
+        .select("doc_id", canonicalize_url(F.col("url")).alias("cu"))
+        .groupBy("cu")
+        .agg(F.min("doc_id").alias("doc_id")),
+        depends=("docs",),
+    )
+    p.stage(
+        "survivors",
+        lambda c: c.get("docs").join(c.get("url_keep").select("doc_id"), "doc_id"),
+        depends=("docs", "url_keep"),
+    )
+
+    def content_dedup(c):
+        w = Window.partitionBy(F.md5(F.encode("text", "utf-8"))).orderBy("doc_id")
+        return (
+            c.get("survivors")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    p.stage("final", content_dedup, depends=("survivors",))
+    p.stage(
+        "profile",
+        lambda c: c.get("final")
+        .groupBy(
+            F.length(F.bin("n_chars")).alias("log2_bucket"), "source"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        ),
+        depends=("final",),
+    )
+    return p.run()["profile"]

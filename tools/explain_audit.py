@@ -114,6 +114,7 @@ AUDITS: dict[str, list[str]] = {
     "events_user_lifecycle": ["window_exec", "partial_agg", "pruning", "codegen"],
     "agg_mode_deterministic": ["partial_agg", "window_exec", "pruning", "codegen"],
     "agg_corr_deterministic": ["partial_agg", "pruning", "codegen"],
+    "llm_corpus_pipeline_v4": ["partial_agg", "window_exec", "pruning", "no_cartesian", "codegen"],
 }
 
 
