@@ -59,3 +59,61 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "window_value"
         ),
     )
+
+
+@q(
+    "join_fuzzy_blocked",
+    """WITH dirty AS (
+         SELECT c_custkey AS dirty_id,
+                substring(c_name, 1, 17) || 'X' AS dirty_name
+         FROM customer WHERE c_custkey % 5 = 0
+       ),
+       cands AS (
+         SELECT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name,
+                levenshtein(d.dirty_name, c.c_name) AS dist
+         FROM dirty d
+         JOIN customer c
+           ON substring(d.dirty_name, 1, 16) = substring(c.c_name, 1, 16)
+         WHERE levenshtein(d.dirty_name, c.c_name) <= 2
+       ),
+       ranked AS (
+         SELECT dirty_id, c_custkey, dist,
+                row_number() OVER (PARTITION BY dirty_id
+                                   ORDER BY dist, c_custkey) AS rnk
+         FROM cands
+       )
+       SELECT dirty_id, c_custkey AS matched_custkey, dist
+       FROM ranked WHERE rnk = 1""",
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match join — the record-linkage primitive: dirty
+    names (deterministic one-char corruption of every 5th customer) are
+    resolved against the clean table by edit distance, with candidates
+    generated ONLY within a blocking key (shared 16-char prefix) so the
+    join is an equi-join on the block — never name × name. Best match per
+    dirty record by (distance, key) rank — deterministic even when
+    several candidates tie at distance 1. At 100 TB the blocking key is
+    the whole game (phonetic code, sorted-neighborhood window, or LSH
+    band all slot into the same equi-join shape); the rank window runs
+    over candidates only, not the corpus."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    dirty = c.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.concat(F.substring("c_name", 1, 17), F.lit("X")).alias("dirty_name"),
+    )
+    cands = (
+        dirty.join(
+            c.select("c_custkey", "c_name"),
+            F.substring("dirty_name", 1, 16) == F.substring("c_name", 1, 16),
+        )
+        .withColumn("dist", F.levenshtein("dirty_name", "c_name"))
+        .filter(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("dirty_id").orderBy("dist", "c_custkey")
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("dirty_id", F.col("c_custkey").alias("matched_custkey"), "dist")
+    )

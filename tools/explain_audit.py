@@ -115,6 +115,7 @@ AUDITS: dict[str, list[str]] = {
     "agg_mode_deterministic": ["partial_agg", "window_exec", "pruning", "codegen"],
     "agg_corr_deterministic": ["partial_agg", "pruning", "codegen"],
     "llm_corpus_pipeline_v4": ["partial_agg", "window_exec", "pruning", "no_cartesian", "codegen"],
+    "join_fuzzy_blocked": ["smj_or_bhj", "window_exec", "pruning", "no_cartesian", "codegen"],
 }
 
 
