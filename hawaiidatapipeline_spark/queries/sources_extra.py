@@ -185,3 +185,47 @@ def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInArrow(fn, "doc_id bigint, lang_u string, n_chars int")
+
+
+@q("scan_xml_roundtrip", "SELECT s_suppkey, s_name, s_nationkey FROM supplier")
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source — Spark 4's NATIVE XML support (spark-xml merged
+    upstream; no external package). Open-data portals still publish XML
+    feeds; the rowTag contract maps one element per record with schema'd
+    child parsing, same as the schema'd CSV/JSON paths. Roundtrip must be
+    lossless: the oracle reads the original table."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    path = _scratch("supplier_xml")
+    s.write.mode("overwrite").format("xml").option("rowTag", "supplier").save(path)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey bigint, s_name string, s_nationkey bigint")
+        .load(path)
+    )
+
+
+@q(
+    "fn_variant_json",
+    """SELECT event_id,
+              json_extract(props, '$.k')::BIGINT AS k,
+              (json_extract(props, '$.k')::BIGINT % 10 = 0) AS k_mod10
+       FROM events WHERE event_id < 2000""",
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT for semi-structured data: ``parse_json`` ingests the
+    props JSON once into the binary VARIANT encoding, then ``variant_get``
+    extracts typed paths WITHOUT re-parsing text per access — the
+    schema-on-read answer for 100 TB of heterogeneous event payloads
+    (vs. from_json's rigid schema or repeated get_json_object scans).
+    DuckDB oracle extracts the same typed paths from the raw JSON."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10 == 0).alias("k_mod10"),
+    )
