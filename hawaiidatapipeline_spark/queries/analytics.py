@@ -372,3 +372,35 @@ def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "n", F.col("total").cast("double").alias("total"),
         "first_dt", "last_dt",
     )
+
+
+@q(
+    "etl_rollup_hierarchy",
+    """SELECT date_trunc('month', ts)::DATE AS month, event_type,
+              count(*) AS n_events,
+              sum(value::DECIMAL(18,6))::DOUBLE AS total_value
+       FROM events GROUP BY month, event_type""",
+)
+def etl_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-hierarchy maintenance (the materialized-view rollup
+    pattern): monthly aggregates are built ONLY from stored daily
+    partials — the raw events are scanned once for the daily tier and
+    never again. The oracle aggregates raw events directly to monthly,
+    so the hash check IS the proof that partial re-aggregation loses
+    nothing (counts and decimal sums are algebraic). At 100 TB this is
+    the daily→monthly→yearly cascade every BI layer serves: each tier's
+    cost ∝ the tier below's group count, not raw data, and re-running a
+    late-arriving day only touches that day's partial upward."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+    )
+    monthly = daily.groupBy(
+        F.date_trunc("month", "day").cast("date").alias("month"), "event_type"
+    ).agg(F.sum("n").alias("n_events"), F.sum("total").alias("total"))
+    return monthly.select(
+        "month", "event_type", "n_events", F.col("total").cast("double").alias("total_value")
+    )

@@ -64,3 +64,39 @@ def test_salted_join_equals_plain(spark, fact, dim, n_salts):
     assert sorted(map(tuple, salted.select(cols).collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+URL_CHARS = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-._~",
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(
+    host=URL_CHARS,
+    path=URL_CHARS,
+    param=URL_CHARS,
+    utm=URL_CHARS,
+    frag=URL_CHARS,
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_url_canonicalization_idempotent(spark, host, path, param, utm, frag):
+    """canon(canon(u)) == canon(u): canonicalization must be a projection —
+    a second pass can never strip more (otherwise incremental re-crawls
+    that store canonical keys would dedup differently from fresh crawls)."""
+    from pyspark.sql import functions as F
+
+    from hawaiidatapipeline_spark.queries.curation_extra import canonicalize_url
+
+    urls = [
+        f"https://{host}/p/{path}?ref={param}&utm_source={utm}#{frag}",
+        f"https://{host}/{path}?utm_campaign={utm}",
+        f"https://{host}/{path}",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonicalize_url(F.col("url")).alias("c1"))
+    twice = once.select(F.col("c1").alias("url")).select(
+        canonicalize_url(F.col("url")).alias("c2")
+    )
+    assert [r.c1 for r in once.collect()] == [r.c2 for r in twice.collect()]

@@ -116,6 +116,10 @@ AUDITS: dict[str, list[str]] = {
     "agg_corr_deterministic": ["partial_agg", "pruning", "codegen"],
     "llm_corpus_pipeline_v4": ["partial_agg", "window_exec", "pruning", "no_cartesian", "codegen"],
     "join_fuzzy_blocked": ["smj_or_bhj", "window_exec", "pruning", "no_cartesian", "codegen"],
+    "etl_rollup_hierarchy": ["partial_agg", "pruning", "codegen"],
+    # (xml scan parses inside the datasource, no codegen span to assert)
+    "scan_xml_roundtrip": ["no_shuffle_left", "no_cartesian"],
+    "fn_variant_json": ["pushdown", "pruning", "codegen"],
 }
 
 
