@@ -224,3 +224,35 @@ def win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("run_length") >= 3)
     )
+
+
+@q(
+    "win_distribution",
+    """SELECT o_orderkey, o_orderpriority,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cume,
+              nth_value(o_orderkey, 3) OVER (
+                PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+              ) AS third_cheapest_key
+       FROM orders
+       WHERE o_orderkey < 2000
+       WINDOW w AS (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice, o_orderkey)""",
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank, cume_dist, and an
+    unbounded-frame nth_value — completing the ranking-family surface.
+    Total order (price, key) makes every rank deterministic; the ratios
+    are exact small-integer divisions, identical IEEE on both engines
+    (round 6 defensively). Same single window shuffle as win_ranking."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 3).over(w_full).alias("third_cheapest_key"),
+    )
