@@ -33,3 +33,23 @@ def test_broadcast_join_plan(spark):
 
 def test_topk_global_fuses(spark):
     _audit(spark, "topk_global")
+
+
+def test_url_dedup_plan(spark):
+    _audit(spark, "llm_dedup_url")
+
+
+def test_incremental_dedup_plan(spark):
+    _audit(spark, "etl_dedup_incremental")
+
+
+def test_corr_deterministic_plan(spark):
+    _audit(spark, "agg_corr_deterministic")
+
+
+def test_crawl_pipeline_v4_plan(spark):
+    _audit(spark, "llm_corpus_pipeline_v4")
+
+
+def test_fuzzy_join_plan(spark):
+    _audit(spark, "join_fuzzy_blocked")

@@ -132,3 +132,38 @@ def test_every_query_has_oracle_or_weak_marker(registry):
     qs, oracles = registry
     assert set(oracles) <= set(qs)
     assert len(qs) >= 116
+
+
+def test_bench_headline_keys_are_registered(registry):
+    """bench.py is the driver's per-round perf gate: a renamed or dropped
+    registry key must fail HERE, not in the driver's bench run."""
+    import bench
+
+    qs, _ = registry
+    missing = [k for k in bench.HEADLINE if k not in qs]
+    assert not missing, f"bench.HEADLINE keys absent from registry: {missing}"
+
+
+def test_front_window_keys_are_registered(registry):
+    """Every pinned _FRONT key must resolve — a typo'd key silently shrinks
+    the driver's 50-entry correctness window."""
+    qs, _ = registry
+    missing = [k for k in queries._FRONT if k not in qs]
+    assert not missing, f"_FRONT keys absent from registry: {missing}"
+    assert len(queries._FRONT) == 50
+
+
+def test_scaling_and_perf_probe_keys_are_registered(registry):
+    """The scaling/shuffle evidence tools must track registry renames."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.explain_audit import AUDITS
+    from tools.perf_evidence import PROBES
+    from tools.scaling_probe import PROBES as SCALING_PROBES
+
+    qs, _ = registry
+    missing = [k for k in AUDITS if k not in qs]
+    missing += [k for k, _ in PROBES if k not in qs]
+    missing += [k for k, _ in SCALING_PROBES if k not in qs]
+    assert not missing, f"evidence-tool keys absent from registry: {missing}"
