@@ -362,3 +362,61 @@ def test_aggregate_sink_maintains_running_aggregate(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_interval_join_state_evicts_with_watermark(spark, tmp_path):
+    """The time-bounded stream-stream join must EVICT buffered rows once
+    the watermark passes their event time + lookback — the pair of
+    constraints (watermarks both sides + bounded join predicate) that
+    keeps state finite on infinite streams. Four hourly micro-batches
+    with a 30-minute watermark: final state must hold ~the most recent
+    batches, not all four."""
+    import time
+
+    landing = tmp_path / "ivl_landing"
+    landing.mkdir()
+    n_per_batch, n_batches = 60, 4
+    for k in range(n_batches):
+        df = spark.range(k * n_per_batch, (k + 1) * n_per_batch).select(
+            F.col("id").alias("event_id"),
+            (
+                F.lit("2025-01-01 00:00:00").cast("timestamp")
+                + F.expr(f"INTERVAL {k} HOURS")
+                + F.make_interval(secs=F.col("id") % 60)
+            ).alias("ts"),
+            (F.col("id") % 5).alias("user_id"),
+            F.when(F.col("id") % 2 == 0, "purchase").otherwise("click").alias(
+                "event_type"
+            ),
+        )
+        df.coalesce(1).write.parquet(str(landing / f"b{k}"))
+        time.sleep(1.1)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing / "b*"))
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream.filter(F.col("event_type") == "click")
+    joined = runtime.interval_stream_stream_join(
+        purchases, clicks, lookback="10 minutes", watermark="30 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ivl_evict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ivl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("t_ivl_evict").count() > 0
+    state_rows = [
+        p.stateOperators[0].numRowsTotal for p in q.recentProgress if p.stateOperators
+    ]
+    assert state_rows, "no state metrics recorded"
+    # eviction bound: without watermark cleanup the store would retain all
+    # 240 rows; with it, the final micro-batch holds ~2 batches' worth
+    assert state_rows[-1] <= 2 * n_per_batch + 10, state_rows
