@@ -137,3 +137,31 @@ def test_sorted_export_files_have_disjoint_ranges(spark):
         1 for (_, hi_prev), (lo_next, _) in zip(nat, nat[1:]) if hi_prev > lo_next
     )
     assert overlaps >= len(nat) - 2, f"control should overlap, got {nat}"
+
+
+def test_bucketed_groupby_has_no_exchange(spark):
+    """Aggregation on the bucket key needs NO exchange: the write-time
+    bucketing already co-located each key's rows, so the groupBy runs
+    map-side only. At 100 TB this is the difference between a nightly
+    per-customer rollup that shuffles the fact table and one that
+    streams each bucket file through a single aggregate — the same
+    layout investment pays for joins AND aggregations."""
+    o = load_table(spark, SF0001, "orders").select("o_custkey", "o_totalprice")
+    bo = write_bucketed(o, "t_bk_agg_orders", "o_custkey")
+
+    agg = bo.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total"))
+    plan = _executed_plan(agg)
+    assert "Exchange" not in plan, plan
+
+    control = _executed_plan(
+        o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total"))
+    )
+    assert "Exchange" in control, control
+
+    # results identical to the unbucketed aggregate
+    got = sorted((r.o_custkey, round(r.total, 4)) for r in agg.collect())
+    want = sorted(
+        (r.o_custkey, round(r.total, 4))
+        for r in o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total")).collect()
+    )
+    assert got == want
