@@ -735,3 +735,50 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("cluster_id", F.col("doc_id").alias("survivor_id"), F.col("q").alias("quality"))
     )
+
+
+_SEMANTIC_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.node
+)
+SELECT node AS vec_id,
+       min(r) AS cluster_id,
+       node = min(r) AS is_kept
+FROM reach GROUP BY node
+"""
+
+
+@q("llm_semantic_clusters", _SEMANTIC_CLUSTERS_SQL)
+def llm_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clustering: cosine near-dup pairs (same edge set as
+    llm_dedup_embedding, τ=0.45) grouped into duplicate clusters by the
+    same hash-min label propagation the MinHash path uses — completing
+    the pairs→clusters→survivors symmetry for the embedding modality.
+    Paraphrased near-copies that share no shingles cluster here and
+    nowhere else. At 100 TB the edge set comes from the LSH/IVF
+    candidate stage instead of exact pairwise cosine; the clustering
+    itself is unchanged (O(diameter) iterations of narrow joins)."""
+    from hawaiidatapipeline_spark.operators.dedup import connected_components
+    from hawaiidatapipeline_spark.queries.llm import llm_dedup_embedding
+
+    pairs = llm_dedup_embedding(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).alias("is_kept"),
+    )
