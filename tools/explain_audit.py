@@ -117,6 +117,10 @@ AUDITS: dict[str, list[str]] = {
     "llm_corpus_pipeline_v4": ["partial_agg", "window_exec", "pruning", "no_cartesian", "codegen"],
     "join_fuzzy_blocked": ["smj_or_bhj", "window_exec", "pruning", "no_cartesian", "codegen"],
     "etl_rollup_hierarchy": ["partial_agg", "pruning", "codegen"],
+    "win_distribution": ["window_exec", "pushdown", "pruning", "codegen"],
+    # (final plan scans the converged localCheckpoint labels — per-round
+    # join shape asserted by its oracle + the minhash cluster twin)
+    "llm_semantic_clusters": ["no_cartesian"],
     # (xml scan parses inside the datasource, no codegen span to assert)
     "scan_xml_roundtrip": ["no_shuffle_left", "no_cartesian"],
     "fn_variant_json": ["pushdown", "pruning", "codegen"],
