@@ -244,3 +244,97 @@ def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@q(
+    "llm_uniqueness_score",
+    """WITH words AS (
+         SELECT doc_id,
+                unnest(string_split(text, ' ')) AS w,
+                generate_subscripts(string_split(text, ' '), 1) AS pos
+         FROM documents
+       ),
+       tok AS (
+         SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS sh
+         FROM words t1
+         JOIN words t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+         JOIN words t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+       ),
+       df AS (SELECT sh, count(*) AS c FROM tok GROUP BY sh),
+       scored AS (
+         SELECT t.doc_id,
+                count(*) AS n_shingles,
+                sum(CASE WHEN d.c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+         FROM tok t JOIN df d ON t.sh = d.sh
+         GROUP BY t.doc_id
+       )
+       SELECT doc_id, n_shingles, n_unique,
+              round(n_unique::DOUBLE / n_shingles, 6) AS uniqueness
+       FROM scored""",
+)
+def llm_uniqueness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc phrasal uniqueness: fraction of the doc's distinct trigram
+    shingles that occur in NO other document (corpus df = 1). Low scores
+    mark boilerplate / near-duplicated phrasing (the soft signal behind
+    the hard dedup cuts); high scores mark original text worth keeping.
+    Integer counts + one final rounded ratio — engine-exact, unlike
+    log-probability LM filters whose libm rounding differs per engine.
+    One shingle groupBy for the df table, one join back, one aggregate —
+    all linear; the df table doubles as the stop-shingle source the
+    containment op uses."""
+    from hawaiidatapipeline_spark.operators.dedup import shingles_distinct
+
+    tok = shingles_distinct(load_table(spark, sf_dir, "documents"), 3)
+    df_tbl = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tok.join(df_tbl, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_shingles"), 6).alias("uniqueness"),
+        )
+    )
+
+
+@q(
+    "emb_norm_qc",
+    """SELECT vec_id,
+              len(embedding) AS dim,
+              round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                 x -> x * x))), 6) AS l2_norm,
+              (len(embedding) <> 64) AS bad_dim,
+              (list_sum(list_transform(embedding::DOUBLE[],
+                                       x -> CASE WHEN isnan(x) THEN 1
+                                                 ELSE 0 END)) > 0) AS has_nan
+       FROM embeddings""",
+)
+def emb_norm_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-ingestion QC: per-vector dimensionality, L2 norm, and
+    NaN detection — the gate before any vector lands in an index (a
+    single zero-norm or NaN vector poisons cosine math silently). The
+    norm is an IN-ROW left-to-right fold on both engines (array order is
+    data, not partition order), so the float sequence is identical and
+    the rounded norm hash-matches. Map-only: zero shuffles at any
+    scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    nan_count = F.aggregate(
+        "embedding",
+        F.lit(0),
+        lambda acc, x: acc + F.when(F.isnan(x), 1).otherwise(0),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        (F.size("embedding") != 64).alias("bad_dim"),
+        (nan_count > 0).alias("has_nan"),
+    )

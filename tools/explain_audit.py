@@ -121,6 +121,8 @@ AUDITS: dict[str, list[str]] = {
     # (final plan scans the converged localCheckpoint labels — per-round
     # join shape asserted by its oracle + the minhash cluster twin)
     "llm_semantic_clusters": ["no_cartesian"],
+    "llm_uniqueness_score": ["smj_or_bhj", "partial_agg", "pruning", "no_cartesian", "codegen"],
+    "emb_norm_qc": ["no_shuffle_left", "pruning", "codegen"],
     # (xml scan parses inside the datasource, no codegen span to assert)
     "scan_xml_roundtrip": ["no_shuffle_left", "no_cartesian"],
     "fn_variant_json": ["pushdown", "pruning", "codegen"],
