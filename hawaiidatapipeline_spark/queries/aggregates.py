@@ -505,3 +505,40 @@ def agg_corr_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
     corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     return s.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))
+
+
+@q(
+    "agg_bitmap_distinct",
+    """WITH bits AS (
+         SELECT l_returnflag,
+                l_suppkey // 63 AS word_idx,
+                bit_or((1::BIGINT << (l_suppkey % 63)::INT)::BIGINT) AS word
+         FROM lineitem GROUP BY l_returnflag, word_idx
+       )
+       SELECT l_returnflag,
+              sum(bit_count(word))::BIGINT AS n_distinct_supp,
+              count(*) AS n_words
+       FROM bits GROUP BY l_returnflag""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index distinct counting: suppkeys bucket into 63-bit words
+    (word = key/63, bit = key%63 — 63 not 64 because DuckDB range-checks
+    1<<63 as signed overflow while Spark wraps; one bit of density is the
+    price of a portable oracle), per-group words merge with BIT_OR, and
+    popcount sums give the EXACT distinct count — the roaring-bitmap
+    pattern OLAP engines use when count_distinct must be both exact and
+    mergeable (HLL is mergeable but approximate; count_distinct is exact
+    but not partial-aggregable without a full shuffle of keys). Shuffle
+    volume is one word per (group, key/64) — for dense key spaces that is
+    ~63× smaller than shipping the keys. Verified against the direct
+    count_distinct in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # SQL-form shiftleft: the Python helper only takes a literal shift count
+    word = F.bit_or(F.expr("shiftleft(1L, cast(l_suppkey % 63 AS INT))"))
+    bits = li.groupBy(
+        "l_returnflag", (F.col("l_suppkey") / 63).cast("long").alias("word_idx")
+    ).agg(word.alias("word"))
+    return bits.groupBy("l_returnflag").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_distinct_supp"),
+        F.count(F.lit(1)).alias("n_words"),
+    )

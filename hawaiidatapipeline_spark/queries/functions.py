@@ -537,3 +537,34 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lts").alias("last_local"),
         )
     )
+
+
+@q(
+    "fn_bitwise",
+    """SELECT o_orderkey,
+              o_orderkey & 255 AS low_byte,
+              o_orderkey | 15 AS or_mask,
+              xor(o_orderkey, 170) AS xored,
+              (o_orderkey * 256)::BIGINT AS shl8,
+              (o_orderkey // 16)::BIGINT AS shr4,
+              bit_count(o_orderkey) AS popcount
+       FROM orders WHERE o_orderkey < 5000""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: AND/OR/XOR masks, shifts, popcount — the
+    primitives under bitmap indexes, bloom filters, and the Z-order/
+    SimHash operators elsewhere in this engine. Shifts are expressed as
+    multiply/divide on both sides (DuckDB's << widens to BIT, while
+    integer arithmetic stays BIGINT on both engines); all integer-exact,
+    pure codegen."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(255).alias("low_byte"),
+        k.bitwiseOR(15).alias("or_mask"),
+        k.bitwiseXOR(170).alias("xored"),
+        (k * 256).cast("long").alias("shl8"),
+        F.floor(k / 16).cast("long").alias("shr4"),
+        F.bit_count(k).alias("popcount"),
+    )

@@ -147,3 +147,29 @@ def test_cms_sketch_width_bounds_overestimate(spark):
     wide = count_min_heavy_hitters(e, "user_id", threshold=1, depth=4, width=4096)
     exact_frac = wide.filter(F.col("est_cnt") == F.col("true_cnt")).count() / wide.count()
     assert exact_frac > 0.9
+
+
+def test_bitmap_distinct_equals_direct_count_distinct(spark):
+    """The 63-bit-word bitmap aggregation must reproduce count_distinct
+    EXACTLY — it is the exact+mergeable point in the distinct-count
+    design space (HLL: mergeable, approximate; count_distinct: exact,
+    full key shuffle)."""
+    from pyspark.sql import functions as F
+
+    from hawaiidatapipeline_spark.queries.aggregates import agg_bitmap_distinct
+    from hawaiidatapipeline_spark.registry import load_table
+
+    from .conftest import SF0001
+
+    li = load_table(spark, SF0001, "lineitem")
+    direct = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("n"))
+        .collect()
+    }
+    bitmap = {
+        r.l_returnflag: r.n_distinct_supp
+        for r in agg_bitmap_distinct(spark, SF0001).collect()
+    }
+    assert bitmap == direct

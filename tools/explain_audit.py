@@ -123,6 +123,8 @@ AUDITS: dict[str, list[str]] = {
     "llm_semantic_clusters": ["no_cartesian"],
     "llm_uniqueness_score": ["smj_or_bhj", "partial_agg", "pruning", "no_cartesian", "codegen"],
     "emb_norm_qc": ["no_shuffle_left", "pruning", "codegen"],
+    "fn_bitwise": ["pushdown", "pruning", "codegen"],
+    "agg_bitmap_distinct": ["partial_agg", "pruning", "codegen"],
     # (xml scan parses inside the datasource, no codegen span to assert)
     "scan_xml_roundtrip": ["no_shuffle_left", "no_cartesian"],
     "fn_variant_json": ["pushdown", "pruning", "codegen"],
