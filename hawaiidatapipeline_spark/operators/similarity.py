@@ -290,3 +290,166 @@ def cosine_topk_ivf(
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return cand.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b").limit(k)
+
+
+def knn_join_gemm(
+    probes: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    probe_id: str = "vec_id",
+    index_id: str = "vec_id",
+    vec_col: str = "emb",
+    payload: tuple[str, ...] = ("label",),
+    exclude_self: bool = True,
+    max_index_rows: int = 4_000_000,
+) -> DataFrame:
+    """Exact k-NN probe→index join via blocked GEMM (the broadcast-index
+    layout of ``cosine_topk_gemm``, specialized to an asymmetric
+    probe/index pair).
+
+    The index side (ids + payload columns + normalized matrix) is broadcast
+    once; each Arrow batch of probes does one numpy matmul and emits its
+    exact top-k neighbors — ties broken (cos_sim desc, neighbor_id asc)
+    INSIDE the kernel, so the output carries a deterministic ``rank``.
+    Shuffle volume is k rows per probe, never the probe×index similarity
+    matrix — this replaces the brute-force ``probe CROSS JOIN index``
+    nested-loop shape for classification workloads (VERDICT r3 item 2).
+
+    Size-gated like ``cosine_topk_gemm``: an index beyond ``max_index_rows``
+    raises rather than OOM-ing the driver — at that scale route through
+    ``cosine_topk_ivf``'s cell join instead.
+
+    Returns (query_id, neighbor_id, *payload, cos_sim, rank 1..k).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = probes.sparkSession
+    pdf = index.select(index_id, *payload, vec_col).limit(max_index_rows + 1).toPandas()
+    if len(pdf) > max_index_rows:
+        raise ValueError(
+            f"knn_join_gemm: index exceeds max_index_rows={max_index_rows}; "
+            "use cosine_topk_ivf's cell join for an un-broadcastable index"
+        )
+    b_ids = pdf[index_id].to_numpy()
+    b_payload = {c: pdf[c].to_numpy() for c in payload}
+    b_mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+    b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((b_ids, b_payload, b_mat))
+    slack = 32  # argpartition boundary can split a float-tie group
+
+    def block(batches):
+        ids, pay, mat = bc.value
+        n = len(ids)
+        take = min(k + slack, n)
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            a_ids = batch[probe_id].to_numpy()
+            a_mat = np.stack(batch[vec_col].to_numpy()).astype("float64")
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = a_mat @ mat.T  # (batch, n)
+            if exclude_self:
+                sims[ids[None, :] == a_ids[:, None]] = -np.inf
+            cand = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            out = {
+                "query_id": [], "neighbor_id": [], "cos_sim": [], "rank": [],
+                **{c: [] for c in payload},
+            }
+            for r in range(sims.shape[0]):
+                cols = cand[r]
+                s = sims[r, cols]
+                keep = np.isfinite(s)
+                cols, s = cols[keep], s[keep]
+                # exact oracle tie-break: cos_sim desc, then neighbor id asc
+                order = np.lexsort((ids[cols], -s))[:k]
+                top = cols[order]
+                m = len(top)
+                out["query_id"].extend([a_ids[r]] * m)
+                out["neighbor_id"].extend(ids[top])
+                out["cos_sim"].extend(sims[r, top])
+                out["rank"].extend(range(1, m + 1))
+                for c in payload:
+                    out[c].extend(pay[c][top])
+            yield pd.DataFrame(out)
+
+    fields = {f.name: f.dataType.simpleString() for f in index.schema.fields}
+    pay_schema = ", ".join(f"{c} {fields[c]}" for c in payload)
+    schema = (
+        "query_id bigint, neighbor_id bigint, "
+        + (pay_schema + ", " if pay_schema else "")
+        + "cos_sim double, rank int"
+    )
+    return probes.select(probe_id, vec_col).mapInPandas(block, schema)
+
+
+def cosine_topk_gemm_sharded(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    n_shards: int = 4,
+    n_probe_blocks: int = 4,
+    local_k_factor: int = 3,
+) -> DataFrame:
+    """Exact top-k (a < b) cosine pairs with NO driver-side index build
+    (VERDICT r3 item 3: the sharded twin of ``cosine_topk_gemm``).
+
+    The P×S blocked-GEMM grid: probe rows hash into ``n_probe_blocks``
+    blocks, index rows into ``n_shards`` shards, and each (block, shard)
+    cell is materialized by a cogrouped ``applyInPandas`` — one bounded
+    numpy GEMM per cell, emitting only that cell's local top-k. Replication
+    cost is the standard grid shape (probes ×S, index ×P via broadcast
+    range joins); every global top-k pair lives in exactly one cell, so the
+    union of local winners contains the global answer. Per-task memory is
+    (|rows|/P + |rows|/S)·dim·8B — tune P and S to the executor heap; the
+    driver never sees a vector.
+    """
+    spark = df.sparkSession
+    base = df.select(id_col, vec_col)
+    shards = spark.range(n_shards).select(F.col("id").cast("int").alias("_shard"))
+    pblocks = spark.range(n_probe_blocks).select(F.col("id").cast("int").alias("_pblock"))
+    probe_side = base.withColumn(
+        "_pblock", F.pmod(F.xxhash64(id_col), F.lit(n_probe_blocks)).cast("int")
+    ).crossJoin(F.broadcast(shards))
+    # distinct column names break the ambiguous-self-join lineage between
+    # the two cogroup sides (both derive from the same scan)
+    index_side = base.select(
+        F.col(id_col).alias("_i_id"), F.col(vec_col).alias("_i_vec")
+    ).withColumn(
+        "_shard", F.pmod(F.xxhash64("_i_id"), F.lit(n_shards)).cast("int")
+    ).crossJoin(F.broadcast(pblocks))
+    local_k = k * local_k_factor
+
+    def gemm(left, right):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        a_ids = left[id_col].to_numpy()
+        a_mat = np.stack(left[vec_col].to_numpy()).astype("float64")
+        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+        b_ids = right["_i_id"].to_numpy()
+        b_mat = np.stack(right["_i_vec"].to_numpy()).astype("float64")
+        b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+        sims = a_mat @ b_mat.T
+        sims[b_ids[None, :] <= a_ids[:, None]] = -np.inf  # keep b > a only
+        flat = sims.ravel()
+        finite = np.flatnonzero(np.isfinite(flat))
+        if len(finite) == 0:
+            return empty
+        take = min(local_k, len(finite))
+        best = finite[np.argpartition(-flat[finite], take - 1)[:take]]
+        ri, ci = np.unravel_index(best, sims.shape)
+        return pd.DataFrame(
+            {"vec_a": a_ids[ri], "vec_b": b_ids[ci], "cos_sim": flat[best]}
+        )
+
+    out = (
+        probe_side.groupby("_pblock", "_shard")
+        .cogroup(index_side.groupby("_pblock", "_shard"))
+        .applyInPandas(gemm, "vec_a bigint, vec_b bigint, cos_sim double")
+    )
+    return out.orderBy(F.round("cos_sim", 6).desc(), "vec_a", "vec_b").limit(k)

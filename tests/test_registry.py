@@ -21,34 +21,53 @@ COMPLEX = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
 # AFTER the first 50 slots so each round's 50-entry sweep covers only
 # never-checked (or fail-on-record) queries.
 DRIVER_GREEN = {
-    "agg_approx_count_distinct", "agg_count_distinct", "agg_cube",
-    "agg_global", "agg_groupby_basic", "agg_grouping_sets", "agg_having",
-    "agg_minby_maxby", "agg_multikey", "agg_percentile",
-    "agg_percentile_approx", "agg_pivot", "agg_rollup", "agg_salted_skew",
-    "agg_stats", "catalog_list", "distinct_rows", "dq_profile",
-    "dq_referential", "filter_boolean", "filter_compare",
-    "filter_in_between_null", "filter_like", "fn_array",
-    "fn_array_topk_struct", "fn_cast", "fn_conditional", "fn_date_arith",
-    "fn_date_extract", "fn_date_trunc", "fn_explode", "fn_geo_distance",
-    "fn_hash", "fn_json", "fn_map", "fn_math", "fn_null_semantics",
-    "fn_regex", "fn_string", "fn_url_parse", "fulltext_search", "join_asof",
-    "join_cross", "join_full_outer", "join_inner_broadcast",
-    "join_inner_sortmerge", "join_left_anti", "join_left_outer",
-    "join_left_semi", "join_right_outer", "join_theta_range", "limit_n",
-    "llm_cosine_ivf", "llm_cosine_topk", "llm_dedup_embedding",
-    "llm_dedup_exact", "llm_dedup_jaccard", "llm_dedup_jaccard_ngram",
-    "llm_dedup_minhash", "llm_fingerprint", "llm_knn_label", "llm_lang_id",
-    "llm_quality_score", "llm_simhash_buckets", "llm_text_stats",
-    "llm_tfidf_topterms", "llm_token_count_bpe", "multimodal_features",
-    "offset_paging", "pricing_summary", "project_alias", "project_computed",
-    "project_select", "reshape_unpivot", "scan_csv_roundtrip",
-    "scan_jsonlines", "set_except", "set_intersect", "set_union_all",
-    "set_union_distinct", "sink_parquet_partitioned", "sort_multikey",
-    "stream_dedup", "stream_session", "stream_sliding", "stream_tumbling",
-    "subquery_scalar_correlated", "topk_global", "ts_fill_forward",
-    "ts_resample", "udf_grouped_agg", "udf_grouped_map",
-    "udf_pandas_scalar", "udf_python_scalar", "udtf_python",
-    "win_ntile_pct", "win_ranking",
+    'agg_approx_count_distinct', 'agg_collect_sorted', 'agg_count_distinct',
+    'agg_cube', 'agg_global', 'agg_groupby_basic', 'agg_grouping_sets',
+    'agg_having', 'agg_heavy_hitters_cms', 'agg_minby_maxby',
+    'agg_multikey', 'agg_percentile', 'agg_percentile_approx', 'agg_pivot',
+    'agg_rollup', 'agg_salted_skew', 'agg_stats', 'catalog_list',
+    'distinct_rows', 'dq_profile', 'dq_referential', 'emb_label_centroids',
+    'emb_quantize_int8', 'filter_boolean', 'filter_compare',
+    'filter_in_between_null', 'filter_like', 'fn_array',
+    'fn_array_topk_struct', 'fn_cast', 'fn_conditional', 'fn_date_arith',
+    'fn_date_extract', 'fn_date_trunc', 'fn_explode',
+    'fn_geo_box_then_circle', 'fn_geo_distance', 'fn_geo_within_box',
+    'fn_hash', 'fn_json', 'fn_map', 'fn_math', 'fn_money_decimal',
+    'fn_null_semantics', 'fn_regex', 'fn_string', 'fn_timezone',
+    'fn_url_parse', 'fulltext_search', 'graph_pagerank_copurchase',
+    'join_asof', 'join_cross', 'join_full_outer', 'join_inner_broadcast',
+    'join_inner_sortmerge', 'join_interval_binned', 'join_left_anti',
+    'join_left_outer', 'join_left_semi', 'join_right_outer',
+    'join_theta_range', 'layout_zorder_key', 'limit_n',
+    'llm_chunk_documents', 'llm_cosine_ivf', 'llm_cosine_topk',
+    'llm_decontaminate', 'llm_dedup_embedding', 'llm_dedup_exact',
+    'llm_dedup_jaccard', 'llm_dedup_jaccard_ngram', 'llm_dedup_minhash',
+    'llm_dedup_minhash_exact', 'llm_fingerprint', 'llm_inverted_index',
+    'llm_knn_label', 'llm_lang_id', 'llm_lang_source_matrix',
+    'llm_mixture_sample', 'llm_ngram_counts', 'llm_pack_sequences',
+    'llm_pii_scrub', 'llm_quality_score', 'llm_repetition_filter',
+    'llm_simhash_buckets', 'llm_simhash_exact', 'llm_text_normalize',
+    'llm_text_stats', 'llm_tfidf_topterms', 'llm_token_count_bpe',
+    'llm_vocab_coverage', 'mine_association_rules', 'mine_frequent_pairs',
+    'multimodal_audio_decode', 'multimodal_features',
+    'multimodal_image_decode', 'offset_paging', 'pricing_summary',
+    'project_alias', 'project_computed', 'project_select',
+    'reshape_unpivot', 'sample_bernoulli', 'sample_stratified',
+    'sample_weighted', 'scan_bucketed_join', 'scan_csv_malformed',
+    'scan_csv_roundtrip', 'scan_jsonlines', 'scan_orc_roundtrip',
+    'scan_schema_evolution', 'scan_text_lines', 'set_except',
+    'set_intersect', 'set_union_all', 'set_union_distinct',
+    'sink_parquet_partitioned', 'sink_sorted_export', 'soql_aggregate',
+    'soql_chained_pipeline', 'soql_date_functions',
+    'soql_full_query_string', 'soql_fulltext_paged', 'sort_multikey',
+    'stream_dedup', 'stream_session', 'stream_sliding', 'stream_tumbling',
+    'subquery_scalar_correlated', 'topk_global', 'tpch_q10_returned_items',
+    'tpch_q14_promo_effect', 'tpch_q18_large_orders',
+    'tpch_q3_shipping_priority', 'tpch_q5_local_supplier_volume',
+    'tpch_q6_forecast_revenue', 'ts_fill_forward', 'ts_resample',
+    'udf_arrow_batch', 'udf_cogrouped_map', 'udf_grouped_agg',
+    'udf_grouped_map', 'udf_pandas_scalar', 'udf_python_scalar',
+    'udtf_python', 'win_ntile_pct', 'win_ranking',
 }
 
 

@@ -121,3 +121,61 @@ def test_ivf_finds_planted_near_duplicates(spark):
     r3 = len(expected & got3) / len(expected)
     assert r3 >= r1, (r1, r3)
     assert r3 >= 0.8, f"multi-probe recall too low: {r3}"
+
+
+def test_sharded_gemm_equals_exact_with_no_driver_collect(spark, monkeypatch):
+    """The sharded grid (VERDICT r3 item 3) must produce the exact top-k
+    WITHOUT any driver-side index build: toPandas is forbidden for the
+    whole call."""
+    from pyspark.sql import DataFrame
+
+    from hawaiidatapipeline_spark.operators.similarity import cosine_topk_gemm_sharded
+
+    e = as_double_vec(load_table(spark, SF0001, "embeddings"))
+    exact = [tuple(r) for r in _topk_exact(e, 20).collect()]
+
+    def _forbidden(self, *a, **k):
+        raise AssertionError("sharded GEMM must not collect the index to the driver")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _forbidden)
+    sharded = cosine_topk_gemm_sharded(e, k=20, n_shards=3, n_probe_blocks=2)
+    got = [
+        tuple(r)
+        for r in sharded.select(
+            "vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim")
+        ).collect()
+    ]
+    assert got == exact
+
+
+def test_knn_join_gemm_matches_jvm_window_ranking(spark):
+    """knn_join_gemm's in-kernel (cos desc, id asc) top-k must equal the
+    pure-JVM zip_with/aggregate + row_number reference on the fixture."""
+    from pyspark.sql import Window
+
+    from hawaiidatapipeline_spark.operators.similarity import _dot, knn_join_gemm, with_norm
+
+    e = as_double_vec(load_table(spark, SF0001, "embeddings")).select("vec_id", "label", "emb")
+    probes = e.filter(F.col("vec_id") < 20)
+    got = (
+        knn_join_gemm(probes, e, k=3, payload=("label",))
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("s"))
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    en = with_norm(e, "emb")
+    q, n = en.filter(F.col("vec_id") < 20).alias("q"), en.alias("n")
+    sims = q.join(n, F.col("q.vec_id") != F.col("n.vec_id")).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("n.vec_id").alias("neighbor_id"),
+        (_dot(F.col("q.emb"), F.col("n.emb")) / (F.col("q.norm") * F.col("n.norm"))).alias("s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), "neighbor_id")
+    ref = (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", F.round("s", 6).alias("s"))
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]

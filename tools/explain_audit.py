@@ -128,6 +128,9 @@ AUDITS: dict[str, list[str]] = {
     # (xml scan parses inside the datasource, no codegen span to assert)
     "scan_xml_roundtrip": ["no_shuffle_left", "no_cartesian"],
     "fn_variant_json": ["pushdown", "pruning", "codegen"],
+    # round-4: knn reruns on the blocked-GEMM kernel — the probe×corpus
+    # nested-loop join must be gone (VERDICT r3 item 2)
+    "llm_knn_label": ["no_nlj", "no_cartesian", "partial_agg", "window_exec"],
 }
 
 
@@ -179,6 +182,8 @@ def check(name: str, plan: str) -> list[tuple[str, bool, str]]:
               "map-side combine or window dedup")
         elif assertion == "no_cartesian":
             a("no_cartesian", "CartesianProduct" not in p, "no cartesian product")
+        elif assertion == "no_nlj":
+            a("no_nlj", "BroadcastNestedLoopJoin" not in p, "no nested-loop join")
         elif assertion == "single_shuffle_family":
             n = p.count("Exchange hashpartitioning")
             a("single_shuffle_family", n <= 2, f"hash exchanges={n} (union+window, no pairwise join)")
