@@ -29,10 +29,15 @@ SELECT doc_id,
             THEN 'https://site' || (doc_id // 2 % 20)
                  || '.example.com/p/' || (doc_id // 2 % 50)
                  || '?ref=' || (doc_id // 2 % 3)
-            ELSE 'https://Site' || (doc_id // 2 % 20)
+            WHEN doc_id % 4 = 1
+            THEN 'https://Site' || (doc_id // 2 % 20)
                  || '.Example.COM/p/' || (doc_id // 2 % 50)
                  || '?ref=' || (doc_id // 2 % 3)
                  || '&utm_source=feed&utm_campaign=spring#frag'
+            ELSE 'https://Site' || (doc_id // 2 % 20)
+                 || '.Example.COM/p/' || (doc_id // 2 % 50)
+                 || '?utm_campaign=spring&ref=' || (doc_id // 2 % 3)
+                 || '&utm_source=feed#frag'
        END AS url
 FROM documents
 """
@@ -45,25 +50,42 @@ def _synth_urls(d: DataFrame) -> DataFrame:
         F.lit(".example.com/p/"), (g % 50).cast("string"),
         F.lit("?ref="), (g % 3).cast("string"),
     )
-    messy = F.concat(
+    messy_utm_last = F.concat(
         F.lit("https://Site"), (g % 20).cast("string"),
         F.lit(".Example.COM/p/"), (g % 50).cast("string"),
         F.lit("?ref="), (g % 3).cast("string"),
         F.lit("&utm_source=feed&utm_campaign=spring#frag"),
     )
+    # utm param FIRST in the query string — exercises the dangling-'&'
+    # separator fix-up in canonicalize_url (ADVICE r3 item 1)
+    messy_utm_first = F.concat(
+        F.lit("https://Site"), (g % 20).cast("string"),
+        F.lit(".Example.COM/p/"), (g % 50).cast("string"),
+        F.lit("?utm_campaign=spring&ref="), (g % 3).cast("string"),
+        F.lit("&utm_source=feed#frag"),
+    )
     return d.select(
-        "doc_id", F.when(F.col("doc_id") % 2 == 0, clean).otherwise(messy).alias("url")
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, clean)
+        .when(F.col("doc_id") % 4 == 1, messy_utm_last)
+        .otherwise(messy_utm_first)
+        .alias("url"),
     )
 
 
 def canonicalize_url(col):
     """Crawl-URL canonical form: lowercase, strip the fragment, strip
-    utm_* tracking params. Pure regex (Java ∩ RE2, same dialect rule as
+    utm_* tracking params wherever they sit in the query string (first,
+    middle, last — ADVICE r3 item 1), then repair the separator (a
+    leading '&' left by a stripped first param becomes '?'; a dangling
+    '?' is dropped). Pure regex (Java ∩ RE2, same dialect rule as
     fn_regex) so it runs JVM-side in whole-stage codegen — no UDF in what
     is a per-row transform over every crawled page at 100 TB."""
     c = F.lower(col)
     c = F.regexp_replace(c, r"#.*$", "")
-    return F.regexp_replace(c, r"[&]utm_[a-z_]+=[^&#]*", "")
+    c = F.regexp_replace(c, r"[?&]utm_[a-z_]+=[^&#]*", "")
+    c = F.regexp_replace(c, r"^([^?&]*)&", "$1?")
+    return F.regexp_replace(c, r"\?$", "")
 
 
 @q(
@@ -72,8 +94,12 @@ def canonicalize_url(col):
        canon AS (
          SELECT doc_id,
                 regexp_replace(
-                  regexp_replace(lower(url), '#.*$', ''),
-                  '[&]utm_[a-z_]+=[^&#]*', '', 'g') AS canonical_url
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(lower(url), '#.*$', ''),
+                      '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
+                    '^([^?&]*)&', '\\1?'),
+                  '\\?$', '') AS canonical_url
          FROM urls
        )
        SELECT canonical_url,

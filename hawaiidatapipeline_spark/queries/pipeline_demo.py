@@ -288,18 +288,27 @@ WITH urls AS (
               THEN 'https://site' || (doc_id // 2 % 20)
                    || '.example.com/p/' || (doc_id // 2 % 50)
                    || '?ref=' || (doc_id // 2 % 3)
-              ELSE 'https://Site' || (doc_id // 2 % 20)
+              WHEN doc_id % 4 = 1
+              THEN 'https://Site' || (doc_id // 2 % 20)
                    || '.Example.COM/p/' || (doc_id // 2 % 50)
                    || '?ref=' || (doc_id // 2 % 3)
                    || '&utm_source=feed&utm_campaign=spring#frag'
+              ELSE 'https://Site' || (doc_id // 2 % 20)
+                   || '.Example.COM/p/' || (doc_id // 2 % 50)
+                   || '?utm_campaign=spring&ref=' || (doc_id // 2 % 3)
+                   || '&utm_source=feed#frag'
          END AS url
   FROM documents
 ),
 canon AS (
   SELECT doc_id,
          regexp_replace(
-           regexp_replace(lower(url), '#.*$', ''),
-           '[&]utm_[a-z_]+=[^&#]*', '', 'g') AS cu
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '#.*$', ''),
+               '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
+             '^([^?&]*)&', '\\1?'),
+           '\\?$', '') AS cu
   FROM urls
 ),
 keep AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY cu),

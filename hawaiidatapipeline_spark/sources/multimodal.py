@@ -248,12 +248,22 @@ def resize_nearest(img, out_h: int, out_w: int):
     return img[rows][:, cols]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def codec_capabilities() -> dict[str, bool]:
     """Probe which codecs this environment can actually run. The stdlib
     codecs are always on; JPEG/PNG light up when PIL is importable and
     compressed audio/video when ffmpeg is on PATH — so the same pipeline
     code degrades gracefully here and decodes fully on a real cluster
-    image."""
+    image.
+
+    Cached per process (ADVICE r3 item 2): decode_image consults this per
+    payload, and the probe re-imported PIL + scanned PATH for ffmpeg on
+    every non-BMP/PPM row of a tolerant decode. One probe per executor
+    worker is enough — capabilities don't change mid-job. Callers must
+    treat the returned dict as read-only (it is the cached instance)."""
     import shutil
 
     caps = {"bmp": True, "ppm": True, "wav_pcm16": True, "rawv": True}

@@ -44,18 +44,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     landing = os.path.join("/root/repo/.cache", "landing_events_" + sf_dir.strip("/").replace("/", "_"))
     staged = os.path.join(landing, "events.parquet")
-    # Re-stage when the fixture changed (driver regenerates testdata between
-    # rounds — a stale staged copy would silently feed old data/schema).
-    src_stat = os.stat(src)
-    if (
-        not os.path.exists(staged)
-        or os.stat(staged).st_size != src_stat.st_size
-        or os.stat(staged).st_mtime < src_stat.st_mtime
-    ):
-        import shutil
+    # Unconditional re-stage (ADVICE r3 item 3): size/mtime comparison let a
+    # regenerated same-size fixture with an equal-or-older mtime (e.g.
+    # restored from an archive) keep serving stale data. Staging happens once
+    # per stream construction and the fixture is small — just copy.
+    import shutil
 
-        os.makedirs(landing, exist_ok=True)
-        shutil.copyfile(src, staged)
+    os.makedirs(landing, exist_ok=True)
+    shutil.copyfile(src, staged)
     batch = spark.read.parquet(src)
     stream = (
         spark.readStream.schema(batch.schema)

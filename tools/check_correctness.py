@@ -30,8 +30,10 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 
-def canon(v):
-    """Canonicalize a cell value for hashing, tolerantly across engines."""
+def canon(v, date_bridge=False):
+    """Canonicalize a cell value for hashing, tolerantly across engines.
+    ``date_bridge`` enables the midnight-datetime→date collapse for columns
+    where the two engines' dtype kinds form the known DATE/datetime64 pair."""
     if type(v).__module__ == "numpy":  # np.int64/float64/bool_ -> python scalar
         v = v.item()
     if v is None:
@@ -48,19 +50,22 @@ def canon(v):
         return str(v)
     if isinstance(v, datetime):
         v = v.replace(tzinfo=None)
-        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+        if date_bridge and (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
             # DATE columns arrive as midnight datetime64 from DuckDB's .df()
             # but as datetime.date from Spark's toPandas — canonicalize both
             # to the date form (the driver bridges these identically:
             # fn_date_trunc/fn_date_arith were driver-green in round 2).
+            # Collapse ONLY for columns whose dtype kinds disagree as that
+            # known bridge pair (ADVICE r3 item 4) — two genuine midnight
+            # TIMESTAMP columns keep their full form and stay discriminable.
             return v.date().isoformat()
         return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+        return "[" + ",".join(canon(x, date_bridge) for x in v) + "]"
     if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
+        return "{" + ",".join(f"{k}:{canon(v[k], date_bridge)}" for k in sorted(v)) + "}"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
@@ -100,9 +105,23 @@ def kinds_compatible(ks, kd):
     return norm(ks) == norm(kd)
 
 
-def table_fingerprint(cols, rows):
+def date_bridge_cols(cols, ks, kd):
+    """Columns whose dtype kinds disagree as the known DATE/datetime64
+    engine bridge (one side a date object, the other midnight datetime64)."""
+    datish = {"O:date"}
+    dtish = {"M", "O:Timestamp", "O:datetime"}
+    return {
+        c
+        for c in cols
+        if (ks[c] in datish and kd[c] in dtish) or (ks[c] in dtish and kd[c] in datish)
+    }
+
+
+def table_fingerprint(cols, rows, bridge=frozenset()):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
+    lines = sorted(
+        "\x01".join(canon(r[i], cols[i] in bridge) for i in order) for r in rows
+    )
     import hashlib
 
     h = hashlib.sha256()
@@ -178,15 +197,16 @@ def main():
             if drift and len(srows) and len(drows):
                 problems.append(f"dtype drift (degrades in driver pandas): {drift}")
         if not problems:
-            hs = table_fingerprint(scols, srows)
-            hd = table_fingerprint(dcols, drows)
+            bridge = date_bridge_cols(scols, skinds, dkinds)
+            hs = table_fingerprint(scols, srows, bridge)
+            hd = table_fingerprint(dcols, drows, bridge)
             if hs != hd:
                 problems.append("value-hash mismatch")
                 # show a sample difference
                 order_s = sorted(range(len(scols)), key=lambda i: scols[i])
                 order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-                set_s = {tuple(canon(r[i]) for i in order_s) for r in srows}
-                set_d = {tuple(canon(r[i]) for i in order_d) for r in drows}
+                set_s = {tuple(canon(r[i], scols[i] in bridge) for i in order_s) for r in srows}
+                set_d = {tuple(canon(r[i], dcols[i] in bridge) for i in order_d) for r in drows}
                 only_s = list(set_s - set_d)[:2]
                 only_d = list(set_d - set_s)[:2]
                 if only_s:
