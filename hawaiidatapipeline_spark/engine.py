@@ -48,11 +48,31 @@ class Engine:
 
         return catalog(self.spark, self.sf_dir)
 
-    def search(self, needle: str) -> DataFrame:
-        """Catalog search by name substring (case-insensitive)."""
+    def search(
+        self, needle: str, fields: tuple[str, ...] = ("name", "category", "columns")
+    ) -> DataFrame:
+        """Catalog search across the portal's documented search fields:
+        dataset name, category tag, and column metadata (case-insensitive
+        substring each). Returns matching datasets with a ``matched_in``
+        column listing which fields hit — `eng.search("supp")` finds both
+        the supplier table (name) and lineitem (its l_suppkey column)."""
         from pyspark.sql import functions as F
 
-        return self.catalog().filter(F.lower("table_name").contains(needle.lower()))
+        from hawaiidatapipeline_spark.registry import catalog_detail
+
+        n = needle.lower()
+        probes = {
+            "name": F.lower(F.col("table_name")),
+            "category": F.lower(F.col("category")),
+            "columns": F.lower(F.col("column_names")),
+        }
+        flags = [
+            F.when(probes[f].contains(n), F.lit(f)) for f in probes if f in fields
+        ]
+        d = catalog_detail(self.spark, self.sf_dir).withColumn(
+            "matched_in", F.concat_ws(",", F.array_compact(F.array(*flags)))
+        )
+        return d.filter(F.col("matched_in") != "")
 
     # ------------------------------------------------------------ access
 

@@ -88,6 +88,64 @@ def _catalog_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+# Static column metadata per FIXTURES.md — the oracle's literal twin of the
+# Parquet-footer schema the Spark side reads live.
+_TABLE_COLUMNS = {
+    "region": "r_regionkey,r_name",
+    "nation": "n_nationkey,n_name,n_regionkey",
+    "customer": "c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment",
+    "supplier": "s_suppkey,s_name,s_nationkey,s_acctbal",
+    "part": "p_partkey,p_name,p_brand,p_type,p_size,p_retailprice",
+    "orders": "o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority",
+    "lineitem": (
+        "l_orderkey,l_partkey,l_suppkey,l_linenumber,l_quantity,l_extendedprice,"
+        "l_discount,l_tax,l_returnflag,l_linestatus,l_shipdate"
+    ),
+    "events": "event_id,ts,user_id,event_type,value,props",
+    "documents": "doc_id,text,lang,source,n_chars",
+    "embeddings": "vec_id,embedding,label",
+}
+
+
+def _catalog_search_oracle(needle: str) -> str:
+    from hawaiidatapipeline_spark.registry import TABLE_CATEGORIES
+
+    parts = [
+        f"SELECT '{t}' AS table_name, '{TABLE_CATEGORIES[t]}' AS category, "
+        f"{len(_TABLE_COLUMNS[t].split(','))} AS n_columns, count(*) AS n_rows, "
+        f"'{_TABLE_COLUMNS[t]}' AS column_names FROM {t}"
+        for t in TABLES
+    ]
+    detail = " UNION ALL ".join(parts)
+    return f"""WITH detail AS ({detail}),
+       m AS (
+         SELECT table_name, category, n_columns, n_rows,
+                concat_ws(',',
+                  CASE WHEN table_name LIKE '%{needle}%' THEN 'name' END,
+                  CASE WHEN category LIKE '%{needle}%' THEN 'category' END,
+                  CASE WHEN column_names LIKE '%{needle}%' THEN 'columns' END
+                ) AS matched_in
+         FROM detail
+       )
+       SELECT table_name, category, matched_in, n_columns, n_rows
+       FROM m WHERE matched_in <> ''"""
+
+
+@q("catalog_search", _catalog_search_oracle("supp"))
+def catalog_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog search over the portal's documented search fields — dataset
+    name, category tag, and column metadata (Engine.search): needle 'supp'
+    must surface supplier (name + its s_suppkey column) AND lineitem (its
+    l_suppkey column only). Metadata-scale driver work: ten footer reads,
+    never a data scan."""
+    from hawaiidatapipeline_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.search("supp").select(
+        "table_name", "category", "matched_in", "n_columns", "n_rows"
+    )
+
+
 @q("catalog_list", _catalog_oracle())
 def catalog_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset catalog listing — name, column count, row count for every

@@ -97,3 +97,40 @@ def catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(path)
         rows.append((name, len(df.columns), df.count()))
     return spark.createDataFrame(rows, "table_name string, n_columns int, n_rows bigint")
+
+
+# Portal-style category tags — the reference portal's catalog exposed a
+# category facet and column metadata as searchable fields alongside the
+# dataset name; this is that metadata for the fixture corpus.
+TABLE_CATEGORIES = {
+    "region": "reference",
+    "nation": "reference",
+    "customer": "directory",
+    "supplier": "directory",
+    "part": "commerce",
+    "orders": "commerce",
+    "lineitem": "commerce",
+    "events": "telemetry",
+    "documents": "corpus",
+    "embeddings": "ml-features",
+}
+
+
+def catalog_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog with full search metadata: category tag and the column-name
+    list (comma-joined) per dataset — the inputs to Engine.search's
+    name/category/columns fields. Schema comes from the Parquet footer, so
+    the columns field is always live metadata, never a stale sidecar."""
+    rows = []
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        rows.append(
+            (name, TABLE_CATEGORIES[name], len(df.columns), df.count(), ",".join(df.columns))
+        )
+    return spark.createDataFrame(
+        rows,
+        "table_name string, category string, n_columns int, n_rows bigint, column_names string",
+    )

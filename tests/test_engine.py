@@ -20,6 +20,18 @@ def test_catalog_and_search(eng):
     assert found == ["documents"]
 
 
+def test_search_category_and_column_fields(eng):
+    # category facet: both reference tables, matched via the category tag
+    by_cat = {r.table_name: r.matched_in for r in eng.search("referen").collect()}
+    assert by_cat == {"region": "category", "nation": "category"}
+    # column metadata: supplier hits on name+column, lineitem on l_suppkey only
+    by_col = {r.table_name: r.matched_in for r in eng.search("supp").collect()}
+    assert by_col == {"supplier": "name,columns", "lineitem": "columns"}
+    # field restriction: name-only search must not see column hits
+    only_name = [r.table_name for r in eng.search("supp", fields=("name",)).collect()]
+    assert only_name == ["supplier"]
+
+
 def test_table_fetch_and_unknown(eng):
     assert eng.table("nation").count() == 25
     with pytest.raises(KeyError, match="unknown table"):
