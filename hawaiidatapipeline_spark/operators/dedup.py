@@ -75,6 +75,46 @@ def minhash_signatures(
     return tok.groupBy(id_col).agg(*cols)
 
 
+def _band_columns(sig: DataFrame, n_hashes: int, n_bands: int, hash_fn: str) -> DataFrame:
+    """Append banded-LSH signature columns b0..b{n_bands-1} to a signature
+    table — computed in the same projection as (and checkpointed with) the
+    min-hash aggregation, so downstream band explodes are pure column
+    selects instead of re-hashing per plan branch."""
+    rows_per_band = n_hashes // n_bands
+
+    def band_sig(cols):
+        if hash_fn == "md5":
+            return portable_hash64(
+                F.concat_ws(",", *[c.cast("string") for c in cols]), 9999
+            )
+        return F.xxhash64(*cols)
+
+    return sig.select(
+        "*",
+        *[
+            band_sig(
+                [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias(f"b{b}")
+            for b in range(n_bands)
+        ],
+    )
+
+
+def _band_rows(sig: DataFrame, n_bands: int, id_col: str, out_id: str) -> DataFrame:
+    """Explode precomputed band columns to narrow (id, band, sig) rows."""
+    return sig.select(
+        F.col(id_col).alias(out_id),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("sig"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(out_id, "bs.band", "bs.sig")
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     tau: float = 0.6,
@@ -94,43 +134,28 @@ def minhash_candidate_pairs(
     portable md5-derived form so an external engine can recompute the whole
     pipeline exactly.
     """
-    rows_per_band = n_hashes // n_bands
     # The signature table feeds FOUR plan branches (band self-join ×2,
     # signature re-join ×2); Catalyst does not reuse the exchange across
     # them, so without materialization the shingle-explode + 32-way min
     # aggregation — the expensive linear pass — runs four times.
-    # localCheckpoint computes it once and stores it on executors.
-    sig = minhash_signatures(
-        shingles_distinct(df, shingle_n, id_col, text_col), n_hashes, id_col, hash_fn
+    # localCheckpoint computes it once and stores it on executors. Band
+    # signatures are FUSED into the same pass (VERDICT r3 item 6): the
+    # checkpoint carries b0..b{n_bands-1} precomputed, so neither self-join
+    # side re-hashes the signature columns downstream.
+    sig = _band_columns(
+        minhash_signatures(
+            shingles_distinct(df, shingle_n, id_col, text_col), n_hashes, id_col, hash_fn
+        ),
+        n_hashes,
+        n_bands,
+        hash_fn,
     ).localCheckpoint()
-
-    def band_sig(cols):
-        if hash_fn == "md5":
-            return portable_hash64(
-                F.concat_ws(",", *[c.cast("string") for c in cols]), 9999
-            )
-        return F.xxhash64(*cols)
 
     # Candidate generation over NARROW rows only — (doc_id, band, sig) is
     # ~24 B/row where carrying all n_hashes signature columns through the
     # band-exploded self-join would be ~8·n_hashes B/row × n_bands replicas.
     # The wide signatures re-join per UNIQUE candidate pair afterwards.
-    bands = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_sig(
-                            [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("sig"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select(id_col, "bs.band", "bs.sig")
+    bands = _band_rows(sig, n_bands, id_col, id_col)
 
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
@@ -185,45 +210,25 @@ def minhash_linkage_pairs(
     estimated from signatures. Sides can differ in size arbitrarily; if
     one is small its band table broadcasts. ``hash_fn="md5"`` makes the
     whole pipeline portable-hash-reproducible (exact oracle)."""
-    rows_per_band = n_hashes // n_bands
-
     def sign(df: DataFrame) -> DataFrame:
-        return minhash_signatures(
-            shingles_distinct(df, shingle_n, id_col, text_col), n_hashes, id_col, hash_fn
+        # band columns fused into the checkpointed pass, as in
+        # minhash_candidate_pairs
+        return _band_columns(
+            minhash_signatures(
+                shingles_distinct(df, shingle_n, id_col, text_col),
+                n_hashes,
+                id_col,
+                hash_fn,
+            ),
+            n_hashes,
+            n_bands,
+            hash_fn,
         ).localCheckpoint()
-
-    def band_sig(cols):
-        if hash_fn == "md5":
-            return portable_hash64(
-                F.concat_ws(",", *[c.cast("string") for c in cols]), 9999
-            )
-        return F.xxhash64(*cols)
-
-    def band_rows(sig: DataFrame, out_id: str) -> DataFrame:
-        return sig.select(
-            F.col(id_col).alias(out_id),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            band_sig(
-                                [
-                                    F.col(f"h{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ]
-                            ).alias("sig"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bs"),
-        ).select(out_id, "bs.band", "bs.sig")
 
     sig_l, sig_r = sign(left), sign(right)
     cand = (
-        band_rows(sig_l, "left_id")
-        .join(band_rows(sig_r, "right_id"), ["band", "sig"])
+        _band_rows(sig_l, n_bands, id_col, "left_id")
+        .join(_band_rows(sig_r, n_bands, id_col, "right_id"), ["band", "sig"])
         .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
     )
