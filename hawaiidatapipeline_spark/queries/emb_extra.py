@@ -103,3 +103,28 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+@q(
+    "llm_cosine_topk_sharded",
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       ORDER BY cos_sim DESC, vec_a, vec_b
+       LIMIT 20""",
+)
+def llm_cosine_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 cosine pairs via the P×S cogrouped-GEMM grid
+    (operators/similarity.py cosine_topk_gemm_sharded) — the same answer
+    as llm_cosine_topk with NO driver-side index build: probes hash into
+    P blocks, the index into S shards, each (block, shard) cell runs one
+    bounded numpy GEMM and emits local top-k. The 100 TB path when the
+    index outgrows a broadcast; per-task memory tunes via P and S."""
+    from hawaiidatapipeline_spark.operators.similarity import (
+        as_double_vec,
+        cosine_topk_gemm_sharded,
+    )
+
+    e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    top = cosine_topk_gemm_sharded(e, k=20, n_shards=4, n_probe_blocks=2)
+    return top.select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))

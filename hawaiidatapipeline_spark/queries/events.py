@@ -364,3 +364,36 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("week_start", "status")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@q(
+    "events_transition_matrix",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events
+       )
+       SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+       FROM seq WHERE prev_type IS NOT NULL
+       GROUP BY from_type, to_type""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (Markov/funnel diagnostics): per user,
+    each consecutive event pair under the deterministic (ts, event_id)
+    order contributes one (from→to) edge. One window shuffle on user_id
+    then a small (|types|² ≤ 25-row) aggregate — the per-user sequence
+    never leaves its partition."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -243,3 +243,74 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total_qty", F.col("_total_qty").cast("string"))
         .drop("_total_qty")
     )
+
+
+@q(
+    "tpch_q4_late_orders",
+    """SELECT o.o_orderpriority, count(*) AS order_count
+       FROM orders o
+       WHERE o.o_orderdate >= DATE '1997-01-01'
+         AND o.o_orderdate <  DATE '1997-07-01'
+         AND EXISTS (
+           SELECT 1 FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+         )
+       GROUP BY o.o_orderpriority""",
+)
+def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (order-priority checking, adapted to the fixture schema —
+    no commit/receipt dates, so 'late' = any line shipped >60 days after
+    the order date): EXISTS decorrelates to a LEFT SEMI join with a mixed
+    equi + range predicate, so lineitem contributes at most one match per
+    order and never inflates the count. At scale the semi join shuffles
+    both sides on orderkey once; the date filter pushes to the orders
+    scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@q(
+    "tpch_q19_disjunctive_revenue",
+    """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity BETWEEN 1 AND 30)
+          OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 16 AND 30
+              AND l.l_quantity BETWEEN 10 AND 40)
+          OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 31 AND 50
+              AND l.l_quantity BETWEEN 20 AND 50)""",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape (discounted-revenue, fixture columns): three OR'd
+    brand/size/quantity branches across the part⋈lineitem join. Catalyst
+    extracts the common p_partkey equi-key so this plans as a broadcast
+    hash join with the disjunction as a post-join filter — never a
+    nested-loop — and pushes the brand/size union predicate down to the
+    part scan. The classic test that OR-predicates don't break join
+    planning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(p, p.p_partkey == li.l_partkey)
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 30))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(16, 30)
+           & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(31, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return joined.filter(branch).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+            "revenue"
+        )
+    )

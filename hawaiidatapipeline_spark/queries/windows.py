@@ -256,3 +256,38 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.nth_value("o_orderkey", 3).over(w_full).alias("third_cheapest_key"),
     )
+
+
+@q(
+    "win_range_time_interval",
+    """SELECT event_id, user_id, ts,
+              count(*) OVER w AS n_events_1h,
+              round(sum(value) OVER w, 6) AS sum_value_1h
+       FROM events
+       WHERE user_id < 50
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+)
+def win_range_time_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, every event sees the count/sum
+    of its trailing hour INCLUSIVE of equal timestamps (RANGE, not ROWS —
+    peers share a frame, so the result is deterministic under timestamp
+    ties without a tiebreak column). Spark expresses interval ranges as a
+    numeric rangeBetween over epoch seconds — same one window shuffle on
+    user_id as any frame; at scale this is the sensor/telemetry rolling
+    aggregate."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.round(F.sum("value").over(w), 6).alias("sum_value_1h"),
+    )
