@@ -542,3 +542,23 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("word")).cast("long").alias("n_distinct_supp"),
         F.count(F.lit(1)).alias("n_words"),
     )
+
+
+@q(
+    "agg_boolean",
+    """SELECT o_orderpriority,
+              bool_and(o_totalprice > 1000)  AS all_over_1k,
+              bool_or(o_totalprice > 400000) AS any_over_400k,
+              count_if(o_orderstatus = 'F')::BIGINT AS n_finished
+       FROM orders GROUP BY o_orderpriority""",
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family — bool_and / bool_or / count_if per group.
+    All three are algebraic (partial-merge is AND/OR/sum), so they ride
+    the same two-phase hash aggregation as sum/count at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+    )

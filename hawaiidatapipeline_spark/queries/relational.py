@@ -441,3 +441,79 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = s.filter(F.col("s_suppkey") < 60).select("s_suppkey", "s_name")
     b = s.filter(F.col("s_suppkey") >= 90).select("s_suppkey", "s_nationkey")
     return a.unionByName(b, allowMissingColumns=True)
+
+
+@q(
+    "subquery_not_in_nulls",
+    """WITH sub AS (
+         SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey END AS k
+         FROM customer WHERE c_custkey < 500
+       )
+       SELECT
+         (SELECT count(*) FROM orders
+          WHERE o_custkey NOT IN (SELECT k FROM sub)) AS n_not_in,
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM sub s
+                            WHERE s.k = o.o_custkey)) AS n_not_exists""",
+)
+def subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN / NOT EXISTS null-semantics trap as a checked query: the
+    subquery set contains NULLs, so under ANSI three-valued logic NOT IN
+    can never be TRUE (n_not_in = 0) while NOT EXISTS counts normally —
+    the single most common silent-wrong-answer rewrite in warehouse SQL.
+    Both engines implement the standard; the hash check proves the anti
+    join Catalyst plans for NOT IN keeps null-aware semantics
+    (NullAwareAntiJoin), not the naive anti join."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_nin")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_nin")
+    return spark.sql(
+        """WITH sub AS (
+             SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey END AS k
+             FROM customer_nin WHERE c_custkey < 500
+           )
+           SELECT
+             (SELECT count(*) FROM orders_nin
+              WHERE o_custkey NOT IN (SELECT k FROM sub)) AS n_not_in,
+             (SELECT count(*) FROM orders_nin o
+              WHERE NOT EXISTS (SELECT 1 FROM sub s
+                                WHERE s.k = o.o_custkey)) AS n_not_exists"""
+    )
+
+
+@q(
+    "join_null_safe_eq",
+    """WITH keyed AS (
+         SELECT o_orderkey,
+                CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                     ELSE o_orderkey % 7 END AS k
+         FROM orders WHERE o_orderkey < 1000
+       )
+       SELECT coalesce(a.k, -1) AS join_key, count(*) AS n_pairs
+       FROM keyed a JOIN keyed b
+         ON a.k IS NOT DISTINCT FROM b.k AND a.o_orderkey < b.o_orderkey
+       GROUP BY 1""",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality JOIN (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics merges and SCD
+    comparisons need for nullable business keys. Spark plans eqNullSafe as
+    a hash join on a null-safe-wrapped key (still an equi-join, no
+    nested-loop penalty), which the driver hash check silently verifies
+    by including the NULL<=>NULL pair group."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    keyed = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 50 == 0, F.lit(None))
+        .otherwise(F.col("o_orderkey") % 7)
+        .alias("k"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.k").eqNullSafe(F.col("b.k"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .groupBy(F.coalesce(F.col("a.k"), F.lit(-1)).alias("join_key"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

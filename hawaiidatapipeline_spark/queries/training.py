@@ -782,3 +782,85 @@ def llm_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster_id"),
         (F.col("node") == F.col("comp")).alias("is_kept"),
     )
+
+
+def _lsh_recall_sql() -> str:
+    from hawaiidatapipeline_spark.queries.llm import _NGRAM_TAU
+
+    sig_cols = ",\n                ".join(
+        f"min({_ph('sh', i)}) AS h{i}" for i in range(_MH_N)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM sig".format(
+            b=b,
+            sig=_ph(
+                " || ',' || ".join(
+                    f"h{b * _MH_RPB + r}::VARCHAR" for r in range(_MH_RPB)
+                ),
+                9999,
+            ),
+        )
+        for b in range(_MH_BANDS)
+    )
+    return f"""WITH words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       ),
+       idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+               FROM words),
+       shingle AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+                   FROM idx),
+       sizes AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                 FROM shingle a JOIN shingle b
+                   ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       truth AS (SELECT doc_a, doc_b FROM inter
+                 JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+                 WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= {_NGRAM_TAU}),
+       sig AS (SELECT doc_id,
+                {sig_cols}
+               FROM shingle GROUP BY doc_id),
+       bands AS ({band_rows}),
+       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       hit AS (SELECT t.doc_a FROM truth t
+               JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+       SELECT (SELECT count(*) FROM truth) AS n_true,
+              (SELECT count(*) FROM cand) AS n_candidates,
+              (SELECT count(*) FROM hit) AS n_hit,
+              round((SELECT count(*) FROM hit)::DOUBLE
+                    / (SELECT count(*) FROM truth), 6) AS recall"""
+
+
+@q("llm_lsh_recall_report", _lsh_recall_sql())
+def llm_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality audit AS a checked query: recall of banded-MinHash
+    candidate generation (md5-portable hashes, no estimator threshold)
+    against exact trigram-shingle Jaccard ≥ τ ground truth — the number a
+    dedup operator owes its users before anyone trusts the sub-quadratic
+    path. Both sides are deterministic, so even the recall fraction
+    hash-matches DuckDB. At 100 TB the truth side is infeasible (that is
+    the point of LSH) — this report runs on a sampled audit slice; the
+    banding math (recall ≈ 1-(1-j^r)^b) extrapolates."""
+    from hawaiidatapipeline_spark.operators.dedup import minhash_candidate_pairs
+    from hawaiidatapipeline_spark.queries.llm import llm_dedup_jaccard_ngram
+
+    d = load_table(spark, sf_dir, "documents")
+    truth = llm_dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    cand = minhash_candidate_pairs(
+        d, tau=0.0, n_hashes=_MH_N, n_bands=_MH_BANDS, hash_fn="md5"
+    ).select("doc_a", "doc_b")
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+        )
+    )
