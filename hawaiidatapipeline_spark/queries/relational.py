@@ -517,3 +517,93 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("a.k"), F.lit(-1)).alias("join_key"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@q(
+    "sql_recursive_calendar",
+    """WITH RECURSIVE months(k) AS (
+         SELECT 0 UNION ALL SELECT k + 1 FROM months WHERE k < 79
+       ),
+       spine AS (
+         SELECT (DATE '1995-01-01' + (k * INTERVAL 1 MONTH))::DATE AS month_start
+         FROM months
+       )
+       SELECT s.month_start, count(o.o_orderkey) AS n_orders
+       FROM spine s
+       LEFT JOIN orders o
+         ON date_trunc('month', o.o_orderdate)::DATE = s.month_start
+       GROUP BY s.month_start""",
+)
+def sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): an 80-month calendar spine
+    generated by bounded recursion, LEFT JOINed to orders so empty months
+    survive with zero counts — the date-spine idiom reporting pipelines
+    hand-roll with sequence()+explode, now first-class SQL. Spark's
+    recursion is UNION ALL with a monotone guard (UNION-dedup recursion is
+    not yet supported), which an acyclic generator satisfies; cyclic
+    transitive closures stay on the iterative operators
+    (operators/dedup.py connected_components)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rc")
+    return spark.sql(
+        """WITH RECURSIVE months(k) AS (
+             SELECT 0 UNION ALL SELECT k + 1 FROM months WHERE k < 79
+           ),
+           spine AS (
+             SELECT add_months(DATE '1995-01-01', k) AS month_start FROM months
+           )
+           SELECT s.month_start, count(o.o_orderkey) AS n_orders
+           FROM spine s
+           LEFT JOIN orders_rc o
+             ON trunc(o.o_orderdate, 'month') = s.month_start
+           GROUP BY s.month_start"""
+    )
+
+
+@q(
+    "join_lateral_topn",
+    """SELECT p.o_orderpriority, t.o_orderkey, t.o_totalprice
+       FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+       LATERAL (SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
+                FROM orders o
+                WHERE o.o_orderpriority = p.o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY/LIMIT — top-2 orders per
+    priority expressed as a per-row subquery instead of a rank window.
+    Catalyst decorrelates this to the same join+window shape
+    win_topk_per_group plans by hand, so the declarative form costs
+    nothing; the hash check proves the decorrelation preserves per-group
+    limit semantics."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """SELECT p.o_orderpriority, t.o_orderkey, t.o_totalprice
+           FROM (SELECT DISTINCT o_orderpriority FROM orders_lat) p,
+           LATERAL (SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
+                    FROM orders_lat o
+                    WHERE o.o_orderpriority = p.o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t"""
+    )
+
+
+@q(
+    "sql_parameterized",
+    """SELECT o_orderpriority, count(*) AS n
+       FROM orders
+       WHERE o_totalprice > 200000 AND o_orderdate >= DATE '1997-01-01'
+       GROUP BY o_orderpriority""",
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (`spark.sql(query, args=...)`): values bind as
+    typed literals in the parser, never string-spliced — the
+    injection-safe entry point a service exposes. The oracle inlines the
+    same literals, so the hash check proves binding is semantically
+    identical to literal SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pv")
+    return spark.sql(
+        """SELECT o_orderpriority, count(*) AS n
+           FROM orders_pv
+           WHERE o_totalprice > :thresh AND o_orderdate >= :cutoff
+           GROUP BY o_orderpriority""",
+        args={"thresh": 200000, "cutoff": "1997-01-01"},
+    )
