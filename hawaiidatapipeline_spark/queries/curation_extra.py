@@ -364,3 +364,56 @@ def emb_norm_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("embedding") != 64).alias("bad_dim"),
         (nan_count > 0).alias("has_nan"),
     )
+
+
+@q(
+    "llm_quality_gate_report",
+    """WITH s1 AS (SELECT * FROM documents),
+       s2 AS (SELECT * FROM s1 WHERE lang IN ('en', 'es', 'de')),
+       s3 AS (SELECT * FROM s2 WHERE n_chars BETWEEN 100 AND 10000),
+       tok AS (SELECT doc_id,
+                      count(*) AS n_tok,
+                      count(DISTINCT t.token) AS n_uniq
+               FROM s3, LATERAL unnest(string_split(s3.text, ' ')) AS t(token)
+               GROUP BY doc_id),
+       s4 AS (SELECT s3.* FROM s3 JOIN tok USING (doc_id)
+              WHERE n_uniq::DOUBLE / n_tok >= 0.3),
+       s5 AS (SELECT min(doc_id) AS doc_id FROM s4
+              GROUP BY md5(lower(trim(text))))
+       SELECT 1 AS stage_no, 'total' AS stage, (SELECT count(*) FROM s1) AS n_docs
+       UNION ALL SELECT 2, 'lang_gate',      (SELECT count(*) FROM s2)
+       UNION ALL SELECT 3, 'length_gate',    (SELECT count(*) FROM s3)
+       UNION ALL SELECT 4, 'diversity_gate', (SELECT count(*) FROM s4)
+       UNION ALL SELECT 5, 'exact_dedup',    (SELECT count(*) FROM s5)""",
+)
+def llm_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation attrition funnel — how many documents survive each gate
+    (language → length → token diversity → exact dedup), the
+    observability artifact every corpus pipeline publishes next to its
+    output. Each stage filters the previous stage's survivors; counts are
+    tiny aggregates over one shared scan, so the report costs one linear
+    pass regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    s2 = d.filter(F.col("lang").isin("en", "es", "de"))
+    s3 = s2.filter(F.col("n_chars").between(100, 10000))
+    toks = F.split(F.col("text"), " ")
+    s4 = s3.filter(
+        F.size(F.array_distinct(toks)) / F.size(toks) >= 0.3
+    )
+    s5 = s4.groupBy(F.md5(F.lower(F.trim(F.col("text"))))).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    stages = [
+        (1, "total", d),
+        (2, "lang_gate", s2),
+        (3, "length_gate", s3),
+        (4, "diversity_gate", s4),
+        (5, "exact_dedup", s5),
+    ]
+    counts = None
+    for no, name, df in stages:
+        c = df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"), "n_docs"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts

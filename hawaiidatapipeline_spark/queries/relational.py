@@ -607,3 +607,39 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY o_orderpriority""",
         args={"thresh": 200000, "cutoff": "1997-01-01"},
     )
+
+
+@q(
+    "dq_observe_metrics",
+    """SELECT count(*) AS n_rows,
+              count(*) - count(l_quantity) AS n_null_qty,
+              round(sum(l_extendedprice), 6) AS total_price,
+              count_if(l_discount > 0.08)::BIGINT AS n_high_discount
+       FROM lineitem""",
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation API: DQ counters piggybacked on a real pass over the
+    data (`df.observe(...)` + a noop-sink action) — the zero-extra-scan
+    way a production job publishes row counts / null rates / control
+    totals alongside its output instead of re-scanning for them. The
+    observed metrics come back driver-side as one tiny row; the oracle
+    recomputes them with plain aggregates, proving the piggybacked
+    counters equal the ground truth."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_quantity")).alias("n_null_qty"),
+        F.round(F.sum("l_extendedprice"), 6).alias("total_price"),
+        F.count_if(F.col("l_discount") > 0.08).alias("n_high_discount"),
+    )
+    # the action the metrics ride on (a real job would be writing output)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_null_qty"], m["total_price"], m["n_high_discount"])],
+        "n_rows bigint, n_null_qty bigint, total_price double, n_high_discount bigint",
+    )
