@@ -35,6 +35,7 @@ _MODULES = (
     "soql_demo",
     "sources_extra",
     "tpch",
+    "tpch_extra",
     "geo_extra",
     "sampling",
     "sketches_extra",
