@@ -36,6 +36,7 @@ _MODULES = (
     "sources_extra",
     "tpch",
     "tpch_extra",
+    "analysis_extra",
     "geo_extra",
     "sampling",
     "sketches_extra",
