@@ -125,3 +125,61 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return audio_stats(synthetic_audio_blobs(d))
+
+
+@q(
+    "multimodal_video_frames",
+    """WITH v AS (SELECT doc_id AS id, 3 + doc_id % 4 AS n FROM documents),
+       s AS (SELECT id, n, unnest(generate_series(0, n - 1, 2)) AS f FROM v),
+       agg AS (SELECT id, count(*) AS n_sampled,
+                      round(avg((id + 11 * f) % 256), 6) AS mean_r,
+                      round(avg((3 * id + 5 * f) % 256), 6) AS mean_g,
+                      round(avg((7 * id + f) % 256), 6) AS mean_b
+               FROM s GROUP BY id)
+       SELECT v.id, v.n::INT AS n_frames, agg.n_sampled::INT AS n_sampled,
+              agg.mean_r, agg.mean_g, agg.mean_b
+       FROM v JOIN agg ON v.id = agg.id""",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAWV encode → real container decode → every-2nd-frame stride →
+    stats over the sampled frames only. The decode→frame-sample→aggregate
+    plumbing of a video training pipeline, Arrow-batched on executors
+    (map-only, zero shuffles); frame-dependent colors make a wrong stride
+    change the means, and the oracle recomputes them in closed form."""
+    from hawaiidatapipeline_spark.sources.multimodal import (
+        synthetic_video_blobs,
+        video_frame_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return video_frame_stats(synthetic_video_blobs(d), every_k=2)
+
+
+@q(
+    "multimodal_image_resize",
+    """WITH dims AS (SELECT doc_id AS id, 16 + doc_id % 8 AS w,
+                            8 + doc_id % 5 AS h
+                     FROM documents),
+       sel AS (SELECT id, h, unnest(generate_series(0, 7)) AS i FROM dims),
+       mr AS (SELECT id, round(avg((id + (i * h) // 8) % 256), 6) AS mean_r
+              FROM sel GROUP BY id)
+       SELECT d.id, 8::INT AS out_width, 8::INT AS out_height,
+              (d.id % 256)::INT AS top_left_r,
+              mr.mean_r,
+              ((3 * d.id) % 256)::DOUBLE AS mean_g,
+              ((7 * d.id) % 256)::DOUBLE AS mean_b
+       FROM dims d JOIN mr ON d.id = mr.id""",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP decode → nearest-neighbor resize to 8×8 → stats over the
+    RESIZED pixels (the normalize-before-model step). The (r_out·h)//8
+    row map is exact integer arithmetic, so the oracle states exactly
+    which source rows survive and reproduces the post-resize means;
+    map-only Arrow batches, zero shuffles."""
+    from hawaiidatapipeline_spark.sources.multimodal import (
+        image_resize_stats,
+        synthetic_image_blobs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return image_resize_stats(synthetic_image_blobs(d), out_h=8, out_w=8)

@@ -517,3 +517,104 @@ def extract_features(blobs: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return blobs.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synthetic_video_blobs(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic RAWV video blobs generated on executors: 3+(id%4)
+    frames of 4×5 RGB, each frame f a flat color (R=(id+11f)%256,
+    G=(3id+5f)%256, B=(7id+f)%256) — frame-dependent content, so a
+    stride that drops or duplicates frames changes the sampled stats.
+    Closed-form ⇒ the SQL oracle reproduces every stat exactly."""
+    import numpy as np
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                frames = []
+                for f in range(3 + i % 4):
+                    rgb = np.empty((4, 5, 3), dtype=np.uint8)
+                    rgb[:, :, 0] = (i + 11 * f) % 256
+                    rgb[:, :, 1] = (3 * i + 5 * f) % 256
+                    rgb[:, :, 2] = (7 * i + f) % 256
+                    frames.append(rgb)
+                payloads.append(encode_rawv(frames))
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(gen, "id bigint, payload binary").select(
+        "id",
+        F.lit("video").alias("modality"),
+        "payload",
+        F.struct(
+            F.lit("video/x-rawv").alias("mime"),
+            F.lit(5).cast("int").alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def video_frame_stats(blobs: DataFrame, every_k: int = 2) -> DataFrame:
+    """REAL RAWV decode per Arrow batch → every-k-th-frame sampling
+    (numpy stride, skipped frames never copied) → per-video stats over
+    the SAMPLED frames only. This is the decode→frame-sample→aggregate
+    plumbing a video training pipeline runs before a model forward pass;
+    swap ``decode_rawv`` for an ffmpeg demux on a cluster image with the
+    codec present (capability-gated like JPEG in ``decode_image``)."""
+    import numpy as np
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in ("id", "n_frames", "n_sampled", "mean_r", "mean_g", "mean_b")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                video = decode_rawv(bytes(payload))
+                sampled = video[::every_k]
+                means = sampled.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                out["id"].append(int(i))
+                out["n_frames"].append(video.shape[0])
+                out["n_sampled"].append(sampled.shape[0])
+                out["mean_r"].append(round(float(means[0]), 6))
+                out["mean_g"].append(round(float(means[1]), 6))
+                out["mean_b"].append(round(float(means[2]), 6))
+            yield pd.DataFrame(out)
+
+    return blobs.select("id", "payload").mapInPandas(
+        run,
+        "id bigint, n_frames int, n_sampled int, mean_r double, mean_g double, mean_b double",
+    )
+
+
+def image_resize_stats(blobs: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
+    """REAL decode → nearest-neighbor resize to (out_h, out_w) → stats
+    over the RESIZED pixels — the normalize-before-model step. The row
+    map (r_out·h)//out_h is exact integer arithmetic, so the oracle can
+    state which source rows survive and what the post-resize means are."""
+    import numpy as np
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in ("id", "out_width", "out_height", "top_left_r", "mean_r", "mean_g", "mean_b")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                img = resize_nearest(decode_image(bytes(payload)), out_h, out_w)
+                means = img.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                out["id"].append(int(i))
+                out["out_height"].append(img.shape[0])
+                out["out_width"].append(img.shape[1])
+                out["top_left_r"].append(int(img[0, 0, 0]))
+                out["mean_r"].append(round(float(means[0]), 6))
+                out["mean_g"].append(round(float(means[1]), 6))
+                out["mean_b"].append(round(float(means[2]), 6))
+            yield pd.DataFrame(out)
+
+    return blobs.select("id", "payload").mapInPandas(
+        run,
+        "id bigint, out_width int, out_height int, top_left_r int, "
+        "mean_r double, mean_g double, mean_b double",
+    )

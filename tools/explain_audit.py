@@ -131,6 +131,24 @@ AUDITS: dict[str, list[str]] = {
     # round-4: knn reruns on the blocked-GEMM kernel — the probe×corpus
     # nested-loop join must be gone (VERDICT r3 item 2)
     "llm_knn_label": ["no_nlj", "no_cartesian", "partial_agg", "window_exec"],
+    # round-4 batch: adapted TPC-H Q7–Q22 + temporal/graph/statistical ops
+    "tpch_q7_volume_shipping": ["pushdown", "broadcast", "partial_agg", "no_cartesian", "codegen"],
+    "tpch_q8_market_share": ["broadcast", "partial_agg", "no_cartesian", "codegen"],
+    "tpch_q9_product_profit": ["broadcast", "partial_agg", "pruning", "codegen"],
+    "tpch_q13_order_count_distribution": ["smj_or_bhj", "partial_agg", "pruning", "codegen"],
+    "tpch_q15_top_supplier": ["pushdown", "partial_agg", "window_exec", "broadcast_any", "codegen"],
+    "tpch_q16_supplier_part_variety": ["broadcast", "partial_agg", "pruning", "codegen"],
+    "tpch_q17_small_quantity_revenue": ["broadcast", "partial_agg", "pruning", "codegen"],
+    "tpch_q20_part_promotion_suppliers": ["broadcast_any", "partial_agg", "pushdown", "codegen"],
+    "tpch_q21_late_supplier_blame": ["smj_or_bhj", "partial_agg", "take_ordered", "no_cartesian", "codegen"],
+    "tpch_q22_dormant_customers": ["broadcast_any", "partial_agg", "pushdown", "codegen"],
+    "events_sessionize_gap": ["window_exec", "single_shuffle_family", "pruning", "codegen"],
+    "join_asof_forward": ["window_exec", "single_shuffle_family", "pruning", "codegen"],
+    "join_asof_nearest": ["window_exec", "pruning", "codegen"],
+    "graph_triangle_count": ["no_cartesian", "partial_agg"],
+    "agg_regression": ["partial_agg", "pruning", "codegen"],
+    "llm_dupspan_ngram": ["generate_exec", "partial_agg", "take_ordered", "pruning", "codegen"],
+    "fn_struct_ops": ["take_ordered", "pruning", "codegen"],
 }
 
 
