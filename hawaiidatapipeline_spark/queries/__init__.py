@@ -37,6 +37,7 @@ _MODULES = (
     "tpch",
     "tpch_extra",
     "analysis_extra",
+    "warehouse_extra",
     "geo_extra",
     "sampling",
     "sketches_extra",

@@ -1,0 +1,235 @@
+"""Warehouse maintenance and QC operators — round-4 second batch.
+
+Dynamic partition overwrite (the backfill primitive), partition-pruned
+reads from a partitioned layout, per-key event rate limiting, corpus
+per-dimension embedding statistics, and source-freshness monitoring.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "hdp_spark_warehouse")
+
+
+def _scratch(name: str) -> str:
+    path = os.path.join(_SCRATCH, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return path
+
+
+@q(
+    "etl_partition_overwrite",
+    """SELECT o_orderpriority,
+              count(*) AS n,
+              round(sum((CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN (o_totalprice::DECIMAL(18,2)
+                                    * '1.1'::DECIMAL(2,1))::DOUBLE
+                              ELSE o_totalprice END)::DECIMAL(20,4)),
+                    2)::DOUBLE AS total
+       FROM orders
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority""",
+)
+def etl_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the backfill primitive: rewrite ONE
+    priority partition (repriced 1-URGENT rows) into a table holding all
+    five, with ``partitionOverwriteMode=dynamic`` so untouched partitions
+    survive byte-identical. This is how a 100 TB date-partitioned fact
+    takes a late-data restatement: the job writes only the partitions it
+    produced, never truncating the table. The oracle states the expected
+    post-backfill content per partition."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = _scratch("orders_by_priority")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    # reprice in exact decimal (double round() ties break differently across
+    # engines), then back to double so the partition schema stays uniform
+    repriced = o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice",
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(2,1)")
+        ).cast("double"),
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        repriced.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(20,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "scan_partition_pruned_agg",
+    """SELECT event_type, count(*) AS n, round(sum(value), 6) AS total_value
+       FROM events
+       WHERE event_type IN ('click', 'purchase')
+       GROUP BY event_type
+       ORDER BY event_type""",
+)
+def scan_partition_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning on a partitioned layout: events written
+    partitioned by event_type, then read with a partition-key filter —
+    the scan lists only the two matching directories (PartitionFilters
+    in the plan, asserted by tools/explain_audit.py) and never opens the
+    others' files. At 100 TB this is THE reason facts are date/key
+    partitioned: pruning happens at planning time, before any I/O."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    path = _scratch("events_by_type")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "events_rate_limit",
+    """WITH ranked AS (
+         SELECT user_id,
+                row_number() OVER (
+                  PARTITION BY user_id, date_trunc('hour', ts)
+                  ORDER BY ts, event_id) AS rn
+         FROM events)
+       SELECT user_id,
+              count(*) FILTER (WHERE rn <= 2) AS kept,
+              count(*) FILTER (WHERE rn > 2) AS dropped
+       FROM ranked GROUP BY user_id
+       HAVING count(*) FILTER (WHERE rn > 2) > 0
+       ORDER BY user_id""",
+)
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rate limiting (≤2 events per user-hour, deterministic
+    (ts, event_id) order) — the ingestion-throttle / abuse-cap operator:
+    one row_number window keyed on (user, hour) then a conditional
+    aggregate of kept vs dropped. One shuffle; the hour truncation
+    keeps window partitions small even for hot keys, which is exactly
+    what makes this shape skew-safe at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    ranked = e.select("user_id", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("rn") <= 2, 1)).alias("kept"),
+            F.count(F.when(F.col("rn") > 2, 1)).alias("dropped"),
+        )
+        .filter(F.col("dropped") > 0)
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "emb_dim_stats",
+    """WITH ex AS (
+         SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+                unnest(embedding) AS x
+         FROM embeddings)
+       SELECT dim, count(*) AS n,
+              round(sum(x::DECIMAL(18,9))::DOUBLE / count(*), 6) AS mean,
+              round(sum((x::DOUBLE * x::DOUBLE)::DECIMAL(28,12))::DOUBLE / count(*)
+                    - (sum(x::DECIMAL(18,9))::DOUBLE / count(*))
+                      * (sum(x::DECIMAL(18,9))::DOUBLE / count(*)),
+                    6) AS variance,
+              round(min(x)::DOUBLE, 6) AS min_x,
+              round(max(x)::DOUBLE, 6) AS max_x
+       FROM ex GROUP BY dim""",
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics of the embedding column (the
+    drift/collapse monitor an index rebuild checks first: a dimension
+    whose variance falls to ~0 signals a dead feature). posexplode + one
+    partial-aggregated groupBy on dim — shuffle volume is |dims| rows,
+    independent of corpus size. Sums run in exact DECIMAL (x² is an
+    identical double product in both engines before the cast), so the
+    variance is engine-exact like emb_label_centroids (x is squared
+    in DOUBLE first — a float32 square would round differently)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("dim", "x"))
+    # decimal SUMS are exact; cast each to double BEFORE any division so
+    # both engines run the same IEEE ops on identical operands (decimal
+    # division scales differ between engines and shift the 6th digit)
+    n = F.count(F.lit(1))
+    mean = F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / n
+    mean_sq = (
+        F.sum(
+            (F.col("x").cast("double") * F.col("x").cast("double")).cast(
+                "decimal(28,12)"
+            )
+        ).cast("double")
+        / n
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(mean_sq - mean * mean, 6).alias("variance"),
+        F.round(F.min("x").cast("double"), 6).alias("min_x"),
+        F.round(F.max("x").cast("double"), 6).alias("max_x"),
+    )
+
+
+@q(
+    "dq_freshness",
+    """WITH per AS (SELECT event_type, max(ts) AS latest, count(*) AS n
+                    FROM events GROUP BY event_type),
+       g AS (SELECT max(latest) AS global_latest FROM per)
+       SELECT p.event_type, p.n,
+              round(epoch(g.global_latest) - epoch(p.latest), 6) AS lag_s,
+              (epoch(g.global_latest) - epoch(p.latest) > 3600) AS stale
+       FROM per p CROSS JOIN g
+       ORDER BY p.event_type""",
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-freshness monitor: per event type, how far its latest event
+    lags the newest event anywhere, with a >1 h staleness flag — the
+    first alert a feed outage trips. Two tiny aggregates (per-type max +
+    global max broadcast back); at scale the per-type max partial-
+    aggregates map-side so the shuffle is |types| rows."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.max("ts").alias("latest"), F.count(F.lit(1)).alias("n")
+    )
+    g = per.agg(F.max("latest").alias("global_latest"))
+    lag = F.col("global_latest").cast("double") - F.col("latest").cast("double")
+    return (
+        per.join(F.broadcast(g))
+        .select(
+            "event_type",
+            "n",
+            F.round(lag, 6).alias("lag_s"),
+            (lag > 3600).alias("stale"),
+        )
+        .orderBy("event_type")
+    )

@@ -149,6 +149,13 @@ AUDITS: dict[str, list[str]] = {
     "agg_regression": ["partial_agg", "pruning", "codegen"],
     "llm_dupspan_ngram": ["generate_exec", "partial_agg", "take_ordered", "pruning", "codegen"],
     "fn_struct_ops": ["take_ordered", "pruning", "codegen"],
+    "multimodal_video_frames": ["pruning", "no_shuffle_left"],
+    "multimodal_image_resize": ["pruning", "no_shuffle_left"],
+    "etl_partition_overwrite": ["partial_agg", "codegen"],
+    "scan_partition_pruned_agg": ["partition_filters", "partial_agg", "codegen"],
+    "events_rate_limit": ["window_exec", "partial_agg", "pruning", "codegen"],
+    "emb_dim_stats": ["generate_exec", "partial_agg", "pruning", "codegen"],
+    "dq_freshness": ["partial_agg", "broadcast_any", "pruning", "codegen"],
 }
 
 
@@ -213,6 +220,12 @@ def check(name: str, plan: str) -> list[tuple[str, bool, str]]:
             a("take_ordered", "TakeOrderedAndProject" in p, "top-k fused operator")
         elif assertion == "generate_exec":
             a("generate_exec", "Generate" in p, "Generate (explode) operator")
+        elif assertion == "partition_filters":
+            ok = any(
+                "PartitionFilters: [" in line and "PartitionFilters: []" not in line
+                for line in p.splitlines()
+            )
+            a("partition_filters", ok, "scan prunes partition directories at planning time")
         elif assertion == "bucketed_scan":
             a("bucketed_scan", "Bucketed: true" in p, "scan reads bucket layout")
         elif assertion == "max_one_shuffle":
