@@ -38,6 +38,7 @@ _MODULES = (
     "tpch_extra",
     "analysis_extra",
     "warehouse_extra",
+    "training_extra",
     "geo_extra",
     "sampling",
     "sketches_extra",

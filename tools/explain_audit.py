@@ -156,6 +156,11 @@ AUDITS: dict[str, list[str]] = {
     "events_rate_limit": ["window_exec", "partial_agg", "pruning", "codegen"],
     "emb_dim_stats": ["generate_exec", "partial_agg", "pruning", "codegen"],
     "dq_freshness": ["partial_agg", "broadcast_any", "pruning", "codegen"],
+    "llm_shard_manifest": ["partial_agg", "pruning", "codegen"],
+    "llm_quota_sample": ["window_exec", "pruning", "codegen"],
+    "join_exists_flag": ["broadcast", "partial_agg", "pruning", "codegen"],
+    "agg_moments": ["partial_agg", "pruning", "codegen"],
+    "events_top_sequences": ["window_exec", "partial_agg", "take_ordered", "pruning", "codegen"],
 }
 
 
