@@ -35,6 +35,12 @@ PROBES = [
     ("llm_dedup_url", "URL dedup: shuffle ~ one canonical-url column, not documents"),
     ("etl_dedup_incremental", "incremental dedup: anti-join ships 16-byte hashes only"),
     ("llm_containment_pairs", "containment: shuffle bounded by kept shingles (stop-shingle cap)"),
+    ("events_sessionize_gap", "gap sessionization: ONE user_id shuffle for two windows + agg"),
+    ("llm_dupspan_ngram", "4-gram dupspan: codegen gram expansion, shuffle = gram agg only"),
+    ("scan_partition_pruned_agg", "partition pruning: input bytes ~ 2 of 5 partitions"),
+    ("multimodal_video_frames", "video decode+stride: map-only, ZERO shuffle"),
+    ("tpch_q21_late_supplier_blame", "semi+anti chain: all legs on one orderkey exchange family"),
+    ("graph_triangle_count", "wedge join on checkpointed u<v edges: no cartesian"),
 ]
 
 
