@@ -39,6 +39,7 @@ _MODULES = (
     "analysis_extra",
     "warehouse_extra",
     "training_extra",
+    "sqlsurface_extra",
     "geo_extra",
     "sampling",
     "sketches_extra",

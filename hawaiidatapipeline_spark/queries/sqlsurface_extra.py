@@ -1,0 +1,154 @@
+"""Modern SQL surface — Spark-4 conveniences and safety functions.
+
+GROUP BY ALL, star-EXCEPT projection, the ANSI-mode ``try_*`` escape
+hatches, an explicit SHUFFLE_HASH join-strategy hint, and the hidden
+``_metadata`` file-lineage column. Small operators individually, but
+they are the surface a SQL-first user touches daily; each has an exact
+DuckDB twin (EXCLUDE, GROUP BY ALL, NULL-on-error division/cast/index,
+``read_parquet(filename=true)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+
+@q(
+    "sql_group_by_all",
+    """SELECT o_orderpriority, year(o_orderdate) AS yr,
+              count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders
+       GROUP BY ALL
+       ORDER BY o_orderpriority, yr""",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — every non-aggregate select item becomes a grouping
+    key (the anti-boilerplate form both Spark 4 and DuckDB standardize).
+    Resolution happens in the analyzer; the physical plan is the
+    identical two-phase hash aggregate the explicit form produces."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql(
+        """SELECT o_orderpriority, year(o_orderdate) AS yr,
+                  count(*) AS n, round(sum(o_totalprice), 2) AS total
+           FROM orders_gba
+           GROUP BY ALL
+           ORDER BY o_orderpriority, yr"""
+    )
+
+
+@q(
+    "sql_star_except",
+    """SELECT * EXCLUDE (n_comment_len)
+       FROM (SELECT n.n_nationkey, n.n_name, r.r_name AS region_name,
+                    length(n.n_name) AS n_comment_len
+             FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey) t
+       ORDER BY n_nationkey""",
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * EXCEPT (...)`` — project everything but the listed
+    columns (DuckDB spells it EXCLUDE). The exclusion resolves at
+    analysis time into an ordinary pruned projection, so the scan's
+    ReadSchema never reads the dropped column's ancestors more than the
+    plan needs — wide-table hygiene without enumerating 400 columns."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_se")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region_se")
+    return spark.sql(
+        """SELECT * EXCEPT (n_comment_len)
+           FROM (SELECT n.n_nationkey, n.n_name, r.r_name AS region_name,
+                        length(n.n_name) AS n_comment_len
+                 FROM nation_se n JOIN region_se r
+                   ON n.n_regionkey = r.r_regionkey) t
+           ORDER BY n_nationkey"""
+    )
+
+
+@q(
+    "fn_try_safe",
+    """SELECT p_partkey,
+              (p_size * 10) / (p_size % 3) AS safe_div,
+              TRY_CAST(substring(p_brand, 7) AS INT) AS brand_num,
+              TRY_CAST(p_type AS INT) AS bad_cast,
+              string_split(p_name, ' ')[3] AS third_word
+       FROM part
+       ORDER BY p_partkey
+       LIMIT 40""",
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-mode safety family: try_divide (NULL on zero divisor
+    instead of the error Spark 4's default ANSI mode raises), try_cast
+    (NULL on malformed input), try_element_at (NULL past the end).
+    DuckDB's native semantics already return NULL for each case, so the
+    oracle is the plain expression. This is the documented escape hatch
+    that keeps dirty-data pipelines running under ANSI SQL."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.try_divide(F.col("p_size") * 10, F.col("p_size") % 3).alias("safe_div"),
+            F.expr("try_cast(substring(p_brand, 7) AS INT)").alias("brand_num"),
+            F.expr("try_cast(p_type AS INT)").alias("bad_cast"),
+            F.try_element_at(F.split("p_name", " "), F.lit(3)).alias("third_word"),
+        )
+        .orderBy("p_partkey")
+        .limit(40)
+    )
+
+
+@q(
+    "join_hint_shuffle_hash",
+    """SELECT o.o_orderpriority, count(*) AS n_items,
+              round(sum(l.l_extendedprice), 2) AS total
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY o.o_orderpriority
+       ORDER BY o.o_orderpriority""",
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit SHUFFLE_HASH strategy hint: build a hash table per
+    partition instead of sorting both sides (SMJ) — the right call when
+    one side is much smaller than the other but too big to broadcast,
+    because it skips both sorts. The hint only constrains strategy
+    selection; the result is identical, which is exactly what the oracle
+    checks. Plan-asserted as ShuffledHashJoin in tools/explain_audit.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "scan_file_metadata",
+    # the fixture table is one file, so the expected lineage report is a
+    # single (file_name, row_count) row; DuckDB's equivalent mechanism is
+    # read_parquet(..., filename=true), which the driver's table views
+    # abstract away — the content contract is what's checked here
+    """SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows
+       FROM lineitem
+       GROUP BY file_name
+       ORDER BY file_name""",
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden ``_metadata`` column: per-source-file lineage surfaced
+    as ordinary data (file_name here; row_index/size/mtime also exist) —
+    the debugging handle for "which input file produced this bad row".
+    Constant-folded from the scan's own bookkeeping: no extra I/O, no
+    shuffle beyond the tiny per-file aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("file_name")
+    )

@@ -161,6 +161,11 @@ AUDITS: dict[str, list[str]] = {
     "join_exists_flag": ["broadcast", "partial_agg", "pruning", "codegen"],
     "agg_moments": ["partial_agg", "pruning", "codegen"],
     "events_top_sequences": ["window_exec", "partial_agg", "take_ordered", "pruning", "codegen"],
+    "sql_group_by_all": ["partial_agg", "pruning", "codegen"],
+    "sql_star_except": ["pruning", "broadcast", "codegen"],
+    "fn_try_safe": ["take_ordered", "pruning", "codegen"],
+    "join_hint_shuffle_hash": ["shuffled_hash_join", "partial_agg", "pruning", "codegen"],
+    "scan_file_metadata": ["partial_agg", "codegen"],
 }
 
 
@@ -225,6 +230,9 @@ def check(name: str, plan: str) -> list[tuple[str, bool, str]]:
             a("take_ordered", "TakeOrderedAndProject" in p, "top-k fused operator")
         elif assertion == "generate_exec":
             a("generate_exec", "Generate" in p, "Generate (explode) operator")
+        elif assertion == "shuffled_hash_join":
+            a("shuffled_hash_join", "ShuffledHashJoin" in p,
+              "SHUFFLE_HASH hint honored (per-partition hash build, no sorts)")
         elif assertion == "partition_filters":
             ok = any(
                 "PartitionFilters: [" in line and "PartitionFilters: []" not in line
