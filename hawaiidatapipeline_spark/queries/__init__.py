@@ -40,6 +40,7 @@ _MODULES = (
     "warehouse_extra",
     "training_extra",
     "sqlsurface_extra",
+    "functional_extra",
     "geo_extra",
     "sampling",
     "sketches_extra",

@@ -166,6 +166,10 @@ AUDITS: dict[str, list[str]] = {
     "fn_try_safe": ["take_ordered", "pruning", "codegen"],
     "join_hint_shuffle_hash": ["shuffled_hash_join", "partial_agg", "pruning", "codegen"],
     "scan_file_metadata": ["partial_agg", "codegen"],
+    "fn_lambda_arrays": ["take_ordered", "pruning", "codegen"],
+    "etl_scd2_pit_join": ["window_exec", "partial_agg", "no_cartesian", "pruning", "codegen"],
+    "agg_weighted_stats": ["partial_agg", "pruning", "codegen"],
+    "events_ab_lift": ["partial_agg", "pruning", "codegen"],
 }
 
 
