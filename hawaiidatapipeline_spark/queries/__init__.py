@@ -41,6 +41,7 @@ _MODULES = (
     "training_extra",
     "sqlsurface_extra",
     "functional_extra",
+    "patterns_extra",
     "geo_extra",
     "sampling",
     "sketches_extra",

@@ -1,0 +1,163 @@
+"""Scale-pattern demonstrations and corpus-inequality analytics.
+
+Each query here exists to make a 100 TB engineering pattern checkable:
+the manual two-phase distinct (the skew-safe COUNT DISTINCT), prefix-
+duplication clustering (the boilerplate gate), arbitrary-interval time
+bucketing (``window()`` beyond what ``date_trunc`` can express), and an
+exact Gini coefficient over ranked sums (inequality profiling of the
+token budget across sources).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+
+@q(
+    "agg_distinct_two_phase",
+    """WITH dedup AS (
+         SELECT l_returnflag, l_partkey FROM lineitem GROUP BY 1, 2)
+       SELECT l_returnflag, count(*) AS n_parts
+       FROM dedup GROUP BY l_returnflag
+       ORDER BY l_returnflag""",
+)
+def agg_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) spelled as its two-phase expansion — dedupe on
+    (group, value), then count per group. Same result as
+    ``countDistinct`` (which Catalyst expands to exactly this), but
+    writing it explicitly lets you re-partition the FIRST phase on
+    (group, value) when one group holds most of the data — the skew
+    control single-phase distinct cannot express. Both phases partial-
+    aggregate map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dedup = li.groupBy("l_returnflag", "l_partkey").agg(F.lit(1).alias("_one"))
+    return (
+        dedup.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "llm_prefix_clusters",
+    """WITH pfx AS (
+         SELECT doc_id,
+                md5(array_to_string(
+                    list_slice(string_split(text, ' '), 1, 8), ' ')) AS prefix_md5
+         FROM documents)
+       SELECT prefix_md5, count(*) AS n_docs,
+              min(doc_id) AS canonical_doc
+       FROM pfx GROUP BY prefix_md5
+       HAVING count(*) >= 2
+       ORDER BY n_docs DESC, prefix_md5
+       LIMIT 25""",
+)
+def llm_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-prefix duplication clusters: documents sharing their first
+    8 tokens (the template/boilerplate signature — scraped pages that
+    differ only past the header land in one cluster). One md5 per doc,
+    one groupBy on the 16-byte digest — the cheapest dedup gate in the
+    curation funnel, run BEFORE the expensive shingle passes to shrink
+    their input. min(doc_id) picks the deterministic survivor."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
+    return (
+        d.select("doc_id", prefix.alias("prefix_md5"))
+        .groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "prefix_md5")
+        .limit(25)
+    )
+
+
+@q(
+    "fn_time_bucket",
+    """SELECT time_bucket(INTERVAL '90 minutes', ts) AS bucket_start,
+              count(*) AS n,
+              round(sum(value), 6) AS total_value
+       FROM events
+       GROUP BY bucket_start
+       ORDER BY bucket_start
+       LIMIT 40""",
+)
+def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-interval time bucketing via ``window()`` — 90-minute
+    buckets, which ``date_trunc`` cannot express. Spark's window origin
+    is the 1970 epoch and DuckDB's time_bucket origin (2000-01-01) is an
+    exact multiple of 90 minutes later, so the bucket boundaries agree —
+    a real interoperability contract worth pinning in a test. The bucket
+    assignment is pure arithmetic on the timestamp (no state), so this
+    stays a two-phase hash aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "90 minutes").getField("start").alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("bucket_start")
+        .limit(40)
+    )
+
+
+@q(
+    "llm_length_gini",
+    """WITH ranked AS (
+         SELECT source, n_chars,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY n_chars, doc_id) AS rk,
+                count(*) OVER (PARTITION BY source) AS n,
+                sum(n_chars) OVER (PARTITION BY source) AS total
+         FROM documents)
+       SELECT source,
+              n::BIGINT AS n_docs,
+              total::BIGINT AS total_chars,
+              round((2.0 * sum(rk * n_chars::BIGINT)) / (n * total)
+                    - (n + 1.0) / n, 6) AS gini
+       FROM ranked
+       GROUP BY source, n, total
+       ORDER BY source""",
+)
+def llm_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per source — the inequality
+    profile of the token budget (a source whose Gini approaches 1 is a
+    few giant documents plus noise; near 0 is uniform). Exact integer
+    rank·length sums under a deterministic (n_chars, doc_id) order make
+    the statistic hash-portable. One window shuffle per source partition
+    + a per-source aggregate; at 100 TB the rank is the standard
+    distributed sort this engine already relies on everywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wp = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("n_chars").over(wp).alias("total"),
+    )
+    return (
+        ranked.groupBy("source", "n", "total")
+        .agg(F.sum(F.col("rk") * F.col("n_chars").cast("long")).alias("s_rx"))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("total").cast("long").alias("total_chars"),
+            F.round(
+                (2.0 * F.col("s_rx")) / (F.col("n") * F.col("total"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )

@@ -170,6 +170,10 @@ AUDITS: dict[str, list[str]] = {
     "etl_scd2_pit_join": ["window_exec", "partial_agg", "no_cartesian", "pruning", "codegen"],
     "agg_weighted_stats": ["partial_agg", "pruning", "codegen"],
     "events_ab_lift": ["partial_agg", "pruning", "codegen"],
+    "agg_distinct_two_phase": ["partial_agg", "pruning", "codegen"],
+    "llm_prefix_clusters": ["partial_agg", "take_ordered", "pruning", "codegen"],
+    "fn_time_bucket": ["partial_agg", "pruning", "codegen"],
+    "llm_length_gini": ["window_exec", "partial_agg", "pruning", "codegen"],
 }
 
 
