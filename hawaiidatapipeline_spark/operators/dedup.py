@@ -64,7 +64,14 @@ def minhash_signatures(
     can recompute signatures bit-for-bit. Either way the groupBy is a
     partial-aggregated min — one linear shuffle."""
     if hash_fn == "xxhash64":
-        cols = [F.min(F.xxhash64("token", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+        # hash the variable-length token string ONCE, then derive the
+        # n_hashes permutations from the fixed-width base hash — xxhash64
+        # over (long, int) is length-independent, so the per-token hash
+        # cost drops from 32 string traversals to 1 + 32 word mixes
+        tok = tok.withColumn("_bh", F.xxhash64("token"))
+        cols = [
+            F.min(F.xxhash64("_bh", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
+        ]
     elif hash_fn == "md5":
         cols = [
             F.min(portable_hash64(F.col("token"), i)).alias(f"h{i}")
