@@ -204,3 +204,53 @@ class TestVideoStride:
             assert rows[i]["n_sampled"] == len(sampled)
             exp_r = np.mean([(i + 11 * f) % 256 for f in sampled])
             assert rows[i]["mean_r"] == pytest.approx(exp_r, abs=1e-6)
+
+
+class TestTimeBucketAlignment:
+    def test_spark_window_matches_duckdb_time_bucket_origin(self, spark):
+        """fn_time_bucket's cross-engine contract: Spark's epoch-origin
+        window() and DuckDB's 2000-origin time_bucket agree for 90-minute
+        intervals because 2000-01-01 is an exact multiple of 90 min past
+        the epoch. Pin it for a handful of awkward timestamps."""
+        import duckdb
+
+        ts = [
+            "2024-01-01 01:40:00",
+            "1999-12-31 23:10:00",
+            "2024-06-15 00:44:59",
+            "1970-01-01 01:29:59",
+        ]
+        sdf = spark.createDataFrame([(t,) for t in ts], "s string").select(
+            F.window(F.col("s").cast("timestamp"), "90 minutes")
+            .getField("start")
+            .alias("b")
+        )
+        got = [r["b"].strftime("%Y-%m-%d %H:%M:%S") for r in sdf.collect()]
+        con = duckdb.connect()
+        exp = [
+            con.execute(
+                f"SELECT strftime(time_bucket(INTERVAL '90 minutes', TIMESTAMP '{t}'), '%Y-%m-%d %H:%M:%S')"
+            ).fetchone()[0]
+            for t in ts
+        ]
+        assert got == exp
+
+
+class TestLengthGini:
+    def test_gini_bounds_and_uniform_case(self, spark):
+        """Uniform lengths → Gini 0; results always within [0, 1)."""
+        from hawaiidatapipeline_spark.queries import collect
+
+        queries, _ = collect()
+        rows = queries["llm_length_gini"](spark, SF0001).collect()
+        assert rows and all(0.0 <= r["gini"] < 1.0 for r in rows)
+        uniform = spark.createDataFrame(
+            [(i, "s", 100) for i in range(10)], "doc_id long, source string, n_chars long"
+        )
+        import os, tempfile
+        d = tempfile.mkdtemp(prefix="gini")
+        uniform.withColumn("text", F.lit("x")).withColumn(
+            "lang", F.lit("en")
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = queries["llm_length_gini"](spark, d).collect()
+        assert out[0]["gini"] == 0.0
