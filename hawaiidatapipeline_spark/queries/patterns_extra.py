@@ -161,3 +161,93 @@ def llm_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q(
+    "ts_percentile_bands",
+    """SELECT event_type,
+              date_trunc('day', ts) AS day,
+              count(*) AS n,
+              round(quantile_cont(value, 0.5), 6) AS p50,
+              round(quantile_cont(value, 0.95), 6) AS p95
+       FROM events
+       GROUP BY event_type, day
+       ORDER BY event_type, day
+       LIMIT 60""",
+)
+def ts_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-dashboard percentile bands: exact interpolated P50/P95 of
+    the value column per (event_type, day) — the SLO readout shape.
+    Exact percentile sorts within each group, which is fine while groups
+    are day-sized; the approx sketch twin (`agg_percentile_approx`) is
+    the drop-in when a single group outgrows an executor. One shuffle on
+    the composite group key."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        )
+        .orderBy("event_type", "day")
+        .limit(60)
+    )
+
+
+@q(
+    "llm_ngram_novelty",
+    """WITH g AS (
+         SELECT d.doc_id, array_to_string(d.ws[t.i:t.i+3], ' ') AS gram
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+         LATERAL (SELECT unnest(range(1, greatest(len(d.ws) - 2, 1))) AS i) t),
+       first_seen AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+       per_doc AS (
+         SELECT g.doc_id,
+                count(*) AS n_grams,
+                sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+         FROM g JOIN first_seen f ON g.gram = f.gram
+         GROUP BY g.doc_id)
+       SELECT doc_id, n_grams,
+              round(n_novel * 1.0 / n_grams, 6) AS novelty
+       FROM per_doc
+       ORDER BY novelty, doc_id
+       LIMIT 50""",
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-order novelty score: the fraction of a document's word
+    4-grams whose corpus-wide FIRST occurrence (min doc_id, standing in
+    for arrival order) is this document. The streaming-curation signal —
+    a feed whose novelty trend collapses toward 0 has started re-sending
+    old content. Reuses the same codegen gram expansion as
+    llm_dupspan_ngram; the first-seen table is one groupBy and the
+    join-back keys on the gram hash — two shuffles, both linear. Lowest
+    50 novelty docs = the most derivative documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 3, 0)),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 4)))"
+            )
+        ).alias("gram"),
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("_n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round(F.col("_n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+        .orderBy("novelty", "doc_id")
+        .limit(50)
+    )

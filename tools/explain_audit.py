@@ -174,6 +174,8 @@ AUDITS: dict[str, list[str]] = {
     "llm_prefix_clusters": ["partial_agg", "take_ordered", "pruning", "codegen"],
     "fn_time_bucket": ["partial_agg", "pruning", "codegen"],
     "llm_length_gini": ["window_exec", "partial_agg", "pruning", "codegen"],
+    "ts_percentile_bands": ["partial_agg", "pruning", "codegen"],
+    "llm_ngram_novelty": ["generate_exec", "partial_agg", "take_ordered", "pruning", "codegen"],
 }
 
 
