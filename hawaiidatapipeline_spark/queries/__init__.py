@@ -19,10 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Registry order drives the driver's correctness sweep, which records the
-# FIRST 50 entries per round. Rounds 1+2 proved 97 keys green
-# (CORRECTNESS_r01.json + CORRECTNESS_r02.json, disjoint windows); the
-# round-3 window (below) fronts the 3 fail-on-record keys (fixed, must
-# re-prove) + 47 never-checked keys, leaving ~30 for round 4.
+# FIRST 50 entries per round. Rounds 1-3 proved 147 keys green
+# (CORRECTNESS_r01/r02/r03.json, disjoint windows, 0 standing failures);
+# the round-4 window (below) fronts the 50 keys never driver-checked as
+# of round 3. Keys added during round 4 queue for the round-5 rotation.
 _MODULES = (
     "functions",
     "events",
@@ -69,9 +69,8 @@ _MODULES = (
 # tools/rotate_window.py with all CORRECTNESS_r*.json files — it rewrites
 # this tuple to fail-on-record keys first, then never-checked keys.
 #
-# Round-3 window: 3 fail-on-record keys (fn_money_decimal,
-# llm_lang_source_matrix, agg_collect_sorted — all fixed this round) +
-# 47 never-driver-checked keys.
+# Round-4 window: exactly the 50 keys with no driver row after round 3
+# (windows family, etl_*, corpus pipelines v1-v4, fn_bitwise, ...).
 _FRONT: tuple[str, ...] = (
     'fn_bitwise', 'ts_interpolate_linear', 'events_user_lifecycle',
     'multimodal_decode_tolerant', 'scan_xml_roundtrip', 'fn_variant_json',
