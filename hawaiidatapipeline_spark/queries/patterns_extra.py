@@ -232,7 +232,7 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> concat_ws(' ', slice(split(text, ' '), i, 4)))"
             )
         ).alias("gram"),
-    )
+    ).localCheckpoint()  # feeds two branches — expand the grams ONCE
     first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (
         grams.join(first_seen, "gram")

@@ -175,7 +175,9 @@ AUDITS: dict[str, list[str]] = {
     "fn_time_bucket": ["partial_agg", "pruning", "codegen"],
     "llm_length_gini": ["window_exec", "partial_agg", "pruning", "codegen"],
     "ts_percentile_bands": ["partial_agg", "pruning", "codegen"],
-    "llm_ngram_novelty": ["generate_exec", "partial_agg", "take_ordered", "pruning", "codegen"],
+    # (grams are localCheckpoint-materialized — the final plan scans the
+    # checkpoint, so no Generate/scan-pruning to assert, like minhash)
+    "llm_ngram_novelty": ["partial_agg", "take_ordered", "no_cartesian", "codegen"],
 }
 
 
