@@ -100,3 +100,96 @@ def test_url_canonicalization_idempotent(spark, host, path, param, utm, frag):
         canonicalize_url(F.col("url")).alias("c2")
     )
     assert [r.c1 for r in once.collect()] == [r.c2 for r in twice.collect()]
+
+
+# --- round-4 operator properties -------------------------------------------
+
+EVENT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user_id (few → collisions)
+        st.integers(min_value=0, max_value=20000),  # offset seconds
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=EVENT_ROWS)
+@SLOW
+def test_sessionize_gap_partitions_events_exactly(spark, rows):
+    """Gap sessionization is a PARTITION of each user's events: session
+    sizes sum to the user's event count, and the number of sessions is
+    1 + the number of >1800 s gaps in the sorted timeline."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(seconds=s), u, "view", 0.0, "{}")
+            for i, (u, s) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import os, tempfile
+
+    d = tempfile.mkdtemp(prefix="prop_sess")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    from hawaiidatapipeline_spark.queries import collect
+
+    out = collect()[0]["events_sessionize_gap"](spark, d).collect()
+    per_user_events = {}
+    per_user_times = {}
+    for i, (u, s) in enumerate(rows):
+        per_user_events[u] = per_user_events.get(u, 0) + 1
+        per_user_times.setdefault(u, []).append(s)
+    got_counts = {}
+    for r in out:
+        got_counts[r["user_id"]] = got_counts.get(r["user_id"], 0) + r["n_events"]
+    assert got_counts == per_user_events
+    for u, times in per_user_times.items():
+        times.sort()
+        expected_sessions = 1 + sum(
+            1 for a, b in zip(times, times[1:]) if b - a > 1800
+        )
+        assert sum(1 for r in out if r["user_id"] == u) == expected_sessions
+
+
+@given(rows=EVENT_ROWS)
+@SLOW
+def test_rate_limit_conserves_rows(spark, rows):
+    """kept + dropped over ALL users equals the total event count, and no
+    (user, hour) keeps more than the cap."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(seconds=s), u)
+            for i, (u, s) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long",
+    )
+    w = Window.partitionBy("user_id", F.date_trunc("hour", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    ranked = df.select("user_id", F.row_number().over(w).alias("rn"))
+    agg = ranked.agg(
+        F.count(F.when(F.col("rn") <= 2, 1)).alias("kept"),
+        F.count(F.when(F.col("rn") > 2, 1)).alias("dropped"),
+    ).collect()[0]
+    assert agg["kept"] + agg["dropped"] == len(rows)
+    per_key_kept = (
+        ranked.filter(F.col("rn") <= 2)
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    # a user has at most 2 kept events per distinct hour they appear in
+    hours = {}
+    for i, (u, s) in enumerate(rows):
+        hours.setdefault(u, set()).add(s // 3600)
+    for r in per_key_kept:
+        assert r["count"] <= 2 * len(hours[r["user_id"]])
