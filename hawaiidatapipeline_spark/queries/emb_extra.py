@@ -9,7 +9,7 @@ engines, so even the quantized codes hash-match the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
@@ -128,3 +128,96 @@ def llm_cosine_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
     top = cosine_topk_gemm_sharded(e, k=20, n_shards=4, n_probe_blocks=2)
     return top.select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+_KM_K = 4
+_KM_ROUNDS = 3
+
+
+def _kmeans_sql() -> str:
+    """Unrolled fixed-point k-means rounds as CTEs (pagerank idiom:
+    integer arithmetic makes an iterative algorithm hash-verifiable)."""
+    step = """
+d{i} AS (SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS dist
+         FROM qv v JOIN c{p} c ON v.d = c.d GROUP BY v.vec_id, c.cid),
+a{i} AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+           FROM d{i}) t WHERE rn = 1),
+c{i} AS (SELECT a.cid, v.d, floor(sum(v.q) * 1.0 / count(*))::BIGINT AS cq
+         FROM a{i} a JOIN qv v ON a.vec_id = v.vec_id GROUP BY a.cid, v.d)"""
+    rounds = ",".join(step.format(i=i, p=i - 1) for i in range(1, _KM_ROUNDS + 1))
+    return f"""WITH qv AS (
+         SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+                round(unnest(embedding) * 1000)::BIGINT AS q
+         FROM embeddings),
+       c0 AS (SELECT vec_id AS cid, d, q AS cq FROM qv WHERE vec_id < {_KM_K}),
+       {rounds}
+       SELECT a.cid, count(DISTINCT a.vec_id) AS n_members,
+              min(cs.checksum)::BIGINT AS centroid_checksum
+       FROM a{_KM_ROUNDS} a
+       JOIN (SELECT cid, sum(cq) AS checksum FROM c{_KM_ROUNDS} GROUP BY cid) cs
+         ON cs.cid = a.cid
+       GROUP BY a.cid
+       ORDER BY a.cid"""
+
+
+@q("ml_kmeans_fixed_point", _kmeans_sql())
+def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=4, 3 synchronous Lloyd rounds) over the
+    embedding corpus in exact integer fixed-point — the iterative-ML
+    counterpart of graph_pagerank_copurchase: milli-unit quantization,
+    squared-integer distances, floor-average centroid updates, and a
+    deterministic (dist, cid) argmin make every round bit-reproducible,
+    so the DuckDB oracle unrolls the rounds as CTEs and matches the hash.
+    Per round: one broadcast of k·dim centroid cells against the
+    posexploded corpus, one (vec, cid) partial-aggregated distance
+    groupBy, one argmin window, one centroid groupBy — all linear in
+    corpus size, centroids localCheckpoint'd so the plan never deepens.
+    This is the scale shape of IVF coarse-quantizer training
+    (operators/similarity.py uses the float version; this is its
+    hash-checkable twin)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+    ).localCheckpoint()
+    centroids = (
+        qv.filter(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
+        .localCheckpoint()
+    )
+    assign = None
+    for _ in range(_KM_ROUNDS):
+        dists = (
+            qv.join(F.broadcast(centroids), "d")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        assign = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+            .localCheckpoint()
+        )
+        centroids = (
+            assign.join(qv, "vec_id")
+            .groupBy("cid", "d")
+            .agg(
+                F.floor(F.sum("q") * 1.0 / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cq")
+            )
+            .localCheckpoint()
+        )
+    checks = centroids.groupBy("cid").agg(F.sum("cq").alias("centroid_checksum"))
+    return (
+        assign.groupBy("cid")
+        .agg(F.countDistinct("vec_id").alias("n_members"))
+        .join(F.broadcast(checks), "cid")
+        .select("cid", "n_members", "centroid_checksum")
+        .orderBy("cid")
+    )

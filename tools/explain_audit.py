@@ -175,6 +175,9 @@ AUDITS: dict[str, list[str]] = {
     "fn_time_bucket": ["partial_agg", "pruning", "codegen"],
     "llm_length_gini": ["window_exec", "partial_agg", "pruning", "codegen"],
     "ts_percentile_bands": ["partial_agg", "pruning", "codegen"],
+    # (final plan reads the round-3 checkpoint — per-round shape is the
+    # broadcast-centroid join asserted by the oracle, as with pagerank)
+    "ml_kmeans_fixed_point": ["no_cartesian", "partial_agg"],
     # (grams are localCheckpoint-materialized — the final plan scans the
     # checkpoint, so no Generate/scan-pruning to assert, like minhash)
     "llm_ngram_novelty": ["partial_agg", "take_ordered", "no_cartesian", "codegen"],
