@@ -86,6 +86,49 @@ def http_page_fetcher(
     return fetch
 
 
+def with_retry(
+    fetch_page: PageFetcher,
+    max_attempts: int = 4,
+    base_delay: float = 0.5,
+    sleep=None,
+    retryable: Callable[[Exception], bool] | None = None,
+) -> PageFetcher:
+    """Wrap a page fetcher with exponential-backoff retry — the missing
+    half of every naive SODA paging loop (Socrata throttles with 429 and
+    transient 5xx; a multi-hour backfill WILL hit both). Delays double per
+    attempt (0.5, 1, 2 s ...); the final failure re-raises the original
+    error. ``retryable`` filters which exceptions retry (default: HTTP
+    429/5xx status codes and URLError-ish connection failures; ValueError
+    and friends fail fast — a malformed page never fixes itself).
+    ``sleep`` is injectable for tests."""
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+
+    def _default_retryable(exc: Exception) -> bool:
+        code = getattr(exc, "code", None)  # urllib HTTPError
+        if isinstance(code, int):
+            return code == 429 or 500 <= code <= 599
+        name = type(exc).__name__
+        return name in ("URLError", "TimeoutError", "ConnectionError", "OSError")
+
+    is_retryable = retryable if retryable is not None else _default_retryable
+
+    def fetch(offset: int, limit: int) -> list[dict]:
+        delay = base_delay
+        for attempt in range(1, max_attempts + 1):
+            try:
+                return fetch_page(offset, limit)
+            except Exception as exc:  # noqa: BLE001
+                if attempt == max_attempts or not is_retryable(exc):
+                    raise
+                do_sleep(delay)
+                delay *= 2
+        raise AssertionError("unreachable")
+
+    return fetch
+
+
 def iter_pages(fetch_page: PageFetcher, page_size: int = 1000, max_rows: int | None = None) -> Iterator[list[dict]]:
     """The reference's core loop: pull pages until a short/empty page."""
     offset = 0

@@ -207,3 +207,61 @@ def test_stream_landed_pages(spark, tmp_path):
     got = spark.table("t_landed")
     assert got.count() == 2345
     assert len(q.recentProgress) >= 3  # one micro-batch per landed page file
+
+
+class TestWithRetry:
+    def test_transient_429_retries_then_succeeds(self):
+        from hawaiidatapipeline_spark.sources.ingest import with_retry
+
+        class FakeHTTPError(Exception):
+            def __init__(self, code):
+                self.code = code
+
+        calls, slept = [], []
+
+        def flaky(offset, limit):
+            calls.append(offset)
+            if len(calls) < 3:
+                raise FakeHTTPError(429)
+            return [{"id": offset}]
+
+        fetch = with_retry(flaky, max_attempts=4, base_delay=0.5, sleep=slept.append)
+        assert fetch(0, 10) == [{"id": 0}]
+        assert len(calls) == 3
+        assert slept == [0.5, 1.0]  # exponential backoff
+
+    def test_non_retryable_fails_fast(self):
+        from hawaiidatapipeline_spark.sources.ingest import with_retry
+
+        calls = []
+
+        def bad(offset, limit):
+            calls.append(offset)
+            raise ValueError("malformed page")
+
+        fetch = with_retry(bad, sleep=lambda s: None)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            fetch(0, 10)
+        assert len(calls) == 1  # no retry on permanent errors
+
+    def test_exhausted_attempts_reraise(self):
+        from hawaiidatapipeline_spark.sources.ingest import with_retry
+
+        class FakeHTTPError(Exception):
+            def __init__(self, code):
+                self.code = code
+
+        calls, slept = [], []
+
+        def always_503(offset, limit):
+            calls.append(offset)
+            raise FakeHTTPError(503)
+
+        fetch = with_retry(always_503, max_attempts=3, sleep=slept.append)
+        import pytest as _pytest
+
+        with _pytest.raises(FakeHTTPError):
+            fetch(0, 10)
+        assert len(calls) == 3 and len(slept) == 2
