@@ -476,3 +476,145 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+@q(
+    "tpch_q2_min_cost_supplier",
+    """WITH sp AS (
+         SELECT DISTINCT l.l_partkey AS partkey, l.l_suppkey AS suppkey
+         FROM lineitem l),
+       ranked AS (
+         SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+                n.n_name AS nation,
+                row_number() OVER (PARTITION BY p.p_partkey
+                                   ORDER BY s.s_acctbal, s.s_suppkey) AS rk
+         FROM part p
+         JOIN sp ON sp.partkey = p.p_partkey
+         JOIN supplier s ON s.s_suppkey = sp.suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE p.p_size <= 10 AND p.p_type = 'LARGE')
+       SELECT p_partkey, p_name, s_suppkey, s_name,
+              round(s_acctbal, 2) AS s_acctbal, nation
+       FROM ranked WHERE rk = 1
+       ORDER BY s_acctbal DESC, p_partkey
+       LIMIT 20""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (minimum-cost supplier per part; no partsupp in the
+    fixture, so supplier-part pairs derive from shipped lineitems and
+    s_acctbal proxies the supply cost): the correlated min-subquery is
+    the classic decorrelation target — here stated directly as a rank-1
+    window over the pairs, which is both the Catalyst rewrite and the
+    scale-safe plan (one shuffle on partkey; the filtered part dim
+    broadcasts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("p_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        sp.join(F.broadcast(p), sp.partkey == p.p_partkey)
+        .join(F.broadcast(s), sp.suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
+            F.col("n_name").alias("nation"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"), "nation",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q11_important_stock",
+    """WITH nation_stock AS (
+         SELECT l.l_partkey,
+                sum((l.l_quantity * p.p_retailprice)::DECIMAL(28,4)) AS value
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         WHERE n.n_name = 'NATION_3'
+         GROUP BY l.l_partkey)
+       SELECT l_partkey, round(value, 2)::DOUBLE AS stock_value
+       FROM nation_stock
+       WHERE value > (SELECT sum(value) * 0.001 FROM nation_stock)
+       ORDER BY stock_value DESC, l_partkey""",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock; partsupp's availqty·supplycost proxies
+    as shipped quantity · retail price for one nation's suppliers): the
+    scalar-subquery threshold (0.1% of the nation total) computes as a
+    single-row aggregate over the SAME grouped result, broadcast back as
+    a cross join — Spark evaluates the CTE once for both consumers at
+    fixture scale and the exact-decimal sums keep both engines identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    stock = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_quantity") * F.col("p_retailprice")).cast("decimal(28,4)")
+            ).alias("value")
+        )
+        .localCheckpoint()  # two consumers: the rows and the global threshold
+    )
+    threshold = stock.agg((F.sum("value") * F.lit(0.001)).alias("thr"))
+    return (
+        stock.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("thr"))
+        .select(
+            "l_partkey", F.round("value", 2).cast("double").alias("stock_value")
+        )
+        .orderBy(F.col("stock_value").desc(), "l_partkey")
+    )
+
+
+@q(
+    "tpch_q12_late_lines_by_priority",
+    """SELECT year(l.l_shipdate) AS ship_year,
+              sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+              sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+       GROUP BY ship_year
+       ORDER BY ship_year""",
+)
+def tpch_q12_late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipping-delay audit; the fixture has no ship mode or
+    commit/receipt dates, so 'late' = shipped >90 days after the order
+    date and the two ship modes become ship years): the priority CASE
+    split rides the same conditional-aggregation shape as the original —
+    one orderkey join, the range predicate applied post-join, and a tiny
+    grouped output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
