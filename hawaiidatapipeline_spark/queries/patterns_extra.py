@@ -251,3 +251,128 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("novelty", "doc_id")
         .limit(50)
     )
+
+
+@q(
+    "agg_median_absolute_deviation",
+    """WITH med AS (
+         SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l.l_returnflag,
+              round(min(med.m), 6) AS median_price,
+              round(quantile_cont(abs(l.l_extendedprice - med.m), 0.5), 6) AS mad
+       FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+       GROUP BY l.l_returnflag
+       ORDER BY l.l_returnflag""",
+)
+def agg_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion measure
+    outlier-heavy pipelines use where stddev misleads. Two exact-percentile
+    passes: per-group median, broadcast back (|groups| rows), then the
+    median of absolute deviations. Both medians interpolate identically in
+    both engines, so the statistic hash-matches. At 100 TB swap the exact
+    percentile for the sketch tier per pass — same plan shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("m")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("m"), 6).alias("median_price"),
+            F.round(
+                F.expr("percentile(abs(l_extendedprice - m), 0.5)"), 6
+            ).alias("mad"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "graph_degree_distribution",
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+             FROM items a JOIN items b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+       deg AS (SELECT node, count(*) AS degree
+               FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) n
+               GROUP BY node)
+       SELECT degree, count(*) AS n_nodes
+       FROM deg GROUP BY degree
+       ORDER BY degree""",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (same edge set as
+    pagerank/triangles) — the first diagnostic before any graph algorithm:
+    a heavy right tail says 'orient by degree / salt the hubs' before the
+    wedge or message-passing joins. Two stacked narrow aggregates over the
+    undirected edge list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("u", "v")
+    )
+    nodes = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+@q(
+    "events_dau_mau",
+    """WITH daily AS (
+         SELECT date_trunc('day', ts) AS day,
+                date_trunc('month', ts) AS month,
+                count(DISTINCT user_id) AS dau
+         FROM events GROUP BY day, month),
+       monthly AS (
+         SELECT date_trunc('month', ts) AS month,
+                count(DISTINCT user_id) AS mau
+         FROM events GROUP BY month)
+       SELECT d.day, d.dau, m.mau,
+              round(d.dau * 1.0 / m.mau, 6) AS stickiness
+       FROM daily d JOIN monthly m ON d.month = m.month
+       ORDER BY d.day
+       LIMIT 45""",
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / MAU / stickiness — the product-health headline metric. Two
+    distinct-count aggregates at different grains joined on month; at
+    100 TB both become the mergeable KMV/HLL sketch tier
+    (agg_distinct_kmv) with identical plan shape, and the daily grain
+    partial-aggregates before the distinct shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("month", F.col("ts")).alias("month"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    monthly = e.groupBy(F.date_trunc("month", F.col("ts")).alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        daily.join(F.broadcast(monthly), "month")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.col("dau") * 1.0 / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+        .limit(45)
+    )
