@@ -233,3 +233,102 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Declared schema contract for the orders table, in Spark type vocabulary.
+# "o_expected_only" exercises the 'missing' verdict deterministically.
+_ORDERS_CONTRACT = (
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp_ntz"),
+    ("o_orderpriority", "string"),
+    ("o_expected_only", "date"),
+)
+
+
+def _schema_contract_oracle() -> str:
+    # the contract report is deterministic given the fixture schema, so the
+    # oracle is the literal expected table (Spark type names are the
+    # contract vocabulary; DuckDB's own type names differ by design)
+    rows = []
+    actual = {
+        "o_orderkey": "bigint", "o_custkey": "bigint",
+        "o_orderstatus": "string", "o_totalprice": "double",
+        "o_orderdate": "timestamp_ntz", "o_orderpriority": "string",
+    }
+    for name, expected in _ORDERS_CONTRACT:
+        act = actual.get(name)
+        status = "ok" if act == expected else ("missing" if act is None else "type_mismatch")
+        rows.append(f"('{name}', '{expected}', {repr(act) if act else 'NULL'}, '{status}')")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) +
+        ") t(column_name, expected_type, actual_type, status) ORDER BY column_name"
+    )
+
+
+@q("dq_schema_contract", _schema_contract_oracle())
+def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract validation — the governance gate a table must pass
+    before a pipeline consumes it: every contract column checked for
+    presence and exact Spark type, extra table columns reported as
+    'unexpected'. Pure metadata (df.schema) — zero data scanned, so the
+    gate costs nothing at any scale; the oracle pins the full expected
+    report. Complements dq_expectations (row-level rules) and
+    scan_schema_evolution (drift across file generations)."""
+    o = load_table(spark, sf_dir, "orders")
+    actual = {f.name: f.dataType.simpleString() for f in o.schema.fields}
+    rows = []
+    for name, expected in _ORDERS_CONTRACT:
+        act = actual.get(name)
+        status = (
+            "ok" if act == expected
+            else ("missing" if act is None else "type_mismatch")
+        )
+        rows.append((name, expected, act, status))
+    for name, act in actual.items():
+        if name not in {c for c, _ in _ORDERS_CONTRACT}:
+            rows.append((name, None, act, "unexpected"))
+    return spark.createDataFrame(
+        rows,
+        "column_name string, expected_type string, actual_type string, status string",
+    ).orderBy("column_name")
+
+
+@q(
+    "llm_dataset_card",
+    """SELECT count(*) AS n_docs,
+              count(DISTINCT source) AS n_sources,
+              count(DISTINCT lang) AS n_langs,
+              sum(n_chars)::BIGINT AS total_chars,
+              round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
+                    / count(*), 6) AS pct_en,
+              round(quantile_cont(n_chars, 0.5), 6) AS median_len,
+              round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
+                AS exact_dup_rate
+       FROM documents""",
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card a corpus release ships with: volume,
+    source/language diversity, length median, and exact-duplicate rate —
+    every number from ONE aggregation pass over the documents table
+    (the md5-distinct doubles as the dedup-rate probe). This is the
+    publishable artifact summarizing what the curation funnel
+    (llm_quality_gate_report) produced."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pct_en"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("median_len"),
+        F.round(
+            1.0 - F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+    )

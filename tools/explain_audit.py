@@ -181,6 +181,7 @@ AUDITS: dict[str, list[str]] = {
     "agg_median_absolute_deviation": ["broadcast_any", "partial_agg", "pruning", "codegen"],
     "graph_degree_distribution": ["partial_agg", "no_cartesian", "pruning", "codegen"],
     "events_dau_mau": ["broadcast_any", "partial_agg", "pruning", "codegen"],
+    "llm_dataset_card": ["partial_agg", "pruning", "codegen"],
     # (final plan reads the round-3 checkpoint — per-round shape is the
     # broadcast-centroid join asserted by the oracle, as with pagerank)
     "ml_kmeans_fixed_point": ["no_cartesian", "partial_agg"],
