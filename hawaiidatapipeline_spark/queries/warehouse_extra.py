@@ -332,3 +332,124 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6
         ).alias("exact_dup_rate"),
     )
+
+
+@q(
+    "etl_incremental_join_view",
+    """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0),
+       delta AS (SELECT * FROM orders WHERE o_orderkey % 5 = 0),
+       full_view AS (
+         SELECT c.c_mktsegment, count(*) AS n_orders,
+                round(sum(o.o_totalprice::DECIMAL(20,4)), 2)::DOUBLE AS total
+         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY c.c_mktsegment)
+       SELECT * FROM full_view ORDER BY c_mktsegment""",
+)
+def etl_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a join-view aggregate: the view over
+    customer⋈orders is NOT recomputed when an orders delta lands —
+    only Δorders⋈customer is joined and its partial aggregate MERGED into
+    the stored base-view state (sums add, counts add). The oracle is the
+    full recompute over base+delta, so the hash-match PROVES incremental
+    == full — the invariant every materialized-view maintainer owes its
+    users. At 100 TB the delta join touches |Δ| rows, not the fact
+    history; merge cost is |groups|."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.filter(F.col("o_orderkey") % 5 != 0)
+    delta = o.filter(F.col("o_orderkey") % 5 == 0)
+
+    def view_partial(orders_part):
+        return (
+            c.join(orders_part, c.c_custkey == orders_part.o_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias("_sum"),
+            )
+        )
+
+    stored = view_partial(base)          # the persisted view state
+    incr = view_partial(delta)           # the delta's partial aggregate
+    merged = (
+        stored.unionByName(incr)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("_sum").alias("_sum"),
+        )
+    )
+    return merged.select(
+        "c_mktsegment",
+        "n_orders",
+        F.round(F.col("_sum"), 2).cast("double").alias("total"),
+    ).orderBy("c_mktsegment")
+
+
+@q(
+    "etl_cdc_apply",
+    """WITH ops AS (
+         SELECT o_orderkey AS key, 1 AS op_seq, 'I' AS op,
+                o_totalprice AS price
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey, 2, 'U',
+                (o_totalprice::DECIMAL(18,2) * '1.2'::DECIMAL(2,1))::DOUBLE
+         FROM orders WHERE o_orderkey % 7 = 0
+         UNION ALL
+         SELECT o_orderkey, 3, 'D', NULL
+         FROM orders WHERE o_orderkey % 13 = 0),
+       folded AS (
+         SELECT key, op, price,
+                row_number() OVER (PARTITION BY key ORDER BY op_seq DESC) AS rn
+         FROM ops)
+       SELECT count(*) AS n_live,
+              sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END)::BIGINT AS n_updated,
+              round(sum(price::DECIMAL(20,4)), 2)::DOUBLE AS total_price
+       FROM folded WHERE rn = 1 AND op <> 'D'""",
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application with tombstones: an insert/update/delete
+    operation stream folds to final table state by last-writer-wins —
+    one row_number window over (key, op_seq DESC), keep rank 1, drop
+    tombstones. This is how a change feed (Debezium-style) materializes
+    without MERGE round-trips per batch: one shuffle on the key,
+    regardless of how many ops a key accumulated. The op stream here
+    derives deterministically from orders (all inserted, every 7th
+    repriced in exact decimal, every 13th deleted) so both engines fold
+    the identical log."""
+    o = load_table(spark, sf_dir, "orders")
+    inserts = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(1).alias("op_seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(2).alias("op_seq"),
+        F.lit("U").alias("op"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.2").cast("decimal(2,1)")
+        ).cast("double").alias("price"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(3).alias("op_seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    ops = inserts.unionByName(updates).unionByName(deletes)
+    w = Window.partitionBy("key").orderBy(F.col("op_seq").desc())
+    live = (
+        ops.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    return live.agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).cast("long").alias("n_updated"),
+        F.round(F.sum(F.col("price").cast("decimal(20,4)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
