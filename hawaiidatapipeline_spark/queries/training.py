@@ -864,3 +864,36 @@ def llm_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
         )
     )
+
+
+_CLUSTER_SIZES_SQL = _CLUSTERS_SQL.replace(
+    """SELECT node AS doc_id,
+       min(r) AS cluster_id,
+       node = min(r) AS is_kept
+FROM reach GROUP BY node""",
+    """SELECT n_members, count(*) AS n_clusters
+FROM (SELECT cluster_id, count(*) AS n_members
+      FROM (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node) l
+      GROUP BY cluster_id) s
+GROUP BY n_members ORDER BY n_members""",
+)
+
+
+@q("llm_dedup_cluster_sizes", _CLUSTER_SIZES_SQL)
+def llm_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the observability readout of a
+    dedup pass (a long tail of giant clusters means boilerplate is
+    swamping the corpus; all-pairs means the threshold is too loose).
+    Same connected components as llm_dedup_clusters, two more narrow
+    aggregates on top; the oracle reuses the transitive-closure CTE."""
+    from hawaiidatapipeline_spark.operators.dedup import connected_components
+    from hawaiidatapipeline_spark.queries.llm import llm_dedup_jaccard
+
+    labels = connected_components(llm_dedup_jaccard(spark, sf_dir))
+    return (
+        labels.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .groupBy("n_members")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("n_members")
+    )

@@ -453,3 +453,76 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@q(
+    "dq_column_masking",
+    """SELECT c_custkey,
+              md5(c_name) AS name_pseudonym,
+              CASE WHEN c_acctbal < 0 THEN 'negative'
+                   WHEN c_acctbal < 5000 THEN 'low'
+                   ELSE 'high' END AS acctbal_band,
+              c_mktsegment
+       FROM customer
+       ORDER BY c_custkey
+       LIMIT 30""",
+)
+def dq_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level masking view — the governance pattern for exposing a
+    table to a lower-privilege audience: direct identifiers replaced by a
+    deterministic pseudonym (md5 keeps joinability without revealing the
+    value) and sensitive numerics coarsened to bands. Pure projection:
+    zero join, zero shuffle, and the masked view composes with every
+    other operator because it IS a DataFrame. The pseudonym being
+    deterministic is what lets downstream aggregates still group
+    correctly — the same property the dedup family relies on."""
+    c = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return (
+        c.select(
+            "c_custkey",
+            F.md5("c_name").alias("name_pseudonym"),
+            band.alias("acctbal_band"),
+            "c_mktsegment",
+        )
+        .orderBy("c_custkey")
+        .limit(30)
+    )
+
+
+@q(
+    "sample_systematic",
+    """WITH numbered AS (
+         SELECT o_orderkey, o_totalprice,
+                row_number() OVER (ORDER BY o_orderkey) AS rn
+         FROM orders)
+       SELECT count(*) AS n_sampled,
+              round(sum(o_totalprice::DECIMAL(20,4)), 2)::DOUBLE AS sample_total,
+              min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+       FROM numbered WHERE rn % 20 = 1""",
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every-Nth) sampling under a total order — the sampling
+    family's fourth member beside Bernoulli/stratified/weighted: exact
+    5% rate, perfectly even coverage of the keyspace, deterministic.
+    The global row_number is the one genuinely serial step (a single-
+    partition window at fixture scale); at 100 TB use zipWithIndex-style
+    per-partition offsets or sample on (o_orderkey % 20) when keys are
+    dense — both noted here because the naive global window is the trap."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    numbered = o.select(
+        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+    )
+    return numbered.filter(F.col("rn") % 20 == 1).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(20,4)")), 2)
+        .cast("double")
+        .alias("sample_total"),
+        F.min("o_orderkey").alias("first_key"),
+        F.max("o_orderkey").alias("last_key"),
+    )

@@ -186,6 +186,8 @@ AUDITS: dict[str, list[str]] = {
     "llm_dataset_card": ["partial_agg", "pruning", "codegen"],
     "etl_incremental_join_view": ["broadcast_any", "partial_agg", "pruning", "codegen"],
     "etl_cdc_apply": ["window_exec", "partial_agg", "pruning", "codegen"],
+    "dq_column_masking": ["take_ordered", "pruning", "codegen"],
+    "sample_systematic": ["window_exec", "partial_agg", "pruning", "codegen"],
     # (final plan reads the round-3 checkpoint — per-round shape is the
     # broadcast-centroid join asserted by the oracle, as with pagerank)
     "ml_kmeans_fixed_point": ["no_cartesian", "partial_agg"],
