@@ -460,3 +460,83 @@ def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_cdc_sink(stream_df: DataFrame, target_path: str, key: str, checkpoint: str):
+    """foreachBatch CDC applier — the streaming twin of the batch
+    ``etl_cdc_apply`` fold. The stream carries (key, op ∈ I/U/D, op_seq,
+    payload); each micro-batch folds to last-writer-wins per key, then
+    applies against the target with op_seq arbitration BOTH ways: a
+    current row survives unless the batch holds a STRICTLY newer op for
+    its key, and a batch op lands only if it is newer than what the
+    target already recorded. Storing op_seq in the target is what makes
+    replayed or out-of-order batches idempotent — re-applying an old op
+    is a no-op, which is the property checkpoint-WAL replay needs.
+    Tombstones (op='D') are RETAINED in the target (not physically
+    removed): a late-arriving older insert must lose the op_seq
+    arbitration against the tombstone, or deleted keys resurrect — the
+    classic CDC-applier bug. ``read_cdc_target`` filters them on read;
+    a compaction pass may drop tombstones older than the source's
+    max-lateness window. Same temp-dir + atomic-swap write discipline as
+    run_merge_sink; a table format upgrades the body to MERGE with
+    snapshot isolation."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(key).orderBy(F.col("op_seq").desc())
+        folded = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            current = spark.read.parquet(target_path)
+        except Exception:  # first batch: empty target
+            current = None
+        if current is None:
+            merged = folded
+        else:
+            batch_seq = folded.select(
+                F.col(key).alias("_k"), F.col("op_seq").alias("_new_seq")
+            )
+            kept = (
+                current.join(batch_seq, current[key] == F.col("_k"), "left_outer")
+                .filter(
+                    F.col("_new_seq").isNull()
+                    | (F.col("op_seq") >= F.col("_new_seq"))
+                )
+                .drop("_k", "_new_seq")
+            )
+            cur_seq = current.select(
+                F.col(key).alias("_k"), F.col("op_seq").alias("_cur_seq")
+            )
+            landed = (
+                folded.join(cur_seq, folded[key] == F.col("_k"), "left_outer")
+                .filter(
+                    F.col("_cur_seq").isNull()
+                    | (F.col("op_seq") > F.col("_cur_seq"))
+                )
+                .drop("_k", "_cur_seq")
+            )
+            merged = kept.unionByName(landed)
+        tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target_path, ignore_errors=True)
+        os.replace(tmp, target_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cdc_target(spark: SparkSession, target_path: str) -> DataFrame:
+    """Live view over a run_cdc_sink target: retained tombstones filtered
+    out, bookkeeping columns dropped."""
+    return spark.read.parquet(target_path).filter(F.col("op") != "D").drop("op")

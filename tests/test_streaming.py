@@ -420,3 +420,60 @@ def test_interval_join_state_evicts_with_watermark(spark, tmp_path):
     # eviction bound: without watermark cleanup the store would retain all
     # 240 rows; with it, the final micro-batch holds ~2 batches' worth
     assert state_rows[-1] <= 2 * n_per_batch + 10, state_rows
+
+
+class TestCdcSink:
+    @staticmethod
+    def _ops(spark, which):
+        rows = []
+        if which == "inserts":
+            rows = [(k, "I", 1, float(k)) for k in range(1, 101)]
+        elif which == "changes":
+            rows = [(k, "U", 2, float(k) * 2) for k in range(1, 101) if k % 7 == 0]
+            rows += [(k, "D", 3, None) for k in range(1, 101) if k % 13 == 0]
+        return spark.createDataFrame(
+            rows, "key long, op string, op_seq long, price double"
+        )
+
+    @staticmethod
+    def _expected():
+        live = {}
+        for k in range(1, 101):
+            if k % 13 == 0:
+                continue
+            live[k] = float(k) * 2 if k % 7 == 0 else float(k)
+        return live
+
+    def _run(self, spark, tmp_path, first, second):
+        import os
+
+        src = str(tmp_path / "ops")
+        os.makedirs(src)
+        # file names force processing order (file source sorts by path)
+        self._ops(spark, first).coalesce(1).write.parquet(src + "/a_batch")
+        self._ops(spark, second).coalesce(1).write.parquet(src + "/b_batch")
+        stream = (
+            spark.readStream.schema("key long, op string, op_seq long, price double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        target = str(tmp_path / "target")
+        q = runtime.run_cdc_sink(
+            stream, target, "key", str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+        return {
+            r["key"]: r["price"]
+            for r in runtime.read_cdc_target(spark, target).collect()
+        }
+
+    def test_in_order_apply_matches_batch_fold(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, "inserts", "changes")
+        assert got == self._expected()
+
+    def test_out_of_order_no_resurrection(self, spark, tmp_path):
+        """Changes (incl. tombstones) arrive BEFORE the original inserts:
+        op_seq arbitration must keep deletes deleted and updates applied —
+        the late old insert never wins."""
+        got = self._run(spark, tmp_path, "changes", "inserts")
+        assert got == self._expected()
