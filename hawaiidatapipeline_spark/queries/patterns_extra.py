@@ -376,3 +376,55 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .limit(45)
     )
+
+
+@q(
+    "events_power_users_pareto",
+    """WITH per_user AS (
+         SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+       ranked AS (
+         SELECT n_events,
+                row_number() OVER (ORDER BY n_events DESC, user_id) AS rk,
+                count(*) OVER () AS n_users,
+                sum(n_events) OVER () AS total_events
+         FROM per_user)
+       SELECT (n_users / 5)::BIGINT AS top20pct_users,
+              total_events::BIGINT AS total_events,
+              sum(CASE WHEN rk <= n_users / 5 THEN n_events ELSE 0 END)::BIGINT
+                AS top20pct_events,
+              round(sum(CASE WHEN rk <= n_users / 5 THEN n_events ELSE 0 END)
+                    * 1.0 / total_events, 6) AS concentration
+       FROM ranked
+       GROUP BY n_users, total_events""",
+)
+def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: what share of all events the top-20% most
+    active users generate — the skew number that decides whether user_id
+    is a saltable hot key. Per-user counts, a deterministic activity rank,
+    one conditional sum. The per-user aggregate shuffles once; the rank
+    over |users| rows is cheap at any corpus size because users, not
+    events, enter the window."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy(F.col("n_events").desc(), "user_id")
+    wall = Window.partitionBy()
+    ranked = per_user.select(
+        "n_events",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n_users"),
+        F.sum("n_events").over(wall).alias("total_events"),
+    )
+    top = F.sum(
+        F.when(F.col("rk") <= F.col("n_users") / 5, F.col("n_events")).otherwise(0)
+    )
+    return ranked.groupBy("n_users", "total_events").agg(
+        (F.col("n_users") / 5).cast("long").alias("top20pct_users"),
+        F.col("total_events").cast("long").alias("total_events_out"),
+        top.cast("long").alias("top20pct_events"),
+        F.round(top * 1.0 / F.col("total_events"), 6).alias("concentration"),
+    ).select(
+        "top20pct_users",
+        F.col("total_events_out").alias("total_events"),
+        "top20pct_events",
+        "concentration",
+    )

@@ -377,3 +377,77 @@ def llm_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         depends=("final",),
     )
     return p.run()["profile"]
+
+
+_CORPUS_V5_SQL = """
+WITH pfx AS (
+  SELECT doc_id, n_chars, text,
+         md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '))
+           AS prefix_md5
+  FROM documents),
+pfx_kept AS (
+  SELECT doc_id, n_chars, text FROM (
+    SELECT doc_id, n_chars, text,
+           min(doc_id) OVER (PARTITION BY prefix_md5) AS canon
+    FROM pfx) t
+  WHERE doc_id = canon),
+exact_kept AS (
+  SELECT doc_id, n_chars, text FROM (
+    SELECT doc_id, n_chars, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+    FROM pfx_kept) t
+  WHERE doc_id = canon),
+sized AS (
+  SELECT doc_id, text FROM exact_kept WHERE n_chars BETWEEN 50 AND 2000),
+shards AS (
+  SELECT ('0x' || substring(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT % 8
+           AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM sized)
+SELECT shard, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+FROM shards GROUP BY shard ORDER BY shard
+"""
+
+
+@q("llm_corpus_pipeline_v5", _CORPUS_V5_SQL)
+def llm_corpus_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-preparation pipeline composing the round-4 curation gates:
+    prefix-duplication gate (keep the canonical member of each
+    first-8-token cluster — the cheap boilerplate cut that runs BEFORE
+    anything expensive) → exact content dedup among survivors → length
+    window → deterministic 8-way shard manifest. Every stage is a window
+    or hash over the SAME narrowing stream, so Catalyst fuses the whole
+    funnel into one plan with three window/agg shuffles total — the
+    funnel's per-stage attrition is the quality_gate_report's job; this
+    emits the final dataloader artifact."""
+    from pyspark.sql import Window
+
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
+    w_pfx = Window.partitionBy(prefix)
+    pfx_kept = (
+        d.withColumn("_canon", F.min("doc_id").over(w_pfx))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .drop("_canon")
+    )
+    w_md5 = Window.partitionBy(F.md5("text"))
+    exact_kept = (
+        pfx_kept.withColumn("_canon", F.min("doc_id").over(w_md5))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .drop("_canon")
+    )
+    sized = exact_kept.filter(F.col("n_chars").between(50, 2000))
+    shard = F.pmod(portable_hash64(F.col("doc_id").cast("string"), 7), F.lit(8))
+    return (
+        sized.select(
+            shard.alias("shard"), F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
