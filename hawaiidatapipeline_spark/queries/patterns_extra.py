@@ -428,3 +428,104 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top20pct_events",
         "concentration",
     )
+
+
+@q(
+    "agg_winsorize",
+    """WITH bounds AS (
+         SELECT l_returnflag,
+                quantile_cont(l_extendedprice, 0.05) AS lo,
+                quantile_cont(l_extendedprice, 0.95) AS hi
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l.l_returnflag,
+              count(*) AS n,
+              round(sum(l.l_extendedprice::DECIMAL(20,4))::DOUBLE / count(*), 6)
+                AS raw_mean,
+              round(sum(greatest(least(l.l_extendedprice, b.hi), b.lo)
+                        ::DECIMAL(20,4))::DOUBLE / count(*), 6)
+                AS winsorized_mean,
+              sum(CASE WHEN l.l_extendedprice < b.lo
+                         OR l.l_extendedprice > b.hi
+                       THEN 1 ELSE 0 END)::BIGINT AS n_clamped
+       FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+       GROUP BY l.l_returnflag
+       ORDER BY l.l_returnflag""",
+)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group — clamp to the [P5, P95] band before
+    averaging, the outlier treatment that keeps sample size (unlike
+    trimming) and bounds influence (unlike raw means). Exact per-group
+    percentile bounds broadcast back (|groups| rows), clamp is pure
+    codegen greatest/least, sums in exact decimal. The raw vs winsorized
+    delta IS the outlier-influence report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    x = F.col("l_extendedprice")
+    clamped = F.greatest(F.least(x, F.col("hi")), F.col("lo"))
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(x.cast("decimal(20,4)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("raw_mean"),
+            F.round(
+                F.sum(clamped.cast("decimal(20,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsorized_mean"),
+            F.sum(F.when((x < F.col("lo")) | (x > F.col("hi")), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "llm_source_overlap_matrix",
+    """WITH sh AS (
+         SELECT DISTINCT d.source,
+                md5(array_to_string(d.ws[t.i:t.i+7], ' ')) AS sh
+         FROM (SELECT source, string_split(text, ' ') AS ws FROM documents) d,
+         LATERAL (SELECT unnest(range(1, greatest(len(d.ws) - 6, 1))) AS i) t),
+       pairs AS (
+         SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT src_a, src_b, n_shared
+       FROM pairs
+       ORDER BY n_shared DESC, src_a, src_b
+       LIMIT 25""",
+)
+def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: shared distinct 8-gram shingles
+    per source pair — the crawl-planning readout ('feed B is 80% feed A,
+    drop it') that runs BEFORE per-document dedup. Shingles dedupe to
+    (source, hash) first, so the self-join fans out per shared shingle
+    across ≤|sources|² pairs, not per document pair; the stop-shingle
+    discipline from llm_containment_pairs applies unchanged at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 0)),"
+                " i -> md5(concat_ws(' ', slice(split(text, ' '), i, 8))))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    a = grams.select(F.col("source").alias("src_a"), "sh")
+    b = grams.select(F.col("source").alias("src_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(F.col("n_shared").desc(), "src_a", "src_b")
+        .limit(25)
+    )

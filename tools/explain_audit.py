@@ -190,6 +190,8 @@ AUDITS: dict[str, list[str]] = {
     "sample_systematic": ["window_exec", "partial_agg", "pruning", "codegen"],
     "llm_corpus_pipeline_v5": ["window_exec", "partial_agg", "pruning", "codegen"],
     "events_power_users_pareto": ["window_exec", "partial_agg", "pruning", "codegen"],
+    "agg_winsorize": ["broadcast_any", "partial_agg", "pruning", "codegen"],
+    "llm_source_overlap_matrix": ["partial_agg", "take_ordered", "no_cartesian", "pruning", "codegen"],
     # (final plan reads the round-3 checkpoint — per-round shape is the
     # broadcast-centroid join asserted by the oracle, as with pagerank)
     "ml_kmeans_fixed_point": ["no_cartesian", "partial_agg"],
