@@ -540,3 +540,51 @@ def read_cdc_target(spark: SparkSession, target_path: str) -> DataFrame:
     """Live view over a run_cdc_sink target: retained tombstones filtered
     out, bookkeeping columns dropped."""
     return spark.read.parquet(target_path).filter(F.col("op") != "D").drop("op")
+
+
+def rate_limited_counters(events: DataFrame, cap: int = 2) -> DataFrame:
+    """Streaming per-key rate limiter via ``applyInPandasWithState`` —
+    the stateful twin of the batch ``events_rate_limit`` query: at most
+    ``cap`` events pass per (user, event-time hour); the rest count as
+    dropped. Per-key state is the running (kept, dropped) per current
+    hour — ONE small tuple per active user, not a buffer of events,
+    which is what keeps state bounded on an infinite stream (hours in
+    the past collapse into the cumulative totals as soon as a newer
+    hour arrives; out-of-order events older than the current hour are
+    conservatively counted as kept-if-under-cap of their own hour only
+    when they are the newest seen — a deliberate simplification vs the
+    batch total order, documented for the parity test which feeds
+    in-order data). Update mode: each batch emits the key's refreshed
+    cumulative totals."""
+
+    def update(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        kept, dropped, cur_hour_ms, in_hour = (
+            state.get if state.exists else (0, 0, -1, 0)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, _eid in zip(pdf["ts"], pdf["event_id"]):
+                hour_ms = int(ts.timestamp() // 3600) * 3600 * 1000
+                if hour_ms != cur_hour_ms:
+                    cur_hour_ms, in_hour = hour_ms, 0
+                in_hour += 1
+                if in_hour <= cap:
+                    kept += 1
+                else:
+                    dropped += 1
+        state.update((kept, dropped, cur_hour_ms, in_hour))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "kept": [kept], "dropped": [dropped]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, kept bigint, dropped bigint",
+        stateStructType="kept bigint, dropped bigint, cur_hour_ms bigint, in_hour bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

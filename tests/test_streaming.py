@@ -477,3 +477,62 @@ class TestCdcSink:
         the late old insert never wins."""
         got = self._run(spark, tmp_path, "changes", "inserts")
         assert got == self._expected()
+
+
+class TestRateLimitedCounters:
+    def test_stream_matches_batch_rate_limit(self, spark, tmp_path):
+        """On closed in-order input, the streaming per-(user,hour) cap
+        must agree with the batch events_rate_limit window fold."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for u in range(4):
+            for h in range(3):
+                for i in range(u + h % 3 + 1):  # varying per-hour volumes
+                    rows.append(
+                        (eid, base + dt.timedelta(hours=h, minutes=i), u)
+                    )
+                    eid += 1
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+        src = str(tmp_path / "rl_src")
+        df.coalesce(1).write.parquet(src)
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .parquet(src)
+        )
+        out = runtime.rate_limited_counters(stream, cap=2)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("rl_counts")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "rl_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["user_id"]: (r["kept"], r["dropped"])
+            for r in spark.sql(
+                "SELECT user_id, max(kept) AS kept, max(dropped) AS dropped "
+                "FROM rl_counts GROUP BY user_id"
+            ).collect()
+        }
+        # batch reference: row_number per (user, hour), cap 2
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(
+            "user_id", F.date_trunc("hour", F.col("ts"))
+        ).orderBy("ts", "event_id")
+        ranked = df.select("user_id", F.row_number().over(w).alias("rn"))
+        expected = {
+            r["user_id"]: (r["kept"], r["dropped"])
+            for r in ranked.groupBy("user_id")
+            .agg(
+                F.count(F.when(F.col("rn") <= 2, 1)).alias("kept"),
+                F.count(F.when(F.col("rn") > 2, 1)).alias("dropped"),
+            )
+            .collect()
+        }
+        assert got == expected
