@@ -346,3 +346,89 @@ def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(30)
     )
+
+
+@q(
+    "join_asof_tolerance",
+    """SELECT p.event_id AS purchase_id, p.user_id,
+              CASE WHEN epoch(p.ts) - epoch(c.ts) <= 3600
+                   THEN c.event_id END AS recent_click_id
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+       ON p.user_id = c.user_id AND p.ts >= c.ts""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas merge_asof's
+    ``tolerance=``): the latest click at-or-before each purchase counts
+    only when it is ≤1 h old — stale matches become NULL instead of
+    silently attributing a day-old click. Same single-shuffle
+    union+window shape as join_asof with the click timestamp carried
+    beside its id; the tolerance is one codegen CASE at the end."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.lit(0).alias("tag"), F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("tag"), F.col("event_id").alias("purchase_id"),
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "click_es",
+        F.when(F.col("click_id").isNotNull(), F.col("ts").cast("double")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        merged.withColumn("b_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("b_es", F.last("click_es", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+    )
+    within = (F.col("ts").cast("double") - F.col("b_es")) <= 3600
+    return out.select(
+        F.col("purchase_id"),
+        "user_id",
+        F.when(within, F.col("b_id")).alias("recent_click_id"),
+    )
+
+
+@q(
+    "ts_outage_detection",
+    """WITH gaps AS (
+         SELECT event_type, ts,
+                lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                  AS prev_ts
+         FROM events)
+       SELECT event_type, prev_ts AS outage_start, ts AS outage_end,
+              round(epoch(ts) - epoch(prev_ts), 6) AS gap_s
+       FROM gaps
+       WHERE epoch(ts) - epoch(prev_ts) > 3600
+       ORDER BY event_type, outage_start""",
+)
+def ts_outage_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-outage detection: gaps >1 h between consecutive events of the
+    same type — the monitoring query behind dq_freshness's point-in-time
+    flag (freshness says 'stale NOW'; this reconstructs every historical
+    outage window with its duration). One lag over the per-type timeline;
+    partitioning by event_type keeps the sort distributed — a single
+    global timeline would need range repartitioning by time instead,
+    which is the documented variant for one-series data."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    gap_s = F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+    return (
+        gaps.filter(gap_s > 3600)
+        .select(
+            "event_type",
+            F.col("prev_ts").alias("outage_start"),
+            F.col("ts").alias("outage_end"),
+            F.round(gap_s, 6).alias("gap_s"),
+        )
+        .orderBy("event_type", "outage_start")
+    )

@@ -192,6 +192,8 @@ AUDITS: dict[str, list[str]] = {
     "events_power_users_pareto": ["window_exec", "partial_agg", "pruning", "codegen"],
     "agg_winsorize": ["broadcast_any", "partial_agg", "pruning", "codegen"],
     "llm_source_overlap_matrix": ["partial_agg", "take_ordered", "no_cartesian", "pruning", "codegen"],
+    "join_asof_tolerance": ["window_exec", "single_shuffle_family", "pruning", "codegen"],
+    "ts_outage_detection": ["window_exec", "pruning", "codegen"],
     # (final plan reads the round-3 checkpoint — per-round shape is the
     # broadcast-centroid join asserted by the oracle, as with pagerank)
     "ml_kmeans_fixed_point": ["no_cartesian", "partial_agg"],
