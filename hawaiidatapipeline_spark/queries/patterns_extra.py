@@ -529,3 +529,79 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_shared").desc(), "src_a", "src_b")
         .limit(25)
     )
+
+
+@q(
+    "llm_vocab_growth",
+    """WITH first_seen AS (
+         SELECT token, min(doc_id) AS first_doc
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents) t
+         GROUP BY token)
+       SELECT sum(CASE WHEN first_doc < 100 THEN 1 ELSE 0 END)::BIGINT AS v100,
+              sum(CASE WHEN first_doc < 200 THEN 1 ELSE 0 END)::BIGINT AS v200,
+              sum(CASE WHEN first_doc < 300 THEN 1 ELSE 0 END)::BIGINT AS v300,
+              sum(CASE WHEN first_doc < 400 THEN 1 ELSE 0 END)::BIGINT AS v400,
+              count(*) AS total_vocab
+       FROM first_seen""",
+)
+def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps-law readout): distinct tokens
+    seen after the first N documents, N at four checkpoints plus the
+    full corpus. A curve that flattens early says the corpus stopped
+    contributing new vocabulary — the same first-occurrence table that
+    drives llm_ngram_novelty, at token rather than 4-gram grain. One
+    explode + one (token → min doc) aggregate + a single conditional
+    reduce; linear, and the first-seen table is exactly the structure an
+    incremental ingest maintains to extend the curve without rescans."""
+    d = load_table(spark, sf_dir, "documents")
+    first_seen = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    cp = lambda n: F.sum(
+        F.when(F.col("first_doc") < n, 1).otherwise(0)
+    ).cast("long")
+    return first_seen.agg(
+        cp(100).alias("v100"),
+        cp(200).alias("v200"),
+        cp(300).alias("v300"),
+        cp(400).alias("v400"),
+        F.count(F.lit(1)).alias("total_vocab"),
+    )
+
+
+@q(
+    "fn_format_strings",
+    """SELECT p_partkey,
+              printf('%05d|%s', p_size, p_brand) AS padded_code,
+              printf('%.2f', p_retailprice) AS price_2dp,
+              lpad(p_size::VARCHAR, 4, '0') AS lpad_size,
+              rpad(p_brand, 10, '.') AS rpad_brand,
+              upper(substring(p_type, 1, 3)) AS type_prefix
+       FROM part
+       ORDER BY p_partkey
+       LIMIT 40""",
+)
+def fn_format_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting parity (format_string compiles to the same
+    C-style conversions DuckDB's printf implements — width, zero-pad,
+    fixed decimals) plus lpad/rpad/substring — the report-rendering
+    surface. All pure codegen; the %.2f case doubles as a check that
+    both engines round the same double to the same decimal string."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.format_string("%05d|%s", F.col("p_size"), F.col("p_brand")).alias(
+                "padded_code"
+            ),
+            F.format_string("%.2f", F.col("p_retailprice")).alias("price_2dp"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("lpad_size"),
+            F.rpad("p_brand", 10, ".").alias("rpad_brand"),
+            F.upper(F.substring("p_type", 1, 3)).alias("type_prefix"),
+        )
+        .orderBy("p_partkey")
+        .limit(40)
+    )

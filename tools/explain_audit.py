@@ -194,6 +194,8 @@ AUDITS: dict[str, list[str]] = {
     "llm_source_overlap_matrix": ["partial_agg", "take_ordered", "no_cartesian", "pruning", "codegen"],
     "join_asof_tolerance": ["window_exec", "single_shuffle_family", "pruning", "codegen"],
     "ts_outage_detection": ["window_exec", "pruning", "codegen"],
+    "llm_vocab_growth": ["generate_exec", "partial_agg", "pruning", "codegen"],
+    "fn_format_strings": ["take_ordered", "pruning", "codegen"],
     # (final plan reads the round-3 checkpoint — per-round shape is the
     # broadcast-centroid join asserted by the oracle, as with pagerank)
     "ml_kmeans_fixed_point": ["no_cartesian", "partial_agg"],
