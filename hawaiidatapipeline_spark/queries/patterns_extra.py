@@ -605,3 +605,71 @@ def fn_format_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey")
         .limit(40)
     )
+
+
+@q(
+    "events_seasonality_profile",
+    """SELECT dayofweek(ts)::INT AS dow, hour(ts)::INT AS hod,
+              count(*) AS n, round(sum(value), 6) AS total_value
+       FROM events
+       GROUP BY dow, hod
+       ORDER BY dow, hod""",
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour-of-day seasonality matrix — the load-shape profile
+    behind capacity planning and anomaly baselines (events_anomaly
+    flags deviations; this is the baseline it deviates FROM). Bounded
+    7×24 output whatever the event volume; pure two-phase hash agg.
+    DuckDB's dayofweek (0=Sunday) matches Spark's dayofweek−1, handled
+    on the Spark side so the oracle stays the engine default."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+@q(
+    "ts_type_correlation",
+    """WITH daily AS (
+         SELECT date_trunc('day', ts) AS day,
+                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE
+                  AS clicks,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+                  AS purchases
+         FROM events GROUP BY day)
+       SELECT count(*) AS n_days,
+              round(corr(clicks, purchases), 6) AS click_purchase_corr,
+              round(regr_slope(purchases, clicks), 6) AS purchases_per_click
+       FROM daily""",
+)
+def ts_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series correlation: align two event streams onto a shared
+    daily grid (conditional sums — no join needed when both series come
+    from one table), then correlate. The align-then-correlate shape is
+    how 'does marketing activity predict purchases' questions execute:
+    one grouped pass builds the grid, one tiny aggregate computes the
+    statistics over |days| rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("purchases"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.corr("clicks", "purchases"), 6).alias("click_purchase_corr"),
+        F.round(F.regr_slope(F.col("purchases"), F.col("clicks")), 6).alias(
+            "purchases_per_click"
+        ),
+    )

@@ -196,6 +196,8 @@ AUDITS: dict[str, list[str]] = {
     "ts_outage_detection": ["window_exec", "pruning", "codegen"],
     "llm_vocab_growth": ["generate_exec", "partial_agg", "pruning", "codegen"],
     "fn_format_strings": ["take_ordered", "pruning", "codegen"],
+    "events_seasonality_profile": ["partial_agg", "pruning", "codegen"],
+    "ts_type_correlation": ["partial_agg", "pruning", "codegen"],
     # (final plan reads the round-3 checkpoint — per-round shape is the
     # broadcast-centroid join asserted by the oracle, as with pagerank)
     "ml_kmeans_fixed_point": ["no_cartesian", "partial_agg"],
