@@ -55,14 +55,35 @@ def portable_hash64(col, seed: int):
     ).cast("long")
 
 
+# Signature-scheme tags. Persisted signatures MUST record the scheme they
+# were built under — signatures from different schemes are mutually
+# incompatible and any cross-scheme comparison is silently meaningless.
+# v2 (current xxhash64 path) derives all permutations from ONE 64-bit base
+# hash of the token: ~32× cheaper per token than v1's per-token string
+# hashes, but a format break vs v1 artifacts, and two tokens colliding in
+# the base hash collide in EVERY permutation (probability ~n_tokens²/2⁶⁵ —
+# negligible, but a correlated failure mode v1 did not have). The md5 path
+# is unchanged and remains bit-reproducible by external engines.
+MINHASH_SCHEME_XXHASH = "xxhash64-base-rehash-v2"
+MINHASH_SCHEME_MD5 = "md5-per-token-v1"
+
+
+def minhash_scheme(hash_fn: str) -> str:
+    """Scheme tag for persisted-signature consumers (see constants above)."""
+    return MINHASH_SCHEME_XXHASH if hash_fn == "xxhash64" else MINHASH_SCHEME_MD5
+
+
 def minhash_signatures(
     tok: DataFrame, n_hashes: int = 32, id_col: str = "doc_id", hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """One row per doc with n_hashes min-hash columns h0..h{n-1}.
     hash_fn="xxhash64" (default): engine-native, fully codegen — the
-    production path. hash_fn="md5": ``portable_hash64`` so another engine
-    can recompute signatures bit-for-bit. Either way the groupBy is a
-    partial-aggregated min — one linear shuffle."""
+    production path, scheme ``MINHASH_SCHEME_XXHASH`` (v2: permutations
+    derived from a single base hash; incompatible with v1 artifacts —
+    see the scheme-tag comment above). hash_fn="md5":
+    ``portable_hash64`` so another engine can recompute signatures
+    bit-for-bit (scheme ``MINHASH_SCHEME_MD5``). Either way the groupBy
+    is a partial-aggregated min — one linear shuffle."""
     if hash_fn == "xxhash64":
         # hash the variable-length token string ONCE, then derive the
         # n_hashes permutations from the fixed-width base hash — xxhash64

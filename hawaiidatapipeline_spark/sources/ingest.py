@@ -109,8 +109,12 @@ def with_retry(
         code = getattr(exc, "code", None)  # urllib HTTPError
         if isinstance(code, int):
             return code == 429 or 500 <= code <= 599
-        name = type(exc).__name__
-        return name in ("URLError", "TimeoutError", "ConnectionError", "OSError")
+        # OSError covers the whole transient-network family by subclassing:
+        # URLError, TimeoutError, ConnectionError AND their subclasses
+        # (ConnectionResetError, ConnectionRefusedError, socket.gaierror,
+        # http.client.RemoteDisconnected, ...) — an exact-name match would
+        # fail fast on exactly the errors a multi-hour backfill hits most
+        return isinstance(exc, OSError)
 
     is_retryable = retryable if retryable is not None else _default_retryable
 

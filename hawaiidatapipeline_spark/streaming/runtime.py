@@ -212,7 +212,7 @@ def transform_with_state_available() -> bool:
         return False
 
 
-def running_counters_tws(events: DataFrame) -> DataFrame:
+def running_counters_tws(events: DataFrame, allow_fallback: bool = False) -> DataFrame:
     """Per-user lifetime counters via ``transformWithStateInPandas`` — the
     Spark-4 StatefulProcessor API that supersedes ``applyInPandasWithState``
     (same job as ``lifetime_counters`` above, kept side-by-side so both
@@ -221,7 +221,16 @@ def running_counters_tws(events: DataFrame) -> DataFrame:
     the state store instead of one opaque tuple, state is fetched lazily
     per handle, and timers/TTL are first-class on the handle. Requires the
     RocksDB state-store provider (column-family support) and the protobuf
-    package (``transform_with_state_available``)."""
+    package (``transform_with_state_available``).
+
+    ``allow_fallback=True`` degrades to a semantically identical
+    ``applyInPandasWithState`` implementation (same output schema, same
+    per-batch cumulative emissions, same rounding) when protobuf is
+    absent — the operator's CONTRACT stays testable on images without the
+    TWS wire dependency, and the strict path still runs unchanged
+    wherever protobuf exists."""
+    if allow_fallback and not transform_with_state_available():
+        return _running_counters_tws_fallback(events)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -257,6 +266,38 @@ def running_counters_tws(events: DataFrame) -> DataFrame:
         outputStructType="user_id bigint, n_events bigint, total_value double",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def _running_counters_tws_fallback(events: DataFrame) -> DataFrame:
+    """Protobuf-free twin of ``running_counters_tws``: identical output
+    schema and per-batch cumulative semantics, expressed with
+    ``applyInPandasWithState`` (which speaks Arrow, not protobuf). Used
+    only via ``running_counters_tws(allow_fallback=True)`` on images
+    missing the TWS wire dependency."""
+
+    def update(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
@@ -477,9 +518,18 @@ def run_cdc_sink(stream_df: DataFrame, target_path: str, key: str, checkpoint: s
     arbitration against the tombstone, or deleted keys resurrect — the
     classic CDC-applier bug. ``read_cdc_target`` filters them on read;
     a compaction pass may drop tombstones older than the source's
-    max-lateness window. Same temp-dir + atomic-swap write discipline as
-    run_merge_sink; a table format upgrades the body to MERGE with
-    snapshot isolation."""
+    max-lateness window.
+
+    Swap discipline: the new state is written to a temp dir, then the
+    old target is renamed aside to ``<target>.old`` BEFORE the temp dir
+    is renamed into place, and only then is ``.old`` removed. At every
+    instant one of {target, target.old} holds a complete last-applied
+    state, so a crash at any point leaves a recoverable directory (the
+    reader and the next batch fall back to ``.old``) — a plain
+    rmtree-then-rename would have a window where BOTH are gone and a
+    checkpoint-WAL replay against the resulting empty target would
+    silently drop every key absent from the replayed batch. A table
+    format upgrades the body to MERGE with snapshot isolation."""
     import shutil
     import uuid
 
@@ -493,10 +543,13 @@ def run_cdc_sink(stream_df: DataFrame, target_path: str, key: str, checkpoint: s
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        try:
-            current = spark.read.parquet(target_path)
-        except Exception:  # first batch: empty target
-            current = None
+        current = None
+        for path in (target_path, target_path + ".old"):
+            try:
+                current = spark.read.parquet(path)
+                break
+            except Exception:  # first batch / interrupted swap
+                continue
         if current is None:
             merged = folded
         else:
@@ -525,8 +578,14 @@ def run_cdc_sink(stream_df: DataFrame, target_path: str, key: str, checkpoint: s
             merged = kept.unionByName(landed)
         tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(target_path, ignore_errors=True)
+        # crash-safe swap: rename aside, rename in, THEN drop the old —
+        # a full state dir exists at every instant (see docstring)
+        old = target_path + ".old"
+        if os.path.exists(target_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(target_path, old)
         os.replace(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(apply)
@@ -538,45 +597,79 @@ def run_cdc_sink(stream_df: DataFrame, target_path: str, key: str, checkpoint: s
 
 def read_cdc_target(spark: SparkSession, target_path: str) -> DataFrame:
     """Live view over a run_cdc_sink target: retained tombstones filtered
-    out, bookkeeping columns dropped."""
-    return spark.read.parquet(target_path).filter(F.col("op") != "D").drop("op")
+    out, bookkeeping columns dropped. Falls back to ``<target>.old`` if
+    the main dir is momentarily absent mid-swap (see run_cdc_sink)."""
+    try:
+        df = spark.read.parquet(target_path)
+    except Exception:
+        df = spark.read.parquet(target_path + ".old")
+    return df.filter(F.col("op") != "D").drop("op")
 
 
-def rate_limited_counters(events: DataFrame, cap: int = 2) -> DataFrame:
+def rate_limited_counters(
+    events: DataFrame,
+    cap: int = 2,
+    lateness_hours: int = 3,
+    idle_timeout_min: int = 30,
+) -> DataFrame:
     """Streaming per-key rate limiter via ``applyInPandasWithState`` —
     the stateful twin of the batch ``events_rate_limit`` query: at most
     ``cap`` events pass per (user, event-time hour); the rest count as
-    dropped. Per-key state is the running (kept, dropped) per current
-    hour — ONE small tuple per active user, not a buffer of events,
-    which is what keeps state bounded on an infinite stream (hours in
-    the past collapse into the cumulative totals as soon as a newer
-    hour arrives; out-of-order events older than the current hour are
-    conservatively counted as kept-if-under-cap of their own hour only
-    when they are the newest seen — a deliberate simplification vs the
-    batch total order, documented for the parity test which feeds
-    in-order data). Update mode: each batch emits the key's refreshed
-    cumulative totals."""
+    dropped. Per-key state is the cumulative (kept, dropped) plus a
+    SMALL bounded dict of recent per-hour admit counts — the last
+    ``lateness_hours`` hour buckets behind the newest hour seen for the
+    key. Out-of-order events landing in a still-tracked bucket are
+    arbitrated against that bucket's own count (no reset — an A,B,A
+    hour interleave cannot re-admit ``cap`` per contiguous run); events
+    older than the lateness window are counted as DROPPED (their
+    bucket's count is gone, and never over-admitting is the
+    conservative direction for a rate limiter). Hour buckets older than
+    the window are evicted whenever the newest hour advances, and whole
+    per-user states are evicted after ``idle_timeout_min`` without
+    traffic via a processing-time timeout — both bounds are what keep
+    state finite on an infinite stream with unbounded user cardinality.
+    Update mode: each batch emits the key's refreshed cumulative
+    totals."""
+    hour_span_ms = 3600 * 1000
+    window_ms = lateness_hours * hour_span_ms
 
     def update(
         key, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        kept, dropped, cur_hour_ms, in_hour = (
-            state.get if state.exists else (0, 0, -1, 0)
-        )
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            kept, dropped, hours, counts = state.get
+            buckets = dict(zip(hours, counts))
+        else:
+            kept, dropped, buckets = 0, 0, {}
+        max_hour = max(buckets) if buckets else -1
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            for ts, _eid in zip(pdf["ts"], pdf["event_id"]):
-                hour_ms = int(ts.timestamp() // 3600) * 3600 * 1000
-                if hour_ms != cur_hour_ms:
-                    cur_hour_ms, in_hour = hour_ms, 0
-                in_hour += 1
-                if in_hour <= cap:
+            for ts in pdf["ts"]:
+                hour_ms = int(ts.timestamp() // 3600) * hour_span_ms
+                if hour_ms > max_hour:
+                    max_hour = hour_ms
+                    buckets = {
+                        h: c
+                        for h, c in buckets.items()
+                        if h >= max_hour - window_ms
+                    }
+                elif hour_ms < max_hour - window_ms:
+                    dropped += 1  # beyond lateness: bucket gone, never over-admit
+                    continue
+                n = buckets.get(hour_ms, 0) + 1
+                buckets[hour_ms] = n
+                if n <= cap:
                     kept += 1
                 else:
                     dropped += 1
-        state.update((kept, dropped, cur_hour_ms, in_hour))
+        hrs = sorted(buckets)
+        state.update((kept, dropped, hrs, [buckets[h] for h in hrs]))
+        state.setTimeoutDuration(idle_timeout_min * 60 * 1000)
         yield pd.DataFrame(
             {"user_id": [key[0]], "kept": [kept], "dropped": [dropped]}
         )
@@ -584,7 +677,10 @@ def rate_limited_counters(events: DataFrame, cap: int = 2) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id bigint, kept bigint, dropped bigint",
-        stateStructType="kept bigint, dropped bigint, cur_hour_ms bigint, in_hour bigint",
+        stateStructType=(
+            "kept bigint, dropped bigint, "
+            "hours array<bigint>, counts array<bigint>"
+        ),
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

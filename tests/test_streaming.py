@@ -85,23 +85,25 @@ def test_lifetime_counters_match_batch_aggregate(spark):
     assert _rows(final, cols) == _rows(want, cols)
 
 
-@pytest.mark.skipif(
-    not runtime.transform_with_state_available(),
-    reason="transformWithStateInPandas needs the protobuf package "
-    "(absent from this container; operator runs on standard cluster images)",
-)
 def test_transform_with_state_counters_match_batch(spark, tmp_path):
     """transformWithStateInPandas (Spark-4 StatefulProcessor) must agree
     with the batch aggregate over the closed input — same invariant as the
-    applyInPandasWithState tier, newer API. Needs the RocksDB provider
-    (typed state handles live in named column families)."""
+    applyInPandasWithState tier, newer API. Where protobuf exists the
+    strict TWS path runs (with the RocksDB provider — typed state handles
+    live in named column families); on this container the operator's
+    documented protobuf-free fallback tier runs instead, so the CONTRACT
+    (schema + cumulative semantics) is exercised either way."""
+    strict = runtime.transform_with_state_available()
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    if strict:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     try:
-        stream = runtime.running_counters_tws(runtime.stream_events(spark, SF0001))
+        stream = runtime.running_counters_tws(
+            runtime.stream_events(spark, SF0001), allow_fallback=True
+        )
         q = (
             stream.writeStream.format("memory")
             .queryName("t_tws")
@@ -127,10 +129,13 @@ def test_transform_with_state_counters_match_batch(spark, tmp_path):
         cols = ["user_id", "n_events", "total_value"]
         assert _rows(final, cols) == _rows(want, cols)
     finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        if strict:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
 
 
 def test_sessionized_counters_event_time_timeout(spark, tmp_path):
@@ -536,3 +541,70 @@ class TestRateLimitedCounters:
             .collect()
         }
         assert got == expected
+
+    def test_out_of_order_hours_do_not_reset_bucket(self, spark, tmp_path):
+        """A,B,A hour interleave across micro-batches: the revisited hour A
+        must keep counting against its ORIGINAL bucket (not re-admit cap
+        per contiguous run), as long as it is inside the lateness window."""
+        import datetime as dt
+        import os
+
+        base = dt.datetime(2024, 1, 1)
+        batches = [
+            # hour A: 3 events -> 2 kept, 1 dropped (cap 2)
+            [(0, base + dt.timedelta(minutes=i), 7) for i in range(3)],
+            # hour B: 1 event -> kept
+            [(10, base + dt.timedelta(hours=1, minutes=1), 7)],
+            # hour A again (late, inside 3h window): bucket already at 3 -> both dropped
+            [(20 + i, base + dt.timedelta(minutes=30 + i), 7) for i in range(2)],
+        ]
+        src = str(tmp_path / "ooo_src")
+        os.makedirs(src)
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                [(eid, ts, u) for eid, ts, u in rows],
+                "event_id long, ts timestamp, user_id long",
+            ).coalesce(1).write.parquet(f"{src}/batch_{i}")
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        out = runtime.rate_limited_counters(stream, cap=2, lateness_hours=3)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("rl_ooo")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ooo_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        row = spark.sql(
+            "SELECT max(kept) AS kept, max(dropped) AS dropped FROM rl_ooo"
+        ).collect()[0]
+        assert (row["kept"], row["dropped"]) == (3, 3)
+
+
+def test_cdc_target_reader_survives_interrupted_swap(spark, tmp_path):
+    """Crash-window contract: if the main target dir vanished mid-swap
+    (renamed aside to .old but the new dir not yet in place), both
+    read_cdc_target and the next batch's reader must fall back to .old
+    instead of seeing an empty world."""
+    import os
+
+    rows = [(k, "I", 1, float(k)) for k in range(1, 11)]
+    df = spark.createDataFrame(rows, "key long, op string, op_seq long, price double")
+    src = str(tmp_path / "ops")
+    df.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("key long, op string, op_seq long, price double")
+        .parquet(src)
+    )
+    target = str(tmp_path / "target")
+    q = runtime.run_cdc_sink(stream, target, "key", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    # simulate the crash: main dir renamed aside, replacement never landed
+    os.replace(target, target + ".old")
+    got = {r["key"]: r["price"] for r in runtime.read_cdc_target(spark, target).collect()}
+    assert got == {k: float(k) for k in range(1, 11)}
