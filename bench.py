@@ -28,7 +28,9 @@ PASSES = max(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")), 1)
 COOLDOWN_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "0.2"))
 
 # Headline set: one per operator family, weighted toward the shuffles/joins
-# that dominate at scale.
+# that dominate at scale. FROZEN since round 1 — the headline total is the
+# apples-to-apples number vs BASELINE.md; do not add queries here (that
+# would inflate the total and break round-over-round comparison).
 HEADLINE = [
     "pricing_summary",
     "join_inner_broadcast",
@@ -52,6 +54,20 @@ HEADLINE = [
     "udf_pandas_scalar",
 ]
 
+# Heavy set: the expensive round-2..4 operators whose walls were previously
+# measured once (PERF_EVIDENCE.md / SCALING.md) and never re-checked — under
+# the gate from round 5 so a regression trips the bench diff instead of
+# hiding. Reported as a SEPARATE total ("heavy_total") so the frozen
+# headline metric stays baseline-comparable.
+HEAVY = [
+    "llm_containment_pairs",
+    "llm_dupspan_ngram",
+    "graph_triangle_count",
+    "tpch_q21_late_supplier_blame",
+    "events_sessionize_gap",
+    "llm_cosine_topk_sharded",
+]
+
 
 def main() -> None:
     from hawaiidatapipeline_spark.queries import collect
@@ -68,22 +84,27 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
 
-    timings: dict[str, float] = {}
-    spread: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        samples: list[float] = []
-        for _ in range(PASSES):
-            t0 = time.time()
-            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            samples.append(time.time() - t0)
-        timings[name] = round(statistics.median(samples), 3)
-        spread[name] = {
-            "min": round(min(samples), 3),
-            "median": timings[name],
-            "max": round(max(samples), 3),
-        }
-        time.sleep(COOLDOWN_SEC)
+    def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
+        timings: dict[str, float] = {}
+        spread: dict[str, dict[str, float]] = {}
+        for name in names:
+            fn = queries[name]
+            samples: list[float] = []
+            for _ in range(PASSES):
+                t0 = time.time()
+                fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+                samples.append(time.time() - t0)
+            timings[name] = round(statistics.median(samples), 3)
+            spread[name] = {
+                "min": round(min(samples), 3),
+                "median": timings[name],
+                "max": round(max(samples), 3),
+            }
+            time.sleep(COOLDOWN_SEC)
+        return timings, spread
+
+    timings, spread = run_set(HEADLINE)
+    heavy_timings, heavy_spread = run_set(HEAVY)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -92,6 +113,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "heavy_total": round(sum(heavy_timings.values()), 3),
+        "heavy": heavy_timings,
+        "heavy_spread": heavy_spread,
         "passes": PASSES,
         "sf": float(sf) if sf else None,
     }

@@ -328,19 +328,30 @@ def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per doc. Explicit counts (never HashingTF) keep it
     deterministic and oracle-checkable; idf = ln((N+1)/(df+1)) + 1 (smoothed,
-    sklearn-style). df is a broadcast-sized side table at any corpus size."""
+    sklearn-style). df is a broadcast-sized side table at any corpus size.
+    The corpus size N rides along as a broadcast 1-row crossJoin (same
+    pattern as the vocabulary-coverage query) instead of a driver-side
+    d.count() — one plan, one pass over documents, no extra job or driver
+    sync barrier before the real work starts."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n = d.agg(F.count(F.lit(1)).alias("_n_docs"))
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        (F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0)).alias("score"),
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * (F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     return (
