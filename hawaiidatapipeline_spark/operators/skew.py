@@ -112,3 +112,41 @@ def salted_join(
     replicated_dim = dim.select("*", salts)
     joined = salted_fact.join(replicated_dim, [key, "_salt"], how)
     return joined.drop("_salt")
+
+
+def salted_window_topk(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    n_salts: int = 16,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k per group for a SKEWED group key — the salted twin of the
+    plain ``row_number() OVER (PARTITION BY keys ORDER BY ...) <= k``
+    window, which AQE cannot help with (skew-join splitting applies to
+    joins; a window partition is indivisible, so one zipf-hot key means
+    one straggler task sorting the whole hot group).
+
+    Phase 1 ranks within (keys, salt) — the hot group's rows spread over
+    ``n_salts`` window partitions, each sorting ~1/n_salts of the data —
+    and keeps each bucket's top-k. Phase 2 re-ranks the surviving
+    ``n_salts × k`` rows per group; correct because a row in a group's
+    true top-k is necessarily in the top-k of its own salt bucket
+    (row_number assigns rank by the same total order in both phases).
+    ``order_by`` must be a TOTAL order (break ties, e.g. by a unique id)
+    for exact parity with the unsalted window; with ties, both plans
+    pick an arbitrary tied subset."""
+    salt = (F.rand(seed=42) * n_salts).cast("int")
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(*order_by)
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_salt", "_rn1")
+        .withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -129,3 +129,69 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+class TestZipfWindowPath:
+    """Skew stress on WINDOW operators (the paths AQE's skew-join split
+    cannot touch — a window partition is indivisible), over the zipf-hot
+    lane from tools/skew_stress.py: one user owns 15% of all rows."""
+
+    def _lane(self, spark):
+        from tools.skew_stress import zipf_events
+
+        return zipf_events(spark, n_rows=60_000, n_users=200)
+
+    def test_salted_window_topk_equals_plain_on_hot_key(self, spark):
+        from pyspark.sql import Window
+
+        from hawaiidatapipeline_spark.operators.skew import salted_window_topk
+
+        ev = self._lane(spark)
+        order = [F.col("value").desc(), F.col("event_id")]  # total order
+        w = Window.partitionBy("user_id").orderBy(*order)
+        plain = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+        salted = salted_window_topk(ev, ["user_id"], order, k=5, n_salts=8)
+        cols = ["user_id", "event_id", "rn"]
+        assert _sorted_rows(plain.select(*cols)) == _sorted_rows(salted.select(*cols))
+        # two-phase shape: a per-(key,salt) Window then a per-key Window
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Window") >= 2, plan[:2000]
+
+    def test_sessionize_hot_key_matches_driver_fold(self, spark):
+        """Gap sessionization has no salt-decomposition (session numbering
+        is a running sum over the user's total event order); the skew
+        contract is therefore CORRECTNESS under a zipf-hot key — the hot
+        user costs one large sorted partition, never a wrong answer."""
+        from pyspark.sql import Window
+
+        gap_s = 1800
+        ev = self._lane(spark)
+        es = F.col("ts").cast("double")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        new_sess = F.when(
+            F.lag("ts").over(w).isNull() | ((es - F.lag(es).over(w)) > gap_s), 1
+        ).otherwise(0)
+        sess = (
+            ev.select("user_id", "ts", "event_id", es.alias("es"))
+            .withColumn("session_seq", F.sum(new_sess).over(wrun))
+            .groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        got_hot = sorted(
+            (r["session_seq"], r["n_events"])
+            for r in sess.filter(F.col("user_id") == 0).collect()
+        )
+        hot = sorted(
+            (r["es"], r["event_id"])
+            for r in ev.filter(F.col("user_id") == 0)
+            .select(es.alias("es"), "event_id")
+            .collect()
+        )
+        seq, counts, prev = 0, {}, None
+        for t, _eid in hot:
+            if prev is None or t - prev > gap_s:
+                seq += 1
+            counts[seq] = counts.get(seq, 0) + 1
+            prev = t
+        assert got_hot == sorted(counts.items())

@@ -318,6 +318,12 @@ def main() -> int:
                 + "\n".join(plans_out)
             )
         print(f"\nplans written to {write_plans}")
+        # append the zipf-hot skew evidence so PLANS.md regeneration keeps it
+        from tools.skew_stress import run as skew_run
+
+        if skew_run(spark, write_plans=write_plans) != 0:
+            failures += 1
+            print("FAIL skew_stress: a skew mitigation did not engage")
 
     print(f"\n== {'PASS' if failures == 0 else f'{failures} FAILURES'} ==")
     return 1 if failures else 0

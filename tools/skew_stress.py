@@ -1,0 +1,218 @@
+"""Skew stress lane: zipf-hot key → prove the mitigations engage.
+
+Synthesizes an events-shaped table where ONE user owns ≥10% of all rows
+(the zipf-hot regime that breaks naive hash partitioning at 100 TB), then
+drives the three skew-sensitive paths through it:
+
+1. **Fact-fact sort-merge join on the hot key** — asserts AQE's skew-join
+   splitting actually engages: the executed adaptive plan must show
+   ``SortMergeJoin(skew=true)`` after the run. (Thresholds are lowered to
+   make the fixture-scale hot partition cross the same relative bar a
+   multi-GB partition crosses in production; the DETECTION logic exercised
+   is identical.)
+2. **Window top-k per group on the hot key** — AQE cannot split a window
+   partition, so the mitigation is ``salted_window_topk``
+   (operators/skew.py): asserts exact result parity with the plain window
+   AND that the salted plan contains the two-phase Window pair.
+3. **Gap sessionization on the hot key** — inherently order-dependent per
+   user (no salt-decomposition exists: session numbering is a running sum
+   over the user's total event order), so the honest statement is:
+   correctness is unaffected by skew, the hot user costs one O(n log n)
+   sort task, and the bound is documented rather than hidden. Asserted by
+   running the same lag+cumsum fold on the zipf lane and checking the hot
+   user's sessions against a driver-side fold of its rows.
+
+``--write-plans`` appends the captured skew-split plan section to the
+given file (explain_audit.py calls this so PLANS.md regeneration keeps
+the skew evidence).
+
+Run: ``python tools/skew_stress.py``. Exit 0 = all three engaged/held.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+HOT_USER = 0
+HOT_PCT = 15  # hot user owns 15% of rows
+
+
+def zipf_events(spark, n_rows: int = 400_000, n_users: int = 500) -> DataFrame:
+    """Deterministic events-shaped table with one zipf-hot user: ids whose
+    low two digits fall under HOT_PCT map to user 0 (≥10% of rows); the
+    rest spread hash-uniform over ``n_users``. No RNG — reruns, tests and
+    the plan audit all see byte-identical data."""
+    return (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("event_id"),
+            F.when(F.pmod("id", 100) < HOT_PCT, F.lit(HOT_USER))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_users - 1)) + 1)
+            .cast("long")
+            .alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.pmod(F.xxhash64("id", F.lit(7)), F.lit(86400 * 7))
+            ).alias("ts"),
+            (F.pmod(F.xxhash64("id", F.lit(11)), F.lit(1000)) / 10.0).alias("value"),
+        )
+    )
+
+
+SKEW_CONFS = {
+    # force SMJ (no broadcast escape hatch) and make the fixture-scale hot
+    # partition cross the skew bar: detection is size > max(threshold,
+    # factor * median); production defaults (256 MB) assume multi-GB
+    # shuffles, so scale the absolute floor down, keep the RELATIVE factor
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+}
+
+
+class scoped_confs:
+    def __init__(self, spark, confs):
+        self.spark, self.confs, self.saved = spark, confs, {}
+
+    def __enter__(self):
+        for k, v in self.confs.items():
+            try:
+                self.saved[k] = self.spark.conf.get(k)
+            except Exception:
+                self.saved[k] = None
+            self.spark.conf.set(k, v)
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+
+
+def skewed_smj_final_plan(spark, events: DataFrame) -> tuple[str, DataFrame]:
+    """Self-join the zipf lane on user_id (purchases × clicks shape): both
+    sides carry the hot key, neither is broadcastable. Returns the FINAL
+    adaptive plan string (after execution — AQE decides skew handling at
+    runtime from map-output sizes, so explain-before-run can't show it).
+
+    Two traps this function deliberately avoids: (a) the downstream
+    aggregate is GLOBAL — a groupBy on the join key would require the
+    join's hash partitioning, and OptimizeSkewedJoin declines to split
+    when that would force an extra shuffle (production escape hatch:
+    ``spark.sql.adaptive.forceOptimizeSkewedJoin``); (b) the plan is read
+    from the SAME QueryExecution that ran (``collect`` on this DataFrame)
+    — a ``write`` builds a fresh QueryExecution, leaving this one
+    isFinalPlan=false with no skew annotation to find."""
+    left = events.filter(F.pmod("event_id", 2) == 0).select(
+        "user_id", F.col("value").alias("lv")
+    )
+    right = events.filter(F.pmod("event_id", 2) == 1).select(
+        "user_id", F.col("value").alias("rv")
+    )
+    joined = left.join(right, "user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.round(F.sum("lv"), 3).alias("s")
+    )
+    joined.collect()
+    return joined._jdf.queryExecution().executedPlan().toString(), joined
+
+
+def run(spark, write_plans: str | None = None) -> int:
+    from hawaiidatapipeline_spark.operators.skew import salted_window_topk
+    from pyspark.sql import Window
+
+    ev = zipf_events(spark)
+    hot_share = ev.filter(F.col("user_id") == HOT_USER).count() / ev.count()
+    assert hot_share >= 0.10, f"lane not hot enough: {hot_share:.2%}"
+    print(f"zipf lane: hot user owns {hot_share:.1%} of rows")
+
+    # 1. AQE skew-join split on the sort-merge join
+    with scoped_confs(spark, SKEW_CONFS):
+        plan, _ = skewed_smj_final_plan(spark, ev)
+    ok_smj = "skew=true" in plan
+    print(f"smj skew-split engaged: {ok_smj}")
+
+    # 2. salted window top-k parity + two-phase plan shape
+    order = [F.col("value").desc(), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    plain = (
+        ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    )
+    salted = salted_window_topk(ev, ["user_id"], order, k=5, n_salts=8)
+    cols = ["user_id", "event_id", "rn"]
+    ok_topk = sorted(map(tuple, plain.select(*cols).collect())) == sorted(
+        map(tuple, salted.select(*cols).collect())
+    )
+    salted_plan = salted._jdf.queryExecution().executedPlan().toString()
+    ok_topk_plan = salted_plan.count("Window") >= 2
+    print(f"salted window top-k parity: {ok_topk}, two-phase plan: {ok_topk_plan}")
+
+    # 3. sessionization on the hot key: correctness unaffected by skew
+    gap_s = 1800
+    es = F.col("ts").cast("double")
+    ww = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_sess = F.when(
+        F.lag("ts").over(ww).isNull() | ((es - F.lag(es).over(ww)) > gap_s), 1
+    ).otherwise(0)
+    sess = (
+        ev.select("user_id", "ts", "event_id", es.alias("es"))
+        .withColumn("session_seq", F.sum(new_sess).over(wrun))
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got_hot = sorted(
+        (r["session_seq"], r["n_events"])
+        for r in sess.filter(F.col("user_id") == HOT_USER).collect()
+    )
+    # driver-side fold of the hot user's rows — the oracle
+    hot_rows = sorted(
+        (r["es"], r["event_id"])
+        for r in ev.filter(F.col("user_id") == HOT_USER)
+        .select(es.alias("es"), "event_id")
+        .collect()
+    )
+    seq, counts, prev = 0, {}, None
+    for t, _eid in hot_rows:
+        if prev is None or t - prev > gap_s:
+            seq += 1
+        counts[seq] = counts.get(seq, 0) + 1
+        prev = t
+    want_hot = sorted(counts.items())
+    ok_sess = got_hot == want_hot
+    print(f"hot-user sessionization matches driver fold: {ok_sess}")
+
+    if write_plans:
+        with open(write_plans, "a") as f:
+            f.write(
+                "\n\n## skew stress lane (tools/skew_stress.py)\n\n"
+                f"Zipf-hot input: one user = {hot_share:.1%} of rows. Final\n"
+                "adaptive plan of the fact-fact sort-merge join on the hot\n"
+                "key — note `skew=true` on the SortMergeJoin (AQE split the\n"
+                "hot partition at runtime; windows can't be split, their\n"
+                "mitigation is `salted_window_topk`, parity-checked here):\n\n"
+                "```\n" + plan[:4000] + "\n```\n"
+            )
+    return 0 if (ok_smj and ok_topk and ok_topk_plan and ok_sess) else 1
+
+
+def main() -> int:
+    from hawaiidatapipeline_spark.session import get_spark
+
+    write_plans = None
+    if "--write-plans" in sys.argv:
+        write_plans = sys.argv[sys.argv.index("--write-plans") + 1]
+    spark = get_spark(app_name="hdp-skew-stress")
+    rc = run(spark, write_plans)
+    spark.stop()
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
