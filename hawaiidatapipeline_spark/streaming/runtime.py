@@ -503,7 +503,13 @@ def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str):
     )
 
 
-def run_cdc_sink(stream_df: DataFrame, target_path: str, key: str, checkpoint: str):
+def run_cdc_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    key: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+):
     """foreachBatch CDC applier — the streaming twin of the batch
     ``etl_cdc_apply`` fold. The stream carries (key, op ∈ I/U/D, op_seq,
     payload); each micro-batch folds to last-writer-wins per key, then
@@ -587,12 +593,13 @@ def run_cdc_sink(stream_df: DataFrame, target_path: str, key: str, checkpoint: s
         os.replace(tmp, target_path)
         shutil.rmtree(old, ignore_errors=True)
 
-    return (
-        stream_df.writeStream.foreachBatch(apply)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream_df.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint
     )
+    # default: drain-and-stop; pass e.g. {"processingTime": "1 second"} for
+    # a continuous cadence (latency measured in tools/streaming_latency.py)
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
 
 
 def read_cdc_target(spark: SparkSession, target_path: str) -> DataFrame:

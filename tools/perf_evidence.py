@@ -133,7 +133,10 @@ def main() -> int:
                 f"{d['tasks']} | {expectation} |\n"
             )
     print("\nwritten PERF_EVIDENCE.md")
-    return 0
+    # append the streaming micro-batch latency table so regeneration keeps it
+    from tools.streaming_latency import run as latency_run
+
+    return latency_run(spark, write_to="PERF_EVIDENCE.md")
 
 
 if __name__ == "__main__":
