@@ -138,3 +138,33 @@ def soql_fulltext_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
             "$offset": "10",
         },
     )
+
+
+@q(
+    "soql_fulltext_terms",
+    """SELECT doc_id, lang, source FROM documents
+       WHERE (contains(lower(text), 'fast merge')
+              OR contains(lower(lang), 'fast merge')
+              OR contains(lower(source), 'fast merge'))
+         AND (contains(lower(text), 'sort')
+              OR contains(lower(lang), 'sort')
+              OR contains(lower(source), 'sort'))
+       ORDER BY doc_id""",
+)
+def soql_fulltext_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SODA ``$q`` spec corner cases in one snippet (dev.socrata.com:
+    multiple space-separated terms AND together; double quotes group a
+    phrase; boundary punctuation is stripped from word tokens): the
+    snippet ``"fast merge" sort,`` must match docs containing the PHRASE
+    "fast merge" AND the word "sort" (anywhere, any string column) — not
+    the 0-row literal substring ``fast merge sort,`` the pre-round-5
+    whole-snippet containment would have searched."""
+    d = load_table(spark, sf_dir, "documents")
+    return soql_query(
+        d,
+        {
+            "$select": "doc_id, lang, source",
+            "$q": '"fast merge" sort,',
+            "$order": "doc_id",
+        },
+    )

@@ -74,6 +74,32 @@ _PASSTHROUGH = {
 
 _VIEW_COUNTER = iter(range(10**9))
 
+# boundary punctuation stripped from unquoted $q tokens — ASCII punctuation,
+# the set Socrata's tokenizer discards at word edges ("merge," matches the
+# word "merge"; interior punctuation like "o'brien" is preserved)
+_Q_STRIP = r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~"""
+
+
+def _q_terms(q: str) -> list[str]:
+    """SODA ``$q`` snippet tokenization: double-quoted spans become phrase
+    terms (matched verbatim, case-insensitive); the remainder splits on
+    whitespace into word terms with boundary punctuation stripped. ALL
+    returned terms must match somewhere in the row — multi-token snippets
+    AND together per the public spec, they are not one long substring."""
+    terms: list[str] = []
+
+    def grab(m: re.Match) -> str:
+        if m.group(1).strip():
+            terms.append(m.group(1))
+        return " "
+
+    rest = re.sub(r'"([^"]*)"', grab, q)
+    for tok in rest.split():
+        tok = tok.strip(_Q_STRIP)
+        if tok:
+            terms.append(tok)
+    return terms
+
 _TOKEN_RE = re.compile(
     r"""\s+|                                  # whitespace
         '(?:[^']|'')*'|                       # string literal ('' escape)
@@ -334,15 +360,29 @@ def soql_query(df: DataFrame, params: dict[str, str]) -> DataFrame:
         if clause and clause != "*":
             _check_tokens(clause, what)
 
-    # $q: portal full-text search = case-insensitive containment across all
-    # string columns, ANDed into $where.
+    # $q: portal full-text search, SODA semantics (dev.socrata.com "search
+    # with $q"): the snippet is TOKENIZED — double-quoted spans are phrase
+    # terms, the rest splits on whitespace with boundary punctuation
+    # stripped — and EVERY term must match (case-insensitively) in at least
+    # one string column; terms AND together, columns OR within a term. A
+    # one-term snippet degenerates to the old whole-string containment.
     if "$q" in params:
-        needle = params["$q"].replace("'", "''").lower()
+        terms = _q_terms(params["$q"])
         str_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
         if not str_cols:
             raise SoqlError("$q requires at least one string column")
-        q_pred = "(" + " OR ".join(f"contains(lower({c}), '{needle}')" for c in str_cols) + ")"
-        where = f"({where}) AND {q_pred}" if where else q_pred
+        if terms:
+            per_term = [
+                "("
+                + " OR ".join(
+                    f"contains(lower({c}), '{t.replace(chr(39), chr(39) * 2).lower()}')"
+                    for c in str_cols
+                )
+                + ")"
+                for t in terms
+            ]
+            q_pred = "(" + " AND ".join(per_term) + ")"
+            where = f"({where}) AND {q_pred}" if where else q_pred
 
     spark = df.sparkSession
     view = f"_soql_{next(_VIEW_COUNTER)}"

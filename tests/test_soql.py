@@ -235,3 +235,46 @@ def test_rejects_unsupported(spark):
         soql_query(d, {"$select": "doc_id; DROP TABLE documents"})
     with pytest.raises(SoqlError, match="unsupported SODA parameters"):
         soql_query(d, {"$bogus": "1"})
+
+
+class TestQTokenization:
+    """SODA $q spec corner cases (dev.socrata.com): multi-token AND,
+    quoted phrases, boundary-punctuation stripping."""
+
+    def test_terms_split_and_strip(self):
+        from hawaiidatapipeline_spark.soql import _q_terms
+
+        assert _q_terms("merge sort") == ["merge", "sort"]
+        assert _q_terms('  "fast merge"  sort, ') == ["fast merge", "sort"]
+        assert _q_terms("(merge) sort!") == ["merge", "sort"]
+        assert _q_terms("o'brien") == ["o'brien"]  # interior punct kept
+        assert _q_terms('""  ,,, ') == []
+
+    def test_multi_token_is_and_not_substring(self, spark):
+        from hawaiidatapipeline_spark.soql import soql_query
+
+        docs = load_table(spark, SF0001, "documents")
+
+        both = soql_query(docs, {"$select": "doc_id", "$q": "merge sort"})
+        merge = soql_query(docs, {"$select": "doc_id", "$q": "merge"})
+        sort = soql_query(docs, {"$select": "doc_id", "$q": "sort"})
+        substring = soql_query(docs, {"$select": "doc_id", "$q": '"merge sort"'})
+        got = {r["doc_id"] for r in both.collect()}
+        want = {r["doc_id"] for r in merge.collect()} & {
+            r["doc_id"] for r in sort.collect()
+        }
+        assert got == want and got  # AND semantics, non-empty
+        # the quoted phrase is strictly narrower than the AND of its words
+        phrase_ids = {r["doc_id"] for r in substring.collect()}
+        assert phrase_ids < got
+
+    def test_punctuation_stripped_token_still_matches(self, spark):
+        from hawaiidatapipeline_spark.soql import soql_query
+
+        docs = load_table(spark, SF0001, "documents")
+
+        clean = soql_query(docs, {"$select": "doc_id", "$q": "merge"})
+        punct = soql_query(docs, {"$select": "doc_id", "$q": "(merge),"})
+        assert {r["doc_id"] for r in clean.collect()} == {
+            r["doc_id"] for r in punct.collect()
+        }
