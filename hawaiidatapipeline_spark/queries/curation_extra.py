@@ -229,7 +229,11 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") <= _STOP_SHINGLE_DF)
         .select("token")
     )
-    tokf = tok.join(kept, "token")
+    # tokf feeds THREE plan branches (sizes + both self-join sides); without
+    # materialization each branch re-scans documents and re-shingles — the
+    # checkpoint turns 3 explode+distinct passes into 1 (same pattern as
+    # the triangle edge set and the minhash signature table)
+    tokf = tok.join(kept, "token").localCheckpoint()
     sizes = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = tokf.alias("a"), tokf.alias("b")
     inter = (
