@@ -200,21 +200,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge fan-out by the arboricity — the fixture's key order stands in
     for that here; the join itself is the standard two-hop equi-join that
     AQE handles with one shuffle per hop."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("u", "v")
-        .localCheckpoint()  # 3 self-join branches — compute the edge set once
-    )
+    # collect+expand edge build (ONE orderkey shuffle, ~2.5× the self-join
+    # speed at sf0.1 — operators/graph.py); checkpointed once for the
+    # three wedge-join branches
+    edges = copurchase_edges(li).localCheckpoint()
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))

@@ -53,19 +53,12 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly. Per round: one join + one partial-aggregated groupBy, ranks
     localCheckpoint-materialized so the plan never deepens — the same
     O(iterations) linear-shuffle budget as connected components."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("src", "dst")
-    )
+    # directed edge list via the collect+expand build + mirror (ONE
+    # orderkey shuffle and half the pair aggregation vs the items
+    # self-join — operators/graph.py)
+    edges = copurchase_edges(li, directed=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     return pagerank_fixed_point(edges, nodes, n_iter=_N_ITER)

@@ -309,20 +309,10 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     a heavy right tail says 'orient by degree / salt the hubs' before the
     wedge or message-passing joins. Two stacked narrow aggregates over the
     undirected edge list."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("u", "v")
-    )
+    edges = copurchase_edges(li)  # collect+expand build — operators/graph.py
     nodes = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node"))
     )
