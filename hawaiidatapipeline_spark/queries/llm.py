@@ -340,7 +340,10 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf rows are unique per (doc_id, term) by construction (the groupBy
+    # above), so document frequency is a PLAIN count — countDistinct here
+    # would re-plan the two-phase distinct aggregate for nothing
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(n))
