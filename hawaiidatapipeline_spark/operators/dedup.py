@@ -23,14 +23,9 @@ def tokenize_distinct(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return df.select(id_col, F.explode(F.split(text_col, " ")).alias("token")).distinct()
 
 
-def shingles_distinct(
-    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+def _shingles_raw(
+    df: DataFrame, n: int, id_col: str, text_col: str
 ) -> DataFrame:
-    """(id, shingle) pairs, distinct — n-word shingles built entirely with
-    JVM higher-order functions (transform over sequence). Word n-grams are
-    the discriminative unit for near-dup detection: over a small vocabulary,
-    1-gram token SETS of unrelated docs overlap heavily, while shared
-    n-grams imply shared phrasing."""
     return (
         df.select(id_col, F.split(F.col(text_col), " ").alias("_toks"))
         .filter(F.size("_toks") >= n)
@@ -41,8 +36,33 @@ def shingles_distinct(
                 " ", *[F.element_at(F.col("_toks"), F.col("i") + 1 + k) for k in range(n)]
             ).alias("token"),
         )
-        .distinct()
     )
+
+
+def shingles_distinct(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, shingle) pairs, distinct — n-word shingles built entirely with
+    JVM higher-order functions (transform over sequence). Word n-grams are
+    the discriminative unit for near-dup detection: over a small vocabulary,
+    1-gram token SETS of unrelated docs overlap heavily, while shared
+    n-grams imply shared phrasing.
+
+    ``distinct=False`` skips the dedup shuffle — correct for any
+    duplicate-insensitive consumer, notably min-hashing, where repeated
+    shingles can never change a min. Which setting is faster is a
+    corpus-shape tradeoff, measured both ways at sf0.1: on REPETITIVE
+    text (this fixture's ~30-word vocabulary) distinct collapses most
+    occurrences before the 32-way hash work and wins ~1.4×; on natural
+    corpora, where a document's n-grams are nearly all unique, distinct
+    removes almost nothing and its full-width string exchange is pure
+    cost — prefer distinct=False there."""
+    out = _shingles_raw(df, n, id_col, text_col)
+    return out.distinct() if distinct else out
 
 
 def portable_hash64(col, seed: int):
