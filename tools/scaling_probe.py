@@ -73,7 +73,15 @@ def main() -> int:
             best = float("inf")
             for _ in range(2):
                 t0 = time.monotonic()
-                queries[name](spark, sf).collect()
+                # noop sink, not collect(): full materialization of the
+                # compute without the driver-side transfer — a wide-output
+                # query (e.g. the fact-fact join) otherwise measures
+                # single-threaded driver deserialization + GC, which is
+                # noisy and NOT the scaling property under test (bench.py
+                # uses the same discipline)
+                queries[name](spark, sf).write.mode("overwrite").format(
+                    "noop"
+                ).save()
                 best = min(best, time.monotonic() - t0)
             walls.append(best)
         growth = walls[1] / walls[0] if walls[0] > 0 else float("nan")
