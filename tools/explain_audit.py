@@ -109,7 +109,10 @@ AUDITS: dict[str, list[str]] = {
     "etl_dedup_incremental": ["smj_or_bhj", "partial_agg", "pruning", "no_cartesian", "codegen"],
     "llm_length_histogram": ["partial_agg", "pruning", "codegen"],
     "multimodal_decode_tolerant": ["pruning", "no_shuffle_left"],
-    "llm_containment_pairs": ["smj_or_bhj", "partial_agg", "pruning", "no_cartesian", "codegen"],
+    # (no "pruning" since round 5: the shared shingle table is
+    # localCheckpoint-materialized, so the final plan reads the checkpoint
+    # RDD instead of the parquet scan — same situation as llm_dedup_minhash)
+    "llm_containment_pairs": ["smj_or_bhj", "partial_agg", "no_cartesian", "codegen"],
     "ts_interpolate_linear": ["window_exec", "single_shuffle_family", "pruning", "codegen"],
     "events_user_lifecycle": ["window_exec", "partial_agg", "pruning", "codegen"],
     "agg_mode_deterministic": ["partial_agg", "window_exec", "pruning", "codegen"],

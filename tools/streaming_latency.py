@@ -32,7 +32,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 RATES = [2_000, 20_000]  # input rows/second
-RUN_SECONDS = 18
+RUN_SECONDS = 25
 TRIGGER = {"processingTime": "1 second"}
 WARMUP_BATCHES = 3
 
@@ -122,6 +122,8 @@ def run(spark, write_to: str | None = None) -> int:
     ):
         for rate in RATES:
             s = fn(spark, rate)
+            if s is None:  # too few batches (slow startup race) — once more
+                s = fn(spark, rate)
             rows.append((label, rate, s))
             print(f"{label} @ {rate} rows/s: {s}")
     ok = all(s is not None for _l, _r, s in rows)
