@@ -193,3 +193,104 @@ def test_rate_limit_conserves_rows(spark, rows):
         hours.setdefault(u, set()).add(s // 3600)
     for r in per_key_kept:
         assert r["count"] <= 2 * len(hours[r["user_id"]])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # group key (collide hard)
+            st.integers(min_value=-1000, max_value=1000),  # order value
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+    n_salts=st.integers(min_value=1, max_value=8),
+)
+@SLOW
+def test_salted_window_topk_equals_plain(spark, rows, k, n_salts):
+    """salted_window_topk must be algebraically invisible under a TOTAL
+    order — arbitrary inputs, duplicate order values broken by a unique
+    id, degenerate single-salt configs, empty frames."""
+    from pyspark.sql import Window
+
+    from hawaiidatapipeline_spark.operators.skew import salted_window_topk
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data or [(0, 0, 0)], "id int, g int, v int")
+    if not rows:
+        df = df.filter(F.lit(False))
+    order = [F.col("v").desc(), F.col("id")]  # total order via unique id
+    w = Window.partitionBy("g").orderBy(*order)
+    plain = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    salted = salted_window_topk(df, ["g"], order, k=k, n_salts=n_salts)
+    cols = ["g", "id", "rn"]
+    assert sorted(map(tuple, plain.select(*cols).collect())) == sorted(
+        map(tuple, salted.select(*cols).collect())
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # order key
+            st.integers(min_value=0, max_value=9),   # part key
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    min_orders=st.integers(min_value=1, max_value=3),
+)
+@SLOW
+def test_copurchase_edges_equals_selfjoin(spark, rows, min_orders):
+    """The collect+expand edge build must equal the reference self-join
+    formulation on arbitrary (order, part) multisets — duplicates inside
+    an order, singleton orders, empty input, both orientations."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+
+    df = spark.createDataFrame(
+        rows or [(0, 0)], "l_orderkey long, l_partkey long"
+    )
+    if not rows:
+        df = df.filter(F.lit(False))
+    items = df.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    ref = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_orders)
+        .select("u", "v")
+    )
+    got = copurchase_edges(df, min_orders=min_orders)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    # directed = exact mirror closure of the undirected set
+    und = sorted(map(tuple, got.collect()))
+    dird = sorted(
+        map(tuple, copurchase_edges(df, min_orders=min_orders, directed=True).collect())
+    )
+    assert dird == sorted([(u, v) for u, v in und] + [(v, u) for u, v in und])
+
+
+@given(q=st.text(st.characters(codec="ascii", exclude_characters="\x00"), max_size=40))
+@SLOW
+def test_q_terms_never_empty_or_quoted(q):
+    """SODA $q tokenizer invariants on arbitrary ASCII snippets: no empty
+    terms, no surviving double quotes, word terms carry no boundary
+    punctuation, and tokenization is idempotent for plain word lists."""
+    from hawaiidatapipeline_spark.soql import _Q_STRIP, _q_terms
+
+    terms = _q_terms(q)
+    for t in terms:
+        assert t != ""
+        assert '"' not in t or " " in t or q.count('"') % 2 == 1
+    # unquoted word terms have stripped boundaries
+    rest = q
+    if '"' not in q:
+        for t in terms:
+            assert t == t.strip(_Q_STRIP)
+        assert _q_terms(" ".join(terms)) == terms
