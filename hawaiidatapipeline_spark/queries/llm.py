@@ -403,3 +403,64 @@ def llm_lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.cube("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+@q(
+    "llm_unigram_logprob",
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       ),
+       counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+       total AS (SELECT sum(c) AS t FROM counts),
+       scored AS (
+         SELECT toks.doc_id,
+                floor(ln(counts.c::DOUBLE / total.t) * 1000000)::BIGINT AS lp_micro
+         FROM toks JOIN counts USING (tok) CROSS JOIN total
+       )
+       SELECT doc_id,
+              count(*)::BIGINT AS n_tokens,
+              round(-sum(lp_micro) / count(*) / 1000000.0, 6) AS avg_neg_logprob
+       FROM scored GROUP BY doc_id
+       ORDER BY avg_neg_logprob DESC, doc_id LIMIT 100""",
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal per document — the perplexity-proxy
+    quality gate (the KenLM score of CCNet-style curation, with the corpus
+    itself as the LM): avg over a doc's tokens of −ln p(token), p from
+    corpus-wide counts. High scores flag gibberish / vocabulary outliers;
+    the real pipeline thresholds or buckets on this exactly like the
+    heuristic ``llm_quality_score``, but content-driven instead of
+    shape-driven.
+
+    Determinism discipline (same as integer PageRank): each token's log
+    probability is floored to MICRO-UNITS (ln·1e6 → bigint) so the per-doc
+    aggregation is an exact INTEGER sum — no float partial-sum order to
+    disagree across partitionings or engines; the only float ops are one
+    ln per distinct count ratio and the final division, identical IEEE on
+    both sides. Two linear shuffles (corpus counts, per-doc sum); the
+    count table broadcasts at any corpus size (bounded by vocabulary)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(F.broadcast(counts), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.floor(F.log(F.col("c") / F.col("t")) * 1000000)
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.sum("lp_micro") / F.count(F.lit(1)) / 1000000.0, 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+        .orderBy(F.col("avg_neg_logprob").desc(), "doc_id")
+        .limit(100)
+    )
