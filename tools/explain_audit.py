@@ -207,6 +207,14 @@ AUDITS: dict[str, list[str]] = {
     # (grams are localCheckpoint-materialized — the final plan scans the
     # checkpoint, so no Generate/scan-pruning to assert, like minhash)
     "llm_ngram_novelty": ["partial_agg", "take_ordered", "no_cartesian", "codegen"],
+    # round-5 session additions
+    "soql_fulltext_terms": ["pruning", "codegen", "no_cartesian"],
+    "llm_unigram_logprob": ["partial_agg", "broadcast_any", "generate_exec", "no_cartesian", "codegen"],
+    "llm_dupspan_ngram": ["partial_agg", "take_ordered", "generate_exec", "pruning", "no_cartesian", "codegen"],
+    # (triangle/pagerank edge sets are checkpoint-materialized; the
+    # per-round/wedge shape is what remains assertable)
+    "graph_triangle_count": ["partial_agg", "no_cartesian"],
+    "graph_degree_distribution": ["partial_agg", "no_cartesian", "codegen"],
 }
 
 
