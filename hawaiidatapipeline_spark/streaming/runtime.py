@@ -691,3 +691,41 @@ def rate_limited_counters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def compact_cdc_target(
+    spark: SparkSession, target_path: str, tombstone_horizon_seq: int
+) -> dict:
+    """Tombstone compaction for a ``run_cdc_sink`` target — the
+    maintenance pass its docstring promises: tombstones (op='D') are
+    retained at apply time so late older inserts lose the op_seq
+    arbitration, but once the SOURCE can no longer emit ops older than
+    ``tombstone_horizon_seq`` (its max-lateness watermark, expressed as
+    an op_seq floor) those tombstones are dead weight — every future op
+    for the key must carry a newer seq and wins with or without them.
+    Live rows are NEVER dropped regardless of age.
+
+    Same crash-safe rename-aside swap as the sink, so compaction can run
+    between (not during) sink triggers without a visibility gap. Returns
+    {"dropped": n_tombstones_removed, "kept": rows_remaining}."""
+    import shutil
+    import uuid
+
+    try:
+        current = spark.read.parquet(target_path)
+    except Exception:
+        current = spark.read.parquet(target_path + ".old")
+    keep = current.filter(
+        (F.col("op") != "D") | (F.col("op_seq") >= tombstone_horizon_seq)
+    )
+    n_before = current.count()
+    tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
+    keep.write.mode("overwrite").parquet(tmp)
+    old = target_path + ".old"
+    if os.path.exists(target_path):
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(target_path, old)
+    os.replace(tmp, target_path)
+    shutil.rmtree(old, ignore_errors=True)
+    n_after = spark.read.parquet(target_path).count()
+    return {"dropped": n_before - n_after, "kept": n_after}

@@ -608,3 +608,34 @@ def test_cdc_target_reader_survives_interrupted_swap(spark, tmp_path):
     os.replace(target, target + ".old")
     got = {r["key"]: r["price"] for r in runtime.read_cdc_target(spark, target).collect()}
     assert got == {k: float(k) for k in range(1, 11)}
+
+
+def test_cdc_tombstone_compaction(spark, tmp_path):
+    """compact_cdc_target drops ONLY tombstones older than the horizon:
+    live rows of any age survive, newer tombstones survive (they must —
+    the source can still emit older ops that have to lose arbitration),
+    and the reader sees an identical live view before and after."""
+    rows = (
+        [(k, "I", 1, float(k)) for k in range(1, 21)]
+        + [(k, "D", 5, None) for k in (3, 6)]      # old tombstones
+        + [(k, "D", 50, None) for k in (9, 12)]    # recent tombstones
+    )
+    df = spark.createDataFrame(rows, "key long, op string, op_seq long, price double")
+    src = str(tmp_path / "ops")
+    df.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("key long, op string, op_seq long, price double")
+        .parquet(src)
+    )
+    target = str(tmp_path / "target")
+    q = runtime.run_cdc_sink(stream, target, "key", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    before = {r["key"]: r["price"] for r in runtime.read_cdc_target(spark, target).collect()}
+    stats = runtime.compact_cdc_target(spark, target, tombstone_horizon_seq=10)
+    after = {r["key"]: r["price"] for r in runtime.read_cdc_target(spark, target).collect()}
+    assert after == before  # live view unchanged
+    assert stats["dropped"] == 2  # exactly the two sub-horizon tombstones
+    raw = {r["key"]: r["op"] for r in spark.read.parquet(target).collect()}
+    assert raw.get(9) == "D" and raw.get(12) == "D"  # recent tombstones kept
+    assert 3 not in raw and 6 not in raw
