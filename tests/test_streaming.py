@@ -639,3 +639,48 @@ def test_cdc_tombstone_compaction(spark, tmp_path):
     raw = {r["key"]: r["op"] for r in spark.read.parquet(target).collect()}
     assert raw.get(9) == "D" and raw.get(12) == "D"  # recent tombstones kept
     assert 3 not in raw and 6 not in raw
+
+
+def test_cdc_next_batch_recovers_interrupted_swap(spark, tmp_path):
+    """If a crash leaves only <target>.old (renamed aside, replacement
+    never landed), the NEXT micro-batch must merge against that state —
+    not against an empty world that silently drops every absent key."""
+    import os
+
+    target = str(tmp_path / "target")
+    src = str(tmp_path / "ops")
+    os.makedirs(src)
+
+    first = spark.createDataFrame(
+        [(k, "I", 1, float(k)) for k in range(1, 11)],
+        "key long, op string, op_seq long, price double",
+    )
+    first.coalesce(1).write.parquet(src + "/a_batch")
+    stream = (
+        spark.readStream.schema("key long, op string, op_seq long, price double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = runtime.run_cdc_sink(stream, target, "key", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # crash between the two renames: state only exists as .old
+    os.replace(target, target + ".old")
+
+    second = spark.createDataFrame(
+        [(1, "U", 2, 100.0), (11, "I", 2, 11.0)],
+        "key long, op string, op_seq long, price double",
+    )
+    second.coalesce(1).write.parquet(src + "/b_batch")
+    stream2 = (
+        spark.readStream.schema("key long, op string, op_seq long, price double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q2 = runtime.run_cdc_sink(stream2, target, "key", str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+
+    got = {r["key"]: r["price"] for r in runtime.read_cdc_target(spark, target).collect()}
+    want = {k: float(k) for k in range(2, 11)} | {1: 100.0, 11: 11.0}
+    assert got == want  # keys 2..10 survived via the .old fallback
+    assert not os.path.exists(target + ".old")  # swap completed cleanly
