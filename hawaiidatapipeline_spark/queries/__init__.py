@@ -72,23 +72,23 @@ _MODULES = (
 # Round-4 window: exactly the 50 keys with no driver row after round 3
 # (windows family, etl_*, corpus pipelines v1-v4, fn_bitwise, ...).
 _FRONT: tuple[str, ...] = (
-    'fn_bitwise', 'ts_interpolate_linear', 'events_user_lifecycle',
-    'multimodal_decode_tolerant', 'scan_xml_roundtrip', 'fn_variant_json',
-    'llm_dedup_url', 'etl_dedup_incremental', 'llm_containment_pairs',
-    'llm_length_histogram', 'llm_uniqueness_score', 'emb_norm_qc',
-    'join_fuzzy_blocked', 'llm_fingerprint_exact', 'llm_train_val_split',
-    'llm_dedup_clusters', 'llm_contamination_report', 'llm_dedup_fuzzy',
-    'llm_linkage_minhash', 'llm_dedup_survivors', 'llm_semantic_clusters',
-    'etl_scd2', 'etl_merge_upsert', 'events_anomaly',
-    'events_funnel', 'events_retention', 'etl_snapshot_diff',
-    'etl_incremental_agg', 'etl_rollup_hierarchy', 'llm_corpus_pipeline',
-    'llm_corpus_pipeline_v2', 'llm_corpus_pipeline_v3', 'llm_corpus_pipeline_v4',
-    'win_lag_lead', 'win_running_rows', 'win_range_frame',
-    'win_first_last', 'win_topk_per_group', 'win_islands',
-    'win_distribution', 'fulltext_ranked', 'dq_expectations',
-    'set_union_by_name', 'join_bloom_prefilter', 'join_salted_skew',
-    'agg_quantile_histogram', 'agg_distinct_kmv', 'agg_mode_deterministic',
-    'agg_corr_deterministic', 'agg_bitmap_distinct',
+    'events_transition_matrix', 'llm_unigram_logprob', 'catalog_search',
+    'multimodal_video_frames', 'multimodal_image_resize', 'soql_fulltext_terms',
+    'tpch_q4_late_orders', 'tpch_q19_disjunctive_revenue', 'tpch_q7_volume_shipping',
+    'tpch_q8_market_share', 'tpch_q9_product_profit', 'tpch_q13_order_count_distribution',
+    'tpch_q15_top_supplier', 'tpch_q16_supplier_part_variety', 'tpch_q17_small_quantity_revenue',
+    'tpch_q20_part_promotion_suppliers', 'tpch_q21_late_supplier_blame', 'tpch_q22_dormant_customers',
+    'tpch_q2_min_cost_supplier', 'tpch_q11_important_stock', 'tpch_q12_late_lines_by_priority',
+    'events_sessionize_gap', 'join_asof_forward', 'join_asof_nearest',
+    'graph_triangle_count', 'agg_regression', 'llm_dupspan_ngram',
+    'fn_struct_ops', 'join_asof_tolerance', 'ts_outage_detection',
+    'etl_partition_overwrite', 'scan_partition_pruned_agg', 'events_rate_limit',
+    'emb_dim_stats', 'dq_freshness', 'dq_schema_contract',
+    'llm_dataset_card', 'etl_incremental_join_view', 'etl_cdc_apply',
+    'dq_column_masking', 'sample_systematic', 'llm_shard_manifest',
+    'llm_quota_sample', 'join_exists_flag', 'agg_moments',
+    'events_top_sequences', 'sql_group_by_all', 'sql_star_except',
+    'fn_try_safe', 'join_hint_shuffle_hash',
 )
 
 

@@ -21,53 +21,72 @@ COMPLEX = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
 # AFTER the first 50 slots so each round's 50-entry sweep covers only
 # never-checked (or fail-on-record) queries.
 DRIVER_GREEN = {
-    'agg_approx_count_distinct', 'agg_collect_sorted', 'agg_count_distinct',
-    'agg_cube', 'agg_global', 'agg_groupby_basic', 'agg_grouping_sets',
-    'agg_having', 'agg_heavy_hitters_cms', 'agg_minby_maxby',
-    'agg_multikey', 'agg_percentile', 'agg_percentile_approx', 'agg_pivot',
-    'agg_rollup', 'agg_salted_skew', 'agg_stats', 'catalog_list',
-    'distinct_rows', 'dq_profile', 'dq_referential', 'emb_label_centroids',
-    'emb_quantize_int8', 'filter_boolean', 'filter_compare',
-    'filter_in_between_null', 'filter_like', 'fn_array',
-    'fn_array_topk_struct', 'fn_cast', 'fn_conditional', 'fn_date_arith',
-    'fn_date_extract', 'fn_date_trunc', 'fn_explode',
+    'agg_approx_count_distinct', 'agg_bitmap_distinct',
+    'agg_collect_sorted', 'agg_corr_deterministic', 'agg_count_distinct',
+    'agg_cube', 'agg_distinct_kmv', 'agg_global', 'agg_groupby_basic',
+    'agg_grouping_sets', 'agg_having', 'agg_heavy_hitters_cms',
+    'agg_minby_maxby', 'agg_mode_deterministic', 'agg_multikey',
+    'agg_percentile', 'agg_percentile_approx', 'agg_pivot',
+    'agg_quantile_histogram', 'agg_rollup', 'agg_salted_skew',
+    'agg_stats', 'catalog_list', 'distinct_rows', 'dq_expectations',
+    'dq_profile', 'dq_referential', 'emb_label_centroids', 'emb_norm_qc',
+    'emb_quantize_int8', 'etl_dedup_incremental', 'etl_incremental_agg',
+    'etl_merge_upsert', 'etl_rollup_hierarchy', 'etl_scd2',
+    'etl_snapshot_diff', 'events_anomaly', 'events_funnel',
+    'events_retention', 'events_user_lifecycle', 'filter_boolean',
+    'filter_compare', 'filter_in_between_null', 'filter_like', 'fn_array',
+    'fn_array_topk_struct', 'fn_bitwise', 'fn_cast', 'fn_conditional',
+    'fn_date_arith', 'fn_date_extract', 'fn_date_trunc', 'fn_explode',
     'fn_geo_box_then_circle', 'fn_geo_distance', 'fn_geo_within_box',
     'fn_hash', 'fn_json', 'fn_map', 'fn_math', 'fn_money_decimal',
     'fn_null_semantics', 'fn_regex', 'fn_string', 'fn_timezone',
-    'fn_url_parse', 'fulltext_search', 'graph_pagerank_copurchase',
-    'join_asof', 'join_cross', 'join_full_outer', 'join_inner_broadcast',
-    'join_inner_sortmerge', 'join_interval_binned', 'join_left_anti',
-    'join_left_outer', 'join_left_semi', 'join_right_outer',
+    'fn_url_parse', 'fn_variant_json', 'fulltext_ranked',
+    'fulltext_search', 'graph_pagerank_copurchase', 'join_asof',
+    'join_bloom_prefilter', 'join_cross', 'join_full_outer',
+    'join_fuzzy_blocked', 'join_inner_broadcast', 'join_inner_sortmerge',
+    'join_interval_binned', 'join_left_anti', 'join_left_outer',
+    'join_left_semi', 'join_right_outer', 'join_salted_skew',
     'join_theta_range', 'layout_zorder_key', 'limit_n',
-    'llm_chunk_documents', 'llm_cosine_ivf', 'llm_cosine_topk',
-    'llm_decontaminate', 'llm_dedup_embedding', 'llm_dedup_exact',
-    'llm_dedup_jaccard', 'llm_dedup_jaccard_ngram', 'llm_dedup_minhash',
-    'llm_dedup_minhash_exact', 'llm_fingerprint', 'llm_inverted_index',
+    'llm_chunk_documents', 'llm_containment_pairs',
+    'llm_contamination_report', 'llm_corpus_pipeline',
+    'llm_corpus_pipeline_v2', 'llm_corpus_pipeline_v3',
+    'llm_corpus_pipeline_v4', 'llm_cosine_ivf', 'llm_cosine_topk',
+    'llm_decontaminate', 'llm_dedup_clusters', 'llm_dedup_embedding',
+    'llm_dedup_exact', 'llm_dedup_fuzzy', 'llm_dedup_jaccard',
+    'llm_dedup_jaccard_ngram', 'llm_dedup_minhash',
+    'llm_dedup_minhash_exact', 'llm_dedup_survivors', 'llm_dedup_url',
+    'llm_fingerprint', 'llm_fingerprint_exact', 'llm_inverted_index',
     'llm_knn_label', 'llm_lang_id', 'llm_lang_source_matrix',
-    'llm_mixture_sample', 'llm_ngram_counts', 'llm_pack_sequences',
-    'llm_pii_scrub', 'llm_quality_score', 'llm_repetition_filter',
+    'llm_length_histogram', 'llm_linkage_minhash', 'llm_mixture_sample',
+    'llm_ngram_counts', 'llm_pack_sequences', 'llm_pii_scrub',
+    'llm_quality_score', 'llm_repetition_filter', 'llm_semantic_clusters',
     'llm_simhash_buckets', 'llm_simhash_exact', 'llm_text_normalize',
     'llm_text_stats', 'llm_tfidf_topterms', 'llm_token_count_bpe',
-    'llm_vocab_coverage', 'mine_association_rules', 'mine_frequent_pairs',
-    'multimodal_audio_decode', 'multimodal_features',
-    'multimodal_image_decode', 'offset_paging', 'pricing_summary',
-    'project_alias', 'project_computed', 'project_select',
-    'reshape_unpivot', 'sample_bernoulli', 'sample_stratified',
-    'sample_weighted', 'scan_bucketed_join', 'scan_csv_malformed',
-    'scan_csv_roundtrip', 'scan_jsonlines', 'scan_orc_roundtrip',
-    'scan_schema_evolution', 'scan_text_lines', 'set_except',
-    'set_intersect', 'set_union_all', 'set_union_distinct',
-    'sink_parquet_partitioned', 'sink_sorted_export', 'soql_aggregate',
-    'soql_chained_pipeline', 'soql_date_functions',
-    'soql_full_query_string', 'soql_fulltext_paged', 'sort_multikey',
-    'stream_dedup', 'stream_session', 'stream_sliding', 'stream_tumbling',
-    'subquery_scalar_correlated', 'topk_global', 'tpch_q10_returned_items',
-    'tpch_q14_promo_effect', 'tpch_q18_large_orders',
-    'tpch_q3_shipping_priority', 'tpch_q5_local_supplier_volume',
-    'tpch_q6_forecast_revenue', 'ts_fill_forward', 'ts_resample',
+    'llm_train_val_split', 'llm_uniqueness_score', 'llm_vocab_coverage',
+    'mine_association_rules', 'mine_frequent_pairs',
+    'multimodal_audio_decode', 'multimodal_decode_tolerant',
+    'multimodal_features', 'multimodal_image_decode', 'offset_paging',
+    'pricing_summary', 'project_alias', 'project_computed',
+    'project_select', 'reshape_unpivot', 'sample_bernoulli',
+    'sample_stratified', 'sample_weighted', 'scan_bucketed_join',
+    'scan_csv_malformed', 'scan_csv_roundtrip', 'scan_jsonlines',
+    'scan_orc_roundtrip', 'scan_schema_evolution', 'scan_text_lines',
+    'scan_xml_roundtrip', 'set_except', 'set_intersect', 'set_union_all',
+    'set_union_by_name', 'set_union_distinct', 'sink_parquet_partitioned',
+    'sink_sorted_export', 'soql_aggregate', 'soql_chained_pipeline',
+    'soql_date_functions', 'soql_full_query_string',
+    'soql_fulltext_paged', 'sort_multikey', 'stream_dedup',
+    'stream_session', 'stream_sliding', 'stream_tumbling',
+    'subquery_scalar_correlated', 'topk_global',
+    'tpch_q10_returned_items', 'tpch_q14_promo_effect',
+    'tpch_q18_large_orders', 'tpch_q3_shipping_priority',
+    'tpch_q5_local_supplier_volume', 'tpch_q6_forecast_revenue',
+    'ts_fill_forward', 'ts_interpolate_linear', 'ts_resample',
     'udf_arrow_batch', 'udf_cogrouped_map', 'udf_grouped_agg',
     'udf_grouped_map', 'udf_pandas_scalar', 'udf_python_scalar',
-    'udtf_python', 'win_ntile_pct', 'win_ranking',
+    'udtf_python', 'win_distribution', 'win_first_last', 'win_islands',
+    'win_lag_lead', 'win_ntile_pct', 'win_range_frame', 'win_ranking',
+    'win_running_rows', 'win_topk_per_group',
 }
 
 
@@ -163,6 +182,25 @@ def test_bench_headline_keys_are_registered(registry):
     assert not missing, f"bench.HEADLINE keys absent from registry: {missing}"
 
 
+def test_bench_final_line_fits_tail_capture():
+    """Round-5 lesson: bench.py's single JSON line (detail + spreads + heavy
+    lane) outgrew the driver's tail capture, so BENCH_r05.json recorded
+    ``"parsed": null``. The LAST printed line must stay small: simulate it
+    with worst-case float widths and bound the serialized size."""
+    import json
+
+    import bench
+
+    simulated = {
+        "metric": "headline_query_total",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": {k: 99999.999 for k in bench.HEADLINE},
+        "sf": 0.1,
+    }
+    assert len(json.dumps(simulated)) < 1800
+
+
 def test_front_window_keys_are_registered(registry):
     """Every pinned _FRONT key must resolve — a typo'd key silently shrinks
     the driver's 50-entry correctness window."""
@@ -170,6 +208,40 @@ def test_front_window_keys_are_registered(registry):
     missing = [k for k in queries._FRONT if k not in qs]
     assert not missing, f"_FRONT keys absent from registry: {missing}"
     assert len(queries._FRONT) == 50
+
+
+def test_front_window_is_not_stale():
+    """Round-5 lesson: the driver re-checked round-4's identical window
+    because ``_FRONT`` was never rotated, wasting the round's entire
+    correctness budget. Guard: if EVERY window key already has a green row
+    in a committed CORRECTNESS_r*.json, the window proves nothing new and
+    must be rotated (``python tools/rotate_window.py CORRECTNESS_r*.json``).
+    A window key with a FAILED row on record is fine — it re-enters the
+    window to re-prove its fix."""
+    import glob
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.rotate_window import row_is_green
+
+    paths = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                          "CORRECTNESS_r*.json")))
+    if not paths:
+        pytest.skip("no driver correctness files yet (round 1)")
+    green: set[str] = set()
+    failed: set[str] = set()
+    for path in paths:
+        data = json.load(open(path))
+        rows = data if isinstance(data, dict) else {r["key"]: r for r in data}
+        for key, row in rows.items():
+            (green if row_is_green(row) else failed).add(key)
+    already_proven = [k for k in queries._FRONT if k in green and k not in failed]
+    assert len(already_proven) < len(queries._FRONT), (
+        "every _FRONT key already has a green driver row — the next round's "
+        "sweep would re-prove old results; rotate the window"
+    )
 
 
 def test_scaling_and_perf_probe_keys_are_registered(registry):
