@@ -107,7 +107,7 @@ def main() -> None:
     heavy_timings, heavy_spread = run_set(HEAVY)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    detail = {
         "metric": "headline_query_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -119,8 +119,24 @@ def main() -> None:
         "passes": PASSES,
         "sf": float(sf) if sf else None,
     }
-    print(json.dumps(out))
+    # Round-5 lesson: the full detail line outgrew the driver's tail capture,
+    # so BENCH_r05.json recorded "parsed": null. Write the big object to
+    # BENCH_DETAIL.json and print a SHORT headline line LAST (nearest the
+    # tail) so the driver's capture always parses it.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(detail))
     spark.stop()
+    headline = {
+        "metric": "headline_query_total",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": detail["sf"],
+    }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
