@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.operators.materialize import materialize
 from hawaiidatapipeline_spark.registry import load_table
 
 QUERIES, ORACLES, q = new_module_registry()
@@ -180,10 +181,18 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "graph_triangle_count",
     """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
-             FROM items a JOIN items b
-               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-             GROUP BY 1, 2 HAVING count(*) >= 2)
+       e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+       deg AS (SELECT node, count(*) AS deg FROM (SELECT u AS node FROM e0
+               UNION ALL SELECT v AS node FROM e0) nn GROUP BY node),
+       e AS (SELECT CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v)
+                         THEN e0.u ELSE e0.v END AS u,
+                    CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v)
+                         THEN e0.v ELSE e0.u END AS v
+             FROM e0 JOIN deg du ON du.node = e0.u
+                     JOIN deg dv ON dv.node = e0.v)
        SELECT (SELECT count(DISTINCT u) FROM (SELECT u FROM e
                UNION ALL SELECT v FROM e) nn(u)) AS n_nodes,
               (SELECT count(*) FROM e) AS n_edges,
@@ -194,19 +203,45 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the undirected part co-purchase graph (edges =
     part pairs sharing ≥2 orders, same graph as graph_pagerank_copurchase).
-    Edges are oriented u<v so each triangle is enumerated exactly once by
-    the wedge join e1(u,v)⋈e2(v,w) closed by e3(u,w). At scale the
-    orientation should follow the DEGREE order (low→high), which bounds
-    wedge fan-out by the arboricity — the fixture's key order stands in
-    for that here; the join itself is the standard two-hop equi-join that
+
+    Edges are oriented LOW-DEGREE → HIGH-DEGREE (ties broken by key), a
+    total order over nodes, so each triangle is enumerated exactly once by
+    the wedge join e1(u,v)⋈e2(v,w) closed by e3(u,w). Degree orientation
+    is the standard scale fix (Cohen 2009 / Suri-Vassilvitskii "Counting
+    Triangles and the Curse of the Last Reducer"): every node's OUT-degree
+    in the oriented graph is O(sqrt(m)) on any graph (and bounded by the
+    arboricity), so the wedge fan-out per node — the e1⋈e2 blow-up — is
+    bounded even when a raw-key orientation would leave a hub with millions
+    of out-edges. The aggregate counts are orientation-invariant, so the
+    oracle mirrors the same (degree, key) reorientation purely for plan
+    parity. The wedge join itself is the standard two-hop equi-join that
     AQE handles with one shuffle per hop."""
     from hawaiidatapipeline_spark.operators.graph import copurchase_edges
 
     li = load_table(spark, sf_dir, "lineitem")
     # collect+expand edge build (ONE orderkey shuffle, ~2.5× the self-join
-    # speed at sf0.1 — operators/graph.py); checkpointed once for the
-    # three wedge-join branches
-    edges = copurchase_edges(li).localCheckpoint()
+    # speed at sf0.1 — operators/graph.py); degree-reoriented, then
+    # checkpointed once for the three wedge-join branches
+    e0 = copurchase_edges(li)
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    u_first = (F.col("du.deg") < F.col("dv.deg")) | (
+        (F.col("du.deg") == F.col("dv.deg")) & (F.col("e0.u") < F.col("e0.v"))
+    )
+    edges = (
+        e0.alias("e0")
+        .join(deg.alias("du"), F.col("du.node") == F.col("e0.u"))
+        .join(deg.alias("dv"), F.col("dv.node") == F.col("e0.v"))
+        .select(
+            F.when(u_first, F.col("e0.u")).otherwise(F.col("e0.v")).alias("u"),
+            F.when(u_first, F.col("e0.v")).otherwise(F.col("e0.u")).alias("v"),
+        )
+    )
+    edges = materialize(edges)  # three wedge-join consumers, one compute
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
