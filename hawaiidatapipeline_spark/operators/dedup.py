@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hawaiidatapipeline_spark.operators.materialize import materialize
+
 
 def tokenize_distinct(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, token) pairs, distinct — whitespace tokens as 1-shingles."""
@@ -207,7 +209,8 @@ def minhash_candidate_pairs(
     # signature re-join ×2); Catalyst does not reuse the exchange across
     # them, so without materialization the shingle-explode + 32-way min
     # aggregation — the expensive linear pass — runs four times.
-    # localCheckpoint computes it once and stores it on executors. Band
+    # materialize() computes it once (executor blocks, or reliable
+    # checkpoint storage when a dir is configured). Band
     # signatures are FUSED into the same pass (VERDICT r3 item 6): the
     # checkpoint carries b0..b{n_bands-1} precomputed, so neither self-join
     # side re-hashes the signature columns downstream.
@@ -221,7 +224,8 @@ def minhash_candidate_pairs(
         n_hashes,
         n_bands,
         hash_fn,
-    ).localCheckpoint()
+    )
+    sig = materialize(sig)
 
     # Candidate generation over NARROW rows only — (doc_id, band, sig) is
     # ~24 B/row where carrying all n_hashes signature columns through the
@@ -290,12 +294,14 @@ def minhash_linkage_pairs(
             if hash_fn == "xxhash64"
             else shingles_distinct(df, shingle_n, id_col, text_col)
         )
-        return _band_columns(
-            minhash_signatures(tok, n_hashes, id_col, hash_fn),
-            n_hashes,
-            n_bands,
-            hash_fn,
-        ).localCheckpoint()
+        return materialize(
+            _band_columns(
+                minhash_signatures(tok, n_hashes, id_col, hash_fn),
+                n_hashes,
+                n_bands,
+                hash_fn,
+            )
+        )
 
     sig_l, sig_r = sign(left), sign(right)
     cand = (
@@ -339,14 +345,17 @@ def connected_components(
     star/clique-shaped, so diameter is tiny in practice. The driver-side
     loop with a per-round convergence action is inherent to iterative graph
     algorithms on Spark (GraphFrames' CC has the same shape);
-    ``localCheckpoint`` truncates lineage so plans don't grow per round.
+    per-round materialization (reliable ``checkpoint()`` when a dir is
+    configured, else ``localCheckpoint`` — operators/materialize.py)
+    truncates lineage so plans don't grow per round and rounds survive
+    executor loss on a cluster.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
+    edges = materialize(edges)
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
     )
@@ -357,7 +366,8 @@ def connected_components(
         )
         new_labels = (
             labels.unionByName(nbr_min).groupBy("node").agg(F.min("comp").alias("comp"))
-        ).localCheckpoint()
+        )
+        new_labels = materialize(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -10,14 +10,18 @@ can't be oracle-checked" weak spot into a hash-verified query.
 
 Scale shape per iteration: one join (ranks × out-edges) + one groupBy
 sum — the same linear shuffle pair as hash-min label propagation. Ranks
-re-materialize each round via localCheckpoint so the plan stays flat at
-any iteration count.
+re-materialize each round (operators/materialize.py: reliable
+``checkpoint()`` when a checkpoint dir is configured, else
+``localCheckpoint``) so the plan stays flat at any iteration count and
+the iteration state survives executor loss on a real cluster.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.operators.materialize import materialize
 
 MICRO = 1_000_000
 
@@ -46,8 +50,8 @@ def pagerank_fixed_point(
     round would re-run the caller's full edge-construction lineage —
     iterative algorithms pay that tax n_iter times, silently."""
     teleport = (100 - damping_pct) * MICRO // 100
-    edges = edges.localCheckpoint()
-    nodes = nodes.localCheckpoint()
+    edges = materialize(edges)
+    nodes = materialize(nodes)
     deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("_deg"))
     ranks = nodes.select(F.col(node_col), F.lit(MICRO).cast("long").alias("rank_micro"))
     for _ in range(n_iter):
@@ -71,8 +75,8 @@ def pagerank_fixed_point(
                     + F.expr(f"div({damping_pct} * coalesce(_in, 0L), 100)")
                 ).cast("long").alias("rank_micro"),
             )
-            .localCheckpoint()
         )
+        ranks = materialize(ranks)
     return ranks
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.operators.materialize import materialize
 from hawaiidatapipeline_spark.registry import load_table
 
 QUERIES, ORACLES, q = new_module_registry()
@@ -174,7 +175,9 @@ def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per round: one broadcast of k·dim centroid cells against the
     posexploded corpus, one (vec, cid) partial-aggregated distance
     groupBy, one argmin window, one centroid groupBy — all linear in
-    corpus size, centroids localCheckpoint'd so the plan never deepens.
+    corpus size, centroids re-materialized per round (reliable
+    checkpoint when a dir is configured — operators/materialize.py) so
+    the plan never deepens and rounds survive executor loss.
     This is the scale shape of IVF coarse-quantizer training
     (operators/similarity.py uses the float version; this is its
     hash-checkable twin)."""
@@ -183,12 +186,13 @@ def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode("embedding").alias("d", "x")
     ).select(
         "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
-    ).localCheckpoint()
+    )
+    qv = materialize(qv)
     centroids = (
         qv.filter(F.col("vec_id") < _KM_K)
         .select(F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
-        .localCheckpoint()
     )
+    centroids = materialize(centroids)
     assign = None
     for _ in range(_KM_ROUNDS):
         dists = (
@@ -201,8 +205,8 @@ def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             dists.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "cid")
-            .localCheckpoint()
         )
+        assign = materialize(assign)
         centroids = (
             assign.join(qv, "vec_id")
             .groupBy("cid", "d")
@@ -211,8 +215,8 @@ def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("cq")
             )
-            .localCheckpoint()
         )
+        centroids = materialize(centroids)
     checks = centroids.groupBy("cid").agg(F.sum("cq").alias("centroid_checksum"))
     return (
         assign.groupBy("cid")

@@ -32,3 +32,41 @@ def test_pagerank_is_deterministic_across_runs(spark):
     r1 = sorted(map(tuple, pagerank_fixed_point(e, n).collect()))
     r2 = sorted(map(tuple, pagerank_fixed_point(e, n).collect()))
     assert r1 == r2
+
+
+def test_reliable_checkpoint_path_used_when_dir_configured(spark, tmp_path):
+    """Cluster-deployment contract (operators/materialize.py): when the
+    session has a reliable checkpoint dir, iterative materialization goes
+    through fault-tolerant ``checkpoint()`` (files under the dir) instead
+    of executor-local blocks — and the integer fixed-point results are
+    bit-identical on either path."""
+    import os
+
+    from hawaiidatapipeline_spark.operators.materialize import (
+        materialize,
+        reliable_checkpoint_configured,
+    )
+
+    e, n = _star_graph(spark)
+    local = sorted(map(tuple, pagerank_fixed_point(e, n).collect()))
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckpt_dir = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt_dir)
+    try:
+        assert reliable_checkpoint_configured(e)
+        reliable = sorted(map(tuple, pagerank_fixed_point(e, n).collect()))
+        # the reliable path actually wrote checkpoint data
+        wrote = any(files for _, _, files in os.walk(ckpt_dir))
+        assert wrote, "no checkpoint files written under the configured dir"
+        # materialize() round-trips a frame intact on the reliable path
+        back = materialize(e)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, e.collect()))
+        assert back.schema == e.schema
+    finally:
+        # reset for the rest of the session-scoped fixture's tests
+        # (py4j: the Scala setter is `checkpointDir_=`, mangled to `_$eq`)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+    assert sc.getCheckpointDir() is None
+    assert local == reliable
