@@ -41,6 +41,28 @@ def main() -> int:
     statuses = {"PASS": [], "WEAK": [], "FAIL": []}
     for m in re.finditer(r"^(PASS|WEAK|FAIL) (\S+?):", out, re.M):
         statuses[m.group(1)].append(m.group(2))
+    # Streaming proof (VERDICT r5 item 8): the streaming runtime is
+    # D-level (no SQL oracle), but every job replayed over the closed
+    # events input must equal its batch twin — tests/test_streaming.py IS
+    # that proof. Record its outcome alongside the oracle sweep so the
+    # closing record carries the batch≡stream evidence, not just SQL
+    # hashes.
+    sproc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_streaming.py", "-q",
+         "--no-header", "-p", "no:cacheprovider"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    stail = (sproc.stdout.strip().splitlines() or [""])[-1]
+    spass = re.search(r"(\d+) passed", stail)
+    sfail = re.search(r"(\d+) (?:failed|error)", stail)
+    streaming_equiv = {
+        "suite": "tests/test_streaming.py",
+        "passed": int(spass.group(1)) if spass else 0,
+        "failed": int(sfail.group(1)) if sfail else (0 if spass else -1),
+        "ok": sproc.returncode == 0,
+    }
     record = {
         "event": "closing_correctness_sweep",
         "round": rnd,
@@ -49,6 +71,7 @@ def main() -> int:
         "weak": len(statuses["WEAK"]),
         "fail": len(statuses["FAIL"]),
         "failed": sorted(statuses["FAIL"]),
+        "streaming_equiv": streaming_equiv,
         "wall_s": round(time.time() - t0, 1),
     }
     with open(f"/root/repo/CLOSING_r{rnd:02d}.json", "w") as f:
@@ -61,7 +84,7 @@ def main() -> int:
         print("check_correctness exited nonzero without FAIL lines — inspect:")
         print(out[-2000:])
         return 1
-    return 1 if statuses["FAIL"] else 0
+    return 1 if (statuses["FAIL"] or not streaming_equiv["ok"]) else 0
 
 
 if __name__ == "__main__":
