@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.operators.materialize import materialize
 from hawaiidatapipeline_spark.registry import load_table
 
 QUERIES, ORACLES, q = new_module_registry()
@@ -233,7 +234,7 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization each branch re-scans documents and re-shingles — the
     # checkpoint turns 3 explode+distinct passes into 1 (same pattern as
     # the triangle edge set and the minhash signature table)
-    tokf = tok.join(kept, "token").localCheckpoint()
+    tokf = materialize(tok.join(kept, "token"))
     sizes = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = tokf.alias("a"), tokf.alias("b")
     inter = (

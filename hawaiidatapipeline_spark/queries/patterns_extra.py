@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.operators.materialize import materialize
 from hawaiidatapipeline_spark.registry import load_table
 
 QUERIES, ORACLES, q = new_module_registry()
@@ -232,7 +233,8 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> concat_ws(' ', slice(split(text, ' '), i, 4)))"
             )
         ).alias("gram"),
-    ).localCheckpoint()  # feeds two branches — expand the grams ONCE
+    )
+    grams = materialize(grams)  # feeds two branches — expand the grams ONCE
     first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (
         grams.join(first_seen, "gram")

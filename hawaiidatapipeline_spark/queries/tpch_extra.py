@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.operators.materialize import materialize
 from hawaiidatapipeline_spark.registry import load_table
 
 QUERIES, ORACLES, q = new_module_registry()
@@ -573,8 +574,9 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_quantity") * F.col("p_retailprice")).cast("decimal(28,4)")
             ).alias("value")
         )
-        .localCheckpoint()  # two consumers: the rows and the global threshold
     )
+    # two consumers: the rows and the global threshold
+    stock = materialize(stock)
     threshold = stock.agg((F.sum("value") * F.lit(0.001)).alias("thr"))
     return (
         stock.join(F.broadcast(threshold))
