@@ -216,31 +216,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors the same (degree, key) reorientation purely for plan
     parity. The wedge join itself is the standard two-hop equi-join that
     AQE handles with one shuffle per hop."""
-    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+    from hawaiidatapipeline_spark.operators.graph import (
+        copurchase_edges,
+        orient_edges_by_degree,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     # collect+expand edge build (ONE orderkey shuffle, ~2.5× the self-join
     # speed at sf0.1 — operators/graph.py); degree-reoriented, then
-    # checkpointed once for the three wedge-join branches
-    e0 = copurchase_edges(li)
-    deg = (
-        e0.select(F.col("u").alias("node"))
-        .unionAll(e0.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    u_first = (F.col("du.deg") < F.col("dv.deg")) | (
-        (F.col("du.deg") == F.col("dv.deg")) & (F.col("e0.u") < F.col("e0.v"))
-    )
-    edges = (
-        e0.alias("e0")
-        .join(deg.alias("du"), F.col("du.node") == F.col("e0.u"))
-        .join(deg.alias("dv"), F.col("dv.node") == F.col("e0.v"))
-        .select(
-            F.when(u_first, F.col("e0.u")).otherwise(F.col("e0.v")).alias("u"),
-            F.when(u_first, F.col("e0.v")).otherwise(F.col("e0.u")).alias("v"),
-        )
-    )
+    # materialized once for the three wedge-join branches
+    edges = orient_edges_by_degree(copurchase_edges(li))
     edges = materialize(edges)  # three wedge-join consumers, one compute
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (

@@ -70,3 +70,35 @@ def test_reliable_checkpoint_path_used_when_dir_configured(spark, tmp_path):
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
     assert sc.getCheckpointDir() is None
     assert local == reliable
+
+
+def test_degree_orientation_eliminates_hub_wedges(spark):
+    """The skew property the orientation exists for: on a star graph
+    (hub 0 + n spokes) a raw-KEY orientation keeps every edge outgoing
+    from the hub — C(n,2) wedges from one node — while degree orientation
+    points every edge spoke→hub, producing ZERO wedges. Triangle counts
+    are orientation-invariant (here: none either way), but the
+    intermediate wedge volume is the 100×-scale cost."""
+    from pyspark.sql import functions as F
+
+    from hawaiidatapipeline_spark.operators.graph import orient_edges_by_degree
+
+    n = 12
+
+    def wedge_count(e):
+        e1, e2 = e.alias("e1"), e.alias("e2")
+        return e1.join(e2, F.col("e2.u") == F.col("e1.v")).count()
+
+    # hub 0 keeps ALL edges outgoing under key order (0 < every spoke);
+    # one feeder edge (-1, 0) makes the hub an intermediate node, so the
+    # wedge join fans out through it: n wedges under key orientation
+    star = spark.createDataFrame([(0, s) for s in range(1, n + 1)], "u long, v long")
+    feeder = spark.createDataFrame([(-1, 0)], "u long, v long")
+    key_edges = star.unionAll(feeder)
+    assert wedge_count(key_edges) == n  # (-1,0)⋈(0,s): hub fan-out blow-up
+    oriented = orient_edges_by_degree(
+        key_edges.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+    )
+    assert wedge_count(oriented) == 0  # all edges point INTO the hub
+    # orientation preserved the edge set as an undirected graph
+    assert oriented.count() == n + 1
