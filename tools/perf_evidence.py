@@ -40,7 +40,7 @@ PROBES = [
     ("scan_partition_pruned_agg", "partition pruning: input bytes ~ 2 of 5 partitions"),
     ("multimodal_video_frames", "video decode+stride: map-only, ZERO shuffle"),
     ("tpch_q21_late_supplier_blame", "semi+anti chain: all legs on one orderkey exchange family"),
-    ("graph_triangle_count", "wedge join on checkpointed u<v edges: no cartesian"),
+    ("graph_triangle_count", "wedge join on degree-oriented materialized edges: no cartesian"),
 ]
 
 
