@@ -62,3 +62,89 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(li, directed=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     return pagerank_fixed_point(edges, nodes, n_iter=_N_ITER)
+
+
+_LP_HUB_CAP = 40  # max center degree contributing wedges (see docstring)
+
+
+@q(
+    "graph_link_prediction",
+    f"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+             FROM items a JOIN items b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+       adj AS (SELECT u AS node, v AS nbr FROM e
+               UNION ALL SELECT v AS node, u AS nbr FROM e),
+       deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+       centers AS (SELECT node FROM deg WHERE deg <= {_LP_HUB_CAP}),
+       w AS (SELECT a.node AS na, b.node AS nb, count(*) AS cn
+             FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+             JOIN centers c ON c.node = a.nbr
+             GROUP BY 1, 2),
+       nonadj AS (SELECT w.* FROM w LEFT JOIN e
+                  ON e.u = w.na AND e.v = w.nb WHERE e.u IS NULL)
+       SELECT na AS part_a, nb AS part_b, cn AS common_neighbors,
+              round(cn * 1.0 / (da.deg + db.deg - cn), 6) AS jaccard
+       FROM nonadj JOIN deg da ON da.node = nonadj.na
+                   JOIN deg db ON db.node = nonadj.nb
+       ORDER BY common_neighbors DESC, part_a, part_b LIMIT 50""",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph: top-50 NON-adjacent
+    part pairs ranked by common-neighbor count, with the Jaccard neighbor
+    similarity (cn / |N(a) ∪ N(b)|) — the "customers who bought these also
+    bought" recommender primitive.
+
+    Wedge enumeration through a center node is inherently deg(center)²
+    (the wedges ARE the output), so the scale control is not orientation
+    but a STOP-HUB cap: centers with degree > _LP_HUB_CAP contribute none
+    (mirrored exactly in the oracle). This is the same move as the
+    stop-shingle cap in llm_containment_pairs, and principled here —
+    ubiquitous hub neighbors carry ~no link signal (Adamic-Adar weights
+    them 1/log(deg) → ≈0), while the quadratic cost they would add is the
+    whole skew problem. Plan: one symmetrized adjacency (reused three
+    times off a single materialization), an equi-join on the center key,
+    one (a,b) partial-agg count, a broadcast-able anti-join against the
+    edge set, and two broadcast degree lookups. Ties broken (cn desc,
+    part_a, part_b) for a deterministic top-50."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = materialize(copurchase_edges(li))  # (u, v), u < v
+    adj = materialize(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.filter(F.col("deg") <= _LP_HUB_CAP).select("node")
+    a, b = adj.alias("a"), adj.alias("b")
+    wedges = (
+        a.join(b, (F.col("a.nbr") == F.col("b.nbr")) & (F.col("a.node") < F.col("b.node")))
+        .join(centers.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy(F.col("a.node").alias("na"), F.col("b.node").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonadj = wedges.join(
+        edges,
+        (wedges["na"] == edges["u"]) & (wedges["nb"] == edges["v"]),
+        "left_anti",
+    )
+    da = deg.withColumnRenamed("node", "na").withColumnRenamed("deg", "da")
+    db = deg.withColumnRenamed("node", "nb").withColumnRenamed("deg", "db")
+    return (
+        nonadj.join(F.broadcast(da), "na")
+        .join(F.broadcast(db), "nb")
+        .select(
+            F.col("na").alias("part_a"),
+            F.col("nb").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.round(
+                F.col("cn") / (F.col("da") + F.col("db") - F.col("cn")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), "part_a", "part_b")
+        .limit(50)
+    )
