@@ -154,6 +154,7 @@ AUDITS: dict[str, list[str]] = {
     "join_asof_forward": ["window_exec", "single_shuffle_family", "pruning", "codegen"],
     "join_asof_nearest": ["window_exec", "pruning", "codegen"],
     "graph_triangle_count": ["no_cartesian", "partial_agg"],
+    "graph_link_prediction": ["no_cartesian", "partial_agg", "take_ordered", "broadcast_any"],
     "agg_regression": ["partial_agg", "pruning", "codegen"],
     "llm_dupspan_ngram": ["generate_exec", "partial_agg", "take_ordered", "pruning", "codegen"],
     "fn_struct_ops": ["take_ordered", "pruning", "codegen"],
