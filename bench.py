@@ -63,6 +63,7 @@ HEAVY = [
     "llm_containment_pairs",
     "llm_dupspan_ngram",
     "graph_triangle_count",
+    "graph_link_prediction",
     "tpch_q21_late_supplier_blame",
     "events_sessionize_gap",
     "llm_cosine_topk_sharded",
