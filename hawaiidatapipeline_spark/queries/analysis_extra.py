@@ -225,8 +225,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect+expand edge build (ONE orderkey shuffle, ~2.5× the self-join
     # speed at sf0.1 — operators/graph.py); degree-reoriented, then
     # materialized once for the three wedge-join branches
-    edges = orient_edges_by_degree(copurchase_edges(li))
-    edges = materialize(edges)  # three wedge-join consumers, one compute
+    # materialize the raw edge set FIRST: the degree aggregation and both
+    # orientation join inputs consume it (3 scans), and the oriented set
+    # again for the three wedge-join branches
+    e0 = materialize(copurchase_edges(li))
+    edges = materialize(orient_edges_by_degree(e0))
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
