@@ -41,6 +41,7 @@ PROBES = [
     ("multimodal_video_frames", "video decode+stride: map-only, ZERO shuffle"),
     ("tpch_q21_late_supplier_blame", "semi+anti chain: all legs on one orderkey exchange family"),
     ("graph_triangle_count", "wedge join on degree-oriented materialized edges: no cartesian"),
+    ("graph_link_prediction", "common neighbors: wedge cost bounded by the stop-hub cap"),
 ]
 
 
