@@ -5,6 +5,7 @@ These prove a reference user's queries run verbatim on the engine."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
 from hawaiidatapipeline_spark.registry import load_table
@@ -166,5 +167,45 @@ def soql_fulltext_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "$select": "doc_id, lang, source",
             "$q": '"fast merge" sort,',
             "$order": "doc_id",
+        },
+    )
+
+
+@q(
+    "soql_geo_where",
+    """WITH pts AS (
+         SELECT c_custkey,
+                (c_custkey % 180 - 90) + 0.25::DOUBLE  AS lat,
+                ((7 * c_custkey) % 360 - 180) + 0.25::DOUBLE AS lon
+         FROM customer)
+       SELECT c_custkey, round(lat, 6) AS lat, round(lon, 6) AS lon
+       FROM pts
+       WHERE (lat <= 40 AND lat >= -40 AND lon >= -60 AND lon <= 60)
+         AND 2 * 6371008.8 * asin(sqrt(
+               pow(sin(radians(0.0 - lat) / 2), 2)
+               + cos(radians(lat)) * cos(radians(0.0))
+               * pow(sin(radians(0.0 - lon) / 2), 2))) <= 5000000""",
+)
+def soql_geo_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SODA's canonical geo fetch compiled from a SoQL ``$where`` STRING:
+    ``within_box`` (the sargable rectangle — plain comparisons that reach
+    the parquet reader as PushedFilters) wrapping ``within_circle`` (the
+    exact trig predicate), the box-then-circle composition every portal
+    map query uses. Same synthetic integer-derived (lat, lon) convention
+    as fn_geo_within_box; the oracle restates the compiled SQL."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 180 - 90) + 0.25).alias("lat"),
+        (((7 * F.col("c_custkey")) % 360 - 180) + 0.25).alias("lon"),
+    )
+    return soql_query(
+        pts,
+        {
+            "$select": "c_custkey, round(lat, 6) AS lat, round(lon, 6) AS lon",
+            "$where": (
+                "within_box(lat, lon, 40, -60, -40, 60)"
+                " AND within_circle(lat, lon, 0.0, 0.0, 5000000)"
+            ),
         },
     )

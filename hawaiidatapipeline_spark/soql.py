@@ -17,7 +17,8 @@ for hand-written SQL. The SoQL-specific pieces are handled explicitly:
 - SoQL scalar functions are rewritten to Spark SQL equivalents
   (``starts_with``→``startswith``, ``date_extract_y``→``year``,
   ``date_trunc_ym``→``date_trunc('MONTH', …)``, variadic ``case(…)``→
-  ``CASE WHEN``, ``within_circle``/``distance_in_meters``→haversine).
+  ``CASE WHEN``, ``within_circle``/``distance_in_meters``→haversine,
+  ``within_box``→sargable comparisons that reach PushedFilters).
 - ``$q`` (portal full-text search) becomes a case-insensitive ``contains``
   OR-fold over the frame's string columns — the engine twin of the
   portal-side text index.
@@ -226,6 +227,23 @@ def rewrite_soql_expr(expr: str) -> str:
         if len(args) == 5
         else (_ for _ in ()).throw(SoqlError("within_circle needs 5 args")),
     )
+
+    # rectangular prune — SARGABLE (plain comparisons on the raw columns,
+    # unlike the trig circle), so it survives to PushedFilters; SODA's
+    # within_box(location, nw_lat, nw_lon, se_lat, se_lon) with location
+    # split into (lat, lon) per this compiler's geo convention
+    def _box(args: list[str]) -> str:
+        if len(args) != 6:
+            raise SoqlError(
+                "within_box(lat, lon, nw_lat, nw_lon, se_lat, se_lon) needs 6 args"
+            )
+        lat, lon, nwlat, nwlon, selat, selon = args
+        return (
+            f"(({lat}) <= ({nwlat}) AND ({lat}) >= ({selat}) "
+            f"AND ({lon}) >= ({nwlon}) AND ({lon}) <= ({selon}))"
+        )
+
+    s = _rewrite_calls(s, "within_box", _box)
 
     for old, new in _RENAME.items():
         s = re.sub(rf"\b{old}\s*\(", f"{new}(", s, flags=re.IGNORECASE)

@@ -278,3 +278,46 @@ class TestQTokenization:
         assert {r["doc_id"] for r in clean.collect()} == {
             r["doc_id"] for r in punct.collect()
         }
+
+
+class TestWithinBox:
+    def test_rewrite_is_sargable_comparisons(self):
+        from hawaiidatapipeline_spark.soql import rewrite_soql_expr
+
+        got = rewrite_soql_expr("within_box(lat, lon, 40, -60, -40, 60)")
+        assert "within_box" not in got
+        for frag in ["(lat) <= (40)", "(lat) >= (-40)", "(lon) >= (-60)", "(lon) <= (60)"]:
+            assert frag in got
+        # no trig — the whole point vs within_circle
+        assert "asin" not in got and "radians" not in got
+
+    def test_wrong_arity_raises(self):
+        import pytest as _pytest
+
+        from hawaiidatapipeline_spark.soql import SoqlError, rewrite_soql_expr
+
+        with _pytest.raises(SoqlError):
+            rewrite_soql_expr("within_box(lat, lon, 40, -60, -40)")
+
+    def test_where_filter_matches_dataframe_twin(self, spark):
+        from pyspark.sql import functions as F
+
+        from hawaiidatapipeline_spark.functions.geo import within_box
+        from hawaiidatapipeline_spark.soql import soql_query
+
+        c = load_table(spark, SF0001, "customer").select(
+            "c_custkey",
+            ((F.col("c_custkey") % 180 - 90) + 0.25).alias("lat"),
+            (((7 * F.col("c_custkey")) % 360 - 180) + 0.25).alias("lon"),
+        )
+        compiled = soql_query(
+            c,
+            {"$select": "c_custkey",
+             "$where": "within_box(lat, lon, 40, -60, -40, 60)"},
+        )
+        direct = c.filter(
+            within_box(F.col("lat"), F.col("lon"), 40.0, -60.0, -40.0, 60.0)
+        ).select("c_custkey")
+        assert sorted(r[0] for r in compiled.collect()) == sorted(
+            r[0] for r in direct.collect()
+        )
