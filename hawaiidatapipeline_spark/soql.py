@@ -68,6 +68,7 @@ _PASSTHROUGH = {
     "upper", "lower", "length", "abs", "round", "floor", "ceil", "ceiling",
     "trim", "ltrim", "rtrim", "contains", "sum", "count", "avg", "min",
     "max", "coalesce", "concat", "substring", "replace", "stddev", "variance",
+    "stddev_pop", "stddev_samp", "var_pop", "var_samp",
     "year", "month", "day", "hour", "weekofyear", "dayofweek", "startswith",
     "date_trunc", "like", "between", "exp", "ln", "log", "power", "sqrt",
     "sin", "cos", "asin", "radians", "pow",

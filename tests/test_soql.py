@@ -321,3 +321,20 @@ class TestWithinBox:
         assert sorted(r[0] for r in compiled.collect()) == sorted(
             r[0] for r in direct.collect()
         )
+
+
+def test_soql21_stddev_aggregates_compile(spark):
+    """SoQL 2.1 exposes stddev_pop/stddev_samp as aggregate functions —
+    they must pass the token filter and compile (identical names on
+    Spark, so passthrough suffices)."""
+    from hawaiidatapipeline_spark.soql import soql_query
+
+    c = load_table(spark, SF0001, "customer")
+    out = soql_query(
+        c,
+        {"$select": ("c_nationkey, round(stddev_pop(c_acctbal), 4) AS sp, "
+                     "round(stddev_samp(c_acctbal), 4) AS ss, "
+                     "round(var_pop(c_acctbal), 4) AS vp"),
+         "$group": "c_nationkey", "$order": "c_nationkey", "$limit": "5"},
+    ).collect()
+    assert len(out) == 5 and all(r["sp"] is not None for r in out)
