@@ -209,3 +209,49 @@ def soql_geo_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         },
     )
+
+
+def _polygon_oracle_sql() -> str:
+    from hawaiidatapipeline_spark.functions.geo import (
+        parse_wkt_polygon,
+        polygon_ray_cast_sql,
+    )
+
+    ring = parse_wkt_polygon(_POLY_WKT)
+    pred = polygon_ray_cast_sql("lat", "lon", ring)
+    return f"""WITH pts AS (
+         SELECT c_custkey,
+                (c_custkey % 180 - 90) + 0.25::DOUBLE  AS lat,
+                ((7 * c_custkey) % 360 - 180) + 0.25::DOUBLE AS lon
+         FROM customer)
+       SELECT c_custkey, round(lat, 6) AS lat, round(lon, 6) AS lon
+       FROM pts WHERE {pred}"""
+
+
+# non-convex ring (notch at the bottom) so the parity logic is exercised,
+# not just a bounding box; vertices off the synthetic 0.25 lat/lon grid so
+# no point lands exactly on an edge
+_POLY_WKT = "POLYGON ((-50 -30, 0 10, 50 -30, 50 30, -50 30, -50 -30))"
+
+
+@q("soql_geo_polygon", _polygon_oracle_sql())
+def soql_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoQL ``within_polygon`` compiled from a ``$where`` string with a WKT
+    literal: the ring is parsed at compile time and unrolled into
+    crossing-parity arithmetic (functions/geo.py ray casting — pure
+    codegen, no UDF, no geometry library). The oracle is built from the
+    SAME SQL builder, so Spark and DuckDB evaluate a textually identical
+    predicate — which is what makes a geometry operator hash-checkable."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 180 - 90) + 0.25).alias("lat"),
+        (((7 * F.col("c_custkey")) % 360 - 180) + 0.25).alias("lon"),
+    )
+    return soql_query(
+        pts,
+        {
+            "$select": "c_custkey, round(lat, 6) AS lat, round(lon, 6) AS lon",
+            "$where": f"within_polygon(lat, lon, '{_POLY_WKT}')",
+        },
+    )

@@ -246,6 +246,27 @@ def rewrite_soql_expr(expr: str) -> str:
 
     s = _rewrite_calls(s, "within_box", _box)
 
+    # point-in-polygon from a WKT literal — unrolled at compile time into
+    # crossing-parity arithmetic (functions/geo.py), no geometry library
+    def _poly(args: list[str]) -> str:
+        from hawaiidatapipeline_spark.functions.geo import (
+            parse_wkt_polygon,
+            polygon_ray_cast_sql,
+        )
+
+        if len(args) != 3:
+            raise SoqlError("within_polygon(lat, lon, 'POLYGON((…))') needs 3 args")
+        wkt = args[2].strip()
+        if not (wkt.startswith("'") and wkt.endswith("'")):
+            raise SoqlError("within_polygon WKT must be a string literal")
+        try:
+            ring = parse_wkt_polygon(wkt[1:-1])
+        except ValueError as exc:
+            raise SoqlError(str(exc)) from exc
+        return polygon_ray_cast_sql(args[0], args[1], ring)
+
+    s = _rewrite_calls(s, "within_polygon", _poly)
+
     for old, new in _RENAME.items():
         s = re.sub(rf"\b{old}\s*\(", f"{new}(", s, flags=re.IGNORECASE)
     return s

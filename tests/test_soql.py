@@ -338,3 +338,56 @@ def test_soql21_stddev_aggregates_compile(spark):
          "$group": "c_nationkey", "$order": "c_nationkey", "$limit": "5"},
     ).collect()
     assert len(out) == 5 and all(r["sp"] is not None for r in out)
+
+
+class TestWithinPolygon:
+    def test_ray_cast_matches_known_points(self, spark):
+        from pyspark.sql import functions as F
+
+        from hawaiidatapipeline_spark.functions.geo import within_polygon
+
+        # non-convex pentagon with a notch at the bottom (lon, lat)
+        ring = [(-50, -30), (0, 10), (50, -30), (50, 30), (-50, 30)]
+        pts = spark.createDataFrame(
+            [
+                (1, 20.0, 0.0, True),    # top half: inside
+                (2, -20.0, 0.0, False),  # inside the notch: outside
+                (3, -20.0, -45.0, True), # left lobe under the notch edge
+                (4, 0.0, 60.0, False),   # right of the ring
+                (5, 40.0, 0.0, False),   # above the ring
+            ],
+            "id long, lat double, lon double, want boolean",
+        )
+        got = pts.withColumn(
+            "got", within_polygon(F.col("lat"), F.col("lon"), ring)
+        ).collect()
+        for r in got:
+            assert r["got"] == r["want"], (r["id"], r["got"], r["want"])
+
+    def test_wkt_parse_and_sql_twin(self):
+        from hawaiidatapipeline_spark.functions.geo import (
+            parse_wkt_polygon,
+            polygon_ray_cast_sql,
+        )
+
+        ring = parse_wkt_polygon(
+            "POLYGON ((-50 -30, 0 10, 50 -30, 50 30, -50 30, -50 -30))"
+        )
+        assert len(ring) == 5  # closing repeat vertex dropped
+        sql = polygon_ray_cast_sql("lat", "lon", ring)
+        assert "% 2 = 1" in sql and "CASE WHEN" in sql
+        # horizontal top edge skipped (no 0-divisor slope)
+        assert "/ (0" not in sql.replace("(0 ", "(0")
+
+    def test_wkt_errors(self):
+        import pytest as _pytest
+
+        from hawaiidatapipeline_spark.functions.geo import parse_wkt_polygon
+        from hawaiidatapipeline_spark.soql import SoqlError, rewrite_soql_expr
+
+        with _pytest.raises(ValueError):
+            parse_wkt_polygon("LINESTRING (0 0, 1 1)")
+        with _pytest.raises(ValueError):
+            parse_wkt_polygon("POLYGON ((0 0, 1 1, 0 0))")  # <3 distinct
+        with _pytest.raises(SoqlError):
+            rewrite_soql_expr("within_polygon(lat, lon, wkt_col)")  # not a literal
