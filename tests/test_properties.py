@@ -294,3 +294,65 @@ def test_q_terms_never_empty_or_quoted(q):
         for t in terms:
             assert t == t.strip(_Q_STRIP)
         assert _q_terms(" ".join(terms)) == terms
+
+
+# --- within_polygon: Spark ray casting vs a pure-Python PNPOLY reference ---
+
+def _pnpoly(ring, lat, lon):
+    """Reference Franklin PNPOLY (half-open), same convention as
+    functions/geo.py — independent implementation, not shared code."""
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > lat) != (y2 > lat) and lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
+# star-shaped polygons are always simple: random radii at sorted angles
+STAR = st.lists(
+    st.tuples(
+        st.floats(min_value=0.1, max_value=3.1, allow_nan=False),  # angle step
+        st.floats(min_value=5.0, max_value=50.0, allow_nan=False),  # radius
+    ),
+    min_size=3,
+    max_size=8,
+)
+PROBES = st.lists(
+    st.tuples(
+        st.floats(min_value=-60.0, max_value=60.0, allow_nan=False),  # lat
+        st.floats(min_value=-60.0, max_value=60.0, allow_nan=False),  # lon
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(star=STAR, probes=PROBES)
+@SLOW
+def test_within_polygon_matches_reference(spark, star, probes):
+    import math
+
+    from hawaiidatapipeline_spark.functions.geo import within_polygon
+
+    # build a simple polygon: cumulative angles (capped under 2π), radius per vertex
+    total = sum(a for a, _ in star)
+    angle = 0.0
+    ring = []
+    for a, r in star:
+        angle += a / total * 6.0  # spread vertices over <2π, strictly increasing
+        ring.append((round(r * math.cos(angle), 4), round(r * math.sin(angle), 4)))
+    if len({p for p in ring}) < 3:
+        return  # degenerate collapse after rounding — skip
+    rows = [(i, la, lo) for i, (la, lo) in enumerate(probes)]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    got = {
+        r["id"]: r["got"]
+        for r in df.withColumn(
+            "got", within_polygon(F.col("lat"), F.col("lon"), ring)
+        ).collect()
+    }
+    for i, (la, lo) in enumerate(probes):
+        assert got[i] == _pnpoly(ring, la, lo), (ring, la, lo)
