@@ -255,3 +255,39 @@ def soql_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             "$where": f"within_polygon(lat, lon, '{_POLY_WKT}')",
         },
     )
+
+
+@q(
+    "soql_geo_extent",
+    """WITH pts AS (
+         SELECT c_custkey,
+                (c_custkey % 180 - 90) + 0.25::DOUBLE  AS lat,
+                ((7 * c_custkey) % 360 - 180) + 0.25::DOUBLE AS lon
+         FROM customer)
+       SELECT c_custkey % 4 AS grp,
+              concat('BOX(', CAST(min(lon) AS DECIMAL(14,4)), ' ',
+                     CAST(min(lat) AS DECIMAL(14,4)), ', ',
+                     CAST(max(lon) AS DECIMAL(14,4)), ' ',
+                     CAST(max(lat) AS DECIMAL(14,4)), ')') AS bbox,
+              count(*) AS n
+       FROM pts GROUP BY 1""",
+)
+def soql_geo_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SODA's ``extent`` bounding-box aggregate compiled from ``$select``:
+    one 'BOX(minlon minlat, maxlon maxlat)' string per group. DECIMAL(14,4)
+    casts pin the float→string rendering, so Spark and DuckDB emit
+    byte-identical text — the trick that makes a geometry-valued aggregate
+    hash-checkable without a geometry type."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 180 - 90) + 0.25).alias("lat"),
+        (((7 * F.col("c_custkey")) % 360 - 180) + 0.25).alias("lon"),
+    )
+    return soql_query(
+        pts,
+        {
+            "$select": "c_custkey % 4 AS grp, extent(lat, lon) AS bbox, count(*) AS n",
+            "$group": "c_custkey % 4",
+        },
+    )

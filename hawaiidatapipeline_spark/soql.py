@@ -18,7 +18,9 @@ for hand-written SQL. The SoQL-specific pieces are handled explicitly:
   (``starts_with``→``startswith``, ``date_extract_y``→``year``,
   ``date_trunc_ym``→``date_trunc('MONTH', …)``, variadic ``case(…)``→
   ``CASE WHEN``, ``within_circle``/``distance_in_meters``→haversine,
-  ``within_box``→sargable comparisons that reach PushedFilters).
+  ``within_box``→sargable comparisons that reach PushedFilters,
+  ``within_polygon``/``intersects``→compile-time ray-cast unroll,
+  ``extent``→decimal-pinned bounding-box aggregate).
 - ``$q`` (portal full-text search) becomes a case-insensitive ``contains``
   OR-fold over the frame's string columns — the engine twin of the
   portal-side text index.
@@ -68,7 +70,7 @@ _PASSTHROUGH = {
     "upper", "lower", "length", "abs", "round", "floor", "ceil", "ceiling",
     "trim", "ltrim", "rtrim", "contains", "sum", "count", "avg", "min",
     "max", "coalesce", "concat", "substring", "replace", "stddev", "variance",
-    "stddev_pop", "stddev_samp", "var_pop", "var_samp",
+    "stddev_pop", "stddev_samp", "var_pop", "var_samp", "cast", "decimal",
     "year", "month", "day", "hour", "weekofyear", "dayofweek", "startswith",
     "date_trunc", "like", "between", "exp", "ln", "log", "power", "sqrt",
     "sin", "cos", "asin", "radians", "pow",
@@ -266,6 +268,33 @@ def rewrite_soql_expr(expr: str) -> str:
         return polygon_ray_cast_sql(args[0], args[1], ring)
 
     s = _rewrite_calls(s, "within_polygon", _poly)
+    # SODA `intersects(point_location, 'WKT shape')`: for point columns
+    # (the only location type this engine models) intersection with a
+    # polygon IS containment — alias onto the same unroll
+    # SODA `extent(location)` bounding-box aggregate → one deterministic
+    # 'BOX(minlon minlat, maxlon maxlat)' string: DECIMAL(14,4) casts pin
+    # the float→string rendering so Spark and DuckDB emit identical text
+    def _extent(args: list[str]) -> str:
+        if len(args) != 2:
+            raise SoqlError("extent(lat, lon) needs 2 args")
+        lat, lon = args
+        d = "DECIMAL(14,4)"
+        return (
+            f"concat('BOX(', CAST(min({lon}) AS {d}), ' ', "
+            f"CAST(min({lat}) AS {d}), ', ', CAST(max({lon}) AS {d}), ' ', "
+            f"CAST(max({lat}) AS {d}), ')')"
+        )
+
+    s = _rewrite_calls(s, "extent", _extent)
+    s = _rewrite_calls(
+        s,
+        "intersects",
+        lambda args: _poly(args)
+        if len(args) == 3
+        else (_ for _ in ()).throw(
+            SoqlError("intersects(lat, lon, 'POLYGON((…))') needs 3 args")
+        ),
+    )
 
     for old, new in _RENAME.items():
         s = re.sub(rf"\b{old}\s*\(", f"{new}(", s, flags=re.IGNORECASE)

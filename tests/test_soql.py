@@ -391,3 +391,21 @@ class TestWithinPolygon:
             parse_wkt_polygon("POLYGON ((0 0, 1 1, 0 0))")  # <3 distinct
         with _pytest.raises(SoqlError):
             rewrite_soql_expr("within_polygon(lat, lon, wkt_col)")  # not a literal
+
+
+def test_intersects_point_polygon_aliases_within_polygon(spark):
+    """SODA `intersects` on a point location with a polygon WKT is
+    containment — must compile to the same predicate as within_polygon."""
+    from hawaiidatapipeline_spark.soql import rewrite_soql_expr
+
+    wkt = "POLYGON ((-50 -30, 0 10, 50 -30, 50 30, -50 30, -50 -30))"
+    a = rewrite_soql_expr(f"within_polygon(lat, lon, '{wkt}')")
+    b = rewrite_soql_expr(f"intersects(lat, lon, '{wkt}')")
+    assert a == b and "% 2 = 1" in a
+
+
+def test_extent_rewrite_compiles_to_decimal_pinned_box(spark):
+    from hawaiidatapipeline_spark.soql import rewrite_soql_expr
+
+    got = rewrite_soql_expr("extent(lat, lon)")
+    assert got.count("DECIMAL(14,4)") == 4 and got.startswith("concat('BOX('")

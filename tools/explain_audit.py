@@ -212,6 +212,7 @@ AUDITS: dict[str, list[str]] = {
     "soql_fulltext_terms": ["pruning", "codegen", "no_cartesian"],
     "soql_geo_where": ["codegen", "no_cartesian", "pruning"],
     "soql_geo_polygon": ["codegen", "no_cartesian", "pruning"],
+    "soql_geo_extent": ["partial_agg", "codegen", "no_cartesian"],
     "llm_unigram_logprob": ["partial_agg", "broadcast_any", "generate_exec", "no_cartesian", "codegen"],
     "llm_dupspan_ngram": ["partial_agg", "take_ordered", "generate_exec", "pruning", "no_cartesian", "codegen"],
     # (triangle/pagerank edge sets are checkpoint-materialized; the
