@@ -42,6 +42,7 @@ PROBES = [
     ("ml_kmeans_fixed_point", "k-means 3 rounds — linear per round in corpus"),
     ("events_dau_mau", "two-grain distinct counts — linear scan, tiny output"),
     ("graph_triangle_count", "edge-oriented triangle join — ~linear in wedges under degree cap"),
+    ("graph_link_prediction", "common-neighbor pairs — linear in wedges under stop-hub cap"),
     ("llm_cosine_topk_sharded", "sharded GEMM — linear in probe×shards, no driver index"),
 ]
 
