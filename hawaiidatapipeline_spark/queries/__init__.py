@@ -42,6 +42,7 @@ _MODULES = (
     "sqlsurface_extra",
     "functional_extra",
     "patterns_extra",
+    "stats_extra",
     "geo_extra",
     "sampling",
     "sketches_extra",

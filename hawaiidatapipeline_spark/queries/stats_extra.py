@@ -1,0 +1,398 @@
+"""Distributional statistics, attribution, and similarity extras.
+
+Round-6 additions that round out the analytics surface: information-
+theoretic profiling (entropy, Zipf slope), serial-correlation QC
+(lag-1 autocorrelation), whole-graph connected components over the
+co-purchase graph, running-distinct windows, first-touch attribution,
+exact z-score outlier gating, and a blocked edit-distance similarity
+join. Every float lands on the house determinism contract
+(SURVEY.md §7 risk 1): exact integer/decimal sums first, IEEE doubles
+only in the final closed-form expression, round(…, 6) on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+
+@q(
+    "agg_entropy",
+    """WITH c AS (
+         SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+       t AS (SELECT lang, sum(n)::BIGINT AS n_docs FROM c GROUP BY lang)
+       SELECT c.lang,
+              t.n_docs,
+              count(*) AS n_sources,
+              round(sum(-(c.n::DOUBLE / t.n_docs)
+                        * log2(c.n::DOUBLE / t.n_docs)), 6) AS source_entropy_bits
+       FROM c JOIN t USING (lang)
+       GROUP BY c.lang, t.n_docs
+       ORDER BY c.lang""",
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each language's source mix — the
+    diversity gate a corpus builder runs before mixing: a lang whose
+    docs come from one crawl has entropy ~0 and needs re-balancing.
+    Two hash aggregates plus a broadcast join of the per-lang totals
+    (|langs| rows); the -Σ p·log2 p fold runs over ≤|sources| exact
+    integer ratios per group, so the double sum is reproducible at any
+    parallelism."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("lang").agg(F.sum("n").alias("n_docs"))
+    p = F.col("n").cast("double") / F.col("n_docs")
+    return (
+        c.join(F.broadcast(t), "lang")
+        .groupBy("lang", "n_docs")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.round(F.sum(-p * F.log2(p)), 6).alias("source_entropy_bits"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "llm_zipf_slope",
+    """WITH tok AS (
+         SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+       freq AS (SELECT lang, token, count(*) AS f FROM tok GROUP BY 1, 2),
+       ranked AS (
+         SELECT lang, f,
+                row_number() OVER (PARTITION BY lang ORDER BY f DESC, token) AS rnk
+         FROM freq),
+       pts AS (
+         SELECT lang,
+                (floor(ln(rnk) * 1000000))::BIGINT AS x,
+                (floor(ln(f) * 1000000))::BIGINT AS y
+         FROM ranked WHERE rnk <= 100),
+       s AS (
+         SELECT lang, count(*) AS n_points, sum(x) AS sx, sum(y) AS sy,
+                sum(x * y) AS sxy, sum(x * x) AS sxx
+         FROM pts GROUP BY lang)
+       SELECT lang, n_points,
+              round((n_points * sxy - sx * sy)::DOUBLE
+                    / (n_points * sxx - sx * sx)::DOUBLE, 6) AS zipf_slope
+       FROM s ORDER BY lang""",
+)
+def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS slope of ln(freq) on ln(rank)
+    over the top-100 tokens. Natural text sits near slope −1; corpus
+    slices that deviate hard (template spam ~0, truncated vocab ≪ −1)
+    fail the gate. Token counting is one explode + hash agg; ranking is
+    a bounded per-lang window with a unique (f DESC, token) tiebreak;
+    the regression runs on ln values floored to integer micro-units so
+    every sum is exact 64-bit arithmetic — only the final slope division
+    is floating point (the agg_corr_deterministic template)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("lang").orderBy(F.col("f").desc(), "token")
+    pts = (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+        .select(
+            "lang",
+            F.floor(F.log(F.col("rnk").cast("double")) * 1000000).alias("x"),
+            F.floor(F.log(F.col("f").cast("double")) * 1000000).alias("y"),
+        )
+    )
+    s = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n_points"), F.col("sx"), F.col("sy")
+    slope = ((n * F.col("sxy") - sx * sy).cast("double")
+             / (n * F.col("sxx") - sx * sx).cast("double"))
+    return s.select("lang", "n_points", F.round(slope, 6).alias("zipf_slope")).orderBy("lang")
+
+
+@q(
+    "ts_autocorr",
+    """WITH daily AS (
+         SELECT event_type, ts::DATE AS d, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       lagged AS (
+         SELECT event_type, n,
+                lag(n) OVER (PARTITION BY event_type ORDER BY d) AS pn
+         FROM daily),
+       pairs AS (SELECT event_type, n, pn FROM lagged WHERE pn IS NOT NULL),
+       s AS (
+         SELECT event_type, count(*) AS n_pairs,
+                sum(n) AS sx, sum(pn) AS sy, sum(n * pn) AS sxy,
+                sum(n * n) AS sxx, sum(pn * pn) AS syy
+         FROM pairs GROUP BY event_type)
+       SELECT event_type, n_pairs,
+              round((n_pairs * sxy - sx * sy)::DOUBLE
+                    / sqrt((n_pairs * sxx - sx * sx)::DOUBLE
+                           * (n_pairs * syy - sy * sy)::DOUBLE), 6) AS autocorr_lag1
+       FROM s ORDER BY event_type""",
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series per event
+    type — the monitoring statistic that separates bursty/trending
+    signals (high positive r) from white noise (~0). Day counts are
+    integers, so all five co-moment sums are exact; the Pearson formula
+    runs once per group in doubles (agg_corr_deterministic template).
+    One agg to build the series, one bounded per-type window for the
+    lag, one final agg — no driver-side series handling."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    pairs = (
+        daily.withColumn("pn", F.lag("n").over(w))
+        .filter(F.col("pn").isNotNull())
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("n").alias("sx"),
+        F.sum("pn").alias("sy"),
+        F.sum(F.col("n") * F.col("pn")).alias("sxy"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+        F.sum(F.col("pn") * F.col("pn")).alias("syy"),
+    )
+    n, sx, sy = F.col("n_pairs"), F.col("sx"), F.col("sy")
+    r = (n * F.col("sxy") - sx * sy).cast("double") / F.sqrt(
+        (n * F.col("sxx") - sx * sx).cast("double")
+        * (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return s.select("event_type", "n_pairs", F.round(r, 6).alias("autocorr_lag1")).orderBy(
+        "event_type"
+    )
+
+
+@q(
+    "graph_connected_components",
+    """WITH RECURSIVE e AS (
+         WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS u, b.l_partkey AS v
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       edges AS (SELECT u AS src, v AS dst FROM e UNION SELECT v, u FROM e),
+       reach(node, r) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e2.src, rr.r FROM edges e2 JOIN reach rr ON e2.dst = rr.node),
+       labels AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+       SELECT comp AS component_id,
+              count(*) AS n_nodes,
+              min(node) AS min_node,
+              max(node) AS max_node
+       FROM labels GROUP BY comp
+       ORDER BY n_nodes DESC, component_id
+       LIMIT 30""",
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the part co-purchase graph (edges: part
+    pairs sharing ≥2 orders), reported as the top-30 component size
+    profile — the "is this graph one giant blob or many islands" question
+    that decides whether downstream per-component work is parallelizable.
+    Reuses the dedup clustering machinery (operators/dedup.py hash-min
+    label propagation, O(diameter) join+min rounds with reliable
+    materialization between rounds); the oracle recomputes components via
+    a recursive transitive-closure CTE, feasible only at fixture scale."""
+    from hawaiidatapipeline_spark.operators.dedup import connected_components
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    labels = connected_components(copurchase_edges(li), a_col="u", b_col="v")
+    return (
+        labels.groupBy(F.col("comp").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy(F.col("n_nodes").desc(), "component_id")
+        .limit(30)
+    )
+
+
+@q(
+    "win_running_distinct",
+    """WITH sub AS (SELECT * FROM events WHERE user_id % 13 = 0),
+       flag AS (
+         SELECT event_id, user_id, ts, event_type,
+                CASE WHEN row_number() OVER (
+                       PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+                     THEN 1 ELSE 0 END AS is_first
+         FROM sub)
+       SELECT event_id, user_id, event_type,
+              (sum(is_first) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING))::BIGINT AS distinct_types_so_far
+       FROM flag
+       ORDER BY user_id, event_id""",
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered stream — not directly
+    expressible as a window aggregate in either engine, so it is spelled
+    as its scalable two-window expansion: flag each (user, type)'s first
+    occurrence with row_number, then running-sum the flags. Both windows
+    partition on user (bounded state per key); the same decomposition is
+    how a streaming job tracks per-key distinct growth without a set in
+    state. (ts, event_id) is a unique total order, so every row is
+    deterministic."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 13 == 0)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn(
+        "is_first", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    )
+    return (
+        flagged.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@q(
+    "events_first_touch",
+    """WITH ranked AS (
+         SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events),
+       firsts AS (
+         SELECT user_id, event_type AS first_event_type FROM ranked WHERE rn = 1),
+       buyers AS (
+         SELECT user_id, count(*) AS n_purchases
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+       SELECT f.first_event_type,
+              count(*) AS n_converting_users,
+              sum(b.n_purchases)::BIGINT AS total_purchases
+       FROM firsts f JOIN buyers b USING (user_id)
+       GROUP BY 1 ORDER BY 1""",
+)
+def events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: credit each converting user's purchases
+    to the first event type they ever emitted. One per-user window for
+    the first touch (unique (ts, event_id) order), one filtered agg for
+    purchase counts, then a user-keyed join + final rollup — both big
+    inputs shuffle once on user_id and the attribution table is
+    |event_types| rows. The window and the agg reuse the same user_id
+    exchange under AQE."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_event_type"))
+    )
+    buyers = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        firsts.join(buyers, "user_id")
+        .groupBy("first_event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_converting_users"),
+            F.sum("n_purchases").alias("total_purchases"),
+        )
+        .orderBy("first_event_type")
+    )
+
+
+@q(
+    "llm_doc_outlier_zscore",
+    """WITH s AS (
+         SELECT source, count(*) AS n,
+                sum(n_chars) AS sx, sum(n_chars * n_chars) AS sxx
+         FROM documents GROUP BY source),
+       st AS (
+         SELECT source, sx::DOUBLE / n AS mu,
+                sqrt((n * sxx - sx * sx)::DOUBLE / (n::DOUBLE * (n - 1))) AS sd
+         FROM s),
+       z AS (
+         SELECT d.doc_id, d.source, d.n_chars,
+                (d.n_chars - st.mu) / st.sd AS zval
+         FROM documents d JOIN st USING (source))
+       SELECT doc_id, source, n_chars, round(zval, 6) AS z_score
+       FROM z WHERE abs(zval) > 1.5
+       ORDER BY doc_id""",
+)
+def llm_doc_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier gate: docs whose n_chars sits >1.5σ from their
+    source's mean — the cheap screen for truncation (far-left tail) and
+    concatenation bugs (far-right) run per ingestion source. Mean and
+    sample-σ come from exact integer sums (one agg), broadcast back onto
+    the table (|sources| rows), so the only shuffle is the stats agg.
+    The z expression is bit-identical across engines because its inputs
+    are exact and /, sqrt are correctly-rounded IEEE ops — the >1.5
+    boundary cannot disagree."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    st = s.select(
+        "source",
+        (sx.cast("double") / n).alias("mu"),
+        F.sqrt((n * sxx - sx * sx).cast("double") / (n.cast("double") * (n - 1))).alias("sd"),
+    )
+    z = (F.col("n_chars") - F.col("mu")) / F.col("sd")
+    return (
+        d.join(F.broadcast(st), "source")
+        .withColumn("zval", z)
+        .filter(F.abs(F.col("zval")) > 1.5)
+        .select("doc_id", "source", "n_chars", F.round("zval", 6).alias("z_score"))
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "fn_string_distance",
+    """WITH names AS (
+         SELECT DISTINCT p_name, string_split(p_name, ' ')[1] AS blk FROM part)
+       SELECT a.p_name AS name_a, b.p_name AS name_b,
+              levenshtein(a.p_name, b.p_name) AS edit_dist
+       FROM names a JOIN names b
+         ON a.blk = b.blk AND a.p_name < b.p_name
+       WHERE levenshtein(a.p_name, b.p_name) <= 12
+       ORDER BY name_a, name_b""",
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance similarity join over distinct part names:
+    Levenshtein within first-word blocks only — the standard scale shape
+    for fuzzy matching (never all-pairs; the block key bounds each
+    task's candidate set, and skewed blocks get the same salting
+    treatment as any hot join key). Spark's levenshtein and DuckDB's
+    agree on the classic unit-cost edit distance, so the join output is
+    exactly comparable."""
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.select("p_name").distinct()
+        .withColumn("blk", F.split("p_name", " ").getItem(0))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), F.col("blk").alias("blk_a"))
+    b = names.select(F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b"))
+    return (
+        a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 12)
+        .select("name_a", "name_b", "edit_dist")
+        .orderBy("name_a", "name_b")
+    )

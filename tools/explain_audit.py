@@ -219,6 +219,17 @@ AUDITS: dict[str, list[str]] = {
     # per-round/wedge shape is what remains assertable)
     "graph_triangle_count": ["partial_agg", "no_cartesian"],
     "graph_degree_distribution": ["partial_agg", "no_cartesian", "codegen"],
+    # round-6 stats_extra additions
+    "agg_entropy": ["partial_agg", "broadcast_any", "pruning", "no_cartesian", "codegen"],
+    "llm_zipf_slope": ["partial_agg", "window_exec", "generate_exec", "pruning", "codegen"],
+    "ts_autocorr": ["partial_agg", "window_exec", "pruning", "codegen"],
+    # (components are hash-min label-propagated over a checkpoint-
+    # materialized edge set — only the final agg shape is assertable)
+    "graph_connected_components": ["partial_agg", "take_ordered", "no_cartesian"],
+    "win_running_distinct": ["window_exec", "pushdown", "pruning", "codegen"],
+    "events_first_touch": ["window_exec", "partial_agg", "pruning", "no_cartesian", "codegen"],
+    "llm_doc_outlier_zscore": ["partial_agg", "broadcast_any", "pruning", "no_cartesian", "codegen"],
+    "fn_string_distance": ["smj_or_bhj", "pruning", "no_cartesian", "codegen"],
 }
 
 
