@@ -186,6 +186,36 @@ def _band_rows(sig: DataFrame, n_bands: int, id_col: str, out_id: str) -> DataFr
     ).select(out_id, "bs.band", "bs.sig")
 
 
+def band_assignments(
+    df: DataFrame,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Narrow (id, band, sig) LSH band assignments — the table
+    ``minhash_candidate_pairs`` self-joins, exposed on its own so bucket
+    health can be audited WITHOUT generating candidates: group by
+    (band, sig) and a bucket of size s is s·(s−1)/2 pending pairs. The
+    monitor that catches a degenerate band (boilerplate-heavy corpora
+    collapse many docs into one signature) before the join explodes.
+    Same hash_fn contract as minhash_signatures."""
+    tok = (
+        shingle_base_hashes(df, shingle_n, id_col, text_col)
+        if hash_fn == "xxhash64"
+        else shingles_distinct(df, shingle_n, id_col, text_col)
+    )
+    sig = _band_columns(
+        minhash_signatures(tok, n_hashes, id_col, hash_fn),
+        n_hashes,
+        n_bands,
+        hash_fn,
+    )
+    return _band_rows(sig, n_bands, id_col, id_col)
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     tau: float = 0.6,

@@ -43,6 +43,7 @@ _MODULES = (
     "functional_extra",
     "patterns_extra",
     "stats_extra",
+    "ops_extra",
     "geo_extra",
     "sampling",
     "sketches_extra",

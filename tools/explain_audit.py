@@ -230,6 +230,10 @@ AUDITS: dict[str, list[str]] = {
     "events_first_touch": ["window_exec", "partial_agg", "pruning", "no_cartesian", "codegen"],
     "llm_doc_outlier_zscore": ["partial_agg", "broadcast_any", "pruning", "no_cartesian", "codegen"],
     "fn_string_distance": ["smj_or_bhj", "pruning", "no_cartesian", "codegen"],
+    "llm_lsh_band_stats": ["partial_agg", "generate_exec", "pruning", "no_cartesian", "codegen"],
+    "ts_cum_deviation": ["partial_agg", "window_exec", "broadcast_any", "pruning", "codegen"],
+    "events_conversion_latency": ["partial_agg", "pruning", "no_cartesian", "codegen"],
+    "llm_tokenizer_fertility": ["partial_agg", "pruning", "no_cartesian", "codegen"],
 }
 
 
