@@ -67,6 +67,10 @@ HEAVY = [
     "tpch_q21_late_supplier_blame",
     "events_sessionize_gap",
     "llm_cosine_topk_sharded",
+    # round-6 additions (heavy_total therefore not comparable to r5's —
+    # compare per-query medians across rounds instead)
+    "graph_connected_components",
+    "llm_lsh_band_stats",
 ]
 
 
