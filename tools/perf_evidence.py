@@ -42,6 +42,9 @@ PROBES = [
     ("tpch_q21_late_supplier_blame", "semi+anti chain: all legs on one orderkey exchange family"),
     ("graph_triangle_count", "wedge join on degree-oriented materialized edges: no cartesian"),
     ("graph_link_prediction", "common neighbors: wedge cost bounded by the stop-hub cap"),
+    ("llm_lsh_band_stats", "LSH bucket audit: linear band table, (band,sig) agg — candidate join never runs"),
+    ("graph_connected_components", "hash-min CC: per-round join+min on the materialized edge set"),
+    ("llm_doc_outlier_zscore", "z-score gate: ONE stats shuffle; doc table joins a broadcast"),
 ]
 
 
