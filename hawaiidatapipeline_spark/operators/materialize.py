@@ -15,6 +15,14 @@ the session has a checkpoint dir configured (the cluster deployment sets
 one), ``localCheckpoint()`` otherwise (the single-node default). Both are
 eager, so caller semantics — "computed once, lineage cut" — are identical
 on either path.
+
+Cluster-deployment requirement: reliable checkpoint files are NOT
+deleted when the DataFrame is garbage-collected unless the session sets
+``spark.cleaner.referenceTracking.cleanCheckpoints=true``. Iterative
+callers checkpoint every round, so a long-lived cluster session without
+that flag accumulates unbounded checkpoint storage — set it alongside
+``setCheckpointDir`` (and/or apply a storage-lifecycle rule to the
+checkpoint path) in any deployment that uses the reliable path.
 """
 
 from __future__ import annotations

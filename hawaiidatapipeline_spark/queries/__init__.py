@@ -74,23 +74,23 @@ _MODULES = (
 # Round-4 window: exactly the 50 keys with no driver row after round 3
 # (windows family, etl_*, corpus pipelines v1-v4, fn_bitwise, ...).
 _FRONT: tuple[str, ...] = (
-    'events_transition_matrix', 'llm_unigram_logprob', 'catalog_search',
-    'multimodal_video_frames', 'multimodal_image_resize', 'soql_fulltext_terms',
-    'tpch_q4_late_orders', 'tpch_q19_disjunctive_revenue', 'tpch_q7_volume_shipping',
-    'tpch_q8_market_share', 'tpch_q9_product_profit', 'tpch_q13_order_count_distribution',
-    'tpch_q15_top_supplier', 'tpch_q16_supplier_part_variety', 'tpch_q17_small_quantity_revenue',
-    'tpch_q20_part_promotion_suppliers', 'tpch_q21_late_supplier_blame', 'tpch_q22_dormant_customers',
-    'tpch_q2_min_cost_supplier', 'tpch_q11_important_stock', 'tpch_q12_late_lines_by_priority',
-    'events_sessionize_gap', 'join_asof_forward', 'join_asof_nearest',
-    'graph_triangle_count', 'agg_regression', 'llm_dupspan_ngram',
-    'fn_struct_ops', 'join_asof_tolerance', 'ts_outage_detection',
-    'etl_partition_overwrite', 'scan_partition_pruned_agg', 'events_rate_limit',
-    'emb_dim_stats', 'dq_freshness', 'dq_schema_contract',
-    'llm_dataset_card', 'etl_incremental_join_view', 'etl_cdc_apply',
-    'dq_column_masking', 'sample_systematic', 'llm_shard_manifest',
-    'llm_quota_sample', 'join_exists_flag', 'agg_moments',
-    'events_top_sequences', 'sql_group_by_all', 'sql_star_except',
-    'fn_try_safe', 'join_hint_shuffle_hash',
+    'soql_geo_where', 'soql_geo_polygon', 'soql_geo_extent',
+    'scan_file_metadata', 'fn_lambda_arrays', 'etl_scd2_pit_join',
+    'agg_weighted_stats', 'events_ab_lift', 'agg_distinct_two_phase',
+    'llm_prefix_clusters', 'fn_time_bucket', 'llm_length_gini',
+    'ts_percentile_bands', 'llm_ngram_novelty', 'agg_median_absolute_deviation',
+    'graph_degree_distribution', 'events_dau_mau', 'events_power_users_pareto',
+    'agg_winsorize', 'llm_source_overlap_matrix', 'llm_vocab_growth',
+    'fn_format_strings', 'events_seasonality_profile', 'ts_type_correlation',
+    'agg_entropy', 'llm_zipf_slope', 'ts_autocorr',
+    'graph_connected_components', 'win_running_distinct', 'events_first_touch',
+    'llm_doc_outlier_zscore', 'fn_string_distance', 'llm_lsh_band_stats',
+    'ts_cum_deviation', 'events_conversion_latency', 'llm_tokenizer_fertility',
+    'llm_quality_gate_report', 'llm_cosine_topk_sharded', 'ml_kmeans_fixed_point',
+    'graph_link_prediction', 'llm_lsh_recall_report', 'llm_dedup_cluster_sizes',
+    'llm_corpus_pipeline_v5', 'win_range_time_interval', 'subquery_not_in_nulls',
+    'join_null_safe_eq', 'sql_recursive_calendar', 'join_lateral_topn',
+    'sql_parameterized', 'dq_observe_metrics',
 )
 
 

@@ -25,37 +25,56 @@ QUERIES, ORACLES, q = new_module_registry()
     "agg_entropy",
     """WITH c AS (
          SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
-       t AS (SELECT lang, sum(n)::BIGINT AS n_docs FROM c GROUP BY lang)
-       SELECT c.lang,
-              t.n_docs,
-              count(*) AS n_sources,
-              round(sum(-(c.n::DOUBLE / t.n_docs)
-                        * log2(c.n::DOUBLE / t.n_docs)), 6) AS source_entropy_bits
-       FROM c JOIN t USING (lang)
-       GROUP BY c.lang, t.n_docs
-       ORDER BY c.lang""",
+       t AS (SELECT lang, sum(n)::BIGINT AS n_docs FROM c GROUP BY lang),
+       m AS (
+         SELECT c.lang, t.n_docs,
+                count(*) AS n_sources,
+                sum((floor(c.n::DOUBLE * log2(c.n::DOUBLE)
+                           * 1000000))::BIGINT)::BIGINT AS sum_nlog2n_micro
+         FROM c JOIN t USING (lang)
+         GROUP BY c.lang, t.n_docs)
+       SELECT lang, n_docs, n_sources,
+              round(log2(n_docs::DOUBLE)
+                    - (sum_nlog2n_micro::DOUBLE / 1000000.0) / n_docs,
+                    6) AS source_entropy_bits
+       FROM m ORDER BY lang""",
 )
 def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy (bits) of each language's source mix — the
     diversity gate a corpus builder runs before mixing: a lang whose
     docs come from one crawl has entropy ~0 and needs re-balancing.
-    Two hash aggregates plus a broadcast join of the per-lang totals
-    (|langs| rows); the -Σ p·log2 p fold runs over ≤|sources| exact
-    integer ratios per group, so the double sum is reproducible at any
-    parallelism."""
+    Uses the identity H = log2(N) - (1/N)·Σ n_i·log2(n_i): each
+    n·log2(n) term is floored to integer micro-units BEFORE summing, so
+    the aggregate is an exact 64-bit integer sum (order-independent at
+    any parallelism); only the final closed-form expression runs in
+    doubles on both engines (the agg_corr_deterministic template).
+    Residual cross-engine dependency: log2 is libm/JVM, not guaranteed
+    correctly rounded — a term landing within an ulp of an integer
+    micro-unit boundary could floor differently per engine; with n in
+    the thousands and a 1e-6 grid the probability is negligible, and
+    the final round(…, 6) absorbs sub-micro drift in the sum."""
     d = load_table(spark, sf_dir, "documents")
     c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
     t = c.groupBy("lang").agg(F.sum("n").alias("n_docs"))
-    p = F.col("n").cast("double") / F.col("n_docs")
-    return (
+    nd = F.col("n").cast("double")
+    term = F.floor(nd * F.log2(nd) * F.lit(1000000.0)).cast("bigint")
+    m = (
         c.join(F.broadcast(t), "lang")
         .groupBy("lang", "n_docs")
         .agg(
             F.count(F.lit(1)).alias("n_sources"),
-            F.round(F.sum(-p * F.log2(p)), 6).alias("source_entropy_bits"),
+            F.sum(term).alias("sum_nlog2n_micro"),
         )
-        .orderBy("lang")
     )
+    entropy = (
+        F.log2(F.col("n_docs").cast("double"))
+        - (F.col("sum_nlog2n_micro").cast("double") / F.lit(1000000.0))
+        / F.col("n_docs")
+    )
+    return m.select(
+        "lang", "n_docs", "n_sources",
+        F.round(entropy, 6).alias("source_entropy_bits"),
+    ).orderBy("lang")
 
 
 @q(
@@ -89,7 +108,14 @@ def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bounded per-lang window with a unique (f DESC, token) tiebreak;
     the regression runs on ln values floored to integer micro-units so
     every sum is exact 64-bit arithmetic — only the final slope division
-    is floating point (the agg_corr_deterministic template)."""
+    is floating point (the agg_corr_deterministic template).
+    Residual cross-engine dependency: ln is libm/JVM, not guaranteed
+    correctly rounded — floor(ln(k)·1e6) could differ by 1 between
+    engines when ln(k)·1e6 lands within an ulp of an integer boundary.
+    Over 100 small-integer ranks per lang no boundary case exists (the
+    fixture hash has been stable across six rounds); a fully
+    engine-free variant would precompute the 100 ln(rank) micro-unit
+    constants driver-side and share them as literals with the oracle."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
     freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("f"))
