@@ -81,7 +81,10 @@ def pagerank_fixed_point(
 
 
 def copurchase_edges(
-    li: DataFrame, min_orders: int = 2, directed: bool = False
+    li: DataFrame,
+    min_orders: int = 2,
+    directed: bool = False,
+    max_parts_per_order: int = 64,
 ) -> DataFrame:
     """Part co-purchase edge list from lineitem: part pairs sharing at
     least ``min_orders`` orders. Undirected form returns (u, v) with
@@ -95,14 +98,21 @@ def copurchase_edges(
     self-join which shuffles the item table on BOTH sides before the
     same pair aggregate — measured ~2.5× faster at sf0.1 with an
     identical edge set. Per-order fan-out is quadratic in the order's
-    distinct parts — fine for order-shaped data (≤7 parts/order in
-    TPC-H); cap or salt degenerate mega-groups upstream if the input
-    can contain them."""
+    distinct parts, so a degenerate mega-order (bot traffic, a load
+    error) would emit O(parts²) pairs from a single group;
+    ``max_parts_per_order`` enforces the guard by DROPPING any order
+    whose distinct-part count exceeds it before expansion (a basket
+    that large carries no per-pair co-purchase signal — it would vote
+    for every pair). The default (64 → ≤2,016 pairs/order) is far
+    above order-shaped data (≤7 parts/order in TPC-H) so fixture
+    results are unchanged; if real data can exceed the cap, mirror the
+    same HAVING bound in any oracle/downstream that recomputes edges."""
     pairs = (
         li.select("l_orderkey", "l_partkey")
         .distinct()
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") <= max_parts_per_order)
         .select(
             F.explode(
                 F.expr(

@@ -276,6 +276,23 @@ def test_copurchase_edges_equals_selfjoin(spark, rows, min_orders):
     assert dird == sorted([(u, v) for u, v in und] + [(v, u) for u, v in und])
 
 
+def test_copurchase_edges_caps_mega_order(spark):
+    """Skew-lane probe: a planted 1,000-part order must be DROPPED by the
+    max_parts_per_order guard, not expanded into ~500k pairs. Normal
+    orders sharing pairs still produce their edges, and raising the cap
+    re-admits the mega-order (the guard is the only thing excluding it)."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+
+    mega = [(999, p) for p in range(1000)]
+    normal = [(1, 1), (1, 2), (2, 1), (2, 2)]  # pair (1,2) in 2 orders
+    df = spark.createDataFrame(mega + normal, "l_orderkey long, l_partkey long")
+    capped = copurchase_edges(df, min_orders=2)  # default cap 64
+    assert sorted(map(tuple, capped.collect())) == [(1, 2)]
+    # cap raised past the planted order → quadratic expansion comes back
+    uncapped = copurchase_edges(df, min_orders=1, max_parts_per_order=1000)
+    assert uncapped.count() == 1000 * 999 // 2  # (1,2) merges into the mega set
+
+
 @given(q=st.text(st.characters(codec="ascii", exclude_characters="\x00"), max_size=40))
 @SLOW
 def test_q_terms_never_empty_or_quoted(q):
