@@ -216,6 +216,33 @@ def band_assignments(
     return _band_rows(sig, n_bands, id_col, id_col)
 
 
+def band_health(bands: DataFrame) -> DataFrame:
+    """Per-band bucket-health stats over a (id, band, sig) band table:
+    bucket count, multi-doc bucket count, largest bucket, and the exact
+    number of candidate pairs the band's self-join would emit
+    (Σ s·(s−1)/2). One (band, sig) groupBy + one band groupBy — linear,
+    map-side-combinable, never touches the quadratic join.
+
+    Production contract: run this on the SAME band table the dedup pass
+    built (``band_assignments`` / the fused band columns inside
+    ``minhash_candidate_pairs``, xxhash64 by default) — auditing must
+    not pay a second signature build. The ``llm_lsh_band_stats``
+    registry query rebuilds with md5 only so its DuckDB oracle can
+    recompute every bucket bit-for-bit; pass its ``bands=`` parameter
+    to audit a precomputed table instead."""
+    buckets = bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("s"))
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.count(F.when(F.col("s") >= 2, 1)).alias("n_buckets_multi"),
+            F.max("s").alias("max_bucket"),
+            F.sum(F.expr("s * (s - 1) DIV 2")).alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     tau: float = 0.6,

@@ -65,34 +65,38 @@ def _band_stats_sql() -> str:
 
 
 @q("llm_lsh_band_stats", _band_stats_sql())
-def llm_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_lsh_band_stats(
+    spark: SparkSession, sf_dir: str, bands: DataFrame | None = None
+) -> DataFrame:
     """LSH bucket-health audit: per band, the bucket count, multi-doc
     bucket count, largest bucket, and the number of candidate pairs the
     band will emit (Σ s·(s−1)/2). THE pre-flight check before a dedup
     join at 100 TB — a boilerplate-collapsed band shows up here as one
     giant bucket (quadratic pending pairs) while the join can still be
-    re-planned (tighter bands, stop-shingles, salting). Runs on the
-    band-assignment table alone (operators/dedup.py band_assignments):
-    signature build + one (band, sig) groupBy — the candidate self-join
-    never runs. Portable md5 hashing keeps every bucket recomputable by
-    the oracle bit-for-bit."""
-    from hawaiidatapipeline_spark.operators.dedup import band_assignments
+    re-planned (tighter bands, stop-shingles, salting). The stats fold
+    is ``operators/dedup.py band_health``: one (band, sig) groupBy —
+    the candidate self-join never runs.
 
-    d = load_table(spark, sf_dir, "documents")
-    rows = band_assignments(
-        d, n_hashes=_MH_N, n_bands=_MH_BANDS, hash_fn="md5"
+    Cost note: the dominant cost HERE is the md5-portable signature
+    build (16 hashes/doc), kept md5 only so the DuckDB oracle can
+    recompute every bucket bit-for-bit. A production pipeline must NOT
+    pay that second build: pass ``bands=`` with the dedup pass's own
+    persisted band table (``band_assignments`` /
+    ``minhash_candidate_pairs``'s fused band columns, xxhash64) and the
+    audit reduces to the linear groupBy —
+    ``tests/test_ops_extra.py::test_band_stats_reuses_dedup_band_table``
+    exercises exactly that one-build dedup+audit path."""
+    from hawaiidatapipeline_spark.operators.dedup import (
+        band_assignments,
+        band_health,
     )
-    buckets = rows.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("s"))
-    return (
-        buckets.groupBy("band")
-        .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.count(F.when(F.col("s") >= 2, 1)).alias("n_buckets_multi"),
-            F.max("s").alias("max_bucket"),
-            F.sum(F.expr("s * (s - 1) DIV 2")).alias("candidate_pairs"),
+
+    if bands is None:
+        d = load_table(spark, sf_dir, "documents")
+        bands = band_assignments(
+            d, n_hashes=_MH_N, n_bands=_MH_BANDS, hash_fn="md5"
         )
-        .orderBy("band")
-    )
+    return band_health(bands)
 
 
 @q(

@@ -44,6 +44,40 @@ def test_lsh_band_stats_match_python_minhash(spark):
                 r["candidate_pairs"]) == (n_b, multi, mx, pairs)
 
 
+def test_band_stats_reuses_dedup_band_table(spark):
+    """Production path: the dedup pass's xxhash64 band table is built ONCE
+    (materialized) and feeds BOTH the candidate self-join and the
+    band-health audit — no second signature build. The audit's
+    candidate_pairs must equal the pair count the self-join on the SAME
+    table actually emits, per band."""
+    from hawaiidatapipeline_spark.operators.dedup import band_assignments
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bands = materialize(
+        band_assignments(d, n_hashes=16, n_bands=4, hash_fn="xxhash64")
+    )
+    # audit lane: precomputed table in, no rebuild
+    audit = {
+        r["band"]: r["candidate_pairs"]
+        for r in ops_extra.QUERIES["llm_lsh_band_stats"](
+            spark, SF, bands=bands
+        ).collect()
+    }
+    # dedup lane: the candidate join over the SAME materialized table
+    joined = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("pairs"))
+    )
+    emitted = {r["band"]: r["pairs"] for r in joined.collect()}
+    for band, pending in audit.items():
+        assert emitted.get(band, 0) == pending
+
+
 def test_cum_deviation_matches_pandas(spark):
     pdf = spark.read.parquet(f"{SF}/events.parquet").toPandas()
     pdf["d"] = pdf["ts"].dt.date
