@@ -400,13 +400,20 @@ def connected_components(
     its own label and its neighbors' labels (one join + one groupBy-min),
     converging in O(graph diameter) rounds — near-dup clusters are
     star/clique-shaped, so diameter is tiny in practice. The driver-side
-    loop with a per-round convergence action is inherent to iterative graph
-    algorithms on Spark (GraphFrames' CC has the same shape);
-    per-round materialization (reliable ``checkpoint()`` when a dir is
+    loop is inherent to iterative graph algorithms on Spark (GraphFrames'
+    CC has the same shape), but the convergence check is FREE: the
+    changed-label count rides the round's own materialization action as an
+    ``Observation`` metric (old labels joined in, ``sum(changed)``
+    observed), so each round submits exactly ONE job — no separate
+    ``count()`` probe — while still testing exact convergence every round.
+    Per-round materialization (reliable ``checkpoint()`` when a dir is
     configured, else ``localCheckpoint`` — operators/materialize.py)
     truncates lineage so plans don't grow per round and rounds survive
-    executor loss on a cluster.
+    executor loss on a cluster; both paths populate the observation (see
+    tests/test_dedup.py).
     """
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -421,19 +428,26 @@ def connected_components(
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "comp")
         )
-        new_labels = (
+        fold = (
             labels.unionByName(nbr_min).groupBy("node").agg(F.min("comp").alias("comp"))
         )
-        new_labels = materialize(new_labels)
-        changed = (
-            new_labels.alias("n")
+        # every node appears in the previous labels, so the inner join is
+        # row-preserving; the observed metric folds the convergence test
+        # into the materialization job below.
+        obs = Observation()
+        new_labels = (
+            fold.alias("n")
             .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+            .select(
+                "node",
+                F.col("n.comp").alias("comp"),
+                (F.col("n.comp") != F.col("o.comp")).cast("int").alias("_chg"),
+            )
+            .observe(obs, F.coalesce(F.sum("_chg"), F.lit(0)).alias("changed"))
+            .drop("_chg")
         )
-        labels = new_labels
-        if changed == 0:
+        labels = materialize(new_labels)
+        if obs.get["changed"] == 0:
             break
     return labels
 

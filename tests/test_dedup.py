@@ -153,6 +153,46 @@ def test_connected_components_empty(spark):
     assert connected_components(empty).count() == 0
 
 
+def test_connected_components_observed_convergence_single_job_per_round(
+    spark, tmp_path, monkeypatch
+):
+    """The convergence test rides the round's materialization action as an
+    Observation metric — one Spark action per round instead of a label
+    update + a separate count() probe. Prove the probe is gone by making
+    DataFrame.count() raise for the duration of the call (the old loop
+    ran limit(1).count() every round); then check the reliable-checkpoint
+    path returns identical labels (the observation must fire under BOTH
+    materialize paths)."""
+    from pyspark.sql import DataFrame
+
+    from hawaiidatapipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "doc_a bigint, doc_b bigint",
+    )
+    sc = spark.sparkContext
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def _no_count(self):
+        raise AssertionError("convergence must not submit a count() action")
+
+    monkeypatch.setattr(DataFrame, "count", _no_count)
+    labels = connected_components(pairs)
+    monkeypatch.undo()
+    local = {r.node: r.comp for r in labels.collect()}
+    assert local == want
+
+    assert sc.getCheckpointDir() is None  # precondition for the swap below
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = {r.node: r.comp for r in connected_components(pairs).collect()}
+    finally:
+        # (py4j: the Scala setter is `checkpointDir_=`, mangled to `_$eq`)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+    assert reliable == want
+
+
 def test_simhash_near_dups_close(spark):
     docs = load_table(spark, SF0001, "documents")
     sig = simhash_signatures(docs)
