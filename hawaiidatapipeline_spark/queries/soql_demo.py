@@ -171,6 +171,53 @@ def soql_fulltext_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stem_pred_sql(term_stem: str) -> str:
+    """DuckDB twin of the compiler's stemmed word-term predicate: token-
+    split each string column on non-alphanumerics, stem with the SAME
+    suffix rule (soql._STEM_RE), compare to the pre-stemmed term."""
+    per_col = " OR ".join(
+        "len(list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), "
+        "x -> regexp_replace(x, '(ing|ed|s)$', '') = '{t}')) > 0".format(
+            c=c, t=term_stem
+        )
+        for c in ("text", "lang", "source")
+    )
+    return f"({per_col})"
+
+
+@q(
+    "soql_fulltext_stemmed",
+    f"""SELECT doc_id, lang, source FROM documents
+       WHERE {_stem_pred_sql('scan')}
+         AND (contains(lower(text), 'fast merge')
+              OR contains(lower(lang), 'fast merge')
+              OR contains(lower(source), 'fast merge'))
+         AND {_stem_pred_sql('order')}
+       ORDER BY doc_id""",
+)
+def soql_fulltext_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SODA ``$q`` with the stemming option on (dev.socrata.com documents
+    the portal's ``$q`` as stemming-aware; the compiler default is
+    exact-token matching with ``stemming=True`` as the deterministic
+    suffix-strip approximation — soql.py ``_STEM_RE``). The snippet
+    ``scans "fast merge" orders,`` must match docs containing a token
+    stemming to ``scan`` AND the verbatim phrase "fast merge" AND a
+    token stemming to ``order`` — the corpus spells the bare forms, so
+    exact-token matching on the inflected terms would return 0 rows.
+    Phrase terms are never stemmed. Plan: one scan, three AND'd
+    codegen'd predicates (exists over split tokens), no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return soql_query(
+        d,
+        {
+            "$select": "doc_id, lang, source",
+            "$q": 'scans "fast merge" orders,',
+            "$order": "doc_id",
+        },
+        stemming=True,
+    )
+
+
 @q(
     "soql_geo_where",
     """WITH pts AS (

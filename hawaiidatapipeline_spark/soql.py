@@ -84,25 +84,44 @@ _VIEW_COUNTER = iter(range(10**9))
 _Q_STRIP = r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~"""
 
 
-def _q_terms(q: str) -> list[str]:
+def _q_terms_tagged(q: str) -> list[tuple[str, bool]]:
     """SODA ``$q`` snippet tokenization: double-quoted spans become phrase
     terms (matched verbatim, case-insensitive); the remainder splits on
     whitespace into word terms with boundary punctuation stripped. ALL
     returned terms must match somewhere in the row — multi-token snippets
-    AND together per the public spec, they are not one long substring."""
-    terms: list[str] = []
+    AND together per the public spec, they are not one long substring.
+    Returns (term, is_phrase) pairs: stemming (when enabled) applies only
+    to word terms, never to quoted phrases."""
+    terms: list[tuple[str, bool]] = []
 
     def grab(m: re.Match) -> str:
         if m.group(1).strip():
-            terms.append(m.group(1))
+            terms.append((m.group(1), True))
         return " "
 
     rest = re.sub(r'"([^"]*)"', grab, q)
     for tok in rest.split():
         tok = tok.strip(_Q_STRIP)
         if tok:
-            terms.append(tok)
+            terms.append((tok, False))
     return terms
+
+
+def _q_terms(q: str) -> list[str]:
+    """Flat form of :func:`_q_terms_tagged` (phrase markers dropped)."""
+    return [t for t, _ in _q_terms_tagged(q)]
+
+
+# Suffix-strip rule shared VERBATIM by the Spark predicate, the DuckDB
+# oracle, and the Python-side term stem: leftmost-anchored alternation at
+# end-of-token, so every engine strips the same suffix. One plain suffix
+# per token ("merges" ~ "merge", "scans" ~ "scan"); -ing/-ed forms with
+# doubled consonants deliberately under-stem ("running" -> "runn").
+_STEM_RE = "(ing|ed|s)$"
+
+
+def _stem(token: str) -> str:
+    return re.sub(_STEM_RE, "", token)
 
 _TOKEN_RE = re.compile(
     r"""\s+|                                  # whitespace
@@ -408,12 +427,24 @@ def soql_query_chained(df: DataFrame, query: str) -> DataFrame:
     return out
 
 
-def soql_query(df: DataFrame, params: dict[str, str]) -> DataFrame:
+def soql_query(
+    df: DataFrame, params: dict[str, str], stemming: bool = False
+) -> DataFrame:
     """Execute a SODA request-parameter bundle against a DataFrame.
 
     Supported keys: ``$select`` ``$where`` ``$group`` ``$having`` ``$order``
     ``$limit`` ``$offset`` ``$q``. Unknown keys raise ``SoqlError``.
-    """
+
+    ``stemming``: dev.socrata.com documents that the portal's ``$q`` is
+    stemming-aware ("mained" matches "remained"-style variants). The
+    default here is EXACT-token AND matching (``stemming=False`` — a
+    documented divergence: Socrata's exact stemmer is proprietary to its
+    search backend and unspecifiable). ``stemming=True`` enables a cheap
+    deterministic approximation for WORD terms: a term matches when any
+    lowercased alphanumeric token of a string column equals it after both
+    sides drop one trailing ``ing``/``ed``/``s`` suffix
+    (``run ~ runs ~ running``). Quoted phrase terms always match by
+    verbatim substring — stemming never applies to phrases."""
     known = {"$select", "$where", "$group", "$having", "$order", "$limit", "$offset", "$q"}
     unknown = set(params) - known
     if unknown:
@@ -436,19 +467,30 @@ def soql_query(df: DataFrame, params: dict[str, str]) -> DataFrame:
     # one string column; terms AND together, columns OR within a term. A
     # one-term snippet degenerates to the old whole-string containment.
     if "$q" in params:
-        terms = _q_terms(params["$q"])
+        terms = _q_terms_tagged(params["$q"])
         str_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
         if not str_cols:
             raise SoqlError("$q requires at least one string column")
+
+        def col_pred(c: str, t: str, is_phrase: bool) -> str:
+            def esc(s: str) -> str:
+                return s.replace(chr(39), chr(39) * 2)
+
+            if stemming and not is_phrase:
+                # token-level stem equality: split the column on non-
+                # alphanumerics and compare stems (suffix rule _STEM_RE,
+                # identical on the oracle side)
+                return (
+                    f"exists(split(lower({c}), '[^a-z0-9]+'), "
+                    f"_t -> regexp_replace(_t, '{_STEM_RE}', '') = "
+                    f"'{esc(_stem(t.lower()))}')"
+                )
+            return f"contains(lower({c}), '{esc(t.lower())}')"
+
         if terms:
             per_term = [
-                "("
-                + " OR ".join(
-                    f"contains(lower({c}), '{t.replace(chr(39), chr(39) * 2).lower()}')"
-                    for c in str_cols
-                )
-                + ")"
-                for t in terms
+                "(" + " OR ".join(col_pred(c, t, ph) for c in str_cols) + ")"
+                for t, ph in terms
             ]
             q_pred = "(" + " AND ".join(per_term) + ")"
             where = f"({where}) AND {q_pred}" if where else q_pred

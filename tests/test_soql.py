@@ -279,6 +279,46 @@ class TestQTokenization:
             r["doc_id"] for r in punct.collect()
         }
 
+    def test_stemming_matches_inflected_word_terms(self, spark):
+        """stemming=True: 'merges'/'scans' match docs whose tokens stem to
+        the same form; default exact matching returns nothing for the
+        inflected terms (the corpus spells the bare forms)."""
+        from hawaiidatapipeline_spark.soql import _stem, soql_query
+
+        assert _stem("merges") == _stem("merge") == "merge"
+        assert _stem("scans") == _stem("scan") == "scan"
+        assert _stem("sorted") == "sort"
+        docs = load_table(spark, SF0001, "documents")
+
+        exact = soql_query(docs, {"$select": "doc_id", "$q": "merges"})
+        assert exact.count() == 0  # inflected form absent from the corpus
+        stemmed = soql_query(
+            docs, {"$select": "doc_id", "$q": "merges"}, stemming=True
+        )
+        bare = soql_query(docs, {"$select": "doc_id", "$q": "merge"})
+        got = {r["doc_id"] for r in stemmed.collect()}
+        # token-level stem match ⊆ substring match on the bare form, and
+        # every doc with the literal token 'merge' is found
+        assert got and got <= {r["doc_id"] for r in bare.collect()}
+
+    def test_stemming_never_applies_to_phrases(self, spark):
+        """A quoted phrase matches verbatim even with stemming on: the
+        inflected phrase finds nothing, the bare phrase is unchanged."""
+        from hawaiidatapipeline_spark.soql import soql_query
+
+        docs = load_table(spark, SF0001, "documents")
+        inflected = soql_query(
+            docs, {"$select": "doc_id", "$q": '"fast merges"'}, stemming=True
+        )
+        assert inflected.count() == 0
+        on = soql_query(
+            docs, {"$select": "doc_id", "$q": '"fast merge"'}, stemming=True
+        )
+        off = soql_query(docs, {"$select": "doc_id", "$q": '"fast merge"'})
+        assert {r["doc_id"] for r in on.collect()} == {
+            r["doc_id"] for r in off.collect()
+        }
+
 
 class TestWithinBox:
     def test_rewrite_is_sargable_comparisons(self):
