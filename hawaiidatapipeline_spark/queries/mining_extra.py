@@ -1,0 +1,442 @@
+"""Corpus-mining and dynamics extras (round 7).
+
+Deeper LLM-corpus machinery and exact dynamical analyses: the BPE
+training inner step (adjacent-pair counting), bigram language-model
+scoring as an OOD gate, stopword profiling, exact single-changepoint
+detection over daily rates, a fixed-point Markov stationary
+distribution, and bounded k-core peeling of the co-purchase graph.
+Every float follows the house determinism contract (SURVEY.md §7 risk
+1): exact integer sums first; IEEE doubles only in final closed-form
+expressions (÷ and × of exactly-representable ints are correctly
+rounded, hence bit-identical across engines); ln terms floored to
+integer micro-units before any aggregation (the llm_zipf_slope
+pattern, residual libm note there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+
+@q(
+    "llm_bpe_pair_counts",
+    """WITH w AS (
+         SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+       ws AS (SELECT w FROM w WHERE len(w) >= 2),
+       p AS (
+         SELECT substring(w, CAST(i AS INT), 2) AS pair
+         FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM ws))
+       SELECT pair, count(*)::BIGINT AS n
+       FROM p GROUP BY pair
+       ORDER BY n DESC, pair LIMIT 50""",
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner step: corpus-wide frequencies of adjacent
+    character pairs within words — the argmax of this table is the next
+    merge a byte-pair-encoding tokenizer learns. One explode per
+    character position (O(total chars), pure codegen via
+    transform/sequence — no Python), then a two-phase hash aggregate
+    with map-side partial combine; top-50 under the total order
+    (n DESC, pair). At 100 TB the pair table is ≤ alphabet² rows after
+    the partial agg, so the shuffle is trivially small — the scan
+    dominates, exactly as it should."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(50)
+    )
+
+
+@q(
+    "llm_bigram_logprob",
+    """WITH docs AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
+       occ AS (
+         SELECT doc_id, a[CAST(i AS INT)] AS w1,
+                a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS bg
+         FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+               FROM docs)),
+       bgc AS (SELECT bg, w1, count(*)::BIGINT AS cb FROM occ GROUP BY bg, w1),
+       pfc AS (SELECT w1, count(*)::BIGINT AS cp FROM occ GROUP BY w1),
+       vocab AS (
+         SELECT count(DISTINCT t)::BIGINT AS v
+         FROM (SELECT unnest(a) AS t FROM docs)),
+       term AS (
+         SELECT bgc.bg,
+                (floor((ln(bgc.cb + 1) - ln(pfc.cp + vocab.v)) * 1000000))::BIGINT
+                  AS t_micro
+         FROM bgc JOIN pfc USING (w1) CROSS JOIN vocab),
+       per_doc AS (
+         SELECT o.doc_id, count(*)::BIGINT AS n_bigrams,
+                sum(t.t_micro)::BIGINT AS total_micro
+         FROM occ o JOIN term t USING (bg) GROUP BY o.doc_id)
+       SELECT doc_id, n_bigrams, total_micro,
+              round(total_micro::DOUBLE / n_bigrams / 1000000.0, 6) AS avg_logprob
+       FROM per_doc ORDER BY avg_logprob, doc_id LIMIT 50""",
+)
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring as an out-of-distribution gate: an
+    add-one-smoothed bigram LM is fit on the corpus itself and every doc
+    scored by its average log P(w_i | w_{i-1}); the bottom-50 (most
+    surprising) docs are the OOD/garbage review queue. Each bigram
+    type's log-term floor((ln(c_bg+1) − ln(c_prefix+V))·1e6) is an
+    integer micro-unit, so the per-doc sum is exact 64-bit arithmetic at
+    any parallelism; only the final avg division is floating point.
+    Shape: one token explode, two hash aggregates for the model, one
+    equi-join of occurrences to bigram terms (shuffle on the bigram
+    string — linear), scalar vocab broadcast. Residual libm note:
+    stats_extra.llm_zipf_slope."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("a"))
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(a, 1, greatest(size(a) - 1, 0)), "
+                "(x, i) -> struct(x AS w1, "
+                "concat(x, ' ', element_at(a, i + 2)) AS bg))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.bg")
+    bgc = occ.groupBy("bg", "w1").agg(F.count(F.lit(1)).alias("cb"))
+    pfc = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
+    vocab = (
+        docs.select(F.explode("a").alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    term = (
+        bgc.join(pfc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.floor(
+                (F.log(F.col("cb") + 1) - F.log(F.col("cp") + F.col("v")))
+                * F.lit(1000000.0)
+            ).cast("bigint").alias("t_micro"),
+        )
+    )
+    per_doc = (
+        occ.join(term, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("t_micro").alias("total_micro"),
+        )
+    )
+    avg = (
+        F.col("total_micro").cast("double")
+        / F.col("n_bigrams")
+        / F.lit(1000000.0)
+    )
+    return (
+        per_doc.select(
+            "doc_id", "n_bigrams", "total_micro",
+            F.round(avg, 6).alias("avg_logprob"),
+        )
+        .orderBy("avg_logprob", "doc_id")
+        .limit(50)
+    )
+
+
+_STOPWORDS = ("a", "the", "of", "and", "in", "to", "is")
+_STOP_SQL = "(" + ", ".join(f"'{s}'" for s in _STOPWORDS) + ")"
+
+
+@q(
+    "llm_stopword_profile",
+    f"""WITH tok AS (
+         SELECT source, unnest(string_split(lower(text), ' ')) AS t
+         FROM documents)
+       SELECT source,
+              count(*)::BIGINT AS n_tokens,
+              count(*) FILTER (WHERE t IN {_STOP_SQL})::BIGINT AS n_stopwords,
+              count(DISTINCT t) FILTER (WHERE t IN {_STOP_SQL})::BIGINT
+                AS n_distinct_stopwords,
+              round(count(*) FILTER (WHERE t IN {_STOP_SQL})::DOUBLE
+                    / count(*), 6) AS stop_ratio
+       FROM tok GROUP BY source ORDER BY source""",
+)
+def llm_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stopword profile — the cheap fluency signal corpus
+    filters use (natural prose carries a stable stopword mass; keyword
+    spam and tables carry almost none). One token explode + one hash
+    aggregate with map-side combine; the ratio is an exact-int division
+    (correctly-rounded IEEE, identical on both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    )
+    is_stop = F.col("t").isin(*_STOPWORDS)
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(is_stop, 1)).alias("n_stopwords"),
+            F.countDistinct(F.when(is_stop, F.col("t"))).alias(
+                "n_distinct_stopwords"
+            ),
+            F.round(
+                F.count(F.when(is_stop, 1)).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("stop_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "ts_changepoint_binary",
+    """WITH daily AS (
+         SELECT event_type, ts::DATE AS d, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       cum AS (
+         SELECT event_type, d,
+                (sum(n) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS UNBOUNDED PRECEDING))::BIGINT AS s1,
+                (row_number() OVER (PARTITION BY event_type ORDER BY d))::BIGINT
+                  AS k
+         FROM daily),
+       tot AS (
+         SELECT event_type, sum(n)::BIGINT AS s, count(*)::BIGINT AS nd
+         FROM daily GROUP BY event_type),
+       scored AS (
+         SELECT c.event_type, c.d, c.k, t.nd, c.s1, t.s - c.s1 AS s2,
+                (c.s1::DOUBLE * c.s1::DOUBLE) / c.k::DOUBLE
+                  + ((t.s - c.s1)::DOUBLE * (t.s - c.s1)::DOUBLE)
+                    / (t.nd - c.k)::DOUBLE
+                  - (t.s::DOUBLE * t.s::DOUBLE) / t.nd::DOUBLE AS gain
+         FROM cum c JOIN tot t USING (event_type)
+         WHERE c.k < t.nd),
+       best AS (
+         SELECT *, row_number() OVER (PARTITION BY event_type
+                                      ORDER BY gain DESC, d) AS rnk
+         FROM scored)
+       SELECT event_type, d AS change_day, nd AS n_days,
+              round(s1::DOUBLE / k, 6) AS mean_before,
+              round(s2::DOUBLE / (nd - k), 6) AS mean_after,
+              round(gain, 6) AS sse_gain
+       FROM best WHERE rnk = 1 ORDER BY event_type""",
+)
+def ts_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact single-changepoint detection (binary-segmentation step 1)
+    over each event type's daily rate: the split day maximizing the SSE
+    reduction S1²/k + S2²/(n−k) − S²/n, computed from prefix sums. All
+    inputs to the objective are exact integers (≪ 2⁵³, so their double
+    images are exact; at 100 TB rescale counts before squaring);
+    divisions and products of exact doubles are correctly rounded,
+    hence bit-identical across engines, making the argmax + (gain DESC,
+    day) tiebreak deterministic. One window cumsum + a broadcast join
+    of per-type totals — no quadratic split scan."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("s1"),
+        F.row_number().over(w).cast("bigint").alias("k"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("s"), F.count(F.lit(1)).alias("nd")
+    )
+    s1d, kd = F.col("s1").cast("double"), F.col("k").cast("double")
+    s2 = F.col("s") - F.col("s1")
+    s2d, nkd = s2.cast("double"), (F.col("nd") - F.col("k")).cast("double")
+    sd, ndd = F.col("s").cast("double"), F.col("nd").cast("double")
+    scored = (
+        cum.join(F.broadcast(tot), "event_type")
+        .filter(F.col("k") < F.col("nd"))
+        .select(
+            "event_type", "d", "k", "nd", "s1", s2.alias("s2"),
+            (s1d * s1d / kd + s2d * s2d / nkd - sd * sd / ndd).alias("gain"),
+        )
+    )
+    wb = Window.partitionBy("event_type").orderBy(F.col("gain").desc(), "d")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wb))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("change_day"),
+            F.col("nd").alias("n_days"),
+            F.round(F.col("s1").cast("double") / F.col("k"), 6).alias(
+                "mean_before"
+            ),
+            F.round(
+                F.col("s2").cast("double") / (F.col("nd") - F.col("k")), 6
+            ).alias("mean_after"),
+            F.round("gain", 6).alias("sse_gain"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "events_markov_stationary",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       tm AS (
+         SELECT prev_type AS f, event_type AS t, count(*)::BIGINT AS n
+         FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       rt AS (SELECT f, sum(n)::BIGINT AS tot FROM tm GROUP BY f),
+       states AS (SELECT DISTINCT event_type AS s FROM events),
+       p0 AS (SELECT s, 1000000 // (SELECT count(*) FROM states) AS p
+              FROM states),
+       p1 AS (SELECT tm.t AS s, sum((p0.p * tm.n) // rt.tot)::BIGINT AS p
+              FROM p0 JOIN tm ON tm.f = p0.s JOIN rt ON rt.f = tm.f
+              GROUP BY tm.t),
+       p2 AS (SELECT tm.t AS s, sum((p1.p * tm.n) // rt.tot)::BIGINT AS p
+              FROM p1 JOIN tm ON tm.f = p1.s JOIN rt ON rt.f = tm.f
+              GROUP BY tm.t),
+       p3 AS (SELECT tm.t AS s, sum((p2.p * tm.n) // rt.tot)::BIGINT AS p
+              FROM p2 JOIN tm ON tm.f = p2.s JOIN rt ON rt.f = tm.f
+              GROUP BY tm.t)
+       SELECT states.s AS event_type,
+              coalesce(p3.p, 0)::BIGINT AS p_micro,
+              round(coalesce(p3.p, 0)::DOUBLE / 1000000.0, 6) AS p
+       FROM states LEFT JOIN p3 ON p3.s = states.s
+       ORDER BY event_type""",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain (where user
+    journeys spend their time in the long run), by three synchronous
+    power-iteration steps π′ = πP from the uniform start, entirely in
+    integer micro-units with floor division — the pagerank_fixed_point
+    recipe at matrix scale |types|² ≤ 25, so every join is a broadcast
+    and each step's sum is exact 64-bit arithmetic. The transition
+    counts reuse the events_transition_matrix convention (per-user
+    (ts, event_id) order). Three steps are unrolled identically in both
+    engines — no convergence action needed at this state-space size."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    tm = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("f"), F.col("event_type").alias("t"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rt = tm.groupBy("f").agg(F.sum("n").alias("tot"))
+    states = e.select(F.col("event_type").alias("s")).distinct()
+    n_states = states.agg(F.count(F.lit(1)).alias("ns"))
+    p = states.crossJoin(F.broadcast(n_states)).select(
+        "s", F.expr("div(1000000, ns)").alias("p")
+    )
+    tmr = F.broadcast(tm.join(rt, "f"))
+    for _ in range(3):
+        p = (
+            p.join(tmr, p["s"] == tmr["f"])
+            .select(
+                F.col("t").alias("s"),
+                F.expr("div(p * n, tot)").alias("contrib"),
+            )
+            .groupBy("s")
+            .agg(F.sum("contrib").alias("p"))
+        )
+    return (
+        states.join(p, "s", "left")
+        .select(
+            F.col("s").alias("event_type"),
+            F.coalesce(F.col("p"), F.lit(0)).cast("bigint").alias("p_micro"),
+            F.round(
+                F.coalesce(F.col("p"), F.lit(0)).cast("double") / 1000000.0, 6
+            ).alias("p"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    ctes = [
+        """e0 AS (
+         WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS u, b.l_partkey AS v
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""k{r} AS (
+         SELECT node FROM (
+           SELECT node, count(*) AS deg
+           FROM (SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p})
+           GROUP BY node)
+         WHERE deg >= {k})"""
+        )
+        ctes.append(
+            f"""e{r} AS (
+         SELECT u, v FROM e{p}
+         WHERE u IN (SELECT node FROM k{r})
+           AND v IN (SELECT node FROM k{r}))"""
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS round, (SELECT count(*) FROM k{r})::BIGINT AS n_nodes, "
+        f"(SELECT count(*) FROM e{r})::BIGINT AS n_edges"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n       ".join(ctes) + f" {rows} ORDER BY round"
+
+
+@q("graph_kcore_peel", _kcore_sql(3, 4))
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (k=3, 4 rounds) of the part co-purchase
+    graph: each round simultaneously removes every node with current
+    degree < k and reports the surviving (nodes, edges) — the curve that
+    tells you whether the graph has a dense core worth mining or decays
+    to nothing. Per round: one degree aggregate + two semi-joins against
+    the survivor set, with the edge set reliably re-materialized
+    (operators/materialize.py) so the plan stays flat; the fixed round
+    count is unrolled identically in the oracle (full peel-to-fixpoint
+    at 100 TB would iterate the same pair until the observed removal
+    count hits zero, exactly the connected_components Observation
+    pattern)."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = materialize(copurchase_edges(li))
+    out = None
+    for r in range(1, 5):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= 3).select("node")
+        edges = materialize(
+            edges.join(keep, edges["u"] == keep["node"], "left_semi").join(
+                keep, edges["v"] == keep["node"], "left_semi"
+            )
+        )
+        row = (
+            keep.agg(F.count(F.lit(1)).alias("n_nodes"))
+            .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+            .select(
+                F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")

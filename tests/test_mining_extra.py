@@ -1,0 +1,157 @@
+"""Independent-reference tests for queries/mining_extra.py — each query
+recomputed with plain Python (no Spark SQL, no DuckDB) on sf0.001."""
+
+import math
+from collections import Counter, defaultdict
+
+from hawaiidatapipeline_spark.queries import mining_extra
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+
+
+def test_bpe_pair_counts_match_python(spark):
+    pdf = _docs(spark)
+    counts = Counter()
+    for text in pdf["text"]:
+        for w in text.lower().split(" "):
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        (r["pair"], r["n"])
+        for r in mining_extra.QUERIES["llm_bpe_pair_counts"](spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_bigram_logprob_matches_python(spark):
+    pdf = _docs(spark)
+    occ = []  # (doc_id, w1, bigram)
+    vocab = set()
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        a = text.lower().split(" ")
+        vocab.update(a)
+        for i in range(len(a) - 1):
+            occ.append((doc_id, a[i], f"{a[i]} {a[i + 1]}"))
+    cb = Counter(bg for _, _, bg in occ)
+    cp = Counter(w1 for _, w1, _ in occ)
+    v = len(vocab)
+    term = {
+        bg: math.floor((math.log(c + 1) - math.log(cp[bg.split(" ")[0]] + v)) * 1e6)
+        for bg, c in cb.items()
+    }
+    per_doc = defaultdict(lambda: [0, 0])
+    for doc_id, _, bg in occ:
+        per_doc[doc_id][0] += 1
+        per_doc[doc_id][1] += term[bg]
+    want = sorted(
+        (
+            (round(tot / n / 1e6, 6), doc_id, n, tot)
+            for doc_id, (n, tot) in per_doc.items()
+        )
+    )[:50]
+    got = mining_extra.QUERIES["llm_bigram_logprob"](spark, SF).collect()
+    assert [(r["avg_logprob"], r["doc_id"], r["n_bigrams"], r["total_micro"])
+            for r in got] == want
+
+
+def test_stopword_profile_matches_python(spark):
+    pdf = _docs(spark)
+    stats = defaultdict(lambda: [0, 0, set()])
+    for source, text in zip(pdf["source"], pdf["text"]):
+        for t in text.lower().split(" "):
+            st = stats[source]
+            st[0] += 1
+            if t in mining_extra._STOPWORDS:
+                st[1] += 1
+                st[2].add(t)
+    got = mining_extra.QUERIES["llm_stopword_profile"](spark, SF).collect()
+    assert len(got) == len(stats)
+    for r in got:
+        n, stop, dset = stats[r["source"]]
+        assert (r["n_tokens"], r["n_stopwords"], r["n_distinct_stopwords"]) == (
+            n, stop, len(dset),
+        )
+        assert r["stop_ratio"] == round(stop / n, 6)
+
+
+def test_changepoint_matches_bruteforce(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    events["d"] = events["ts"].dt.date
+    got = {
+        r["event_type"]: (r["change_day"], r["mean_before"], r["mean_after"])
+        for r in mining_extra.QUERIES["ts_changepoint_binary"](spark, SF).collect()
+    }
+    for et, grp in events.groupby("event_type"):
+        daily = grp.groupby("d").size().sort_index()
+        n, s = len(daily), int(daily.sum())
+        best = None
+        cum = 0
+        for k, (day, cnt) in enumerate(daily.items(), start=1):
+            cum += int(cnt)
+            if k == n:
+                break
+            gain = cum * cum / k + (s - cum) ** 2 / (n - k) - s * s / n
+            key = (-gain, day)
+            if best is None or key < best[0]:
+                best = (key, day, round(cum / k, 6), round((s - cum) / (n - k), 6))
+        assert got[et] == (best[1], best[2], best[3])
+
+
+def test_markov_stationary_matches_python(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    events = events.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    tm = Counter()
+    for _, grp in events.groupby("user_id"):
+        types = list(grp["event_type"])
+        for a, b in zip(types, types[1:]):
+            tm[(a, b)] += 1
+    rowtot = Counter()
+    for (a, _), n in tm.items():
+        rowtot[a] += n
+    states = sorted(set(events["event_type"]))
+    p = {s: 1000000 // len(states) for s in states}
+    for _ in range(3):
+        nxt = defaultdict(int)
+        for (a, b), n in tm.items():
+            nxt[b] += (p.get(a, 0) * n) // rowtot[a]
+        p = nxt
+    got = {
+        r["event_type"]: r["p_micro"]
+        for r in mining_extra.QUERIES["events_markov_stationary"](spark, SF).collect()
+    }
+    assert got == {s: p.get(s, 0) for s in states}
+    # stationary mass stays within the floor-division budget
+    assert 0 < sum(got.values()) <= 1000000
+
+
+def test_kcore_peel_matches_python(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    orders = defaultdict(set)
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        orders[ok].add(pk)
+    pair_orders = Counter()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_orders[(ps[i], ps[j])] += 1
+    edges = {p for p, n in pair_orders.items() if n >= 2}
+    want = []
+    for r in range(1, 5):
+        deg = Counter()
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= 3}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+        want.append((r, len(keep), len(edges)))
+    got = [
+        (r["round"], r["n_nodes"], r["n_edges"])
+        for r in mining_extra.QUERIES["graph_kcore_peel"](spark, SF).collect()
+    ]
+    assert got == want
