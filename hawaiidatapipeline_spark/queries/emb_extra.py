@@ -135,52 +135,13 @@ _KM_K = 4
 _KM_ROUNDS = 3
 
 
-def _kmeans_sql() -> str:
-    """Unrolled fixed-point k-means rounds as CTEs (pagerank idiom:
-    integer arithmetic makes an iterative algorithm hash-verifiable)."""
-    step = """
-d{i} AS (SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS dist
-         FROM qv v JOIN c{p} c ON v.d = c.d GROUP BY v.vec_id, c.cid),
-a{i} AS (SELECT vec_id, cid FROM (
-           SELECT vec_id, cid,
-                  row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY dist, cid) AS rn
-           FROM d{i}) t WHERE rn = 1),
-c{i} AS (SELECT a.cid, v.d, floor(sum(v.q) * 1.0 / count(*))::BIGINT AS cq
-         FROM a{i} a JOIN qv v ON a.vec_id = v.vec_id GROUP BY a.cid, v.d)"""
-    rounds = ",".join(step.format(i=i, p=i - 1) for i in range(1, _KM_ROUNDS + 1))
-    return f"""WITH qv AS (
-         SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
-                round(unnest(embedding) * 1000)::BIGINT AS q
-         FROM embeddings),
-       c0 AS (SELECT vec_id AS cid, d, q AS cq FROM qv WHERE vec_id < {_KM_K}),
-       {rounds}
-       SELECT a.cid, count(DISTINCT a.vec_id) AS n_members,
-              min(cs.checksum)::BIGINT AS centroid_checksum
-       FROM a{_KM_ROUNDS} a
-       JOIN (SELECT cid, sum(cq) AS checksum FROM c{_KM_ROUNDS} GROUP BY cid) cs
-         ON cs.cid = a.cid
-       GROUP BY a.cid
-       ORDER BY a.cid"""
-
-
-@q("ml_kmeans_fixed_point", _kmeans_sql())
-def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-means (k=4, 3 synchronous Lloyd rounds) over the
-    embedding corpus in exact integer fixed-point — the iterative-ML
-    counterpart of graph_pagerank_copurchase: milli-unit quantization,
-    squared-integer distances, floor-average centroid updates, and a
-    deterministic (dist, cid) argmin make every round bit-reproducible,
-    so the DuckDB oracle unrolls the rounds as CTEs and matches the hash.
-    Per round: one broadcast of k·dim centroid cells against the
-    posexploded corpus, one (vec, cid) partial-aggregated distance
-    groupBy, one argmin window, one centroid groupBy — all linear in
-    corpus size, centroids re-materialized per round (reliable
-    checkpoint when a dir is configured — operators/materialize.py) so
-    the plan never deepens and rounds survive executor loss.
-    This is the scale shape of IVF coarse-quantizer training
-    (operators/similarity.py uses the float version; this is its
-    hash-checkable twin)."""
+def _kmeans_assign(spark: SparkSession, sf_dir: str):
+    """Milli-quantized vectors + 3-round fixed-point Lloyd assignment —
+    the Spark twin of ``_kmeans_ctes()``. Returns (qv, assign,
+    centroids): qv = (vec_id, d, q) exploded integer vectors, assign =
+    (vec_id, cid) after the final round, centroids = (cid, d, cq).
+    Every intermediate is reliably materialized (operators/
+    materialize.py) so callers can fan multiple consumers off each."""
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.select(
         "vec_id", F.posexplode("embedding").alias("d", "x")
@@ -217,11 +178,192 @@ def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         centroids = materialize(centroids)
+    return qv, assign, centroids
+
+
+def _kmeans_ctes() -> str:
+    """Unrolled fixed-point k-means rounds as CTEs (pagerank idiom:
+    integer arithmetic makes an iterative algorithm hash-verifiable).
+    Shared by ml_kmeans_fixed_point and emb_ann_recall_report — the
+    final assignment CTE is ``a{_KM_ROUNDS}``."""
+    step = """
+d{i} AS (SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq)) AS dist
+         FROM qv v JOIN c{p} c ON v.d = c.d GROUP BY v.vec_id, c.cid),
+a{i} AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+           FROM d{i}) t WHERE rn = 1),
+c{i} AS (SELECT a.cid, v.d, floor(sum(v.q) * 1.0 / count(*))::BIGINT AS cq
+         FROM a{i} a JOIN qv v ON a.vec_id = v.vec_id GROUP BY a.cid, v.d)"""
+    rounds = ",".join(step.format(i=i, p=i - 1) for i in range(1, _KM_ROUNDS + 1))
+    return f"""qv AS (
+         SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+                round(unnest(embedding) * 1000)::BIGINT AS q
+         FROM embeddings),
+       c0 AS (SELECT vec_id AS cid, d, q AS cq FROM qv WHERE vec_id < {_KM_K}),
+       {rounds}"""
+
+
+def _kmeans_sql() -> str:
+    return f"""WITH {_kmeans_ctes()}
+       SELECT a.cid, count(DISTINCT a.vec_id) AS n_members,
+              min(cs.checksum)::BIGINT AS centroid_checksum
+       FROM a{_KM_ROUNDS} a
+       JOIN (SELECT cid, sum(cq) AS checksum FROM c{_KM_ROUNDS} GROUP BY cid) cs
+         ON cs.cid = a.cid
+       GROUP BY a.cid
+       ORDER BY a.cid"""
+
+
+@q("ml_kmeans_fixed_point", _kmeans_sql())
+def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=4, 3 synchronous Lloyd rounds) over the
+    embedding corpus in exact integer fixed-point — the iterative-ML
+    counterpart of graph_pagerank_copurchase: milli-unit quantization,
+    squared-integer distances, floor-average centroid updates, and a
+    deterministic (dist, cid) argmin make every round bit-reproducible,
+    so the DuckDB oracle unrolls the rounds as CTEs and matches the hash.
+    Per round: one broadcast of k·dim centroid cells against the
+    posexploded corpus, one (vec, cid) partial-aggregated distance
+    groupBy, one argmin window, one centroid groupBy — all linear in
+    corpus size, centroids re-materialized per round (reliable
+    checkpoint when a dir is configured — operators/materialize.py) so
+    the plan never deepens and rounds survive executor loss.
+    This is the scale shape of IVF coarse-quantizer training
+    (operators/similarity.py uses the float version; this is its
+    hash-checkable twin)."""
+    qv, assign, centroids = _kmeans_assign(spark, sf_dir)
     checks = centroids.groupBy("cid").agg(F.sum("cq").alias("centroid_checksum"))
     return (
         assign.groupBy("cid")
         .agg(F.countDistinct("vec_id").alias("n_members"))
         .join(F.broadcast(checks), "cid")
         .select("cid", "n_members", "centroid_checksum")
+        .orderBy("cid")
+    )
+
+
+_ANN_PROBE_MOD = 23
+_ANN_TOPK = 10
+
+
+def _ann_recall_sql() -> str:
+    return f"""WITH {_kmeans_ctes()},
+       dots AS (
+         SELECT p.vec_id AS pa, v.vec_id AS pb, sum(p.q * v.q)::BIGINT AS dot
+         FROM qv p JOIN qv v ON p.d = v.d AND p.vec_id != v.vec_id
+         WHERE p.vec_id % {_ANN_PROBE_MOD} = 0
+         GROUP BY 1, 2),
+       gt AS (
+         SELECT pa, pb FROM (
+           SELECT pa, pb, row_number() OVER (PARTITION BY pa
+                                             ORDER BY dot DESC, pb) AS rn
+           FROM dots) t WHERE rn <= {_ANN_TOPK}),
+       cand AS (
+         SELECT d.pa, d.pb, d.dot
+         FROM dots d
+         JOIN a{_KM_ROUNDS} x ON x.vec_id = d.pa
+         JOIN a{_KM_ROUNDS} y ON y.vec_id = d.pb AND y.cid = x.cid),
+       ann AS (
+         SELECT pa, pb FROM (
+           SELECT pa, pb, row_number() OVER (PARTITION BY pa
+                                             ORDER BY dot DESC, pb) AS rn
+           FROM cand) t WHERE rn <= {_ANN_TOPK}),
+       hits AS (
+         SELECT g.pa, count(*)::BIGINT AS h
+         FROM gt g JOIN ann a ON a.pa = g.pa AND a.pb = g.pb
+         GROUP BY g.pa),
+       nc AS (SELECT pa, count(*)::BIGINT AS n_cand FROM cand GROUP BY pa),
+       probes AS (
+         SELECT vec_id AS pa, cid FROM a{_KM_ROUNDS}
+         WHERE vec_id % {_ANN_PROBE_MOD} = 0)
+       SELECT p.cid, count(*)::BIGINT AS n_probes,
+              sum(coalesce(h.h, 0))::BIGINT AS n_hits,
+              round(sum(coalesce(h.h, 0))::DOUBLE
+                    / ({_ANN_TOPK} * count(*)), 6) AS recall_at_{_ANN_TOPK},
+              round(sum(coalesce(nc.n_cand, 0))::DOUBLE / count(*), 6)
+                AS avg_candidates
+       FROM probes p
+       LEFT JOIN hits h ON h.pa = p.pa
+       LEFT JOIN nc ON nc.pa = p.pa
+       GROUP BY p.cid ORDER BY p.cid"""
+
+
+@q("emb_ann_recall_report", _ann_recall_sql())
+def emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN recall audit — the embedding twin of llm_lsh_recall_report:
+    for a deterministic probe subset (vec_id % 23), compare nprobe=1
+    IVF search (candidates = the probe's own k-means cell, from the SAME
+    fixed-point assignment ml_kmeans_fixed_point trains) against exact
+    max-inner-product top-10 over the whole corpus, reporting per-cell
+    recall@10 and the candidate-scan fraction — the dial that says
+    whether the coarse quantizer needs more cells or more probes BEFORE
+    anyone ships a bad index. Ranking uses integer milli-unit dot
+    products with a (dot DESC, id) total order, so every rank — and
+    therefore the recall itself — is exact 64-bit arithmetic on both
+    engines; no float enters until the final two ratio columns. Scale:
+    ground truth is O(probes·N·dim) — priced by the probe stride, the
+    same sampled-slice trick the LSH recall audit uses; the IVF lane is
+    linear in cell size."""
+    qv, assign, _ = _kmeans_assign(spark, sf_dir)
+    probes_qv = qv.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0)
+    dots = (
+        probes_qv.alias("p")
+        .join(qv.alias("v"), (F.col("p.d") == F.col("v.d"))
+              & (F.col("p.vec_id") != F.col("v.vec_id")))
+        .groupBy(
+            F.col("p.vec_id").alias("pa"), F.col("v.vec_id").alias("pb")
+        )
+        .agg(F.sum(F.col("p.q") * F.col("v.q")).alias("dot"))
+    )
+    dots = materialize(dots)
+    w = Window.partitionBy("pa").orderBy(F.col("dot").desc(), "pb")
+    gt = (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _ANN_TOPK)
+        .select("pa", "pb")
+    )
+    ax = F.broadcast(assign)
+    cand = (
+        dots.join(ax.alias("x"), F.col("x.vec_id") == F.col("pa"))
+        .join(
+            ax.alias("y"),
+            (F.col("y.vec_id") == F.col("pb"))
+            & (F.col("y.cid") == F.col("x.cid")),
+        )
+        .select("pa", "pb", "dot")
+    )
+    cand = materialize(cand)
+    ann = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _ANN_TOPK)
+        .select("pa", "pb")
+    )
+    hits = gt.join(ann, ["pa", "pb"]).groupBy("pa").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    nc = cand.groupBy("pa").agg(F.count(F.lit(1)).alias("n_cand"))
+    probes = assign.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("pa"), "cid"
+    )
+    return (
+        probes.join(hits, "pa", "left")
+        .join(nc, "pa", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.coalesce(F.col("h"), F.lit(0))).alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double")
+                / (F.lit(_ANN_TOPK) * F.count(F.lit(1))),
+                6,
+            ).alias(f"recall_at_{_ANN_TOPK}"),
+            F.round(
+                F.sum(F.coalesce(F.col("n_cand"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_candidates"),
+        )
         .orderBy("cid")
     )
