@@ -440,3 +440,243 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("round")
+
+
+@q(
+    "dq_psi_drift",
+    """WITH binned AS (
+         SELECT lang, doc_id % 2 AS half, n_chars // 100 AS bin
+         FROM documents),
+       a AS (SELECT lang, bin, count(*)::BIGINT AS ca FROM binned
+             WHERE half = 0 GROUP BY 1, 2),
+       b AS (SELECT lang, bin, count(*)::BIGINT AS cb FROM binned
+             WHERE half = 1 GROUP BY 1, 2),
+       bins AS (SELECT lang, bin FROM a UNION SELECT lang, bin FROM b),
+       tot AS (
+         SELECT lang,
+                sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+                sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS nb
+         FROM binned GROUP BY lang),
+       terms AS (
+         SELECT bins.lang,
+                (floor(((coalesce(a.ca, 0) + 1)::DOUBLE / (t.na + 1)
+                        - (coalesce(b.cb, 0) + 1)::DOUBLE / (t.nb + 1))
+                       * ln(((coalesce(a.ca, 0) + 1)::DOUBLE * (t.nb + 1))
+                            / ((coalesce(b.cb, 0) + 1)::DOUBLE * (t.na + 1)))
+                       * 1000000))::BIGINT AS t_micro
+         FROM bins
+         LEFT JOIN a ON a.lang = bins.lang AND a.bin = bins.bin
+         LEFT JOIN b ON b.lang = bins.lang AND b.bin = bins.bin
+         JOIN tot t ON t.lang = bins.lang)
+       SELECT lang, count(*)::BIGINT AS n_bins,
+              sum(t_micro)::BIGINT AS psi_micro,
+              round(sum(t_micro)::DOUBLE / 1000000.0, 6) AS psi
+       FROM terms GROUP BY lang ORDER BY lang""",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index (PSI) of the doc-length distribution
+    between two deterministic corpus halves (doc_id parity) per lang —
+    the standard drift gate between a training snapshot and a refresh
+    (PSI < 0.1 stable, > 0.25 action). Lengths bin at 100 chars with
+    add-one smoothing so empty bins stay finite. Each bin's term
+    (Δp · ln ratio) is computed from exact integer counts via
+    correctly-rounded IEEE ops, floored to integer micro-units, then
+    summed exactly — partition order cannot move the result (the
+    agg_entropy recipe; residual libm ln note in stats_extra). Two hash
+    aggregates + a |langs × bins| join — shuffle independent of corpus
+    size."""
+    d = load_table(spark, sf_dir, "documents")
+    binned = d.select(
+        "lang",
+        (F.col("doc_id") % 2).alias("half"),
+        F.floor(F.col("n_chars") / 100).cast("bigint").alias("bin"),
+    )
+    a = (
+        binned.filter(F.col("half") == 0)
+        .groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        binned.filter(F.col("half") == 1)
+        .groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    bins = a.select("lang", "bin").union(b.select("lang", "bin")).distinct()
+    tot = binned.groupBy("lang").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    ca1 = (F.coalesce(F.col("ca"), F.lit(0)) + 1).cast("double")
+    cb1 = (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double")
+    na1, nb1 = (F.col("na") + 1).cast("double"), (F.col("nb") + 1).cast("double")
+    t_micro = F.floor(
+        (ca1 / na1 - cb1 / nb1)
+        * F.log((ca1 * nb1) / (cb1 * na1))
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    terms = (
+        bins.join(a, ["lang", "bin"], "left")
+        .join(b, ["lang", "bin"], "left")
+        .join(F.broadcast(tot), "lang")
+        .select("lang", t_micro.alias("t_micro"))
+    )
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("t_micro").alias("psi_micro"),
+            F.round(F.sum("t_micro").cast("double") / 1000000.0, 6).alias("psi"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "llm_bigram_cond_entropy",
+    """WITH docs AS (
+         SELECT lang, string_split(lower(text), ' ') AS a FROM documents),
+       occ AS (
+         SELECT lang, a[CAST(i AS INT)] AS w1,
+                a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS bg
+         FROM (SELECT lang, a, unnest(generate_series(1, len(a) - 1)) AS i
+               FROM docs)),
+       bgc AS (SELECT lang, bg, w1, count(*)::BIGINT AS cb
+               FROM occ GROUP BY 1, 2, 3),
+       pfc AS (SELECT lang, w1, count(*)::BIGINT AS cp
+               FROM occ GROUP BY 1, 2),
+       terms AS (
+         SELECT bgc.lang, bgc.cb,
+                (floor((log2(pfc.cp) - log2(bgc.cb)) * 1000000))::BIGINT
+                  AS t_micro
+         FROM bgc JOIN pfc ON pfc.lang = bgc.lang AND pfc.w1 = bgc.w1)
+       SELECT lang,
+              sum(cb)::BIGINT AS n_bigrams,
+              count(*)::BIGINT AS n_bigram_types,
+              round((sum(cb * t_micro)::DOUBLE / sum(cb)) / 1000000.0, 6)
+                AS cond_entropy_bits
+       FROM terms GROUP BY lang ORDER BY lang""",
+)
+def llm_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(next word | word) per language — the
+    sequence-level diversity gate that agg_entropy (source mix) and
+    llm_zipf_slope (unigram law) can't see: template spam shows near-zero
+    next-word surprise even with a healthy vocabulary. Computed as the
+    count-weighted mean of log2(c_prefix) − log2(c_bigram) per bigram
+    type; each log term floors to integer micro-units so the weighted
+    sum Σ c·t is exact 64-bit arithmetic at any parallelism (the
+    llm_zipf_slope pattern — residual libm note there). One token
+    explode, two hash aggregates, one equi-join on (lang, w1) — all
+    linear, partial-aggregated."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("lang", F.split(F.lower(F.col("text")), " ").alias("a"))
+    occ = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(slice(a, 1, greatest(size(a) - 1, 0)), "
+                "(x, i) -> struct(x AS w1, "
+                "concat(x, ' ', element_at(a, i + 2)) AS bg))"
+            )
+        ).alias("p"),
+    ).select("lang", "p.w1", "p.bg")
+    bgc = occ.groupBy("lang", "bg", "w1").agg(F.count(F.lit(1)).alias("cb"))
+    pfc = occ.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("cp"))
+    terms = bgc.join(pfc, ["lang", "w1"]).select(
+        "lang",
+        "cb",
+        F.floor(
+            (F.log2(F.col("cp")) - F.log2(F.col("cb"))) * F.lit(1000000.0)
+        ).cast("bigint").alias("t_micro"),
+    )
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.sum("cb").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_bigram_types"),
+            F.round(
+                (
+                    F.sum(F.col("cb") * F.col("t_micro")).cast("double")
+                    / F.sum("cb")
+                )
+                / F.lit(1000000.0),
+                6,
+            ).alias("cond_entropy_bits"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "graph_degree_assortativity",
+    """WITH e AS (
+         WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS u, b.l_partkey AS v
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       deg AS (
+         SELECT node, count(*)::BIGINT AS deg
+         FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+         GROUP BY node),
+       de AS (
+         SELECT du.deg AS x, dv.deg AS y
+         FROM (SELECT u, v FROM e UNION ALL SELECT v, u FROM e) m
+         JOIN deg du ON du.node = m.u
+         JOIN deg dv ON dv.node = m.v),
+       s AS (
+         SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+                sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+         FROM de)
+       SELECT n AS n_edge_ends,
+              round((n * sxy - sx * sy)::DOUBLE
+                    / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                       * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+                AS assortativity
+       FROM s""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Pearson correlation
+    of endpoint degrees over the symmetrized edge list) — positive means
+    hubs attach to hubs (dedup/recommendation blow-up risk concentrates),
+    negative means hub-leaf structure (the skew caps in
+    operators/graph.py earn their keep). Pure agg_corr_deterministic
+    template: exact integer co-moment sums, one closed-form double
+    expression at the end (÷ and sqrt are correctly-rounded IEEE). One
+    degree aggregate + two broadcast-able joins + one global fold."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = materialize(copurchase_edges(li))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    m = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    de = (
+        m.join(deg.alias("du"), F.col("du.node") == F.col("u"))
+        .join(deg.alias("dv"), F.col("dv.node") == F.col("v"))
+        .select(F.col("du.deg").alias("x"), F.col("dv.deg").alias("y"))
+    )
+    s = de.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = (n * F.col("sxy") - sx * sy).cast("double") / (
+        F.sqrt((n * F.col("sxx") - sx * sx).cast("double"))
+        * F.sqrt((n * F.col("syy") - sy * sy).cast("double"))
+    )
+    return s.select(
+        F.col("n").alias("n_edge_ends"),
+        F.round(r, 6).alias("assortativity"),
+    )

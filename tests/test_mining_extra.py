@@ -155,3 +155,86 @@ def test_kcore_peel_matches_python(spark):
         for r in mining_extra.QUERIES["graph_kcore_peel"](spark, SF).collect()
     ]
     assert got == want
+
+
+def test_psi_drift_matches_python(spark):
+    pdf = _docs(spark)
+    by_lang = defaultdict(lambda: [Counter(), Counter()])
+    for doc_id, lang, n_chars in zip(pdf["doc_id"], pdf["lang"], pdf["n_chars"]):
+        by_lang[lang][doc_id % 2][n_chars // 100] += 1
+    got = {
+        r["lang"]: (r["n_bins"], r["psi_micro"], r["psi"])
+        for r in mining_extra.QUERIES["dq_psi_drift"](spark, SF).collect()
+    }
+    for lang, (a, b) in by_lang.items():
+        na, nb = sum(a.values()), sum(b.values())
+        bins = set(a) | set(b)
+        psi_micro = sum(
+            math.floor(
+                ((a[x] + 1) / (na + 1) - (b[x] + 1) / (nb + 1))
+                * math.log(((a[x] + 1) * (nb + 1)) / ((b[x] + 1) * (na + 1)))
+                * 1e6
+            )
+            for x in bins
+        )
+        assert got[lang] == (len(bins), psi_micro, round(psi_micro / 1e6, 6))
+
+
+def test_bigram_cond_entropy_matches_python(spark):
+    pdf = _docs(spark)
+    bgc, pfc = Counter(), Counter()
+    for lang, text in zip(pdf["lang"], pdf["text"]):
+        a = text.lower().split(" ")
+        for i in range(len(a) - 1):
+            bgc[(lang, a[i], a[i + 1])] += 1
+            pfc[(lang, a[i])] += 1
+    agg = defaultdict(lambda: [0, 0, 0])  # n_bigrams, n_types, weighted_sum
+    for (lang, w1, _), cb in bgc.items():
+        t = math.floor((math.log2(pfc[(lang, w1)]) - math.log2(cb)) * 1e6)
+        st = agg[lang]
+        st[0] += cb
+        st[1] += 1
+        st[2] += cb * t
+    got = {
+        r["lang"]: (r["n_bigrams"], r["n_bigram_types"], r["cond_entropy_bits"])
+        for r in mining_extra.QUERIES["llm_bigram_cond_entropy"](spark, SF).collect()
+    }
+    want = {
+        lang: (n, ty, round(ws / n / 1e6, 6)) for lang, (n, ty, ws) in agg.items()
+    }
+    assert got == want
+    # entropy is non-negative and bounded by log2 of the type count
+    for lang, (_, ty, h) in want.items():
+        assert 0 <= h <= math.log2(max(ty, 2))
+
+
+def test_degree_assortativity_matches_python(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    orders = defaultdict(set)
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        orders[ok].add(pk)
+    pair_orders = Counter()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_orders[(ps[i], ps[j])] += 1
+    edges = [p for p, n in pair_orders.items() if n >= 2]
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    pts = [(deg[u], deg[v]) for u, v in edges] + [(deg[v], deg[u]) for u, v in edges]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    want = round(
+        (n * sxy - sx * sy)
+        / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)),
+        6,
+    )
+    row = mining_extra.QUERIES["graph_degree_assortativity"](spark, SF).collect()[0]
+    assert (row["n_edge_ends"], row["assortativity"]) == (n, want)
