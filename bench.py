@@ -71,6 +71,10 @@ HEAVY = [
     # compare per-query medians across rounds instead)
     "graph_connected_components",
     "llm_lsh_band_stats",
+    # round-7 additions (same caveat for r6's heavy_total)
+    "llm_bigram_logprob",
+    "graph_kcore_peel",
+    "emb_ann_recall_report",
 ]
 
 

@@ -234,6 +234,20 @@ AUDITS: dict[str, list[str]] = {
     "ts_cum_deviation": ["partial_agg", "window_exec", "broadcast_any", "pruning", "codegen"],
     "events_conversion_latency": ["partial_agg", "pruning", "no_cartesian", "codegen"],
     "llm_tokenizer_fertility": ["partial_agg", "pruning", "no_cartesian", "codegen"],
+    # round-7 session additions
+    "llm_bpe_pair_counts": ["partial_agg", "generate_exec", "take_ordered", "pruning", "codegen"],
+    "llm_bigram_logprob": ["partial_agg", "generate_exec", "take_ordered", "broadcast_any", "no_cartesian", "codegen"],
+    "llm_stopword_profile": ["partial_agg", "generate_exec", "pruning", "codegen"],
+    "ts_changepoint_binary": ["partial_agg", "window_exec", "broadcast_any", "pruning", "no_cartesian", "codegen"],
+    "events_markov_stationary": ["partial_agg", "window_exec", "broadcast_any", "pruning", "no_cartesian", "codegen"],
+    "dq_psi_drift": ["partial_agg", "broadcast_any", "pruning", "no_cartesian", "codegen"],
+    "llm_bigram_cond_entropy": ["partial_agg", "generate_exec", "pruning", "no_cartesian", "codegen"],
+    "soql_fulltext_stemmed": ["pruning", "no_shuffle_left", "codegen"],
+    # (k-core / assortativity / ANN recall run over checkpoint-materialized
+    # intermediates — only the final shapes are assertable)
+    "graph_kcore_peel": ["partial_agg", "no_cartesian"],
+    "graph_degree_assortativity": ["partial_agg", "no_cartesian", "codegen"],
+    "emb_ann_recall_report": ["partial_agg", "broadcast_any", "no_cartesian"],
 }
 
 

@@ -45,6 +45,11 @@ PROBES = [
     ("llm_lsh_band_stats", "LSH bucket audit: linear band table, (band,sig) agg — candidate join never runs"),
     ("graph_connected_components", "hash-min CC: per-round join+min on the materialized edge set"),
     ("llm_doc_outlier_zscore", "z-score gate: ONE stats shuffle; doc table joins a broadcast"),
+    ("llm_bpe_pair_counts", "BPE pair counting: scan-bound, shuffle ~ alphabet^2 partials"),
+    ("llm_bigram_logprob", "bigram LM scoring: linear bigram exchange, scalar vocab broadcast"),
+    ("graph_kcore_peel", "k-core peel: per-round degree agg + semi-joins on materialized edges"),
+    ("emb_ann_recall_report", "ANN recall: probe-strided GEMM rows, assignment broadcast"),
+    ("dq_psi_drift", "PSI drift: shuffle ~ langs x bins, independent of corpus size"),
 ]
 
 

@@ -44,6 +44,9 @@ PROBES = [
     ("graph_triangle_count", "edge-oriented triangle join — ~linear in wedges under degree cap"),
     ("graph_link_prediction", "common-neighbor pairs — linear in wedges under stop-hub cap"),
     ("llm_cosine_topk_sharded", "sharded GEMM — linear in probe×shards, no driver index"),
+    ("llm_bigram_logprob", "bigram LM scoring — linear in corpus tokens"),
+    ("graph_kcore_peel", "bounded k-core peel — linear per round in surviving edges"),
+    ("llm_bigram_cond_entropy", "conditional entropy — linear token explode + two aggs"),
 ]
 
 
