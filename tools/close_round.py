@@ -63,6 +63,24 @@ def main() -> int:
         "failed": int(sfail.group(1)) if sfail else (0 if spass else -1),
         "ok": sproc.returncode == 0,
     }
+    # Driver-coverage accounting (VERDICT r6 item 3): keys with no green
+    # driver row that are ALSO outside the next sweep window (_FRONT) are
+    # only ever proven by this closing sweep — name them and their status
+    # here so the record says explicitly which keys rest on it.
+    import glob
+
+    sys.path.insert(0, "/root/repo")
+    from hawaiidatapipeline_spark.queries import _FRONT, collect
+    from tools.rotate_window import row_is_green
+
+    driver_green: set[str] = set()
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        for key, row in json.load(open(path)).items():
+            if row_is_green(row):
+                driver_green.add(key)
+    qs, _ = collect()
+    unseen = [k for k in qs if k not in driver_green and k not in _FRONT]
+    unseen_ok = [k for k in unseen if k in statuses["PASS"] or k in statuses["WEAK"]]
     record = {
         "event": "closing_correctness_sweep",
         "round": rnd,
@@ -72,6 +90,8 @@ def main() -> int:
         "fail": len(statuses["FAIL"]),
         "failed": sorted(statuses["FAIL"]),
         "streaming_equiv": streaming_equiv,
+        "driver_unseen_keys": sorted(unseen),
+        "driver_unseen_all_green_here": sorted(unseen) == sorted(unseen_ok),
         "wall_s": round(time.time() - t0, 1),
     }
     with open(f"/root/repo/CLOSING_r{rnd:02d}.json", "w") as f:
