@@ -680,3 +680,86 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_edge_ends"),
         F.round(r, 6).alias("assortativity"),
     )
+
+
+@q(
+    "events_seasonal_strength",
+    """WITH daily AS (
+         SELECT event_type, ts::DATE AS d, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       dowg AS (
+         SELECT event_type, date_part('isodow', d) - 1 AS dow,
+                count(*)::BIGINT AS ng, sum(n)::BIGINT AS sx,
+                sum(n * n)::BIGINT AS sxx
+         FROM daily GROUP BY 1, 2),
+       within AS (
+         SELECT event_type,
+                sum((floor((sxx::DOUBLE - (sx::DOUBLE * sx::DOUBLE) / ng)
+                           * 1000000))::BIGINT)::BIGINT AS ss_within_micro
+         FROM dowg GROUP BY event_type),
+       total AS (
+         SELECT event_type, count(*)::BIGINT AS n_days,
+                (floor((sum(n * n)::DOUBLE
+                        - (sum(n)::DOUBLE * sum(n)::DOUBLE) / count(*))
+                       * 1000000))::BIGINT AS ss_total_micro
+         FROM daily GROUP BY event_type)
+       SELECT t.event_type, t.n_days, t.ss_total_micro, w.ss_within_micro,
+              round(1.0 - w.ss_within_micro::DOUBLE / t.ss_total_micro, 6)
+                AS seasonal_strength
+       FROM total t JOIN within w USING (event_type)
+       ORDER BY event_type""",
+)
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal strength per event type: 1 − SS_within/SS_total
+    over daily counts grouped by weekday — the variance-explained dial
+    (≈0: no weekly pattern; →1: rate is a pure weekday function) that
+    decides whether a forecast or anomaly baseline needs a weekly
+    component. Every sum is an exact integer; each group's sum-of-squares
+    term (sxx − sx²/n, correctly-rounded IEEE over exact ints) floors to
+    integer micro-units before the 7-group fold, so the result is
+    partition-order-free on both engines. Two tiny hash aggregates —
+    shuffle is |types|·7 rows regardless of corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dowg = daily.groupBy("event_type", F.weekday("d").alias("dow")).agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    term = F.floor(
+        (
+            F.col("sxx").cast("double")
+            - (F.col("sx").cast("double") * F.col("sx").cast("double"))
+            / F.col("ng")
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    within = dowg.groupBy("event_type").agg(
+        F.sum(term).alias("ss_within_micro")
+    )
+    total = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.floor(
+            (
+                F.sum(F.col("n") * F.col("n")).cast("double")
+                - (F.sum("n").cast("double") * F.sum("n").cast("double"))
+                / F.count(F.lit(1))
+            )
+            * F.lit(1000000.0)
+        ).cast("bigint").alias("ss_total_micro"),
+    )
+    return (
+        total.join(within, "event_type")
+        .select(
+            "event_type", "n_days", "ss_total_micro", "ss_within_micro",
+            F.round(
+                F.lit(1.0)
+                - F.col("ss_within_micro").cast("double")
+                / F.col("ss_total_micro"),
+                6,
+            ).alias("seasonal_strength"),
+        )
+        .orderBy("event_type")
+    )

@@ -897,3 +897,139 @@ def llm_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("n_members")
     )
+
+
+def _lsh_pr_sql() -> str:
+    from hawaiidatapipeline_spark.queries.llm import _NGRAM_TAU
+
+    sig_cols = ",\n                ".join(
+        f"min({_ph('sh', i)}) AS h{i}" for i in range(_MH_N)
+    )
+
+    def band_rows(nb: int) -> str:
+        rpb = _MH_N // nb
+        return " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, {sig} AS sig FROM sig".format(
+                b=b,
+                sig=_ph(
+                    " || ',' || ".join(
+                        f"h{b * rpb + r}::VARCHAR" for r in range(rpb)
+                    ),
+                    9999,
+                ),
+            )
+            for b in range(nb)
+        )
+
+    def config(nb: int) -> str:
+        return f"""bands{nb} AS ({band_rows(nb)}),
+       cand{nb} AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM bands{nb} x JOIN bands{nb} y
+                  ON x.band = y.band AND x.sig = y.sig
+                 AND x.doc_id < y.doc_id),
+       hit{nb} AS (SELECT t.doc_a FROM truth t
+               JOIN cand{nb} c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)"""
+
+    def row(nb: int) -> str:
+        rpb = _MH_N // nb
+        return f"""SELECT {nb} AS n_bands, {rpb} AS rows_per_band,
+              (SELECT count(*) FROM truth) AS n_true,
+              (SELECT count(*) FROM cand{nb}) AS n_candidates,
+              (SELECT count(*) FROM hit{nb}) AS n_hit,
+              round((SELECT count(*) FROM hit{nb})::DOUBLE
+                    / (SELECT count(*) FROM truth), 6) AS recall,
+              round((SELECT count(*) FROM hit{nb})::DOUBLE
+                    / (SELECT count(*) FROM cand{nb}), 6) AS precision"""
+
+    return f"""WITH words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       ),
+       idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+               FROM words),
+       shingle AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+                   FROM idx),
+       sizes AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                 FROM shingle a JOIN shingle b
+                   ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       truth AS (SELECT doc_a, doc_b FROM inter
+                 JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+                 WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= {_NGRAM_TAU}),
+       sig AS (SELECT doc_id,
+                {sig_cols}
+               FROM shingle GROUP BY doc_id),
+       {config(4)},
+       {config(8)}
+       {row(4)} UNION ALL {row(8)} ORDER BY n_bands"""
+
+
+@q("llm_lsh_pr_tradeoff", _lsh_pr_sql())
+def llm_lsh_pr_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-parameter tuning table: recall AND precision of LSH
+    candidate generation against exact trigram-Jaccard ≥ τ ground truth,
+    for two band layouts of the SAME 16-hash signature — 4 bands × 4
+    rows (tight: high precision) vs 8 bands × 2 rows (loose: high
+    recall). This is the table an operator reads before re-banding a
+    100 TB dedup pass, and the measured counterpart of the analytic
+    S-curve 1−(1−j^r)^b. The signature table is built ONCE
+    (materialized) and both layouts derive band columns from it — the
+    knob changes grouping, not hashing. Truth side is the sampled-slice
+    audit (quadratic, fixture/audit-scale only), the same discipline as
+    llm_lsh_recall_report; md5-portable hashes keep every candidate set
+    oracle-recomputable."""
+    from hawaiidatapipeline_spark.operators.dedup import (
+        _band_columns,
+        _band_rows,
+        minhash_signatures,
+        shingles_distinct,
+    )
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+    from hawaiidatapipeline_spark.queries.llm import llm_dedup_jaccard_ngram
+
+    d = load_table(spark, sf_dir, "documents")
+    truth = materialize(
+        llm_dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    tok = shingles_distinct(d, 3, "doc_id", "text")
+    sig = materialize(minhash_signatures(tok, _MH_N, "doc_id", "md5"))
+    out = None
+    for nb in (4, 8):
+        bands = _band_rows(
+            _band_columns(sig, _MH_N, nb, "md5"), nb, "doc_id", "doc_id"
+        )
+        cand = (
+            bands.alias("x")
+            .join(
+                bands.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.sig") == F.col("y.sig"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        cand = materialize(cand)
+        hit = truth.join(cand, ["doc_a", "doc_b"])
+        row = (
+            truth.agg(F.count(F.lit(1)).alias("n_true"))
+            .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(nb).cast("int").alias("n_bands"),
+                F.lit(_MH_N // nb).cast("int").alias("rows_per_band"),
+                "n_true",
+                "n_candidates",
+                "n_hit",
+                F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+                F.round(F.col("n_hit") / F.col("n_candidates"), 6).alias(
+                    "precision"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_bands")

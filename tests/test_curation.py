@@ -102,3 +102,27 @@ def test_pack_sequences_bins(spark):
     assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
     # packing never splits a doc and bins are monotone in doc order
     assert sorted(out.values()) == list(out[k] for k in sorted(out))
+
+
+def test_lsh_pr_tradeoff_monotone(spark):
+    """One 16-hash signature, two band layouts: the looser 8x2 layout must
+    dominate 4x4 on candidates and recall and be dominated on precision
+    (ties allowed); recall/precision are exact count ratios."""
+    from hawaiidatapipeline_spark.queries import training
+
+    rows = {
+        r["n_bands"]: r
+        for r in training.QUERIES["llm_lsh_pr_tradeoff"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    r4, r8 = rows[4], rows[8]
+    assert r4["rows_per_band"] == 4 and r8["rows_per_band"] == 2
+    assert r4["n_true"] == r8["n_true"]
+    assert r8["n_candidates"] >= r4["n_candidates"]
+    assert r8["n_hit"] >= r4["n_hit"]
+    assert r8["recall"] >= r4["recall"]
+    assert r8["precision"] <= r4["precision"] or r8["n_candidates"] == r4["n_candidates"]
+    for r in (r4, r8):
+        assert r["recall"] == round(r["n_hit"] / r["n_true"], 6)
+        assert r["precision"] == round(r["n_hit"] / r["n_candidates"], 6)

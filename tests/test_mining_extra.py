@@ -238,3 +238,31 @@ def test_degree_assortativity_matches_python(spark):
     )
     row = mining_extra.QUERIES["graph_degree_assortativity"](spark, SF).collect()[0]
     assert (row["n_edge_ends"], row["assortativity"]) == (n, want)
+
+
+def test_seasonal_strength_matches_python(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    events["d"] = events["ts"].dt.date
+    got = {
+        r["event_type"]: (r["n_days"], r["ss_total_micro"], r["ss_within_micro"],
+                          r["seasonal_strength"])
+        for r in mining_extra.QUERIES["events_seasonal_strength"](spark, SF).collect()
+    }
+    for et, grp in events.groupby("event_type"):
+        daily = grp.groupby("d").size()
+        n = len(daily)
+        sx, sxx = int(daily.sum()), int((daily ** 2).sum())
+        ss_total = math.floor((sxx - sx * sx / n) * 1e6)
+        by_dow = defaultdict(list)
+        for day, cnt in daily.items():
+            by_dow[day.weekday()].append(int(cnt))
+        ss_within = sum(
+            math.floor(
+                (sum(v * v for v in xs) - sum(xs) ** 2 / len(xs)) * 1e6
+            )
+            for xs in by_dow.values()
+        )
+        assert got[et] == (
+            n, ss_total, ss_within, round(1.0 - ss_within / ss_total, 6),
+        )
+        assert 0.0 <= got[et][3] <= 1.0

@@ -248,6 +248,8 @@ AUDITS: dict[str, list[str]] = {
     "graph_kcore_peel": ["partial_agg", "no_cartesian"],
     "graph_degree_assortativity": ["partial_agg", "no_cartesian", "codegen"],
     "emb_ann_recall_report": ["partial_agg", "broadcast_any", "no_cartesian"],
+    "llm_lsh_pr_tradeoff": ["partial_agg", "no_cartesian"],
+    "events_seasonal_strength": ["partial_agg", "pruning", "no_cartesian", "codegen"],
 }
 
 
