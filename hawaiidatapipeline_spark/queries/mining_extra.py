@@ -763,3 +763,158 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_PMI_MAX_DF_PCT = 90     # near-ubiquitous tokens carry no pair signal
+_PMI_MIN_COOC = 5
+
+
+@q(
+    "llm_pmi_pairs",
+    f"""WITH td AS (
+         SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS t
+         FROM documents),
+       n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM td),
+       df AS (SELECT t, count(*)::BIGINT AS cx FROM td GROUP BY t),
+       kept AS (
+         SELECT df.t, df.cx FROM df CROSS JOIN n
+         WHERE df.cx * 100 <= n.n_docs * {_PMI_MAX_DF_PCT}),
+       tk AS (SELECT td.doc_id, td.t FROM td JOIN kept ON kept.t = td.t),
+       cooc AS (
+         SELECT a.t AS t1, b.t AS t2, count(*)::BIGINT AS cxy
+         FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.t < b.t
+         GROUP BY 1, 2
+         HAVING count(*) >= {_PMI_MIN_COOC}),
+       scored AS (
+         SELECT c.t1, c.t2, c.cxy, k1.cx AS cx1, k2.cx AS cx2,
+                (floor(ln((c.cxy * n.n_docs)::DOUBLE / (k1.cx * k2.cx))
+                       * 1000000))::BIGINT AS pmi_micro
+         FROM cooc c
+         JOIN kept k1 ON k1.t = c.t1
+         JOIN kept k2 ON k2.t = c.t2
+         CROSS JOIN n)
+       SELECT t1, t2, cxy, cx1, cx2, pmi_micro,
+              round(pmi_micro::DOUBLE / 1000000.0, 6) AS pmi
+       FROM scored
+       ORDER BY pmi_micro DESC, t1, t2 LIMIT 30""",
+)
+def llm_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 pointwise-mutual-information token pairs (document-level
+    co-occurrence) — the collocation/phrase-mining primitive behind
+    tokenizer merge candidates and topic seeds. Tokens in over 90% of
+    the corpus are dropped BEFORE the pair join (a high-df token pairs
+    with everything and carries ~0 PMI — the same principled cap as the
+    containment stop-shingles, mirrored in the oracle), bounding per-doc
+    pair fan-out; pairs need ≥5 co-occurrences. PMI = ln(c_xy·N /
+    (c_x·c_y)) over exact integer counts — one correctly-rounded
+    division, one libm ln, floored to micro-units, so the ranking key is
+    an integer (ties broken by the pair itself)."""
+    d = load_table(spark, sf_dir, "documents")
+    td = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    ).distinct()
+    n = td.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df_t = td.groupBy("t").agg(F.count(F.lit(1)).alias("cx"))
+    kept = (
+        df_t.crossJoin(F.broadcast(n))
+        .filter(F.col("cx") * 100 <= F.col("n_docs") * _PMI_MAX_DF_PCT)
+        .select("t", "cx")
+    )
+    tk = td.join(F.broadcast(kept.select("t")), "t").select("doc_id", "t")
+    cooc = (
+        tk.alias("a")
+        .join(
+            tk.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.t").alias("t1"), F.col("b.t").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= _PMI_MIN_COOC)
+    )
+    kb = F.broadcast(kept)
+    scored = (
+        cooc.join(kb.select(F.col("t").alias("t1"), F.col("cx").alias("cx1")), "t1")
+        .join(kb.select(F.col("t").alias("t2"), F.col("cx").alias("cx2")), "t2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "t1", "t2", "cxy", "cx1", "cx2",
+            F.floor(
+                F.log(
+                    (F.col("cxy") * F.col("n_docs")).cast("double")
+                    / (F.col("cx1") * F.col("cx2"))
+                )
+                * F.lit(1000000.0)
+            ).cast("bigint").alias("pmi_micro"),
+        )
+    )
+    return (
+        scored.select(
+            "t1", "t2", "cxy", "cx1", "cx2", "pmi_micro",
+            F.round(F.col("pmi_micro").cast("double") / 1000000.0, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "t1", "t2")
+        .limit(30)
+    )
+
+
+@q(
+    "dq_benford_deviation",
+    """WITH digits AS (
+         SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         FROM orders WHERE o_totalprice >= 1),
+       n AS (SELECT count(*)::BIGINT AS total FROM digits),
+       obs AS (SELECT digit, count(*)::BIGINT AS n_obs FROM digits GROUP BY digit),
+       grid AS (SELECT unnest(generate_series(1, 9)) AS digit)
+       SELECT g.digit,
+              coalesce(o.n_obs, 0)::BIGINT AS n_obs,
+              (coalesce(o.n_obs, 0) * 1000000 // n.total)::BIGINT
+                AS p_obs_micro,
+              (floor(log10(1.0 + 1.0 / g.digit) * 1000000))::BIGINT
+                AS p_benford_micro,
+              (coalesce(o.n_obs, 0) * 1000000 // n.total
+               - floor(log10(1.0 + 1.0 / g.digit) * 1000000))::BIGINT
+                AS deviation_micro
+       FROM grid g LEFT JOIN obs o ON o.digit = g.digit CROSS JOIN n
+       ORDER BY g.digit""",
+)
+def dq_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the forensic DQ
+    gate for fabricated or truncated monetary data (organic amounts
+    follow P(d) = log10(1+1/d); a synthetic generator or a capped field
+    shows up as a flat or spiked digit profile). The first digit is
+    taken from the BIGINT floor of the amount (integer→string is
+    bit-identical across engines — never format a float); observed
+    shares use integer floor-division to micro-units and the Benford
+    expectation is the same floored-micro constant on both sides. One
+    scan + a 9-row aggregate — shuffle is 9 rows at any corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("bigint").cast("string"),
+                1, 1,
+            ).cast("bigint").alias("digit")
+        )
+    )
+    n = digits.agg(F.count(F.lit(1)).alias("total"))
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    grid = spark.range(1, 10).select(F.col("id").alias("digit"))
+    p_obs = F.expr("div(coalesce(n_obs, 0) * 1000000, total)")
+    p_ben = F.floor(
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")) * F.lit(1000000.0)
+    ).cast("bigint")
+    return (
+        grid.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+            p_obs.cast("bigint").alias("p_obs_micro"),
+            p_ben.alias("p_benford_micro"),
+            (p_obs - p_ben).cast("bigint").alias("deviation_micro"),
+        )
+        .orderBy("digit")
+    )

@@ -266,3 +266,58 @@ def test_seasonal_strength_matches_python(spark):
             n, ss_total, ss_within, round(1.0 - ss_within / ss_total, 6),
         )
         assert 0.0 <= got[et][3] <= 1.0
+
+
+def test_pmi_pairs_matches_python(spark):
+    pdf = _docs(spark)
+    docs_tokens = {
+        doc_id: set(text.lower().split(" "))
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+    }
+    n_docs = len(docs_tokens)
+    df = Counter(t for toks in docs_tokens.values() for t in toks)
+    kept = {t for t, c in df.items() if c * 100 <= n_docs * mining_extra._PMI_MAX_DF_PCT}
+    cooc = Counter()
+    for toks in docs_tokens.values():
+        ks = sorted(t for t in toks if t in kept)
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                cooc[(ks[i], ks[j])] += 1
+    scored = []
+    for (t1, t2), cxy in cooc.items():
+        if cxy < mining_extra._PMI_MIN_COOC:
+            continue
+        pmi_micro = math.floor(
+            math.log((cxy * n_docs) / (df[t1] * df[t2])) * 1e6
+        )
+        scored.append((-pmi_micro, t1, t2, cxy, df[t1], df[t2]))
+    want = [
+        (t1, t2, cxy, c1, c2, -neg, round(-neg / 1e6, 6))
+        for neg, t1, t2, cxy, c1, c2 in sorted(scored)[:30]
+    ]
+    got = [
+        (r["t1"], r["t2"], r["cxy"], r["cx1"], r["cx2"], r["pmi_micro"], r["pmi"])
+        for r in mining_extra.QUERIES["llm_pmi_pairs"](spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_benford_deviation_matches_python(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    digits = Counter(
+        int(str(int(math.floor(p)))[0]) for p in orders["o_totalprice"] if p >= 1
+    )
+    total = sum(digits.values())
+    got = {
+        r["digit"]: (r["n_obs"], r["p_obs_micro"], r["p_benford_micro"],
+                     r["deviation_micro"])
+        for r in mining_extra.QUERIES["dq_benford_deviation"](spark, SF).collect()
+    }
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        n_obs = digits.get(d, 0)
+        p_obs = n_obs * 1000000 // total
+        p_ben = math.floor(math.log10(1 + 1 / d) * 1e6)
+        assert got[d] == (n_obs, p_obs, p_ben, p_obs - p_ben)
+    # shares are a (floored) probability profile
+    assert 0 < sum(v[1] for v in got.values()) <= 1000000

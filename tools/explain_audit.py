@@ -249,6 +249,8 @@ AUDITS: dict[str, list[str]] = {
     "graph_degree_assortativity": ["partial_agg", "no_cartesian", "codegen"],
     "emb_ann_recall_report": ["partial_agg", "broadcast_any", "no_cartesian"],
     "llm_lsh_pr_tradeoff": ["partial_agg", "no_cartesian"],
+    "llm_pmi_pairs": ["partial_agg", "broadcast_any", "pruning", "no_cartesian", "codegen"],
+    "dq_benford_deviation": ["partial_agg", "broadcast_any", "pruning", "no_cartesian", "codegen"],
     "events_seasonal_strength": ["partial_agg", "pruning", "no_cartesian", "codegen"],
 }
 
