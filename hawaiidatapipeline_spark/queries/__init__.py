@@ -44,6 +44,7 @@ _MODULES = (
     "patterns_extra",
     "stats_extra",
     "ops_extra",
+    "robust_extra",
     "mining_extra",
     "geo_extra",
     "sampling",
