@@ -76,23 +76,23 @@ _MODULES = (
 # Round-4 window: exactly the 50 keys with no driver row after round 3
 # (windows family, etl_*, corpus pipelines v1-v4, fn_bitwise, ...).
 _FRONT: tuple[str, ...] = (
-    'soql_geo_where', 'soql_geo_polygon', 'soql_geo_extent',
-    'scan_file_metadata', 'fn_lambda_arrays', 'etl_scd2_pit_join',
-    'agg_weighted_stats', 'events_ab_lift', 'agg_distinct_two_phase',
-    'llm_prefix_clusters', 'fn_time_bucket', 'llm_length_gini',
-    'ts_percentile_bands', 'llm_ngram_novelty', 'agg_median_absolute_deviation',
-    'graph_degree_distribution', 'events_dau_mau', 'events_power_users_pareto',
-    'agg_winsorize', 'llm_source_overlap_matrix', 'llm_vocab_growth',
-    'fn_format_strings', 'events_seasonality_profile', 'ts_type_correlation',
-    'agg_entropy', 'llm_zipf_slope', 'ts_autocorr',
-    'graph_connected_components', 'win_running_distinct', 'events_first_touch',
-    'llm_doc_outlier_zscore', 'fn_string_distance', 'llm_lsh_band_stats',
-    'ts_cum_deviation', 'events_conversion_latency', 'llm_tokenizer_fertility',
-    'llm_quality_gate_report', 'llm_cosine_topk_sharded', 'ml_kmeans_fixed_point',
-    'graph_link_prediction', 'llm_lsh_recall_report', 'llm_dedup_cluster_sizes',
-    'llm_corpus_pipeline_v5', 'win_range_time_interval', 'subquery_not_in_nulls',
-    'join_null_safe_eq', 'sql_recursive_calendar', 'join_lateral_topn',
-    'sql_parameterized', 'dq_observe_metrics',
+    'soql_fulltext_stemmed', 'ts_ewma_dyadic', 'ts_theil_sen_trend',
+    'mine_skyline_2d', 'dq_candidate_keys', 'ts_interval_coverage',
+    'events_funnel_windowed', 'graph_edge_triangle_support', 'fn_ip_cidr',
+    'llm_bpe_pair_counts', 'llm_bigram_logprob', 'llm_stopword_profile',
+    'ts_changepoint_binary', 'events_markov_stationary', 'graph_kcore_peel',
+    'dq_psi_drift', 'llm_bigram_cond_entropy', 'graph_degree_assortativity',
+    'events_seasonal_strength', 'llm_pmi_pairs', 'dq_benford_deviation',
+    'emb_ann_recall_report', 'llm_lsh_pr_tradeoff', 'agg_boolean',
+    'win_ranking', 'win_ntile_pct', 'pricing_summary',
+    'project_select', 'project_alias', 'project_computed',
+    'filter_compare', 'filter_boolean', 'filter_in_between_null',
+    'filter_like', 'fulltext_search', 'distinct_rows',
+    'sort_multikey', 'limit_n', 'offset_paging',
+    'topk_global', 'set_union_all', 'set_union_distinct',
+    'set_intersect', 'set_except', 'subquery_scalar_correlated',
+    'dq_profile', 'dq_referential', 'join_inner_broadcast',
+    'join_inner_sortmerge', 'join_left_outer',
 )
 
 

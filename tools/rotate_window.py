@@ -11,7 +11,9 @@ with no green row yet. This tool automates the rotation:
    or a rows-only weak row with no error) in ANY given file.
 2. Any window key that FAILED stays in the window (it must be re-proven
    after the fix); remaining slots fill with never-checked keys in
-   registry order.
+   registry order, then with the STALEST previously-green keys (ordered
+   by the round of their most recent green row, oldest first) so every
+   key keeps getting re-proven on a rotating schedule.
 3. Rewrites the ``_FRONT`` tuple in place and prints a summary.
 
 Run the registry guard afterwards:
@@ -46,17 +48,31 @@ def main() -> int:
 
     green: set[str] = set()
     failed: set[str] = set()
+    last_green_round: dict[str, int] = {}
     for path in sys.argv[1:]:
+        m = re.search(r"r(\d+)", path)
+        rnd = int(m.group(1)) if m else 0
         data = json.load(open(path))
         for name, row in data.items():
-            (green if row_is_green(row) else failed).add(name)
+            if row_is_green(row):
+                green.add(name)
+                last_green_round[name] = max(last_green_round.get(name, 0), rnd)
+            else:
+                failed.add(name)
     failed -= green  # green in any round wins
 
     queries, _ = collect()
     all_keys = list(queries)
     unchecked = [k for k in all_keys if k not in green and k not in failed]
-    # failed window keys first (must re-prove), then never-checked
-    new_front = ([k for k in all_keys if k in failed] + unchecked)[:WINDOW]
+    # failed window keys first (must re-prove), then never-checked, then the
+    # stalest previously-green keys (oldest last-green round first; registry
+    # order breaks ties) so every key re-proves on a rotating schedule.
+    order = {k: i for i, k in enumerate(all_keys)}
+    stale = sorted(
+        (k for k in all_keys if k in green),
+        key=lambda k: (last_green_round.get(k, 0), order[k]),
+    )
+    new_front = ([k for k in all_keys if k in failed] + unchecked + stale)[:WINDOW]
 
     src = open(INIT_PATH).read()
     body = ",\n    ".join(
@@ -73,7 +89,7 @@ def main() -> int:
     print(
         f"green={len(green)} failed={sorted(failed)} "
         f"window={len(new_front)} still-unchecked-after-window="
-        f"{len(unchecked) - max(0, len(new_front) - len(failed))}"
+        f"{max(0, len(unchecked) - len([k for k in new_front if k in unchecked]))}"
     )
     print("new window:", new_front)
     print("NOTE: update tests/test_registry.py ROUND1_GREEN to the union of "
