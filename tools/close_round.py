@@ -79,12 +79,29 @@ def main() -> int:
             if row_is_green(row):
                 driver_green.add(key)
     qs, _ = collect()
+    # Round-7 lesson (VERDICT r7 item 2): 8 queries landed AFTER the closing
+    # sweep and shipped with zero recorded verification. The sweep must be
+    # the LAST registry-touching act of a round — refuse to write the
+    # closing record unless the sweep covered the full registry.
+    swept = set(statuses["PASS"]) | set(statuses["WEAK"]) | set(statuses["FAIL"])
+    if swept != set(qs):
+        missing = sorted(set(qs) - swept)
+        extra = sorted(swept - set(qs))
+        print(
+            "REFUSING to close: sweep coverage != registry.\n"
+            f"  registry keys not swept ({len(missing)}): {missing}\n"
+            f"  swept keys not in registry ({len(extra)}): {extra}\n"
+            "Re-run after the final registry edit — the closing sweep must "
+            "be the last registry-touching act of the round."
+        )
+        return 1
     unseen = [k for k in qs if k not in driver_green and k not in _FRONT]
     unseen_ok = [k for k in unseen if k in statuses["PASS"] or k in statuses["WEAK"]]
     record = {
         "event": "closing_correctness_sweep",
         "round": rnd,
         "sf_dir": SF_DIR,
+        "registry_total": len(qs),
         "pass": len(statuses["PASS"]),
         "weak": len(statuses["WEAK"]),
         "fail": len(statuses["FAIL"]),
