@@ -80,6 +80,18 @@ def pagerank_fixed_point(
     return ranks
 
 
+# Oracle twin of the copurchase item set below: any DuckDB oracle that
+# rebuilds co-purchase edges must splice THIS fragment (not a bare
+# SELECT DISTINCT) so the max_parts_per_order=64 mega-order guard holds
+# identically on both engines (ADVICE r7: Spark and oracle must not
+# silently diverge on an input containing a >64-distinct-part order).
+CAPPED_ITEMS_SQL = (
+    "(SELECT l_orderkey, l_partkey "
+    "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
+    "QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 64)"
+)
+
+
 def copurchase_edges(
     li: DataFrame,
     min_orders: int = 2,

@@ -30,7 +30,7 @@ def _pagerank_sql() -> str:
          GROUP BY e.dst
        ) s ON s.node = n.node)"""
     steps = ",\n       ".join(step.format(i=i, p=i - 1) for i in range(1, _N_ITER + 1))
-    return f"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    return f"""WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 64),
        cop AS (
          SELECT a.l_partkey AS src, b.l_partkey AS dst
          FROM items a JOIN items b
@@ -69,7 +69,7 @@ _LP_HUB_CAP = 40  # max center degree contributing wedges (see docstring)
 
 @q(
     "graph_link_prediction",
-    f"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    f"""WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 64),
        e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
              FROM items a JOIN items b
                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

@@ -369,7 +369,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kcore_sql(k: int, rounds: int) -> str:
     ctes = [
         """e0 AS (
-         WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 64)
          SELECT a.l_partkey AS u, b.l_partkey AS v
          FROM items a JOIN items b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -609,7 +609,7 @@ def llm_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "graph_degree_assortativity",
     """WITH e AS (
-         WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 64)
          SELECT a.l_partkey AS u, b.l_partkey AS v
          FROM items a JOIN items b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

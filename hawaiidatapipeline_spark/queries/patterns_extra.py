@@ -293,7 +293,7 @@ def agg_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @q(
     "graph_degree_distribution",
-    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    """WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 64),
        e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
              FROM items a JOIN items b
                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

@@ -373,3 +373,31 @@ def test_within_polygon_matches_reference(spark, star, probes):
     }
     for i, (la, lo) in enumerate(probes):
         assert got[i] == _pnpoly(ring, la, lo), (ring, la, lo)
+
+
+def test_copurchase_oracles_mirror_mega_order_cap():
+    """ADVICE r7 (medium): every DuckDB oracle that rebuilds the
+    co-purchase edge set must mirror copurchase_edges' default
+    max_parts_per_order=64 guard, or Spark and oracle silently diverge
+    on any input containing a mega-order. The shared fragment lives in
+    operators/graph.CAPPED_ITEMS_SQL; each oracle must splice it (and no
+    oracle may keep a bare DISTINCT item scan straight into a pair
+    self-join)."""
+    from hawaiidatapipeline_spark.operators.graph import CAPPED_ITEMS_SQL
+    from hawaiidatapipeline_spark.queries import collect
+
+    _, oracles = collect()
+    edge_keys = [
+        "graph_triangle_count", "graph_pagerank_copurchase",
+        "graph_link_prediction", "graph_kcore_peel",
+        "graph_degree_assortativity", "graph_degree_distribution",
+        "graph_edge_triangle_support", "graph_connected_components",
+    ]
+    norm = lambda s: " ".join(s.split())
+    missing = [
+        k for k in edge_keys
+        if norm(CAPPED_ITEMS_SQL) not in norm(oracles[k])
+    ]
+    assert not missing, (
+        f"edge-rebuilding oracles without the mega-order cap: {missing}"
+    )
