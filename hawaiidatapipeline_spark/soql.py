@@ -443,8 +443,11 @@ def soql_query(
     deterministic approximation for WORD terms: a term matches when any
     lowercased alphanumeric token of a string column equals it after both
     sides drop one trailing ``ing``/``ed``/``s`` suffix
-    (``run ~ runs ~ running``). Quoted phrase terms always match by
-    verbatim substring — stemming never applies to phrases."""
+    (``merge ~ merges``, ``sort ~ sorted``). Doubled-consonant variants do
+    NOT unify: ``running`` strips to ``runn``, which never equals ``run`` —
+    the single-suffix rule is deliberately that cheap. Quoted phrase terms
+    always match by verbatim substring — stemming never applies to
+    phrases."""
     known = {"$select", "$where", "$group", "$having", "$order", "$limit", "$offset", "$q"}
     unknown = set(params) - known
     if unknown:
