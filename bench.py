@@ -115,6 +115,23 @@ def main() -> None:
     timings, spread = run_set(HEADLINE)
     heavy_timings, heavy_spread = run_set(HEAVY)
 
+    # Per-key heavy budgets (VERDICT r7 item 5): heavy_total grows as
+    # queries are added, so regressions hide in the total. Each key's
+    # median is checked against its committed budget (trailing median ×
+    # 1.5 — tools/update_bench_budgets.py); breaches are named in BOTH
+    # the detail artifact and the short final line.
+    budgets_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_BUDGETS.json")
+    budgets: dict[str, float] = {}
+    if os.path.exists(budgets_path):
+        budgets = json.load(open(budgets_path))
+    heavy_budgets = {
+        k: {"budget": budgets[k], "median": v, "ok": v <= budgets[k]}
+        for k, v in heavy_timings.items()
+        if k in budgets
+    }
+    breaches = sorted(k for k, r in heavy_budgets.items() if not r["ok"])
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
         "metric": "headline_query_total",
@@ -125,6 +142,8 @@ def main() -> None:
         "heavy_total": round(sum(heavy_timings.values()), 3),
         "heavy": heavy_timings,
         "heavy_spread": heavy_spread,
+        "heavy_budgets": heavy_budgets,
+        "budget_breaches": breaches,
         "passes": PASSES,
         "sf": float(sf) if sf else None,
     }
@@ -144,6 +163,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": detail["sf"],
+        # usually [] — at most 3 names + a count on a breach, so the final
+        # line stays inside the driver's tail-capture bound (see the
+        # test_bench_final_line_fits_tail_capture size test); the full
+        # list is in BENCH_DETAIL.json
+        "budget_breaches": (
+            breaches if len(breaches) <= 3
+            else breaches[:3] + [f"+{len(breaches) - 3} more"]
+        ),
     }
     print(json.dumps(headline))
 
