@@ -445,6 +445,7 @@ def run_aggregate_sink(
     target_path: str,
     checkpoint: str,
     key: str = "event_type",
+    trigger: dict | None = None,
 ):
     """foreachBatch aggregate-maintenance sink: each micro-batch's PARTIAL
     aggregates (count + exact-decimal sum per key) merge into a stored
@@ -485,7 +486,7 @@ def run_aggregate_sink(
     return (
         events.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 

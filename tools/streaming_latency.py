@@ -114,11 +114,37 @@ def measure_cdc_applier(spark, rate: int) -> dict | None:
         return stats
 
 
+def measure_aggregate_sink(spark, rate: int) -> dict | None:
+    from hawaiidatapipeline_spark.streaming.runtime import run_aggregate_sink
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rate)
+            .load()
+            .select(
+                F.concat(F.lit("t"), F.pmod("value", F.lit(20))).alias(
+                    "event_type"
+                ),
+                (F.col("value") * 0.01).alias("value"),
+            )
+        )
+        q = run_aggregate_sink(
+            src, f"{tmp}/target", f"{tmp}/ckpt", trigger=TRIGGER
+        )
+        time.sleep(RUN_SECONDS)
+        stats = _progress_stats(q)
+        q.stop()
+        q.awaitTermination(30)
+        return stats
+
+
 def run(spark, write_to: str | None = None) -> int:
     rows = []
     for label, fn in (
         ("rate_limited_counters", measure_rate_limiter),
         ("run_cdc_sink", measure_cdc_applier),
+        ("run_aggregate_sink", measure_aggregate_sink),
     ):
         for rate in RATES:
             s = fn(spark, rate)
@@ -138,7 +164,10 @@ def run(spark, write_to: str | None = None) -> int:
                 "exchange + sink). The CDC applier rewrites its whole bounded\n"
                 "1000-key target every batch — its latency is the merge+swap\n"
                 "floor, flat in input rate once the target dominates; the rate\n"
-                "limiter's cost tracks rows through the Arrow state exchange.\n"
+                "limiter's cost tracks rows through the Arrow state exchange;\n"
+                "the aggregate sink folds each batch's 20-key partial agg into\n"
+                "the stored aggregate table (merge cost ∝ batch keys + stored\n"
+                "cardinality, never history).\n"
                 "processed rows/s ≥ input rows/s means the operator keeps up\n"
                 "(no growing backlog) at that rate.\n\n"
                 "| operator | input rows/s | batches | p50 ms | p95 ms | processed rows/s |\n"
