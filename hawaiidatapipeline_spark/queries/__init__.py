@@ -45,6 +45,7 @@ _MODULES = (
     "stats_extra",
     "ops_extra",
     "robust_extra",
+    "audit_extra",
     "mining_extra",
     "geo_extra",
     "sampling",
@@ -84,15 +85,15 @@ _FRONT: tuple[str, ...] = (
     'dq_psi_drift', 'llm_bigram_cond_entropy', 'graph_degree_assortativity',
     'events_seasonal_strength', 'llm_pmi_pairs', 'dq_benford_deviation',
     'emb_ann_recall_report', 'llm_lsh_pr_tradeoff', 'agg_boolean',
-    'win_ranking', 'win_ntile_pct', 'pricing_summary',
-    'project_select', 'project_alias', 'project_computed',
-    'filter_compare', 'filter_boolean', 'filter_in_between_null',
-    'filter_like', 'fulltext_search', 'distinct_rows',
-    'sort_multikey', 'limit_n', 'offset_paging',
-    'topk_global', 'set_union_all', 'set_union_distinct',
-    'set_intersect', 'set_except', 'subquery_scalar_correlated',
-    'dq_profile', 'dq_referential', 'join_inner_broadcast',
-    'join_inner_sortmerge', 'join_left_outer',
+    'dq_order_total_reconciliation', 'dq_completeness_matrix', 'events_rfm_segmentation',
+    'events_inter_arrival_stats', 'ts_wow_growth', 'llm_cross_lang_contamination',
+    'llm_boilerplate_prefixes', 'llm_token_len_percentiles', 'emb_covariance_topk',
+    'llm_vocab_coverage_curve', 'win_ranking', 'win_ntile_pct',
+    'pricing_summary', 'project_select', 'project_alias',
+    'project_computed', 'filter_compare', 'filter_boolean',
+    'filter_in_between_null', 'filter_like', 'fulltext_search',
+    'distinct_rows', 'sort_multikey', 'limit_n',
+    'offset_paging', 'topk_global',
 )
 
 

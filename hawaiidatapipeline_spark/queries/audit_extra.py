@@ -1,0 +1,646 @@
+"""Round-8 additions: reconciliation audits, behavioral segmentation,
+and corpus-curation frontier queries.
+
+Cross-table financial reconciliation (the DQ check every warehouse runs
+before trusting a fact table), a completeness matrix, RFM user
+segmentation, inter-arrival latency profiles, month-over-month growth,
+cross-language contamination by prefix fingerprint, boilerplate-prefix
+detection, token-length percentiles, an exact distributed covariance
+top-k over the embedding matrix, and the vocabulary coverage curve a
+tokenizer-budget decision needs.
+
+House determinism contract throughout (SURVEY.md §7 risk 1): monetary
+columns are exact 2-dp in the fixtures, so ``round(x*100)`` lifts them
+to exact integer cents on both engines; every aggregate sums integers;
+floats appear only in final closed-form expressions rounded to 6 dp on
+both sides; every top-N carries a unique tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+
+@q(
+    "dq_order_total_reconciliation",
+    """WITH lt AS (
+         SELECT l_orderkey,
+                count(*) AS n_lines,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT)))::BIGINT
+                  AS charged_mc
+         FROM lineitem GROUP BY l_orderkey),
+       j AS (
+         SELECT o.o_orderstatus,
+                abs(lt.charged_mc
+                    - CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000)
+                  AS diff_mc,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000 AS total_mc
+         FROM orders o JOIN lt ON o.o_orderkey = lt.l_orderkey)
+       SELECT o_orderstatus,
+              count(*) AS n_orders,
+              sum(CASE WHEN diff_mc * 100 <= total_mc THEN 1 ELSE 0 END)::BIGINT
+                AS n_within_1pct,
+              sum(CASE WHEN diff_mc * 10 > total_mc THEN 1 ELSE 0 END)::BIGINT
+                AS n_over_10pct,
+              max(diff_mc // 10000)::BIGINT AS max_diff_cents,
+              round(sum(diff_mc)::DOUBLE / sum(total_mc)::DOUBLE, 6)
+                AS rel_gap_total
+       FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: per order, compare the stored
+    header total against the recomputed gross charge
+    Σ price·(1−disc)·(1+tax) from its lines, and report the mismatch
+    profile per order status — the audit a warehouse runs before trusting
+    either table for revenue. All arithmetic in exact integer
+    micro-cents (2-dp money × 100, discount/tax in integer hundredths),
+    so partial-aggregation order can never move a bucket boundary; the
+    single relative-gap float is one division of two exact sums. Scale:
+    one partial-agg shuffle on orderkey + one key-colocated join + one
+    tiny status agg — no row explosion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    d = F.round(F.col("l_discount") * 100).cast("bigint")
+    t = F.round(F.col("l_tax") * 100).cast("bigint")
+    lt = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(cents * (100 - d) * (100 + t)).alias("charged_mc"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    total_mc = (F.round(F.col("o_totalprice") * 100).cast("bigint") * 10000)
+    j = o.join(lt, o.o_orderkey == lt.l_orderkey).select(
+        "o_orderstatus",
+        F.abs(F.col("charged_mc") - total_mc).alias("diff_mc"),
+        total_mc.alias("total_mc"),
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("diff_mc") * 100 <= F.col("total_mc"), 1).otherwise(0)
+            ).alias("n_within_1pct"),
+            F.sum(
+                F.when(F.col("diff_mc") * 10 > F.col("total_mc"), 1).otherwise(0)
+            ).alias("n_over_10pct"),
+            F.max(F.floor(F.col("diff_mc") / 10000)).alias("max_diff_cents"),
+            F.round(
+                F.sum("diff_mc").cast("double") / F.sum("total_mc").cast("double"), 6
+            ).alias("rel_gap_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
+    "dq_completeness_matrix",
+    """WITH a AS (
+         SELECT count(*) AS n,
+                sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT AS et_null,
+                sum(CASE WHEN event_type IS NOT NULL AND trim(event_type) = ''
+                         THEN 1 ELSE 0 END)::BIGINT AS et_blank,
+                sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS pr_null,
+                sum(CASE WHEN props IS NOT NULL
+                          AND trim(props) IN ('', '{}') THEN 1 ELSE 0 END)::BIGINT
+                  AS pr_blank,
+                sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_null,
+                sum(CASE WHEN value = 0 THEN 1 ELSE 0 END)::BIGINT AS v_blank,
+                sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT AS ts_null,
+                sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS u_null
+         FROM events)
+       SELECT col, n_null, n_blank,
+              round((n - n_null - n_blank)::DOUBLE / n, 6) AS pct_filled
+       FROM (
+         SELECT 'event_type' AS col, n, et_null AS n_null, et_blank AS n_blank FROM a
+         UNION ALL SELECT 'props', n, pr_null, pr_blank FROM a
+         UNION ALL SELECT 'value', n, v_null, v_blank FROM a
+         UNION ALL SELECT 'ts', n, ts_null, 0 FROM a
+         UNION ALL SELECT 'user_id', n, u_null, 0 FROM a)
+       ORDER BY col""",
+)
+def dq_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column completeness matrix over the event stream: per column, the
+    null count, the 'blank' count (empty/`{}` strings, zero values — the
+    nulls that aren't NULL), and the filled fraction — the profiling
+    row a data contract check renders as a heatmap. ONE full-scan
+    aggregate computes every counter (conditional sums fuse into a
+    single WholeStageCodegen pass); the per-column rows are then
+    unpivoted from that 1-row aggregate, so adding columns never adds
+    scans."""
+    e = load_table(spark, sf_dir, "events")
+    one = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0)).alias("et_null"),
+        F.sum(
+            F.when(
+                F.col("event_type").isNotNull() & (F.trim("event_type") == ""), 1
+            ).otherwise(0)
+        ).alias("et_blank"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("pr_null"),
+        F.sum(
+            F.when(
+                F.col("props").isNotNull() & F.trim("props").isin("", "{}"), 1
+            ).otherwise(0)
+        ).alias("pr_blank"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("v_null"),
+        F.sum(F.when(F.col("value") == 0, 1).otherwise(0)).alias("v_blank"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("ts_null"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("u_null"),
+    )
+    rows = one.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_type").alias("col"),
+                    F.col("n"),
+                    F.col("et_null").alias("n_null"),
+                    F.col("et_blank").alias("n_blank"),
+                ),
+                F.struct(
+                    F.lit("props").alias("col"), F.col("n"),
+                    F.col("pr_null").alias("n_null"),
+                    F.col("pr_blank").alias("n_blank"),
+                ),
+                F.struct(
+                    F.lit("value").alias("col"), F.col("n"),
+                    F.col("v_null").alias("n_null"),
+                    F.col("v_blank").alias("n_blank"),
+                ),
+                F.struct(
+                    F.lit("ts").alias("col"), F.col("n"),
+                    F.col("ts_null").alias("n_null"),
+                    F.lit(0).cast("bigint").alias("n_blank"),
+                ),
+                F.struct(
+                    F.lit("user_id").alias("col"), F.col("n"),
+                    F.col("u_null").alias("n_null"),
+                    F.lit(0).cast("bigint").alias("n_blank"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.select(
+        "col",
+        "n_null",
+        "n_blank",
+        F.round(
+            (F.col("n") - F.col("n_null") - F.col("n_blank")).cast("double")
+            / F.col("n"),
+            6,
+        ).alias("pct_filled"),
+    ).orderBy("col")
+
+
+@q(
+    "events_rfm_segmentation",
+    """WITH gmax AS (SELECT max(ts::DATE) AS gd FROM events),
+       u AS (
+         SELECT user_id,
+                date_diff('day', max(ts::DATE), (SELECT gd FROM gmax)) AS rec_days,
+                count(*) AS freq,
+                sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS mon_c
+         FROM events GROUP BY user_id),
+       b AS (
+         SELECT quantile_cont(rec_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+                quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+                quantile_cont(mon_c, [0.2, 0.4, 0.6, 0.8]) AS mb
+         FROM u),
+       s AS (
+         SELECT 1 + (CASE WHEN rec_days > rb[1] THEN 1 ELSE 0 END)
+                  + (CASE WHEN rec_days > rb[2] THEN 1 ELSE 0 END)
+                  + (CASE WHEN rec_days > rb[3] THEN 1 ELSE 0 END)
+                  + (CASE WHEN rec_days > rb[4] THEN 1 ELSE 0 END) AS r_q,
+                5 - (CASE WHEN freq > fb[1] THEN 1 ELSE 0 END)
+                  - (CASE WHEN freq > fb[2] THEN 1 ELSE 0 END)
+                  - (CASE WHEN freq > fb[3] THEN 1 ELSE 0 END)
+                  - (CASE WHEN freq > fb[4] THEN 1 ELSE 0 END) AS f_q,
+                5 - (CASE WHEN mon_c > mb[1] THEN 1 ELSE 0 END)
+                  - (CASE WHEN mon_c > mb[2] THEN 1 ELSE 0 END)
+                  - (CASE WHEN mon_c > mb[3] THEN 1 ELSE 0 END)
+                  - (CASE WHEN mon_c > mb[4] THEN 1 ELSE 0 END) AS m_q,
+                mon_c
+         FROM u, b)
+       SELECT r_q, f_q, m_q, count(*) AS n_users,
+              sum(mon_c)::BIGINT AS monetary_cents
+       FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per user recency (days since last event),
+    frequency (event count), monetary (exact cents), each bucketed into
+    quintiles, then segment counts — the standard behavioral-marketing
+    cube. Quintiles come from DISTRIBUTED percentile BREAKPOINTS
+    (broadcast 1-row table) rather than a global ntile window: ntile
+    needs one total-order partition over every user, breakpoint
+    bucketing is a map-side CASE — the scale-correct shape. Inputs to
+    the breakpoints are exact integers, so the interpolated boundaries
+    are identical doubles on both engines and every `>` comparison is
+    exact (quintile membership, 1 = best, can't drift)."""
+    e = load_table(spark, sf_dir, "events")
+    gmax = e.agg(F.max(F.col("ts").cast("date")).alias("gd"))
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("ud"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("mon_c"),
+        )
+        .crossJoin(F.broadcast(gmax))  # 1-row global-max broadcast
+        .select(
+            "user_id",
+            F.datediff("gd", "ud").alias("rec_days"),
+            "freq",
+            "mon_c",
+        )
+    )
+    qs = F.array(*[F.lit(p) for p in (0.2, 0.4, 0.6, 0.8)])
+    b = u.agg(
+        F.percentile("rec_days", qs).alias("rb"),
+        F.percentile("freq", qs).alias("fb"),
+        F.percentile("mon_c", qs).alias("mb"),
+    )
+
+    def bucket_up(col: str, brk: str):  # bigger value -> bigger bucket
+        return sum(
+            F.when(F.col(col) > F.element_at(F.col(brk), k), 1).otherwise(0)
+            for k in (1, 2, 3, 4)
+        )
+
+    s = u.crossJoin(F.broadcast(b)).select(
+        (F.lit(1) + bucket_up("rec_days", "rb")).alias("r_q"),
+        (F.lit(5) - bucket_up("freq", "fb")).alias("f_q"),
+        (F.lit(5) - bucket_up("mon_c", "mb")).alias("m_q"),
+        "mon_c",
+    )
+    return (
+        s.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("mon_c").alias("monetary_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+@q(
+    "events_inter_arrival_stats",
+    """WITH g AS (
+         SELECT event_type,
+                epoch_us(ts) - lag(epoch_us(ts))
+                  OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+         FROM events)
+       SELECT event_type,
+              count(*) AS n_gaps,
+              round(min(gap_us)::DOUBLE / 1000000, 6) AS min_gap_s,
+              round(max(gap_us)::DOUBLE / 1000000, 6) AS max_gap_s,
+              round(quantile_cont(gap_us, 0.5) / 1000000, 6) AS median_gap_s,
+              round(quantile_cont(gap_us, 0.9) / 1000000, 6) AS p90_gap_s
+       FROM g WHERE gap_us IS NOT NULL
+       GROUP BY event_type ORDER BY event_type""",
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival profile per event type: median/p90/min/max gap
+    between consecutive events — the latency fingerprint that separates
+    steady telemetry from bursty user actions and feeds outage
+    thresholds (``ts_outage_detection``). Gaps are exact integer
+    MICROSECONDS under a (ts, event_id) total order, so ties can't
+    reorder between engines; percentiles interpolate over exact ints
+    (identical doubles both sides); seconds appear only in the final
+    rounded division. One shuffle to the event-type partitions, one lag
+    window, one aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.min("gap_us").cast("double") / 1000000, 6).alias("min_gap_s"),
+            F.round(F.max("gap_us").cast("double") / 1000000, 6).alias("max_gap_s"),
+            F.round(F.expr("percentile(gap_us, 0.5)") / 1000000, 6).alias(
+                "median_gap_s"
+            ),
+            F.round(F.expr("percentile(gap_us, 0.9)") / 1000000, 6).alias(
+                "p90_gap_s"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "ts_wow_growth",
+    """WITH m AS (
+         SELECT event_type,
+                strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+                count(*) AS n
+         FROM events GROUP BY 1, 2),
+       l AS (
+         SELECT event_type, week, n,
+                lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+         FROM m)
+       SELECT event_type, week, n, prev_n,
+              round((n - prev_n)::DOUBLE / prev_n, 6) AS wow_growth
+       FROM l WHERE prev_n IS NOT NULL
+       ORDER BY event_type, week""",
+)
+def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the first derivative
+    every usage dashboard plots (weekly grain: the fixture spans one
+    calendar month, and WoW is the cadence ops reviews use). Integer
+    week counts, one bounded lag window per type (weeks, not events),
+    growth as a single division of exact integers rounded on both
+    engines. The ISO-Monday week label is a string on both sides so the
+    driver's dtype comparison can't drift on date units."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    l = m.withColumn("prev_n", F.lag("n").over(w)).filter(
+        F.col("prev_n").isNotNull()
+    )
+    return l.select(
+        "event_type",
+        "week",
+        "n",
+        "prev_n",
+        F.round(
+            (F.col("n") - F.col("prev_n")).cast("double") / F.col("prev_n"), 6
+        ).alias("wow_growth"),
+    ).orderBy("event_type", "week")
+
+
+@q(
+    "llm_cross_lang_contamination",
+    """WITH fp AS (
+         SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+                lang
+         FROM documents)
+       SELECT fp,
+              count(*) AS n_docs,
+              count(DISTINCT lang) AS n_langs,
+              string_agg(DISTINCT lang, '|' ORDER BY lang) AS langs
+       FROM fp GROUP BY fp
+       HAVING count(DISTINCT lang) > 1
+       ORDER BY fp""",
+)
+def llm_cross_lang_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language contamination: documents whose 8-token prefix
+    fingerprint appears under MORE THAN ONE language label — the signal
+    that a scraper mislabeled translations or that boilerplate leaked
+    across language shards (which silently poisons per-language mixture
+    weights). Prefix fingerprinting (vs whole-text hash) catches the
+    template case where bodies diverge after a shared head. One md5 per
+    doc + one groupBy — linear; the language set is serialized sorted so
+    the row is hash-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " ")).alias("fp"),
+        "lang",
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.concat_ws("|", F.sort_array(F.collect_set("lang"))).alias("langs"),
+        )
+        .filter(F.col("n_langs") > 1)
+        .orderBy("fp")
+    )
+
+
+@q(
+    "llm_boilerplate_prefixes",
+    """WITH p AS (
+         SELECT source,
+                array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix
+         FROM documents),
+       c AS (SELECT source, prefix, count(*) AS n_docs FROM p GROUP BY 1, 2),
+       t AS (SELECT source, count(*) AS total FROM p GROUP BY source),
+       r AS (
+         SELECT c.source, c.prefix, c.n_docs, t.total,
+                row_number() OVER (PARTITION BY c.source
+                                   ORDER BY c.n_docs DESC, c.prefix) AS rnk
+         FROM c JOIN t USING (source))
+       SELECT source, rnk, prefix, n_docs,
+              round(n_docs::DOUBLE / total, 6) AS coverage
+       FROM r WHERE rnk <= 3
+       ORDER BY source, rnk""",
+)
+def llm_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: the top-3 5-token document prefixes per
+    source with their corpus coverage — crawl sources whose docs open
+    identically (cookie banners, license headers, nav text) show a
+    dominant prefix and get routed to a stripper before training. Two
+    narrow aggregates + a bounded per-source top-k window under a
+    (count DESC, prefix) total order."""
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select(
+        "source",
+        F.array_join(F.slice(F.split("text", " "), 1, 5), " ").alias("prefix"),
+    )
+    c = p.groupBy("source", "prefix").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = p.groupBy("source").agg(F.count(F.lit(1)).alias("total"))
+    w = Window.partitionBy("source").orderBy(F.col("n_docs").desc(), "prefix")
+    r = (
+        c.join(F.broadcast(t), "source")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+    return r.select(
+        "source",
+        "rnk",
+        "prefix",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
+            "coverage"
+        ),
+    ).orderBy("source", "rnk")
+
+
+@q(
+    "llm_token_len_percentiles",
+    """WITH tc AS (
+         SELECT lang, len(string_split(text, ' '))::BIGINT AS n_tokens
+         FROM documents)
+       SELECT lang, count(*) AS n_docs, max(n_tokens) AS max_tokens,
+              round(quantile_cont(n_tokens, 0.25), 6) AS p25,
+              round(quantile_cont(n_tokens, 0.50), 6) AS p50,
+              round(quantile_cont(n_tokens, 0.75), 6) AS p75,
+              round(quantile_cont(n_tokens, 0.95), 6) AS p95
+       FROM tc GROUP BY lang ORDER BY lang""",
+)
+def llm_token_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per language: p25/p50/p75/p95 document
+    token counts — the context-budget planning table (how much packing
+    headroom each language shard has, where truncation will bite).
+    Lengths are exact integers; the percentile interpolation runs over
+    identical ints on both engines. One map-side length computation +
+    one aggregate; at 100 TB the exact percentile swaps for the sketch
+    tier with the same plan shape (agg_percentile_approx)."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = d.select(
+        "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        tc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(n_tokens, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(n_tokens, 0.75)"), 6).alias("p75"),
+            F.round(F.expr("percentile(n_tokens, 0.95)"), 6).alias("p95"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "emb_covariance_topk",
+    """WITH u AS (
+         SELECT vec_id,
+                unnest(range(len(embedding))) AS i,
+                unnest(embedding) AS e
+         FROM embeddings),
+       x AS (
+         SELECT vec_id, i,
+                CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS v
+         FROM u),
+       p AS (
+         SELECT a.i AS i, b.i AS j, count(*) AS n,
+                sum(a.v)::BIGINT AS sx, sum(b.v)::BIGINT AS sy,
+                sum(a.v * b.v)::BIGINT AS sxy
+         FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
+         GROUP BY 1, 2),
+       c AS (SELECT i, j, n, (n * sxy - sx * sy)::BIGINT AS cov_mm FROM p)
+       SELECT i, j, cov_mm,
+              round(cov_mm::DOUBLE / (n::DOUBLE * n::DOUBLE) / 1e12, 8) AS cov
+       FROM c ORDER BY abs(cov_mm) DESC, i, j LIMIT 20""",
+)
+def emb_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-correlated embedding dimension pairs by |covariance| —
+    the redundancy probe run before dimensionality reduction or int8
+    quantization (strongly covarying dims waste code space). Embeddings
+    are lifted to exact integer micro-units, so the co-moment form
+    n·Σxy − Σx·Σy is exact 64-bit arithmetic and the |cov| ranking is a
+    total order over integers — no float tie can reorder engines. Scale:
+    the pair expansion is N·d²/2 rows BUT the groupBy(i,j) partially
+    aggregates map-side, so the shuffle carries only d²/2 partial rows
+    per task (d=64 → 2,016 groups), and the final sort is over d²/2
+    rows — independent of N."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("bigint").alias("i"),
+        F.round(F.col("val").cast("double") * 1000000).cast("bigint").alias("v"),
+    )
+    a, b = x.alias("a"), x.alias("b")
+    p = (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.v").alias("sx"),
+            F.sum("b.v").alias("sy"),
+            F.sum(F.col("a.v") * F.col("b.v")).alias("sxy"),
+        )
+    )
+    c = p.select(
+        "i",
+        "j",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_mm"),
+    )
+    return (
+        c.select(
+            "i",
+            "j",
+            "cov_mm",
+            F.round(
+                F.col("cov_mm").cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+                / F.lit(1e12),
+                8,
+            ).alias("cov"),
+        )
+        .orderBy(F.abs("cov_mm").desc(), "i", "j")
+        .limit(20)
+    )
+
+
+@q(
+    "llm_vocab_coverage_curve",
+    """WITH tok AS (
+         SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       f AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+       tot AS (SELECT sum(c)::BIGINT AS total, count(*) AS vocab FROM f),
+       r AS (SELECT token, c,
+                    row_number() OVER (ORDER BY c DESC, token) AS rnk
+             FROM f),
+       cum AS (SELECT rnk, sum(c) OVER (ORDER BY rnk)::BIGINT AS covered
+               FROM r WHERE rnk <= 1000)
+       SELECT k.k, least(k.k, tot.vocab)::BIGINT AS vocab_used,
+              cum.covered AS covered_tokens,
+              round(cum.covered::DOUBLE / tot.total, 6) AS coverage
+       FROM (VALUES (10::BIGINT), (100::BIGINT), (1000::BIGINT)) k(k), tot
+       JOIN cum ON cum.rnk = least(k.k, tot.vocab)
+       ORDER BY k.k""",
+)
+def llm_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of all corpus tokens
+    covered by the top-k most frequent types for k ∈ {10, 100, 1000} —
+    the table a tokenizer-budget decision reads (how fast does coverage
+    saturate, how big must the vocab be). The global top-1000 is a
+    distributed TakeOrdered under a (count DESC, token) total order;
+    the cumulative window then runs over ≤1000 rows (bounded, single
+    partition by construction), never over the full vocabulary. Totals
+    are exact integer sums; the only float is the final rounded
+    division."""
+    d = load_table(spark, sf_dir, "documents")
+    f = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = f.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    top = f.orderBy(F.col("c").desc(), "token").limit(1000)
+    w = Window.orderBy(F.col("c").desc(), "token")
+    cum = top.select(
+        F.row_number().over(w).alias("rnk"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "covered"
+        ),
+    )
+    k = spark.createDataFrame([(10,), (100,), (1000,)], "k long")
+    return (
+        k.crossJoin(F.broadcast(tot))  # 1-row totals broadcast
+        .withColumn("vocab_used", F.least("k", "vocab").cast("bigint"))
+        .join(F.broadcast(cum), F.col("vocab_used") == F.col("rnk"))
+        .select(
+            "k",
+            "vocab_used",
+            F.col("covered").alias("covered_tokens"),
+            F.round(F.col("covered").cast("double") / F.col("total"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("k")
+    )
