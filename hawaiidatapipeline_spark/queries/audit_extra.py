@@ -538,28 +538,35 @@ def emb_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are lifted to exact integer micro-units, so the co-moment form
     n·Σxy − Σx·Σy is exact 64-bit arithmetic and the |cov| ranking is a
     total order over integers — no float tie can reorder engines. Scale:
-    the pair expansion is N·d²/2 rows BUT the groupBy(i,j) partially
-    aggregates map-side, so the shuffle carries only d²/2 partial rows
-    per task (d=64 → 2,016 groups), and the final sort is over d²/2
-    rows — independent of N."""
+    the (i, j) pair expansion happens IN-ARRAY per vector (higher-order
+    transform/slice, pure codegen — the copurchase_edges trick), so
+    there is NO self-join and NO N·d-row shuffle: the single groupBy
+    shuffle carries only d²/2 partial-agg rows per task (d=64 → 2,016
+    groups), and the final sort is over d²/2 rows — independent of N.
+    The oracle keeps the equivalent self-join form for SQL clarity."""
     e = load_table(spark, sf_dir, "embeddings")
-    x = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val")
-    ).select(
-        "vec_id",
-        F.col("pos").cast("bigint").alias("i"),
-        F.round(F.col("val").cast("double") * 1000000).cast("bigint").alias("v"),
+    vm = e.select(
+        F.expr(
+            "transform(embedding,"
+            " e -> cast(round(cast(e AS double) * 1000000) AS bigint))"
+        ).alias("vm")
     )
-    a, b = x.alias("a"), x.alias("b")
-    p = (
-        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.i") < F.col("b.i")))
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("a.v").alias("sx"),
-            F.sum("b.v").alias("sy"),
-            F.sum(F.col("a.v") * F.col("b.v")).alias("sxy"),
-        )
+    pairs = vm.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(vm, (x, i) -> transform("
+                "  slice(vm, i + 2, size(vm) - i - 1),"
+                "  (y, j) -> struct(cast(i AS bigint) AS i,"
+                "                   cast(i + 1 + j AS bigint) AS j,"
+                "                   x AS x, y AS y))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    p = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
     c = p.select(
         "i",
