@@ -651,3 +651,109 @@ def llm_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+_PCA_ITERS = 4
+_PCA_SCALE_SHIFT = 1048576  # 2^20: pre-scales the second-moment matrix
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration oracle: w0 = 1000·1⃗, then 4 rounds of
+    u = S'·w ; w = u·1000 div max|u| — all exact BIGINT arithmetic
+    (both engines truncate integer division toward zero)."""
+    ctes = [
+        """u AS (
+         SELECT vec_id, unnest(range(len(embedding))) AS i,
+                unnest(embedding) AS e
+         FROM embeddings),
+       x AS (
+         SELECT vec_id, i,
+                CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS v
+         FROM u),
+       s AS (
+         SELECT a.i AS i, b.i AS j,
+                (sum(a.v * b.v)::BIGINT // 1048576)::BIGINT AS s
+         FROM x a JOIN x b USING (vec_id)
+         GROUP BY 1, 2),
+       w0 AS (SELECT DISTINCT i, 1000::BIGINT AS w FROM s)""",
+    ]
+    for k in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""mv{k} AS (
+         SELECT s.i, sum(s.s * w{k - 1}.w)::BIGINT AS mv
+         FROM s JOIN w{k - 1} ON s.j = w{k - 1}.i
+         GROUP BY s.i),
+       m{k} AS (SELECT max(abs(mv))::BIGINT AS m FROM mv{k}),
+       w{k} AS (SELECT i, ((mv * 1000) // m)::BIGINT AS w FROM mv{k}, m{k})"""
+        )
+    last = f"w{_PCA_ITERS}"
+    return (
+        "WITH " + ",\n       ".join(ctes)
+        + f"""
+       SELECT i, w, round(w::DOUBLE / 1000, 6) AS loading
+       FROM {last} ORDER BY i"""
+    )
+
+
+@q("emb_pca_power_iteration", _pca_oracle())
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant direction of the embedding second-moment matrix by POWER
+    ITERATION — the first principal axis a drift monitor or whitening
+    step needs, computed without any linear-algebra library. Exactness:
+    embeddings lift to integer micro-units; S = XᵀX is an exact-int
+    partial aggregate (the in-array trick is skipped here because the
+    multiply needs the FULL d×d matrix, and d²·N pair rows partial-agg
+    to d² per task either way); S pre-scales by 2^20 so every
+    matrix-vector product stays in int64 (|S'·w| ≤ d·1.3e9·1e3 ≈ 8e13);
+    each round renormalizes w to ±1000 via integer division — both
+    engines truncate toward zero, verified. Fixed {iters} iterations
+    (no convergence probe — the iterate is deterministic at any round
+    count), so plan and oracle are ONE Catalyst plan / one nested-CTE
+    SQL, the pipeline_demo pattern. Scale: S is d²=4,096 rows after one
+    partial-agg shuffle (map-side combine makes the shuffle d² per
+    task, independent of N); each iteration is a d²⋈d broadcast join —
+    driver never touches data. At 100 TB, lift vectors to 1e3 units
+    instead so Σ x·x stays in int64 at N=10⁹ rows.""".format(
+        iters=_PCA_ITERS
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    vm = e.select(
+        F.expr(
+            "transform(embedding,"
+            " e -> cast(round(cast(e AS double) * 1000000) AS bigint))"
+        ).alias("vm")
+    )
+    # full d×d second-moment matrix (incl. diagonal + mirror), in-array
+    pairs = vm.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(vm, (x, i) -> transform(vm,"
+                " (y, j) -> struct(cast(i AS bigint) AS i,"
+                "                  cast(j AS bigint) AS j,"
+                "                  x * y AS xy))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    s = (
+        pairs.groupBy("i", "j")
+        .agg(F.sum("xy").alias("sxy"))
+        .select(
+            "i", "j",
+            F.expr(f"sxy div {_PCA_SCALE_SHIFT}").cast("bigint").alias("s"),
+        )
+    )
+    w = s.select("i").distinct().withColumn("w", F.lit(1000).cast("bigint"))
+    for _ in range(_PCA_ITERS):
+        mv = (
+            s.alias("s")
+            .join(w.alias("w"), F.col("s.j") == F.col("w.i"))
+            .groupBy(F.col("s.i").alias("i"))
+            .agg(F.sum(F.col("s.s") * F.col("w.w")).alias("mv"))
+        )
+        m = mv.agg(F.max(F.abs("mv")).alias("m"))
+        w = mv.crossJoin(F.broadcast(m)).select(  # 1-row max broadcast
+            "i", F.expr("(mv * 1000) div m").cast("bigint").alias("w")
+        )
+    return w.select(
+        "i", "w", F.round(F.col("w").cast("double") / 1000, 6).alias("loading")
+    ).orderBy("i")
