@@ -653,14 +653,19 @@ def llm_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PCA_ITERS = 4
-_PCA_SCALE_SHIFT = 1048576  # 2^20: pre-scales the second-moment matrix
+_PCA_SQUARINGS = 10  # S^(2^10): eigengap here is ~0.98, plain iteration is too slow
+_PCA_PRESCALE = 1048576  # 2^20 keeps the exact S sums in int64 before normalizing
+_PCA_NORM = 100000  # matrix entries renormalize to ±1e5: products ≤ 64e10·1e5 < 2^63
 
 
 def _pca_oracle() -> str:
-    """Unrolled power-iteration oracle: w0 = 1000·1⃗, then 4 rounds of
-    u = S'·w ; w = u·1000 div max|u| — all exact BIGINT arithmetic
-    (both engines truncate integer division toward zero)."""
+    """Unrolled matrix-squaring oracle: A₀ = normalize(S div 2^20), then
+    A_{k+1} = normalize(A_k·A_k) for 10 rounds (A = S^1024 up to scale),
+    finally w = normalize₁₀₀₀(A·1⃗). All BIGINT; both engines truncate
+    integer division toward zero (verified). CTEs are MATERIALIZED:
+    DuckDB inlines plain CTEs, and each squaring references its
+    predecessor three times (two join legs + the max-abs normalizer),
+    so inlining re-evaluates 3^10 subtrees."""
     ctes = [
         """u AS (
          SELECT vec_id, unnest(range(len(embedding))) AS i,
@@ -670,52 +675,65 @@ def _pca_oracle() -> str:
          SELECT vec_id, i,
                 CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS v
          FROM u),
-       s AS (
+       s AS MATERIALIZED (
          SELECT a.i AS i, b.i AS j,
                 (sum(a.v * b.v)::BIGINT // 1048576)::BIGINT AS s
          FROM x a JOIN x b USING (vec_id)
          GROUP BY 1, 2),
-       w0 AS (SELECT DISTINCT i, 1000::BIGINT AS w FROM s)""",
+       a0 AS MATERIALIZED (
+         SELECT i, j,
+                ((s * 100000) // (SELECT max(abs(s)) FROM s))::BIGINT AS a
+         FROM s)""",
     ]
-    for k in range(1, _PCA_ITERS + 1):
+    for k in range(1, _PCA_SQUARINGS + 1):
         ctes.append(
-            f"""mv{k} AS (
-         SELECT s.i, sum(s.s * w{k - 1}.w)::BIGINT AS mv
-         FROM s JOIN w{k - 1} ON s.j = w{k - 1}.i
-         GROUP BY s.i),
-       m{k} AS (SELECT max(abs(mv))::BIGINT AS m FROM mv{k}),
-       w{k} AS (SELECT i, ((mv * 1000) // m)::BIGINT AS w FROM mv{k}, m{k})"""
+            f"""p{k} AS MATERIALIZED (
+         SELECT l.i AS i, r.j AS j, sum(l.a * r.a)::BIGINT AS p
+         FROM a{k - 1} l JOIN a{k - 1} r ON l.j = r.i
+         GROUP BY 1, 2),
+       a{k} AS MATERIALIZED (
+         SELECT i, j,
+                ((p * 100000) // (SELECT max(abs(p)) FROM p{k}))::BIGINT AS a
+         FROM p{k})"""
         )
-    last = f"w{_PCA_ITERS}"
+    last = f"a{_PCA_SQUARINGS}"
     return (
         "WITH " + ",\n       ".join(ctes)
-        + f"""
+        + f""",
+       wr AS (SELECT i, sum(a)::BIGINT AS wr FROM {last} GROUP BY i),
+       wn AS (
+         SELECT i,
+                ((wr * 1000) // (SELECT max(abs(wr)) FROM wr))::BIGINT AS w
+         FROM wr)
        SELECT i, w, round(w::DOUBLE / 1000, 6) AS loading
-       FROM {last} ORDER BY i"""
+       FROM wn ORDER BY i"""
     )
 
 
 @q("emb_pca_power_iteration", _pca_oracle())
 def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dominant direction of the embedding second-moment matrix by POWER
-    ITERATION — the first principal axis a drift monitor or whitening
-    step needs, computed without any linear-algebra library. Exactness:
-    embeddings lift to integer micro-units; S = XᵀX is an exact-int
-    partial aggregate (the in-array trick is skipped here because the
-    multiply needs the FULL d×d matrix, and d²·N pair rows partial-agg
-    to d² per task either way); S pre-scales by 2^20 so every
-    matrix-vector product stays in int64 (|S'·w| ≤ d·1.3e9·1e3 ≈ 8e13);
-    each round renormalizes w to ±1000 via integer division — both
-    engines truncate toward zero, verified. Fixed {iters} iterations
-    (no convergence probe — the iterate is deterministic at any round
-    count), so plan and oracle are ONE Catalyst plan / one nested-CTE
-    SQL, the pipeline_demo pattern. Scale: S is d²=4,096 rows after one
-    partial-agg shuffle (map-side combine makes the shuffle d² per
-    task, independent of N); each iteration is a d²⋈d broadcast join —
-    driver never touches data. At 100 TB, lift vectors to 1e3 units
-    instead so Σ x·x stays in int64 at N=10⁹ rows.""".format(
-        iters=_PCA_ITERS
-    )
+    """Dominant direction of the embedding second-moment matrix — the
+    first principal axis a drift monitor or whitening step needs,
+    computed WITHOUT a linear-algebra library and in fully exact integer
+    arithmetic. The fixture eigengap is ~0.98, so plain power iteration
+    needs hundreds of rounds; instead the d×d matrix is SQUARED 10 times
+    (A = S^1024 up to scale) — numpy cross-check puts |cos| vs the exact
+    top eigenvector above 0.9999 at every fixture SF
+    (tests/test_audit_extra.py). Exactness: embeddings lift to integer
+    micro-units; S = XᵀX is an exact-int partial aggregate; S pre-scales
+    by 2^20 and every squaring renormalizes entries to ±1e5 so products
+    stay in int64 (64·1e10·1e5 < 2^63); integer division truncates
+    toward zero identically on both engines (verified). Each squaring
+    is materialized (operators/materialize.py) — the frame feeds the
+    next round THREE times (both join legs + the max-abs normalizer),
+    so an unmaterialized chain recomputes 3^10 subtrees; the oracle
+    stays one unrolled nested-CTE SQL (DuckDB CTEs evaluate once).
+    Scale: S aggregates to d²=4,096 rows with map-side combine
+    (shuffle is d² per task, independent of N); each squaring is a
+    d²⋈d² join on tiny materialized frames — driver never touches
+    data. At 100 TB,
+    lift vectors to 1e3 units so the Σ x·x partials stay in int64 at
+    N=10⁹ rows; the squaring ladder is unchanged (it never sees N)."""
     e = load_table(spark, sf_dir, "embeddings")
     vm = e.select(
         F.expr(
@@ -739,21 +757,33 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("xy").alias("sxy"))
         .select(
             "i", "j",
-            F.expr(f"sxy div {_PCA_SCALE_SHIFT}").cast("bigint").alias("s"),
+            F.expr(f"sxy div {_PCA_PRESCALE}").cast("bigint").alias("a"),
         )
     )
-    w = s.select("i").distinct().withColumn("w", F.lit(1000).cast("bigint"))
-    for _ in range(_PCA_ITERS):
-        mv = (
-            s.alias("s")
-            .join(w.alias("w"), F.col("s.j") == F.col("w.i"))
-            .groupBy(F.col("s.i").alias("i"))
-            .agg(F.sum(F.col("s.s") * F.col("w.w")).alias("mv"))
+
+    def normalize(df: DataFrame, col: str) -> DataFrame:
+        m = df.agg(F.max(F.abs(col)).alias("m"))
+        return df.crossJoin(F.broadcast(m)).select(  # 1-row max broadcast
+            "i", "j",
+            F.expr(f"({col} * {_PCA_NORM}) div m").cast("bigint").alias("a"),
         )
-        m = mv.agg(F.max(F.abs("mv")).alias("m"))
-        w = mv.crossJoin(F.broadcast(m)).select(  # 1-row max broadcast
-            "i", F.expr("(mv * 1000) div m").cast("bigint").alias("w")
+
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    a = materialize(normalize(s, "a"))
+    for _ in range(_PCA_SQUARINGS):
+        p = (
+            a.alias("l")
+            .join(a.alias("r"), F.col("l.j") == F.col("r.i"))
+            .groupBy(F.col("l.i").alias("i"), F.col("r.j").alias("j"))
+            .agg(F.sum(F.col("l.a") * F.col("r.a")).alias("p"))
         )
+        a = materialize(normalize(p, "p"))
+    wr = a.groupBy("i").agg(F.sum("a").alias("wr"))
+    mw = wr.agg(F.max(F.abs("wr")).alias("m"))
+    w = wr.crossJoin(F.broadcast(mw)).select(
+        "i", F.expr("(wr * 1000) div m").cast("bigint").alias("w")
+    )
     return w.select(
         "i", "w", F.round(F.col("w").cast("double") / 1000, 6).alias("loading")
     ).orderBy("i")

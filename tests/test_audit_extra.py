@@ -1,0 +1,128 @@
+"""Semantic invariants for the round-8 audit/segmentation/curation family
+(queries/audit_extra.py) — beyond the oracle hash check: conservation
+laws, range bounds, and numpy cross-checks for the linear-algebra ops."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.queries import collect
+from hawaiidatapipeline_spark.registry import load_table
+
+from .conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return collect()[0]
+
+
+def test_rfm_conserves_users_and_bounds(spark, registry):
+    """Every user lands in exactly one (r,f,m) cell; quintile labels stay
+    in 1..5; total monetary equals the corpus total in exact cents."""
+    out = registry["events_rfm_segmentation"](spark, SF0001).collect()
+    e = load_table(spark, SF0001, "events")
+    n_users = e.select("user_id").distinct().count()
+    total_cents = e.agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+    ).collect()[0][0]
+    assert sum(r["n_users"] for r in out) == n_users
+    assert sum(r["monetary_cents"] for r in out) == total_cents
+    for r in out:
+        assert 1 <= r["r_q"] <= 5 and 1 <= r["f_q"] <= 5 and 1 <= r["m_q"] <= 5
+
+
+def test_completeness_fractions_bounded(spark, registry):
+    out = registry["dq_completeness_matrix"](spark, SF0001).collect()
+    n = load_table(spark, SF0001, "events").count()
+    assert {r["col"] for r in out} == {"event_type", "props", "value", "ts", "user_id"}
+    for r in out:
+        assert 0 <= r["n_null"] + r["n_blank"] <= n
+        assert 0.0 <= r["pct_filled"] <= 1.0
+
+
+def test_reconciliation_covers_every_ordered_order(spark, registry):
+    """Bucket counts partition the joined orders: within-1% and over-10%
+    are disjoint subsets of n_orders, and n_orders sums to the number of
+    orders that have lineitems."""
+    out = registry["dq_order_total_reconciliation"](spark, SF0001).collect()
+    o = load_table(spark, SF0001, "orders")
+    li = load_table(spark, SF0001, "lineitem")
+    joined = o.join(li.select("l_orderkey").distinct(),
+                    o.o_orderkey == F.col("l_orderkey")).count()
+    assert sum(r["n_orders"] for r in out) == joined
+    for r in out:
+        assert r["n_within_1pct"] + r["n_over_10pct"] <= r["n_orders"]
+        assert r["rel_gap_total"] >= 0.0
+
+
+def test_vocab_coverage_monotone(spark, registry):
+    out = registry["llm_vocab_coverage_curve"](spark, SF0001).collect()
+    ks = [r["k"] for r in out]
+    assert ks == sorted(ks)
+    covs = [r["coverage"] for r in out]
+    assert all(a <= b for a, b in zip(covs, covs[1:]))
+    assert all(0.0 < c <= 1.0 for c in covs)
+
+
+def _emb_matrix(spark) -> np.ndarray:
+    rows = (
+        load_table(spark, SF0001, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return np.array(
+        [r["embedding"] for r in sorted(rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+
+
+def test_covariance_topk_matches_numpy(spark, registry):
+    """The exact integer co-moment covariance agrees with numpy's float
+    covariance to quantization error, and the pairs really are the
+    global top-|cov| set."""
+    out = registry["emb_covariance_topk"](spark, SF0001).collect()
+    X = _emb_matrix(spark)
+    n = X.shape[0]
+    c_np = np.cov(X, rowvar=False, bias=True)  # biased = /n, our n² form
+    got_abs = []
+    for r in out:
+        assert abs(r["cov"] - c_np[r["i"], r["j"]]) < 1e-5
+        got_abs.append(abs(c_np[r["i"], r["j"]]))
+    # top-20 by |cov|: the smallest returned |cov| must be >= the 20th
+    # largest off-diagonal |cov| in numpy (tolerance for micro-unit grid)
+    iu = np.triu_indices_from(c_np, k=1)
+    top20 = np.sort(np.abs(c_np[iu]))[-20:]
+    assert min(got_abs) >= top20.min() - 1e-5
+    assert n == 500  # sf0.001 embeddings fixture size
+
+
+def test_pca_direction_matches_numpy(spark, registry):
+    """The 10-squaring integer iterate (S^1024 up to scale) must land
+    within a few degrees of numpy's exact dominant eigenvector of the
+    second-moment matrix (|cosine| > 0.99) — proof the fixed-point
+    arithmetic converges to the real principal axis, not just to a
+    hash-stable artifact."""
+    out = registry["emb_pca_power_iteration"](spark, SF0001).collect()
+    w = np.array([r["w"] for r in sorted(out, key=lambda r: r["i"])], dtype=np.float64)
+    X = _emb_matrix(spark)
+    s = X.T @ X
+    evals, evecs = np.linalg.eigh(s)
+    top = evecs[:, np.argmax(evals)]
+    cos = abs(w @ top) / (np.linalg.norm(w) * np.linalg.norm(top))
+    assert cos > 0.99, f"|cos(power-iter, numpy top eigvec)| = {cos:.4f}"
+
+
+def test_inter_arrival_gaps_positive(spark, registry):
+    out = registry["events_inter_arrival_stats"](spark, SF0001).collect()
+    for r in out:
+        assert r["min_gap_s"] >= 0.0
+        assert r["min_gap_s"] <= r["median_gap_s"] <= r["p90_gap_s"] <= r["max_gap_s"]
+        assert r["n_gaps"] > 0
+
+
+def test_wow_growth_consistent(spark, registry):
+    out = registry["ts_wow_growth"](spark, SF0001).collect()
+    for r in out:
+        expect = (r["n"] - r["prev_n"]) / r["prev_n"]
+        assert abs(r["wow_growth"] - round(expect, 6)) < 1e-9
