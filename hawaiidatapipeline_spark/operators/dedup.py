@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hawaiidatapipeline_spark.operators.materialize import materialize
+from hawaiidatapipeline_spark.operators.materialize import materialize, observed_metric
 
 
 def tokenize_distinct(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -447,34 +447,11 @@ def connected_components(
             .drop("_chg")
         )
         labels = materialize(new_labels)
-        if _observed_changed(obs) == 0:
+        # bounded wait (ADVICE r7): fails loudly instead of hanging if
+        # materialize() ever stops running a listener-visible action
+        if int(observed_metric(obs, "changed")) == 0:
             break
     return labels
-
-
-def _observed_changed(obs, timeout_s: float = 120.0) -> int:
-    """Bounded read of the per-round convergence metric.
-
-    ``Observation.get`` waits INDEFINITELY for the observed dataset's
-    first action. Correctness here depends on ``materialize()`` executing
-    via a listener-visible DataFrame action on both checkpoint paths — if
-    a future materialize change switches to an RDD-level action, a naive
-    ``obs.get`` would deadlock silently (ADVICE r7). Poll the JVM-side
-    non-blocking ``getOrEmpty`` with a deadline instead, so that failure
-    mode surfaces as a descriptive error rather than a hang."""
-    import time
-
-    deadline = time.monotonic() + timeout_s
-    while time.monotonic() < deadline:
-        if not obs._jo.getOrEmpty().isEmpty():
-            return int(obs.get["changed"])  # populated → returns immediately
-        time.sleep(0.05)
-    raise RuntimeError(
-        "connected_components: convergence Observation was never populated "
-        f"within {timeout_s:.0f}s after materialize() — materialize() must "
-        "run a listener-visible DataFrame action (not an RDD-level action) "
-        "for the observed metric to fire; see operators/materialize.py"
-    )
 
 
 def simhash_signatures(

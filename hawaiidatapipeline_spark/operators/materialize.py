@@ -48,3 +48,28 @@ def materialize(df: DataFrame) -> DataFrame:
     if reliable_checkpoint_configured(df):
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def observed_metric(obs, name: str, timeout_s: float = 120.0):
+    """Bounded read of an ``Observation`` metric riding a materialize().
+
+    The free-convergence pattern (connected_components, the PCA squaring
+    ladder): attach ``df.observe(obs, ...)`` before ``materialize(df)``
+    and the metric is computed BY the materialization action — no extra
+    job. ``Observation.get`` would wait indefinitely if materialize ever
+    stopped running a listener-visible DataFrame action, so poll the
+    JVM-side non-blocking ``getOrEmpty`` with a deadline and fail loudly
+    instead (ADVICE r7)."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if not obs._jo.getOrEmpty().isEmpty():
+            return obs.get[name]  # populated → returns immediately
+        time.sleep(0.05)
+    raise RuntimeError(
+        f"observed_metric({name!r}): the Observation was never populated "
+        f"within {timeout_s:.0f}s after materialize() — materialize() must "
+        "run a listener-visible DataFrame action (not an RDD-level action); "
+        "see operators/materialize.py"
+    )

@@ -761,16 +761,27 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def normalize(df: DataFrame, col: str) -> DataFrame:
-        m = df.agg(F.max(F.abs(col)).alias("m"))
-        return df.crossJoin(F.broadcast(m)).select(  # 1-row max broadcast
+    from pyspark.sql import Observation
+
+    from hawaiidatapipeline_spark.operators.materialize import (
+        materialize,
+        observed_metric,
+    )
+
+    def materialize_normalized(df: DataFrame, col: str) -> DataFrame:
+        # the max-abs normalizer rides the materialization action as an
+        # Observation metric (free-convergence pattern) — one job per
+        # squaring instead of a separate max-agg job, and the divisor
+        # splices into the next plan as an exact integer literal
+        obs = Observation()
+        dfm = materialize(df.observe(obs, F.max(F.abs(col)).alias("m")))
+        m = int(observed_metric(obs, "m"))
+        return dfm.select(
             "i", "j",
-            F.expr(f"({col} * {_PCA_NORM}) div m").cast("bigint").alias("a"),
+            F.expr(f"({col} * {_PCA_NORM}) div {m}").cast("bigint").alias("a"),
         )
 
-    from hawaiidatapipeline_spark.operators.materialize import materialize
-
-    a = materialize(normalize(s, "a"))
+    a = materialize_normalized(s, "a")
     for _ in range(_PCA_SQUARINGS):
         p = (
             a.alias("l")
@@ -778,7 +789,7 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("l.i").alias("i"), F.col("r.j").alias("j"))
             .agg(F.sum(F.col("l.a") * F.col("r.a")).alias("p"))
         )
-        a = materialize(normalize(p, "p"))
+        a = materialize_normalized(p, "p")
     wr = a.groupBy("i").agg(F.sum("a").alias("wr"))
     mw = wr.agg(F.max(F.abs("wr")).alias("m"))
     w = wr.crossJoin(F.broadcast(mw)).select(
