@@ -75,6 +75,11 @@ HEAVY = [
     "llm_bigram_logprob",
     "graph_kcore_peel",
     "emb_ann_recall_report",
+    # round-8 additions (same caveat for r7's heavy_total)
+    "emb_pca_power_iteration",
+    "emb_covariance_topk",
+    "llm_vocab_coverage_curve",
+    "dq_order_total_reconciliation",
 ]
 
 
