@@ -252,6 +252,19 @@ AUDITS: dict[str, list[str]] = {
     "llm_pmi_pairs": ["partial_agg", "broadcast_any", "pruning", "no_cartesian", "codegen"],
     "dq_benford_deviation": ["partial_agg", "broadcast_any", "pruning", "no_cartesian", "codegen"],
     "events_seasonal_strength": ["partial_agg", "pruning", "no_cartesian", "codegen"],
+    # round-8 family
+    "dq_order_total_reconciliation": ["smj_or_bhj", "partial_agg", "pruning", "codegen"],
+    "dq_completeness_matrix": ["partial_agg", "generate_exec", "codegen"],
+    "events_rfm_segmentation": ["partial_agg", "broadcast_any", "pruning", "codegen"],
+    "events_inter_arrival_stats": ["window_exec", "single_shuffle_family", "pruning", "codegen"],
+    "llm_boilerplate_prefixes": ["partial_agg", "window_exec", "broadcast_any", "pruning", "codegen"],
+    # join-free covariance: the (i,j) pair expansion is in-array — the plan
+    # must contain NO join operator of any kind (VERDICT-grade scale shape)
+    "emb_covariance_topk": ["no_join", "generate_exec", "partial_agg", "take_ordered", "pruning", "codegen"],
+    "llm_vocab_coverage_curve": ["take_ordered", "partial_agg", "generate_exec", "broadcast_any", "codegen"],
+    # (final plan scans the last squaring's checkpoint — the per-round
+    # matrix-multiply shape is asserted by the numpy cross-check test)
+    "emb_pca_power_iteration": ["no_cartesian", "partial_agg"],
 }
 
 
@@ -305,6 +318,11 @@ def check(name: str, plan: str) -> list[tuple[str, bool, str]]:
             a("no_cartesian", "CartesianProduct" not in p, "no cartesian product")
         elif assertion == "no_nlj":
             a("no_nlj", "BroadcastNestedLoopJoin" not in p, "no nested-loop join")
+        elif assertion == "no_join":
+            a("no_join", all(j not in p for j in
+                             ("SortMergeJoin", "BroadcastHashJoin",
+                              "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+                              "CartesianProduct")), "no join operator at all")
         elif assertion == "single_shuffle_family":
             n = p.count("Exchange hashpartitioning")
             a("single_shuffle_family", n <= 2, f"hash exchanges={n} (union+window, no pairwise join)")
