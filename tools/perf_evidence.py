@@ -50,6 +50,11 @@ PROBES = [
     ("graph_kcore_peel", "k-core peel: per-round degree agg + semi-joins on materialized edges"),
     ("emb_ann_recall_report", "ANN recall: probe-strided GEMM rows, assignment broadcast"),
     ("dq_psi_drift", "PSI drift: shuffle ~ langs x bins, independent of corpus size"),
+    ("emb_covariance_topk", "covariance top-k: in-array pair expansion, shuffle ~ d^2/2 partials, NO join"),
+    ("emb_pca_power_iteration", "PCA squaring ladder: only S's d^2 agg sees N; rounds are tiny materialized frames"),
+    ("events_rfm_segmentation", "RFM: percentile breakpoints broadcast — no global ntile total-order shuffle"),
+    ("dq_order_total_reconciliation", "reconciliation: orderkey partial agg + colocated join, micro-cent ints"),
+    ("llm_vocab_coverage_curve", "coverage curve: TakeOrdered top-1000, cumsum over <=1000 rows"),
 ]
 
 
