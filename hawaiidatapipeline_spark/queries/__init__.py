@@ -88,12 +88,12 @@ _FRONT: tuple[str, ...] = (
     'dq_order_total_reconciliation', 'dq_completeness_matrix', 'events_rfm_segmentation',
     'events_inter_arrival_stats', 'ts_wow_growth', 'llm_cross_lang_contamination',
     'llm_boilerplate_prefixes', 'llm_token_len_percentiles', 'emb_covariance_topk',
-    'llm_vocab_coverage_curve', 'emb_pca_power_iteration', 'win_ranking',
+    'llm_vocab_coverage_curve', 'emb_pca_power_iteration', 'events_attribution_linear',
+    'events_forecast_naive_mae', 'events_anomaly_iqr', 'llm_doc_ppl_percentiles',
+    'emb_centroid_margin', 'events_user_overlap_jaccard', 'win_ranking',
     'win_ntile_pct', 'pricing_summary', 'project_select',
     'project_alias', 'project_computed', 'filter_compare',
-    'filter_boolean', 'filter_in_between_null', 'filter_like',
-    'fulltext_search', 'distinct_rows', 'sort_multikey',
-    'limit_n', 'offset_paging',
+    'filter_boolean', 'filter_in_between_null',
 )
 
 

@@ -798,3 +798,401 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "i", "w", F.round(F.col("w").cast("double") / 1000, 6).alias("loading")
     ).orderBy("i")
+
+
+@q(
+    "events_attribution_linear",
+    """WITH conv AS (
+         SELECT event_id AS conv_id, user_id, ts AS conv_ts
+         FROM events WHERE event_type = 'purchase'),
+       touch AS (
+         SELECT event_id AS touch_id, user_id, ts, event_type
+         FROM events WHERE event_type IN ('view', 'click', 'signup')),
+       tj AS (
+         SELECT c.conv_id, t.event_type
+         FROM conv c JOIN touch t
+           ON c.user_id = t.user_id
+          AND t.ts < c.conv_ts
+          AND t.ts >= c.conv_ts - INTERVAL 24 HOURS),
+       credited AS (
+         SELECT conv_id, event_type,
+                (1000000 // count(*) OVER (PARTITION BY conv_id))::BIGINT
+                  AS credit_micro
+         FROM tj)
+       SELECT event_type,
+              count(*) AS n_touches,
+              count(DISTINCT conv_id) AS n_conversions_touched,
+              round(sum(credit_micro)::DOUBLE / 1000000, 6) AS credit
+       FROM credited GROUP BY event_type ORDER BY event_type""",
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click/signup in the 24 h
+    before a purchase shares that conversion's credit equally — the
+    attribution model marketing compares against last-touch
+    (``events_first_touch``). Credit is 10⁶ integer micro-units divided
+    by the touch count (truncating division, identical both engines), so
+    the per-type credit sums are exact ints and only the final display
+    division is float. Scale: the conv⋈touch join is an equi-join on
+    user_id with a post-filter on the 24 h window (hash join, no
+    nested-loop); per-conversion touch counts are a bounded window over
+    the join output. At extreme fan-out, bucket both sides by
+    (user, day) first — the join_interval_binned shape."""
+    e = load_table(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        "user_id", "ts", "event_type"
+    )
+    tj = conv.join(
+        touch,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("ts") < F.col("conv_ts"))
+        & (F.col("ts") >= F.col("conv_ts") - F.expr("INTERVAL 24 HOURS")),
+    ).select("conv_id", "event_type")
+    credited = tj.select(
+        "conv_id",
+        "event_type",
+        F.expr("1000000 div count(*) OVER (PARTITION BY conv_id)")
+        .cast("bigint")
+        .alias("credit_micro"),
+    )
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.count_distinct("conv_id").alias("n_conversions_touched"),
+            F.round(F.sum("credit_micro").cast("double") / 1000000, 6).alias(
+                "credit"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "events_forecast_naive_mae",
+    """WITH daily AS (
+         SELECT event_type, ts::DATE AS d, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       scored AS (
+         SELECT a.event_type, a.n, b.n AS fc
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type
+          AND a.d = b.d + INTERVAL 7 DAYS)
+       SELECT event_type,
+              count(*) AS n_days_scored,
+              round(sum(abs(n - fc))::DOUBLE / count(*), 6) AS mae,
+              round(sum(n - fc)::DOUBLE / count(*), 6) AS bias
+       FROM scored GROUP BY event_type ORDER BY event_type""",
+)
+def events_forecast_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's event count
+    with the SAME WEEKDAY LAST WEEK and report MAE and bias per type —
+    the baseline every real forecasting model must beat, and the
+    cheapest drift alarm (MAE jumps when the weekly pattern breaks).
+    The 7-day alignment is an exact date equi-join (not lag-7-rows,
+    which silently misaligns when days are missing); counts are ints so
+    both error sums are exact, with two final display divisions."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") == F.date_add(F.col("b.d"), 7)),
+    ).select(F.col("a.event_type").alias("event_type"), F.col("a.n").alias("n"),
+             F.col("b.n").alias("fc"))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_scored"),
+            F.round(
+                F.sum(F.abs(F.col("n") - F.col("fc"))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sum(F.col("n") - F.col("fc")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "events_anomaly_iqr",
+    """WITH daily AS (
+         SELECT event_type, ts::DATE AS d, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       q AS (
+         SELECT event_type,
+                quantile_cont(n, 0.25) AS q1,
+                quantile_cont(n, 0.75) AS q3
+         FROM daily GROUP BY event_type)
+       SELECT d.event_type,
+              count(*) AS n_days,
+              sum(CASE WHEN d.n < q.q1 - 1.5 * (q.q3 - q.q1)
+                         OR d.n > q.q3 + 1.5 * (q.q3 - q.q1)
+                       THEN 1 ELSE 0 END)::BIGINT AS n_anomaly_days,
+              round(min(q.q1), 6) AS q1, round(min(q.q3), 6) AS q3
+       FROM daily d JOIN q USING (event_type)
+       GROUP BY d.event_type ORDER BY d.event_type""",
+)
+def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR-fence anomaly days per event type — Tukey's robust outlier
+    rule (beyond q3+1.5·IQR / below q1−1.5·IQR), the non-parametric
+    sibling of the z-score gate (``events_anomaly``) and the MAD gate:
+    immune to the anomalies' own contribution to the spread. Day counts
+    are exact ints; the quartiles interpolate over identical ints on
+    both engines, so every fence comparison is between identical
+    doubles and exact ints. One daily agg, one per-type quartile agg
+    broadcast back, one conditional count."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    qb = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.25)").alias("q1"),
+        F.expr("percentile(n, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        daily.join(F.broadcast(qb), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(
+                F.when((F.col("n") < lo) | (F.col("n") > hi), 1).otherwise(0)
+            ).alias("n_anomaly_days"),
+            F.round(F.min("q1"), 6).alias("q1"),
+            F.round(F.min("q3"), 6).alias("q3"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "llm_doc_ppl_percentiles",
+    """WITH tok AS (
+         SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+       tot AS (SELECT sum(c)::BIGINT AS t,
+                      (floor(ln(sum(c)) * 1000000))::BIGINT AS ln_t_micro
+               FROM freq),
+       terms AS (
+         SELECT tok.doc_id, tok.lang,
+                (floor(ln(freq.c) * 1000000))::BIGINT AS ln_c_micro
+         FROM tok JOIN freq USING (token)),
+       docs AS (
+         SELECT doc_id, lang, count(*) AS n_tok,
+                (count(*) * (SELECT ln_t_micro FROM tot)
+                 - sum(ln_c_micro)::BIGINT) AS nll_micro
+         FROM terms GROUP BY doc_id, lang),
+       per AS (
+         SELECT lang, (nll_micro // n_tok)::BIGINT AS nll_per_tok_micro
+         FROM docs)
+       SELECT lang, count(*) AS n_docs,
+              round(quantile_cont(nll_per_tok_micro, 0.5), 6) AS p50_nll_micro,
+              round(quantile_cont(nll_per_tok_micro, 0.9), 6) AS p90_nll_micro
+       FROM per GROUP BY lang ORDER BY lang""",
+)
+def llm_doc_ppl_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram negative-log-likelihood percentiles per
+    language — the corpus-LM fluency screen (a doc whose own corpus
+    can't predict it is boilerplate soup or foreign-language leakage;
+    perplexity is exp(nll/10⁶), left to the reader so no exp() runs on
+    either engine — exp is NOT guaranteed cross-libm identical). House
+    log discipline: per-token ln terms floor to integer micro-units
+    BEFORE summing (nll = n·ln T − Σ ln c, all exact int64), per-doc
+    normalization is truncating integer division, and percentiles
+    interpolate over exact ints. One token explode, one freq agg, one
+    equi-join, two tiny aggs."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(
+        F.floor(F.log(F.sum("c").cast("double")) * 1000000).alias("ln_t_micro")
+    )
+    terms = tok.join(freq, "token").select(
+        "doc_id",
+        "lang",
+        F.floor(F.log(F.col("c").cast("double")) * 1000000).alias("ln_c_micro"),
+    )
+    docs = (
+        terms.crossJoin(F.broadcast(tot))  # 1-row corpus total broadcast
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            (
+                F.count(F.lit(1)) * F.min("ln_t_micro") - F.sum("ln_c_micro")
+            ).alias("nll_micro"),
+        )
+    )
+    per = docs.select(
+        "lang", F.expr("nll_micro div n_tok").cast("bigint").alias("nll_per_tok_micro")
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("percentile(nll_per_tok_micro, 0.5)"), 6).alias(
+                "p50_nll_micro"
+            ),
+            F.round(F.expr("percentile(nll_per_tok_micro, 0.9)"), 6).alias(
+                "p90_nll_micro"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "emb_centroid_margin",
+    """WITH u AS (
+         SELECT vec_id, label,
+                unnest(range(len(embedding))) AS i,
+                unnest(embedding) AS e
+         FROM embeddings),
+       x AS (
+         SELECT vec_id, label, i,
+                CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS v
+         FROM u),
+       cent AS (
+         SELECT label AS c_label, i,
+                (sum(v)::BIGINT // count(*))::BIGINT AS c
+         FROM x GROUP BY label, i),
+       dist AS (
+         SELECT x.vec_id, x.label, cent.c_label,
+                sum((x.v - cent.c) * (x.v - cent.c))::BIGINT AS d2
+         FROM x JOIN cent USING (i)
+         GROUP BY x.vec_id, x.label, cent.c_label),
+       margins AS (
+         SELECT vec_id, label,
+                min(CASE WHEN c_label = label THEN d2 END) AS own_d2,
+                min(CASE WHEN c_label <> label THEN d2 END) AS other_d2
+         FROM dist GROUP BY vec_id, label)
+       SELECT label, count(*) AS n_vecs,
+              sum(CASE WHEN other_d2 > own_d2 THEN 1 ELSE 0 END)::BIGINT
+                AS n_separable,
+              round(sum(other_d2 - own_d2)::DOUBLE / count(*) / 1e12, 6)
+                AS avg_margin
+       FROM margins GROUP BY label ORDER BY label""",
+)
+def emb_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid separability audit: per label, how many vectors
+    sit closer to their OWN label centroid than to every other centroid,
+    and the average squared-distance margin — the go/no-go check before
+    trusting labels for supervised filtering or a centroid classifier.
+    Centroids are integer micro-unit means via truncating division
+    (identical both engines); every distance is an exact int64 sum of
+    squared diffs, so the separability counts cannot drift. Scale: the
+    vec×centroid expansion is N·d·L rows but partial-aggregates on
+    (vec, label-pair) map-side; centroids (L·d rows) broadcast."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("pos").cast("bigint").alias("i"),
+        F.round(F.col("val").cast("double") * 1000000).cast("bigint").alias("v"),
+    )
+    cent = x.groupBy(F.col("label").alias("c_label"), "i").agg(
+        F.expr("sum(v) div count(*)").cast("bigint").alias("c")
+    )
+    dist = (
+        x.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
+    )
+    margins = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("c_label") == F.col("label"), F.col("d2"))).alias("own_d2"),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("d2"))).alias(
+            "other_d2"
+        ),
+    )
+    return (
+        margins.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.when(F.col("other_d2") > F.col("own_d2"), 1).otherwise(0)
+            ).alias("n_separable"),
+            F.round(
+                F.sum(F.col("other_d2") - F.col("own_d2")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e12),
+                6,
+            ).alias("avg_margin"),
+        )
+        .orderBy("label")
+    )
+
+
+@q(
+    "events_user_overlap_jaccard",
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+       sizes AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+       inter AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                count(*) AS n_inter
+         FROM tu a JOIN tu b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+         GROUP BY 1, 2)
+       SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+              round(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter), 6)
+                AS jaccard
+       FROM inter i
+       JOIN sizes sa ON sa.event_type = i.type_a
+       JOIN sizes sb ON sb.event_type = i.type_b
+       ORDER BY i.type_a, i.type_b""",
+)
+def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: Jaccard similarity of the user sets
+    behind every pair of event types — the segmentation sanity check
+    (do purchasers overlap clickers? is 'error' hitting everyone?).
+    Set sizes and intersections are exact counts off one DISTINCT
+    (type, user) table; Jaccard is a single final division. Scale: the
+    self-join keys on user_id (equi-join, |types|²-bounded output) and
+    the distinct table is the only corpus-sized shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
