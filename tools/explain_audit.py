@@ -265,6 +265,12 @@ AUDITS: dict[str, list[str]] = {
     # (final plan scans the last squaring's checkpoint — the per-round
     # matrix-multiply shape is asserted by the numpy cross-check test)
     "emb_pca_power_iteration": ["no_cartesian", "partial_agg"],
+    "events_attribution_linear": ["smj_or_bhj", "window_exec", "partial_agg", "pruning", "no_cartesian", "codegen"],
+    "events_forecast_naive_mae": ["smj_or_bhj", "partial_agg", "pruning", "no_cartesian", "codegen"],
+    "events_anomaly_iqr": ["partial_agg", "broadcast_any", "pruning", "codegen"],
+    "llm_doc_ppl_percentiles": ["generate_exec", "partial_agg", "broadcast_any", "pruning", "codegen"],
+    "emb_centroid_margin": ["generate_exec", "partial_agg", "broadcast_any", "pruning", "codegen"],
+    "events_user_overlap_jaccard": ["smj_or_bhj", "partial_agg", "pruning", "no_cartesian", "codegen"],
 }
 
 

@@ -47,6 +47,10 @@ PROBES = [
     ("llm_bigram_logprob", "bigram LM scoring — linear in corpus tokens"),
     ("graph_kcore_peel", "bounded k-core peel — linear per round in surviving edges"),
     ("llm_bigram_cond_entropy", "conditional entropy — linear token explode + two aggs"),
+    ("emb_covariance_topk", "in-array pair partial agg — linear in vectors at fixed d"),
+    ("emb_pca_power_iteration", "S build linear in vectors; squaring ladder fixed-cost in N"),
+    ("dq_order_total_reconciliation", "micro-cent reconcile — linear in lineitems"),
+    ("events_attribution_linear", "24h touch join — linear in per-user touch×conv pairs"),
 ]
 
 
