@@ -126,3 +126,49 @@ def test_wow_growth_consistent(spark, registry):
     for r in out:
         expect = (r["n"] - r["prev_n"]) / r["prev_n"]
         assert abs(r["wow_growth"] - round(expect, 6)) < 1e-9
+
+
+def test_attribution_credit_conserved(spark, registry):
+    """Total linear-attribution credit cannot exceed the number of
+    credited conversions (each conversion distributes exactly 1.0 of
+    credit, minus micro-unit truncation dust), and every touch type's
+    credit is nonnegative."""
+    out = registry["events_attribution_linear"](spark, SF0001).collect()
+    total_credit = sum(r["credit"] for r in out)
+    # ground truth: purchases with >=1 view/click/signup in the prior 24 h
+    e = load_table(spark, SF0001, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"))
+    touch = e.filter(F.col("event_type").isin("view", "click", "signup"))
+    n_credited = (
+        conv.join(
+            touch,
+            (F.col("cu") == touch.user_id)
+            & (touch.ts < F.col("cts"))
+            & (touch.ts >= F.col("cts") - F.expr("INTERVAL 24 HOURS")),
+        )
+        .select("cid").distinct().count()
+    )
+    # each credited conversion hands out exactly 1.0 of credit, minus
+    # micro-unit truncation dust (< n_touches * 1e-6)
+    assert n_credited - 0.05 < total_credit <= n_credited + 1e-6
+    for r in out:
+        assert r["credit"] >= 0.0 and r["n_touches"] >= r["n_conversions_touched"]
+
+
+def test_jaccard_bounds_and_symmetric_sizes(spark, registry):
+    out = registry["events_user_overlap_jaccard"](spark, SF0001).collect()
+    for r in out:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["n_inter"] <= min(r["n_a"], r["n_b"])
+        assert r["type_a"] < r["type_b"]
+
+
+def test_centroid_margin_counts_bounded(spark, registry):
+    out = registry["emb_centroid_margin"](spark, SF0001).collect()
+    from hawaiidatapipeline_spark.registry import load_table as lt
+    n_total = lt(spark, SF0001, "embeddings").count()
+    assert sum(r["n_vecs"] for r in out) == n_total
+    for r in out:
+        assert 0 <= r["n_separable"] <= r["n_vecs"]
