@@ -345,6 +345,89 @@ def sessionized_counters(events: DataFrame, gap_minutes: int = 30, watermark: st
     )
 
 
+def funnel_stage_tracker(
+    events: DataFrame,
+    window_hours: int = 1,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming face of the batch ``events_funnel_windowed`` query: a
+    per-user STATE MACHINE tracking first view → first qualifying click
+    (strictly after the view, within ``window_hours``) → first
+    qualifying purchase (strictly after that click, within the window).
+    Each user's final stage (0–3) is emitted exactly once, when the
+    event-time timeout fires after the watermark passes their horizon —
+    the pattern for "emit a verdict per entity once its episode closes".
+
+    Out-of-order correctness inside the watermark: "first view" is a
+    running MIN, so a late-arriving EARLIER view may shift the click
+    window earlier. The state therefore retains candidate clicks /
+    purchases and re-evaluates qualification only at finalization.
+    State is BOUNDED by pruning with the one-direction argument: the
+    view anchor only ever decreases, so a click beyond view+W (or a
+    purchase beyond view+2W) can never qualify under any future anchor
+    and is dropped on every update. Replay over a closed input equals
+    the batch funnel exactly (tests/test_streaming.py)."""
+    win_us = window_hours * 3600 * 1_000_000
+    ev = events.select("user_id", "ts", "event_type").withWatermark(
+        "ts", watermark
+    )
+
+    def update(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            view, clicks, purchases = state.get
+            state.remove()
+            stage = 0
+            if view >= 0:
+                stage = 1
+                qc = [c for c in clicks if view < c <= view + win_us]
+                if qc:
+                    stage = 2
+                    c0 = min(qc)
+                    if any(c0 < p <= c0 + win_us for p in purchases):
+                        stage = 3
+            yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+            return
+        view, clicks, purchases = (
+            state.get if state.exists else (-1, [], [])
+        )
+        clicks, purchases = list(clicks), list(purchases)
+        last_us = 0
+        for pdf in pdfs:
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                us = int(ts.timestamp() * 1_000_000)
+                last_us = max(last_us, us)
+                if et == "view":
+                    view = us if view < 0 else min(view, us)
+                elif et == "click":
+                    clicks.append(us)
+                elif et == "purchase":
+                    purchases.append(us)
+        if view >= 0:  # prune: the anchor only decreases, windows only move earlier
+            clicks = [c for c in clicks if c <= view + win_us]
+            purchases = [p for p in purchases if p <= view + 2 * win_us]
+        state.update((view, sorted(set(clicks)), sorted(set(purchases))))
+        if last_us:
+            # a timeout must sit strictly above the CURRENT watermark —
+            # a batch whose events are already behind it (late-but-valid
+            # arrivals) re-arms for the next watermark advance instead
+            state.setTimeoutTimestamp(
+                max(last_us // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        return
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, stage int",
+        stateStructType=(
+            "view bigint, clicks array<bigint>, purchases array<bigint>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def late_data_audit(events: DataFrame, threshold: str = "30 minutes"):
     """foreachBatch sink splitting each micro-batch into on-time vs late
     (event time older than the batch's max seen minus threshold) — the

@@ -684,3 +684,92 @@ def test_cdc_next_batch_recovers_interrupted_swap(spark, tmp_path):
     want = {k: float(k) for k in range(2, 11)} | {1: 100.0, 11: 11.0}
     assert got == want  # keys 2..10 survived via the .old fallback
     assert not os.path.exists(target + ".old")  # swap completed cleanly
+
+
+def test_funnel_tracker_matches_batch_funnel(spark, tmp_path):
+    """funnel_stage_tracker replayed over a closed input — delivered as
+    micro-batches in late-stage-first order, so clicks/purchases arrive
+    BEFORE the views that anchor them — must assign every user exactly
+    the stage the batch events_funnel_windowed logic computes (first
+    view -> first qualifying click within 1h -> first qualifying
+    purchase within 1h of that click). Event-time timeouts fire on the
+    batch AFTER the watermark passes a user's horizon, so two trailing
+    flush batches drain every verdict (their sentinel user stays open
+    and is excluded, like user 3 in the sessionized test)."""
+    import datetime as dt
+    import time
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = lambda mins: base + dt.timedelta(minutes=mins)
+    rows = [
+        # u0: full funnel inside the windows -> stage 3
+        (0, m(0), "view"), (0, m(30), "click"), (0, m(70), "purchase"),
+        # u1: click outside 1h of first view -> stage 1
+        (1, m(0), "view"), (1, m(90), "click"), (1, m(100), "purchase"),
+        # u2: click ok, purchase >1h after the click -> stage 2
+        (2, m(0), "view"), (2, m(50), "click"), (2, m(140), "purchase"),
+        # u3: purchase BEFORE the click (not strictly after) -> stage 2
+        (3, m(0), "view"), (3, m(40), "click"), (3, m(20), "purchase"),
+        # u4: no view at all -> stage 0
+        (4, m(10), "click"), (4, m(20), "purchase"),
+        # u5: the EARLIER view arrives in a LATER batch (within the 2h
+        # watermark): anchor shifts to m(0); click m(30) and purchase
+        # m(80) then qualify -> stage 3
+        (5, m(30), "click"), (5, m(80), "purchase"),
+        # u6: click exactly AT view ts (not strictly after) -> stage 1
+        (6, m(0), "view"), (6, m(0), "click"),
+    ]
+    late = [(5, m(0), "view")]
+    schema = "user_id long, ts timestamp, event_type string"
+    landing = tmp_path / "funnel_landing"
+    landing.mkdir()
+
+    def land(name, data):
+        spark.createDataFrame(data, schema).coalesce(1).write.parquet(
+            str(landing / name)
+        )
+        time.sleep(1.1)  # pin file order for maxFilesPerTrigger=1
+
+    land("b0", rows[8:])            # later stages first
+    land("b1", rows[:8] + late)     # anchors + the late earlier view
+    land("b2", [(99, m(600), "noop")])  # advances the watermark
+    land("b3", [(98, m(601), "noop")])  # fires the armed timeouts
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(landing / "b*"))
+    out = runtime.funnel_stage_tracker(stream, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stages")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "funnel_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["user_id"]: r["stage"]
+        for r in spark.table("funnel_stages").collect()
+        if r["user_id"] not in (98, 99)
+    }
+    # batch reference: the events_funnel_windowed stage logic in python
+    per_user = {}
+    for u, ts, et in rows + late:
+        per_user.setdefault(u, []).append((ts, et))
+    expected = {}
+    H = dt.timedelta(hours=1)
+    for u, evs in per_user.items():
+        views = [t for t, e in evs if e == "view"]
+        stage = 0
+        if views:
+            stage, v = 1, min(views)
+            qc = [t for t, e in evs if e == "click" and v < t <= v + H]
+            if qc:
+                stage, c = 2, min(qc)
+                if any(
+                    e == "purchase" and c < t <= c + H for t, e in evs
+                ):
+                    stage = 3
+        expected[u] = stage
+    assert got == expected
