@@ -139,12 +139,45 @@ def measure_aggregate_sink(spark, rate: int) -> dict | None:
         return stats
 
 
+def measure_funnel_tracker(spark, rate: int) -> dict | None:
+    from hawaiidatapipeline_spark.streaming.runtime import funnel_stage_tracker
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rate)
+            .load()
+            .select(
+                F.pmod("value", F.lit(500)).alias("user_id"),
+                F.col("timestamp").alias("ts"),
+                F.element_at(
+                    F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                    (F.pmod("value", F.lit(3)) + 1).cast("int"),
+                ).alias("event_type"),
+            )
+        )
+        out = funnel_stage_tracker(src, watermark="5 seconds")
+        q = (
+            out.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(**TRIGGER)
+            .start()
+        )
+        time.sleep(RUN_SECONDS)
+        stats = _progress_stats(q)
+        q.stop()
+        q.awaitTermination(30)
+        return stats
+
+
 def run(spark, write_to: str | None = None) -> int:
     rows = []
     for label, fn in (
         ("rate_limited_counters", measure_rate_limiter),
         ("run_cdc_sink", measure_cdc_applier),
         ("run_aggregate_sink", measure_aggregate_sink),
+        ("funnel_stage_tracker", measure_funnel_tracker),
     ):
         for rate in RATES:
             s = fn(spark, rate)
