@@ -3,11 +3,15 @@ and corpus-curation frontier queries.
 
 Cross-table financial reconciliation (the DQ check every warehouse runs
 before trusting a fact table), a completeness matrix, RFM user
-segmentation, inter-arrival latency profiles, month-over-month growth,
+segmentation, inter-arrival latency profiles, week-over-week growth,
 cross-language contamination by prefix fingerprint, boilerplate-prefix
 detection, token-length percentiles, an exact distributed covariance
-top-k over the embedding matrix, and the vocabulary coverage curve a
-tokenizer-budget decision needs.
+top-k over the embedding matrix, the vocabulary coverage curve a
+tokenizer-budget decision needs, distributed PCA by integer matrix
+squaring, linear multi-touch attribution, a seasonal-naive forecast
+backtest, IQR-fence anomaly days, per-document unigram NLL percentiles,
+nearest-centroid separability margins, and the audience-overlap Jaccard
+matrix.
 
 House determinism contract throughout (SURVEY.md §7 risk 1): monetary
 columns are exact 2-dp in the fixtures, so ``round(x*100)`` lifts them
