@@ -80,6 +80,7 @@ HEAVY = [
     "emb_covariance_topk",
     "llm_vocab_coverage_curve",
     "dq_order_total_reconciliation",
+    "emb_pq_codes",
 ]
 
 

@@ -90,10 +90,10 @@ _FRONT: tuple[str, ...] = (
     'llm_boilerplate_prefixes', 'llm_token_len_percentiles', 'emb_covariance_topk',
     'llm_vocab_coverage_curve', 'emb_pca_power_iteration', 'events_attribution_linear',
     'events_forecast_naive_mae', 'events_anomaly_iqr', 'llm_doc_ppl_percentiles',
-    'emb_centroid_margin', 'events_user_overlap_jaccard', 'win_ranking',
-    'win_ntile_pct', 'pricing_summary', 'project_select',
-    'project_alias', 'project_computed', 'filter_compare',
-    'filter_boolean', 'filter_in_between_null',
+    'emb_centroid_margin', 'events_user_overlap_jaccard', 'emb_pq_codes',
+    'win_ranking', 'win_ntile_pct', 'pricing_summary',
+    'project_select', 'project_alias', 'project_computed',
+    'filter_compare', 'filter_boolean',
 )
 
 

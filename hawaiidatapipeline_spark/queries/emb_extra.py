@@ -367,3 +367,134 @@ def emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+_PQ_M_DIMS = 8  # dims per subspace: 64-dim vectors -> M = 8 subspaces
+_PQ_K = 4  # codebook size per subspace (2 bits; 8 subspaces pack into 16 bits)
+_PQ_ROUNDS = 2
+
+
+def _pq_ctes() -> str:
+    """Unrolled product-quantization training as CTEs: the ``_kmeans_ctes``
+    idiom with a SUBSPACE column m = d div 8 threaded through every step,
+    so all M codebooks train in the same relational pass — no per-subspace
+    loop on either engine."""
+    step = """
+pd{i} AS (SELECT v.vec_id, v.m, c.cid,
+                 sum((v.q - c.cq) * (v.q - c.cq)) AS dist
+          FROM pqv v JOIN pc{p} c ON v.d = c.d AND v.m = c.m
+          GROUP BY v.vec_id, v.m, c.cid),
+pa{i} AS (SELECT vec_id, m, cid, dist FROM (
+            SELECT vec_id, m, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist, cid) AS rn
+            FROM pd{i}) t WHERE rn = 1),
+pc{i} AS (SELECT a.m, a.cid, v.d,
+                 floor(sum(v.q) * 1.0 / count(*))::BIGINT AS cq
+          FROM pa{i} a JOIN pqv v ON a.vec_id = v.vec_id AND a.m = v.m
+          GROUP BY a.m, a.cid, v.d)"""
+    rounds = ",".join(
+        step.format(i=i, p=i - 1) for i in range(1, _PQ_ROUNDS + 1)
+    )
+    return f"""pqv AS (
+         SELECT vec_id,
+                unnest(generate_series(0, len(embedding) - 1)) AS d,
+                unnest(generate_series(0, len(embedding) - 1)) // {_PQ_M_DIMS} AS m,
+                round(unnest(embedding) * 1000)::BIGINT AS q
+         FROM embeddings),
+       pc0 AS (SELECT m, vec_id AS cid, d, q AS cq
+               FROM pqv WHERE vec_id < {_PQ_K}),
+       {rounds}"""
+
+
+def _pq_sql() -> str:
+    return f"""WITH {_pq_ctes()},
+       codes AS (
+         SELECT vec_id,
+                sum(cid * power({_PQ_K}, m)::BIGINT)::BIGINT AS packed_code,
+                sum(dist)::BIGINT AS q_err
+         FROM pa{_PQ_ROUNDS} GROUP BY vec_id)
+       SELECT packed_code, count(*) AS n_vecs,
+              round(sum(q_err)::DOUBLE / count(*), 6) AS avg_q_err
+       FROM codes GROUP BY packed_code
+       ORDER BY n_vecs DESC, packed_code LIMIT 20"""
+
+
+@q("emb_pq_codes", _pq_sql())
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the industry-standard ANN compression tier
+    (IVF-PQ): each 64-dim vector splits into 8 contiguous 8-dim
+    subvectors, each subspace trains its own k=4 codebook by
+    fixed-point Lloyd rounds, and a vector's code packs the 8 subspace
+    assignments into one integer (2 bits each). Reported: the top-20
+    packed codes by population with their mean quantization error —
+    the codebook-health table (one dominant code = dead codebooks;
+    error trend = how lossy the compression is). Determinism is the
+    ``ml_kmeans_fixed_point`` contract (milli-unit integers, exact
+    squared distances, floor-average centroid updates, (dist, cid)
+    argmin) with the SUBSPACE as an extra grouping column, so all 8
+    codebooks train in the same relational pass — no per-subspace loop,
+    and the DuckDB oracle unrolls identically. Scale: per round one
+    broadcast of M·k·(d/M) = k·d centroid cells against the exploded
+    corpus and two partial-agg shuffles keyed by (vec, m) / (m, cid) —
+    linear in corpus size; codes pack map-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "vec_id",
+        "d",
+        (F.col("d") / _PQ_M_DIMS).cast("long").alias("m"),
+        F.round(F.col("x") * 1000).cast("long").alias("q"),
+    )
+    qv = materialize(qv)
+    cent = (
+        qv.filter(F.col("vec_id") < _PQ_K)
+        .select("m", F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
+    )
+    cent = materialize(cent)
+    assign = None
+    for _ in range(_PQ_ROUNDS):
+        dists = (
+            qv.join(F.broadcast(cent), ["d", "m"])
+            .groupBy("vec_id", "m", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+        assign = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "cid", "dist")
+        )
+        assign = materialize(assign)
+        cent = (
+            assign.join(qv, ["vec_id", "m"])
+            .groupBy("m", "cid", "d")
+            .agg(
+                F.floor(F.sum("q") * 1.0 / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cq")
+            )
+        )
+        cent = materialize(cent)
+    codes = assign.groupBy("vec_id").agg(
+        F.sum(
+            F.col("cid") * F.pow(F.lit(_PQ_K), F.col("m")).cast("bigint")
+        ).alias("packed_code"),
+        F.sum("dist").alias("q_err"),
+    )
+    return (
+        codes.groupBy("packed_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("q_err").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_q_err"
+            ),
+        )
+        .orderBy(F.col("n_vecs").desc(), "packed_code")
+        .limit(20)
+    )

@@ -172,3 +172,16 @@ def test_centroid_margin_counts_bounded(spark, registry):
     assert sum(r["n_vecs"] for r in out) == n_total
     for r in out:
         assert 0 <= r["n_separable"] <= r["n_vecs"]
+
+
+def test_pq_codes_cover_corpus_and_range(spark, registry):
+    """Every packed code is a valid 8x2-bit word, populations are
+    positive, the top-20 cannot exceed the corpus, and quantization
+    errors are nonnegative."""
+    out = registry["emb_pq_codes"](spark, SF0001).collect()
+    n_total = load_table(spark, SF0001, "embeddings").count()
+    assert 0 < len(out) <= 20
+    assert sum(r["n_vecs"] for r in out) <= n_total
+    for r in out:
+        assert 0 <= r["packed_code"] < 4 ** 8
+        assert r["n_vecs"] > 0 and r["avg_q_err"] >= 0.0

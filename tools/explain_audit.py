@@ -271,6 +271,9 @@ AUDITS: dict[str, list[str]] = {
     "llm_doc_ppl_percentiles": ["generate_exec", "partial_agg", "broadcast_any", "pruning", "codegen"],
     "emb_centroid_margin": ["generate_exec", "partial_agg", "broadcast_any", "pruning", "codegen"],
     "events_user_overlap_jaccard": ["smj_or_bhj", "partial_agg", "pruning", "no_cartesian", "codegen"],
+    # (final plan aggregates the last round's materialized assignment —
+    # per-round shape is the ml_kmeans_fixed_point contract + oracle)
+    "emb_pq_codes": ["no_cartesian", "partial_agg", "take_ordered"],
 }
 
 
