@@ -81,6 +81,7 @@ HEAVY = [
     "llm_vocab_coverage_curve",
     "dq_order_total_reconciliation",
     "emb_pq_codes",
+    "emb_pq_adc_topk",
 ]
 
 

@@ -498,3 +498,114 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_vecs").desc(), "packed_code")
         .limit(20)
     )
+
+
+_ADC_STRIDE = 31  # probe stride: vec_id % 31 == 0 (the recall-audit idiom)
+_ADC_TOPK = 3
+
+
+def _pq_adc_sql() -> str:
+    return f"""WITH {_pq_ctes()},
+       probes AS (SELECT * FROM pqv WHERE vec_id % {_ADC_STRIDE} = 0),
+       t AS (
+         SELECT p.vec_id AS probe_id, p.m, c.cid,
+                sum((p.q - c.cq) * (p.q - c.cq))::BIGINT AS sub_d2
+         FROM probes p JOIN pc{_PQ_ROUNDS} c ON p.d = c.d AND p.m = c.m
+         GROUP BY 1, 2, 3),
+       adc AS (
+         SELECT t.probe_id, a.vec_id AS neighbor_id,
+                sum(t.sub_d2)::BIGINT AS adc_d2
+         FROM pa{_PQ_ROUNDS} a JOIN t ON a.m = t.m AND a.cid = t.cid
+         WHERE a.vec_id <> t.probe_id
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT probe_id, neighbor_id, adc_d2,
+                row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY adc_d2, neighbor_id) AS rnk
+         FROM adc)
+       SELECT probe_id, rnk, neighbor_id, adc_d2
+       FROM ranked WHERE rnk <= {_ADC_TOPK}
+       ORDER BY probe_id, rnk"""
+
+
+@q("emb_pq_adc_topk", _pq_adc_sql())
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over the PQ codes — the
+    query half of IVF-PQ: each probe computes one k×M table of exact
+    subspace distances to the codebook centroids, and every corpus
+    vector is then scored by LOOKUP ONLY (Σ over its 8 code entries) —
+    the probe never touches raw corpus vectors. All distances are exact
+    int64 (milli-unit fixed point, the emb_pq_codes contract), the
+    ranking carries a (distance, neighbor_id) total order, and the
+    oracle reuses the same unrolled training CTEs. Scale: the lookup
+    table is probes×k×M rows (tiny, broadcast); scoring joins the
+    N·M code table against it on (m, cid) and partial-aggregates to
+    (probe, vector) — linear in corpus size per probe, the exact
+    economics that make PQ search cheap at 10⁹ vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "vec_id",
+        "d",
+        (F.col("d") / _PQ_M_DIMS).cast("long").alias("m"),
+        F.round(F.col("x") * 1000).cast("long").alias("q"),
+    )
+    qv = materialize(qv)
+    cent = (
+        qv.filter(F.col("vec_id") < _PQ_K)
+        .select("m", F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
+    )
+    cent = materialize(cent)
+    assign = None
+    for _ in range(_PQ_ROUNDS):
+        dists = (
+            qv.join(F.broadcast(cent), ["d", "m"])
+            .groupBy("vec_id", "m", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+        assign = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "cid")
+        )
+        assign = materialize(assign)
+        cent = (
+            assign.join(qv, ["vec_id", "m"])
+            .groupBy("m", "cid", "d")
+            .agg(
+                F.floor(F.sum("q") * 1.0 / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cq")
+            )
+        )
+        cent = materialize(cent)
+    probes = qv.filter(F.col("vec_id") % _ADC_STRIDE == 0)
+    t = (
+        probes.join(F.broadcast(cent), ["d", "m"])
+        .groupBy(F.col("vec_id").alias("probe_id"), "m", "cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("sub_d2")
+        )
+    )
+    adc = (
+        assign.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(t), ["m", "cid"])
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.sum("sub_d2").alias("adc_d2"))
+    )
+    w2 = Window.partitionBy("probe_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= _ADC_TOPK)
+        .select("probe_id", "rnk", "neighbor_id", "adc_d2")
+        .orderBy("probe_id", "rnk")
+    )

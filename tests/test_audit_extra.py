@@ -185,3 +185,19 @@ def test_pq_codes_cover_corpus_and_range(spark, registry):
     for r in out:
         assert 0 <= r["packed_code"] < 4 ** 8
         assert r["n_vecs"] > 0 and r["avg_q_err"] >= 0.0
+
+
+def test_pq_adc_ranking_is_topk_per_probe(spark, registry):
+    """Every probe gets exactly top-3 ranked 1..3 with nondecreasing ADC
+    distance, never itself as a neighbor."""
+    out = registry["emb_pq_adc_topk"](spark, SF0001).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["probe_id"], []).append(r)
+    for pid, rows in per.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        d = [r["adc_d2"] for r in rows]
+        assert d == sorted(d)
+        assert all(r["neighbor_id"] != pid for r in rows)
+        assert all(r["adc_d2"] >= 0 for r in rows)
