@@ -488,3 +488,99 @@ def simhash_signatures(
         ).alias("simhash"),
     )
     return sig
+
+
+def incremental_minhash_candidates(
+    corpus: DataFrame,
+    batch: DataFrame,
+    tau: float = 0.6,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    corpus_sig: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental LSH dedup: near-dup candidates TOUCHING A NEW BATCH —
+    batch×corpus plus batch-internal pairs — without ever re-pairing the
+    existing corpus against itself. This is the arrival-time shape of
+    ``minhash_candidate_pairs``: a full pass is O(corpus) once, then each
+    new batch costs O(batch) signature work plus a band equi-join whose
+    output is proportional to the batch's collisions, never corpus².
+
+    ``corpus_sig``: the PERSISTED signature+band table from the last full
+    pass (the ``bands=`` reuse idiom of band_health) — pass it in
+    production so corpus signatures are never recomputed; when None (the
+    fixture path, no state store) it is rebuilt here. Signatures must
+    share the scheme tag (see MINHASH_SCHEME_*).
+
+    Returns (doc_a, doc_b, est_jaccard, pair_kind) with doc_a < doc_b and
+    pair_kind ∈ {'new_vs_corpus', 'new_vs_new'}.
+    """
+    def sigs(df: DataFrame) -> DataFrame:
+        tok = (
+            shingle_base_hashes(df, shingle_n, id_col, text_col)
+            if hash_fn == "xxhash64"
+            else shingles_distinct(df, shingle_n, id_col, text_col)
+        )
+        return materialize(
+            _band_columns(
+                minhash_signatures(tok, n_hashes, id_col, hash_fn),
+                n_hashes,
+                n_bands,
+                hash_fn,
+            )
+        )
+
+    sig_c = corpus_sig if corpus_sig is not None else sigs(corpus)
+    sig_b = sigs(batch)
+    bands_c = _band_rows(sig_c, n_bands, id_col, id_col)
+    bands_b = _band_rows(sig_b, n_bands, id_col, id_col)
+
+    nb, cb = bands_b.alias("nb"), bands_c.alias("cb")
+    cand_nc = (
+        nb.join(
+            cb,
+            (F.col("nb.band") == F.col("cb.band"))
+            & (F.col("nb.sig") == F.col("cb.sig")),
+        )
+        .select(
+            F.least(F.col(f"nb.{id_col}"), F.col(f"cb.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"nb.{id_col}"), F.col(f"cb.{id_col}")).alias("doc_b"),
+            F.lit("new_vs_corpus").alias("pair_kind"),
+        )
+    )
+    x, y = bands_b.alias("x"), bands_b.alias("y")
+    cand_nn = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+            F.lit("new_vs_new").alias("pair_kind"),
+        )
+    )
+    cand = cand_nc.unionByName(cand_nn).dropDuplicates(["doc_a", "doc_b"])
+
+    sig_all = sig_b.unionByName(sig_c)
+    agree = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    scored = (
+        cand.join(sig_all.alias("a"), F.col("doc_a") == F.col(f"a.{id_col}"))
+        .join(sig_all.alias("b"), F.col("doc_b") == F.col(f"b.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "pair_kind",
+            (agree / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= tau)
+    )
+    return scored

@@ -1200,3 +1200,93 @@ def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+_ILSH_N, _ILSH_BANDS = 16, 4
+_ILSH_RPB = _ILSH_N // _ILSH_BANDS
+
+
+def _ph(expr: str, seed) -> str:
+    # portable md5-derived 60-bit hash — operators/dedup.portable_hash64 twin
+    return f"('0x' || substring(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
+
+
+def _ilsh_sql() -> str:
+    sig_cols = ",\n                ".join(
+        f"min({_ph('sh', i)}) AS h{i}" for i in range(_ILSH_N)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM sig".format(
+            b=b,
+            sig=_ph(
+                " || ',' || ".join(
+                    f"h{b * _ILSH_RPB + r}::VARCHAR" for r in range(_ILSH_RPB)
+                ),
+                9999,
+            ),
+        )
+        for b in range(_ILSH_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(_ILSH_N)
+    )
+    return f"""WITH words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       ),
+       idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+               FROM words),
+       shingle AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+                   FROM idx),
+       sig AS (SELECT doc_id,
+                {sig_cols}
+               FROM shingle GROUP BY doc_id),
+       bands AS ({band_rows}),
+       cand AS (
+         SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+                greatest(x.doc_id, y.doc_id) AS doc_b,
+                CASE WHEN x.doc_id % 10 = 0 AND y.doc_id % 10 = 0
+                     THEN 'new_vs_new' ELSE 'new_vs_corpus' END AS pair_kind
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         WHERE x.doc_id % 10 = 0 OR y.doc_id % 10 = 0),
+       scored AS (SELECT c.doc_a, c.doc_b, c.pair_kind, ({agree}) AS agree
+                  FROM cand c
+                  JOIN sig a ON a.doc_id = c.doc_a
+                  JOIN sig b ON b.doc_id = c.doc_b)
+       SELECT doc_a, doc_b, pair_kind,
+              round(agree / {_ILSH_N}.0, 6) AS est_jaccard
+       FROM scored WHERE agree / {_ILSH_N}.0 >= 0.6
+       ORDER BY doc_a, doc_b"""
+
+
+@q("llm_dedup_incremental_lsh", _ilsh_sql())
+def llm_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup — the arrival-time tier the exact-hash
+    incremental path (``etl_dedup_incremental``) cannot cover: a NEW
+    batch (doc_id % 10 == 0 stands in for today's crawl) is checked for
+    NEAR-duplicates against the existing corpus and against itself,
+    without ever re-pairing the corpus — batch signatures are the only
+    new work, and the band equi-join emits only pairs touching the
+    batch. In production the corpus side is the PERSISTED signature
+    table from the last full pass (``corpus_sig=`` on
+    operators/dedup.incremental_minhash_candidates, the band-reuse
+    idiom); it is rebuilt here only because the fixture has no state
+    store — with md5-portable hashes so the oracle recomputes the whole
+    pipeline bit-for-bit. Candidate volume is O(batch collisions),
+    never corpus² — the only LSH maintenance shape that works when the
+    corpus is 100 TB and the daily batch is 0.1%."""
+    from hawaiidatapipeline_spark.operators.dedup import (
+        incremental_minhash_candidates,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    pairs = incremental_minhash_candidates(
+        corpus, batch, tau=0.6, n_hashes=_ILSH_N, n_bands=_ILSH_BANDS,
+        hash_fn="md5",
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "pair_kind",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+    ).orderBy("doc_a", "doc_b")

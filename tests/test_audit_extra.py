@@ -201,3 +201,17 @@ def test_pq_adc_ranking_is_topk_per_probe(spark, registry):
         assert d == sorted(d)
         assert all(r["neighbor_id"] != pid for r in rows)
         assert all(r["adc_d2"] >= 0 for r in rows)
+
+
+def test_incremental_lsh_pairs_touch_the_batch(spark, registry):
+    """Every emitted pair involves at least one new-batch doc (id % 10
+    == 0), pair_kind is consistent with membership, ids are ordered, and
+    the estimator stays in [tau, 1]."""
+    out = registry["llm_dedup_incremental_lsh"](spark, SF0001).collect()
+    assert out, "fixture is built to contain near-dup pairs"
+    for r in out:
+        is_new = (r["doc_a"] % 10 == 0, r["doc_b"] % 10 == 0)
+        assert any(is_new)
+        assert r["pair_kind"] == ("new_vs_new" if all(is_new) else "new_vs_corpus")
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.6 <= r["est_jaccard"] <= 1.0

@@ -275,6 +275,7 @@ AUDITS: dict[str, list[str]] = {
     # per-round shape is the ml_kmeans_fixed_point contract + oracle)
     "emb_pq_codes": ["no_cartesian", "partial_agg", "take_ordered"],
     "emb_pq_adc_topk": ["no_cartesian", "partial_agg", "window_exec", "broadcast_any"],
+    "llm_dedup_incremental_lsh": ["no_cartesian", "partial_agg"],
 }
 
 
