@@ -82,6 +82,7 @@ HEAVY = [
     "dq_order_total_reconciliation",
     "emb_pq_codes",
     "emb_pq_adc_topk",
+    "llm_dedup_incremental_lsh",
 ]
 
 
