@@ -83,6 +83,7 @@ HEAVY = [
     "emb_pq_codes",
     "emb_pq_adc_topk",
     "llm_dedup_incremental_lsh",
+    "emb_pq_recall_report",
 ]
 
 

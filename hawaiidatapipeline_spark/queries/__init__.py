@@ -91,9 +91,9 @@ _FRONT: tuple[str, ...] = (
     'llm_vocab_coverage_curve', 'emb_pca_power_iteration', 'events_attribution_linear',
     'events_forecast_naive_mae', 'events_anomaly_iqr', 'llm_doc_ppl_percentiles',
     'emb_centroid_margin', 'events_user_overlap_jaccard', 'emb_pq_codes',
-    'emb_pq_adc_topk', 'llm_dedup_incremental_lsh', 'win_ranking',
-    'win_ntile_pct', 'pricing_summary', 'project_select',
-    'project_alias', 'project_computed',
+    'emb_pq_adc_topk', 'llm_dedup_incremental_lsh', 'emb_pq_recall_report',
+    'win_ranking', 'win_ntile_pct', 'pricing_summary',
+    'project_select', 'project_alias',
 )
 
 

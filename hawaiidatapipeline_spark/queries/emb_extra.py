@@ -609,3 +609,168 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "rnk", "neighbor_id", "adc_d2")
         .orderBy("probe_id", "rnk")
     )
+
+
+_PQR_TOPK = 10
+
+
+def _pq_recall_sql() -> str:
+    return f"""WITH {_pq_ctes()},
+       probes AS (SELECT * FROM pqv WHERE vec_id % {_ADC_STRIDE} = 0),
+       t AS (
+         SELECT p.vec_id AS probe_id, p.m, c.cid,
+                sum((p.q - c.cq) * (p.q - c.cq))::BIGINT AS sub_d2
+         FROM probes p JOIN pc{_PQ_ROUNDS} c ON p.d = c.d AND p.m = c.m
+         GROUP BY 1, 2, 3),
+       adc AS (
+         SELECT t.probe_id, a.vec_id AS neighbor_id,
+                sum(t.sub_d2)::BIGINT AS adc_d2
+         FROM pa{_PQ_ROUNDS} a JOIN t ON a.m = t.m AND a.cid = t.cid
+         WHERE a.vec_id <> t.probe_id
+         GROUP BY 1, 2),
+       adc_top AS (
+         SELECT probe_id, neighbor_id FROM (
+           SELECT probe_id, neighbor_id,
+                  row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY adc_d2, neighbor_id) AS rnk
+           FROM adc) x WHERE rnk <= {_PQR_TOPK}),
+       exact AS (
+         SELECT p.vec_id AS probe_id, v.vec_id AS neighbor_id,
+                sum((p.q - v.q) * (p.q - v.q))::BIGINT AS d2
+         FROM probes p JOIN pqv v ON p.d = v.d
+         WHERE v.vec_id <> p.vec_id
+         GROUP BY 1, 2),
+       exact_top AS (
+         SELECT probe_id, neighbor_id FROM (
+           SELECT probe_id, neighbor_id,
+                  row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY d2, neighbor_id) AS rnk
+           FROM exact) x WHERE rnk <= {_PQR_TOPK}),
+       hits AS (
+         SELECT e.probe_id, count(a.neighbor_id) AS n_hits
+         FROM exact_top e
+         LEFT JOIN adc_top a
+           ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY e.probe_id)
+       SELECT probe_id, n_hits,
+              round(n_hits::DOUBLE / {_PQR_TOPK}, 6) AS recall_at_{_PQR_TOPK}
+       FROM hits ORDER BY probe_id"""
+
+
+@q("emb_pq_recall_report", _pq_recall_sql())
+def emb_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ asymmetric-distance search against EXACT top-10 —
+    the audit that prices the PQ tier before anyone trusts it (the
+    emb_ann_recall_report idiom applied to the compression codebooks
+    instead of the IVF cells): per stride-sampled probe, how many of the
+    true 10 nearest neighbors survive in the ADC top-10. Both lanes are
+    exact int64 (milli-unit distances, (dist, id) total orders), so the
+    hit counts are engine-identical; ground truth is priced by the probe
+    stride (O(probes·N·d)) exactly like the LSH/IVF recall audits.
+    Low recall here says 'train bigger codebooks or more subspaces'
+    BEFORE the index ships — the go/no-go table for the 100 TB ANN
+    path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "vec_id",
+        "d",
+        (F.col("d") / _PQ_M_DIMS).cast("long").alias("m"),
+        F.round(F.col("x") * 1000).cast("long").alias("q"),
+    )
+    qv = materialize(qv)
+    cent = (
+        qv.filter(F.col("vec_id") < _PQ_K)
+        .select("m", F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
+    )
+    cent = materialize(cent)
+    assign = None
+    for _ in range(_PQ_ROUNDS):
+        dists = (
+            qv.join(F.broadcast(cent), ["d", "m"])
+            .groupBy("vec_id", "m", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+        assign = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "cid")
+        )
+        assign = materialize(assign)
+        cent = (
+            assign.join(qv, ["vec_id", "m"])
+            .groupBy("m", "cid", "d")
+            .agg(
+                F.floor(F.sum("q") * 1.0 / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cq")
+            )
+        )
+        cent = materialize(cent)
+    probes = materialize(qv.filter(F.col("vec_id") % _ADC_STRIDE == 0))
+    t = (
+        probes.join(F.broadcast(cent), ["d", "m"])
+        .groupBy(F.col("vec_id").alias("probe_id"), "m", "cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("sub_d2")
+        )
+    )
+    adc = (
+        assign.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(t), ["m", "cid"])
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.sum("sub_d2").alias("adc_d2"))
+    )
+    w_adc = Window.partitionBy("probe_id").orderBy("adc_d2", "neighbor_id")
+    adc_top = (
+        adc.withColumn("rnk", F.row_number().over(w_adc))
+        .filter(F.col("rnk") <= _PQR_TOPK)
+        .select("probe_id", "neighbor_id")
+    )
+    p, v = probes.alias("p"), qv.alias("v")
+    exact = (
+        p.join(v, F.col("p.d") == F.col("v.d"))
+        .filter(F.col("v.vec_id") != F.col("p.vec_id"))
+        .groupBy(
+            F.col("p.vec_id").alias("probe_id"),
+            F.col("v.vec_id").alias("neighbor_id"),
+        )
+        .agg(
+            F.sum(
+                (F.col("p.q") - F.col("v.q")) * (F.col("p.q") - F.col("v.q"))
+            ).alias("d2")
+        )
+    )
+    w_ex = Window.partitionBy("probe_id").orderBy("d2", "neighbor_id")
+    exact_top = (
+        exact.withColumn("rnk", F.row_number().over(w_ex))
+        .filter(F.col("rnk") <= _PQR_TOPK)
+        .select("probe_id", "neighbor_id")
+    )
+    hits = (
+        exact_top.alias("e")
+        .join(
+            adc_top.alias("a"),
+            (F.col("a.probe_id") == F.col("e.probe_id"))
+            & (F.col("a.neighbor_id") == F.col("e.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("e.probe_id").alias("probe_id"))
+        .agg(F.count(F.col("a.neighbor_id")).alias("n_hits"))
+    )
+    return hits.select(
+        "probe_id",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / _PQR_TOPK, 6).alias(
+            f"recall_at_{_PQR_TOPK}"
+        ),
+    ).orderBy("probe_id")

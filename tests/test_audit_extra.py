@@ -215,3 +215,19 @@ def test_incremental_lsh_pairs_touch_the_batch(spark, registry):
         assert r["pair_kind"] == ("new_vs_new" if all(is_new) else "new_vs_corpus")
         assert r["doc_a"] < r["doc_b"]
         assert 0.6 <= r["est_jaccard"] <= 1.0
+
+
+def test_pq_recall_bounds(spark, registry):
+    """Recall is n_hits/10 with n_hits in 0..10, one row per strided
+    probe, and the fixture codebooks must retrieve a nonzero share of
+    true neighbors overall."""
+    out = registry["emb_pq_recall_report"](spark, SF0001).collect()
+    n_probes = (
+        load_table(spark, SF0001, "embeddings")
+        .filter("vec_id % 31 = 0").count()
+    )
+    assert len(out) == n_probes
+    for r in out:
+        assert 0 <= r["n_hits"] <= 10
+        assert abs(r["recall_at_10"] - r["n_hits"] / 10) < 1e-9
+    assert sum(r["n_hits"] for r in out) > 0

@@ -276,6 +276,7 @@ AUDITS: dict[str, list[str]] = {
     "emb_pq_codes": ["no_cartesian", "partial_agg", "take_ordered"],
     "emb_pq_adc_topk": ["no_cartesian", "partial_agg", "window_exec", "broadcast_any"],
     "llm_dedup_incremental_lsh": ["no_cartesian", "partial_agg"],
+    "emb_pq_recall_report": ["no_cartesian", "partial_agg", "window_exec"],
 }
 
 
