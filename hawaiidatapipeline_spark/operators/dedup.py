@@ -565,9 +565,42 @@ def incremental_minhash_candidates(
             F.lit("new_vs_new").alias("pair_kind"),
         )
     )
-    cand = cand_nc.unionByName(cand_nn).dropDuplicates(["doc_a", "doc_b"])
+    # Deterministic pair_kind: a pair that arises under BOTH join legs (a
+    # re-crawled id sits in the batch and the persisted corpus) must not let
+    # dropDuplicates pick the kind nondeterministically — dedup the bare
+    # pairs first, then derive the kind from batch-id membership: both ends
+    # in the batch => new_vs_new, else new_vs_corpus.
+    batch_ids = sig_b.select(id_col).distinct()
+    cand = (
+        cand_nc.unionByName(cand_nn)
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .join(
+            batch_ids.select(F.col(id_col).alias("_ba")),
+            F.col("doc_a") == F.col("_ba"),
+            "left",
+        )
+        .join(
+            batch_ids.select(F.col(id_col).alias("_bb")),
+            F.col("doc_b") == F.col("_bb"),
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(
+                F.col("_ba").isNotNull() & F.col("_bb").isNotNull(),
+                F.lit("new_vs_new"),
+            )
+            .otherwise(F.lit("new_vs_corpus"))
+            .alias("pair_kind"),
+        )
+    )
 
-    sig_all = sig_b.unionByName(sig_c)
+    # One signature row per id, preferring the batch's (fresher) signature:
+    # a re-crawled id present on both sides would otherwise fan the scoring
+    # joins out to duplicate (doc_a, doc_b) rows with mixed old/new scores.
+    sig_all = sig_b.unionByName(sig_c.join(batch_ids, id_col, "left_anti"))
     agree = sum(
         F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
         for i in range(n_hashes)

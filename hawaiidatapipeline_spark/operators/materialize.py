@@ -62,11 +62,26 @@ def observed_metric(obs, name: str, timeout_s: float = 120.0):
     instead (ADVICE r7)."""
     import time
 
-    deadline = time.monotonic() + timeout_s
-    while time.monotonic() < deadline:
-        if not obs._jo.getOrEmpty().isEmpty():
-            return obs.get[name]  # populated → returns immediately
-        time.sleep(0.05)
+    if not hasattr(obs, "_jo"):
+        # Spark Connect (or a future PySpark that drops the private JVM
+        # handle): no non-blocking probe exists, so run the documented
+        # blocking ``Observation.get`` under a watchdog thread — same
+        # fail-loudly-at-deadline contract, without private-API churn risk.
+        import concurrent.futures
+
+        ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        try:
+            return ex.submit(lambda: obs.get[name]).result(timeout=timeout_s)
+        except concurrent.futures.TimeoutError:
+            pass  # fall through to the shared loud failure below
+        finally:
+            ex.shutdown(wait=False)
+    else:
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            if not obs._jo.getOrEmpty().isEmpty():
+                return obs.get[name]  # populated → returns immediately
+            time.sleep(0.05)
     raise RuntimeError(
         f"observed_metric({name!r}): the Observation was never populated "
         f"within {timeout_s:.0f}s after materialize() — materialize() must "

@@ -331,7 +331,9 @@ def sessionized_counters(events: DataFrame, gap_minutes: int = 30, watermark: st
                 continue
             n += len(pdf)
             total += float(pdf["value"].sum())
-            last_ms = max(last_ms, int(pdf["ts"].max().timestamp() * 1000))
+            # exact ns->ms (Timestamp.value is integral ns) — float64
+            # .timestamp() truncation can be off by 1ms near boundaries
+            last_ms = max(last_ms, pdf["ts"].max().value // 1_000_000)
         state.update((n, total, last_ms))
         state.setTimeoutTimestamp(last_ms + gap_ms)
         return
@@ -365,8 +367,23 @@ def funnel_stage_tracker(
     State is BOUNDED by pruning with the one-direction argument: the
     view anchor only ever decreases, so a click beyond view+W (or a
     purchase beyond view+2W) can never qualify under any future anchor
-    and is dropped on every update. Replay over a closed input equals
-    the batch funnel exactly (tests/test_streaming.py)."""
+    and is dropped on every update. For view-less keys the same
+    argument runs through the watermark: a future anchoring view must
+    carry event time >= the current watermark, and qualification is
+    strict (view < click < purchase), so buffered candidates at or
+    below the watermark are unreachable and are dropped — the buffers
+    stay bounded even for users that never view.
+
+    Exactly-once: the event-time timeout is armed at the EPISODE
+    HORIZON — once a view anchor exists, at view + 2W (click window +
+    purchase window), not at the last-seen event. Arming at last-seen
+    would finalize and remove the state as soon as cross-key skew
+    pushes the watermark past a quiet user's last event, then a later
+    ON-TIME click inside the still-open funnel window would recreate
+    the state and emit a second, contradictory row. The anchor only
+    decreases, so the horizon only moves earlier and the timeout never
+    under-waits. Replay over a closed input equals the batch funnel
+    exactly (tests/test_streaming.py)."""
     win_us = window_hours * 3600 * 1_000_000
     ev = events.select("user_id", "ts", "event_type").withWatermark(
         "ts", watermark
@@ -396,7 +413,10 @@ def funnel_stage_tracker(
         last_us = 0
         for pdf in pdfs:
             for ts, et in zip(pdf["ts"], pdf["event_type"]):
-                us = int(ts.timestamp() * 1_000_000)
+                # exact ns->us (Timestamp.value is integral ns); a float64
+                # round-trip via .timestamp() has only ~0.25us resolution
+                # at 2024+ epochs and can flip the strict boundary checks
+                us = ts.value // 1000
                 last_us = max(last_us, us)
                 if et == "view":
                     view = us if view < 0 else min(view, us)
@@ -404,16 +424,27 @@ def funnel_stage_tracker(
                     clicks.append(us)
                 elif et == "purchase":
                     purchases.append(us)
+        wm_us = state.getCurrentWatermarkMs() * 1000
         if view >= 0:  # prune: the anchor only decreases, windows only move earlier
             clicks = [c for c in clicks if c <= view + win_us]
             purchases = [p for p in purchases if p <= view + 2 * win_us]
+        else:  # no anchor yet: a future view arrives at >= watermark and
+            # must precede (strictly) any qualifying click/purchase, so
+            # candidates at/below the watermark can never qualify
+            clicks = [c for c in clicks if c > wm_us]
+            purchases = [p for p in purchases if p > wm_us]
         state.update((view, sorted(set(clicks)), sorted(set(purchases))))
         if last_us:
-            # a timeout must sit strictly above the CURRENT watermark —
-            # a batch whose events are already behind it (late-but-valid
-            # arrivals) re-arms for the next watermark advance instead
+            # arm at the episode horizon: with a view anchor the funnel
+            # stays admissible until view + 2W (click window + purchase
+            # window) — firing at last-seen would double-emit under
+            # cross-key event-time skew. Without an anchor, last-seen is
+            # the only horizon there is. Either way the timeout must sit
+            # strictly above the CURRENT watermark — a batch whose events
+            # are already behind it re-arms for the next watermark advance.
+            horizon_us = max(last_us, view + 2 * win_us) if view >= 0 else last_us
             state.setTimeoutTimestamp(
-                max(last_us // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+                max(horizon_us // 1000 + 1, state.getCurrentWatermarkMs() + 1)
             )
         return
 

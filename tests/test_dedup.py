@@ -235,3 +235,42 @@ def test_linkage_pairs_equal_cross_parity_selfdedup_pairs(spark):
     got = {frozenset((r["left_id"], r["right_id"])) for r in linked.collect()}
     assert got == cross
     assert got, "fixture must contain cross-parity near-dups"
+
+
+def test_incremental_recrawl_prefers_batch_signature(spark):
+    """ADVICE r8: a doc_id present in BOTH the persisted corpus signatures
+    and the new batch (the re-crawl case) must contribute exactly one
+    signature row — the batch's fresher one — so scoring emits ONE row per
+    candidate pair, and pair_kind is derived deterministically from batch
+    membership rather than whichever union leg dropDuplicates kept."""
+    from hawaiidatapipeline_spark.operators.dedup import (
+        incremental_minhash_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    # corpus had doc 1 with OLD text (near-identical to doc 2); the batch
+    # re-crawls doc 1 with text that now matches doc 10 instead
+    corpus = spark.createDataFrame(
+        [(1, base + " old tail"), (2, base + " old tail words")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, base + " fresh tail"), (10, base + " fresh tail words")],
+        "doc_id bigint, text string",
+    )
+    out = incremental_minhash_candidates(
+        corpus, batch, tau=0.3, n_hashes=16, n_bands=8
+    ).collect()
+    rows = {(r["doc_a"], r["doc_b"]): r for r in out}
+    # exactly one row per pair — no old/new signature fan-out duplicates
+    assert len(out) == len(rows)
+    # (1, 10): both ends in the batch -> new_vs_new, scored on FRESH text
+    assert (1, 10) in rows
+    assert rows[(1, 10)]["pair_kind"] == "new_vs_new"
+    assert rows[(1, 10)]["est_jaccard"] > 0.5
+    # (1, 2) may survive banding via shared prefix; if present its kind is
+    # new_vs_corpus (1 is in the batch, 2 only in the corpus) and its score
+    # reflects the FRESH doc-1 signature (< the (1,10) fresh-pair score)
+    if (1, 2) in rows:
+        assert rows[(1, 2)]["pair_kind"] == "new_vs_corpus"
+        assert rows[(1, 2)]["est_jaccard"] < rows[(1, 10)]["est_jaccard"]

@@ -16,10 +16,12 @@ from .conftest import SF0001
 COMPLEX = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
 
 def _driver_rows():
-    """Union of green/failed keys across all committed CORRECTNESS_r*.json."""
+    """Union of green/failed keys across all committed CORRECTNESS_r*.json,
+    plus per-key last-checked round and the latest round on record."""
     import glob
     import json
     import os
+    import re
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -27,14 +29,20 @@ def _driver_rows():
 
     green: set[str] = set()
     failed: set[str] = set()
+    last_round: dict[str, int] = {}
+    latest = 0
     for path in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
                                               "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        latest = max(latest, rnd)
         data = json.load(open(path))
         rows = data if isinstance(data, dict) else {r["key"]: r for r in data}
         for key, row in rows.items():
             (green if row_is_green(row) else failed).add(key)
+            last_round[key] = max(last_round.get(key, 0), rnd)
     failed -= green
-    return green, failed
+    return green, failed, last_round, latest
 
 
 @pytest.fixture(scope="module")
@@ -101,7 +109,7 @@ def test_driver_window_covers_unchecked_queries(registry):
     fit, spare slots hold the stalest previously-green keys — so green keys
     in the window are fine as long as no unchecked key is crowded out."""
     qs, _ = registry
-    green, failed = _driver_rows()
+    green, failed, _, _ = _driver_rows()
     window = set(list(qs)[:50])
     unchecked = [k for k in qs if k not in green and k not in failed]
     missing = [k for k in unchecked[:50] if k not in window]
@@ -173,18 +181,31 @@ def test_front_window_is_not_stale():
     must be rotated (``python tools/rotate_window.py CORRECTNESS_r*.json``).
     A window key with a FAILED row on record is fine — it re-enters the
     window to re-prove its fix. Stalest-green fill keys are fine too, as
-    long as at least one window key is genuinely new."""
+    long as at least one window key is genuinely new.
+
+    All-green steady state (round-8 verdict): once EVERY registry key has
+    a green row, a freshness-refresh window is the legitimate remaining
+    use — the window may be all-green IF it targets the stalest evidence
+    (its stalest key's last driver row is >=4 rounds behind the newest
+    CORRECTNESS file). A verbatim repeat of recently-checked keys still
+    fails."""
     import glob
     import os
 
     if not glob.glob(os.path.join(os.path.dirname(__file__), "..",
                                   "CORRECTNESS_r*.json")):
         pytest.skip("no driver correctness files yet (round 1)")
-    green, failed = _driver_rows()
+    green, failed, last_round, latest = _driver_rows()
     already_proven = [k for k in queries._FRONT if k in green]
-    assert len(already_proven) < len(queries._FRONT), (
-        "every _FRONT key already has a green driver row — the next round's "
-        "sweep would re-prove old results; rotate the window"
+    if len(already_proven) < len(queries._FRONT):
+        return  # at least one new/failed key — the window proves something
+    stalest = min(last_round.get(k, 0) for k in queries._FRONT)
+    assert latest - stalest >= 4, (
+        "every _FRONT key already has a green driver row AND the stalest "
+        f"window key was re-checked only {latest - stalest} round(s) ago — "
+        "the next sweep would re-prove fresh results; rotate the window "
+        "toward new keys or the stalest greens "
+        "(python tools/rotate_window.py CORRECTNESS_r*.json)"
     )
 
 

@@ -773,3 +773,64 @@ def test_funnel_tracker_matches_batch_funnel(spark, tmp_path):
                     stage = 3
         expected[u] = stage
     assert got == expected
+
+
+def test_funnel_tracker_exactly_once_under_cross_key_skew(spark, tmp_path):
+    """Regression for the last-seen timeout bug: with watermark delay EQUAL
+    to the funnel window (the default 1h/1h), a hot key's events push the
+    watermark past a quiet user's last event while their funnel window is
+    still open. The old arming (max(last event, watermark)+1ms) finalized
+    and REMOVED the quiet user's state at that point, so their later
+    ON-TIME click recreated state and emitted a second, contradictory row
+    (stage 1 then stage 0). Arming at the episode horizon (view + 2W) must
+    yield exactly ONE row per user, at the batch-funnel stage."""
+    import datetime as dt
+    import time
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = lambda mins: base + dt.timedelta(minutes=mins)
+    schema = "user_id long, ts timestamp, event_type string"
+    landing = tmp_path / "skew_landing"
+    landing.mkdir()
+
+    def land(name, data):
+        spark.createDataFrame(data, schema).coalesce(1).write.parquet(
+            str(landing / name)
+        )
+        time.sleep(1.1)  # pin file order for maxFilesPerTrigger=1
+
+    # b0: quiet user 1 views at m(0); hot user 99 event at m(62) pushes
+    #     the post-batch watermark to m(2) > u1's last event m(0).
+    land("b0", [(1, m(0), "view"), (99, m(62), "noop")])
+    # b1: u1 has NO data this batch, so an expired timeout actually fires:
+    #     the buggy last-seen arming (m(0)+1ms < watermark m(2)) finalizes
+    #     u1 HERE — emits stage 1, removes state.
+    land("b1", [(99, m(63), "noop")])
+    # b2: u1's on-time qualifying click at m(50) (> watermark m(3), inside
+    #     view+1h) — under the bug it re-creates view-less state that later
+    #     finalizes as a second row (stage 0).
+    land("b2", [(1, m(50), "click"), (99, m(64), "noop")])
+    # b3/b4: advance the watermark past u1's horizon m(120) and fire it.
+    land("b3", [(99, m(200), "noop")])
+    land("b4", [(98, m(201), "noop")])
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(landing / "b*"))
+    out = runtime.funnel_stage_tracker(stream)  # default 1h window, 1h watermark
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_skew")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "skew_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = [
+        (r["user_id"], r["stage"])
+        for r in spark.table("funnel_skew").collect()
+        if r["user_id"] == 1
+    ]
+    # exactly one verdict, and it saw both the view and the later click
+    assert rows == [(1, 2)]
