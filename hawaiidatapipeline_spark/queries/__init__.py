@@ -53,6 +53,7 @@ _MODULES = (
     "text_extra",
     "curation_extra",
     "emb_extra",
+    "ivfpq",
     "joins_extra",
     "layout",
     "graph_demo",

@@ -374,6 +374,69 @@ _PQ_K = 4  # codebook size per subspace (2 bits; 8 subspaces pack into 16 bits)
 _PQ_ROUNDS = 2
 
 
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Milli-quantized subspace vectors + fixed-point PQ codebook training —
+    the ``_kmeans_assign`` idiom with the subspace m = d div 8 threaded
+    through every step so all M codebooks train in ONE relational pass.
+    Shared by the emb_pq_* family and queries/ivfpq.py. Returns (qv,
+    assign, cent): qv = (vec_id, d, m, q) exploded integer vectors,
+    assign = final-round (vec_id, m, cid, dist) code assignments, cent =
+    final codebooks (m, cid, d, cq). Every intermediate is reliably
+    materialized so callers can fan multiple consumers off each."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "vec_id",
+        "d",
+        (F.col("d") / _PQ_M_DIMS).cast("long").alias("m"),
+        F.round(F.col("x") * 1000).cast("long").alias("q"),
+    )
+    qv = materialize(qv)
+    return (qv, *_pq_rounds(qv))
+
+
+def _pq_rounds(qv: DataFrame):
+    """The fixed-point PQ Lloyd rounds over an already-exploded
+    (vec_id, d, m, q) integer frame — factored out so queries/ivfpq.py
+    can train codebooks on coarse-quantizer RESIDUALS with the exact
+    same contract. Returns (assign, cent)."""
+    cent = (
+        qv.filter(F.col("vec_id") < _PQ_K)
+        .select("m", F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
+    )
+    cent = materialize(cent)
+    assign = None
+    for _ in range(_PQ_ROUNDS):
+        dists = (
+            qv.join(F.broadcast(cent), ["d", "m"])
+            .groupBy("vec_id", "m", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+        assign = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "cid", "dist")
+        )
+        assign = materialize(assign)
+        cent = (
+            assign.join(qv, ["vec_id", "m"])
+            .groupBy("m", "cid", "d")
+            .agg(
+                F.floor(F.sum("q") * 1.0 / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cq")
+            )
+        )
+        cent = materialize(cent)
+    return assign, cent
+
+
 def _pq_ctes() -> str:
     """Unrolled product-quantization training as CTEs: the ``_kmeans_ctes``
     idiom with a SUBSPACE column m = d div 8 threaded through every step,
@@ -438,49 +501,7 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of M·k·(d/M) = k·d centroid cells against the exploded
     corpus and two partial-agg shuffles keyed by (vec, m) / (m, cid) —
     linear in corpus size; codes pack map-side."""
-    e = load_table(spark, sf_dir, "embeddings")
-    qv = e.select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
-    ).select(
-        "vec_id",
-        "d",
-        (F.col("d") / _PQ_M_DIMS).cast("long").alias("m"),
-        F.round(F.col("x") * 1000).cast("long").alias("q"),
-    )
-    qv = materialize(qv)
-    cent = (
-        qv.filter(F.col("vec_id") < _PQ_K)
-        .select("m", F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
-    )
-    cent = materialize(cent)
-    assign = None
-    for _ in range(_PQ_ROUNDS):
-        dists = (
-            qv.join(F.broadcast(cent), ["d", "m"])
-            .groupBy("vec_id", "m", "cid")
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-                ).alias("dist")
-            )
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
-        assign = (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "cid", "dist")
-        )
-        assign = materialize(assign)
-        cent = (
-            assign.join(qv, ["vec_id", "m"])
-            .groupBy("m", "cid", "d")
-            .agg(
-                F.floor(F.sum("q") * 1.0 / F.count(F.lit(1)))
-                .cast("long")
-                .alias("cq")
-            )
-        )
-        cent = materialize(cent)
+    qv, assign, cent = _pq_train(spark, sf_dir)
     codes = assign.groupBy("vec_id").agg(
         F.sum(
             F.col("cid") * F.pow(F.lit(_PQ_K), F.col("m")).cast("bigint")
@@ -542,49 +563,8 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     N·M code table against it on (m, cid) and partial-aggregates to
     (probe, vector) — linear in corpus size per probe, the exact
     economics that make PQ search cheap at 10⁹ vectors."""
-    e = load_table(spark, sf_dir, "embeddings")
-    qv = e.select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
-    ).select(
-        "vec_id",
-        "d",
-        (F.col("d") / _PQ_M_DIMS).cast("long").alias("m"),
-        F.round(F.col("x") * 1000).cast("long").alias("q"),
-    )
-    qv = materialize(qv)
-    cent = (
-        qv.filter(F.col("vec_id") < _PQ_K)
-        .select("m", F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
-    )
-    cent = materialize(cent)
-    assign = None
-    for _ in range(_PQ_ROUNDS):
-        dists = (
-            qv.join(F.broadcast(cent), ["d", "m"])
-            .groupBy("vec_id", "m", "cid")
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-                ).alias("dist")
-            )
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
-        assign = (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "cid")
-        )
-        assign = materialize(assign)
-        cent = (
-            assign.join(qv, ["vec_id", "m"])
-            .groupBy("m", "cid", "d")
-            .agg(
-                F.floor(F.sum("q") * 1.0 / F.count(F.lit(1)))
-                .cast("long")
-                .alias("cq")
-            )
-        )
-        cent = materialize(cent)
+    qv, assign, cent = _pq_train(spark, sf_dir)
+    assign = assign.select("vec_id", "m", "cid")
     probes = qv.filter(F.col("vec_id") % _ADC_STRIDE == 0)
     t = (
         probes.join(F.broadcast(cent), ["d", "m"])
@@ -670,49 +650,8 @@ def emb_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Low recall here says 'train bigger codebooks or more subspaces'
     BEFORE the index ships — the go/no-go table for the 100 TB ANN
     path."""
-    e = load_table(spark, sf_dir, "embeddings")
-    qv = e.select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
-    ).select(
-        "vec_id",
-        "d",
-        (F.col("d") / _PQ_M_DIMS).cast("long").alias("m"),
-        F.round(F.col("x") * 1000).cast("long").alias("q"),
-    )
-    qv = materialize(qv)
-    cent = (
-        qv.filter(F.col("vec_id") < _PQ_K)
-        .select("m", F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
-    )
-    cent = materialize(cent)
-    assign = None
-    for _ in range(_PQ_ROUNDS):
-        dists = (
-            qv.join(F.broadcast(cent), ["d", "m"])
-            .groupBy("vec_id", "m", "cid")
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-                ).alias("dist")
-            )
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
-        assign = (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "cid")
-        )
-        assign = materialize(assign)
-        cent = (
-            assign.join(qv, ["vec_id", "m"])
-            .groupBy("m", "cid", "d")
-            .agg(
-                F.floor(F.sum("q") * 1.0 / F.count(F.lit(1)))
-                .cast("long")
-                .alias("cq")
-            )
-        )
-        cent = materialize(cent)
+    qv, assign, cent = _pq_train(spark, sf_dir)
+    assign = assign.select("vec_id", "m", "cid")
     probes = materialize(qv.filter(F.col("vec_id") % _ADC_STRIDE == 0))
     t = (
         probes.join(F.broadcast(cent), ["d", "m"])

@@ -67,6 +67,38 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_interval_join",
+    """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS p_ts,
+              c.event_id AS click_id, c.ts AS c_ts
+       FROM events p JOIN events c
+         ON p.user_id = c.user_id
+        AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+       WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded stream-stream join, batch-checked: each purchase joins
+    the same user's clicks within the preceding 30 minutes. This calls THE
+    SAME code path the streaming runtime runs
+    (streaming/runtime.interval_stream_stream_join) — batch queries
+    eliminate the watermark nodes, so one function serves both modes; the
+    streaming side's micro-batch equivalence is proven separately in
+    tests/test_streaming.py. Scale: an equi-join on user_id with an
+    event-time band predicate — Spark shuffles both sides on the user key
+    and the band prunes within partitions; in streaming the watermark +
+    band are exactly what bounds the join state store."""
+    from hawaiidatapipeline_spark.streaming.runtime import (
+        interval_stream_stream_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return interval_stream_stream_join(
+        e.filter(F.col("event_type") == "purchase"),
+        e.filter(F.col("event_type") == "click"),
+        lookback="30 minutes",
+    )
+
+
+@q(
     "stream_session",
     """WITH marked AS (
          SELECT user_id, ts, value,
