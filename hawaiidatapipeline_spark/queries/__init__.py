@@ -50,6 +50,7 @@ _MODULES = (
     "geo_extra",
     "sampling",
     "sketches_extra",
+    "metrics_extra",
     "text_extra",
     "curation_extra",
     "emb_extra",
@@ -78,23 +79,23 @@ _MODULES = (
 # Round-4 window: exactly the 50 keys with no driver row after round 3
 # (windows family, etl_*, corpus pipelines v1-v4, fn_bitwise, ...).
 _FRONT: tuple[str, ...] = (
-    'soql_fulltext_stemmed', 'ts_ewma_dyadic', 'ts_theil_sen_trend',
-    'mine_skyline_2d', 'dq_candidate_keys', 'ts_interval_coverage',
-    'events_funnel_windowed', 'graph_edge_triangle_support', 'fn_ip_cidr',
-    'llm_bpe_pair_counts', 'llm_bigram_logprob', 'llm_stopword_profile',
-    'ts_changepoint_binary', 'events_markov_stationary', 'graph_kcore_peel',
-    'dq_psi_drift', 'llm_bigram_cond_entropy', 'graph_degree_assortativity',
-    'events_seasonal_strength', 'llm_pmi_pairs', 'dq_benford_deviation',
-    'emb_ann_recall_report', 'llm_lsh_pr_tradeoff', 'agg_boolean',
-    'dq_order_total_reconciliation', 'dq_completeness_matrix', 'events_rfm_segmentation',
-    'events_inter_arrival_stats', 'ts_wow_growth', 'llm_cross_lang_contamination',
-    'llm_boilerplate_prefixes', 'llm_token_len_percentiles', 'emb_covariance_topk',
-    'llm_vocab_coverage_curve', 'emb_pca_power_iteration', 'events_attribution_linear',
-    'events_forecast_naive_mae', 'events_anomaly_iqr', 'llm_doc_ppl_percentiles',
-    'emb_centroid_margin', 'events_user_overlap_jaccard', 'emb_pq_codes',
-    'emb_pq_adc_topk', 'llm_dedup_incremental_lsh', 'emb_pq_recall_report',
-    'win_ranking', 'win_ntile_pct', 'pricing_summary',
-    'project_select', 'project_alias',
+    'stream_interval_join', 'ts_cusum_drift', 'ts_rolling_corr',
+    'ts_forecast_seasonal_naive_smape', 'events_session_entry_exit', 'events_weekly_active_streaks',
+    'events_cohort_ltv', 'agg_mann_whitney_u', 'agg_hhi_concentration',
+    'etl_backfill_plan', 'dq_ks_drift', 'emb_ivfpq_topk',
+    'emb_ivfpq_recall_report', 'emb_pq_residual_codes', 'emb_kmeans_silhouette',
+    'graph_adamic_adar', 'graph_clustering_coefficient', 'project_computed',
+    'filter_compare', 'filter_boolean', 'filter_in_between_null',
+    'filter_like', 'fulltext_search', 'distinct_rows',
+    'sort_multikey', 'limit_n', 'offset_paging',
+    'topk_global', 'set_union_all', 'set_union_distinct',
+    'set_intersect', 'set_except', 'subquery_scalar_correlated',
+    'dq_profile', 'dq_referential', 'join_inner_broadcast',
+    'join_inner_sortmerge', 'join_left_outer', 'join_right_outer',
+    'join_full_outer', 'join_left_semi', 'join_left_anti',
+    'join_cross', 'join_theta_range', 'join_asof',
+    'agg_groupby_basic', 'agg_global', 'agg_multikey',
+    'agg_count_distinct', 'agg_approx_count_distinct',
 )
 
 

@@ -148,3 +148,157 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("common_neighbors").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+# Shared SQL fragment: the co-purchase edge set + symmetric adjacency +
+# degrees, with the mega-order cap mirrored (operators/graph.copurchase_edges).
+_ADJ_SQL = """items AS (SELECT l_orderkey, l_partkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 64),
+       e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+             FROM items a JOIN items b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+       adj AS (SELECT u AS node, v AS nbr FROM e
+               UNION ALL SELECT v AS node, u AS nbr FROM e),
+       deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node)"""
+
+
+@q(
+    "graph_adamic_adar",
+    f"""WITH {_ADJ_SQL},
+       w AS (SELECT a.node AS na, b.node AS nb, count(*) AS cn,
+                    sum(round(1.0 / ln(d.deg), 9)) AS aa
+             FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+             JOIN deg d ON d.node = a.nbr
+             WHERE d.deg <= {_LP_HUB_CAP}
+             GROUP BY 1, 2),
+       nonadj AS (SELECT w.* FROM w LEFT JOIN e
+                  ON e.u = w.na AND e.v = w.nb WHERE e.u IS NULL)
+       SELECT na AS part_a, nb AS part_b, cn AS common_neighbors,
+              round(aa, 6) AS adamic_adar
+       FROM nonadj
+       ORDER BY adamic_adar DESC, part_a, part_b LIMIT 50""",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the part co-purchase graph — the
+    degree-weighted refinement of graph_link_prediction's common-neighbor
+    count: each shared neighbor contributes 1/ln(deg), so a rare center
+    (two parts co-bought only with one specialty part) outvotes a
+    ubiquitous one. Same wedge plan and STOP-HUB cap as link prediction —
+    and here the cap is exactly the measure's own logic made structural:
+    beyond-cap hubs contribute ~1/ln(40+) ≈ 0 signal for quadratic cost.
+    Determinism: per-center weights are rounded to 9 dp BEFORE summing
+    (one libm ln ULP can't survive the grid), the score re-rounds to
+    6 dp, and the top-50 orders by the ROUNDED score with (a, b)
+    tie-breaks — identical ranks on both engines."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = materialize(copurchase_edges(li))  # (u, v), u < v
+    adj = materialize(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.filter(F.col("deg") <= _LP_HUB_CAP).select(
+        F.col("node").alias("nbr"),
+        F.round(1.0 / F.log("deg"), 9).alias("w"),
+    )
+    a, b = adj.alias("a"), adj.alias("b")
+    wedges = (
+        a.join(b, (F.col("a.nbr") == F.col("b.nbr")) & (F.col("a.node") < F.col("b.node")))
+        .join(F.broadcast(centers), "nbr")
+        .groupBy(F.col("a.node").alias("na"), F.col("b.node").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("cn"), F.sum("w").alias("aa"))
+    )
+    nonadj = wedges.join(
+        edges,
+        (wedges["na"] == edges["u"]) & (wedges["nb"] == edges["v"]),
+        "left_anti",
+    )
+    return (
+        nonadj.select(
+            F.col("na").alias("part_a"),
+            F.col("nb").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.round("aa", 6).alias("adamic_adar"),
+        )
+        .orderBy(F.col("adamic_adar").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@q(
+    "graph_clustering_coefficient",
+    f"""WITH {_ADJ_SQL},
+       adjc AS (SELECT a.node, a.nbr FROM adj a
+                JOIN deg d ON d.node = a.node
+                WHERE d.deg BETWEEN 2 AND {_LP_HUB_CAP}),
+       tri AS (SELECT a.node, count(*) AS closed
+               FROM adjc a JOIN adjc b
+                 ON a.node = b.node AND a.nbr < b.nbr
+               JOIN e ON e.u = a.nbr AND e.v = b.nbr
+               GROUP BY 1)
+       SELECT d.node AS part, d.deg,
+              coalesce(t.closed, 0)::BIGINT AS triangles,
+              round(2.0 * coalesce(t.closed, 0)
+                    / (d.deg * (d.deg - 1)), 6) AS clustering_coeff
+       FROM deg d LEFT JOIN tri t ON t.node = d.node
+       WHERE d.deg BETWEEN 2 AND {_LP_HUB_CAP}
+       ORDER BY part""",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part: closed neighbor pairs /
+    C(deg, 2) — how clique-like each part's co-purchase neighborhood is
+    (graph_triangle_count totals triangles globally; this attributes them
+    to nodes, the community-tightness signal). Plan: neighbor-pair wedges
+    enumerated per center from the symmetric adjacency, closed by an
+    equi-join against the (u < v) edge set. Wedge volume is deg² per
+    center, so the STOP-HUB cap bounds the blowup exactly as in
+    link prediction; beyond-cap hubs are EXCLUDED (declared, mirrored in
+    the oracle) rather than silently truncated. The ratio is one float
+    division from exact integer counts."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = materialize(copurchase_edges(li))  # (u, v), u < v
+    adj = materialize(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    capped = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= _LP_HUB_CAP)
+    )
+    adjc = materialize(adj.join(capped.select("node"), "node"))
+    a, b = adjc.alias("a"), adjc.alias("b")
+    tri = (
+        a.join(
+            b,
+            (F.col("a.node") == F.col("b.node"))
+            & (F.col("a.nbr") < F.col("b.nbr")),
+        )
+        .join(
+            edges,
+            (F.col("a.nbr") == edges["u"]) & (F.col("b.nbr") == edges["v"]),
+        )
+        .groupBy(F.col("a.node").alias("node"))
+        .agg(F.count(F.lit(1)).alias("closed"))
+    )
+    return (
+        capped.join(tri, "node", "left")
+        .select(
+            F.col("node").alias("part"),
+            "deg",
+            F.coalesce(F.col("closed"), F.lit(0)).alias("triangles"),
+            F.round(
+                2.0 * F.coalesce(F.col("closed"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("part")
+    )
