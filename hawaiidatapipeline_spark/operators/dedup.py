@@ -501,6 +501,7 @@ def incremental_minhash_candidates(
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
     corpus_sig: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental LSH dedup: near-dup candidates TOUCHING A NEW BATCH —
     batch×corpus plus batch-internal pairs — without ever re-pairing the
@@ -514,6 +515,18 @@ def incremental_minhash_candidates(
     production so corpus signatures are never recomputed; when None (the
     fixture path, no state store) it is rebuilt here. Signatures must
     share the scheme tag (see MINHASH_SCHEME_*).
+
+    ``max_bucket``: the HOT-BAND guard (the stop-hub/stop-shingle cap
+    applied to LSH): a band bucket collapsed by boilerplate (thousands of
+    docs sharing one band signature) fans the candidate join out to
+    |batch∩bucket|·|bucket| pairs that carry ~no per-pair signal — true
+    near-dups still collide in their other, non-degenerate bands. When
+    set, buckets whose corpus+batch population exceeds the cap are
+    dropped from candidate generation on BOTH join legs (hot buckets are
+    few, so the drop list broadcasts). Default None keeps exact
+    uncapped semantics (the oracle-checked path);
+    tools/skew_stress.py measures the fan-out reduction under a planted
+    hot band.
 
     Returns (doc_a, doc_b, est_jaccard, pair_kind) with doc_a < doc_b and
     pair_kind ∈ {'new_vs_corpus', 'new_vs_new'}.
@@ -537,6 +550,18 @@ def incremental_minhash_candidates(
     sig_b = sigs(batch)
     bands_c = _band_rows(sig_c, n_bands, id_col, id_col)
     bands_b = _band_rows(sig_b, n_bands, id_col, id_col)
+
+    if max_bucket is not None:
+        hot = (
+            bands_b.select("band", "sig")
+            .unionByName(bands_c.select("band", "sig"))
+            .groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("s"))
+            .filter(F.col("s") > max_bucket)
+            .select("band", "sig")
+        )
+        bands_b = bands_b.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+        bands_c = bands_c.join(F.broadcast(hot), ["band", "sig"], "left_anti")
 
     nb, cb = bands_b.alias("nb"), bands_c.alias("cb")
     cand_nc = (

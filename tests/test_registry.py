@@ -209,6 +209,32 @@ def test_front_window_is_not_stale():
     )
 
 
+def test_coverage_history_matches_correctness_files():
+    """COVERAGE_HISTORY.md is the generated per-key evidence ledger — a
+    stale commit (files updated, table not regenerated) must fail here.
+    Renders the table from the committed CORRECTNESS files and compares
+    byte-for-byte with the committed file."""
+    import glob
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.coverage_history import OUT, render
+
+    paths = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                          "CORRECTNESS_r*.json")))
+    if not paths:
+        pytest.skip("no driver correctness files yet (round 1)")
+    assert os.path.exists(OUT), (
+        "COVERAGE_HISTORY.md missing — run "
+        "python tools/coverage_history.py CORRECTNESS_r0*.json"
+    )
+    assert open(OUT).read() == render(paths), (
+        "COVERAGE_HISTORY.md is stale — regenerate with "
+        "python tools/coverage_history.py CORRECTNESS_r0*.json"
+    )
+
+
 def test_scaling_and_perf_probe_keys_are_registered(registry):
     """The scaling/shuffle evidence tools must track registry renames."""
     import os

@@ -277,6 +277,24 @@ AUDITS: dict[str, list[str]] = {
     "emb_pq_adc_topk": ["no_cartesian", "partial_agg", "window_exec", "broadcast_any"],
     "llm_dedup_incremental_lsh": ["no_cartesian", "partial_agg"],
     "emb_pq_recall_report": ["no_cartesian", "partial_agg", "window_exec"],
+    # round-9 batch
+    "stream_interval_join": ["smj_or_bhj", "pushdown", "no_cartesian", "codegen"],
+    "emb_ivfpq_topk": ["no_cartesian", "partial_agg", "window_exec", "broadcast_any"],
+    "emb_ivfpq_recall_report": ["no_cartesian", "partial_agg", "window_exec"],
+    "emb_pq_residual_codes": ["no_cartesian", "partial_agg", "take_ordered"],
+    "emb_kmeans_silhouette": ["no_cartesian", "partial_agg", "broadcast_any"],
+    "ts_cusum_drift": ["partial_agg", "window_exec", "pruning", "codegen"],
+    "ts_rolling_corr": ["partial_agg", "window_exec", "pruning", "codegen"],
+    "ts_forecast_seasonal_naive_smape": ["partial_agg", "window_exec", "pruning", "codegen"],
+    "events_session_entry_exit": ["window_exec", "partial_agg", "pruning", "no_cartesian", "codegen"],
+    "events_weekly_active_streaks": ["partial_agg", "window_exec", "pruning", "codegen"],
+    "events_cohort_ltv": ["smj_or_bhj", "partial_agg", "window_exec", "pruning", "no_cartesian", "codegen"],
+    "agg_mann_whitney_u": ["window_exec", "partial_agg", "pushdown", "codegen"],
+    "agg_hhi_concentration": ["broadcast", "partial_agg", "pruning", "codegen"],
+    "etl_backfill_plan": ["generate_exec", "partial_agg", "pruning", "codegen"],
+    "dq_ks_drift": ["partial_agg", "window_exec", "take_ordered", "pruning", "codegen"],
+    "graph_adamic_adar": ["no_cartesian", "partial_agg", "broadcast_any", "take_ordered"],
+    "graph_clustering_coefficient": ["no_cartesian", "partial_agg", "codegen"],
 }
 
 

@@ -123,6 +123,49 @@ def skewed_smj_final_plan(spark, events: DataFrame) -> tuple[str, DataFrame]:
     return joined._jdf.queryExecution().executedPlan().toString(), joined
 
 
+def incremental_lsh_hot_band_lane(spark) -> dict:
+    """Planted hot band for the INCREMENTAL LSH path (VERDICT r8 item 9):
+    a boilerplate-collapsed band bucket (every doc sharing one template
+    text carries identical band signatures) fans the candidate join out
+    to |batch∩bucket|·|bucket| pairs — the skew regime llm_lsh_band_stats
+    exists to detect. Measures candidate volume uncapped vs with the
+    ``max_bucket`` hot-band guard, and that GENUINE near-dup pairs (whose
+    buckets are tiny) survive the cap. Returns the numbers for the gate
+    and for PERF_EVIDENCE.md."""
+    from hawaiidatapipeline_spark.operators.dedup import (
+        incremental_minhash_candidates,
+    )
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 4
+    uniq = [
+        f"document {i} " + " ".join(f"tok{i}x{j}" for j in range(30))
+        for i in range(5)
+    ]
+    corpus_rows = [(i, boiler) for i in range(200)]
+    corpus_rows += [(300 + i, uniq[i]) for i in range(5)]
+    corpus_rows += [
+        (400 + i, f"unrelated {i} " + " ".join(f"u{i}w{j}" for j in range(30)))
+        for i in range(20)
+    ]
+    batch_rows = [(1000 + i, boiler) for i in range(10)]
+    batch_rows += [(1100 + i, uniq[i] + " extra tail") for i in range(5)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    kw = dict(tau=0.5, n_hashes=16, n_bands=4)
+    n_unc = incremental_minhash_candidates(corpus, batch, **kw).count()
+    capped = incremental_minhash_candidates(
+        corpus, batch, max_bucket=50, **kw
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    genuine = {(300 + i, 1100 + i) for i in range(5)}
+    return {
+        "uncapped": n_unc,
+        "capped": len(capped),
+        "genuine_total": len(genuine),
+        "genuine_survived": len(genuine & pairs),
+    }
+
+
 def run(spark, write_plans: str | None = None) -> int:
     from hawaiidatapipeline_spark.operators.skew import salted_window_topk
     from pyspark.sql import Window
@@ -233,6 +276,20 @@ def run(spark, write_plans: str | None = None) -> int:
         f"(x{w_key / max(w_deg, 1):.0f} reduction), triangle parity: {ok_tri_parity}"
     )
 
+    # 5. incremental-LSH hot band: candidate fan-out collapses under the
+    # max_bucket guard while genuine near-dup pairs survive
+    lsh = incremental_lsh_hot_band_lane(spark)
+    ok_lsh = (
+        lsh["capped"] * 10 <= lsh["uncapped"]
+        and lsh["genuine_survived"] >= lsh["genuine_total"] - 1
+    )
+    print(
+        f"incremental-LSH hot band: candidates uncapped={lsh['uncapped']} "
+        f"capped={lsh['capped']} "
+        f"(x{lsh['uncapped'] / max(lsh['capped'], 1):.0f} reduction), "
+        f"genuine pairs survived {lsh['genuine_survived']}/{lsh['genuine_total']}"
+    )
+
     if write_plans:
         with open(write_plans, "a") as f:
             f.write(
@@ -248,11 +305,20 @@ def run(spark, write_plans: str | None = None) -> int:
                 f"orientation {w_key} wedges vs degree orientation {w_deg} "
                 f"(x{w_key / max(w_deg, 1):.0f} reduction, triangle counts "
                 "identical) — the graph_triangle_count scale mitigation, "
-                "measured.\n"
+                "measured.\n\n"
+                "Incremental-LSH planted hot band (boilerplate-collapsed "
+                "bucket, 210 docs sharing one template): candidate volume "
+                f"{lsh['uncapped']} uncapped vs {lsh['capped']} with "
+                "max_bucket=50 "
+                f"(x{lsh['uncapped'] / max(lsh['capped'], 1):.0f} reduction); "
+                f"{lsh['genuine_survived']}/{lsh['genuine_total']} genuine "
+                "near-dup pairs survive the cap (their buckets are tiny) — "
+                "the stop-hub cap applied to LSH bands, measured.\n"
             )
     return (
         0
-        if (ok_smj and ok_topk and ok_topk_plan and ok_sess and ok_tri_parity and ok_wedge)
+        if (ok_smj and ok_topk and ok_topk_plan and ok_sess and ok_tri_parity
+            and ok_wedge and ok_lsh)
         else 1
     )
 
