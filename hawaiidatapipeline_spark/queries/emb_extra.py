@@ -713,3 +713,118 @@ def emb_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"recall_at_{_PQR_TOPK}"
         ),
     ).orderBy("probe_id")
+
+
+_SRP_BITS = 16
+
+
+@q(
+    "emb_srp_buckets",
+    f"""WITH proj AS (
+         SELECT j.j, d.d,
+                CASE WHEN ('0x' || substring(md5('srp:' || j.j::VARCHAR
+                            || ':' || d.d::VARCHAR), 1, 15))::BIGINT % 2 = 0
+                     THEN 1 ELSE -1 END AS r
+         FROM (SELECT unnest(generate_series(0, {_SRP_BITS - 1})) AS j) j,
+              (SELECT unnest(generate_series(0, 63)) AS d) d),
+       qv AS (SELECT vec_id,
+                     unnest(generate_series(0, len(embedding) - 1)) AS d,
+                     round(unnest(embedding) * 1000)::BIGINT AS q
+              FROM embeddings),
+       dots AS (SELECT v.vec_id, p.j, sum(v.q * p.r)::BIGINT AS dot
+                FROM qv v JOIN proj p ON p.d = v.d GROUP BY 1, 2),
+       sig AS (SELECT vec_id,
+                      sum(CASE WHEN dot > 0
+                               THEN power(2, j)::BIGINT ELSE 0 END)::BIGINT
+                        AS srp_sig
+               FROM dots GROUP BY 1),
+       per AS (SELECT s.srp_sig, e.label, count(*) AS c
+               FROM sig s JOIN embeddings e ON e.vec_id = s.vec_id
+               GROUP BY 1, 2),
+       b AS (SELECT srp_sig, sum(c)::BIGINT AS n_vecs,
+                    count(*)::BIGINT AS n_labels, max(c)::BIGINT AS top_c
+             FROM per GROUP BY 1)
+       SELECT srp_sig, n_vecs, n_labels,
+              round(top_c * 1.0 / n_vecs, 6) AS top_label_share
+       FROM b ORDER BY n_vecs DESC, srp_sig LIMIT 20""",
+)
+def emb_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection (SRP) cosine-LSH over the embedding corpus —
+    the hyperplane-hashing ANN tier that complements IVF (llm_cosine_ivf)
+    and PQ: bit j of a vector's signature is the sign of its dot product
+    with pseudo-random hyperplane r_j, so vectors at small cosine angle
+    share most bits and bucket together. The 'random' hyperplanes are
+    ±1 entries derived from the portable md5 hash (the minhash-oracle
+    idiom), so both engines build bit-identical signatures; dot products
+    are exact int64 on milli-unit vectors (sign can't flip). Reported:
+    the top-20 buckets with their label purity — high top_label_share
+    means the 16 hyperplanes already separate the label structure, the
+    go-signal for SRP candidate generation. Scale: signatures are ONE
+    broadcast join (16x64 = 1024 projection cells) + a (vec, j) partial
+    agg — linear in corpus, and bucketing is then a free groupBy; the
+    production path swaps md5 for xxhash64."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    proj = (
+        spark.range(_SRP_BITS)
+        .select(F.col("id").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("d")))
+        .select(
+            "j",
+            "d",
+            F.when(
+                portable_hash64(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("d").cast("string"),
+                    ),
+                    "srp",
+                )
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("r"),
+        )
+    )
+    qv = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select("vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q"))
+    dots = (
+        qv.join(F.broadcast(proj), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("q") * F.col("r")).alias("dot"))
+    )
+    sig = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") > 0, F.pow(F.lit(2), F.col("j")).cast("long")
+            ).otherwise(0)
+        ).alias("srp_sig")
+    )
+    per = (
+        sig.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("srp_sig", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per.groupBy("srp_sig")
+        .agg(
+            F.sum("c").alias("n_vecs"),
+            F.count(F.lit(1)).alias("n_labels"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            "srp_sig",
+            "n_vecs",
+            "n_labels",
+            F.round(F.col("top_c") * 1.0 / F.col("n_vecs"), 6).alias(
+                "top_label_share"
+            ),
+        )
+        .orderBy(F.col("n_vecs").desc(), "srp_sig")
+        .limit(20)
+    )

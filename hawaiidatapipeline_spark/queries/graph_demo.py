@@ -302,3 +302,63 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part")
     )
+
+
+@q(
+    "graph_two_hop_reach",
+    f"""WITH {_ADJ_SQL},
+       mid AS (SELECT a.node, a.nbr FROM adj a
+               JOIN deg d ON d.node = a.nbr
+               WHERE d.deg <= {_LP_HUB_CAP}),
+       hops AS (SELECT m.node, b.nbr AS w
+                FROM mid m JOIN adj b ON b.node = m.nbr
+                UNION
+                SELECT node, nbr AS w FROM adj)
+       SELECT h.node AS part, d.deg,
+              count(DISTINCT h.w)::BIGINT AS two_hop_reach
+       FROM hops h JOIN deg d ON d.node = h.node
+       WHERE h.w <> h.node
+       GROUP BY 1, 2 ORDER BY part""",
+)
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighborhood size per part over the co-purchase graph — the
+    influence-radius metric (how much of the catalog is 'two co-purchases
+    away'?), the counting companion to graph_link_prediction's wedge
+    scores. Direct neighbors always count; two-hop paths are admitted only
+    through middle nodes under the STOP-HUB cap (one ubiquitous hub would
+    otherwise make every node 2-reach the whole graph while exploding the
+    join — same declared exclusion as the wedge queries, mirrored in the
+    oracle). Plan: one adjacency self-join through the capped middle, a
+    UNION with the 1-hop set, one distinct count."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = materialize(copurchase_edges(li))  # (u, v), u < v
+    adj = materialize(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    mid = adj.join(
+        deg.filter(F.col("deg") <= _LP_HUB_CAP)
+        .select(F.col("node").alias("nbr")),
+        "nbr",
+    )
+    two = mid.alias("m").join(
+        adj.alias("b"), F.col("b.node") == F.col("m.nbr")
+    ).select(F.col("m.node").alias("node"), F.col("b.nbr").alias("w"))
+    hops = two.union(
+        adj.select(F.col("node"), F.col("nbr").alias("w"))
+    ).distinct()
+    return (
+        hops.filter(F.col("w") != F.col("node"))
+        .groupBy("node")
+        .agg(F.countDistinct("w").alias("two_hop_reach"))
+        .join(deg, "node")
+        .select(
+            F.col("node").alias("part"), "deg", "two_hop_reach"
+        )
+        .orderBy("part")
+    )

@@ -730,3 +730,287 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("reject_95"),
     )
+
+
+@q(
+    "ts_seasonal_decompose",
+    """WITH daily AS (
+         SELECT date_trunc('day', ts) AS day,
+                sum(round(value * 100)::BIGINT) AS cents
+         FROM events GROUP BY 1),
+       tr AS (SELECT day, cents,
+                     (epoch(day)::BIGINT // 86400) % 7 AS dow,
+                     CASE WHEN count(*) OVER w = 7
+                          THEN round(sum(cents) OVER w / 700.0, 6) END AS trend
+              FROM daily
+              WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                           AND 3 FOLLOWING)),
+       se AS (SELECT dow, round(avg(cents / 100.0 - trend), 6) AS seasonal
+              FROM tr WHERE trend IS NOT NULL GROUP BY dow)
+       SELECT t.day, round(t.cents / 100.0, 2) AS daily_value, t.trend,
+              CASE WHEN t.trend IS NOT NULL THEN s.seasonal END AS seasonal,
+              CASE WHEN t.trend IS NOT NULL
+                   THEN round(t.cents / 100.0 - t.trend - s.seasonal, 6)
+              END AS residual
+       FROM tr t JOIN se s ON s.dow = t.dow
+       ORDER BY t.day""",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily value series:
+    trend = centered 7-day moving average (full windows only), weekly
+    seasonal = mean detrended deviation per day-of-week, residual = the
+    rest — the decomposition behind every "is this dip seasonal or real?"
+    question, feeding ts_forecast_seasonal_naive_smape's premise.
+    Day-of-week comes from epoch-day mod 7 (no engine weekday-numbering
+    convention involved); trend is an integer sum over one float division,
+    and seasonal/residual subtract ALREADY-ROUNDED values, so every column
+    hash-matches. Scale: day-grain pre-aggregation first; the decomposition
+    runs over #days rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "cents",
+        (F.floor(F.unix_timestamp("day") / 86400) % 7).alias("dow"),
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.round(F.sum("cents").over(w) / 700.0, 6),
+        ).alias("trend"),
+    )
+    se = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.round(F.avg(F.col("cents") / 100.0 - F.col("trend")), 6).alias(
+                "seasonal"
+            )
+        )
+    )
+    return (
+        tr.join(F.broadcast(se), "dow")
+        .select(
+            "day",
+            F.round(F.col("cents") / 100.0, 2).alias("daily_value"),
+            "trend",
+            F.when(F.col("trend").isNotNull(), F.col("seasonal")).alias(
+                "seasonal"
+            ),
+            F.when(
+                F.col("trend").isNotNull(),
+                F.round(
+                    F.col("cents") / 100.0 - F.col("trend") - F.col("seasonal"),
+                    6,
+                ),
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+@q(
+    "ts_downsample_minmax",
+    """WITH b AS (
+         SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket_start,
+                ts, event_id, value
+         FROM events),
+       r AS (SELECT *,
+                    row_number() OVER (PARTITION BY bucket_start
+                                       ORDER BY value, ts, event_id) AS rn_min,
+                    row_number() OVER (PARTITION BY bucket_start
+                                       ORDER BY value DESC, ts, event_id)
+                      AS rn_max
+             FROM b)
+       SELECT bucket_start, 'min' AS kind, ts, value FROM r WHERE rn_min = 1
+       UNION ALL
+       SELECT bucket_start, 'max' AS kind, ts, value FROM r WHERE rn_max = 1
+       ORDER BY bucket_start, kind""",
+)
+def ts_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max downsampling for time-series visualization: per 6-hour
+    bucket keep exactly the extreme points (the rendering-safe downsample —
+    spikes survive, which plain bucket averaging erases). Ties resolve by
+    the (value, ts, event_id) total order so both engines pick the same
+    point. Scale: one window pass per bucket partition; output is
+    2 × #buckets rows regardless of input volume — the property that lets
+    a dashboard pull a year of 100 TB telemetry."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.window("ts", "6 hours").start.alias("bucket_start"),
+        "ts", "event_id", "value",
+    )
+    wp = Window.partitionBy("bucket_start")
+    r = b.select(
+        "*",
+        F.row_number()
+        .over(wp.orderBy("value", "ts", "event_id"))
+        .alias("rn_min"),
+        F.row_number()
+        .over(wp.orderBy(F.col("value").desc(), "ts", "event_id"))
+        .alias("rn_max"),
+    )
+    mn = r.filter(F.col("rn_min") == 1).select(
+        "bucket_start", F.lit("min").alias("kind"), "ts", "value"
+    )
+    mx = r.filter(F.col("rn_max") == 1).select(
+        "bucket_start", F.lit("max").alias("kind"), "ts", "value"
+    )
+    return mn.unionByName(mx).orderBy("bucket_start", "kind")
+
+
+@q(
+    "agg_weighted_median",
+    """WITH g AS (SELECT l_returnflag AS flag, l_extendedprice AS x,
+                         sum(round(l_quantity)::BIGINT) AS wt
+                  FROM lineitem GROUP BY 1, 2),
+       c AS (SELECT flag, x, wt,
+                    sum(wt) OVER (PARTITION BY flag ORDER BY x) AS cum
+             FROM g),
+       t AS (SELECT flag, sum(wt)::BIGINT AS total_weight FROM g GROUP BY 1)
+       SELECT c.flag AS flag, t.total_weight,
+              round(min(c.x), 2) AS weighted_median
+       FROM c JOIN t ON t.flag = c.flag
+       WHERE 2 * c.cum >= t.total_weight
+       GROUP BY 1, 2 ORDER BY flag""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag by EXPLICIT order
+    statistic: the smallest price whose cumulative weight reaches half the
+    total (the lower weighted median — no interpolation, so no float-drift
+    between engines). Values are pre-grouped by (flag, price) so cumulative
+    sums never depend on tie order; weights are integer. This is the
+    exact-arithmetic weighted companion to agg_percentile /
+    agg_median_absolute_deviation. Scale: one (flag, price) partial agg +
+    an ordered prefix scan per flag partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+    ).agg(F.sum(F.round("l_quantity").cast("long")).alias("wt"))
+    c = g.withColumn(
+        "cum", F.sum("wt").over(Window.partitionBy("flag").orderBy("x"))
+    )
+    t = g.groupBy("flag").agg(F.sum("wt").alias("total_weight"))
+    return (
+        c.join(F.broadcast(t), "flag")
+        .filter(2 * F.col("cum") >= F.col("total_weight"))
+        .groupBy("flag", "total_weight")
+        .agg(F.round(F.min("x"), 2).alias("weighted_median"))
+        .orderBy("flag")
+    )
+
+
+_BOOT_B = 40  # resamples; 2.5% / 97.5% order statistics = ranks 1 and 39
+
+
+@q(
+    "agg_bootstrap_ci_mean",
+    f"""WITH r AS (
+         SELECT e.event_id, round(e.value * 100)::BIGINT AS cents, b.b,
+                ('0x' || substring(md5('bs:' || e.event_id::VARCHAR || ':'
+                                       || b.b::VARCHAR), 1, 15))::BIGINT
+                  % 1000 AS h
+         FROM events e,
+              (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) b),
+       m AS (SELECT event_id, cents, b,
+                    CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
+                         WHEN h < 920 THEN 2 WHEN h < 981 THEN 3
+                         WHEN h < 996 THEN 4 ELSE 5 END AS mult
+             FROM r),
+       means AS (SELECT b,
+                        sum(mult * cents)::BIGINT AS sm,
+                        sum(mult)::BIGINT AS sw
+                 FROM m GROUP BY b),
+       ranked AS (SELECT sm * 1.0 / sw / 100.0 AS mean_b,
+                         row_number() OVER (ORDER BY sm * 1.0 / sw, b) AS rn
+                  FROM means),
+       base AS (SELECT count(*)::BIGINT AS n_rows,
+                       round(sum(round(value * 100)::BIGINT)
+                             * 1.0 / count(*) / 100.0, 6) AS mean_value
+                FROM events)
+       SELECT base.n_rows, {_BOOT_B} AS n_resamples, base.mean_value,
+              round(lo.mean_b, 6) AS ci_lo,
+              round(hi.mean_b, 6) AS ci_hi
+       FROM base,
+            (SELECT mean_b FROM ranked WHERE rn = 1) lo,
+            (SELECT mean_b FROM ranked WHERE rn = {_BOOT_B - 1}) hi""",
+)
+def agg_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the mean event value —
+    THE distributed bootstrap: instead of materializing B global resamples
+    (each a full shuffle), every row draws a deterministic multiplicity
+    per resample (hash-bucketed to the Poisson(1) pmf: P(0)=.368, P(1)=.368,
+    P(2)=.184, ...), so all B resample means come out of ONE pass over the
+    data. Multiplicities come from the portable md5 hash (bit-identical on
+    both engines), sums are integer cents, and the CI bounds are explicit
+    order statistics (ranks 1 and B-1 of B=40 means) — fully
+    hash-deterministic 'randomness'. Scale: input x B row expansion is
+    map-side (no shuffle grows with B beyond the B-row means table);
+    production uses xxhash64 for the same ~32x speedup as the minhash
+    lanes."""
+    e = load_table(spark, sf_dir, "events")
+    bs = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    r = e.select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).crossJoin(F.broadcast(bs))
+    h = (
+        portable_hash64(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            ),
+            "bs",
+        )
+        % 1000
+    )
+    m = r.withColumn(
+        "mult",
+        F.when(h < 368, 0)
+        .when(h < 736, 1)
+        .when(h < 920, 2)
+        .when(h < 981, 3)
+        .when(h < 996, 4)
+        .otherwise(5),
+    )
+    means = m.groupBy("b").agg(
+        F.sum(F.col("mult") * F.col("cents")).alias("sm"),
+        F.sum("mult").alias("sw"),
+    )
+    ranked = means.select(
+        (F.col("sm") * 1.0 / F.col("sw") / 100.0).alias("mean_b"),
+        F.row_number()
+        .over(Window.orderBy(F.col("sm") * 1.0 / F.col("sw"), F.col("b")))
+        .alias("rn"),
+    )
+    base = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            * 1.0
+            / F.count(F.lit(1))
+            / 100.0,
+            6,
+        ).alias("mean_value"),
+    )
+    lo = ranked.filter(F.col("rn") == 1).select(
+        F.round("mean_b", 6).alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rn") == _BOOT_B - 1).select(
+        F.round("mean_b", 6).alias("ci_hi")
+    )
+    return (
+        base.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_rows",
+            F.lit(_BOOT_B).alias("n_resamples"),
+            "mean_value",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

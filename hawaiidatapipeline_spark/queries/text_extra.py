@@ -87,3 +87,106 @@ def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy(F.col("n").desc(), "bigram")
     return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 100)
+
+
+_CHI2_MIN_DF = 5
+_CHI2_TOPK = 5
+
+
+@q(
+    "llm_topic_words_chi2",
+    f"""WITH tok AS (
+         SELECT DISTINCT doc_id, source,
+                unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       ns AS (SELECT source, count(DISTINCT doc_id) AS n_s
+              FROM documents GROUP BY 1),
+       nn AS (SELECT count(*) AS n FROM documents),
+       tf AS (SELECT token, source, count(*) AS a FROM tok GROUP BY 1, 2),
+       tt AS (SELECT token, sum(a) AS t FROM tf GROUP BY 1),
+       x AS (SELECT f.source, f.token, f.a,
+                    ns.n_s - f.a AS b, tt.t - f.a AS c,
+                    nn.n - ns.n_s - (tt.t - f.a) AS d, nn.n AS n
+             FROM tf f
+             JOIN ns ON ns.source = f.source
+             JOIN tt ON tt.token = f.token, nn
+             WHERE tt.t >= {_CHI2_MIN_DF}),
+       chi AS (SELECT source, token, a,
+                      round(n * (a * d - b * c) * (a * d - b * c)
+                            / (((a + b) * (c + d))::DOUBLE
+                               * ((a + c) * (b + d))), 6) AS chi2
+               FROM x
+               WHERE (a + b) > 0 AND (c + d) > 0
+                 AND (a + c) > 0 AND (b + d) > 0)
+       SELECT source, token, a AS df_in_source, chi2 FROM (
+         SELECT *, row_number() OVER (PARTITION BY source
+                                      ORDER BY chi2 DESC, token) AS rn
+         FROM chi) r
+       WHERE rn <= {_CHI2_TOPK}
+       ORDER BY source, chi2 DESC, token""",
+)
+def llm_topic_words_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared keyword extraction per source: for each (source, token)
+    the 2x2 document-frequency contingency table (in source / elsewhere x
+    contains / doesn't) scores how strongly the token characterizes the
+    source — the supervised complement of llm_tfidf_topterms (tf-idf finds
+    rare-anywhere terms; chi2 finds terms that SEPARATE sources, the
+    feature-selection primitive behind domain classifiers and
+    mixture-weight audits). All four cells are exact integer document
+    counts, chi2 is one float expression (numerator exact int64 under the
+    fixture bounds), rare tokens (corpus df < {_CHI2_MIN_DF}) pruned, and
+    the per-source top-5 ranks by the ROUNDED score with token
+    tie-breaks. Scale: DISTINCT (doc, token) explode + two partial-agg
+    shuffles keyed by token — the same budget as the tf-idf lane."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    ns = d.groupBy("source").agg(F.countDistinct("doc_id").alias("n_s"))
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    tf = tok.groupBy("token", "source").agg(F.count(F.lit(1)).alias("a"))
+    tt = tf.groupBy("token").agg(F.sum("a").alias("t"))
+    x = (
+        tf.join(F.broadcast(ns), "source")
+        .join(tt, "token")
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("t") >= _CHI2_MIN_DF)
+        .select(
+            "source",
+            "token",
+            "a",
+            (F.col("n_s") - F.col("a")).alias("b"),
+            (F.col("t") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("n_s") - (F.col("t") - F.col("a"))).alias("d"),
+            "n",
+        )
+    )
+    chi = x.filter(
+        ((F.col("a") + F.col("b")) > 0)
+        & ((F.col("c") + F.col("d")) > 0)
+        & ((F.col("a") + F.col("c")) > 0)
+        & ((F.col("b") + F.col("d")) > 0)
+    ).select(
+        "source",
+        "token",
+        "a",
+        F.round(
+            F.col("n")
+            * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
+            * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
+            / (
+                ((F.col("a") + F.col("b")) * (F.col("c") + F.col("d"))).cast(
+                    "double"
+                )
+                * ((F.col("a") + F.col("c")) * (F.col("b") + F.col("d")))
+            ),
+            6,
+        ).alias("chi2"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("chi2").desc(), "token")
+    return (
+        chi.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CHI2_TOPK)
+        .select("source", "token", F.col("a").alias("df_in_source"), "chi2")
+        .orderBy("source", F.col("chi2").desc(), "token")
+    )

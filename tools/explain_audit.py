@@ -295,6 +295,14 @@ AUDITS: dict[str, list[str]] = {
     "dq_ks_drift": ["partial_agg", "window_exec", "take_ordered", "pruning", "codegen"],
     "graph_adamic_adar": ["no_cartesian", "partial_agg", "broadcast_any", "take_ordered"],
     "graph_clustering_coefficient": ["no_cartesian", "partial_agg", "codegen"],
+    # round-9 batch 2
+    "emb_srp_buckets": ["broadcast_any", "partial_agg", "take_ordered", "codegen"],
+    "llm_topic_words_chi2": ["generate_exec", "partial_agg", "window_exec", "broadcast_any", "codegen"],
+    "graph_two_hop_reach": ["no_cartesian", "partial_agg"],
+    "ts_seasonal_decompose": ["partial_agg", "window_exec", "broadcast_any", "pruning", "codegen"],
+    "ts_downsample_minmax": ["window_exec", "pruning", "codegen"],
+    "agg_weighted_median": ["partial_agg", "window_exec", "broadcast_any", "pruning", "codegen"],
+    "agg_bootstrap_ci_mean": ["partial_agg", "window_exec", "broadcast_any", "no_cartesian", "codegen"],
 }
 
 
