@@ -99,6 +99,36 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_interval_left_join",
+    """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS p_ts,
+              c.event_id AS click_id, c.ts AS c_ts
+       FROM events p LEFT JOIN events c
+         ON p.user_id = c.user_id
+        AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        AND c.event_type = 'click'
+       WHERE p.event_type = 'purchase'""",
+)
+def stream_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER variant of stream_interval_join: purchases with no click
+    in the lookback survive with NULL click columns — the attribution
+    shape where unconverted rows matter as much as converted ones. Calls
+    the SAME interval_stream_stream_left_join the streaming runtime runs;
+    in streaming the NULL rows emit only once the watermark proves no
+    match can arrive (state-eviction contract, proven in
+    tests/test_streaming.py), in batch they emit directly."""
+    from hawaiidatapipeline_spark.streaming.runtime import (
+        interval_stream_stream_left_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return interval_stream_stream_left_join(
+        e.filter(F.col("event_type") == "purchase"),
+        e.filter(F.col("event_type") == "click"),
+        lookback="30 minutes",
+    )
+
+
+@q(
     "stream_session",
     """WITH marked AS (
          SELECT user_id, ts, value,

@@ -183,3 +183,52 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return image_resize_stats(synthetic_image_blobs(d), out_h=8, out_w=8)
+
+
+@q(
+    "multimodal_image_dhash",
+    """WITH dims AS (
+         SELECT doc_id AS id, 16 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+         FROM documents),
+       g AS (SELECT id, h, w, unnest(generate_series(0, 8)) AS r FROM dims),
+       gray AS (SELECT id, r,
+                       (299 * ((id + (r * h) // 9) % 256)
+                        + 587 * ((3 * id) % 256)
+                        + 114 * ((7 * id) % 256)) // 1000 AS gy
+                FROM g),
+       bits AS (SELECT a.id,
+                       CASE WHEN a.gy < b.gy
+                            THEN power(2, a.r)::BIGINT ELSE 0 END AS bit
+                FROM gray a JOIN gray b ON b.id = a.id AND b.r = a.r + 1
+                WHERE a.r < 8),
+       ph AS (SELECT id, sum(bit)::BIGINT AS dhash FROM bits GROUP BY id)
+       SELECT d.id, d.w::INT AS width, d.h::INT AS height, p.dhash,
+              count(*) OVER (PARTITION BY p.dhash) AS n_bucket
+       FROM ph p JOIN dims d ON d.id = p.id
+       ORDER BY d.id""",
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: decode → integer-luma grayscale →
+    nearest-resize row profile → difference hash → bucket by hash (the
+    near-identical-image analog of llm_dedup_exact; re-encoded or
+    slightly-cropped copies land in the same bucket, which a byte-md5
+    never finds). n_bucket is each image's bucket population — the dedup
+    candidate count. The decode/resize/hash pipeline is real Arrow-batched
+    mapInPandas (sources/multimodal.image_dhash); the closed-form
+    synthetic corpus lets the oracle recompute every bit. Scale: map-only
+    hash + one window on the 64-bit hash key — the image twin of the
+    minhash bucket join, linear in blobs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hawaiidatapipeline_spark.sources.multimodal import (
+        image_dhash,
+        synthetic_image_blobs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    ph = image_dhash(synthetic_image_blobs(d))
+    return ph.withColumn(
+        "n_bucket",
+        F.count(F.lit(1)).over(Window.partitionBy("dhash")),
+    ).orderBy("id")

@@ -152,6 +152,40 @@ def interval_stream_stream_join(
     ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "click_id", "c_ts")
 
 
+def interval_stream_stream_left_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """LEFT OUTER time-bounded stream-stream join: every purchase emits —
+    joined rows as matches arrive, and a NULL-click row once the watermark
+    passes the purchase's lookback window and the state store can PROVE no
+    match can still arrive (outer results are necessarily late by the
+    watermark delay; that's the price of correctness, not a bug). Same
+    watermark + event-time-band contract as the inner form — without both,
+    unmatched rows could never be finalized and state never evicted."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL {lookback} AND p_ts"
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id", F.col("p_user").alias("user_id"), "p_ts", "click_id", "c_ts"
+    )
+
+
 def streaming_count_min(
     events: DataFrame, key_col: str = "user_id", depth: int = 4, width: int = 64
 ) -> DataFrame:

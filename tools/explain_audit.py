@@ -279,7 +279,10 @@ AUDITS: dict[str, list[str]] = {
     "emb_pq_recall_report": ["no_cartesian", "partial_agg", "window_exec"],
     # round-9 batch
     "stream_interval_join": ["smj_or_bhj", "pushdown", "no_cartesian", "codegen"],
-    "emb_ivfpq_topk": ["no_cartesian", "partial_agg", "window_exec", "broadcast_any"],
+    # (no "partial_agg": the cell-pruned ADC aggregation is localCheckpoint-
+    # materialized, so the final plan reads the checkpoint RDD — the
+    # llm_dedup_minhash pattern)
+    "emb_ivfpq_topk": ["no_cartesian", "window_exec", "broadcast_any"],
     "emb_ivfpq_recall_report": ["no_cartesian", "partial_agg", "window_exec"],
     "emb_pq_residual_codes": ["no_cartesian", "partial_agg", "take_ordered"],
     "emb_kmeans_silhouette": ["no_cartesian", "partial_agg", "broadcast_any"],
@@ -303,6 +306,8 @@ AUDITS: dict[str, list[str]] = {
     "ts_downsample_minmax": ["window_exec", "pruning", "codegen"],
     "agg_weighted_median": ["partial_agg", "window_exec", "broadcast_any", "pruning", "codegen"],
     "agg_bootstrap_ci_mean": ["partial_agg", "window_exec", "broadcast_any", "no_cartesian", "codegen"],
+    "stream_interval_left_join": ["smj_or_bhj", "pushdown", "no_cartesian", "codegen"],
+    "multimodal_image_dhash": ["window_exec", "no_cartesian"],
 }
 
 
