@@ -51,6 +51,14 @@ PROBES = [
     ("emb_pca_power_iteration", "S build linear in vectors; squaring ladder fixed-cost in N"),
     ("dq_order_total_reconciliation", "micro-cent reconcile — linear in lineitems"),
     ("events_attribution_linear", "24h touch join — linear in per-user touch×conv pairs"),
+    # round-9 additions
+    ("llm_dedup_incremental_lsh", "incremental LSH — O(batch) signatures + band join touching the batch"),
+    ("emb_ivfpq_topk", "IVF-PQ read path — ADC scan bounded by cell size per probe"),
+    ("agg_bootstrap_ci_mean", "Poisson bootstrap — map-side row×B expansion, shuffle = B means"),
+    ("events_session_entry_exit", "entry/exit matrix — one user shuffle, windows + tiny agg"),
+    ("dq_ks_drift", "KS drift — value-grouped ECDF, cost ~ #distinct prices"),
+    ("graph_clustering_coefficient", "per-node wedges under hub cap — linear in capped wedges"),
+    ("stream_interval_join", "user-key equi-join + time band — linear in matched pairs"),
 ]
 
 
