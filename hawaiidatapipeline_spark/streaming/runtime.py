@@ -383,7 +383,7 @@ def sessionized_counters(events: DataFrame, gap_minutes: int = 30, watermark: st
 
 def funnel_stage_tracker(
     events: DataFrame,
-    window_hours: int = 1,
+    window_hours: float = 1,
     watermark: str = DEFAULT_WATERMARK,
 ) -> DataFrame:
     """Streaming face of the batch ``events_funnel_windowed`` query: a
@@ -418,7 +418,7 @@ def funnel_stage_tracker(
     decreases, so the horizon only moves earlier and the timeout never
     under-waits. Replay over a closed input equals the batch funnel
     exactly (tests/test_streaming.py)."""
-    win_us = window_hours * 3600 * 1_000_000
+    win_us = int(window_hours * 3600 * 1_000_000)
     ev = events.select("user_id", "ts", "event_type").withWatermark(
         "ts", watermark
     )
