@@ -134,6 +134,73 @@ def cosine_topk_gemm(
     return out.orderBy(F.round("cos_sim", 6).desc(), "vec_a", "vec_b").limit(k)
 
 
+def inner_topk_gemm(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    local_k_factor: int = 3,
+    max_index_rows: int = 4_000_000,
+) -> DataFrame:
+    """Exact top-k (a < b) pairs by RAW inner product (MIPS) — the metric
+    retrieval models trained with dot-product scoring need, where cosine's
+    norm division is wrong (vector norm encodes item popularity/confidence
+    and must be kept). Same blocked-GEMM layout as ``cosine_topk_gemm``
+    (broadcast candidate matrix, per-Arrow-batch matmul, n·k shuffle) minus
+    the normalization; the size gate falls back to the pure-JVM exact pair
+    scan (MIPS has no distance-preserving LSH without an augmentation
+    transform, so no approximate fallback is silently substituted)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    pdf = df.select(id_col, vec_col).limit(max_index_rows + 1).toPandas()
+    if len(pdf) > max_index_rows:
+        a, b = df.alias("a"), df.alias("b")
+        return (
+            a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("vec_a"),
+                F.col(f"b.{id_col}").alias("vec_b"),
+                _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("dot"),
+            )
+            .orderBy(F.round("dot", 6).desc(), "vec_a", "vec_b")
+            .limit(k)
+        )
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+    bc = spark.sparkContext.broadcast((ids, mat))
+    local_k = k * local_k_factor
+
+    def block(batches):
+        b_ids, b_mat = bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            a_ids = batch[id_col].to_numpy()
+            a_mat = np.stack(batch[vec_col].to_numpy()).astype("float64")
+            sims = a_mat @ b_mat.T
+            mask = b_ids[None, :] <= a_ids[:, None]
+            sims[mask] = -np.inf
+            take = min(local_k, sims.shape[1])
+            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            top = np.take_along_axis(sims, idx, axis=1)
+            keep = np.isfinite(top)
+            rows_i, cols_j = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[rows_i],
+                    "vec_b": b_ids[idx[rows_i, cols_j]],
+                    "dot": top[rows_i, cols_j],
+                }
+            )
+
+    out = df.select(id_col, vec_col).mapInPandas(
+        block, "vec_a bigint, vec_b bigint, dot double"
+    )
+    return out.orderBy(F.round("dot", 6).desc(), "vec_a", "vec_b").limit(k)
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     k: int = 20,

@@ -43,6 +43,8 @@ _MODULES = (
     "functional_extra",
     "patterns_extra",
     "stats_extra",
+    "inference_extra",
+    "scalepath_extra",
     "ops_extra",
     "robust_extra",
     "audit_extra",
