@@ -89,15 +89,15 @@ _FRONT: tuple[str, ...] = (
     'graph_adamic_adar', 'graph_clustering_coefficient', 'ts_seasonal_decompose',
     'ts_downsample_minmax', 'agg_weighted_median', 'agg_bootstrap_ci_mean',
     'llm_topic_words_chi2', 'emb_srp_buckets', 'graph_two_hop_reach',
-    'stream_interval_left_join', 'multimodal_image_dhash', 'project_computed',
-    'filter_compare', 'filter_boolean', 'filter_in_between_null',
-    'filter_like', 'fulltext_search', 'distinct_rows',
-    'sort_multikey', 'limit_n', 'offset_paging',
-    'topk_global', 'set_union_all', 'set_union_distinct',
-    'set_intersect', 'set_except', 'subquery_scalar_correlated',
-    'dq_profile', 'dq_referential', 'join_inner_broadcast',
-    'join_inner_sortmerge', 'join_left_outer', 'join_right_outer',
-    'join_full_outer', 'join_left_semi',
+    'stream_interval_left_join', 'multimodal_image_dhash', 'agg_welch_t_test',
+    'agg_chi2_cramers_v', 'agg_ab_srm_check', 'agg_spearman_corr',
+    'dq_mutual_information', 'ts_ljung_box', 'etl_compaction_plan',
+    'join_spatial_grid', 'llm_feature_hashing', 'emb_mips_topk',
+    'project_computed', 'filter_compare', 'filter_boolean',
+    'filter_in_between_null', 'filter_like', 'fulltext_search',
+    'distinct_rows', 'sort_multikey', 'limit_n',
+    'offset_paging', 'topk_global', 'set_union_all',
+    'set_union_distinct', 'set_intersect',
 )
 
 
