@@ -45,6 +45,37 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_topk_window",
+    """WITH c AS (
+         SELECT date_trunc('hour', ts) AS win_start, event_type,
+                count(*) AS n_events
+         FROM events GROUP BY 1, 2)
+       SELECT win_start, event_type, n_events, rk
+       FROM (SELECT *, rank() OVER (PARTITION BY win_start
+                                    ORDER BY n_events DESC, event_type) AS rk
+             FROM c)
+       WHERE rk <= 3""",
+)
+def stream_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour — the trending-items query.
+    Streaming twin: the SAME stage-2 rank (streaming/runtime.py
+    topk_per_window) over the watermarked windowed counts
+    (windowed_type_counts); rank() can't run mid-stream, so the split is
+    incremental-count (all the state, watermark-bounded) + sink-side
+    bounded rank — the composition the 24th streaming equivalence test
+    replays micro-batched."""
+    from hawaiidatapipeline_spark.streaming.runtime import topk_per_window
+
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+    )
+    return topk_per_window(counts, k=3)
+
+
+@q(
     "stream_sliding",
     """SELECT time_bucket(INTERVAL '15 minutes', ts) - (k.k * INTERVAL '15 minutes') AS win_start,
               count(*)             AS n_events,

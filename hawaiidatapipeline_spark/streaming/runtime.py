@@ -77,6 +77,38 @@ def tumbling_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> Da
     )
 
 
+def windowed_type_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Stage 1 of the streaming windowed top-k (batch twin:
+    queries/events.stream_topk_window): per-hour per-event-type counts with
+    a watermark. Structured Streaming cannot run a rank() window mid-stream
+    (non-time window functions are unsupported on streaming DataFrames), so
+    the top-k is split: this incremental aggregation carries ALL state —
+    one row per (hour, type), bounded by the watermark horizon — and the
+    rank runs in the sink over each finalized window (``topk_per_window``
+    applied in foreachBatch or post-materialization), where the input per
+    window is at most |event types| rows. At 100 TB the heavy shuffle is
+    this count; the sink-side rank is metadata-sized."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+    )
+
+
+def topk_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Stage 2 of the streaming windowed top-k: deterministic per-window
+    rank (count desc, event_type asc ties) and keep rank ≤ k. A plain batch
+    transformation — run it in the sink (foreachBatch) or over the
+    materialized counts table; never on the unfinished stream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return counts.withColumn("rk", F.rank().over(w)).filter(F.col("rk") <= k)
+
+
 def session_aggregate(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """Streaming twin of queries/events.stream_session."""
     return (

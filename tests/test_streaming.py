@@ -23,6 +23,17 @@ def test_streaming_tumbling_equals_batch(spark):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_streaming_windowed_topk_equals_batch(spark):
+    """Two-stage windowed top-k: streaming watermarked counts drained to a
+    table, then the SAME sink-side rank the batch twin uses — outputs must
+    be identical, including rank ties."""
+    counts = runtime.windowed_type_counts(runtime.stream_events(spark, SF0001))
+    got = runtime.topk_per_window(runtime.run_to_memory(counts, "t_topk"), k=3)
+    want = batch_twins.stream_topk_window(spark, SF0001)
+    cols = ["win_start", "event_type", "n_events", "rk"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_streaming_session_equals_batch(spark):
     stream = runtime.session_aggregate(runtime.stream_events(spark, SF0001))
     got = runtime.run_to_memory(stream, "t_session")
