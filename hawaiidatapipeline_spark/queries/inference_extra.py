@@ -272,23 +272,18 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the exact .5 grid, so DOUBLED ranks (2·rank + tie_count − 1) are
     exact integers; all five sufficient statistics are exact 64-bit
     sums and rho is Pearson's closed form on them, evaluated once in
-    doubles identically on both engines. Scale note: two global
-    range-partitioned sorts (one per column) + one aggregation — at
-    100 TB the sorts dominate and Spark's rank() already distributes
-    them; no pair enumeration anywhere."""
+    doubles identically on both engines. Scale note: ranks come from
+    the DISTRIBUTED rank map (operators/ranks.py — range-partitioned
+    local cumsums + a broadcast prefix over one row per partition),
+    never a single-partition ``Window.orderBy``; the per-value maps
+    join back by value equality. No pair enumeration anywhere."""
+    from hawaiidatapipeline_spark.operators.ranks import doubled_avg_rank_map
+
     li = load_table(spark, sf_dir, "lineitem")
     v = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
-    a = (
-        2 * F.rank().over(Window.orderBy("x"))
-        + F.count(F.lit(1)).over(Window.partitionBy("x"))
-        - 1
-    ).cast("long")
-    b = (
-        2 * F.rank().over(Window.orderBy("y"))
-        + F.count(F.lit(1)).over(Window.partitionBy("y"))
-        - 1
-    ).cast("long")
-    r = v.select(a.alias("a"), b.alias("b"))
+    amap = doubled_avg_rank_map(v, "x", "a")
+    bmap = doubled_avg_rank_map(v, "y", "b")
+    r = v.join(amap, "x").join(bmap, "y").select("a", "b")
     s = r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("a").cast("long").alias("sa"),

@@ -462,18 +462,19 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank() + (tie_count-1)/2), so the rank sum is EXACT in double and U
     is hash-stable; the normal approximation carries the full tie
     correction from integer tie counts, and rank-biserial is the effect
-    size. Scale note: the global rank is a single ordered pass — at
-    100 TB you range-partition the sort (Spark does) and the arithmetic
-    is unchanged; everything else is one aggregation."""
+    size. Scale note: ranks come from the DISTRIBUTED rank map
+    (operators/ranks.py — range-partitioned local cumsums + a broadcast
+    prefix over one row per partition, joined back by value), never a
+    single-partition ``Window.orderBy``; everything else is one
+    aggregation."""
+    from hawaiidatapipeline_spark.operators.ranks import doubled_avg_rank_map
+
     e = load_table(spark, sf_dir, "events")
     v = e.filter(F.col("event_type").isin("click", "purchase")).select(
         F.col("event_type").alias("grp"), F.col("value").alias("x")
     )
-    r = v.select(
-        "grp",
-        F.rank().over(Window.orderBy("x"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("x")) - 1) / 2.0,
-    ).toDF("grp", "arank")
+    rmap = doubled_avg_rank_map(v, "x", "dbl")
+    r = v.join(rmap, "x").select("grp", (F.col("dbl") / 2.0).alias("arank"))
     ties = (
         v.groupBy("x")
         .agg(F.count(F.lit(1)).alias("tc"))

@@ -110,6 +110,40 @@ def test_spearman_matches_driver_fold(spark):
     assert -1.0 <= row["spearman_rho"] <= 1.0
 
 
+def test_doubled_avg_rank_map_equals_serial_window(spark):
+    """The distributed rank map (range-partitioned local cumsums + prefix
+    offsets) must reproduce the single-partition Window.orderBy ranks
+    exactly, including tie averaging — on a column with heavy ties."""
+    from pyspark.sql import Window
+
+    from hawaiidatapipeline_spark.operators.ranks import doubled_avg_rank_map
+
+    li = load_table(spark, SF0001, "lineitem").select(
+        F.col("l_quantity").alias("x")
+    )
+    got = {
+        r["x"]: r["dbl"]
+        for r in doubled_avg_rank_map(li, "x", "dbl").collect()
+    }
+    serial = li.select(
+        "x",
+        (
+            2 * F.rank().over(Window.orderBy("x"))
+            + F.count(F.lit(1)).over(Window.partitionBy("x"))
+            - 1
+        ).cast("long").alias("dbl"),
+    )
+    want = {r["x"]: r["dbl"] for r in serial.distinct().collect()}
+    assert got == want
+    # one rank per distinct value, and the top rank closes the telescope:
+    # sum over rows of avg rank must be n(n+1)/2
+    n = li.count()
+    rows_sum = sum(
+        got[r["x"]] for r in li.collect()
+    )  # doubled ranks summed over all rows
+    assert rows_sum == n * (n + 1)
+
+
 def test_mutual_information_bounds(spark):
     row = inference_extra.QUERIES["dq_mutual_information"](spark, SF0001).collect()[0]
     # MI >= 0 up to the micro-floor slack (one ulp-of-grid per cell)
