@@ -292,7 +292,6 @@ AUDITS: dict[str, list[str]] = {
     "events_session_entry_exit": ["window_exec", "partial_agg", "pruning", "no_cartesian", "codegen"],
     "events_weekly_active_streaks": ["partial_agg", "window_exec", "pruning", "codegen"],
     "events_cohort_ltv": ["smj_or_bhj", "partial_agg", "window_exec", "pruning", "no_cartesian", "codegen"],
-    "agg_mann_whitney_u": ["window_exec", "partial_agg", "pushdown", "codegen"],
     "agg_hhi_concentration": ["broadcast", "partial_agg", "pruning", "codegen"],
     "etl_backfill_plan": ["generate_exec", "partial_agg", "pruning", "codegen"],
     "dq_ks_drift": ["partial_agg", "window_exec", "take_ordered", "pruning", "codegen"],
@@ -308,6 +307,21 @@ AUDITS: dict[str, list[str]] = {
     "agg_bootstrap_ci_mean": ["partial_agg", "window_exec", "broadcast_any", "no_cartesian", "codegen"],
     "stream_interval_left_join": ["smj_or_bhj", "pushdown", "no_cartesian", "codegen"],
     "multimodal_image_dhash": ["window_exec", "no_cartesian"],
+    # round-9 batch 4 (inference + scale-path)
+    "agg_welch_t_test": ["pushdown", "partial_agg", "pruning", "codegen"],
+    "agg_chi2_cramers_v": ["partial_agg", "broadcast_any", "pruning", "no_cartesian", "codegen"],
+    "agg_ab_srm_check": ["partial_agg", "pruning", "codegen"],
+    # ranks via the distributed rank map: range exchange + per-slice window
+    # + value-equality joins back — never a single-partition global window
+    "agg_spearman_corr": ["partial_agg", "window_exec", "smj_or_bhj", "broadcast_any", "pruning", "codegen"],
+    "agg_mann_whitney_u": ["window_exec", "partial_agg", "smj_or_bhj", "pushdown", "codegen"],
+    "dq_mutual_information": ["partial_agg", "broadcast_any", "pruning", "no_cartesian", "codegen"],
+    "ts_ljung_box": ["partial_agg", "window_exec", "broadcast_any", "no_cartesian", "pruning", "codegen"],
+    "etl_compaction_plan": ["partial_agg", "window_exec", "pruning", "codegen"],
+    "join_spatial_grid": ["generate_exec", "smj_or_bhj", "broadcast_any", "no_cartesian", "pruning", "codegen"],
+    "llm_feature_hashing": ["generate_exec", "partial_agg", "take_ordered", "pruning", "codegen"],
+    "emb_mips_topk": ["take_ordered", "no_cartesian"],
+    "stream_topk_window": ["partial_agg", "window_exec", "pruning", "codegen"],
 }
 
 
