@@ -91,6 +91,8 @@ HEAVY = [
     "emb_kmeans_silhouette",
     "graph_adamic_adar",
     "graph_clustering_coefficient",
+    # round-9 batch-4 additions (same caveat)
+    "agg_spearman_corr",
 ]
 
 # Sub-0.5s queries sit at the box-noise floor: with 3 passes one co-tenant
