@@ -93,11 +93,11 @@ _FRONT: tuple[str, ...] = (
     'agg_chi2_cramers_v', 'agg_ab_srm_check', 'agg_spearman_corr',
     'dq_mutual_information', 'ts_ljung_box', 'etl_compaction_plan',
     'join_spatial_grid', 'llm_feature_hashing', 'emb_mips_topk',
-    'stream_topk_window', 'project_computed', 'filter_compare',
-    'filter_boolean', 'filter_in_between_null', 'filter_like',
-    'fulltext_search', 'distinct_rows', 'sort_multikey',
-    'limit_n', 'offset_paging', 'topk_global',
-    'set_union_all', 'set_union_distinct',
+    'stream_topk_window', 'subquery_exists_correlated', 'events_ab_proportion_z',
+    'emb_matryoshka_recall', 'join_interval_overlap', 'project_computed',
+    'filter_compare', 'filter_boolean', 'filter_in_between_null',
+    'filter_like', 'fulltext_search', 'distinct_rows',
+    'sort_multikey', 'limit_n',
 )
 
 

@@ -828,3 +828,120 @@ def emb_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_vecs").desc(), "srp_sig")
         .limit(20)
     )
+
+
+_MRL_TIERS = (8, 16, 32)
+
+
+def _matryoshka_sql() -> str:
+    tiers_dots = ",\n              ".join(
+        f"sum(CASE WHEN p.d < {t} THEN p.q * c.q ELSE 0 END)::BIGINT AS dot{t}"
+        for t in _MRL_TIERS
+    )
+    top = "\n       ".join(
+        f"""t{t} AS (SELECT pid, cid FROM (
+             SELECT pid, cid, row_number() OVER (PARTITION BY pid
+                      ORDER BY dot{t} DESC, cid) AS rn FROM dots) q
+           WHERE rn <= 10),"""
+        for t in _MRL_TIERS
+    )
+    unions = "\n       UNION ALL ".join(
+        f"""SELECT {t} AS dims, np.n_probes,
+              round(count(*)::DOUBLE / (10 * np.n_probes), 6) AS recall_at_10
+       FROM t{t} JOIN tfull USING (pid, cid) CROSS JOIN np
+       GROUP BY np.n_probes"""
+        for t in _MRL_TIERS
+    )
+    return f"""WITH qv AS (
+         SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+                round(unnest(embedding) * 1000)::BIGINT AS q
+         FROM embeddings),
+       p AS (SELECT * FROM qv WHERE vec_id % 23 = 0),
+       dots AS (
+         SELECT p.vec_id AS pid, c.vec_id AS cid,
+              {tiers_dots},
+              sum(p.q * c.q)::BIGINT AS dotfull
+         FROM p JOIN qv c ON p.d = c.d AND c.vec_id <> p.vec_id
+         GROUP BY 1, 2),
+       {top}
+       tfull AS (SELECT pid, cid FROM (
+             SELECT pid, cid, row_number() OVER (PARTITION BY pid
+                      ORDER BY dotfull DESC, cid) AS rn FROM dots) q
+           WHERE rn <= 10),
+       np AS (SELECT count(DISTINCT pid)::BIGINT AS n_probes FROM dots)
+       {unions}
+       ORDER BY dims"""
+
+
+@q("emb_matryoshka_recall", _matryoshka_sql())
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: recall@10 of nearest-neighbor search
+    when the embedding is cut to its first 8/16/32 dims, against full-width
+    ground truth — the evaluation run before shipping truncated vectors to
+    a cheaper index tier (MRL-trained models should hold recall at half
+    width; a collapse says the model packs no information order into its
+    dims). Dot products are exact integer milli-unit sums, ranks use the
+    (dot DESC, id) total order, and recall is a ratio of exact counts —
+    the emb_ann_recall_report determinism recipe. ALL tier dots come from
+    ONE probe×corpus join pass (conditional sums over the dim index), so
+    auditing 3 tiers costs the same scan as auditing one; at 100 TB the
+    probe set is the strided audit slice and the corpus side streams."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "v")
+    ).select("vec_id", "d", F.round(F.col("v") * 1000).cast("long").alias("q"))
+    p = qv.filter(F.col("vec_id") % 23 == 0)
+    prod = F.col("p.q") * F.col("c.q")
+    dots = (
+        p.alias("p")
+        .join(
+            qv.alias("c"),
+            (F.col("p.d") == F.col("c.d"))
+            & (F.col("c.vec_id") != F.col("p.vec_id")),
+        )
+        .groupBy(
+            F.col("p.vec_id").alias("pid"), F.col("c.vec_id").alias("cid")
+        )
+        .agg(
+            *[
+                F.sum(F.when(F.col("p.d") < t, prod).otherwise(0))
+                .cast("long")
+                .alias(f"dot{t}")
+                for t in _MRL_TIERS
+            ],
+            F.sum(prod).cast("long").alias("dotfull"),
+        )
+    )
+    # one probe×corpus pass feeds every tier; localCheckpoint so the 4
+    # ranking branches don't re-run the join
+    dots = dots.localCheckpoint(eager=True)
+
+    def top10(col: str) -> DataFrame:
+        w = Window.partitionBy("pid").orderBy(F.col(col).desc(), "cid")
+        return (
+            dots.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("pid", "cid")
+        )
+
+    tfull = top10("dotfull")
+    np_ = dots.agg(F.count_distinct("pid").alias("n_probes"))
+    outs = []
+    for t in _MRL_TIERS:
+        overlap = top10(f"dot{t}").join(tfull, ["pid", "cid"])
+        outs.append(
+            overlap.crossJoin(F.broadcast(np_))
+            .groupBy("n_probes")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(
+                F.lit(t).alias("dims"),
+                F.col("n_probes"),
+                F.round(
+                    F.col("hits").cast("double") / (10 * F.col("n_probes")), 6
+                ).alias("recall_at_10"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("dims")

@@ -481,3 +481,88 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("q_stat"),
     ).orderBy("lag")
+
+
+@q(
+    "events_ab_proportion_z",
+    f"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       conv AS (SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase'),
+       assigned AS (
+         SELECT u.user_id,
+                CASE WHEN {_ph('u.user_id::VARCHAR', 7)} % 2 = 0
+                     THEN 0 ELSE 1 END AS variant,
+                CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END AS converted
+         FROM u LEFT JOIN conv ON u.user_id = conv.user_id),
+       s AS (SELECT
+               sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+               sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)::BIGINT AS x0,
+               sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)::BIGINT AS x1
+             FROM assigned)
+       SELECT n0 AS n_control, n1 AS n_treatment,
+              x0 AS conv_control, x1 AS conv_treatment,
+              round(x0::DOUBLE / n0, 6) AS cvr_control,
+              round(x1::DOUBLE / n1, 6) AS cvr_treatment,
+              CASE WHEN sqrt(((x0 + x1)::DOUBLE / (n0 + n1))
+                            * (1.0 - (x0 + x1)::DOUBLE / (n0 + n1))
+                            * (1.0 / n0 + 1.0 / n1)) > 0
+                   THEN round((x1::DOUBLE / n1 - x0::DOUBLE / n0)
+                        / sqrt(((x0 + x1)::DOUBLE / (n0 + n1))
+                               * (1.0 - (x0 + x1)::DOUBLE / (n0 + n1))
+                               * (1.0 / n0 + 1.0 / n1)), 6)
+              END AS z_score
+       FROM s""",
+)
+def events_ab_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on conversion (any purchase) between the
+    hash-assigned experiment arms — the categorical companion of
+    ``agg_welch_t_test`` (means) and the readout that
+    ``agg_ab_srm_check`` gates: same seed-7 portable assignment, pooled
+    standard error. The four sufficient statistics are exact integer
+    counts off one distinct-users pass plus a purchase semi-join; z is
+    one closed-form double expression. Scale note: two shuffles on
+    user_id (distinct + left join), then a 1-row reduce."""
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.select("user_id").distinct()
+    conv = (
+        e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    assigned = u.join(
+        conv.withColumn("converted", F.lit(1)), "user_id", "left"
+    ).select(
+        F.when(
+            F.pmod(portable_hash64(F.col("user_id").cast("string"), 7), F.lit(2))
+            == 0,
+            0,
+        )
+        .otherwise(1)
+        .alias("variant"),
+        F.coalesce(F.col("converted"), F.lit(0)).alias("converted"),
+    )
+    s = assigned.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)).cast("long").alias("x0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)).cast("long").alias("x1"),
+    )
+    n0, n1, x0, x1 = (F.col(c) for c in ("n0", "n1", "x0", "x1"))
+    p0 = x0.cast("double") / n0
+    p1 = x1.cast("double") / n1
+    pp = (x0 + x1).cast("double") / (n0 + n1)
+    return s.select(
+        n0.alias("n_control"),
+        n1.alias("n_treatment"),
+        x0.alias("conv_control"),
+        x1.alias("conv_treatment"),
+        F.round(p0, 6).alias("cvr_control"),
+        F.round(p1, 6).alias("cvr_treatment"),
+        F.when(
+            F.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)) > 0,
+            F.round(
+                (p1 - p0) / F.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)), 6
+            ),
+        ).alias("z_score"),
+    )

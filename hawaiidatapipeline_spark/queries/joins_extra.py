@@ -117,3 +117,81 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .select("dirty_id", F.col("c_custkey").alias("matched_custkey"), "dist")
     )
+
+
+@q(
+    "join_interval_overlap",
+    """WITH a AS (
+         SELECT o_orderkey AS a_key, o_orderdate::DATE AS a_start,
+                o_orderdate::DATE + (o_orderkey % 5 + 1)::INT AS a_end
+         FROM orders WHERE o_orderpriority = '1-URGENT'),
+       b AS (
+         SELECT o_orderkey AS b_key, o_orderdate::DATE AS b_start,
+                o_orderdate::DATE + (o_orderkey % 7 + 1)::INT AS b_end
+         FROM orders WHERE o_orderpriority = '2-HIGH')
+       SELECT count(*)::BIGINT AS n_pairs,
+              sum(datediff('day', greatest(a_start, b_start),
+                           least(a_end, b_end)) + 1)::BIGINT AS total_overlap_days
+       FROM a JOIN b
+         ON a_start <= b_end AND b_start <= a_end""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (the genomics/billing-period
+    shape, one step past ``join_interval_binned``'s point-in-interval):
+    urgent-order activity windows against high-priority ones. The oracle
+    is the O(n·m) theta join; the Spark plan is the dual-binned form —
+    each interval explodes into the 7-day bins it touches (bounded:
+    length ≤ 8 days → ≤ 2 bins), candidates meet through an EQUI-join on
+    the bin key, duplicate meetings (same pair sharing two bins) collapse
+    with one distinct, and the exact overlap predicate filters last. At
+    100 TB pair generation shuffles on bin keys — partition-local and
+    skew-safe for bounded interval lengths — instead of a broadcast
+    nested loop; longer intervals only raise the per-interval bin fan-out
+    linearly."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def side(priority: str, mod: int, prefix: str) -> DataFrame:
+        return o.filter(F.col("o_orderpriority") == priority).select(
+            F.col("o_orderkey").alias(f"{prefix}_key"),
+            F.to_date("o_orderdate").alias(f"{prefix}_start"),
+            F.date_add(
+                F.to_date("o_orderdate"),
+                (F.col("o_orderkey") % mod + 1).cast("int"),
+            ).alias(f"{prefix}_end"),
+        )
+
+    a = side("1-URGENT", 5, "a")
+    b = side("2-HIGH", 7, "b")
+
+    def binned(df: DataFrame, prefix: str) -> DataFrame:
+        return df.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_date(F.col(f"{prefix}_start")) / 7),
+                    F.floor(F.unix_date(F.col(f"{prefix}_end")) / 7),
+                )
+            ),
+        )
+
+    pairs = (
+        binned(a, "a")
+        .join(binned(b, "b"), "bin")
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("a_key", "b_key", "a_start", "a_end", "b_start", "b_end")
+        .distinct()
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.datediff(
+                F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("total_overlap_days"),
+    )

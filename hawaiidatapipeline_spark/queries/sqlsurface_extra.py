@@ -152,3 +152,43 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("file_name")
     )
+
+
+@q(
+    "subquery_exists_correlated",
+    """SELECT c.c_custkey, c.c_name
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT')
+         AND NOT EXISTS (SELECT 1 FROM orders o2
+                         WHERE o2.o_custkey = c.c_custkey
+                           AND o2.o_orderstatus = 'F'
+                           AND o2.o_totalprice > 200000)
+       ORDER BY c.c_custkey
+       LIMIT 100""",
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — the remaining subquery shape next
+    to ``subquery_scalar_correlated`` and ``subquery_not_in_nulls``:
+    customers with at least one urgent order and no large finalized one.
+    Catalyst decorrelates both predicates into LEFT SEMI and LEFT ANTI
+    joins on o_custkey (visible in the executed plan) — at 100 TB these
+    are ordinary shuffled equi-joins with the orders side filtered FIRST
+    by the pushed-down priority/status predicates, never a per-row
+    re-execution of the inner query."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ec")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ec")
+    return spark.sql(
+        """SELECT c.c_custkey, c.c_name
+           FROM customer_ec c
+           WHERE EXISTS (SELECT 1 FROM orders_ec o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')
+             AND NOT EXISTS (SELECT 1 FROM orders_ec o2
+                             WHERE o2.o_custkey = c.c_custkey
+                               AND o2.o_orderstatus = 'F'
+                               AND o2.o_totalprice > 200000)
+           ORDER BY c.c_custkey
+           LIMIT 100"""
+    )

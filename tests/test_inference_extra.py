@@ -249,3 +249,110 @@ def test_mips_topk_equals_brute_force(spark):
     # raw inner product must NOT be the cosine ordering when norms vary
     norms = np.linalg.norm(mat, axis=1)
     assert norms.max() / norms.min() > 1.0001 or got == want
+
+
+# ---------------------------------------------------------------- batch 5
+
+
+def test_exists_correlated_predicates_hold(spark):
+    from hawaiidatapipeline_spark.queries import sqlsurface_extra
+
+    rows = sqlsurface_extra.QUERIES["subquery_exists_correlated"](
+        spark, SF0001
+    ).collect()
+    assert rows
+    o = load_table(spark, SF0001, "orders").collect()
+    urgent = {r["o_custkey"] for r in o if r["o_orderpriority"] == "1-URGENT"}
+    big_f = {
+        r["o_custkey"]
+        for r in o
+        if r["o_orderstatus"] == "F" and r["o_totalprice"] > 200000
+    }
+    keys = [r["c_custkey"] for r in rows]
+    assert keys == sorted(keys)  # ordered, limited
+    for k in keys:
+        assert k in urgent and k not in big_f
+
+
+def test_interval_overlap_equals_brute_force(spark):
+    import datetime as dt
+
+    from hawaiidatapipeline_spark.queries import joins_extra
+
+    row = joins_extra.QUERIES["join_interval_overlap"](spark, SF0001).collect()[0]
+    o = load_table(spark, SF0001, "orders").collect()
+
+    def side(priority, mod):
+        out = []
+        for r in o:
+            if r["o_orderpriority"] == priority:
+                s = r["o_orderdate"].date()
+                out.append((s, s + dt.timedelta(days=r["o_orderkey"] % mod + 1)))
+        return out
+
+    a, b = side("1-URGENT", 5), side("2-HIGH", 7)
+    n_pairs = total = 0
+    for s1, e1 in a:
+        for s2, e2 in b:
+            if s1 <= e2 and s2 <= e1:
+                n_pairs += 1
+                total += (min(e1, e2) - max(s1, s2)).days + 1
+    assert row["n_pairs"] == n_pairs
+    assert row["total_overlap_days"] == total
+
+
+def test_matryoshka_recall_matches_numpy(spark):
+    import numpy as np
+
+    from hawaiidatapipeline_spark.queries import emb_extra
+
+    rows = emb_extra.QUERIES["emb_matryoshka_recall"](spark, SF0001).collect()
+    assert [r["dims"] for r in rows] == [8, 16, 32]
+    e = load_table(spark, SF0001, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in e])
+    q = np.round(np.array([r["embedding"] for r in e], dtype="float64") * 1000).astype(
+        "int64"
+    )
+    probes = [i for i, v in enumerate(ids) if v % 23 == 0]
+    n_probes = len(probes)
+
+    def top10(dots, pi):
+        # (dot DESC, cid ASC) total order, self excluded
+        order = sorted(
+            (int(-dots[j]), int(ids[j]))
+            for j in range(len(ids))
+            if ids[j] != ids[pi]
+        )
+        return {cid for _, cid in order[:10]}
+
+    for r in rows:
+        t = r["dims"]
+        assert r["n_probes"] == n_probes
+        hits = 0
+        for pi in probes:
+            full = top10(q[pi] @ q.T, pi)
+            trunc = top10(q[pi, :t] @ q[:, :t].T, pi)
+            hits += len(full & trunc)
+        assert r["recall_at_10"] == round(hits / (10 * n_probes), 6)
+        assert 0.0 <= r["recall_at_10"] <= 1.0
+
+
+def test_proportion_z_matches_counts(spark):
+    import math
+
+    row = inference_extra.QUERIES["events_ab_proportion_z"](spark, SF0001).collect()[0]
+    e = load_table(spark, SF0001, "events")
+    n_users = e.select("user_id").distinct().count()
+    n0, n1 = row["n_control"], row["n_treatment"]
+    x0, x1 = row["conv_control"], row["conv_treatment"]
+    assert n0 + n1 == n_users
+    assert 0 <= x0 <= n0 and 0 <= x1 <= n1
+    p0, p1, pp = x0 / n0, x1 / n1, (x0 + x1) / (n0 + n1)
+    se = math.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+    if se > 0:
+        assert row["z_score"] == round((p1 - p0) / se, 6)
+    else:
+        # degenerate arm (everyone or no one converted): z is NULL by design
+        assert row["z_score"] is None
+    assert row["cvr_control"] == round(p0, 6)
+    assert row["cvr_treatment"] == round(p1, 6)

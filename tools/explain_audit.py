@@ -322,6 +322,11 @@ AUDITS: dict[str, list[str]] = {
     "llm_feature_hashing": ["generate_exec", "partial_agg", "take_ordered", "pruning", "codegen"],
     "emb_mips_topk": ["take_ordered", "no_cartesian"],
     "stream_topk_window": ["partial_agg", "window_exec", "pruning", "codegen"],
+    # round-9 batch 5
+    "subquery_exists_correlated": ["smj_or_bhj", "pushdown", "no_cartesian", "codegen"],
+    "join_interval_overlap": ["generate_exec", "smj_or_bhj", "partial_agg", "pushdown", "no_cartesian", "codegen"],
+    "emb_matryoshka_recall": ["partial_agg", "window_exec", "smj_or_bhj", "no_cartesian"],
+    "events_ab_proportion_z": ["partial_agg", "smj_or_bhj", "pruning", "codegen"],
 }
 
 
