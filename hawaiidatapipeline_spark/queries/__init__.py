@@ -94,10 +94,10 @@ _FRONT: tuple[str, ...] = (
     'dq_mutual_information', 'ts_ljung_box', 'etl_compaction_plan',
     'join_spatial_grid', 'llm_feature_hashing', 'emb_mips_topk',
     'stream_topk_window', 'subquery_exists_correlated', 'events_ab_proportion_z',
-    'emb_matryoshka_recall', 'join_interval_overlap', 'project_computed',
+    'emb_matryoshka_recall', 'join_interval_overlap', 'events_markov_next_accuracy',
+    'llm_mixture_temperature', 'emb_hard_negatives', 'project_computed',
     'filter_compare', 'filter_boolean', 'filter_in_between_null',
-    'filter_like', 'fulltext_search', 'distinct_rows',
-    'sort_multikey', 'limit_n',
+    'filter_like', 'fulltext_search',
 )
 
 

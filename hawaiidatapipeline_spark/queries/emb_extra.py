@@ -945,3 +945,70 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("dims")
+
+
+@q(
+    "emb_hard_negatives",
+    """WITH qv AS (
+         SELECT vec_id, label,
+                unnest(generate_series(0, len(embedding) - 1)) AS d,
+                round(unnest(embedding) * 1000)::BIGINT AS q
+         FROM embeddings),
+       p AS (SELECT * FROM qv WHERE vec_id % 23 = 0),
+       dots AS (
+         SELECT p.vec_id AS pid, p.label AS p_label,
+                c.vec_id AS cid, c.label AS c_label,
+                sum(p.q * c.q)::BIGINT AS dot_q
+         FROM p JOIN qv c ON p.d = c.d AND c.vec_id <> p.vec_id
+         WHERE c.label <> p.label
+         GROUP BY 1, 2, 3, 4),
+       ranked AS (
+         SELECT pid, p_label, cid, c_label AS neg_label, dot_q,
+                row_number() OVER (PARTITION BY pid
+                                   ORDER BY dot_q DESC, cid) AS rn
+         FROM dots)
+       SELECT pid, p_label, rn, cid AS neg_id, neg_label, dot_q
+       FROM ranked WHERE rn <= 5
+       ORDER BY pid, rn""",
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training: for each (strided)
+    probe, the top-5 most-similar vectors with a DIFFERENT label — the
+    near-misses a contrastive trainer should sample instead of random
+    negatives (random ones are trivially far and teach nothing). The
+    label filter sits INSIDE the pair generation, so same-label pairs
+    never materialize; similarity is the exact integer milli-unit dot
+    with the (dot DESC, id) total order — every emitted rank hash-stable.
+    Scale note: at 10⁹ vectors the probe set is the training batch and
+    the corpus side streams through the same blocked-GEMM/IVF tiers as
+    search; the relational form here is the exact-oracle fixture tier."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("d", "v")
+    ).select(
+        "vec_id", "label", "d", F.round(F.col("v") * 1000).cast("long").alias("q")
+    )
+    p = qv.filter(F.col("vec_id") % 23 == 0)
+    dots = (
+        p.alias("p")
+        .join(
+            qv.alias("c"),
+            (F.col("p.d") == F.col("c.d"))
+            & (F.col("c.vec_id") != F.col("p.vec_id"))
+            & (F.col("c.label") != F.col("p.label")),
+        )
+        .groupBy(
+            F.col("p.vec_id").alias("pid"),
+            F.col("p.label").alias("p_label"),
+            F.col("c.vec_id").alias("cid"),
+            F.col("c.label").alias("neg_label"),
+        )
+        .agg(F.sum(F.col("p.q") * F.col("c.q")).cast("long").alias("dot_q"))
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("dot_q").desc(), "cid")
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("pid", "p_label", "rn", F.col("cid").alias("neg_id"), "neg_label", "dot_q")
+        .orderBy("pid", "rn")
+    )

@@ -490,3 +490,79 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@q(
+    "events_markov_next_accuracy",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       trans AS (
+         SELECT prev_type AS from_type, event_type AS to_type,
+                count(*)::BIGINT AS n
+         FROM seq WHERE prev_type IS NOT NULL
+         GROUP BY 1, 2),
+       best AS (
+         SELECT from_type, to_type AS predicted_next, n AS n_correct
+         FROM (SELECT *, row_number() OVER (PARTITION BY from_type
+                          ORDER BY n DESC, to_type) AS rn
+               FROM trans) t
+         WHERE rn = 1),
+       tot AS (SELECT from_type, sum(n)::BIGINT AS n_transitions
+               FROM trans GROUP BY from_type)
+       SELECT t.from_type AS event_type, b.predicted_next,
+              t.n_transitions, b.n_correct,
+              round(b.n_correct::DOUBLE / t.n_transitions, 6) AS hit_rate
+       FROM tot t JOIN best b ON t.from_type = b.from_type
+       ORDER BY event_type""",
+)
+def events_markov_next_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-class next-event baseline: for each current event type,
+    predict the most frequent successor (from the same transition counts
+    ``events_transition_matrix`` emits, deterministic (count DESC, type)
+    tie-break) and score its hit rate — the floor any sequence model must
+    beat before it earns its training cost, and the companion number to
+    ``events_markov_stationary``. Accuracy is a ratio of exact counts.
+    One user_id window shuffle; everything after runs on the ≤ |types|²
+    transition table."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wb = Window.partitionBy("from_type").orderBy(F.col("n").desc(), "to_type")
+    best = (
+        trans.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "from_type",
+            F.col("to_type").alias("predicted_next"),
+            F.col("n").alias("n_correct"),
+        )
+    )
+    tot = trans.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_transitions")
+    )
+    return (
+        tot.join(best, "from_type")
+        .select(
+            F.col("from_type").alias("event_type"),
+            "predicted_next",
+            "n_transitions",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_transitions"), 6
+            ).alias("hit_rate"),
+        )
+        .orderBy("event_type")
+    )

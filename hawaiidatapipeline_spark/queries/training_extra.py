@@ -227,3 +227,60 @@ def events_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "e1", "e2", "e3")
         .limit(10)
     )
+
+
+@q(
+    "llm_mixture_temperature",
+    """WITH c AS (SELECT source, count(*)::BIGINT AS n_docs
+                  FROM documents GROUP BY source),
+       p AS (SELECT source, n_docs,
+                    (floor(pow(n_docs::DOUBLE, 0.3) * 1000000))::BIGINT AS p03,
+                    (floor(pow(n_docs::DOUBLE, 0.7) * 1000000))::BIGINT AS p07,
+                    n_docs * 1000000 AS p10
+             FROM c),
+       t AS (SELECT sum(p03)::BIGINT AS s03, sum(p07)::BIGINT AS s07,
+                    sum(p10)::BIGINT AS s10
+             FROM p)
+       SELECT p.source, p.n_docs,
+              round(p.p03::DOUBLE / t.s03, 6) AS w_t03,
+              round(p.p07::DOUBLE / t.s07, 6) AS w_t07,
+              round(p.p10::DOUBLE / t.s10, 6) AS w_t10
+       FROM p CROSS JOIN t
+       ORDER BY p.source""",
+)
+def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per source — the standard
+    multi-source LLM sampling rule w(s) ∝ n(s)^T (T=1 proportional,
+    T→0 uniform; 0.3/0.7 are the published multilingual settings): the
+    sweep a data engineer reads before choosing how hard to upweight
+    small sources against the head. Each n^T is floored to integer
+    micro-units before the (|sources|-row) normalizing sum, so the
+    weights are hash-stable; T=1 is exact by construction. Scale note:
+    one count aggregation over the corpus; the sweep itself runs on the
+    per-source frame with a broadcast total."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    nd = F.col("n_docs").cast("double")
+    p = c.select(
+        "source",
+        "n_docs",
+        F.floor(F.pow(nd, F.lit(0.3)) * 1000000).cast("long").alias("p03"),
+        F.floor(F.pow(nd, F.lit(0.7)) * 1000000).cast("long").alias("p07"),
+        (F.col("n_docs") * 1000000).cast("long").alias("p10"),
+    )
+    t = p.agg(
+        F.sum("p03").cast("long").alias("s03"),
+        F.sum("p07").cast("long").alias("s07"),
+        F.sum("p10").cast("long").alias("s10"),
+    )
+    return (
+        p.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("p03").cast("double") / F.col("s03"), 6).alias("w_t03"),
+            F.round(F.col("p07").cast("double") / F.col("s07"), 6).alias("w_t07"),
+            F.round(F.col("p10").cast("double") / F.col("s10"), 6).alias("w_t10"),
+        )
+        .orderBy("source")
+    )

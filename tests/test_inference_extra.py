@@ -356,3 +356,75 @@ def test_proportion_z_matches_counts(spark):
         assert row["z_score"] is None
     assert row["cvr_control"] == round(p0, 6)
     assert row["cvr_treatment"] == round(p1, 6)
+
+
+# ---------------------------------------------------------------- batch 6
+
+
+def test_markov_next_accuracy_matches_transitions(spark):
+    from hawaiidatapipeline_spark.queries import events as ev
+
+    rows = ev.QUERIES["events_markov_next_accuracy"](spark, SF0001).collect()
+    assert rows
+    trans = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in ev.QUERIES["events_transition_matrix"](spark, SF0001).collect()
+    }
+    for r in rows:
+        outgoing = {b: n for (a, b), n in trans.items() if a == r["event_type"]}
+        assert r["n_transitions"] == sum(outgoing.values())
+        # deterministic tie-break: count desc, type asc
+        best_n = max(outgoing.values())
+        cand = sorted(b for b, n in outgoing.items() if n == best_n)
+        assert r["predicted_next"] == cand[0]
+        assert r["n_correct"] == best_n
+        assert r["hit_rate"] == round(best_n / sum(outgoing.values()), 6)
+        assert 0.0 < r["hit_rate"] <= 1.0
+
+
+def test_hard_negatives_label_and_rank_invariants(spark):
+    import numpy as np
+
+    from hawaiidatapipeline_spark.queries import emb_extra
+
+    rows = emb_extra.QUERIES["emb_hard_negatives"](spark, SF0001).collect()
+    assert rows
+    by_pid = {}
+    for r in rows:
+        assert r["neg_label"] != r["p_label"]
+        by_pid.setdefault(r["pid"], []).append(r)
+    e = load_table(spark, SF0001, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in e])
+    labels = {r["vec_id"]: r["label"] for r in e}
+    q = np.round(
+        np.array([r["embedding"] for r in e], dtype="float64") * 1000
+    ).astype("int64")
+    idx_of = {v: i for i, v in enumerate(ids)}
+    for pid, rs in by_pid.items():
+        assert [r["rn"] for r in rs] == list(range(1, len(rs) + 1))
+        dots = q[idx_of[pid]] @ q.T
+        cands = sorted(
+            (int(-dots[idx_of[v]]), int(v))
+            for v in ids
+            if v != pid and labels[v] != labels[pid]
+        )
+        want = [(v, -d) for d, v in cands[:5]]
+        got = [(r["neg_id"], r["dot_q"]) for r in rs]
+        assert got == want
+
+
+def test_mixture_temperature_weights(spark):
+    from hawaiidatapipeline_spark.queries import training_extra
+
+    rows = training_extra.QUERIES["llm_mixture_temperature"](spark, SF0001).collect()
+    assert rows
+    total = sum(r["n_docs"] for r in rows)
+    for col in ("w_t03", "w_t07", "w_t10"):
+        s = sum(r[col] for r in rows)
+        assert abs(s - 1.0) < 1e-4  # rounding + micro-floor slack
+    for r in rows:
+        assert abs(r["w_t10"] - round(r["n_docs"] / total, 6)) <= 1e-6
+    # temperature < 1 compresses the head: the largest source's share
+    # must shrink as T drops
+    big = max(rows, key=lambda r: r["n_docs"])
+    assert big["w_t03"] <= big["w_t07"] <= big["w_t10"]

@@ -327,6 +327,10 @@ AUDITS: dict[str, list[str]] = {
     "join_interval_overlap": ["generate_exec", "smj_or_bhj", "partial_agg", "pushdown", "no_cartesian", "codegen"],
     "emb_matryoshka_recall": ["partial_agg", "window_exec", "smj_or_bhj", "no_cartesian"],
     "events_ab_proportion_z": ["partial_agg", "smj_or_bhj", "pruning", "codegen"],
+    # round-9 batch 6
+    "events_markov_next_accuracy": ["window_exec", "partial_agg", "smj_or_bhj", "pruning", "codegen"],
+    "emb_hard_negatives": ["partial_agg", "window_exec", "smj_or_bhj", "no_cartesian"],
+    "llm_mixture_temperature": ["partial_agg", "broadcast_any", "pruning", "codegen"],
 }
 
 
