@@ -55,6 +55,10 @@ PROBES = [
     ("events_rfm_segmentation", "RFM: percentile breakpoints broadcast — no global ntile total-order shuffle"),
     ("dq_order_total_reconciliation", "reconciliation: orderkey partial agg + colocated join, micro-cent ints"),
     ("llm_vocab_coverage_curve", "coverage curve: TakeOrdered top-1000, cumsum over <=1000 rows"),
+    ("agg_spearman_corr", "distributed rank map: shuffle ~ distinct values + value-keyed joins, no single-partition window"),
+    ("join_spatial_grid", "grid spatial join: equi-join on 4-deg cells, shuffle ~ points + box-cell fanout"),
+    ("llm_feature_hashing", "feature hashing: explode + 1-byte-key partial agg, no vocabulary broadcast"),
+    ("join_interval_overlap", "dual-binned interval overlap: bin-key equi-join, no nested loop"),
 ]
 
 
