@@ -95,9 +95,9 @@ _FRONT: tuple[str, ...] = (
     'join_spatial_grid', 'llm_feature_hashing', 'emb_mips_topk',
     'stream_topk_window', 'subquery_exists_correlated', 'events_ab_proportion_z',
     'emb_matryoshka_recall', 'join_interval_overlap', 'events_markov_next_accuracy',
-    'llm_mixture_temperature', 'emb_hard_negatives', 'project_computed',
-    'filter_compare', 'filter_boolean', 'filter_in_between_null',
-    'filter_like', 'fulltext_search',
+    'llm_mixture_temperature', 'emb_hard_negatives', 'dq_embedding_drift',
+    'project_computed', 'filter_compare', 'filter_boolean',
+    'filter_in_between_null', 'filter_like',
 )
 
 

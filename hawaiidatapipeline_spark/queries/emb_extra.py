@@ -1012,3 +1012,85 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pid", "p_label", "rn", F.col("cid").alias("neg_id"), "neg_label", "dot_q")
         .orderBy("pid", "rn")
     )
+
+
+@q(
+    "dq_embedding_drift",
+    """WITH qv AS (
+         SELECT vec_id, label, vec_id % 2 AS gen,
+                unnest(generate_series(0, len(embedding) - 1)) AS d,
+                round(unnest(embedding) * 1000)::BIGINT AS q
+         FROM embeddings),
+       cent AS (
+         SELECT label, gen, d, sum(q)::BIGINT AS sq, count(*)::BIGINT AS n
+         FROM qv GROUP BY 1, 2, 3),
+       joined AS (
+         SELECT o.label, o.d,
+                o.sq::DOUBLE / o.n AS c_old, n2.sq::DOUBLE / n2.n AS c_new,
+                o.n AS n_old, n2.n AS n_new
+         FROM cent o JOIN cent n2
+           ON o.label = n2.label AND o.d = n2.d
+          AND o.gen = 0 AND n2.gen = 1),
+       terms AS (
+         SELECT label, n_old, n_new,
+                (floor((c_old - c_new) * (c_old - c_new) * 1000000))::BIGINT
+                  AS t_micro
+         FROM joined)
+       SELECT label, min(n_old)::BIGINT AS n_old, min(n_new)::BIGINT AS n_new,
+              round(sqrt(sum(t_micro)::DOUBLE / 1000000.0) / 1000.0, 6)
+                AS centroid_drift
+       FROM terms GROUP BY label ORDER BY label""",
+)
+def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor: per-label centroid displacement between two
+    data generations (split by vec_id parity here; in production, by
+    ingestion batch) — the data-quality gate that catches a silently
+    retrained or re-normalized upstream encoder before stale vectors
+    poison an ANN index built on the old geometry. Per-dim centroid sums
+    are exact integer milli-unit aggregates; each squared-difference term
+    is micro-floored before the 64-dim sum, and only the final sqrt runs
+    in doubles. Scale note: ONE partial-aggregated shuffle on (label,
+    gen, dim) — output cardinality |labels|·2·d regardless of corpus
+    size; the drift arithmetic runs on that tiny frame."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).alias("gen"),
+        F.posexplode("embedding").alias("d", "v"),
+    ).select(
+        "label", "gen", "d", F.round(F.col("v") * 1000).cast("long").alias("q")
+    )
+    cent = qv.groupBy("label", "gen", "d").agg(
+        F.sum("q").cast("long").alias("sq"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    o = cent.filter(F.col("gen") == 0).select(
+        "label",
+        "d",
+        (F.col("sq").cast("double") / F.col("n")).alias("c_old"),
+        F.col("n").alias("n_old"),
+    )
+    n2 = cent.filter(F.col("gen") == 1).select(
+        "label",
+        "d",
+        (F.col("sq").cast("double") / F.col("n")).alias("c_new"),
+        F.col("n").alias("n_new"),
+    )
+    diff = F.col("c_old") - F.col("c_new")
+    terms = o.join(n2, ["label", "d"]).select(
+        "label",
+        "n_old",
+        "n_new",
+        F.floor(diff * diff * 1000000).cast("long").alias("t_micro"),
+    )
+    return (
+        terms.groupBy("label")
+        .agg(
+            F.min("n_old").cast("long").alias("n_old"),
+            F.min("n_new").cast("long").alias("n_new"),
+            F.round(
+                F.sqrt(F.sum("t_micro").cast("double") / 1000000.0) / 1000.0, 6
+            ).alias("centroid_drift"),
+        )
+        .orderBy("label")
+    )

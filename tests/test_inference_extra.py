@@ -428,3 +428,27 @@ def test_mixture_temperature_weights(spark):
     # must shrink as T drops
     big = max(rows, key=lambda r: r["n_docs"])
     assert big["w_t03"] <= big["w_t07"] <= big["w_t10"]
+
+
+def test_embedding_drift_matches_numpy(spark):
+    import numpy as np
+
+    from hawaiidatapipeline_spark.queries import emb_extra
+
+    rows = emb_extra.QUERIES["dq_embedding_drift"](spark, SF0001).collect()
+    assert rows
+    e = load_table(spark, SF0001, "embeddings").collect()
+    by = {}
+    for r in e:
+        q = np.round(np.array(r["embedding"], dtype="float64") * 1000).astype("int64")
+        by.setdefault((r["label"], r["vec_id"] % 2), []).append(q)
+    for r in rows:
+        old = by[(r["label"], 0)]
+        new = by[(r["label"], 1)]
+        assert r["n_old"] == len(old) and r["n_new"] == len(new)
+        c_old = np.sum(old, axis=0) / len(old)
+        c_new = np.sum(new, axis=0) / len(new)
+        t = sum(math.floor(d * d * 1e6) for d in (c_old - c_new))
+        want = round(math.sqrt(t / 1e6) / 1000.0, 6)
+        assert r["centroid_drift"] == want
+        assert r["centroid_drift"] >= 0.0

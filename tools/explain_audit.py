@@ -331,6 +331,7 @@ AUDITS: dict[str, list[str]] = {
     "events_markov_next_accuracy": ["window_exec", "partial_agg", "smj_or_bhj", "pruning", "codegen"],
     "emb_hard_negatives": ["partial_agg", "window_exec", "smj_or_bhj", "no_cartesian"],
     "llm_mixture_temperature": ["partial_agg", "broadcast_any", "pruning", "codegen"],
+    "dq_embedding_drift": ["partial_agg", "generate_exec", "smj_or_bhj", "no_cartesian", "codegen"],
 }
 
 
