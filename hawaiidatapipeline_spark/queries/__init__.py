@@ -44,6 +44,7 @@ _MODULES = (
     "patterns_extra",
     "stats_extra",
     "inference_extra",
+    "causal_extra",
     "scalepath_extra",
     "ops_extra",
     "robust_extra",
@@ -96,8 +97,8 @@ _FRONT: tuple[str, ...] = (
     'stream_topk_window', 'subquery_exists_correlated', 'events_ab_proportion_z',
     'emb_matryoshka_recall', 'join_interval_overlap', 'events_markov_next_accuracy',
     'llm_mixture_temperature', 'emb_hard_negatives', 'dq_embedding_drift',
-    'project_computed', 'filter_compare', 'filter_boolean',
-    'filter_in_between_null', 'filter_like',
+    'events_cuped_adjustment', 'events_diff_in_diff', 'events_survival_km',
+    'agg_anova_f', 'agg_benjamini_hochberg',
 )
 
 
