@@ -1094,3 +1094,88 @@ def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_HAM_PROBE_MOD = 97  # strided probe subset for the Hamming k-NN audit
+_HAM_K = 5
+
+
+@q(
+    "emb_hamming_topk",
+    f"""WITH sig AS (
+         SELECT vec_id,
+                list_sum(list_transform(range(0, 32),
+                    i -> CASE WHEN embedding[i + 1] > 0
+                              THEN (1::BIGINT << i) ELSE 0::BIGINT END)
+                  )::BIGINT AS lo,
+                list_sum(list_transform(range(32, 64),
+                    i -> CASE WHEN embedding[i + 1] > 0
+                              THEN (1::BIGINT << (i - 32)) ELSE 0::BIGINT END)
+                  )::BIGINT AS hi
+         FROM embeddings),
+       probes AS (SELECT * FROM sig WHERE vec_id % {_HAM_PROBE_MOD} = 0),
+       scored AS (
+         SELECT p.vec_id AS probe_id, s.vec_id AS neighbor_id,
+                (bit_count(xor(p.lo, s.lo))
+                 + bit_count(xor(p.hi, s.hi)))::BIGINT AS hamming
+         FROM probes p JOIN sig s ON s.vec_id <> p.vec_id),
+       ranked AS (
+         SELECT probe_id, neighbor_id, hamming,
+                row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY hamming, neighbor_id) AS rk
+         FROM scored)
+       SELECT probe_id, neighbor_id, hamming, rk
+       FROM ranked WHERE rk <= {_HAM_K}
+       ORDER BY probe_id, rk""",
+)
+def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-quantized Hamming k-NN: each 64-dim float vector
+    collapses to a 64-bit sign signature (two packed 32-bit halves so
+    neither engine's int64 arithmetic can overflow while summing bit
+    values), and nearest neighbors are retrieved by popcount of the
+    XOR — the 32×-compression retrieval tier (256 B float32 → 8 B)
+    that makes a billion-vector index RAM-resident. Signatures are
+    exact integers, distances exact popcounts, ranks total-ordered by
+    (hamming, neighbor_id): fully hash-checkable. Shape: ONE map-only
+    pass builds the signature table (pure codegen transform/aggregate,
+    no UDF); the strided probe rows broadcast against it, so the scan
+    is linear and nothing pair-shaped shuffles (ranking is per-probe,
+    k-bounded). At 100 TB the signature table is the thing you scan —
+    32× less I/O than the raw vectors — and ``emb_srp_buckets``-style
+    banding prunes candidates below linear when even that is too much."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def half(lo_bit: int) -> F.Column:
+        return F.expr(
+            f"aggregate(transform(sequence({lo_bit}, {lo_bit + 31}), "
+            f"i -> IF(element_at(embedding, i + 1) > 0, "
+            f"shiftleft(1L, i - {lo_bit}), 0L)), 0L, (a, b) -> a + b)"
+        )
+
+    sig = materialize(
+        e.select(
+            "vec_id", half(0).alias("lo"), half(32).alias("hi")
+        )
+    )
+    probes = sig.filter(F.col("vec_id") % _HAM_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("lo").alias("p_lo"),
+        F.col("hi").alias("p_hi"),
+    )
+    scored = F.broadcast(probes).join(
+        sig, F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.bit_count(F.expr("p_lo ^ lo")) + F.bit_count(F.expr("p_hi ^ hi"))
+        )
+        .cast("long")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("probe_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HAM_K)
+        .orderBy("probe_id", "rk")
+    )

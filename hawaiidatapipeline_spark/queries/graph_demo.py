@@ -362,3 +362,68 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part")
     )
+
+
+_BFS_SEED_MOD = 200  # seed set: partkeys divisible by 200
+_BFS_MAX_HOPS = 3
+
+
+@q(
+    "graph_bfs_hops",
+    f"""WITH RECURSIVE {_ADJ_SQL},
+       seeds AS (
+         SELECT DISTINCT node FROM adj WHERE node % {_BFS_SEED_MOD} = 0),
+       bfs (node, dist) AS (
+         SELECT node, 0 FROM seeds
+         UNION
+         SELECT adj.nbr, bfs.dist + 1
+         FROM bfs JOIN adj ON adj.node = bfs.node
+         WHERE bfs.dist < {_BFS_MAX_HOPS})
+       SELECT node AS part, min(dist)::BIGINT AS dist
+       FROM bfs GROUP BY node ORDER BY part""",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS: minimum hop distance (≤ 3) from the
+    seed parts (partkey % 200 = 0) over the co-purchase graph — the
+    blast-radius / related-products primitive (recall expansion from a
+    seed set, contamination spread, feature propagation). Spark runs
+    the FRONTIER form: per hop, join the current best-distance table to
+    the adjacency on the frontier side only and fold with min — each
+    round is one equi-join + one partial-agg min, materialized to
+    truncate lineage, O(edges touched by the frontier) per hop with NO
+    path enumeration (the recursive oracle's UNION dedup is what Spark
+    does eagerly every round). Hop count is a constant, so the whole
+    plan is a fixed chain of hash joins; at 100 TB each round shuffles
+    on node id — the same shape as ``graph_connected_components``'s
+    hash-min rounds but with a hard iteration bound and a seed-side
+    frontier that usually shrinks the join's build side to a fraction
+    of the graph."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = materialize(copurchase_edges(li))  # (u, v), u < v
+    adj = materialize(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+    )
+    dist = materialize(
+        adj.select("node")
+        .distinct()
+        .filter(F.col("node") % _BFS_SEED_MOD == 0)
+        .withColumn("dist", F.lit(0))
+    )
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        frontier = dist.filter(F.col("dist") == hop - 1)
+        reached = frontier.join(adj, "node").select(
+            F.col("nbr").alias("node"), F.lit(hop).alias("dist")
+        )
+        dist = materialize(
+            dist.unionByName(reached).groupBy("node").agg(
+                F.min("dist").alias("dist")
+            )
+        )
+    return dist.select(
+        F.col("node").alias("part"), F.col("dist").cast("long").alias("dist")
+    ).orderBy("part")

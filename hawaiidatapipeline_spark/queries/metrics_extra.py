@@ -1015,3 +1015,71 @@ def agg_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+@q(
+    "ts_peak_detection",
+    """WITH daily AS (
+         SELECT date_trunc('day', ts)::DATE AS d, count(*)::BIGINT AS n
+         FROM events GROUP BY 1),
+       w AS (
+         SELECT d, n,
+                lag(n) OVER (ORDER BY d) AS prev_n,
+                lead(n) OVER (ORDER BY d) AS next_n,
+                max(n) OVER (ORDER BY d
+                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS left_max,
+                max(n) OVER (ORDER BY d
+                  ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS right_max
+         FROM daily)
+       SELECT d AS peak_day, n AS n_events,
+              (n - greatest(left_max, right_max))::BIGINT AS prominence
+       FROM w
+       WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+         AND n > prev_n AND n > next_n
+         AND n > left_max AND n > right_max
+       ORDER BY peak_day""",
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peak detection over the daily event-count series:
+    a day is a peak when it strictly dominates both immediate neighbors
+    AND every day within a ±3-day exclusion window (the rule that
+    suppresses double-reporting of one traffic spike smeared over
+    adjacent days); reported prominence = height above the tallest
+    excluded neighbor. All integers — counts, windows maxima,
+    prominence — so the result is exactly hash-checkable. Shape: one
+    partial-aggregated day-grain rollup (the only pass that sees data
+    volume), then lag/lead/frame windows over the CALENDAR-grain frame
+    (30 rows here, bounded by days-of-history at any scale) — same
+    bounded-frame discipline as ``ts_seasonal_decompose``. At 100 TB
+    the rollup is map-side combined; the peak logic is metadata-sized."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wo = Window.orderBy("d")
+    w = daily.select(
+        "d",
+        "n",
+        F.lag("n").over(wo).alias("prev_n"),
+        F.lead("n").over(wo).alias("next_n"),
+        F.max("n").over(wo.rowsBetween(-3, -1)).alias("left_max"),
+        F.max("n").over(wo.rowsBetween(1, 3)).alias("right_max"),
+    )
+    return (
+        w.filter(
+            F.col("prev_n").isNotNull()
+            & F.col("next_n").isNotNull()
+            & (F.col("n") > F.col("prev_n"))
+            & (F.col("n") > F.col("next_n"))
+            & (F.col("n") > F.col("left_max"))
+            & (F.col("n") > F.col("right_max"))
+        )
+        .select(
+            F.col("d").alias("peak_day"),
+            F.col("n").alias("n_events"),
+            (F.col("n") - F.greatest("left_max", "right_max"))
+            .cast("long")
+            .alias("prominence"),
+        )
+        .orderBy("peak_day")
+    )

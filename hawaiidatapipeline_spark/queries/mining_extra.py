@@ -918,3 +918,173 @@ def dq_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@q(
+    "llm_trigram_backoff",
+    """WITH docs AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
+       train AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+       eval_docs AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+       tr_tok AS (SELECT unnest(a) AS w FROM train),
+       c1 AS (SELECT w, count(*)::BIGINT AS c FROM tr_tok GROUP BY w),
+       tot AS (SELECT count(*)::BIGINT AS t,
+                      count(DISTINCT w)::BIGINT AS v
+               FROM tr_tok),
+       tr_bg AS (
+         SELECT a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS bg
+         FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+               FROM train)),
+       c2 AS (SELECT bg, count(*)::BIGINT AS c FROM tr_bg GROUP BY bg),
+       tr_tg AS (
+         SELECT a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1]
+                  || ' ' || a[CAST(i AS INT) + 2] AS tg
+         FROM (SELECT a, unnest(generate_series(1, len(a) - 2)) AS i
+               FROM train)),
+       c3 AS (SELECT tg, count(*)::BIGINT AS c FROM tr_tg GROUP BY tg),
+       occ AS (
+         SELECT doc_id,
+                a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1]
+                  || ' ' || a[CAST(i AS INT) + 2] AS tg,
+                a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS ctx,
+                a[CAST(i AS INT) + 1] || ' ' || a[CAST(i AS INT) + 2] AS bg2,
+                a[CAST(i AS INT) + 1] AS w2,
+                a[CAST(i AS INT) + 2] AS w3
+         FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 2)) AS i
+               FROM eval_docs)),
+       scored AS (
+         SELECT o.doc_id,
+                (floor(ln(
+                   CASE WHEN t3.c IS NOT NULL AND cx.c IS NOT NULL
+                        THEN t3.c::DOUBLE / cx.c
+                        WHEN b2.c IS NOT NULL AND u2.c IS NOT NULL
+                        THEN 0.4 * b2.c::DOUBLE / u2.c
+                        ELSE 0.16 * (coalesce(u3.c, 0) + 1)::DOUBLE
+                             / (tot.t + tot.v)
+                   END) * 1000000))::BIGINT AS t_micro
+         FROM occ o
+         LEFT JOIN c3 t3 ON t3.tg = o.tg
+         LEFT JOIN c2 cx ON cx.bg = o.ctx
+         LEFT JOIN c2 b2 ON b2.bg = o.bg2
+         LEFT JOIN c1 u2 ON u2.w = o.w2
+         LEFT JOIN c1 u3 ON u3.w = o.w3
+         CROSS JOIN tot),
+       per_doc AS (
+         SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+                sum(t_micro)::BIGINT AS total_micro
+         FROM scored GROUP BY doc_id)
+       SELECT doc_id, n_trigrams,
+              round(total_micro::DOUBLE / n_trigrams / 1000000.0, 6)
+                AS avg_logscore
+       FROM per_doc ORDER BY avg_logscore, doc_id LIMIT 30""",
+)
+def llm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM scoring with a REAL train/eval split
+    (train on even doc_ids, score odd ones — unlike
+    ``llm_bigram_logprob``'s self-scoring, unseen n-grams actually
+    occur and the backoff chain is exercised): S(w3|w1w2) = c3/c2(ctx),
+    backing off to 0.4·c2(w2w3)/c1(w2), then to 0.4²·(c1(w3)+1)/(T+V)
+    (add-one floor so OOV eval tokens score finitely). Bottom-30 eval
+    docs by average log score = the most out-of-distribution review
+    queue. Each occurrence's log term is floored to integer micro-units
+    BEFORE the per-doc sum. Shape: three hash aggregates build the
+    model (trigram/bigram/unigram tables — linear in train tokens),
+    then the eval occurrence stream meets them through FIVE gram-keyed
+    equi-joins (all linear shuffles on string keys; Spark's AQE picks
+    broadcast when a model table is small) and one scalar totals
+    broadcast. Nothing is quadratic; at 100 TB the model tables are
+    vocabulary-sized, far below the corpus, and the joins are the
+    standard skew-safe hash shape."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("a"))
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    eval_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    tr_tok = train.select(F.explode("a").alias("w"))
+    c1 = tr_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1c"))
+    tot = tr_tok.agg(
+        F.count(F.lit(1)).alias("t"), F.countDistinct("w").alias("v")
+    )
+    tr_bg = train.select(
+        F.explode(
+            F.expr(
+                "transform(slice(a, 1, greatest(size(a) - 1, 0)), "
+                "(x, i) -> concat(x, ' ', element_at(a, i + 2)))"
+            )
+        ).alias("bg")
+    )
+    c2 = tr_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2c"))
+
+    def tri_occ(df: DataFrame, with_doc: bool) -> DataFrame:
+        cols = ["doc_id"] if with_doc else []
+        return df.select(
+            *cols,
+            F.explode(
+                F.expr(
+                    "transform(slice(a, 1, greatest(size(a) - 2, 0)), "
+                    "(x, i) -> struct("
+                    "concat(x, ' ', element_at(a, i + 2), ' ', "
+                    "element_at(a, i + 3)) AS tg, "
+                    "concat(x, ' ', element_at(a, i + 2)) AS ctx, "
+                    "concat(element_at(a, i + 2), ' ', "
+                    "element_at(a, i + 3)) AS bg2, "
+                    "element_at(a, i + 2) AS w2, "
+                    "element_at(a, i + 3) AS w3))"
+                )
+            ).alias("p"),
+        ).select(*cols, "p.tg", "p.ctx", "p.bg2", "p.w2", "p.w3")
+
+    c3 = (
+        tri_occ(train, False)
+        .groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("c3c"))
+    )
+    occ = tri_occ(eval_docs, True)
+    scored = (
+        occ.join(c3, "tg", "left")
+        .join(c2.withColumnRenamed("bg", "ctx").withColumnRenamed("c2c", "cxc"), "ctx", "left")
+        .join(c2.withColumnRenamed("bg", "bg2").withColumnRenamed("c2c", "b2c"), "bg2", "left")
+        .join(c1.withColumnRenamed("w", "w2").withColumnRenamed("c1c", "u2c"), "w2", "left")
+        .join(c1.withColumnRenamed("w", "w3").withColumnRenamed("c1c", "u3c"), "w3", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    F.when(
+                        F.col("c3c").isNotNull() & F.col("cxc").isNotNull(),
+                        F.col("c3c").cast("double") / F.col("cxc"),
+                    )
+                    .when(
+                        F.col("b2c").isNotNull() & F.col("u2c").isNotNull(),
+                        0.4 * F.col("b2c").cast("double") / F.col("u2c"),
+                    )
+                    .otherwise(
+                        0.16
+                        * (F.coalesce(F.col("u3c"), F.lit(0)) + 1).cast("double")
+                        / (F.col("t") + F.col("v"))
+                    )
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("t_micro"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum("t_micro").cast("long").alias("total_micro"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_trigrams",
+            F.round(
+                F.col("total_micro").cast("double")
+                / F.col("n_trigrams")
+                / 1000000.0,
+                6,
+            ).alias("avg_logscore"),
+        )
+        .orderBy("avg_logscore", "doc_id")
+        .limit(30)
+    )

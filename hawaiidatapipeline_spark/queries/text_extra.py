@@ -190,3 +190,101 @@ def llm_topic_words_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "token", F.col("a").alias("df_in_source"), "chi2")
         .orderBy("source", F.col("chi2").desc(), "token")
     )
+
+
+@q(
+    "llm_readability",
+    """WITH per_doc AS (
+         SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS words,
+                greatest(1,
+                  (length(text) - length(replace(text, '.', '')))
+                  + (length(text) - length(replace(text, '!', '')))
+                  + (length(text) - length(replace(text, '?', ''))))::BIGINT
+                  AS sentences,
+                len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+                  AS syllables
+         FROM documents),
+       scored AS (
+         SELECT doc_id, words, sentences, syllables,
+                (floor((206.835
+                        - 1.015 * (words::DOUBLE / sentences)
+                        - 84.6 * (syllables::DOUBLE / words))
+                       * 1000000))::BIGINT AS score_micro
+         FROM per_doc WHERE words > 0),
+       banded AS (
+         SELECT (floor(score_micro / 10000000.0) * 10)::BIGINT AS band,
+                doc_id, score_micro
+         FROM scored)
+       SELECT band, count(*)::BIGINT AS n_docs,
+              round(sum(score_micro)::DOUBLE / count(*) / 1000000.0, 6)
+                AS avg_score,
+              min(doc_id)::BIGINT AS sample_doc
+       FROM banded GROUP BY band ORDER BY band""",
+)
+def llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability scoring with a deterministic syllable
+    heuristic (count of [aeiouy]+ vowel groups — the standard cheap
+    proxy; both engines evaluate the same character-class regex, which
+    has identical semantics in RE2 and Java regex for plain classes):
+    score = 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word),
+    sentences counted by terminal punctuation via pure length/replace
+    arithmetic (no regex divergence risk on the splitter). Per-doc
+    scores are floored to MICRO-units before any cross-doc aggregation,
+    then docs bucket into 10-point bands with exact counts and
+    micro-sum means — the corpus readability profile a curation
+    pipeline thresholds against (very negative bands = run-on garbage,
+    very high = fragment spam). Shape: map-only per-doc arithmetic
+    (pure codegen, no UDF) + ONE small-key partial agg; at 100 TB this
+    is scan-bound, exactly like ``llm_quality_score``."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def n_char(ch: str) -> F.Column:
+        return F.length("text") - F.length(F.replace(F.col("text"), F.lit(ch)))
+
+    per_doc = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("words"),
+        F.greatest(
+            F.lit(1), (n_char(".") + n_char("!") + n_char("?"))
+        )
+        .cast("long")
+        .alias("sentences"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("syllables"),
+    )
+    scored = per_doc.filter(F.col("words") > 0).select(
+        "doc_id",
+        F.floor(
+            (
+                F.lit(206.835)
+                - 1.015 * (F.col("words").cast("double") / F.col("sentences"))
+                - 84.6 * (F.col("syllables").cast("double") / F.col("words"))
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("score_micro"),
+    )
+    banded = scored.select(
+        (F.floor(F.col("score_micro") / 10000000.0) * 10)
+        .cast("long")
+        .alias("band"),
+        "doc_id",
+        "score_micro",
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("score_micro").cast("double")
+                / F.count(F.lit(1))
+                / 1000000.0,
+                6,
+            ).alias("avg_score"),
+            F.min("doc_id").cast("long").alias("sample_doc"),
+        )
+        .orderBy("band")
+    )
