@@ -427,3 +427,95 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("node").alias("part"), F.col("dist").cast("long").alias("dist")
     ).orderBy("part")
+
+
+_RICH_CLUB_KS = (5, 10, 20, 40)
+
+
+@q(
+    "graph_rich_club",
+    f"""WITH {_ADJ_SQL},
+       k AS (SELECT unnest(ARRAY{list(_RICH_CLUB_KS)}) AS k),
+       club AS (
+         SELECT k.k, count(*)::BIGINT AS n_nodes
+         FROM k JOIN deg ON deg.deg > k.k GROUP BY k.k),
+       club_edges AS (
+         SELECT k.k, count(*)::BIGINT AS n_edges
+         FROM k JOIN e ON TRUE
+         JOIN deg du ON du.node = e.u
+         JOIN deg dv ON dv.node = e.v
+         WHERE du.deg > k.k AND dv.deg > k.k
+         GROUP BY k.k)
+       SELECT c.k AS degree_threshold, c.n_nodes,
+              coalesce(ce.n_edges, 0)::BIGINT AS n_edges,
+              CASE WHEN c.n_nodes >= 2
+                   THEN round(2.0 * coalesce(ce.n_edges, 0)
+                              / (c.n_nodes * (c.n_nodes - 1.0)), 6)
+              END AS phi
+       FROM club c LEFT JOIN club_edges ce ON ce.k = c.k
+       ORDER BY degree_threshold""",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) over the
+    co-purchase graph: do high-degree parts preferentially co-occur
+    with each other? (The hub-interconnection diagnostic that decides
+    whether the stop-hub caps used across the graph family discard
+    redundant or structural edges.) Exact integer node/edge counts per
+    threshold; φ is one closed-form division. Shape: the edge list
+    joins the degree table on BOTH endpoints (two broadcast-sized hash
+    joins — degrees are a node-grain table, far smaller than edges),
+    then a |K|-row conditional aggregate; nothing quadratic — the
+    N_k·(N_k−1) denominator is arithmetic, not a pair join. At 100 TB
+    the degree table partial-aggregates map-side and the threshold
+    sweep shares ONE scan of the edge list."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = materialize(copurchase_edges(li))  # (u, v), u < v
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in _RICH_CLUB_KS], "k bigint"
+    )
+    club = (
+        F.broadcast(ks)
+        .join(deg, deg["deg"] > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    ej = (
+        edges.join(
+            deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v"
+        )
+    )
+    club_edges = (
+        F.broadcast(ks.withColumnRenamed("k", "ke"))
+        .join(ej, (F.col("du") > F.col("ke")) & (F.col("dv") > F.col("ke")))
+        .groupBy("ke")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    out = club.join(
+        club_edges, club["k"] == club_edges["ke"], "left"
+    ).select(
+        F.col("k").alias("degree_threshold"),
+        "n_nodes",
+        F.coalesce(F.col("n_edges"), F.lit(0)).cast("long").alias("n_edges"),
+        F.when(
+            F.col("n_nodes") >= 2,
+            F.round(
+                2.0
+                * F.coalesce(F.col("n_edges"), F.lit(0))
+                / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1.0))),
+                6,
+            ),
+        ).alias("phi"),
+    )
+    return out.orderBy("degree_threshold")

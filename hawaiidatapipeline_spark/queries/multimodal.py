@@ -232,3 +232,66 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bucket",
         F.count(F.lit(1)).over(Window.partitionBy("dhash")),
     ).orderBy("id")
+
+
+@q(
+    "multimodal_frame_dedup",
+    """WITH grid AS (
+         SELECT doc_id AS id, unnest(generate_series(0, 2 + doc_id % 4)) AS f
+         FROM documents),
+       fps AS (
+         SELECT id, f,
+                ((id + 11 * f) % 256) * 65536
+                + ((3 * id + 5 * f) % 256) * 256
+                + ((7 * id + f) % 256) AS fp
+         FROM grid),
+       buckets AS (
+         SELECT fp, count(*)::BIGINT AS n_frames,
+                count(DISTINCT id)::BIGINT AS n_videos,
+                min(id)::BIGINT AS min_video, max(id)::BIGINT AS max_video
+         FROM fps GROUP BY fp)
+       SELECT fp AS fingerprint, n_frames, n_videos, min_video, max_video
+       FROM buckets WHERE n_videos >= 2
+       ORDER BY fingerprint""",
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video duplicate-frame detection — the video analog of
+    ``llm_dedup_exact``: every frame of every video is decoded
+    (Arrow-batched, REAL RAWV container parse) and fingerprinted, then
+    fingerprints bucket across videos; buckets spanning ≥2 videos are
+    the shared-content groups (re-uploads, intros/outros, stock
+    footage) a video training pipeline drops or down-weights before
+    sampling clips. The synthetic corpus plants true cross-video dups
+    (ids 256 apart repeat frame colors), so the query output is
+    non-trivial and the oracle recomputes every fingerprint in closed
+    form. Shape: map-only decode+fingerprint (one row per frame — the
+    only pass that touches pixels), then ONE shuffle on the fingerprint
+    key with map-side partial aggregation; at 100 TB this is the exact
+    shape of hash dedup, with pixel I/O confined to the linear decode
+    map."""
+    from pyspark.sql import functions as F
+
+    from hawaiidatapipeline_spark.sources.multimodal import (
+        synthetic_video_blobs,
+        video_frame_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    fps = video_frame_fingerprints(synthetic_video_blobs(d), every_k=1)
+    buckets = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.countDistinct("id").cast("long").alias("n_videos"),
+        F.min("id").cast("long").alias("min_video"),
+        F.max("id").cast("long").alias("max_video"),
+    )
+    return (
+        buckets.filter(F.col("n_videos") >= 2)
+        .select(
+            F.col("fp").alias("fingerprint"),
+            "n_frames",
+            "n_videos",
+            "min_video",
+            "max_video",
+        )
+        .orderBy("fingerprint")
+    )

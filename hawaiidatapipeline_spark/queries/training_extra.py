@@ -284,3 +284,187 @@ def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_PIT_WINDOW_US = 7 * 86400 * 1000000  # trailing 7 days in microseconds
+
+
+@q(
+    "events_pit_features",
+    f"""WITH ev AS (
+         SELECT event_id, user_id, event_type,
+                epoch_us(ts)::BIGINT AS us,
+                (floor(value * 1000))::BIGINT AS vm
+         FROM events
+         WHERE event_type IN ('click', 'view', 'purchase')),
+       feat AS (
+         SELECT event_id, user_id, event_type,
+                coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END)
+                  OVER w, 0)::BIGINT AS clicks_7d,
+                coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END)
+                  OVER w, 0)::BIGINT AS views_7d,
+                coalesce(sum(CASE WHEN event_type = 'click' THEN vm END)
+                  OVER w, 0)::BIGINT AS click_value_7d_milli
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN {_PIT_WINDOW_US} PRECEDING
+                                AND 1 PRECEDING))
+       SELECT event_id AS purchase_id, user_id,
+              clicks_7d, views_7d, click_value_7d_milli
+       FROM feat WHERE event_type = 'purchase'
+       ORDER BY purchase_id""",
+)
+def events_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature assembly (the feature-store
+    backfill shape): for every purchase, the user's trailing-7-day
+    click/view counts and click value STRICTLY BEFORE the purchase
+    instant — the leakage-free training-set join that a naive
+    "aggregate then join on user" silently gets wrong (it leaks
+    post-label activity into the features). One event frame, one
+    microsecond-keyed RANGE window per user with an exclusive upper
+    bound (…AND 1 PRECEDING); value-based frames make same-instant
+    ties deterministic on both engines with no tie-break column.
+    Value sums are exact milli-unit int64. Shape: ONE shuffle on
+    user_id + a per-user time sort shared by all three feature
+    columns; at 100 TB this is the canonical windowed-feature
+    backfill — linear, skew-bounded by the hottest user, and the
+    window state is O(7 days of one user's events)."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_PIT_WINDOW_US, -1)
+    )
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", 1)).over(w), F.lit(0)
+        )
+        .cast("long")
+        .alias("clicks_7d"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "view", 1)).over(w), F.lit(0)
+        )
+        .cast("long")
+        .alias("views_7d"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", F.col("vm"))).over(w),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("click_value_7d_milli"),
+    )
+    return (
+        feat.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "clicks_7d",
+            "views_7d",
+            "click_value_7d_milli",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+_CURRICULUM_STAGES = 4
+
+
+@q(
+    "llm_curriculum_order",
+    f"""WITH scored AS (
+         SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS difficulty
+         FROM documents),
+       vals AS (
+         SELECT difficulty, count(*)::BIGINT AS c
+         FROM scored GROUP BY difficulty),
+       tot AS (SELECT count(*)::BIGINT AS n FROM scored),
+       cum AS (
+         SELECT difficulty,
+                sum(c) OVER (ORDER BY difficulty
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  ::BIGINT AS cum_c
+         FROM vals),
+       staged AS (
+         SELECT s.doc_id, s.difficulty,
+                least({_CURRICULUM_STAGES},
+                      ceil({_CURRICULUM_STAGES}.0 * cum.cum_c / tot.n)
+                      )::BIGINT AS stage
+         FROM scored s
+         JOIN cum ON cum.difficulty = s.difficulty
+         CROSS JOIN tot)
+       SELECT stage, count(*)::BIGINT AS n_docs,
+              sum(difficulty)::BIGINT AS total_tokens,
+              min(difficulty)::BIGINT AS min_difficulty,
+              max(difficulty)::BIGINT AS max_difficulty
+       FROM staged GROUP BY stage ORDER BY stage""",
+)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging for training-data scheduling: docs ranked by a
+    difficulty proxy (token count) and split into four easy→hard
+    stages, VALUE-grain quantile assignment — every doc with
+    the same difficulty lands in the same stage (stage =
+    ceil(S·cum_count(difficulty)/N), ties never split across a stage
+    boundary, so the schedule is deterministic at any parallelism
+    without a global row sort). Emits the stage manifest (doc counts,
+    token budgets, difficulty range) a curriculum loader consumes.
+    Shape: one doc-grain scan + a DISTINCT-VALUE-grain cumulative
+    window (rows = distinct difficulty values, bounded far below doc
+    count) + one broadcast-back join — the same distributed-rank
+    discipline as ``agg_spearman_corr``: no single-partition pass over
+    doc rows at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("difficulty"),
+    )
+    vals = scored.groupBy("difficulty").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = scored.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_cum = Window.orderBy("difficulty").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vals.select(
+        "difficulty", F.sum("c").over(w_cum).cast("long").alias("cum_c")
+    )
+    staged = (
+        scored.join(cum, "difficulty")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "difficulty",
+            F.least(
+                F.lit(_CURRICULUM_STAGES),
+                F.ceil(
+                    F.lit(float(_CURRICULUM_STAGES))
+                    * F.col("cum_c")
+                    / F.col("n")
+                ),
+            )
+            .cast("long")
+            .alias("stage"),
+        )
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("difficulty").cast("long").alias("total_tokens"),
+            F.min("difficulty").cast("long").alias("min_difficulty"),
+            F.max("difficulty").cast("long").alias("max_difficulty"),
+        )
+        .orderBy("stage")
+    )

@@ -526,3 +526,82 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("first_key"),
         F.max("o_orderkey").alias("last_key"),
     )
+
+
+@q(
+    "etl_data_vault_keys",
+    """WITH ln AS (
+         SELECT o.o_orderkey, o.o_custkey,
+                md5('C|' || o.o_custkey::VARCHAR) AS hub_customer_key,
+                md5('O|' || o.o_orderkey::VARCHAR) AS hub_order_key,
+                md5('CO|' || o.o_custkey::VARCHAR || '|'
+                    || o.o_orderkey::VARCHAR) AS link_key
+         FROM orders o),
+       summary AS (
+         SELECT count(*)::BIGINT AS n_links,
+                count(DISTINCT hub_customer_key)::BIGINT AS n_hub_customers,
+                count(DISTINCT hub_order_key)::BIGINT AS n_hub_orders
+         FROM ln),
+       sample AS (
+         SELECT o_custkey, o_orderkey, hub_customer_key, hub_order_key,
+                link_key
+         FROM ln ORDER BY link_key LIMIT 10)
+       SELECT s.o_custkey AS custkey, s.o_orderkey AS orderkey,
+              s.hub_customer_key, s.hub_order_key, s.link_key,
+              m.n_links, m.n_hub_customers, m.n_hub_orders
+       FROM sample s CROSS JOIN summary m
+       ORDER BY s.link_key""",
+)
+def etl_data_vault_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Vault 2.0 key generation — the hash-key modeling layer a
+    raw vault loads through: hub keys md5 over the prefixed business
+    key ('C|custkey', 'O|orderkey') and the customer↔order link key
+    over the concatenated pair (prefix + '|' delimiter = the standard
+    collision-safe composition; md5 is bit-identical on both engines,
+    so every key hash-checks). Emits the 10 lexicographically smallest
+    link rows as the checkable sample plus the hub/link cardinality
+    summary a vault-load audit compares against source counts. Shape:
+    map-only key derivation (pure codegen md5/concat) + one count agg;
+    the top-10-by-key is TakeOrdered, never a global sort. At 100 TB
+    hash-key generation is exactly this scan-bound map — the point of
+    DV2.0 keys is that they parallelize with no sequence/lookup
+    coordination."""
+    o = load_table(spark, sf_dir, "orders")
+    ln = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.md5(F.concat(F.lit("C|"), F.col("o_custkey").cast("string"))).alias(
+            "hub_customer_key"
+        ),
+        F.md5(F.concat(F.lit("O|"), F.col("o_orderkey").cast("string"))).alias(
+            "hub_order_key"
+        ),
+        F.md5(
+            F.concat(
+                F.lit("CO|"),
+                F.col("o_custkey").cast("string"),
+                F.lit("|"),
+                F.col("o_orderkey").cast("string"),
+            )
+        ).alias("link_key"),
+    )
+    summary = ln.agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("hub_customer_key").cast("long").alias("n_hub_customers"),
+        F.countDistinct("hub_order_key").cast("long").alias("n_hub_orders"),
+    )
+    sample = ln.orderBy("link_key").limit(10)
+    return (
+        sample.crossJoin(F.broadcast(summary))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            "hub_customer_key",
+            "hub_order_key",
+            "link_key",
+            "n_links",
+            "n_hub_customers",
+            "n_hub_orders",
+        )
+        .orderBy("link_key")
+    )
