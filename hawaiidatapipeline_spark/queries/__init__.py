@@ -45,6 +45,7 @@ _MODULES = (
     "stats_extra",
     "inference_extra",
     "causal_extra",
+    "attribution_extra",
     "scalepath_extra",
     "ops_extra",
     "robust_extra",

@@ -59,6 +59,18 @@ PROBES = [
     ("dq_ks_drift", "KS drift — value-grouped ECDF, cost ~ #distinct prices"),
     ("graph_clustering_coefficient", "per-node wedges under hub cap — linear in capped wedges"),
     ("stream_interval_join", "user-key equi-join + time band — linear in matched pairs"),
+    # round-9 batch 4-6 additions
+    ("agg_spearman_corr", "distributed rank map — linear in rows + distinct values, no single-partition window"),
+    ("join_spatial_grid", "cell-key spatial join — linear in points + bounded box fan-out"),
+    ("join_interval_overlap", "dual-binned overlap join, exactly-once bin attribution — no pair-stream shuffle"),
+    # round-9 batch 7-9 additions
+    ("events_cuped_adjustment", "CUPED — one user-grain partial agg + 1-row reduce"),
+    ("events_pit_features", "PIT feature backfill — one user shuffle + shared range windows"),
+    ("events_survival_km", "KM curve — user-grain agg; windows on calendar-bounded duration grain"),
+    ("llm_trigram_backoff", "trigram LM — 3 model aggs + five gram-keyed linear joins"),
+    ("emb_hamming_topk", "sign-signature build linear; broadcast probe join, k-bounded ranks"),
+    ("graph_bfs_hops", "frontier joins — per-hop O(touched edges), fixed hop count"),
+    ("multimodal_frame_dedup", "Arrow decode map + one fingerprint-key shuffle"),
 ]
 
 
