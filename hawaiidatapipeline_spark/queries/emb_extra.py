@@ -1179,3 +1179,139 @@ def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _HAM_K)
         .orderBy("probe_id", "rk")
     )
+
+
+@q(
+    "emb_hamming_recall_report",
+    f"""WITH qv AS (
+         SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+                round(unnest(embedding) * 1000)::BIGINT AS q
+         FROM embeddings),
+       sig AS (
+         SELECT vec_id,
+                list_sum(list_transform(range(0, 32),
+                    i -> CASE WHEN embedding[i + 1] > 0
+                              THEN (1::BIGINT << i) ELSE 0::BIGINT END)
+                  )::BIGINT AS lo,
+                list_sum(list_transform(range(32, 64),
+                    i -> CASE WHEN embedding[i + 1] > 0
+                              THEN (1::BIGINT << (i - 32)) ELSE 0::BIGINT END)
+                  )::BIGINT AS hi
+         FROM embeddings),
+       probes AS (SELECT * FROM sig WHERE vec_id % {_HAM_PROBE_MOD} = 0),
+       ham AS (
+         SELECT pa, pb FROM (
+           SELECT p.vec_id AS pa, s.vec_id AS pb,
+                  row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY bit_count(xor(p.lo, s.lo))
+                             + bit_count(xor(p.hi, s.hi)), s.vec_id) AS rn
+           FROM probes p JOIN sig s ON s.vec_id <> p.vec_id) t
+         WHERE rn <= {_HAM_K}),
+       dots AS (
+         SELECT p.vec_id AS pa, v.vec_id AS pb, sum(p.q * v.q)::BIGINT AS dot
+         FROM qv p JOIN qv v ON p.d = v.d AND p.vec_id <> v.vec_id
+         WHERE p.vec_id % {_HAM_PROBE_MOD} = 0
+         GROUP BY 1, 2),
+       gt AS (
+         SELECT pa, pb FROM (
+           SELECT pa, pb, row_number() OVER (PARTITION BY pa
+                                             ORDER BY dot DESC, pb) AS rn
+           FROM dots) t WHERE rn <= {_HAM_K}),
+       hits AS (
+         SELECT g.pa, count(*)::BIGINT AS h
+         FROM gt g JOIN ham a ON a.pa = g.pa AND a.pb = g.pb
+         GROUP BY g.pa)
+       SELECT g.pa AS probe_id, coalesce(h.h, 0)::BIGINT AS n_hits,
+              round(coalesce(h.h, 0)::DOUBLE / {_HAM_K}, 6)
+                AS recall_at_{_HAM_K}
+       FROM (SELECT DISTINCT pa FROM gt) g
+       LEFT JOIN hits h ON h.pa = g.pa
+       ORDER BY probe_id""",
+)
+def emb_hamming_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the binary-Hamming retrieval tier: per strided
+    probe, |Hamming top-5 ∩ exact integer-dot top-5| / 5 — the
+    quality dial for the 32×-compressed signature scan
+    (``emb_hamming_topk``), completing the per-tier audit triangle the
+    IVF (emb_ann_recall_report), PQ (emb_pq_recall_report) and
+    Matryoshka tiers already have. Every rank on both sides is exact
+    integer arithmetic ((hamming, id) and (dot DESC, id) total orders),
+    so the recall itself hash-checks. Shape: ground truth is the
+    probe-strided GEMM row (priced by the stride, the standard audit
+    slice); the Hamming lane is the linear signature scan with
+    k-bounded per-probe ranking. At 100 TB you run exactly this audit
+    on a sampled probe set before trusting the binary tier."""
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def half(lo_bit: int) -> F.Column:
+        return F.expr(
+            f"aggregate(transform(sequence({lo_bit}, {lo_bit + 31}), "
+            f"i -> IF(element_at(embedding, i + 1) > 0, "
+            f"shiftleft(1L, i - {lo_bit}), 0L)), 0L, (a, b) -> a + b)"
+        )
+
+    sig = materialize(
+        e.select("vec_id", half(0).alias("lo"), half(32).alias("hi"))
+    )
+    probes = sig.filter(F.col("vec_id") % _HAM_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("pa"),
+        F.col("lo").alias("p_lo"),
+        F.col("hi").alias("p_hi"),
+    )
+    w_h = Window.partitionBy("pa").orderBy("hamming", "pb")
+    ham = (
+        F.broadcast(probes)
+        .join(sig, F.col("vec_id") != F.col("pa"))
+        .select(
+            "pa",
+            F.col("vec_id").alias("pb"),
+            (
+                F.bit_count(F.expr("p_lo ^ lo"))
+                + F.bit_count(F.expr("p_hi ^ hi"))
+            ).alias("hamming"),
+        )
+        .withColumn("rn", F.row_number().over(w_h))
+        .filter(F.col("rn") <= _HAM_K)
+        .select("pa", "pb")
+    )
+    qv = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("d", "x"),
+    ).select(
+        "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+    )
+    pqv = qv.filter(F.col("vec_id") % _HAM_PROBE_MOD == 0)
+    dots = materialize(
+        pqv.alias("p")
+        .join(
+            qv.alias("v"),
+            (F.col("p.d") == F.col("v.d"))
+            & (F.col("p.vec_id") != F.col("v.vec_id")),
+        )
+        .groupBy(F.col("p.vec_id").alias("pa"), F.col("v.vec_id").alias("pb"))
+        .agg(F.sum(F.col("p.q") * F.col("v.q")).alias("dot"))
+    )
+    w_d = Window.partitionBy("pa").orderBy(F.col("dot").desc(), "pb")
+    gt = (
+        dots.withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") <= _HAM_K)
+        .select("pa", "pb")
+    )
+    hits = gt.join(ham, ["pa", "pb"]).groupBy("pa").agg(
+        F.count(F.lit(1)).cast("long").alias("h")
+    )
+    return (
+        gt.select("pa")
+        .distinct()
+        .join(hits, "pa", "left")
+        .select(
+            F.col("pa").alias("probe_id"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("h"), F.lit(0)).cast("double") / _HAM_K, 6
+            ).alias(f"recall_at_{_HAM_K}"),
+        )
+        .orderBy("probe_id")
+    )

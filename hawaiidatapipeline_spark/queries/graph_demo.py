@@ -519,3 +519,111 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phi"),
     )
     return out.orderBy("degree_threshold")
+
+
+@q(
+    "graph_lpa_modularity",
+    f"""WITH {_ADJ_SQL},
+       l1 AS (
+         SELECT node, least(node, min(nbr))::BIGINT AS l
+         FROM adj GROUP BY node),
+       l2 AS (
+         SELECT a.node,
+                least(min(s.l), min(n.l))::BIGINT AS l
+         FROM adj a
+         JOIN l1 s ON s.node = a.node
+         JOIN l1 n ON n.node = a.nbr
+         GROUP BY a.node),
+       m AS (SELECT count(*)::BIGINT AS m FROM e),
+       intra AS (
+         SELECT count(*)::BIGINT AS intra
+         FROM e JOIN l2 lu ON lu.node = e.u
+                JOIN l2 lv ON lv.node = e.v
+         WHERE lu.l = lv.l),
+       dsum AS (
+         SELECT sum(dc * dc)::BIGINT AS sum_d2,
+                count(*)::BIGINT AS n_communities
+         FROM (SELECT l2.l, sum(deg.deg)::BIGINT AS dc
+               FROM l2 JOIN deg ON deg.node = l2.node GROUP BY l2.l))
+       SELECT dsum.n_communities, m.m AS n_edges, intra.intra AS intra_edges,
+              round(intra.intra::DOUBLE / m.m
+                    - dsum.sum_d2::DOUBLE / (4.0 * m.m * m.m), 6)
+                AS modularity
+       FROM m CROSS JOIN intra CROSS JOIN dsum""",
+)
+def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the TWO-ROUND min-label propagation partition over
+    the co-purchase graph — the cheap-community diagnostic: two
+    synchronous hash-min rounds (the prefix of what
+    graph_connected_components runs to convergence) produce a real,
+    non-trivial partition, and Q = Σ_c (e_c/m − (D_c/2m)²) says whether
+    those cheap labels already capture the graph's block structure
+    (Q ≈ 0 ⇒ keep iterating or use a better method; Q materially > 0 ⇒
+    the two-round labels are usable for prepartitioning). Rewritten as
+    Q = intra/m − ΣD_c²/(4m²): both aggregates are exact int64, Q is
+    ONE closed-form double expression — no per-community float
+    summation to order. Shape: two rounds of node-keyed join+min (the
+    CC step shape, hard-bounded at 2), then an edge×label join and a
+    label-grain degree sum. At 100 TB each round is one hash-join
+    shuffle on node id; the modularity arithmetic is label-grain."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = materialize(copurchase_edges(li))
+    adj = materialize(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    l1 = materialize(
+        adj.groupBy("node").agg(
+            F.least(F.col("node"), F.min("nbr")).cast("long").alias("l")
+        )
+    )
+    l2 = materialize(
+        adj.join(l1.withColumnRenamed("node", "node_s"), F.col("node_s") == F.col("node"))
+        .withColumnRenamed("l", "ls")
+        .join(
+            l1.select(F.col("node").alias("nbr"), F.col("l").alias("ln")),
+            "nbr",
+        )
+        .groupBy("node")
+        .agg(F.least(F.min("ls"), F.min("ln")).cast("long").alias("l"))
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    intra = (
+        edges.join(
+            l2.select(F.col("node").alias("u"), F.col("l").alias("lu")), "u"
+        )
+        .join(
+            l2.select(F.col("node").alias("v"), F.col("l").alias("lv")), "v"
+        )
+        .filter(F.col("lu") == F.col("lv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra"))
+    )
+    dsum = (
+        l2.join(deg, "node")
+        .groupBy("l")
+        .agg(F.sum("deg").cast("long").alias("dc"))
+        .agg(
+            F.sum(F.col("dc") * F.col("dc")).cast("long").alias("sum_d2"),
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+        )
+    )
+    mm = F.col("m").cast("double")
+    return (
+        m.crossJoin(F.broadcast(intra))
+        .crossJoin(F.broadcast(dsum))
+        .select(
+            "n_communities",
+            F.col("m").alias("n_edges"),
+            F.col("intra").alias("intra_edges"),
+            F.round(
+                F.col("intra").cast("double") / mm
+                - F.col("sum_d2").cast("double") / (4.0 * mm * mm),
+                6,
+            ).alias("modularity"),
+        )
+    )

@@ -464,3 +464,145 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_neg_logprob").desc(), "doc_id")
         .limit(100)
     )
+
+
+@q(
+    "llm_dedup_threshold_curve",
+    """WITH tok AS (
+         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       sizes AS (SELECT doc_id, count(*)::BIGINT AS n_tok
+                 FROM tok GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                count(*)::BIGINT AS n_common
+         FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT doc_a, doc_b, n_common,
+                (sa.n_tok + sb.n_tok - n_common)::BIGINT AS n_union
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b),
+       taus AS (SELECT unnest(ARRAY[500, 600, 700, 800, 900]) AS tau_milli),
+       qual AS (
+         SELECT t.tau_milli, p.doc_a, p.doc_b
+         FROM taus t JOIN pairs p
+           ON p.n_common * 1000 >= t.tau_milli * p.n_union),
+       docs_hit AS (
+         SELECT tau_milli, count(DISTINCT d)::BIGINT AS n_docs
+         FROM (SELECT tau_milli, doc_a AS d FROM qual
+               UNION ALL SELECT tau_milli, doc_b FROM qual)
+         GROUP BY tau_milli),
+       pair_counts AS (
+         SELECT tau_milli, count(*)::BIGINT AS n_pairs
+         FROM qual GROUP BY tau_milli),
+       total AS (SELECT count(*)::BIGINT AS n_total FROM documents)
+       SELECT t.tau_milli,
+              coalesce(pc.n_pairs, 0)::BIGINT AS n_pairs,
+              coalesce(dh.n_docs, 0)::BIGINT AS n_docs_affected,
+              round(coalesce(dh.n_docs, 0)::DOUBLE * 100.0 / tt.n_total, 6)
+                AS pct_docs_affected
+       FROM taus t
+       LEFT JOIN pair_counts pc ON pc.tau_milli = t.tau_milli
+       LEFT JOIN docs_hit dh ON dh.tau_milli = t.tau_milli
+       CROSS JOIN total tt
+       ORDER BY t.tau_milli""",
+)
+def llm_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield-vs-threshold curve: for τ ∈ {0.5 … 0.9}, how many
+    near-dup pairs qualify and what fraction of the corpus they touch —
+    the tuning curve a curation owner reads BEFORE committing a
+    threshold (too low deletes paraphrases, too high keeps templates).
+    Thresholding is the exact integer cross-multiplication
+    n_common·1000 ≥ τ_milli·n_union — no float comparison anywhere, so
+    boundary pairs land identically on both engines. Shape: ONE
+    inverted-index pair pass (shared across all thresholds — the sweep
+    is a 5-row broadcast join against the pair frame, not 5 recomputes)
+    + per-τ aggregates. The pair generation is the exact fixture-tier
+    baseline (llm_dedup_jaccard's declared O(shared-token pairs)
+    shape); at 100 TB the same curve is computed off the MinHash
+    estimated-jaccard candidate table instead — one banded pass, same
+    sweep arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    sizes = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    inter = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    pairs = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("sa") + F.col("sb") - F.col("n_common"))
+            .cast("long")
+            .alias("n_union"),
+        )
+    )
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    pairs = materialize(pairs)
+    taus = spark.createDataFrame(
+        [(t,) for t in (500, 600, 700, 800, 900)], "tau_milli bigint"
+    )
+    qual = F.broadcast(taus).join(
+        pairs,
+        F.col("n_common") * 1000 >= F.col("tau_milli") * F.col("n_union"),
+    )
+    pair_counts = qual.groupBy("tau_milli").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    docs_hit = (
+        qual.select("tau_milli", F.col("doc_a").alias("d"))
+        .unionAll(qual.select("tau_milli", F.col("doc_b").alias("d")))
+        .groupBy("tau_milli")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
+    )
+    total = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        taus.join(pair_counts, "tau_milli", "left")
+        .join(docs_hit, "tau_milli", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tau_milli",
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+            F.round(
+                F.coalesce(F.col("n_docs"), F.lit(0)).cast("double")
+                * 100.0
+                / F.col("n_total"),
+                6,
+            ).alias("pct_docs_affected"),
+        )
+        .orderBy("tau_milli")
+    )

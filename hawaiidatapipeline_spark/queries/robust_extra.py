@@ -595,3 +595,100 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("min_ip") % 256).cast("string"),
         ).alias("min_ip_dotted"),
     ).orderBy("cidr")
+
+
+_TRIM_PCT_NUM, _TRIM_PCT_DEN = 1, 10  # trim 10% of rows from each tail
+
+
+@q(
+    "agg_trimmed_mean",
+    """WITH v AS (
+         SELECT o_orderpriority AS grp,
+                (floor(o_totalprice * 100))::BIGINT AS xc
+         FROM orders),
+       vals AS (
+         SELECT grp, xc, count(*)::BIGINT AS c
+         FROM v GROUP BY grp, xc),
+       cum AS (
+         SELECT grp, xc, c,
+                sum(c) OVER (PARTITION BY grp ORDER BY xc
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  ::BIGINT AS cum_c,
+                sum(c) OVER (PARTITION BY grp)::BIGINT AS n
+         FROM vals),
+       clipped AS (
+         SELECT grp, xc, n,
+                n // 10 AS lo, n - n // 10 AS hi,
+                least(cum_c, n - n // 10)
+                  - greatest(cum_c - c, n // 10) AS keep
+         FROM cum),
+       agg AS (
+         SELECT grp, max(n) AS n,
+                sum(CASE WHEN keep > 0 THEN keep ELSE 0 END)::BIGINT
+                  AS n_kept,
+                sum(CASE WHEN keep > 0 THEN xc * keep ELSE 0 END)::BIGINT
+                  AS s_kept
+         FROM clipped GROUP BY grp)
+       SELECT grp AS o_orderpriority, n AS n_rows, n_kept,
+              round(s_kept::DOUBLE / n_kept / 100.0, 6) AS trimmed_mean
+       FROM agg ORDER BY o_orderpriority""",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of order totals per priority — the
+    robust-location estimator between the mean (agg_stats) and the
+    median (agg_percentile): drop the ⌊N/10⌋ smallest and largest ROWS,
+    average the rest. Computed on the DISTINCT-VALUE grain with partial
+    inclusion at the cut boundaries (keep = min(cum, hi) − max(cum−c,
+    lo), so a tie block straddling the 10% line contributes exactly its
+    in-range multiplicity — row semantics with no row-level sort). Sums
+    are exact cent·count int64. Shape: one (grp, value) partial agg,
+    cumulative windows over the distinct-value frame (bounded by price
+    cardinality, far below row count), and a group-grain reduce — the
+    same distributed-rank discipline as agg_weighted_median; no
+    single-partition pass over data rows at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("xc"),
+    )
+    vals = v.groupBy("grp", "xc").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("xc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("grp")
+    cum = vals.select(
+        "grp",
+        "xc",
+        "c",
+        F.sum("c").over(w_cum).cast("long").alias("cum_c"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    lo = F.floor(F.col("n") / 10).cast("long")
+    hi = F.col("n") - lo
+    keep = F.least(F.col("cum_c"), hi) - F.greatest(
+        F.col("cum_c") - F.col("c"), lo
+    )
+    clipped = cum.select("grp", "xc", "n", keep.alias("keep"))
+    agg = clipped.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(F.col("keep") > 0, F.col("keep")).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(
+            F.when(F.col("keep") > 0, F.col("xc") * F.col("keep")).otherwise(0)
+        )
+        .cast("long")
+        .alias("s_kept"),
+    )
+    return agg.select(
+        F.col("grp").alias("o_orderpriority"),
+        F.col("n").alias("n_rows"),
+        "n_kept",
+        F.round(
+            F.col("s_kept").cast("double") / F.col("n_kept") / 100.0, 6
+        ).alias("trimmed_mean"),
+    ).orderBy("o_orderpriority")
