@@ -1315,3 +1315,173 @@ def emb_hamming_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+_MMR_POOL = 12  # relevance candidate pool per probe
+_MMR_K = 4  # greedy picks (unrolled rounds)
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR rounds as CTEs (the kmeans/pagerank idiom:
+    bounded iteration → hash-verifiable set-based plan)."""
+    pick = """
+p{i} AS (
+  SELECT pa, pb, rel FROM (
+    SELECT c.pa, c.pb, c.rel,
+           row_number() OVER (
+             PARTITION BY c.pa
+             ORDER BY c.rel - (SELECT max(s.sim) FROM sims s
+                               JOIN sel{p} x ON x.pa = c.pa
+                                AND x.pb = s.b2 AND s.b1 = c.pb) DESC,
+                      c.pb) AS rn
+    FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM sel{p} x
+                      WHERE x.pa = c.pa AND x.pb = c.pb)) t
+  WHERE rn = 1),
+sel{i} AS (SELECT pa, pb, {i} AS rk, rel FROM p{i}
+           UNION ALL SELECT pa, pb, rk, rel FROM sel{p})"""
+    rounds = ",".join(
+        pick.format(i=i, p=i - 1) for i in range(2, _MMR_K + 1)
+    )
+    return f"""WITH qv AS (
+         SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+                round(unnest(embedding) * 1000)::BIGINT AS q
+         FROM embeddings),
+       dots AS (
+         SELECT p.vec_id AS pa, v.vec_id AS pb, sum(p.q * v.q)::BIGINT AS rel
+         FROM qv p JOIN qv v ON p.d = v.d AND p.vec_id <> v.vec_id
+         WHERE p.vec_id % {_HAM_PROBE_MOD} = 0
+         GROUP BY 1, 2),
+       cand AS (
+         SELECT pa, pb, rel FROM (
+           SELECT pa, pb, rel,
+                  row_number() OVER (PARTITION BY pa
+                                     ORDER BY rel DESC, pb) AS rn
+           FROM dots) t WHERE rn <= {_MMR_POOL}),
+       sims AS (
+         SELECT a.pa, a.pb AS b1, b.pb AS b2,
+                sum(v1.q * v2.q)::BIGINT AS sim
+         FROM cand a JOIN cand b ON a.pa = b.pa AND a.pb <> b.pb
+         JOIN qv v1 ON v1.vec_id = a.pb
+         JOIN qv v2 ON v2.vec_id = b.pb AND v2.d = v1.d
+         GROUP BY 1, 2, 3),
+       p1 AS (
+         SELECT pa, pb, rel FROM (
+           SELECT pa, pb, rel,
+                  row_number() OVER (PARTITION BY pa
+                                     ORDER BY rel DESC, pb) AS rn
+           FROM cand) t WHERE rn = 1),
+       sel1 AS (SELECT pa, pb, 1 AS rk, rel FROM p1),
+       {rounds}
+       SELECT pa AS probe_id, rk AS rank, pb AS picked_id, rel
+       FROM sel{_MMR_K} ORDER BY probe_id, rank"""
+
+
+@q("emb_mmr_rerank", _mmr_sql())
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity re-ranking (λ = 0.5): from
+    each strided probe's top-12 relevance pool, greedily pick 4 results
+    maximizing rel − max-sim-to-already-picked — the re-rank step that
+    stops a retrieval page (or a RAG context window) from filling with
+    near-duplicates of the first hit. λ = 0.5 makes the score a pure
+    INTEGER difference of milli-unit dots, and the greedy argmax uses a
+    (score DESC, id) total order, so all 4 unrolled rounds are exact on
+    both engines (the kmeans/pagerank bounded-iteration idiom applied
+    to greedy selection). Shape: the pool is k-bounded per probe, the
+    candidate-pairwise sim table is POOL² per probe (144 rows — built
+    once, reused by every round), and each round is an argmax over
+    ≤ POOL rows per probe: after the one GEMM-shaped pool build,
+    everything is constant-sized per probe regardless of corpus scale."""
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("d", "x")
+    ).select(
+        "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+    )
+    pqv = qv.filter(F.col("vec_id") % _HAM_PROBE_MOD == 0)
+    dots = (
+        pqv.alias("p")
+        .join(
+            qv.alias("v"),
+            (F.col("p.d") == F.col("v.d"))
+            & (F.col("p.vec_id") != F.col("v.vec_id")),
+        )
+        .groupBy(F.col("p.vec_id").alias("pa"), F.col("v.vec_id").alias("pb"))
+        .agg(F.sum(F.col("p.q") * F.col("v.q")).alias("rel"))
+    )
+    w_rel = Window.partitionBy("pa").orderBy(F.col("rel").desc(), "pb")
+    cand = materialize(
+        dots.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .select("pa", "pb", "rel")
+    )
+    sims = materialize(
+        cand.alias("a")
+        .join(
+            cand.alias("b"),
+            (F.col("a.pa") == F.col("b.pa"))
+            & (F.col("a.pb") != F.col("b.pb")),
+        )
+        .select(
+            F.col("a.pa").alias("pa"),
+            F.col("a.pb").alias("b1"),
+            F.col("b.pb").alias("b2"),
+        )
+        .join(qv.alias("v1"), F.col("v1.vec_id") == F.col("b1"))
+        .join(
+            qv.alias("v2"),
+            (F.col("v2.vec_id") == F.col("b2"))
+            & (F.col("v2.d") == F.col("v1.d")),
+        )
+        .groupBy("pa", "b1", "b2")
+        .agg(F.sum(F.col("v1.q") * F.col("v2.q")).alias("sim"))
+    )
+    sel = materialize(
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select("pa", "pb", F.lit(1).alias("rk"), "rel")
+    )
+    for i in range(2, _MMR_K + 1):
+        picked = sel.select(
+            F.col("pa").alias("x_pa"), F.col("pb").alias("x_pb")
+        )
+        remaining = cand.join(
+            picked,
+            (cand["pa"] == picked["x_pa"]) & (cand["pb"] == picked["x_pb"]),
+            "left_anti",
+        )
+        max_sim = (
+            sims.join(
+                sel.select(
+                    F.col("pa").alias("s_pa"), F.col("pb").alias("s_pb")
+                ),
+                (F.col("pa") == F.col("s_pa")) & (F.col("b2") == F.col("s_pb")),
+            )
+            .groupBy("pa", "b1")
+            .agg(F.max("sim").alias("msim"))
+        )
+        scored = remaining.join(
+            max_sim,
+            (remaining["pa"] == max_sim["pa"])
+            & (remaining["pb"] == max_sim["b1"]),
+        ).select(
+            remaining["pa"].alias("pa"),
+            remaining["pb"].alias("pb"),
+            "rel",
+            (F.col("rel") - F.col("msim")).alias("score"),
+        )
+        w_s = Window.partitionBy("pa").orderBy(F.col("score").desc(), "pb")
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w_s))
+            .filter(F.col("rn") == 1)
+            .select("pa", "pb", F.lit(i).alias("rk"), "rel")
+        )
+        sel = materialize(sel.unionByName(pick))
+    return sel.select(
+        F.col("pa").alias("probe_id"),
+        F.col("rk").alias("rank"),
+        F.col("pb").alias("picked_id"),
+        "rel",
+    ).orderBy("probe_id", "rank")

@@ -568,3 +568,81 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(k / 16).cast("long").alias("shr4"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@q(
+    "fn_uuid_deterministic",
+    """WITH h AS (
+         SELECT c_custkey, md5('hdp-ns:' || c_custkey::VARCHAR) AS hx
+         FROM customer),
+       built AS (
+         SELECT c_custkey,
+                substring(hx, 1, 8) || '-' || substring(hx, 9, 4)
+                || '-3' || substring(hx, 14, 3) || '-'
+                || CASE substring(hx, 17, 1)
+                     WHEN '0' THEN '8' WHEN '1' THEN '9'
+                     WHEN '2' THEN 'a' WHEN '3' THEN 'b'
+                     WHEN '4' THEN '8' WHEN '5' THEN '9'
+                     WHEN '6' THEN 'a' WHEN '7' THEN 'b'
+                     WHEN '8' THEN '8' WHEN '9' THEN '9'
+                     WHEN 'a' THEN 'a' WHEN 'b' THEN 'b'
+                     WHEN 'c' THEN '8' WHEN 'd' THEN '9'
+                     WHEN 'e' THEN 'a' ELSE 'b'
+                   END || substring(hx, 18, 3) || '-'
+                || substring(hx, 21, 12) AS uuid3
+         FROM h),
+       summary AS (
+         SELECT count(*)::BIGINT AS n_keys,
+                count(DISTINCT uuid3)::BIGINT AS n_distinct
+         FROM built)
+       SELECT b.c_custkey, b.uuid3, s.n_keys, s.n_distinct
+       FROM built b CROSS JOIN summary s
+       ORDER BY b.c_custkey LIMIT 10""",
+)
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic namespace UUID (RFC 4122 v3 layout) from the md5 of
+    a namespaced business key — the stable-surrogate-key generator a
+    warehouse uses when the same entity must mint the same id on every
+    run and every executor (no sequences, no coordination — the same
+    reason as etl_data_vault_keys, but emitting the standard UUID wire
+    format). Version nibble pinned to '3'; the variant nibble maps the
+    17th hex digit onto [89ab] via (d & 0x3) | 0x8, written as an
+    explicit 16-way CASE so both engines run the identical pure-string
+    computation (no bit ops on hex chars needed). The distinct-count
+    summary guards against construction bugs that collapse keys. Shape:
+    map-only md5 + substring assembly; TakeOrdered sample."""
+    c = load_table(spark, sf_dir, "customer")
+    hx = F.md5(F.concat(F.lit("hdp-ns:"), F.col("c_custkey").cast("string")))
+    variant = F.create_map(
+        *[
+            F.lit(x)
+            for pair in [
+                ("0", "8"), ("1", "9"), ("2", "a"), ("3", "b"),
+                ("4", "8"), ("5", "9"), ("6", "a"), ("7", "b"),
+                ("8", "8"), ("9", "9"), ("a", "a"), ("b", "b"),
+                ("c", "8"), ("d", "9"), ("e", "a"), ("f", "b"),
+            ]
+            for x in pair
+        ]
+    )
+    built = c.select(
+        "c_custkey",
+        F.concat(
+            F.substring(hx, 1, 8), F.lit("-"),
+            F.substring(hx, 9, 4), F.lit("-3"),
+            F.substring(hx, 14, 3), F.lit("-"),
+            variant[F.substring(hx, 17, 1)],
+            F.substring(hx, 18, 3), F.lit("-"),
+            F.substring(hx, 21, 12),
+        ).alias("uuid3"),
+    )
+    summary = built.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.countDistinct("uuid3").cast("long").alias("n_distinct"),
+    )
+    return (
+        built.orderBy("c_custkey")
+        .limit(10)
+        .crossJoin(F.broadcast(summary))
+        .select("c_custkey", "uuid3", "n_keys", "n_distinct")
+    )

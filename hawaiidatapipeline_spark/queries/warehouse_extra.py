@@ -605,3 +605,79 @@ def etl_data_vault_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("link_key")
     )
+
+
+_ERASURE_MOD = 37  # deterministic delete-request set: user_id % 37 == 0
+
+
+@q(
+    "etl_erasure_plan",
+    f"""WITH rows_tagged AS (
+         SELECT date_trunc('day', ts)::DATE AS d,
+                CASE WHEN user_id % {_ERASURE_MOD} = 0 THEN 1 ELSE 0 END
+                  AS erase,
+                (32 + strlen(event_type) + coalesce(strlen(props), 0))
+                  ::BIGINT AS bytes_est
+         FROM events),
+       parts AS (
+         SELECT d, count(*)::BIGINT AS n_rows,
+                sum(erase)::BIGINT AS n_erase,
+                sum(bytes_est)::BIGINT AS bytes_total,
+                sum(CASE WHEN erase = 1 THEN bytes_est ELSE 0 END)::BIGINT
+                  AS bytes_erased
+         FROM rows_tagged GROUP BY d)
+       SELECT d AS partition_day, n_rows, n_erase,
+              (n_rows - n_erase)::BIGINT AS n_kept,
+              bytes_total, bytes_erased,
+              CASE WHEN n_erase > 0 THEN 1 ELSE 0 END AS rewrite_required,
+              round(n_erase::DOUBLE * 100.0 / n_rows, 6) AS erase_pct
+       FROM parts ORDER BY partition_day""",
+)
+def etl_erasure_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR/right-to-be-forgotten erasure planner: given a delete-request
+    set (deterministic stand-in: user_id % 37 = 0), compute per
+    day-partition how many rows and bytes the erasure touches and which
+    partitions need a rewrite — the plan a lake compaction job executes
+    as copy-without-matching-rows (plus manifest swap). The planner is
+    the cheap half that runs on EVERY request batch; partitions with
+    rewrite_required = 0 are skipped entirely, which at 100 TB is the
+    difference between rewriting a day and rewriting a year. Exact
+    integer row/byte accounting (same byte estimator as
+    etl_compaction_plan so the two maintenance planners compose).
+    Shape: one partial-aggregated scan to the day grain; the plan
+    output is partition-table-sized, never data-sized — in production
+    the request set joins in via broadcast instead of the modulus."""
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+        F.when(F.col("user_id") % _ERASURE_MOD == 0, 1)
+        .otherwise(0)
+        .alias("erase"),
+        (
+            F.lit(32)
+            + F.octet_length("event_type")
+            + F.coalesce(F.octet_length("props"), F.lit(0))
+        )
+        .cast("long")
+        .alias("bytes_est"),
+    )
+    parts = tagged.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("erase").cast("long").alias("n_erase"),
+        F.sum("bytes_est").cast("long").alias("bytes_total"),
+        F.sum(F.when(F.col("erase") == 1, F.col("bytes_est")).otherwise(0))
+        .cast("long")
+        .alias("bytes_erased"),
+    )
+    return parts.select(
+        F.col("d").alias("partition_day"),
+        "n_rows",
+        "n_erase",
+        (F.col("n_rows") - F.col("n_erase")).cast("long").alias("n_kept"),
+        "bytes_total",
+        "bytes_erased",
+        F.when(F.col("n_erase") > 0, 1).otherwise(0).alias("rewrite_required"),
+        F.round(
+            F.col("n_erase").cast("double") * 100.0 / F.col("n_rows"), 6
+        ).alias("erase_pct"),
+    ).orderBy("partition_day")
