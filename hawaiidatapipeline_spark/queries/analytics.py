@@ -404,3 +404,80 @@ def etl_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(
         "month", "event_type", "n_events", F.col("total").cast("double").alias("total_value")
     )
+
+
+@q(
+    "events_bot_score",
+    """WITH ts_us AS (
+         SELECT user_id, epoch_us(ts)::BIGINT AS us
+         FROM events),
+       gaps AS (
+         SELECT user_id,
+                (us - lag(us) OVER (PARTITION BY user_id ORDER BY us))
+                  // 1000000 AS gap_s
+         FROM ts_us),
+       per_user AS (
+         SELECT user_id, count(*)::BIGINT AS n_gaps,
+                sum(gap_s)::BIGINT AS sg,
+                sum(gap_s * gap_s)::BIGINT AS sgg
+         FROM gaps WHERE gap_s IS NOT NULL
+         GROUP BY user_id HAVING count(*) >= 10),
+       scored AS (
+         SELECT user_id, n_gaps,
+                round(sg::DOUBLE / n_gaps, 6) AS mean_gap_s,
+                round(sqrt(greatest(n_gaps::DOUBLE * sgg - sg::DOUBLE * sg, 0))
+                      / sg, 6) AS gap_cv
+         FROM per_user WHERE sg > 0)
+       SELECT user_id, n_gaps, mean_gap_s, gap_cv
+       FROM scored
+       ORDER BY gap_cv, user_id LIMIT 20""",
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-likeness ranking by inter-arrival regularity: humans are
+    bursty (coefficient of variation of gaps ≈ 1 for Poisson, higher
+    with sessions); schedulers and scripts are metronomic (CV → 0).
+    Per user: CV = sqrt(n·Σg² − (Σg)²)/Σg over SECOND-grain gaps (the
+    grain keeps Σg² inside int64 at every benchmarked SF), minimum 10
+    gaps so the statistic is meaningful; the 20 most-regular users are
+    the review queue — the abuse-filter twin of ``events_rate_limit``
+    (volume) and the curation guard that keeps synthetic traffic out
+    of a training corpus. All sufficient statistics are exact int64;
+    CV is one closed-form double. Shape: one user-keyed window for
+    gaps (the sessionization shape), one user-grain partial agg, then
+    TakeOrdered(20) — no global sort materializes."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us")
+    gaps = e.select(
+        "user_id", F.unix_micros("ts").alias("us")
+    ).select(
+        "user_id",
+        F.floor(
+            (F.col("us") - F.lag("us").over(w)) / 1000000
+        ).cast("long").alias("gap_s"),
+    )
+    per_user = (
+        gaps.filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap_s").cast("long").alias("sg"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("sgg"),
+        )
+        .filter(F.col("n_gaps") >= 10)
+        .filter(F.col("sg") > 0)
+    )
+    n = F.col("n_gaps").cast("double")
+    sg = F.col("sg").cast("double")
+    sgg = F.col("sgg").cast("double")
+    return (
+        per_user.select(
+            "user_id",
+            "n_gaps",
+            F.round(sg / n, 6).alias("mean_gap_s"),
+            F.round(
+                F.sqrt(F.greatest(n * sgg - sg * sg, F.lit(0.0))) / sg, 6
+            ).alias("gap_cv"),
+        )
+        .orderBy("gap_cv", "user_id")
+        .limit(20)
+    )

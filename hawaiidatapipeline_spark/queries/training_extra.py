@@ -468,3 +468,109 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@q(
+    "llm_domain_reweight_step",
+    """WITH docs AS (
+         SELECT doc_id, source, string_split(lower(text), ' ') AS a
+         FROM documents),
+       tok AS (SELECT doc_id, source, unnest(a) AS w FROM docs),
+       c1 AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+       tot AS (SELECT count(*)::BIGINT AS t,
+                      count(DISTINCT w)::BIGINT AS v FROM tok),
+       scored AS (
+         SELECT tk.source,
+                (floor((ln(tot.t + tot.v) - ln(c1.c + 1)) * 1000000))::BIGINT
+                  AS nll_micro
+         FROM tok tk JOIN c1 ON c1.w = tk.w CROSS JOIN tot),
+       per_source AS (
+         SELECT source, count(*)::BIGINT AS n_tokens,
+                sum(nll_micro)::BIGINT AS nll_sum
+         FROM scored GROUP BY source),
+       losses AS (
+         SELECT source, n_tokens,
+                nll_sum::DOUBLE / n_tokens / 1000000.0 AS loss,
+                min(nll_sum::DOUBLE / n_tokens / 1000000.0) OVER () AS min_loss
+         FROM per_source),
+       weights AS (
+         SELECT source, n_tokens, loss,
+                (floor(exp(loss - min_loss) * 1000000))::BIGINT AS t_micro
+         FROM losses),
+       norm AS (SELECT sum(t_micro)::BIGINT AS z FROM weights)
+       SELECT w.source, w.n_tokens,
+              round(w.loss, 6) AS avg_nll,
+              round(w.t_micro::DOUBLE / n.z, 6) AS weight_new
+       FROM weights w CROSS JOIN norm n
+       ORDER BY w.source""",
+)
+def llm_domain_reweight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting step: score every source
+    (domain) by its average add-one unigram NLL under the corpus-level
+    LM, then apply multiplicative weights w(s) ∝ exp(η·excess_loss)
+    with η = 1 from a uniform prior — domains the reference model finds
+    HARD get upweighted for the next mixture, the training-data
+    knob behind DoReMi/DSIR-style pipelines (here with the unigram LM
+    standing in for the reference model's loss — swap the loss column
+    for model NLLs and the step is unchanged). Per-token NLL terms are
+    micro-floored pre-sum; exp terms are micro-floored pre-normalize,
+    so the weight vector hash-checks. Shape: one token explode + a
+    vocab-keyed join (linear), per-source partial aggs, then all
+    reweighting math on the |sources|-row frame. At 100 TB the loss
+    table comes from the training job's logs and this is pure
+    frame arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("a")
+    )
+    tok = docs.select("source", F.explode("a").alias("w"))
+    c1 = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(
+        F.count(F.lit(1)).alias("t"), F.countDistinct("w").alias("v")
+    )
+    scored = (
+        tok.join(c1, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(
+                (F.log(F.col("t") + F.col("v")) - F.log(F.col("c") + 1))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    per_source = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("nll_micro").cast("long").alias("nll_sum"),
+    )
+    loss = F.col("nll_sum").cast("double") / F.col("n_tokens") / 1000000.0
+    w_all = Window.partitionBy()
+    losses = per_source.select(
+        "source",
+        "n_tokens",
+        loss.alias("loss"),
+        F.min(loss).over(w_all).alias("min_loss"),
+    )
+    weights = losses.select(
+        "source",
+        "n_tokens",
+        "loss",
+        F.floor(F.exp(F.col("loss") - F.col("min_loss")) * 1000000.0)
+        .cast("long")
+        .alias("t_micro"),
+    )
+    norm = weights.agg(F.sum("t_micro").cast("long").alias("z"))
+    return (
+        weights.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_tokens",
+            F.round("loss", 6).alias("avg_nll"),
+            F.round(F.col("t_micro").cast("double") / F.col("z"), 6).alias(
+                "weight_new"
+            ),
+        )
+        .orderBy("source")
+    )

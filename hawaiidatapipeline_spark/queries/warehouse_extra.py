@@ -681,3 +681,110 @@ def etl_erasure_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_erase").cast("double") * 100.0 / F.col("n_rows"), 6
         ).alias("erase_pct"),
     ).orderBy("partition_day")
+
+
+@q(
+    "dq_inclusion_dependencies",
+    """WITH pairs AS (
+         SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS dependency,
+                (SELECT count(DISTINCT l_orderkey) FROM lineitem)::BIGINT AS n_child,
+                (SELECT count(*) FROM
+                   (SELECT DISTINCT l_orderkey FROM lineitem) c
+                 JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+                   ON p.o_orderkey = c.l_orderkey)::BIGINT AS n_contained
+         UNION ALL
+         SELECT 'orders.o_custkey->customer.c_custkey',
+                (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT,
+                (SELECT count(*) FROM
+                   (SELECT DISTINCT o_custkey FROM orders) c
+                 JOIN (SELECT DISTINCT c_custkey FROM customer) p
+                   ON p.c_custkey = c.o_custkey)::BIGINT
+         UNION ALL
+         SELECT 'customer.c_nationkey->nation.n_nationkey',
+                (SELECT count(DISTINCT c_nationkey) FROM customer)::BIGINT,
+                (SELECT count(*) FROM
+                   (SELECT DISTINCT c_nationkey FROM customer) c
+                 JOIN (SELECT DISTINCT n_nationkey FROM nation) p
+                   ON p.n_nationkey = c.c_nationkey)::BIGINT
+         UNION ALL
+         SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+                (SELECT count(DISTINCT l_suppkey) FROM lineitem)::BIGINT,
+                (SELECT count(*) FROM
+                   (SELECT DISTINCT l_suppkey FROM lineitem) c
+                 JOIN (SELECT DISTINCT s_suppkey FROM supplier) p
+                   ON p.s_suppkey = c.l_suppkey)::BIGINT
+         UNION ALL
+         SELECT 'orders.o_orderkey->lineitem.l_orderkey',
+                (SELECT count(DISTINCT o_orderkey) FROM orders)::BIGINT,
+                (SELECT count(*) FROM
+                   (SELECT DISTINCT o_orderkey FROM orders) c
+                 JOIN (SELECT DISTINCT l_orderkey FROM lineitem) p
+                   ON p.l_orderkey = c.o_orderkey)::BIGINT
+         UNION ALL
+         SELECT 'customer.c_custkey->orders.o_custkey',
+                (SELECT count(DISTINCT c_custkey) FROM customer)::BIGINT,
+                (SELECT count(*) FROM
+                   (SELECT DISTINCT c_custkey FROM customer) c
+                 JOIN (SELECT DISTINCT o_custkey FROM orders) p
+                   ON p.o_custkey = c.c_custkey)::BIGINT)
+       SELECT dependency, n_child, n_contained,
+              round(n_contained::DOUBLE * 100.0 / n_child, 6)
+                AS containment_pct,
+              CASE WHEN n_contained = n_child THEN 1 ELSE 0 END
+                AS fk_candidate
+       FROM pairs ORDER BY dependency""",
+)
+def dq_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery — the FK-mining half of schema
+    profiling (``dq_candidate_keys`` finds PKs; this finds which column
+    VALUE SETS embed in which): for six candidate column pairs, the
+    fraction of the child's distinct values contained in the parent.
+    100% containment = a foreign-key candidate; the deliberately
+    included reverse and orphan-side pairs (orders→lineitem,
+    customer→orders) measure how far from total the containment is —
+    exactly what distinguishes a true FK from coincidental overlap.
+    All counts are exact distinct-grain integers. Shape: each pair is
+    a distinct-project + one equi-join at DISTINCT-value grain (far
+    below row counts), unioned into a 6-row report; at 100 TB each
+    containment check is the classic semi-join-on-distinct shape, and
+    the candidate pair list comes from schema metadata, not data."""
+    results = []
+    specs = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),
+    ]
+    for ct, cc, pt, pc in specs:
+        child = load_table(spark, sf_dir, ct).select(cc).distinct()
+        parent = load_table(spark, sf_dir, pt).select(pc).distinct()
+        contained = child.join(
+            parent, child[cc] == parent[pc], "left_semi"
+        )
+        row = child.agg(
+            F.lit(f"{ct}.{cc}->{pt}.{pc}").alias("dependency"),
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+        ).crossJoin(
+            F.broadcast(
+                contained.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_contained")
+                )
+            )
+        )
+        results.append(row)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "dependency",
+        "n_child",
+        "n_contained",
+        F.round(
+            F.col("n_contained").cast("double") * 100.0 / F.col("n_child"), 6
+        ).alias("containment_pct"),
+        F.when(F.col("n_contained") == F.col("n_child"), 1)
+        .otherwise(0)
+        .alias("fk_candidate"),
+    ).orderBy("dependency")

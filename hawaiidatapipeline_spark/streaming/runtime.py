@@ -910,3 +910,97 @@ def compact_cdc_target(
     shutil.rmtree(old, ignore_errors=True)
     n_after = spark.read.parquet(target_path).count()
     return {"dropped": n_before - n_after, "kept": n_after}
+
+
+def run_kmv_sink(
+    events: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    k: int = 32,
+    trigger: dict | None = None,
+):
+    """foreachBatch KMV-synopsis maintenance sink: each micro-batch
+    contributes its per-window k-smallest distinct portable user-hashes,
+    which merge into the stored synopsis by union → distinct → re-take-k
+    — the merge that ``agg_kmv_merge_proof`` proves LOSSLESS, so the
+    drained synopsis equals the one a batch pass builds
+    (queries/sketches_extra.ts_window_distinct_kmv is the checked twin).
+    This is the streaming answer to windowed COUNT DISTINCT: per open
+    window the stored state is ≤ k hashes (k·8 bytes), not the full id
+    set, and late arrivals within the replay horizon merge idempotently
+    (a replayed batch re-unions the same hashes — distinct absorbs it,
+    the exactly-once-by-idempotence shape of the merge sink family).
+    Estimates are derived FROM the synopsis at read time with the same
+    (k−1)·2^60/h_k closed form; windows with < k hashes are exact."""
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    def synopsis(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        hashed = df.select(
+            F.floor(F.unix_micros("ts") / 21600000000)
+            .cast("long")
+            .alias("w"),
+            portable_hash64(F.col("user_id").cast("string"), 7).alias("h"),
+        ).distinct()
+        wk = Window.partitionBy("w").orderBy("h")
+        return (
+            hashed.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= k)
+            .select("w", "h")
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_syn = synopsis(batch_df)
+        try:
+            current = spark.read.parquet(target_path)
+            merged_src = current.unionByName(batch_syn).distinct()
+        except Exception:
+            merged_src = batch_syn
+        from pyspark.sql import Window
+
+        wk = Window.partitionBy("w").orderBy("h")
+        merged = (
+            merged_src.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= k)
+            .select("w", "h")
+        )
+        staged = merged.collect()  # tiny: <= k hashes per window
+        spark.createDataFrame(staged, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(target_path)
+
+    return (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def kmv_estimates(synopsis: DataFrame, k: int = 32) -> DataFrame:
+    """Read-time estimator over a stored KMV synopsis table (w, h):
+    per window, (k−1)·2^60/h_k when the synopsis is full, exact count
+    of hashes otherwise — identical arithmetic to the batch twin."""
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("w").orderBy("h")
+    wa = Window.partitionBy("w")
+    ranked = synopsis.select(
+        "w",
+        "h",
+        F.row_number().over(wk).alias("rn"),
+        F.count(F.lit(1)).over(wa).alias("nd"),
+    )
+    kth = ranked.filter(
+        (F.col("rn") == k) | ((F.col("nd") < k) & (F.col("rn") == F.col("nd")))
+    )
+    est = F.when(F.col("nd") < k, F.col("nd").cast("double")).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(1152921504606846976.0) / F.col("h"), 6
+        )
+    )
+    return kth.select(
+        F.col("w").alias("window_id"), est.alias("est_distinct")
+    )

@@ -911,3 +911,29 @@ def test_interval_left_join_emits_null_after_watermark(spark, tmp_path):
     assert (98, 98, None) not in rows and (96, 96, None) not in rows
     # and exactly one row per finalized purchase
     assert len([r for r in rows if r[0] == 11]) == 1
+
+
+def test_kmv_sink_synopsis_equals_batch_twin(spark, tmp_path):
+    """Streaming KMV maintenance: per-micro-batch per-window k-smallest
+    hashes merged by union+distinct+retake-k must end at the SAME
+    synopsis a single batch pass builds (the mergeability
+    agg_kmv_merge_proof proves), so the derived estimates equal the
+    checked batch twin ts_window_distinct_kmv row for row."""
+    from hawaiidatapipeline_spark.queries import sketches_extra
+
+    target = str(tmp_path / "kmv_target")
+    ckpt = str(tmp_path / "kmv_ckpt")
+    q = runtime.run_kmv_sink(
+        runtime.stream_events(spark, SF0001), target, ckpt, k=32
+    )
+    q.awaitTermination()
+    syn = spark.read.parquet(target)
+    got = runtime.kmv_estimates(syn, k=32)
+    want = sketches_extra.QUERIES["ts_window_distinct_kmv"](
+        spark, SF0001
+    ).select("window_id", "est_distinct")
+    cols = ["window_id", "est_distinct"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # state bound: stored synopsis holds at most k hashes per window
+    per_w = syn.groupBy("w").count().collect()
+    assert all(r["count"] <= 32 for r in per_w)
