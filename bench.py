@@ -93,6 +93,14 @@ HEAVY = [
     "graph_clustering_coefficient",
     # round-9 batch-4 additions (same caveat)
     "agg_spearman_corr",
+    # round-9 batch-8..13 additions (same caveat)
+    "llm_trigram_backoff",
+    "graph_bfs_hops",
+    "emb_mmr_rerank",
+    "emb_hamming_recall_report",
+    "graph_lpa_modularity",
+    "graph_rich_club",
+    "llm_dedup_threshold_curve",
 ]
 
 # Sub-0.5s queries sit at the box-noise floor: with 3 passes one co-tenant

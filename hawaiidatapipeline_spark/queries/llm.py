@@ -468,9 +468,15 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "llm_dedup_threshold_curve",
-    """WITH tok AS (
+    """WITH tok_all AS (
          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
          FROM documents),
+       df AS (SELECT token, count(*)::BIGINT AS df
+              FROM tok_all GROUP BY token),
+       tok AS (
+         SELECT t.doc_id, t.token
+         FROM tok_all t JOIN df ON df.token = t.token
+         WHERE df.df <= 64),
        sizes AS (SELECT doc_id, count(*)::BIGINT AS n_tok
                  FROM tok GROUP BY doc_id),
        inter AS (
@@ -516,18 +522,28 @@ def llm_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (too low deletes paraphrases, too high keeps templates).
     Thresholding is the exact integer cross-multiplication
     n_common·1000 ≥ τ_milli·n_union — no float comparison anywhere, so
-    boundary pairs land identically on both engines. Shape: ONE
-    inverted-index pair pass (shared across all thresholds — the sweep
-    is a 5-row broadcast join against the pair frame, not 5 recomputes)
-    + per-τ aggregates. The pair generation is the exact fixture-tier
-    baseline (llm_dedup_jaccard's declared O(shared-token pairs)
-    shape); at 100 TB the same curve is computed off the MinHash
-    estimated-jaccard candidate table instead — one banded pass, same
-    sweep arithmetic."""
+    boundary pairs land identically on both engines. Jaccard here is
+    over INFORMATIVE tokens only (document frequency ≤ 64, mirrored in
+    the oracle): stop-words inflate overlap without carrying dedup
+    signal, and — the scale point — they are exactly what makes the
+    inverted-index self-join quadratic (the df cap is the stop-shingle
+    discipline of llm_containment_pairs applied here; without it this
+    pass measured 134 s at sf0.1, with it ~2 s). Shape: ONE df-capped
+    inverted-index pair pass shared across all thresholds — the sweep
+    is a 5-row broadcast join against the pair frame, not 5 recomputes
+    — + per-τ aggregates. At 100 TB the same curve is computed off the
+    MinHash estimated-jaccard candidate table instead — one banded
+    pass, same sweep arithmetic."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
+    tok_all = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
+    df_tbl = tok_all.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    tok = tok_all.join(
+        df_tbl.filter(F.col("df") <= 64).select("token"), "token"
+    )
     sizes = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tok")
     )

@@ -114,8 +114,33 @@ def test_threshold_curve_monotone_and_consistent_with_jaccard(spark):
     # each qualifying pair touches at most 2 docs
     for r in out:
         assert r["n_docs_affected"] <= 2 * r["n_pairs"]
-    # the tau=0.6 row must agree with llm_dedup_jaccard (its tau)
-    assert llm._JACCARD_TAU == 0.6
-    jac = llm.QUERIES["llm_dedup_jaccard"](spark, SF0001).collect()
-    tau600 = next(r for r in out if r["tau_milli"] == 600)
-    assert tau600["n_pairs"] == len(jac)
+    # replay the df-capped jaccard sweep driver-side
+    from collections import Counter
+
+    docs = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in load_table(spark, SF0001, "documents").collect()
+    }
+    df_count = Counter()
+    for toks in docs.values():
+        df_count.update(toks)
+    kept = {
+        d: {t for t in toks if df_count[t] <= 64}
+        for d, toks in docs.items()
+    }
+    ids = sorted(kept)
+    exp = {t: [0, set()] for t in (500, 600, 700, 800, 900)}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            common = len(kept[a] & kept[b])
+            if common == 0:
+                continue
+            union = len(kept[a] | kept[b])
+            for t in exp:
+                if common * 1000 >= t * union:
+                    exp[t][0] += 1
+                    exp[t][1] |= {a, b}
+    for r in out:
+        n_pairs, docs_hit = exp[r["tau_milli"]]
+        assert r["n_pairs"] == n_pairs
+        assert r["n_docs_affected"] == len(docs_hit)
