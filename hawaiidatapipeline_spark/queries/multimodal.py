@@ -295,3 +295,77 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fingerprint")
     )
+
+
+_VAD_FRAME = 160  # 20 ms at 8 kHz
+_VAD_THRESH_MEANSQ = 3330  # active when sum_sq >= thresh * n_samples
+
+
+@q(
+    "multimodal_audio_vad",
+    f"""WITH dims AS (
+         SELECT doc_id AS id, 800 + 8 * (doc_id % 100) AS n
+         FROM documents),
+       samples AS (
+         SELECT id, unnest(generate_series(0, n - 1)) AS i FROM dims),
+       frames AS (
+         SELECT id, (i // {_VAD_FRAME})::INT AS f,
+                count(*)::BIGINT AS n_samples,
+                sum(((id + i) % 200 - 100) * ((id + i) % 200 - 100))::BIGINT
+                  AS sum_sq
+         FROM samples GROUP BY id, (i // {_VAD_FRAME})::INT),
+       flagged AS (
+         SELECT id, f, n_samples, sum_sq,
+                CASE WHEN sum_sq >= {_VAD_THRESH_MEANSQ} * n_samples
+                     THEN 1 ELSE 0 END AS active
+         FROM frames)
+       SELECT id, count(*)::BIGINT AS n_frames,
+              sum(active)::BIGINT AS n_active,
+              sum(sum_sq)::BIGINT AS total_energy,
+              round(sum(active)::DOUBLE * 100.0 / count(*), 6) AS active_pct
+       FROM flagged GROUP BY id ORDER BY id""",
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity detection plumbing: REAL WAV decode →
+    20 ms frame split → exact integer frame energies (Σ sample², one
+    row per frame out of the Arrow batch) → SQL-side activity threshold
+    on the EXACT integer comparison sum_sq ≥ thresh·n (the policy lives
+    in the plan, not the decode map, so tuning it re-runs only
+    metadata-sized work) → per-clip activity profile. This is the
+    segmentation front-end an audio training pipeline runs before
+    transcription/feature extraction; the closed-form synthetic corpus
+    lets the oracle recompute every frame energy. The trailing partial
+    frame keeps its true sample count, so a decoder that pads or
+    truncates frames changes n_samples and fails the hash. Shape:
+    map-only decode+energy (linear in samples), one (clip, frame)
+    partial agg, one clip-grain rollup — pixel/sample I/O never
+    shuffles."""
+    from pyspark.sql import functions as F
+
+    from hawaiidatapipeline_spark.sources.multimodal import (
+        audio_frame_energies,
+        synthetic_audio_blobs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = audio_frame_energies(
+        synthetic_audio_blobs(d), frame=_VAD_FRAME
+    )
+    flagged = frames.withColumn(
+        "active",
+        F.when(
+            F.col("sum_sq") >= _VAD_THRESH_MEANSQ * F.col("n_samples"), 1
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum("active").cast("long").alias("n_active"),
+            F.sum("sum_sq").cast("long").alias("total_energy"),
+            F.round(
+                F.sum("active").cast("double") * 100.0 / F.count(F.lit(1)), 6
+            ).alias("active_pct"),
+        )
+        .orderBy("id")
+    )

@@ -643,3 +643,45 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_null_qty"], m["total_price"], m["n_high_discount"])],
         "n_rows bigint, n_null_qty bigint, total_price double, n_high_discount bigint",
     )
+
+
+_BAG_A = ("SELECT o_custkey FROM orders "
+          "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')")
+_BAG_B = "SELECT o_custkey FROM orders WHERE o_totalprice > 100000"
+
+
+def _bag_a(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_custkey")
+    )
+
+
+def _bag_b(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_custkey")
+    )
+
+
+@q("set_except_all", f"{_BAG_A} EXCEPT ALL {_BAG_B}")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference with MULTIPLICITY subtraction: a
+    custkey with 3 urgent/high orders and 2 expensive ones survives
+    once (3−2), which DISTINCT-semantics ``set_except`` cannot express.
+    The inputs are deliberately multisets (order-grain custkeys) so the
+    bag and set answers genuinely differ. Spark plans ``exceptAll`` as
+    a count-aggregate + generate (multiplicity replay) — one shuffle on
+    the row value, linear; same shape at 100 TB."""
+    return _bag_a(spark, sf_dir).exceptAll(_bag_b(spark, sf_dir))
+
+
+@q("set_intersect_all", f"{_BAG_A} INTERSECT ALL {_BAG_B}")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection keeping min(multiplicity) per
+    value (the SQL-standard bag semantics ``set_intersect``'s DISTINCT
+    form collapses). Planned as a paired count-aggregate + min replay;
+    one value-keyed shuffle, linear."""
+    return _bag_a(spark, sf_dir).intersectAll(_bag_b(spark, sf_dir))

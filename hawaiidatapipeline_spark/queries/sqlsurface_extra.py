@@ -192,3 +192,51 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
            ORDER BY c.c_custkey
            LIMIT 100"""
     )
+
+
+@q(
+    "sql_pivot_clause",
+    """SELECT o_orderpriority,
+              coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0)::BIGINT AS n_f,
+              coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0)::BIGINT AS n_o,
+              coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0)::BIGINT AS n_p,
+              round(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                                      THEN o_totalprice END), 0), 6) AS total_f,
+              round(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+                                      THEN o_totalprice END), 0), 6) AS total_o,
+              round(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+                                      THEN o_totalprice END), 0), 6) AS total_p
+       FROM orders GROUP BY o_orderpriority
+       ORDER BY o_orderpriority""",
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``PIVOT`` clause (Spark-native syntax, not the DataFrame
+    ``.pivot()`` that ``agg_pivot`` covers): order counts AND price
+    totals per priority pivoted across the three order statuses in one
+    clause — two aggregates × three pivot values = six output measures.
+    The oracle states the de-sugared form (conditional aggregation),
+    which is exactly what Catalyst lowers PIVOT to — one partial+final
+    hash aggregate, no extra shuffle vs a plain GROUP BY; the pivot
+    value list is explicit, so the plan is static (no collect-distinct
+    planning step). Same plan at 100 TB."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_pv"
+    )
+    return spark.sql(
+        """SELECT * FROM (
+             SELECT o_orderpriority, o_orderstatus, o_totalprice
+             FROM orders_pv)
+           PIVOT (
+             coalesce(count(o_orderstatus), 0) AS n,
+             round(coalesce(sum(o_totalprice), 0), 6) AS total
+             FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+           ORDER BY o_orderpriority"""
+    ).select(
+        "o_orderpriority",
+        F.col("f_n").cast("long").alias("n_f"),
+        F.col("o_n").cast("long").alias("n_o"),
+        F.col("p_n").cast("long").alias("n_p"),
+        F.col("f_total").alias("total_f"),
+        F.col("o_total").alias("total_o"),
+        F.col("p_total").alias("total_p"),
+    )

@@ -135,3 +135,92 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.round(F.element_at("features", 2), 6).alias("f1"),
     )
+
+
+@q(
+    "llm_code_detect",
+    """WITH feats AS (
+         SELECT doc_id,
+                length(text)::BIGINT AS n_chars,
+                (length(text) - length(replace(text, '{', '')))::BIGINT
+                + (length(text) - length(replace(text, '}', '')))::BIGINT
+                + (length(text) - length(replace(text, ';', '')))::BIGINT
+                + (length(text) - length(replace(text, '=', '')))::BIGINT
+                + (length(text) - length(replace(text, '(', '')))::BIGINT
+                  AS n_symbols,
+                len(regexp_extract_all(text,
+                    '\\b(def|return|import|class|function|var|const|if|else|for|while)\\b'))
+                  ::BIGINT AS n_keywords,
+                len(string_split(text, ' '))::BIGINT AS n_words
+         FROM documents),
+       scored AS (
+         SELECT doc_id, n_chars, n_symbols, n_keywords,
+                (n_symbols * 1000 // greatest(n_chars, 1)
+                 + n_keywords * 10000 // greatest(n_words, 1))::BIGINT
+                  AS code_score_milli
+         FROM feats)
+       SELECT doc_id, n_symbols, n_keywords, code_score_milli,
+              CASE WHEN code_score_milli >= 60 THEN 1 ELSE 0 END
+                AS looks_like_code
+       FROM scored
+       ORDER BY code_score_milli DESC, doc_id LIMIT 50""",
+)
+def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection heuristic — the curation router that
+    decides whether a document goes to the code pipeline (different
+    dedup granularity, different quality gates) or the text one:
+    symbol density ({};=( per char) plus programming-keyword density
+    per word, combined as an exact integer milli-score (floor-divides,
+    no floats), top-50 most code-like with the binary routing flag.
+    The keyword regex is a plain alternation of word-anchored literals
+    — identical semantics in RE2 and Java regex. Shape: map-only
+    length/replace arithmetic + one regexp count per doc, then
+    TakeOrdered(50); scan-bound at any scale, exactly like
+    llm_quality_score."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def n_char(ch: str) -> F.Column:
+        return F.length("text") - F.length(
+            F.replace(F.col("text"), F.lit(ch))
+        )
+
+    kw = (
+        r"\b(def|return|import|class|function|var|const|if|else|for|while)\b"
+    )
+    feats = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            n_char("{") + n_char("}") + n_char(";") + n_char("=") + n_char("(")
+        )
+        .cast("long")
+        .alias("n_symbols"),
+        F.regexp_count(F.col("text"), F.lit(kw)).cast("long").alias(
+            "n_keywords"
+        ),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+    )
+    score = (
+        F.floor(
+            F.col("n_symbols") * 1000 / F.greatest(F.col("n_chars"), F.lit(1))
+        )
+        + F.floor(
+            F.col("n_keywords")
+            * 10000
+            / F.greatest(F.col("n_words"), F.lit(1))
+        )
+    ).cast("long")
+    return (
+        feats.select(
+            "doc_id",
+            "n_symbols",
+            "n_keywords",
+            score.alias("code_score_milli"),
+        )
+        .withColumn(
+            "looks_like_code",
+            F.when(F.col("code_score_milli") >= 60, 1).otherwise(0),
+        )
+        .orderBy(F.col("code_score_milli").desc(), "doc_id")
+        .limit(50)
+    )

@@ -291,3 +291,40 @@ def win_range_time_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_events_1h"),
         F.round(F.sum("value").over(w), 6).alias("sum_value_1h"),
     )
+
+
+@q(
+    "win_nth_value",
+    """SELECT o_custkey, o_orderkey,
+              round(o_totalprice, 6) AS o_totalprice,
+              nth_value(o_orderkey, 2) OVER w AS second_order,
+              round(nth_value(o_totalprice, 3) OVER w, 6) AS third_price
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY o_custkey, o_orderkey""",
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nth_value`` — the frame-positional window function the family
+    was missing next to first/last/lag: for every order, the customer's
+    2nd-ever order key and 3rd-ever order price (NULL until the frame
+    has reached that depth — the growing-frame semantics that make
+    nth_value different from a self-join on rank). Total order inside
+    each partition via (date, orderkey) so ties cannot reorder. One
+    customer-keyed window pass, same shuffle/sort as the rest of 2.E;
+    identical plan at any scale."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.round(F.nth_value("o_totalprice", 3).over(w), 6).alias(
+            "third_price"
+        ),
+    ).orderBy("o_custkey", "o_orderkey")

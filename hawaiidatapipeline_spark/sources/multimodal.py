@@ -682,3 +682,33 @@ def video_frame_fingerprints(blobs: DataFrame, every_k: int = 1) -> DataFrame:
     return blobs.select("id", "payload").mapInPandas(
         run, "id bigint, f int, fp bigint"
     )
+
+
+def audio_frame_energies(blobs: DataFrame, frame: int = 160) -> DataFrame:
+    """REAL WAV decode → fixed-length frame split → per-frame energy
+    (sum of squared int16 samples — exact integers). One row per frame;
+    the VAD/segmentation front-end of an audio training pipeline (the
+    threshold decision runs SQL-side so the policy is swappable without
+    touching the decode map). The trailing partial frame is kept with
+    its true sample count so duration accounting stays exact."""
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"id": [], "f": [], "n_samples": [], "sum_sq": []}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                samples, _rate = decode_wav(bytes(payload))
+                n = len(samples)
+                for f in range(0, (n + frame - 1) // frame):
+                    seg = samples[f * frame : (f + 1) * frame]
+                    out["id"].append(int(i))
+                    out["f"].append(f)
+                    out["n_samples"].append(len(seg))
+                    out["sum_sq"].append(
+                        int((seg.astype("int64") ** 2).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return blobs.select("id", "payload").mapInPandas(
+        run, "id bigint, f int, n_samples int, sum_sq bigint"
+    )
