@@ -1485,3 +1485,77 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pb").alias("picked_id"),
         "rel",
     ).orderBy("probe_id", "rank")
+
+
+_OUTLIER_KNN_K = 5
+
+
+@q(
+    "emb_knn_dist_outliers",
+    f"""WITH qv AS (
+         SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+                round(unnest(embedding) * 1000)::BIGINT AS q
+         FROM embeddings),
+       d2 AS (
+         SELECT a.vec_id AS va, b.vec_id AS vb,
+                sum((a.q - b.q) * (a.q - b.q))::BIGINT AS dist2
+         FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+         GROUP BY 1, 2),
+       kth AS (
+         SELECT va, dist2 FROM (
+           SELECT va, dist2,
+                  row_number() OVER (PARTITION BY va
+                                     ORDER BY dist2, vb) AS rn
+           FROM d2) t WHERE rn = {_OUTLIER_KNN_K})
+       SELECT va AS vec_id, dist2 AS knn{_OUTLIER_KNN_K}_dist2_milli
+       FROM kth ORDER BY dist2 DESC, va LIMIT 20""",
+)
+def emb_knn_dist_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN-distance outlier detection: each vector's squared distance
+    to its 5th-nearest neighbor (exact integer milli² arithmetic), top
+    20 most isolated — the embedding-space junk detector (mislabeled
+    points, OOD content, encoder glitches live in sparse regions) that
+    complements ``llm_doc_outlier_zscore``'s per-feature form with a
+    geometric one. Distances and ranks are exact 64-bit ((dist, id)
+    total order), so the isolation ranking itself hash-checks. Shape:
+    the fixture tier runs the exact pair GEMM (the declared oracle
+    shape shared with emb_mips_topk); at 100 TB the 5-NN distance comes
+    from the ANN tiers (IVF/Hamming candidates + exact re-rank — the
+    recall audits in this family price that substitution), and the
+    outlier rank is a TakeOrdered over per-vector scalars."""
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("d", "x")
+    ).select(
+        "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+    )
+    d2 = (
+        qv.alias("a")
+        .join(
+            qv.alias("b"),
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .agg(
+            F.sum(
+                (F.col("a.q") - F.col("b.q")) * (F.col("a.q") - F.col("b.q"))
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy("va").orderBy("dist2", "vb")
+    kth = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _OUTLIER_KNN_K)
+        .select("va", "dist2")
+    )
+    return (
+        kth.select(
+            F.col("va").alias("vec_id"),
+            F.col("dist2").alias(f"knn{_OUTLIER_KNN_K}_dist2_milli"),
+        )
+        .orderBy(F.col(f"knn{_OUTLIER_KNN_K}_dist2_milli").desc(), "vec_id")
+        .limit(20)
+    )

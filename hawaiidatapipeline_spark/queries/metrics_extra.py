@@ -1083,3 +1083,109 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("peak_day")
     )
+
+
+@q(
+    "ts_mann_kendall",
+    """WITH daily AS (
+         SELECT date_trunc('day', ts)::DATE AS d, count(*)::BIGINT AS n
+         FROM events GROUP BY 1),
+       pairs AS (
+         SELECT CASE WHEN b.n > a.n THEN 1
+                     WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn
+         FROM daily a JOIN daily b ON b.d > a.d),
+       s_stat AS (SELECT sum(sgn)::BIGINT AS s, count(*)::BIGINT AS n_pairs
+                  FROM pairs),
+       nn AS (SELECT count(*)::BIGINT AS n FROM daily),
+       ties AS (
+         SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS tie_adj
+         FROM (SELECT count(*)::BIGINT AS t FROM daily GROUP BY n
+               HAVING count(*) > 1)),
+       z AS (
+         SELECT s_stat.s, s_stat.n_pairs, nn.n,
+                (nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_adj)::DOUBLE
+                  / 18.0 AS var_s
+         FROM s_stat CROSS JOIN nn CROSS JOIN ties)
+       SELECT n AS n_days, n_pairs, s AS s_statistic,
+              round(var_s, 6) AS var_s,
+              round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                         WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                         ELSE 0.0 END, 6) AS z_stat
+       FROM z""",
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test over the daily event-count
+    series — the SIGNIFICANCE companion of ``ts_theil_sen_trend``'s
+    slope estimate (Theil-Sen says how steep; Mann-Kendall says whether
+    a monotonic trend exists at all): S = Σ_{i<j} sign(x_j − x_i), the
+    tie-corrected variance n(n−1)(2n+5)/18 − Σt(t−1)(2t+5)/18, and the
+    continuity-corrected z. S and the tie adjustment are exact
+    integers; z is one closed form. Shape: the pair enumeration runs on
+    the DAY-grain frame (30 rows → 435 pairs here; even a decade is
+    ~6.6M pairs, a single task), after the one data-sized day rollup —
+    the bounded-frame discipline every ts_* query shares."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    daily = materialize(daily)
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        F.when(F.col("b.n") > F.col("a.n"), 1)
+        .when(F.col("b.n") < F.col("a.n"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    s_stat = pairs.agg(
+        F.sum("sgn").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        daily.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_adj")
+        )
+    )
+    z = (
+        s_stat.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "s",
+            "n_pairs",
+            "n",
+            (
+                (
+                    F.col("n")
+                    * (F.col("n") - 1)
+                    * (2 * F.col("n") + 5)
+                    - F.col("tie_adj")
+                ).cast("double")
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    s = F.col("s")
+    return z.select(
+        F.col("n").alias("n_days"),
+        "n_pairs",
+        s.alias("s_statistic"),
+        F.round("var_s", 6).alias("var_s"),
+        F.round(
+            F.when(s > 0, (s - 1) / F.sqrt(F.col("var_s")))
+            .when(s < 0, (s + 1) / F.sqrt(F.col("var_s")))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("z_stat"),
+    )

@@ -788,3 +788,114 @@ def dq_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("fk_candidate"),
     ).orderBy("dependency")
+
+
+@q(
+    "dq_wasserstein_drift",
+    """WITH tagged AS (
+         SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                     THEN 0 ELSE 1 END AS gen,
+                (floor(o_totalprice))::BIGINT AS v
+         FROM orders),
+       tot AS (
+         SELECT sum(CASE WHEN gen = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+                sum(CASE WHEN gen = 1 THEN 1 ELSE 0 END)::BIGINT AS nb
+         FROM tagged),
+       vals AS (
+         SELECT v,
+                sum(CASE WHEN gen = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+                sum(CASE WHEN gen = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+         FROM tagged GROUP BY v),
+       cum AS (
+         SELECT v,
+                sum(ca) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  ::BIGINT AS cum_a,
+                sum(cb) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  ::BIGINT AS cum_b,
+                lead(v) OVER (ORDER BY v) AS next_v
+         FROM vals),
+       terms AS (
+         SELECT (floor(abs(cum_a::DOUBLE * tot.nb - cum_b::DOUBLE * tot.na)
+                       * (next_v - v) * 1000000.0
+                       / (tot.na::DOUBLE * tot.nb)))::BIGINT AS t_micro
+         FROM cum CROSS JOIN tot WHERE next_v IS NOT NULL)
+       SELECT (SELECT na FROM tot) AS n_pre,
+              (SELECT nb FROM tot) AS n_post,
+              count(*)::BIGINT AS n_value_steps,
+              round(sum(t_micro)::DOUBLE / 1000000.0, 6)
+                AS wasserstein_1
+       FROM terms""",
+)
+def dq_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth-mover) drift between the pre-/post-1998
+    order price distributions — the metric that reports HOW FAR the
+    distribution moved in price units, complementing ``dq_ks_drift``
+    (sup-norm: did it move) and ``dq_psi_drift`` (binned surprise):
+    W₁ = ∫|F_A − F_B| dx evaluated exactly on the value grain as
+    Σ |cumA·n_B − cumB·n_A|·gap/(n_A·n_B), each term micro-floored to
+    an integer BEFORE the cross-value sum (the only summation of
+    non-integers in the formula). Shape: one (value, gen) partial agg,
+    cumulative + lead windows on the DISTINCT-VALUE frame (price
+    cardinality, far below rows), 1-row reduce — the same
+    distributed-ECDF discipline as the KS query; at 100 TB only the
+    first aggregation sees data."""
+    o = load_table(spark, sf_dir, "orders")
+    tagged = o.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("gen"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("v"),
+    )
+    tot = tagged.agg(
+        F.sum(F.when(F.col("gen") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("gen") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    vals = tagged.groupBy("v").agg(
+        F.sum(F.when(F.col("gen") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("gen") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_lead = Window.orderBy("v")
+    cum = vals.select(
+        "v",
+        F.sum("ca").over(w_cum).cast("long").alias("cum_a"),
+        F.sum("cb").over(w_cum).cast("long").alias("cum_b"),
+        F.lead("v").over(w_lead).alias("next_v"),
+    )
+    terms = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("next_v").isNotNull())
+        .select(
+            F.floor(
+                F.abs(
+                    F.col("cum_a").cast("double") * F.col("nb")
+                    - F.col("cum_b").cast("double") * F.col("na")
+                )
+                * (F.col("next_v") - F.col("v"))
+                * 1000000.0
+                / (F.col("na").cast("double") * F.col("nb"))
+            )
+            .cast("long")
+            .alias("t_micro"),
+        )
+    )
+    return terms.crossJoin(F.broadcast(tot)).agg(
+        F.max("na").alias("n_pre"),
+        F.max("nb").alias("n_post"),
+        F.count(F.lit(1)).cast("long").alias("n_value_steps"),
+        F.round(F.sum("t_micro").cast("double") / 1000000.0, 6).alias(
+            "wasserstein_1"
+        ),
+    )
