@@ -38,6 +38,14 @@ PROBES = [
     ("events_sessionize_gap", "gap sessionization: ONE user_id shuffle for two windows + agg"),
     ("llm_dupspan_ngram", "4-gram dupspan: codegen gram expansion, shuffle = gram agg only"),
     ("scan_partition_pruned_agg", "partition pruning: input bytes ~ 2 of 5 partitions"),
+    # round-9 batch 7-15 scale-notable shapes
+    ("events_pit_features", "PIT features: ONE user_id shuffle shared by all range windows"),
+    ("emb_hamming_topk", "sign-signature scan: shuffle ~ 8-byte signatures, probes broadcast"),
+    ("llm_trigram_backoff", "trigram LM: gram-keyed joins, shuffle ~ model tables not corpus"),
+    ("multimodal_frame_dedup", "frame dedup: pixels stay in the decode map; shuffle = fingerprints"),
+    ("llm_dedup_threshold_curve", "df-capped pair pass: shuffle bounded by informative tokens"),
+    ("events_attribution_time_decay", "time-decay: user-keyed band join + conv-window normalizer"),
+    ("ts_window_distinct_kmv", "windowed KMV: shuffle ~ (window, hash) distinct, state k/window"),
     ("multimodal_video_frames", "video decode+stride: map-only, ZERO shuffle"),
     ("tpch_q21_late_supplier_blame", "semi+anti chain: all legs on one orderkey exchange family"),
     ("graph_triangle_count", "wedge join on degree-oriented materialized edges: no cartesian"),
