@@ -481,3 +481,77 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("gap_cv", "user_id")
         .limit(20)
     )
+
+
+_HILL_TOPK = 30  # tail size for the Hill estimator
+
+
+@q(
+    "events_power_law_hill",
+    f"""WITH per_user AS (
+         SELECT user_id, count(*)::BIGINT AS n
+         FROM events GROUP BY user_id),
+       tail AS (
+         SELECT n FROM (
+           SELECT n, row_number() OVER (ORDER BY n DESC, user_id) AS rk
+           FROM per_user) t
+         WHERE rk <= {_HILL_TOPK}),
+       xmin AS (SELECT min(n)::BIGINT AS x_min FROM tail),
+       terms AS (
+         SELECT (floor(ln(tail.n::DOUBLE / xmin.x_min) * 1000000000))::BIGINT
+                  AS t_nano
+         FROM tail CROSS JOIN xmin),
+       s AS (SELECT count(*)::BIGINT AS k, sum(t_nano)::BIGINT AS sum_nano
+             FROM terms)
+       SELECT s.k AS tail_size, xmin.x_min,
+              round(s.k::DOUBLE
+                    / (s.sum_nano::DOUBLE / 1000000000.0), 6) AS hill_alpha
+       FROM s CROSS JOIN xmin""",
+)
+def events_power_law_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the activity tail index: α = k / Σ ln(x_i/x_min)
+    over the k = 30 most active users — the heavy-tail diagnostic that
+    says whether user activity is power-law (α ≲ 2: a few users
+    dominate — expect skew everywhere downstream) or light-tailed
+    (α large: uniform partitioning is safe). The quantitative companion
+    of ``events_power_users_pareto``'s share curve and the direct input
+    to salting decisions (operators/skew.py). Each ln ratio is
+    NANO-floored before the k-term sum. Shape: one user-grain rollup
+    (the data-sized pass), TakeOrdered(k) for the tail, then constant
+    arithmetic; at 100 TB the tail extraction is the standard top-k
+    tree reduce."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    tail = (
+        per_user.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HILL_TOPK)
+        .select("n")
+    )
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    tail = materialize(tail)
+    xmin = tail.agg(F.min("n").cast("long").alias("x_min"))
+    terms = tail.crossJoin(F.broadcast(xmin)).select(
+        F.floor(
+            F.log(F.col("n").cast("double") / F.col("x_min"))
+            * F.lit(1000000000.0)
+        )
+        .cast("long")
+        .alias("t_nano")
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("t_nano").cast("long").alias("sum_nano"),
+    )
+    return s.crossJoin(F.broadcast(xmin)).select(
+        F.col("k").alias("tail_size"),
+        "x_min",
+        F.round(
+            F.col("k").cast("double")
+            / (F.col("sum_nano").cast("double") / 1000000000.0),
+            6,
+        ).alias("hill_alpha"),
+    )

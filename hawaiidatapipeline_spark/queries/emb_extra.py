@@ -1559,3 +1559,179 @@ def emb_knn_dist_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col(f"knn{_OUTLIER_KNN_K}_dist2_milli").desc(), "vec_id")
         .limit(20)
     )
+
+
+@q(
+    "emb_srp_recall_report",
+    f"""WITH proj AS (
+         SELECT j.j, d.d,
+                CASE WHEN ('0x' || substring(md5('srp:' || j.j::VARCHAR
+                            || ':' || d.d::VARCHAR), 1, 15))::BIGINT % 2 = 0
+                     THEN 1 ELSE -1 END AS r
+         FROM (SELECT unnest(generate_series(0, {_SRP_BITS - 1})) AS j) j,
+              (SELECT unnest(generate_series(0, 63)) AS d) d),
+       qv AS (SELECT vec_id,
+                     unnest(generate_series(0, len(embedding) - 1)) AS d,
+                     round(unnest(embedding) * 1000)::BIGINT AS q
+              FROM embeddings),
+       pdots AS (SELECT v.vec_id, p.j, sum(v.q * p.r)::BIGINT AS dot
+                 FROM qv v JOIN proj p ON p.d = v.d GROUP BY 1, 2),
+       sig AS (SELECT vec_id,
+                      sum(CASE WHEN dot > 0
+                               THEN power(2, j)::BIGINT ELSE 0 END)::BIGINT
+                        AS srp_sig
+               FROM pdots GROUP BY 1),
+       dots AS (
+         SELECT a.vec_id AS pa, b.vec_id AS pb, sum(a.q * b.q)::BIGINT AS dot
+         FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+         WHERE a.vec_id % {_HAM_PROBE_MOD} = 0
+         GROUP BY 1, 2),
+       gt AS (
+         SELECT pa, pb FROM (
+           SELECT pa, pb, row_number() OVER (PARTITION BY pa
+                                             ORDER BY dot DESC, pb) AS rn
+           FROM dots) t WHERE rn <= {_HAM_K}),
+       cand AS (
+         SELECT d.pa, d.pb, d.dot
+         FROM dots d
+         JOIN sig x ON x.vec_id = d.pa
+         JOIN sig y ON y.vec_id = d.pb AND y.srp_sig = x.srp_sig),
+       ann AS (
+         SELECT pa, pb FROM (
+           SELECT pa, pb, row_number() OVER (PARTITION BY pa
+                                             ORDER BY dot DESC, pb) AS rn
+           FROM cand) t WHERE rn <= {_HAM_K}),
+       hits AS (
+         SELECT g.pa, count(*)::BIGINT AS h
+         FROM gt g JOIN ann a ON a.pa = g.pa AND a.pb = g.pb
+         GROUP BY g.pa),
+       nc AS (SELECT pa, count(*)::BIGINT AS n_cand FROM cand GROUP BY pa)
+       SELECT g.pa AS probe_id,
+              coalesce(nc.n_cand, 0)::BIGINT AS n_candidates,
+              coalesce(h.h, 0)::BIGINT AS n_hits,
+              round(coalesce(h.h, 0)::DOUBLE / {_HAM_K}, 6)
+                AS recall_at_{_HAM_K}
+       FROM (SELECT DISTINCT pa FROM gt) g
+       LEFT JOIN hits h ON h.pa = g.pa
+       LEFT JOIN nc ON nc.pa = g.pa
+       ORDER BY probe_id""",
+)
+def emb_srp_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the SRP (hyperplane-LSH) candidate tier — the
+    last ANN tier without one (IVF, PQ, Matryoshka and Hamming all
+    carry recall rows): candidates = vectors sharing the probe's
+    16-bit SRP bucket, re-ranked by exact integer dot, scored against
+    the exact top-5 over the whole corpus. Also reports the candidate
+    count — together the two columns give the recall/scan-fraction
+    trade that decides bucket width (more bits → fewer candidates,
+    lower recall), exactly like emb_ann_recall_report's nprobe dial.
+    All ranks are exact-integer total orders, so the audit itself
+    hash-checks. Shape: signature build is a 1024-cell broadcast +
+    (vec, j) partial agg; ground truth is the probe-strided GEMM row;
+    the candidate lane joins on the 16-bit bucket key — sub-linear
+    candidate generation, the whole point of SRP."""
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = (
+        spark.range(_SRP_BITS)
+        .select(F.col("id").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("d")))
+        .select(
+            "j",
+            "d",
+            F.when(
+                portable_hash64(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("d").cast("string"),
+                    ),
+                    "srp",
+                )
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("r"),
+        )
+    )
+    qv = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("d", "x")
+    ).select(
+        "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+    )
+    pdots = (
+        qv.join(F.broadcast(proj), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("q") * F.col("r")).alias("dot"))
+    )
+    sig = materialize(
+        pdots.groupBy("vec_id").agg(
+            F.sum(
+                F.when(
+                    F.col("dot") > 0,
+                    F.pow(F.lit(2.0), F.col("j")).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("srp_sig")
+        )
+    )
+    pqv = qv.filter(F.col("vec_id") % _HAM_PROBE_MOD == 0)
+    dots = materialize(
+        pqv.alias("a")
+        .join(
+            qv.alias("b"),
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("pa"), F.col("b.vec_id").alias("pb"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("dot"))
+    )
+    w = Window.partitionBy("pa").orderBy(F.col("dot").desc(), "pb")
+    gt = (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HAM_K)
+        .select("pa", "pb")
+    )
+    cand = (
+        dots.join(
+            sig.select(F.col("vec_id").alias("pa"), F.col("srp_sig").alias("sig_a")),
+            "pa",
+        )
+        .join(
+            sig.select(F.col("vec_id").alias("pb"), F.col("srp_sig").alias("sig_b")),
+            "pb",
+        )
+        .filter(F.col("sig_a") == F.col("sig_b"))
+        .select("pa", "pb", "dot")
+    )
+    ann = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HAM_K)
+        .select("pa", "pb")
+    )
+    hits = gt.join(ann, ["pa", "pb"]).groupBy("pa").agg(
+        F.count(F.lit(1)).cast("long").alias("h")
+    )
+    nc = cand.groupBy("pa").agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    return (
+        gt.select("pa")
+        .distinct()
+        .join(hits, "pa", "left")
+        .join(nc, "pa", "left")
+        .select(
+            F.col("pa").alias("probe_id"),
+            F.coalesce(F.col("n_cand"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("h"), F.lit(0)).cast("double") / _HAM_K, 6
+            ).alias(f"recall_at_{_HAM_K}"),
+        )
+        .orderBy("probe_id")
+    )
