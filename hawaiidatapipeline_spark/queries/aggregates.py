@@ -10,7 +10,7 @@ Floating aggregates are rounded to 6 dp on both sides (SURVEY.md §7 risk 1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
@@ -561,4 +561,120 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+    )
+
+
+@q(
+    "agg_gini_lorenz",
+    """WITH per_cust AS (
+         SELECT o_custkey, sum((floor(o_totalprice * 100))::BIGINT)::BIGINT
+                  AS cents
+         FROM orders GROUP BY o_custkey),
+       vals AS (
+         SELECT cents, count(*)::BIGINT AS c
+         FROM per_cust GROUP BY cents),
+       cum AS (
+         SELECT cents, c,
+                sum(c) OVER w::BIGINT AS cum_n,
+                sum(cents * c) OVER w::BIGINT AS cum_cents,
+                sum(c) OVER ()::BIGINT AS n,
+                sum(cents * c) OVER ()::BIGINT AS total
+         FROM vals
+         WINDOW w AS (ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       gini_terms AS (
+         -- value-grain Gini: sum over customers of (2·rank − n − 1)·x
+         -- with tie blocks using their average rank (exact: the block's
+         -- ranks are consecutive, so the sum telescopes to c·(2·mid −
+         -- n − 1)·cents with 2·mid = 2·cum_n − c + 1 — all integers
+         -- when doubled)
+         SELECT sum(cents * c * (2 * cum_n - c - n))::BIGINT AS g_num,
+                max(n) AS n, max(total) AS total
+         FROM cum),
+       deciles AS (
+         SELECT ((cum_n * 10 - 1) // n)::BIGINT AS decile,
+                max(cum_cents)::BIGINT AS cum_cents_at,
+                max(total)::BIGINT AS total
+         FROM cum GROUP BY ((cum_n * 10 - 1) // n)::BIGINT)
+       SELECT d.decile + 1 AS decile,
+              round(d.cum_cents_at::DOUBLE * 100.0 / d.total, 6)
+                AS cum_revenue_pct,
+              round(g.g_num::DOUBLE / (g.n::DOUBLE * g.total), 6) AS gini
+       FROM deciles d CROSS JOIN gini_terms g
+       ORDER BY decile""",
+)
+def agg_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration profile: the Lorenz curve (cumulative
+    revenue share at each customer decile) plus the Gini coefficient —
+    the canonical inequality pair next to ``agg_hhi_concentration``'s
+    market-share form. Gini uses the tie-aware rank identity
+    Σc·x·(2·cum_n − c − n)/(n·total): tie blocks enter at their average
+    rank via a telescoped EXACT integer numerator (no per-row rank, no
+    float sums), and the Lorenz points read off the same value-grain
+    cumulative frame. Shape: customer rollup (the data-sized pass) →
+    distinct-revenue-value frame with cumulative windows (the
+    distributed-rank discipline of agg_trimmed_mean) → 10-row report.
+    At 100 TB only the first aggregation sees rows."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    vals = per_cust.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        "cents",
+        "c",
+        F.sum("c").over(w).cast("long").alias("cum_n"),
+        F.sum(F.col("cents") * F.col("c")).over(w).cast("long").alias(
+            "cum_cents"
+        ),
+        F.sum("c").over(wa).cast("long").alias("n"),
+        F.sum(F.col("cents") * F.col("c")).over(wa).cast("long").alias(
+            "total"
+        ),
+    )
+    gini_terms = cum.agg(
+        F.sum(
+            F.col("cents")
+            * F.col("c")
+            * (2 * F.col("cum_n") - F.col("c") - F.col("n"))
+        )
+        .cast("long")
+        .alias("g_num"),
+        F.max("n").alias("n"),
+        F.max("total").alias("total"),
+    )
+    deciles = (
+        cum.groupBy(
+            ((F.col("cum_n") * 10 - 1) / F.col("n"))
+            .cast("long")
+            .alias("decile")
+        )
+        .agg(
+            F.max("cum_cents").cast("long").alias("cum_cents_at"),
+            F.max("total").cast("long").alias("total"),
+        )
+    )
+    return (
+        deciles.crossJoin(F.broadcast(gini_terms).withColumnRenamed("total", "g_total"))
+        .select(
+            (F.col("decile") + 1).alias("decile"),
+            F.round(
+                F.col("cum_cents_at").cast("double") * 100.0 / F.col("total"),
+                6,
+            ).alias("cum_revenue_pct"),
+            F.round(
+                F.col("g_num").cast("double")
+                / (F.col("n").cast("double") * F.col("g_total")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("decile")
     )

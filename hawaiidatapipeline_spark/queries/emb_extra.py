@@ -1735,3 +1735,120 @@ def emb_srp_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+@q(
+    "emb_nearest_centroid_confusion",
+    """WITH qv AS (
+         SELECT vec_id, e.label,
+                unnest(generate_series(0, len(embedding) - 1)) AS d,
+                round(unnest(embedding) * 1000)::BIGINT AS q
+         FROM embeddings e),
+       cent AS (
+         SELECT label, d,
+                (floor(sum(q) * 1.0 / count(*)))::BIGINT AS cq
+         FROM qv WHERE vec_id % 2 = 0 GROUP BY label, d),
+       dists AS (
+         SELECT v.vec_id, v.label AS true_label, c.label AS pred_label,
+                sum((v.q - c.cq) * (v.q - c.cq))::BIGINT AS dist2
+         FROM qv v JOIN cent c ON c.d = v.d
+         WHERE v.vec_id % 2 = 1
+         GROUP BY 1, 2, 3),
+       pred AS (
+         SELECT vec_id, true_label, pred_label FROM (
+           SELECT vec_id, true_label, pred_label,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist2, pred_label) AS rn
+           FROM dists) t WHERE rn = 1),
+       conf AS (
+         SELECT true_label, pred_label, count(*)::BIGINT AS n
+         FROM pred GROUP BY true_label, pred_label),
+       tot AS (SELECT count(*)::BIGINT AS n_eval,
+                      sum(CASE WHEN true_label = pred_label
+                               THEN 1 ELSE 0 END)::BIGINT AS n_correct
+               FROM pred)
+       SELECT c.true_label, c.pred_label, c.n,
+              round(t.n_correct::DOUBLE / t.n_eval, 6) AS overall_accuracy
+       FROM conf c CROSS JOIN tot t
+       ORDER BY c.true_label, c.pred_label""",
+)
+def emb_nearest_centroid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-centroid classification with a train/eval split and the
+    full confusion matrix: centroids from even vec_ids (floor-averaged
+    milli integers — the k-means update step reused as a supervised
+    prototype), odd vec_ids classified by exact integer squared
+    distance with a (dist, label) total-order argmin; every cell of the
+    confusion matrix plus overall accuracy hash-checks. This is the
+    embedding-quality eval a training pipeline runs after re-encoding
+    (a good encoder separates labels; accuracy collapse = encoder or
+    pipeline regression — the supervised complement of
+    ``emb_kmeans_silhouette``'s unsupervised score and the confusion
+    refinement of ``emb_label_centroids``/``llm_knn_label``). Shape:
+    one (label, dim) partial agg for centroids (|labels|·d rows,
+    broadcast), one linear eval-side join + per-vector argmin over
+    |labels| rows — no pairwise anything; identical at 100 TB."""
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("d", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "d",
+        F.round(F.col("x") * 1000).cast("long").alias("q"),
+    )
+    cent = materialize(
+        qv.filter(F.col("vec_id") % 2 == 0)
+        .groupBy("label", "d")
+        .agg(
+            F.floor(F.sum("q") * 1.0 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cq")
+        )
+        .withColumnRenamed("label", "pred_label")
+    )
+    dists = (
+        qv.filter(F.col("vec_id") % 2 == 1)
+        .withColumnRenamed("label", "true_label")
+        .join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "true_label", "pred_label")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "pred_label")
+    pred = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", "pred_label")
+    )
+    conf = pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(
+            F.when(F.col("true_label") == F.col("pred_label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return (
+        conf.crossJoin(F.broadcast(tot))
+        .select(
+            "true_label",
+            "pred_label",
+            "n",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_eval"), 6
+            ).alias("overall_accuracy"),
+        )
+        .orderBy("true_label", "pred_label")
+    )
