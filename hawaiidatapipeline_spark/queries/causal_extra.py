@@ -724,3 +724,146 @@ def events_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n0 > 0, (s1 - n1 * avg0) / 100.0).otherwise(F.lit(0.0)), 6
         ).alias("rate_effect"),
     ).orderBy("segment")
+
+
+_STRATA = 4  # pre-activity quartiles
+
+
+@q(
+    "events_stratified_ate",
+    f"""WITH per_user AS (
+         SELECT user_id,
+                sum(CASE WHEN ts < TIMESTAMP '{_SPLIT}' THEN 1 ELSE 0 END)
+                  ::BIGINT AS pre_n,
+                sum(CASE WHEN ts >= TIMESTAMP '{_SPLIT}'
+                          AND event_type = 'purchase'
+                         THEN (floor(value * 1000))::BIGINT ELSE 0 END)
+                  ::BIGINT AS y
+         FROM events GROUP BY user_id),
+       assigned AS (
+         SELECT user_id, pre_n, y,
+                CASE WHEN {_ph('user_id::VARCHAR', 7)} % 2 = 0
+                     THEN 0 ELSE 1 END AS variant
+         FROM per_user),
+       vals AS (SELECT pre_n, count(*)::BIGINT AS c
+                FROM assigned GROUP BY pre_n),
+       cum AS (SELECT pre_n,
+                      sum(c) OVER (ORDER BY pre_n
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        ::BIGINT AS cum_c,
+                      sum(c) OVER ()::BIGINT AS n
+               FROM vals),
+       strata AS (
+         SELECT pre_n,
+                least({_STRATA}, ceil({_STRATA}.0 * cum_c / n))::BIGINT
+                  AS stratum
+         FROM cum),
+       s AS (
+         SELECT st.stratum, a.variant, count(*)::BIGINT AS n,
+                sum(a.y)::BIGINT AS sy
+         FROM assigned a JOIN strata st ON st.pre_n = a.pre_n
+         GROUP BY st.stratum, a.variant),
+       wide AS (
+         SELECT stratum,
+                max(CASE WHEN variant = 0 THEN n END)::BIGINT AS n0,
+                max(CASE WHEN variant = 1 THEN n END)::BIGINT AS n1,
+                max(CASE WHEN variant = 0 THEN sy END)::BIGINT AS sy0,
+                max(CASE WHEN variant = 1 THEN sy END)::BIGINT AS sy1
+         FROM s GROUP BY stratum)
+       SELECT stratum, n0 AS n_control, n1 AS n_treatment,
+              round(sy0::DOUBLE / n0 / 1000.0, 6) AS mean_control,
+              round(sy1::DOUBLE / n1 / 1000.0, 6) AS mean_treatment,
+              round(sy1::DOUBLE / n1 / 1000.0
+                    - sy0::DOUBLE / n0 / 1000.0, 6) AS stratum_effect
+       FROM wide ORDER BY stratum""",
+)
+def events_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified treatment-effect estimation: users are bucketed into
+    pre-period activity quartiles (VALUE-grain quantile assignment —
+    the llm_curriculum_order rule, so ties never split a stratum) and
+    the arm contrast is reported per stratum — the
+    propensity-stratification estimator that (a) removes confounding
+    carried by pre-activity in observational reads, and (b) exposes
+    effect HETEROGENEITY (does the treatment move heavy or light users?)
+    that CUPED's single adjusted number averages away. Completes the
+    causal family: CUPED (variance), DiD (trend), KM (censoring),
+    stratification (heterogeneity + imbalance). All cell statistics
+    exact integers. Shape: one user-grain agg, a distinct-value
+    cumulative window for strata bounds, one broadcast-back join, a
+    (stratum × arm) reduce — no single-partition pass over users."""
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < F.lit(_SPLIT).cast("timestamp"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("pre_n"),
+        F.sum(
+            F.when(
+                (F.col("ts") >= F.lit(_SPLIT).cast("timestamp"))
+                & (F.col("event_type") == "purchase"),
+                F.floor(F.col("value") * 1000).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    assigned = per_user.select(
+        "pre_n",
+        "y",
+        F.when(
+            F.pmod(portable_hash64(F.col("user_id").cast("string"), 7), F.lit(2))
+            == 0,
+            0,
+        )
+        .otherwise(1)
+        .alias("variant"),
+    )
+    vals = assigned.groupBy("pre_n").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = Window.orderBy("pre_n").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("pre_n").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    strata = vals.select(
+        "pre_n",
+        F.least(
+            F.lit(_STRATA),
+            F.ceil(
+                F.lit(float(_STRATA))
+                * F.sum("c").over(w_cum)
+                / F.sum("c").over(w_all)
+            ),
+        )
+        .cast("long")
+        .alias("stratum"),
+    )
+    s = (
+        assigned.join(F.broadcast(strata), "pre_n")
+        .groupBy("stratum", "variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+    wide = s.groupBy("stratum").agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).cast("long").alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).cast("long").alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("sy"))).cast("long").alias("sy0"),
+        F.max(F.when(F.col("variant") == 1, F.col("sy"))).cast("long").alias("sy1"),
+    )
+    m0 = F.col("sy0").cast("double") / F.col("n0") / 1000.0
+    m1 = F.col("sy1").cast("double") / F.col("n1") / 1000.0
+    return wide.select(
+        "stratum",
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        F.round(m0, 6).alias("mean_control"),
+        F.round(m1, 6).alias("mean_treatment"),
+        F.round(m1 - m0, 6).alias("stratum_effect"),
+    ).orderBy("stratum")

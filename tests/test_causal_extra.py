@@ -200,3 +200,46 @@ def test_benjamini_hochberg_step_up(spark):
         z = (sg / ng - sr / nr) / math.sqrt(vg / ng + vr / nr)
         assert r["n_customers"] == ng
         assert r["z_stat"] == round(z, 6)
+
+
+def test_stratified_ate_matches_fold(spark):
+    """Replay the value-grain quartile assignment and per-stratum arm
+    contrast; strata must tile the user population."""
+    from datetime import datetime
+
+    split = datetime.fromisoformat(_SPLIT)
+    rows = _events(spark)
+    per = {}
+    for r in rows:
+        u = r["user_id"]
+        pre, y, v = per.get(u, (0, 0, r["variant"]))
+        if r["ts"] < split:
+            pre += 1
+        if r["ts"] >= split and r["event_type"] == "purchase":
+            y += math.floor(r["value"] * 1000)
+        per[u] = (pre, y, r["variant"])
+    n = len(per)
+    from collections import Counter
+
+    cnt = Counter(pre for pre, _, _ in per.values())
+    cum = 0
+    stratum_of = {}
+    for v in sorted(cnt):
+        cum += cnt[v]
+        stratum_of[v] = min(4, math.ceil(4.0 * cum / n))
+    cells = {}
+    for pre, y, var in per.values():
+        st = stratum_of[pre]
+        c = cells.setdefault((st, var), [0, 0])
+        c[0] += 1
+        c[1] += y
+    out = causal_extra.QUERIES["events_stratified_ate"](spark, SF0001).collect()
+    assert sum(r["n_control"] + r["n_treatment"] for r in out) == n
+    for r in out:
+        n0, s0 = cells[(r["stratum"], 0)]
+        n1, s1 = cells[(r["stratum"], 1)]
+        assert (r["n_control"], r["n_treatment"]) == (n0, n1)
+        assert r["mean_control"] == round(s0 / n0 / 1000.0, 6)
+        assert r["stratum_effect"] == round(
+            s1 / n1 / 1000.0 - s0 / n0 / 1000.0, 6
+        )
