@@ -83,23 +83,23 @@ _MODULES = (
 # Round-4 window: exactly the 50 keys with no driver row after round 3
 # (windows family, etl_*, corpus pipelines v1-v4, fn_bitwise, ...).
 _FRONT: tuple[str, ...] = (
-    'stream_interval_join', 'ts_cusum_drift', 'ts_rolling_corr',
-    'ts_forecast_seasonal_naive_smape', 'events_session_entry_exit', 'events_weekly_active_streaks',
-    'events_cohort_ltv', 'agg_mann_whitney_u', 'agg_hhi_concentration',
-    'etl_backfill_plan', 'dq_ks_drift', 'emb_ivfpq_topk',
-    'emb_ivfpq_recall_report', 'emb_pq_residual_codes', 'emb_kmeans_silhouette',
-    'graph_adamic_adar', 'graph_clustering_coefficient', 'ts_seasonal_decompose',
-    'ts_downsample_minmax', 'agg_weighted_median', 'agg_bootstrap_ci_mean',
-    'llm_topic_words_chi2', 'emb_srp_buckets', 'graph_two_hop_reach',
-    'stream_interval_left_join', 'multimodal_image_dhash', 'agg_welch_t_test',
-    'agg_chi2_cramers_v', 'agg_ab_srm_check', 'agg_spearman_corr',
-    'dq_mutual_information', 'ts_ljung_box', 'etl_compaction_plan',
-    'join_spatial_grid', 'llm_feature_hashing', 'emb_mips_topk',
-    'stream_topk_window', 'subquery_exists_correlated', 'events_ab_proportion_z',
-    'emb_matryoshka_recall', 'join_interval_overlap', 'events_markov_next_accuracy',
-    'llm_mixture_temperature', 'emb_hard_negatives', 'dq_embedding_drift',
-    'events_cuped_adjustment', 'events_diff_in_diff', 'events_survival_km',
-    'agg_anova_f', 'agg_benjamini_hochberg',
+    'fn_uuid_deterministic', 'llm_dedup_threshold_curve', 'llm_code_detect',
+    'multimodal_frame_dedup', 'multimodal_audio_vad', 'etl_data_vault_keys',
+    'etl_erasure_plan', 'dq_inclusion_dependencies', 'dq_wasserstein_drift',
+    'events_pit_features', 'llm_curriculum_order', 'llm_domain_reweight_step',
+    'sql_pivot_clause', 'events_revenue_bridge', 'events_stratified_ate',
+    'events_attribution_shapley', 'events_attribution_time_decay', 'agg_trimmed_mean',
+    'llm_trigram_backoff', 'agg_hll_portable', 'agg_kmv_merge_proof',
+    'ts_window_distinct_kmv', 'ts_peak_detection', 'ts_mann_kendall',
+    'llm_readability', 'emb_hamming_topk', 'emb_hamming_recall_report',
+    'emb_mmr_rerank', 'emb_knn_dist_outliers', 'emb_srp_recall_report',
+    'emb_nearest_centroid_confusion', 'graph_bfs_hops', 'graph_rich_club',
+    'graph_lpa_modularity', 'events_bot_score', 'events_power_law_hill',
+    'win_nth_value', 'set_except_all', 'set_intersect_all',
+    'agg_gini_lorenz', 'project_computed', 'filter_compare',
+    'filter_boolean', 'filter_in_between_null', 'filter_like',
+    'fulltext_search', 'distinct_rows', 'sort_multikey',
+    'limit_n', 'offset_paging',
 )
 
 
