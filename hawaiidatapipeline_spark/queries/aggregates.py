@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hawaiidatapipeline_spark.operators.ranks import partitioned_prefix_sums
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
 from hawaiidatapipeline_spark.registry import load_table
 
@@ -612,9 +613,13 @@ def agg_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank via a telescoped EXACT integer numerator (no per-row rank, no
     float sums), and the Lorenz points read off the same value-grain
     cumulative frame. Shape: customer rollup (the data-sized pass) →
-    distinct-revenue-value frame with cumulative windows (the
-    distributed-rank discipline of agg_trimmed_mean) → 10-row report.
-    At 100 TB only the first aggregation sees rows."""
+    distinct-revenue-value frame with DISTRIBUTED cumulative sums
+    (operators/ranks.py partitioned_prefix_sums: range slices cumsum in
+    parallel; the serial prefix pass sees one row per partition) →
+    10-row report. The value grain is ~|customers| (continuous revenues
+    rarely collide), so a global Window.orderBy here would be the serial
+    trap; with the rank-map shape no single task ever holds more than
+    one range slice at 100 TB."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
@@ -624,21 +629,19 @@ def agg_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = per_cust.groupBy("cents").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    wa = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    totals = vals.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("cents") * F.col("c")).cast("long").alias("total"),
     )
-    cum = vals.select(
-        "cents",
-        "c",
-        F.sum("c").over(w).cast("long").alias("cum_n"),
-        F.sum(F.col("cents") * F.col("c")).over(w).cast("long").alias(
-            "cum_cents"
-        ),
-        F.sum("c").over(wa).cast("long").alias("n"),
-        F.sum(F.col("cents") * F.col("c")).over(wa).cast("long").alias(
-            "total"
-        ),
+    cum = (
+        partitioned_prefix_sums(
+            vals,
+            [F.col("cents")],
+            {"cum_n": F.col("c"), "cum_cents": F.col("cents") * F.col("c")},
+        )
+        .withColumn("cum_n", F.col("cum_n").cast("long"))
+        .withColumn("cum_cents", F.col("cum_cents").cast("long"))
+        .crossJoin(F.broadcast(totals))
     )
     gini_terms = cum.agg(
         F.sum(

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hawaiidatapipeline_spark.operators.ranks import partitioned_prefix_sums
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
 from hawaiidatapipeline_spark.registry import load_table
 
@@ -682,8 +683,12 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled value order; the statistic is the max of exact-integer-ratio
     gaps, located deterministically ((gap DESC, value) order), with the
     alpha=0.05 rejection bound. Scale: grouping by value collapses N to
-    #distinct prices before the ordered scan; the same shape monitors
-    any numeric column between two loads."""
+    #distinct prices, but that grain still grows with data (continuous
+    prices rarely collide), so the cumulative ECDF sums run through
+    operators/ranks.py partitioned_prefix_sums — range slices cumsum in
+    parallel, the serial prefix pass sees one row per partition — never
+    a global single-partition window; the same shape monitors any
+    numeric column between two loads."""
     o = load_table(spark, sf_dir, "orders")
     g = o.groupBy(F.col("o_totalprice").alias("x")).agg(
         F.sum(
@@ -700,12 +705,9 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
     )
-    wp = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    c = g.select(
-        "x",
-        F.sum("c1").over(wp).alias("f1"),
-        F.sum("c2").over(wp).alias("f2"),
-    )
+    c = partitioned_prefix_sums(
+        g, [F.col("x")], {"f1": "c1", "f2": "c2"}
+    ).select("x", "f1", "f2")
     d = c.crossJoin(F.broadcast(n)).select(
         "x", "n1", "n2",
         F.abs(

@@ -283,10 +283,10 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary construction signal for tokenizer training: top-200 tokens
     by corpus frequency with cumulative coverage fraction (what share of all
     token occurrences the first k vocabulary entries explain). Counts and
-    the total are distributed aggregates; only the top slice flows through
-    the single-partition ranking window — at 100 TB, pre-filter to tokens
-    with count above a broadcast threshold so the global window stays
-    small."""
+    the total are distributed aggregates; the window input is pre-bounded
+    by a distributed TakeOrdered under the same (count DESC, token) total
+    order — same discipline as llm_vocab_coverage_curve — so the ranking
+    window provably sees ≤ 200 rows regardless of vocabulary size."""
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
@@ -294,8 +294,9 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     total = counts.agg(F.sum("n").alias("t"))
+    top = counts.orderBy(F.col("n").desc(), "token").limit(200)
     w = Window.orderBy(F.col("n").desc(), "token")
-    ranked = counts.withColumn("rnk", F.row_number().over(w)).withColumn(
+    ranked = top.withColumn("rnk", F.row_number().over(w)).withColumn(
         "cum_n", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return (

@@ -509,14 +509,18 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Systematic (every-Nth) sampling under a total order — the sampling
     family's fourth member beside Bernoulli/stratified/weighted: exact
     5% rate, perfectly even coverage of the keyspace, deterministic.
-    The global row_number is the one genuinely serial step (a single-
-    partition window at fixture scale); at 100 TB use zipWithIndex-style
-    per-partition offsets or sample on (o_orderkey % 20) when keys are
-    dense — both noted here because the naive global window is the trap."""
+    The global row number is distributed via operators/ranks.py
+    partitioned_row_number (range-partition on the unique key, local
+    row_number per slice, broadcast per-partition-count offsets) — the
+    zipWithIndex-style shape, exactly equivalent to the serial
+    row_number() window because o_orderkey is a total order, but with
+    no single-partition stage: the only serial pass sees one row per
+    partition at any scale."""
+    from hawaiidatapipeline_spark.operators.ranks import partitioned_row_number
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    numbered = o.select(
-        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+    numbered = partitioned_row_number(
+        o.select("o_orderkey", "o_totalprice"), [F.col("o_orderkey")], out="rn"
     )
     return numbered.filter(F.col("rn") % 20 == 1).agg(
         F.count(F.lit(1)).alias("n_sampled"),

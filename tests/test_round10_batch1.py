@@ -1,0 +1,129 @@
+"""Round-10 batch-1 invariants: the distributed prefix-sum operators that
+replace the last value-grain single-partition windows (VERDICT r9 "What's
+wrong" #1), plus the NULL contract fix on the rank map.
+
+Each operator is proved equal to the serial Window.orderBy form it
+replaces — on ties-heavy and unique-key columns — and the plan is checked
+for the range exchange that makes the cumulative stage parallel."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.operators.ranks import (
+    doubled_avg_rank_map,
+    partitioned_prefix_sums,
+    partitioned_row_number,
+)
+from hawaiidatapipeline_spark.registry import load_table
+
+from .conftest import SF0001
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_prefix_sums_equal_serial_window_with_ties(spark):
+    """Running sums under a global order via range slices + broadcast
+    offsets must equal the single-partition window exactly — including on
+    l_quantity, where every value is a large tie block spanning range
+    boundaries would be possible if the partitioner split keys (it must
+    not)."""
+    li = load_table(spark, SF0001, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_orderkey").alias("k")
+    )
+    vals = li.groupBy("x").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("k").alias("sk")
+    )
+    got = {
+        r["x"]: (r["cum_c"], r["cum_sk"])
+        for r in partitioned_prefix_sums(
+            vals, [F.col("x")], {"cum_c": "c", "cum_sk": F.col("sk")}
+        ).collect()
+    }
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["x"]: (r["cum_c"], r["cum_sk"])
+        for r in vals.select(
+            "x",
+            F.sum("c").over(w).alias("cum_c"),
+            F.sum("sk").over(w).alias("cum_sk"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_prefix_sums_plan_is_range_partitioned(spark):
+    """The cumulative stage must run on a range exchange (parallel
+    slices), and the only zero-partition window allowed in the plan is
+    the per-partition-offset pass whose input is one row per partition."""
+    li = load_table(spark, SF0001, "lineitem").select(
+        F.col("l_quantity").alias("x")
+    )
+    vals = li.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    df = partitioned_prefix_sums(vals, [F.col("x")], {"cum_c": "c"})
+    df.collect()  # audit AQE's final plan, as tools/explain_audit.py does
+    p = _plan(df)
+    assert "rangepartitioning(" in p
+    assert "_pid" in p  # local window keyed by the slice id
+
+
+def test_partitioned_row_number_equals_serial(spark):
+    """On a unique key the distributed row number is exactly the serial
+    row_number() window."""
+    o = load_table(spark, SF0001, "orders").select("o_orderkey")
+    got = {
+        r["o_orderkey"]: r["rn"]
+        for r in partitioned_row_number(
+            o, [F.col("o_orderkey")], out="rn"
+        ).collect()
+    }
+    w = Window.orderBy("o_orderkey")
+    want = {
+        r["o_orderkey"]: r["rn"]
+        for r in o.select(
+            "o_orderkey", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    assert got == want
+    assert min(got.values()) == 1 and max(got.values()) == len(got)
+
+
+def test_prefix_sums_descending_order(spark):
+    """Multi-key descending orders (the vocab-coverage shape) work: the
+    range partitioner and the local window must agree on direction."""
+    d = load_table(spark, SF0001, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    order = [F.col("n").desc(), F.col("token")]
+    got = {
+        r["token"]: r["cum_n"]
+        for r in partitioned_prefix_sums(counts, order, {"cum_n": "n"}).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["token"]: r["cum_n"]
+        for r in counts.select("token", F.sum("n").over(w).alias("cum_n")).collect()
+    }
+    assert got == want
+
+
+def test_rank_map_null_contract(spark):
+    """NULL values are excluded from the rank map (defined behavior per
+    the operator contract), and non-null ranks are unaffected by the
+    presence of NULL rows."""
+    rows = [(1.0,), (2.0,), (2.0,), (None,), (3.0,), (None,)]
+    df = spark.createDataFrame(rows, "x double")
+    got = {r["x"]: r["dbl"] for r in doubled_avg_rank_map(df, "x", "dbl").collect()}
+    # ranks over the 4 non-null rows: 1.0->1, 2.0->avg(2,3)=2.5, 3.0->4
+    assert got == {1.0: 2, 2.0: 5, 3.0: 8}
+    assert None not in got

@@ -58,7 +58,7 @@ AUDITS: dict[str, list[str]] = {
     # (no "pruning" for minhash: signatures are localCheckpoint-materialized,
     # so the final plan reads the checkpoint RDD, not the parquet scan)
     "llm_dedup_minhash": ["partial_agg", "no_cartesian", "codegen"],
-    "llm_vocab_coverage": ["partial_agg", "window_exec", "broadcast_any", "codegen"],
+    "llm_vocab_coverage": ["partial_agg", "window_exec", "take_ordered", "broadcast_any", "codegen"],
     "llm_chunk_documents": ["no_shuffle_left", "generate_exec", "pruning", "codegen"],
     "etl_merge_upsert": ["pushdown", "pruning", "no_cartesian", "codegen"],
     "soql_aggregate": ["pushdown", "partial_agg", "pruning", "codegen"],
@@ -191,7 +191,7 @@ AUDITS: dict[str, list[str]] = {
     "etl_incremental_join_view": ["broadcast_any", "partial_agg", "pruning", "codegen"],
     "etl_cdc_apply": ["window_exec", "partial_agg", "pruning", "codegen"],
     "dq_column_masking": ["take_ordered", "pruning", "codegen"],
-    "sample_systematic": ["window_exec", "partial_agg", "pruning", "codegen"],
+    "sample_systematic": ["range_exchange", "window_exec", "partial_agg", "pruning", "codegen"],
     "llm_corpus_pipeline_v5": ["window_exec", "partial_agg", "pruning", "codegen"],
     "events_power_users_pareto": ["window_exec", "partial_agg", "pruning", "codegen"],
     "agg_winsorize": ["broadcast_any", "partial_agg", "pruning", "codegen"],
@@ -294,7 +294,7 @@ AUDITS: dict[str, list[str]] = {
     "events_cohort_ltv": ["smj_or_bhj", "partial_agg", "window_exec", "pruning", "no_cartesian", "codegen"],
     "agg_hhi_concentration": ["broadcast", "partial_agg", "pruning", "codegen"],
     "etl_backfill_plan": ["generate_exec", "partial_agg", "pruning", "codegen"],
-    "dq_ks_drift": ["partial_agg", "window_exec", "take_ordered", "pruning", "codegen"],
+    "dq_ks_drift": ["partial_agg", "range_exchange", "window_exec", "take_ordered", "pruning", "codegen"],
     "graph_adamic_adar": ["no_cartesian", "partial_agg", "broadcast_any", "take_ordered"],
     "graph_clustering_coefficient": ["no_cartesian", "partial_agg", "codegen"],
     # round-9 batch 2
@@ -332,6 +332,14 @@ AUDITS: dict[str, list[str]] = {
     "emb_hard_negatives": ["partial_agg", "window_exec", "smj_or_bhj", "no_cartesian"],
     "llm_mixture_temperature": ["partial_agg", "broadcast_any", "pruning", "codegen"],
     "dq_embedding_drift": ["partial_agg", "generate_exec", "smj_or_bhj", "no_cartesian", "codegen"],
+    # round-9 batches 16-18 (plan rows added in round 10)
+    "emb_srp_recall_report": ["partial_agg", "smj_or_bhj", "window_exec", "no_cartesian"],
+    "events_power_law_hill": ["partial_agg", "broadcast_any", "no_cartesian", "codegen"],
+    "emb_nearest_centroid_confusion": ["partial_agg", "generate_exec", "window_exec", "broadcast_any", "no_cartesian"],
+    "events_stratified_ate": ["partial_agg", "window_exec", "broadcast_any", "no_cartesian", "codegen"],
+    # round-10: value-grain cumulative stages de-serialized — the plan must
+    # carry the range exchange that makes the cumsum slices parallel
+    "agg_gini_lorenz": ["partial_agg", "range_exchange", "window_exec", "broadcast_any", "no_cartesian", "codegen"],
 }
 
 
@@ -395,6 +403,9 @@ def check(name: str, plan: str) -> list[tuple[str, bool, str]]:
             a("single_shuffle_family", n <= 2, f"hash exchanges={n} (union+window, no pairwise join)")
         elif assertion == "expand_then_agg":
             a("expand_then_agg", "Expand" in p and "HashAggregate" in p, "Expand feeding hash agg")
+        elif assertion == "range_exchange":
+            a("range_exchange", "rangepartitioning(" in p,
+              "range exchange present (cumulative stage runs on parallel slices)")
         elif assertion == "window_exec":
             a("window_exec", "Window" in p, "Window physical operator")
         elif assertion == "take_ordered":
