@@ -99,7 +99,7 @@ _FRONT: tuple[str, ...] = (
     'agg_gini_lorenz', 'project_computed', 'filter_compare',
     'filter_boolean', 'filter_in_between_null', 'filter_like',
     'fulltext_search', 'distinct_rows', 'sort_multikey',
-    'limit_n', 'offset_paging',
+    'limit_n', 'stream_static_enrich',
 )
 
 

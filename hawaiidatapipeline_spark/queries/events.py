@@ -160,6 +160,45 @@ def stream_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_static_enrich",
+    """SELECT coalesce(c.c_mktsegment, 'UNMATCHED') AS segment,
+              e.event_type,
+              count(*)::BIGINT AS n_events,
+              sum(round(e.value * 100)::BIGINT)::BIGINT AS value_cents
+       FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1, 2""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, batch-checked: events LEFT-joined to
+    the broadcast customer dim, rolled up per (segment, event_type) in
+    exact integer cents. Calls THE SAME ``stream_static_join`` the
+    streaming runtime runs per micro-batch (the static side re-broadcasts
+    each batch, no state); the streaming equivalence of the identical
+    rollup is proven in tests/test_streaming.py. Unmatched users keep
+    their rows with segment 'UNMATCHED' — the left-outer contract the
+    enrichment pattern needs. Scale: broadcast hash join (dim-sized
+    build), stream side never shuffles for the join; the rollup is a
+    bounded segment×type grain."""
+    from hawaiidatapipeline_spark.streaming.runtime import stream_static_join
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        stream_static_join(e, c)
+        .groupBy(
+            F.coalesce("c_mktsegment", F.lit("UNMATCHED")).alias("segment"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+
+
+@q(
     "stream_session",
     """WITH marked AS (
          SELECT user_id, ts, value,

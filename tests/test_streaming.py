@@ -59,6 +59,28 @@ def test_stream_static_join(spark):
     assert n_matched > 0
 
 
+def test_stream_static_enrich_equals_batch(spark):
+    """Full equivalence for the stream-static enrichment join: the
+    streamed per-micro-batch join drained to a table, rolled up with the
+    SAME segment×type aggregation, must equal the E-checked batch twin
+    row-for-row (including the UNMATCHED left-outer bucket)."""
+    customer = load_table(spark, SF0001, "customer")
+    stream = runtime.stream_static_join(runtime.stream_events(spark, SF0001), customer)
+    drained = runtime.run_to_memory(stream, "t_enrich_eq", output_mode="append")
+    got = drained.groupBy(
+        F.coalesce("c_mktsegment", F.lit("UNMATCHED")).alias("segment"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )
+    want = batch_twins.stream_static_enrich(spark, SF0001)
+    cols = ["segment", "event_type", "n_events", "value_cents"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_interval_stream_stream_join_equals_batch(spark):
     src = runtime.stream_events(spark, SF0001)
     purchases = src.filter(F.col("event_type") == "purchase")
