@@ -53,6 +53,24 @@ def cosine_pairs_exact(df: DataFrame, id_col: str = "vec_id", vec_col: str = "em
     )
 
 
+def _index_row_budget(
+    df: DataFrame, vec_col: str, max_index_rows: int, max_index_bytes: int
+) -> int:
+    """Convert a driver-memory BYTE budget into a row budget using the
+    actual vector dimensionality (one limit-1 probe job). Gating on rows
+    alone under-protects high-dim inputs: 4M rows of 1024-dim float64 is
+    ~32 GB on the driver before a row-count gate would trip. The per-row
+    estimate doubles dim*8 for the pandas staging copy that coexists with
+    the numpy matrix during the build. ``max_index_rows`` remains a hard
+    cap on top (API compatibility + id-array overhead bound)."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first is not None and first["d"] is not None else 0
+    if dim <= 0:
+        return max_index_rows
+    per_row = dim * 8 * 2
+    return max(1, min(max_index_rows, max_index_bytes // per_row))
+
+
 def cosine_topk_gemm(
     df: DataFrame,
     k: int = 20,
@@ -61,6 +79,7 @@ def cosine_topk_gemm(
     local_k_factor: int = 3,
     max_index_rows: int = 4_000_000,
     fallback: str = "lsh",
+    max_index_bytes: int = 4 << 30,
 ) -> DataFrame:
     """Exact top-k (a < b) cosine pairs via blocked GEMM.
 
@@ -69,12 +88,15 @@ def cosine_topk_gemm(
     multiplies against it and keeps ``local_k_factor * k`` local winners so
     post-rounding global ties can still be broken exactly.
 
-    The index build collects (id, vec) to the driver, so it is SIZE-GATED:
-    beyond ``max_index_rows`` (≈4 GB of f64×128-dim on the driver) the call
-    never collects and instead routes to the declared ``fallback`` —
-    ``"lsh"`` (sub-quadratic, approximate — the 100 TB path) or ``"exact"``
-    (pure-JVM all-pairs, exact but O(n²)); ``"error"`` raises so callers that
-    require exact GEMM semantics fail loudly instead of silently degrading.
+    The index build collects (id, vec) to the driver, so it is SIZE-GATED
+    in BYTES: the row budget is min(``max_index_rows``,
+    ``max_index_bytes`` / (dim·8·2)) using the actual vector width, so a
+    high-dimensional input cannot OOM the driver before a row-count gate
+    would trip. Beyond the budget the call never collects and instead
+    routes to the declared ``fallback`` — ``"lsh"`` (sub-quadratic,
+    approximate — the 100 TB path) or ``"exact"`` (pure-JVM all-pairs,
+    exact but O(n²)); ``"error"`` raises so callers that require exact
+    GEMM semantics fail loudly instead of silently degrading.
     """
     import numpy as np
     import pandas as pd
@@ -83,8 +105,9 @@ def cosine_topk_gemm(
     # Size gate folded into the index collect itself: pull at most
     # budget+1 rows (limit early-stops the scan — no separate count() job,
     # and driver memory stays bounded by the same budget either way).
-    pdf = df.select(id_col, vec_col).limit(max_index_rows + 1).toPandas()
-    if len(pdf) > max_index_rows:
+    budget = _index_row_budget(df, vec_col, max_index_rows, max_index_bytes)
+    pdf = df.select(id_col, vec_col).limit(budget + 1).toPandas()
+    if len(pdf) > budget:
         if fallback == "lsh":
             return cosine_topk_lsh(df, k=k, id_col=id_col, vec_col=vec_col)
         if fallback == "exact":
@@ -95,7 +118,8 @@ def cosine_topk_gemm(
             )
         raise ValueError(
             f"cosine_topk_gemm: index exceeds max_index_rows="
-            f"{max_index_rows}; broadcast index would OOM the driver "
+            f"{max_index_rows} / max_index_bytes={max_index_bytes} "
+            f"(row budget {budget}); broadcast index would OOM the driver "
             f"(set fallback='lsh'|'exact' or raise the budget)"
         )
     ids = pdf[id_col].to_numpy()
@@ -141,21 +165,25 @@ def inner_topk_gemm(
     vec_col: str = "emb",
     local_k_factor: int = 3,
     max_index_rows: int = 4_000_000,
+    max_index_bytes: int = 4 << 30,
 ) -> DataFrame:
     """Exact top-k (a < b) pairs by RAW inner product (MIPS) — the metric
     retrieval models trained with dot-product scoring need, where cosine's
     norm division is wrong (vector norm encodes item popularity/confidence
     and must be kept). Same blocked-GEMM layout as ``cosine_topk_gemm``
     (broadcast candidate matrix, per-Arrow-batch matmul, n·k shuffle) minus
-    the normalization; the size gate falls back to the pure-JVM exact pair
-    scan (MIPS has no distance-preserving LSH without an augmentation
+    the normalization, including the BYTE-aware driver gate (row budget =
+    min(max_index_rows, max_index_bytes / (dim·8·2)) from the actual
+    vector width); past the budget it falls back to the pure-JVM exact
+    pair scan (MIPS has no distance-preserving LSH without an augmentation
     transform, so no approximate fallback is silently substituted)."""
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
-    pdf = df.select(id_col, vec_col).limit(max_index_rows + 1).toPandas()
-    if len(pdf) > max_index_rows:
+    budget = _index_row_budget(df, vec_col, max_index_rows, max_index_bytes)
+    pdf = df.select(id_col, vec_col).limit(budget + 1).toPandas()
+    if len(pdf) > budget:
         a, b = df.alias("a"), df.alias("b")
         return (
             a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -30,6 +30,22 @@ from hawaiidatapipeline_spark.session import prepare_session
 DEFAULT_WATERMARK = "1 hour"
 
 
+def _read_state(spark: SparkSession, *paths: str):
+    """Read a sink's persisted state from the first of ``paths`` that
+    exists, or return None when NONE exists (genuinely no state yet —
+    the first micro-batch). A path that exists but fails to read
+    (corrupt/partially-written files from an interrupted non-atomic
+    overwrite, transient FS errors) RAISES instead of being treated as
+    'first batch': silently restarting an accumulated-state sink from
+    the current batch would lose all prior window state while claiming
+    an idempotent merge. Callers pass ``target`` or ``(target,
+    target + '.old')`` when they use the rename-aside swap."""
+    for p in paths:
+        if os.path.exists(p):
+            return spark.read.parquet(p)
+    return None
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental file source over the events table.
 
@@ -596,21 +612,28 @@ def run_merge_sink(stream_df: DataFrame, target_path: str, key: str, checkpoint:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        try:
-            current = spark.read.parquet(target_path)
-            merged = current.join(deduped.select(key), key, "left_anti").unionByName(
-                deduped
-            )
-        except Exception:  # first batch: no target yet
+        # missing path = first batch; a DAMAGED target raises (state loss
+        # must be loud, not a silent restart from the current batch)
+        current = _read_state(spark, target_path, target_path + ".old")
+        if current is None:
             merged = deduped
-        # write to a temp dir then swap — a failed write never clobbers the
-        # target (object stores: write new prefix + repoint the manifest)
+        else:
+            merged = current.join(
+                deduped.select(key), key, "left_anti"
+            ).unionByName(deduped)
+        # write to a temp dir then rename-aside swap — a failed write never
+        # clobbers the target, and a full state dir exists at every instant
+        # (object stores: write new prefix + repoint the manifest)
         tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
         import shutil
 
-        shutil.rmtree(target_path, ignore_errors=True)
+        old = target_path + ".old"
+        if os.path.exists(target_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(target_path, old)
         os.replace(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(merge)
@@ -649,19 +672,29 @@ def run_aggregate_sink(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_agg = partial(batch_df)
-        try:
-            current = spark.read.parquet(target_path)
+        current = _read_state(spark, target_path, target_path + ".old")
+        if current is None:  # first batch only; a damaged target raises
+            merged = batch_agg
+        else:
             merged = (
                 current.unionByName(batch_agg)
                 .groupBy(key)
                 .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
             )
-        except Exception:
-            merged = batch_agg
         staged = merged.collect()  # tiny: one row per key
+        import shutil
+        import uuid
+
+        tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
         spark.createDataFrame(staged, merged.schema).write.mode("overwrite").parquet(
-            target_path
+            tmp
         )
+        old = target_path + ".old"
+        if os.path.exists(target_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(target_path, old)
+        os.replace(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     return (
         events.writeStream.foreachBatch(merge)
@@ -730,13 +763,10 @@ def run_cdc_sink(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        current = None
-        for path in (target_path, target_path + ".old"):
-            try:
-                current = spark.read.parquet(path)
-                break
-            except Exception:  # first batch / interrupted swap
-                continue
+        # first batch (neither dir exists) or interrupted swap (.old
+        # survives) — a present-but-unreadable dir raises, it does not
+        # silently restart the applied state from this batch
+        current = _read_state(spark, target_path, target_path + ".old")
         if current is None:
             merged = folded
         else:
@@ -787,10 +817,11 @@ def read_cdc_target(spark: SparkSession, target_path: str) -> DataFrame:
     """Live view over a run_cdc_sink target: retained tombstones filtered
     out, bookkeeping columns dropped. Falls back to ``<target>.old`` if
     the main dir is momentarily absent mid-swap (see run_cdc_sink)."""
-    try:
-        df = spark.read.parquet(target_path)
-    except Exception:
-        df = spark.read.parquet(target_path + ".old")
+    df = _read_state(spark, target_path, target_path + ".old")
+    if df is None:
+        raise FileNotFoundError(
+            f"no CDC target at {target_path} (or its .old swap survivor)"
+        )
     return df.filter(F.col("op") != "D").drop("op")
 
 
@@ -892,10 +923,11 @@ def compact_cdc_target(
     import shutil
     import uuid
 
-    try:
-        current = spark.read.parquet(target_path)
-    except Exception:
-        current = spark.read.parquet(target_path + ".old")
+    current = _read_state(spark, target_path, target_path + ".old")
+    if current is None:
+        raise FileNotFoundError(
+            f"no CDC target at {target_path} (or its .old swap survivor)"
+        )
     keep = current.filter(
         (F.col("op") != "D") | (F.col("op_seq") >= tombstone_horizon_seq)
     )
@@ -953,11 +985,15 @@ def run_kmv_sink(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_syn = synopsis(batch_df)
-        try:
-            current = spark.read.parquet(target_path)
-            merged_src = current.unionByName(batch_syn).distinct()
-        except Exception:
+        # long-lived accumulated state: only a genuinely absent path means
+        # 'first batch' — an unreadable target raises rather than silently
+        # overwriting the synopsis with this batch alone (which would
+        # break the lossless-merge claim)
+        current = _read_state(spark, target_path, target_path + ".old")
+        if current is None:
             merged_src = batch_syn
+        else:
+            merged_src = current.unionByName(batch_syn).distinct()
         from pyspark.sql import Window
 
         wk = Window.partitionBy("w").orderBy("h")
@@ -967,9 +1003,21 @@ def run_kmv_sink(
             .select("w", "h")
         )
         staged = merged.collect()  # tiny: <= k hashes per window
+        import shutil
+        import uuid
+
+        # staged write + rename-aside swap: a full synopsis dir exists at
+        # every instant, so an interrupted write is recoverable from .old
+        tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
         spark.createDataFrame(staged, merged.schema).write.mode(
             "overwrite"
-        ).parquet(target_path)
+        ).parquet(tmp)
+        old = target_path + ".old"
+        if os.path.exists(target_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(target_path, old)
+        os.replace(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     return (
         events.writeStream.foreachBatch(merge)

@@ -179,3 +179,27 @@ def test_knn_join_gemm_matches_jvm_window_ranking(spark):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+
+
+def test_gemm_byte_gate_trips_on_high_dim(spark):
+    """The driver gate is byte-aware: a tiny max_index_bytes budget must
+    route to the fallback even when the row count is far under
+    max_index_rows — high-dimensional vectors cannot OOM the driver
+    before a row-count-only gate would trip."""
+    import pytest
+
+    e = as_double_vec(load_table(spark, SF0001, "embeddings"))
+    n = e.count()
+    assert n < 4_000_000  # row gate alone would NOT trip
+    with pytest.raises(ValueError, match="max_index_bytes"):
+        cosine_topk_gemm(e, k=5, max_index_bytes=1024, fallback="error")
+    routed = cosine_topk_gemm(e, k=5, max_index_bytes=1024, fallback="exact")
+    assert "mapInPandas" not in routed._jdf.queryExecution().analyzed().toString()
+    exact = [tuple(r) for r in _topk_exact(e, 5).collect()]
+    got = [
+        tuple(r)
+        for r in routed.select(
+            "vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim")
+        ).collect()
+    ]
+    assert got == exact

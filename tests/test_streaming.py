@@ -959,3 +959,60 @@ def test_kmv_sink_synopsis_equals_batch_twin(spark, tmp_path):
     # state bound: stored synopsis holds at most k hashes per window
     per_w = syn.groupBy("w").count().collect()
     assert all(r["count"] <= 32 for r in per_w)
+
+
+def test_kmv_sink_damaged_target_raises_not_resets(spark, tmp_path):
+    """A target directory that EXISTS but cannot be read as parquet must
+    fail the micro-batch loudly — never be treated as 'first batch' and
+    silently replaced by the current batch's synopsis (which would lose
+    all accumulated window state while claiming a lossless merge)."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    target = str(tmp_path / "kmv_damaged")
+    os.makedirs(target)
+    with open(os.path.join(target, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    q = runtime.run_kmv_sink(
+        runtime.stream_events(spark, SF0001),
+        target,
+        str(tmp_path / "kmv_damaged_ckpt"),
+        k=32,
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    # the garbage target was not clobbered by a fresh overwrite
+    with open(os.path.join(target, "part-00000.parquet"), "rb") as f:
+        assert f.read() == b"not a parquet file"
+
+
+def test_merge_sink_recovers_from_old_after_interrupted_swap(spark, tmp_path):
+    """run_merge_sink's rename-aside swap: if a crash leaves only
+    <target>.old (between rename-aside and rename-in), the next batch
+    reads the survivor instead of restarting state."""
+    import os
+    import shutil
+
+    target = str(tmp_path / "merge_target")
+    q = runtime.run_merge_sink(
+        runtime.stream_events(spark, SF0001),
+        target,
+        key="event_id",
+        checkpoint=str(tmp_path / "merge_ckpt1"),
+    )
+    q.awaitTermination()
+    n_first = spark.read.parquet(target).count()
+    assert n_first > 0
+    # simulate the crash window: target renamed aside, new dir never landed
+    shutil.rmtree(target + ".old", ignore_errors=True)
+    os.replace(target, target + ".old")
+    q2 = runtime.run_merge_sink(
+        runtime.stream_events(spark, SF0001),
+        target,
+        key="event_id",
+        checkpoint=str(tmp_path / "merge_ckpt2"),
+    )
+    q2.awaitTermination()
+    # merged against the survivor: same keys -> same final row count
+    assert spark.read.parquet(target).count() == n_first
