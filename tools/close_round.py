@@ -31,6 +31,40 @@ def main() -> int:
         return 2
     rnd = int(sys.argv[1])
     t0 = time.time()
+    import glob
+
+    # Ledger-hygiene gate (VERDICT r9 "What's wrong" #2-3): rounds 8 and 9
+    # both ended with the previous round's evidence artifacts uncommitted.
+    # Refuse to close while any CORRECTNESS/BENCH/LEAKCHECK artifact is
+    # untracked or modified — closing must not bake a stale ledger into
+    # the round boundary.
+    g = subprocess.run(
+        ["git", "status", "--porcelain"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    stale = [
+        ln
+        for ln in g.stdout.splitlines()
+        if re.search(r"(CORRECTNESS_r\d+|BENCH_r\d+|LEAKCHECK)\.json", ln)
+    ]
+    if stale:
+        print(
+            "REFUSING to close: evidence artifacts are untracked/modified —\n"
+            + "\n".join(f"  {ln}" for ln in stale)
+            + "\ncommit them first (git add CORRECTNESS_r*.json BENCH_r*.json "
+            "LEAKCHECK.json), then re-run."
+        )
+        return 1
+    # Regenerate the per-key ledger from every CORRECTNESS file on disk so
+    # COVERAGE_HISTORY.md can never lag the evidence it summarizes.
+    subprocess.run(
+        [sys.executable, "tools/coverage_history.py"]
+        + sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")),
+        cwd="/root/repo",
+        check=True,
+    )
     proc = subprocess.run(
         [sys.executable, "tools/check_correctness.py", "--plain-session", SF_DIR],
         capture_output=True,
@@ -67,8 +101,6 @@ def main() -> int:
     # driver row that are ALSO outside the next sweep window (_FRONT) are
     # only ever proven by this closing sweep — name them and their status
     # here so the record says explicitly which keys rest on it.
-    import glob
-
     sys.path.insert(0, "/root/repo")
     from hawaiidatapipeline_spark.queries import _FRONT, collect
     from tools.rotate_window import row_is_green

@@ -67,6 +67,11 @@ PROBES = [
     ("join_spatial_grid", "grid spatial join: equi-join on 4-deg cells, shuffle ~ points + box-cell fanout"),
     ("llm_feature_hashing", "feature hashing: explode + 1-byte-key partial agg, no vocabulary broadcast"),
     ("join_interval_overlap", "dual-binned interval overlap: bin-key equi-join, no nested loop"),
+    # round-10: de-serialized value-grain cumulative paths
+    ("agg_gini_lorenz", "Lorenz/Gini: range-sliced cumsum over the value grain, no single-partition window"),
+    ("dq_ks_drift", "KS ECDFs: distributed prefix sums on distinct prices, serial pass = 1 row/partition"),
+    ("sample_systematic", "systematic sample: zipWithIndex-style offsets, no global row_number window"),
+    ("stream_static_enrich", "stream-static enrich: broadcast dim join, stream side unshuffled for the join"),
 ]
 
 
@@ -179,6 +184,32 @@ def main() -> int:
             "degenerate buckets carry ~no per-pair signal, true near-dups "
             "still collide in their other bands "
             "(operators/dedup.incremental_minhash_candidates max_bucket).\n"
+        )
+    # append the heavy-tie rank lane (VERDICT r9 next-round #8) — proof the
+    # de-serialized value-grain cumulative path is tie-proof, measured
+    from tools.skew_stress import heavy_tie_rank_lane
+
+    tie = heavy_tie_rank_lane(spark)
+    with open("PERF_EVIDENCE.md", "a") as f:
+        f.write(
+            "\n## heavy-tie rank lane (tools/skew_stress.py)\n\n"
+            f"Planted tie: 15% of {tie['n_fact_rows']} customers share one "
+            "revenue value, run through operators/ranks.py "
+            "partitioned_prefix_sums (the path behind agg_gini_lorenz / "
+            "dq_ks_drift / the rank-map statistics):\n\n"
+            "| check | value |\n"
+            "|---|---|\n"
+            f"| parity vs serial Window.orderBy | {tie['parity']} |\n"
+            f"| hot-tie fact rows | {tie['hot_weight']} "
+            "(collapse to 1 distinct-value row) |\n"
+            f"| value-grain rows | {tie['n_distinct']} |\n"
+            f"| largest cumsum partition | {tie['max_partition_rows']} rows "
+            f"= {tie['max_partition_share']:.1%} of the grain "
+            f"({tie['n_partitions']} partitions) |\n\n"
+            "Ties cannot collapse a partition: the cumulative stage runs on "
+            "the distinct-value grain where a tie block is one weighted row, "
+            "and the only serial pass is the per-partition offset prefix "
+            "(one row per partition).\n"
         )
     # append the streaming micro-batch latency table so regeneration keeps it
     from tools.streaming_latency import run as latency_run

@@ -166,6 +166,69 @@ def incremental_lsh_hot_band_lane(spark) -> dict:
     }
 
 
+def heavy_tie_rank_lane(spark) -> dict:
+    """Planted heavy-tie value grain for the distributed rank/prefix-sum
+    path (VERDICT r9 next-round #8): 15% of 120k customers share ONE
+    revenue value — the regime where a range partitioner must put every
+    row of the tie in one partition. The rank-map shape is tie-proof by
+    construction: the fact rows collapse to a single distinct-value row
+    of weight c BEFORE the range exchange, so the hot tie costs one row,
+    not 18k. Returns parity vs the serial window plus the cumsum stage's
+    partition-size histogram so the no-collapse claim is measured, not
+    asserted."""
+    from pyspark.sql import Window
+
+    from hawaiidatapipeline_spark.operators.ranks import partitioned_prefix_sums
+
+    n_cust, hot_cents = 120_000, 4_242_424
+    per_cust = spark.range(n_cust).select(
+        F.col("id").alias("cust"),
+        F.when(F.pmod("id", 100) < HOT_PCT, F.lit(hot_cents))
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5_000_000)) + 10_000)
+        .cast("long")
+        .alias("cents"),
+    )
+    vals = per_cust.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    got = {
+        r["cents"]: r["cum_n"]
+        for r in partitioned_prefix_sums(vals, [F.col("cents")], {"cum_n": "c"}).collect()
+    }
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["cents"]: r["cum_n"]
+        for r in vals.select("cents", F.sum("c").over(w).alias("cum_n")).collect()
+    }
+    hot_weight = int(
+        vals.filter(F.col("cents") == hot_cents).select("c").first()["c"]
+    )
+    # histogram the range exchange with AQE partition-coalescing OFF: at
+    # fixture scale AQE correctly fuses the few-MB grain into one
+    # partition, which would hide what's being measured — how the range
+    # PARTITIONER spreads the grain when the data is big enough that
+    # coalescing doesn't apply
+    with scoped_confs(
+        spark, {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
+    ):
+        sizes = [
+            r["n"]
+            for r in vals.repartitionByRange(F.col("cents"))
+            .withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+    n_distinct = sum(sizes)
+    return {
+        "parity": got == want,
+        "hot_weight": hot_weight,
+        "n_fact_rows": n_cust,
+        "n_distinct": n_distinct,
+        "max_partition_rows": max(sizes),
+        "max_partition_share": max(sizes) / n_distinct,
+        "n_partitions": len(sizes),
+    }
+
+
 def run(spark, write_plans: str | None = None) -> int:
     from hawaiidatapipeline_spark.operators.skew import salted_window_topk
     from pyspark.sql import Window
@@ -290,6 +353,24 @@ def run(spark, write_plans: str | None = None) -> int:
         f"genuine pairs survived {lsh['genuine_survived']}/{lsh['genuine_total']}"
     )
 
+    # 6. heavy-tie value grain through the distributed rank/prefix-sum
+    # path: parity with the serial window AND the tie does not collapse a
+    # partition (it enters the range exchange as ONE weighted row)
+    tie = heavy_tie_rank_lane(spark)
+    ok_tie = (
+        tie["parity"]
+        and tie["hot_weight"] >= 0.10 * tie["n_fact_rows"]
+        and tie["max_partition_share"] <= 0.25
+    )
+    print(
+        f"heavy-tie rank lane: parity={tie['parity']}, hot tie weight "
+        f"{tie['hot_weight']}/{tie['n_fact_rows']} fact rows -> 1 of "
+        f"{tie['n_distinct']} distinct rows; max cumsum partition holds "
+        f"{tie['max_partition_rows']} rows "
+        f"({tie['max_partition_share']:.1%} of the value grain, "
+        f"{tie['n_partitions']} partitions)"
+    )
+
     if write_plans:
         with open(write_plans, "a") as f:
             f.write(
@@ -313,12 +394,20 @@ def run(spark, write_plans: str | None = None) -> int:
                 f"(x{lsh['uncapped'] / max(lsh['capped'], 1):.0f} reduction); "
                 f"{lsh['genuine_survived']}/{lsh['genuine_total']} genuine "
                 "near-dup pairs survive the cap (their buckets are tiny) — "
-                "the stop-hub cap applied to LSH bands, measured.\n"
+                "the stop-hub cap applied to LSH bands, measured.\n\n"
+                "Heavy-tie rank lane (15% of "
+                f"{tie['n_fact_rows']} customers share one revenue value): "
+                "the distributed prefix-sum path matches the serial window "
+                f"exactly; the tie enters the range exchange as ONE row of "
+                f"weight {tie['hot_weight']}, and the largest cumsum "
+                f"partition holds {tie['max_partition_share']:.1%} of the "
+                "value grain — ties cannot collapse a partition because "
+                "the grain is distinct-values, not fact rows.\n"
             )
     return (
         0
         if (ok_smj and ok_topk and ok_topk_plan and ok_sess and ok_tri_parity
-            and ok_wedge and ok_lsh)
+            and ok_wedge and ok_lsh and ok_tie)
         else 1
     )
 
