@@ -55,6 +55,7 @@ _MODULES = (
     "sampling",
     "sketches_extra",
     "metrics_extra",
+    "round10_extra",
     "text_extra",
     "curation_extra",
     "emb_extra",
@@ -96,10 +97,11 @@ _FRONT: tuple[str, ...] = (
     'emb_nearest_centroid_confusion', 'graph_bfs_hops', 'graph_rich_club',
     'graph_lpa_modularity', 'events_bot_score', 'events_power_law_hill',
     'win_nth_value', 'set_except_all', 'set_intersect_all',
-    'agg_gini_lorenz', 'project_computed', 'filter_compare',
-    'filter_boolean', 'filter_in_between_null', 'filter_like',
-    'fulltext_search', 'distinct_rows', 'sort_multikey',
-    'limit_n', 'stream_static_enrich',
+    'agg_gini_lorenz', 'stream_static_enrich',
+    'agg_percentile_exact_grid', 'agg_theil_index', 'graph_jaccard_links',
+    'dq_row_count_anomaly', 'events_sequence_entropy',
+    'dq_uniqueness_report', 'events_retention_triangle',
+    'project_computed', 'filter_compare',
 )
 
 

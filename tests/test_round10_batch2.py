@@ -1,0 +1,152 @@
+"""Round-10 batch-2 invariants. The oracle hash proves engine
+equivalence; these prove the MATH — each statistic replayed by an
+independent driver-side fold over the same fixture, or checked against
+bounds its definition promises."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.queries import round10_extra
+from hawaiidatapipeline_spark.registry import load_table
+
+from .conftest import SF0001
+
+
+def _cents_per_cust(spark):
+    o = load_table(spark, SF0001, "orders")
+    return [
+        r["cents"]
+        for r in o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+        .collect()
+    ]
+
+
+def test_percentile_grid_matches_driver_fold(spark):
+    """Each grid point must be the smallest value whose cumulative count
+    reaches ceil(p*n/100) — replayed by sorting all cents driver-side."""
+    o = load_table(spark, SF0001, "orders")
+    cents = sorted(
+        r["c"]
+        for r in o.select(
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c")
+        ).collect()
+    )
+    n = len(cents)
+    got = {
+        r["p"]: (r["n_rows"], r["quantile"])
+        for r in round10_extra.QUERIES["agg_percentile_exact_grid"](
+            spark, SF0001
+        ).collect()
+    }
+    for p in (25, 50, 75, 90, 99):
+        target = -(-p * n // 100)  # ceil
+        want = round(cents[target - 1] / 100.0, 2)
+        assert got[p] == (n, want), (p, got[p], want)
+
+
+def test_theil_indices_match_driver_fold(spark):
+    """Theil T and L recomputed with the same floored-term grid."""
+    xs = _cents_per_cust(spark)
+    n, total = len(xs), sum(xs)
+    sum_xlnx_milli = sum(math.floor(x * math.log(x) * 1000) for x in xs)
+    sum_lnx_micro = sum(math.floor(math.log(x) * 1000000) for x in xs)
+    ln_mu = math.log(total / n)
+    want_t = round((sum_xlnx_milli / 1000.0) / total - ln_mu, 6)
+    want_l = round(ln_mu - (sum_lnx_micro / 1000000.0) / n, 6)
+    row = round10_extra.QUERIES["agg_theil_index"](spark, SF0001).collect()[0]
+    assert row["n"] == n and row["total"] == total
+    assert abs(row["theil_t"] - want_t) <= 1e-6
+    assert abs(row["theil_l"] - want_l) <= 1e-6
+    # both indices are non-negative and 0 only under perfect equality
+    assert row["theil_t"] >= 0 and row["theil_l"] >= 0
+
+
+def test_jaccard_links_bounds_and_nonadjacency(spark):
+    """Jaccard scores live in (0, 1]; returned pairs are non-adjacent and
+    cn <= min(deg) by construction."""
+    rows = round10_extra.QUERIES["graph_jaccard_links"](spark, SF0001).collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert 0 < r["jaccard"] <= 1.0
+        assert r["common_neighbors"] >= 1
+        assert r["part_a"] < r["part_b"]
+    # descending by rounded score with (a, b) tie-breaks
+    keys = [(-r["jaccard"], r["part_a"], r["part_b"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_row_count_anomaly_z_matches_fold(spark):
+    """z-score for one armed day replayed from the raw daily counts."""
+    e = load_table(spark, SF0001, "events")
+    daily = sorted(
+        (r["day"], r["n"])
+        for r in e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {
+        r["day"]: (r["z_score"], r["is_anomaly"])
+        for r in round10_extra.QUERIES["dq_row_count_anomaly"](
+            spark, SF0001
+        ).collect()
+    }
+    assert got, "no armed days"
+    for i, (day, n) in enumerate(daily):
+        trail = [x for _, x in daily[max(0, i - 28) : i]]
+        k = len(trail)
+        if k < 7:
+            assert day not in got
+            continue
+        s, ss = sum(trail), sum(x * x for x in trail)
+        den = math.sqrt(max(k * ss - s * s, 1.0))
+        want_z = round((n * k - s) / den, 6)
+        assert abs(got[day][0] - want_z) <= 1e-6, day
+        assert got[day][1] == (1 if abs(n * k - s) > 3 * den else 0)
+
+
+def test_sequence_entropy_bounds(spark):
+    """Per-user transition entropy is in [0, log2(n_patterns)] and the
+    report is the 20 most active users in deterministic order."""
+    rows = round10_extra.QUERIES["events_sequence_entropy"](spark, SF0001).collect()
+    assert 0 < len(rows) <= 20  # sf0.001 has fewer than 20 users
+    for r in rows:
+        assert -1e-6 <= r["transition_entropy_bits"] <= math.log2(r["n_patterns"]) + 1e-6
+        assert r["n_patterns"] <= r["n_trans"]
+    ns = [(-r["n_trans"], r["user_id"]) for r in rows]
+    assert ns == sorted(ns)
+
+
+def test_uniqueness_report_key_column(spark):
+    """The primary key shows uniqueness 1.0 and zero dup rows; every
+    ratio is in (0, 1]."""
+    rows = {
+        r["col"]: r
+        for r in round10_extra.QUERIES["dq_uniqueness_report"](
+            spark, SF0001
+        ).collect()
+    }
+    assert rows["o_orderkey"]["uniqueness"] == 1.0
+    assert rows["o_orderkey"]["n_dup_rows"] == 0
+    for r in rows.values():
+        assert 0 < r["uniqueness"] <= 1.0
+        assert r["n_rows"] == rows["o_orderkey"]["n_rows"]
+
+
+def test_retention_triangle_offset_zero_is_full(spark):
+    """Week-offset 0 retention is exactly 1.0 per cohort (everyone is
+    active in their first week by definition), later offsets never
+    exceed the cohort size, and cells partition the active grain."""
+    rows = round10_extra.QUERIES["events_retention_triangle"](
+        spark, SF0001
+    ).collect()
+    assert rows
+    for r in rows:
+        if r["week_offset"] == 0:
+            assert r["active_users"] == r["cohort_size"]
+            assert r["retention"] == 1.0
+        assert 0 <= r["week_offset"]
+        assert r["active_users"] <= r["cohort_size"]
