@@ -101,7 +101,7 @@ _FRONT: tuple[str, ...] = (
     'agg_percentile_exact_grid', 'agg_theil_index', 'graph_jaccard_links',
     'dq_row_count_anomaly', 'events_sequence_entropy',
     'dq_uniqueness_report', 'events_retention_triangle',
-    'project_computed', 'filter_compare',
+    'llm_fingerprint_overlap_pairs', 'emb_mahalanobis_outliers',
 )
 
 

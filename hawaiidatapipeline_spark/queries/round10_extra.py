@@ -503,3 +503,300 @@ def events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def _ph10(expr: str, seed) -> str:
+    """Portable 60-bit hash in DuckDB SQL — first 15 hex digits of
+    md5('<seed>:' || value) parsed base-16; the operators/dedup.py
+    portable_hash64 twin (same scheme as the minhash/fingerprint
+    oracles)."""
+    return f"('0x' || substring(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
+
+
+@q(
+    "llm_oov_rate",
+    """WITH tok AS (
+         SELECT lang, unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+       vocab AS (SELECT token FROM counts
+                 ORDER BY n DESC, token LIMIT 1000),
+       per AS (
+         SELECT t.lang, count(*)::BIGINT AS n_occurrences,
+                sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS oov_occurrences
+         FROM tok t LEFT JOIN vocab v USING (token)
+         GROUP BY t.lang)
+       SELECT lang, n_occurrences, oov_occurrences,
+              round(oov_occurrences::DOUBLE / n_occurrences, 6) AS oov_rate
+       FROM per ORDER BY lang""",
+)
+def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary occurrence rate per language against the global
+    top-1000 token vocabulary — the tokenizer-budget failure metric
+    llm_vocab_coverage measures from the other side (coverage says what
+    the vocab explains; OOV rate says who pays for what it doesn't —
+    a high-OOV language will fragment into bytes/unk at train time).
+    Scale: the vocabulary is a distributed TakeOrdered under the
+    (count DESC, token) total order, then a 1000-row BROADCAST against
+    the token stream — the corpus-sized side never shuffles for the
+    membership test; exact integer counts, one rounded division."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        counts.orderBy(F.col("n").desc(), "token")
+        .limit(1000)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_occurrences"),
+        )
+    )
+    return per.select(
+        "lang",
+        "n_occurrences",
+        "oov_occurrences",
+        F.round(
+            F.col("oov_occurrences").cast("double") / F.col("n_occurrences"), 6
+        ).alias("oov_rate"),
+    ).orderBy("lang")
+
+
+@q(
+    "llm_mixture_epochs",
+    """WITH s AS (
+         SELECT source,
+                sum(len(string_split(text, ' ')))::BIGINT AS tokens
+         FROM documents GROUP BY source),
+       w AS (SELECT source, tokens,
+                    (floor(sqrt(tokens::DOUBLE) * 1000000))::BIGINT AS sq_micro
+             FROM s),
+       t AS (SELECT sum(tokens)::BIGINT AS total,
+                    sum(sq_micro)::BIGINT AS sq_total FROM w)
+       SELECT w.source, w.tokens,
+              round(w.sq_micro::DOUBLE / t.sq_total, 6) AS weight,
+              ((2 * t.total * w.sq_micro) // t.sq_total)::BIGINT
+                AS alloc_tokens,
+              least(4000, ((2 * t.total * w.sq_micro) // t.sq_total)
+                          * 1000 // w.tokens)::BIGINT AS epochs_milli,
+              CASE WHEN ((2 * t.total * w.sq_micro) // t.sq_total) * 1000
+                        // w.tokens > 4000
+                   THEN 1 ELSE 0 END AS capped
+       FROM w, t ORDER BY w.source""",
+)
+def llm_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-factor (epoch) planning for a data-constrained training run:
+    given a token budget of 2× the corpus and per-source weights
+    proportional to √tokens (the square-root mixture that upweights
+    small high-value sources without drowning large ones), allocate
+    budget per source and cap repetition at 4 epochs — past which
+    repeated data stops helping (the data-constrained-scaling rule of
+    thumb). Completes the curation planning family next to
+    llm_mixture_temperature (sampling weights) and llm_curriculum_order
+    (ordering): this one answers "how many PASSES per source". √tokens
+    is micro-floored once per SOURCE (a bounded grain) and everything
+    downstream is exact integer arithmetic — allocations, milli-epochs,
+    cap flags hash identically. Scale: one partial-aggregated token
+    count per source, then source-grain closed forms."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    w = s.withColumn(
+        "sq_micro",
+        F.floor(F.sqrt(F.col("tokens").cast("double")) * 1000000).cast("long"),
+    )
+    t = w.agg(
+        F.sum("tokens").cast("long").alias("total"),
+        F.sum("sq_micro").cast("long").alias("sq_total"),
+    )
+    j = w.crossJoin(F.broadcast(t))
+    alloc = F.expr("(2 * total * sq_micro) div sq_total").cast("long")
+    epochs = F.expr(
+        "((2 * total * sq_micro) div sq_total) * 1000 div tokens"
+    ).cast("long")
+    return j.select(
+        "source",
+        "tokens",
+        F.round(F.col("sq_micro").cast("double") / F.col("sq_total"), 6).alias(
+            "weight"
+        ),
+        alloc.alias("alloc_tokens"),
+        F.least(F.lit(4000).cast("long"), epochs).alias("epochs_milli"),
+        F.when(epochs > 4000, 1).otherwise(0).alias("capped"),
+    ).orderBy("source")
+
+
+_FP_HUB_CAP = 20  # fingerprints in more docs than this carry ~no signal
+
+
+@q(
+    "llm_fingerprint_overlap_pairs",
+    f"""WITH words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+               FROM words WHERE len(w) >= 3),
+       hashed AS (SELECT doc_id, i,
+                         {_ph10("array_to_string(w[i:i+2], ' ')", 0)} AS h
+                  FROM pos),
+       fp AS (SELECT DISTINCT doc_id,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS fingerprint
+              FROM hashed),
+       live AS (SELECT fingerprint FROM fp GROUP BY fingerprint
+                HAVING count(*) BETWEEN 2 AND {_FP_HUB_CAP}),
+       f2 AS (SELECT fp.* FROM fp JOIN live USING (fingerprint)),
+       sizes AS (SELECT doc_id, count(*)::BIGINT AS nfp FROM fp
+                 GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                count(*)::BIGINT AS shared
+         FROM f2 a JOIN f2 b
+           ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3)
+       SELECT p.doc_a, p.doc_b, p.shared,
+              round(p.shared::DOUBLE / least(sa.nfp, sb.nfp), 6) AS containment
+       FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a
+                    JOIN sizes sb ON sb.doc_id = p.doc_b
+       ORDER BY containment DESC, p.doc_a, p.doc_b LIMIT 50""",
+)
+def llm_fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The USE of winnowing fingerprints (llm_fingerprint_exact builds the
+    sets; this query runs the dedup on them): document pairs sharing ≥3
+    selected fingerprints, scored by containment (shared / smaller set) —
+    the position-robust partial-overlap detector that catches reordered
+    or partially-copied spans MinHash's whole-document Jaccard dilutes
+    away. Scale shape is the banded-LSH discipline: an equi-join on
+    fingerprint, with a stop-hub band cap (fingerprints in >20 docs are
+    boilerplate carrying ~no per-pair signal — the measured
+    incremental-LSH hot-band rule applied to winnowing), so candidate
+    volume is bounded by live-fingerprint collisions, never doc².
+    Portable md5 hashes let DuckDB recompute the pipeline bit-for-bit."""
+    from hawaiidatapipeline_spark.functions.text import winnowing_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = winnowing_fingerprints(d, hash_fn="md5")
+    live = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= _FP_HUB_CAP))
+        .select("fingerprint")
+    )
+    f2 = fp.join(live, "fingerprint")
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("nfp"))
+    a = f2.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = f2.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    pairs = (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nfp").alias("nfp_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nfp_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(
+                F.col("shared").cast("double") / F.least("nfp_a", "nfp_b"), 6
+            ).alias("containment"),
+        )
+        .orderBy(F.col("containment").desc(), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+@q(
+    "emb_mahalanobis_outliers",
+    """WITH u AS (
+         SELECT vec_id, unnest(range(len(embedding))) AS i,
+                unnest(embedding) AS e
+         FROM embeddings),
+       x AS (SELECT vec_id, i,
+                    CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS v
+             FROM u),
+       st AS (
+         SELECT i, (sum(v) // count(*))::BIGINT AS mu,
+                ((sum(v * v) // count(*))
+                 - (sum(v) // count(*))::BIGINT
+                   * (sum(v) // count(*))::BIGINT)::BIGINT AS var_micro2
+         FROM x GROUP BY i),
+       term AS (
+         SELECT x.vec_id,
+                ((x.v - st.mu) * (x.v - st.mu))
+                  // greatest(st.var_micro2 // 1000000, 1) AS t
+         FROM x JOIN st USING (i)),
+       sc AS (SELECT vec_id, count(*)::BIGINT AS d,
+                     sum(t)::BIGINT AS maha
+              FROM term GROUP BY vec_id)
+       SELECT vec_id, maha AS maha_score,
+              round(maha::DOUBLE / (d * 1000000.0), 6) AS avg_z2
+       FROM sc ORDER BY maha DESC, vec_id LIMIT 20""",
+)
+def emb_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis OOD scoring: each vector's summed per-dim
+    squared z-score against the corpus mean/variance — the
+    distribution-aware outlier detector next to emb_knn_dist_outliers
+    (neighbor-based) and llm_doc_outlier_zscore (scalar-feature): a
+    vector can sit near neighbors yet far from the global density, and
+    this is the score that says so. Exact-integer discipline throughout
+    (the emb_centroid_margin recipe): values on the 1e-6 grid, means and
+    variances by truncating division — identical on both engines — and
+    each z² term is an integer division by the milli-scaled variance, so
+    the score sum is an exact int64 no matter the aggregation order.
+    Scale: one d-grain stats aggregate (broadcastable), one map-side
+    join + per-vector partial agg; no pairwise anything."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
+        "vec_id",
+        F.col("pos").cast("bigint").alias("i"),
+        F.round(F.col("val").cast("double") * 1000000).cast("bigint").alias("v"),
+    )
+    st = (
+        x.groupBy("i")
+        .agg(
+            F.expr("sum(v) div count(*)").cast("long").alias("mu"),
+            F.expr("sum(v * v) div count(*)").cast("long").alias("ms"),
+        )
+        .select(
+            "i",
+            "mu",
+            (F.col("ms") - F.col("mu") * F.col("mu")).cast("long").alias(
+                "var_micro2"
+            ),
+        )
+    )
+    term = x.join(F.broadcast(st), "i").select(
+        "vec_id",
+        F.expr(
+            "((v - mu) * (v - mu)) div greatest(var_micro2 div 1000000, 1)"
+        ).alias("t"),
+    )
+    sc = term.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("t").cast("long").alias("maha"),
+    )
+    return (
+        sc.select(
+            "vec_id",
+            F.col("maha").alias("maha_score"),
+            F.round(
+                F.col("maha").cast("double") / (F.col("d") * 1000000.0), 6
+            ).alias("avg_z2"),
+        )
+        .orderBy(F.col("maha_score").desc(), "vec_id")
+        .limit(20)
+    )

@@ -150,3 +150,76 @@ def test_retention_triangle_offset_zero_is_full(spark):
             assert r["retention"] == 1.0
         assert 0 <= r["week_offset"]
         assert r["active_users"] <= r["cohort_size"]
+
+
+def test_oov_rate_complements_vocab_coverage(spark):
+    """OOV rate bounds: in (0,1]; a language's in-vocab + OOV occurrences
+    partition its token stream; global OOV occurrences equal total
+    occurrences minus top-1000-vocab occurrences."""
+    rows = round10_extra.QUERIES["llm_oov_rate"](spark, SF0001).collect()
+    assert rows
+    d = load_table(spark, SF0001, "documents")
+    total = d.select(F.explode(F.split("text", " ")).alias("t")).count()
+    assert sum(r["n_occurrences"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["oov_occurrences"] <= r["n_occurrences"]
+        assert 0 <= r["oov_rate"] <= 1
+
+
+def test_mixture_epochs_budget_and_cap(spark):
+    """Allocations must (a) never exceed the 4-epoch cap, (b) sum to at
+    most the 2x budget (integer truncation only loses tokens), and (c)
+    rank by sqrt weight."""
+    rows = round10_extra.QUERIES["llm_mixture_epochs"](spark, SF0001).collect()
+    total = sum(r["tokens"] for r in rows)
+    assert sum(r["alloc_tokens"] for r in rows) <= 2 * total
+    for r in rows:
+        assert r["epochs_milli"] <= 4000
+        assert (r["capped"] == 1) == (
+            r["alloc_tokens"] * 1000 // r["tokens"] > 4000
+        )
+    ws = sorted(rows, key=lambda r: r["tokens"])
+    for lo, hi in zip(ws, ws[1:]):
+        assert lo["weight"] <= hi["weight"] + 1e-9
+
+
+def test_fingerprint_overlap_pairs_catch_planted_dup(spark):
+    """A document that shares a long span with another must surface as a
+    high-containment pair; scores live in (0,1] and ordering is by the
+    rounded score with deterministic tie-breaks."""
+    rows = round10_extra.QUERIES["llm_fingerprint_overlap_pairs"](
+        spark, SF0001
+    ).collect()
+    for r in rows:
+        assert r["shared"] >= 3
+        assert 0 < r["containment"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]
+    keys = [(-r["containment"], r["doc_a"], r["doc_b"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_mahalanobis_scores_match_driver_fold(spark):
+    """Top outlier's integer score replayed driver-side with the same
+    truncating-division grid."""
+    e = load_table(spark, SF0001, "embeddings").collect()
+    vecs = {r["vec_id"]: [round(v * 1000000) for v in r["embedding"]] for r in e}
+    dims = len(next(iter(vecs.values())))
+    n = len(vecs)
+    mu, var = [], []
+    for i in range(dims):
+        col = [v[i] for v in vecs.values()]
+        s, ss = sum(col), sum(x * x for x in col)
+        m = s // n if s >= 0 else -((-s) // n)  # truncation toward zero
+        ms = ss // n
+        mu.append(m)
+        var.append(ms - m * m)
+    want = {}
+    for vid, v in vecs.items():
+        t = 0
+        for i in range(dims):
+            denom = max(var[i] // 1000000, 1)
+            t += ((v[i] - mu[i]) * (v[i] - mu[i])) // denom
+        want[vid] = t
+    got = round10_extra.QUERIES["emb_mahalanobis_outliers"](spark, SF0001).collect()
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    assert [(r["vec_id"], r["maha_score"]) for r in got] == top
