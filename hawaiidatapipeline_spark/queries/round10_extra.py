@@ -800,3 +800,155 @@ def emb_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("maha_score").desc(), "vec_id")
         .limit(20)
     )
+
+
+@q(
+    "agg_effect_sizes",
+    """WITH g AS (
+         SELECT event_type,
+                count(*)::BIGINT AS n,
+                sum(floor(value * 1000)::BIGINT)::BIGINT AS s,
+                sum(floor(value * 1000)::BIGINT
+                    * floor(value * 1000)::BIGINT)::BIGINT AS ss
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY event_type),
+       w AS (
+         SELECT max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+                max(CASE WHEN event_type = 'click' THEN s END) AS s1,
+                max(CASE WHEN event_type = 'click' THEN ss END) AS ss1,
+                max(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+                max(CASE WHEN event_type = 'purchase' THEN s END) AS s2,
+                max(CASE WHEN event_type = 'purchase' THEN ss END) AS ss2
+         FROM g),
+       d AS (
+         SELECT n1, n2,
+                s1::DOUBLE / n1 / 1000 AS m1, s2::DOUBLE / n2 / 1000 AS m2,
+                (ss1 - s1::DOUBLE * s1 / n1) / (n1 - 1) / 1e6 AS v1,
+                (ss2 - s2::DOUBLE * s2 / n2) / (n2 - 1) / 1e6 AS v2
+         FROM w)
+       SELECT n1 AS n_click, n2 AS n_purchase,
+              round(m1 - m2, 6) AS mean_diff,
+              round((m1 - m2)
+                    / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                           / (n1 + n2 - 2)), 6) AS cohens_d,
+              round((m1 - m2)
+                    / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                           / (n1 + n2 - 2))
+                    * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g
+       FROM d""",
+)
+def agg_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes for the click-vs-purchase value contrast:
+    Cohen's d on the pooled standard deviation plus Hedges' g (the
+    small-sample bias correction 1 − 3/(4N − 9)) — the magnitude
+    companion to agg_welch_t_test's significance answer (a p-value says
+    whether; d says how much, which is what a launch decision reads).
+    Same milli-unit integer moment sums as the t-test (exact, order
+    independent at any parallelism); one closed-form double expression
+    per statistic. Scale: a 2-group partial aggregate, nothing else."""
+    e = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000).cast("long")
+    g = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(vm).cast("long").alias("s"),
+            F.sum(vm * vm).cast("long").alias("ss"),
+        )
+    )
+    w = g.agg(
+        *[
+            F.max(F.when(F.col("event_type") == t, F.col(c))).alias(f"{c}{i}")
+            for i, t in ((1, "click"), (2, "purchase"))
+            for c in ("n", "s", "ss")
+        ]
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1") / 1000
+    m2 = F.col("s2").cast("double") / F.col("n2") / 1000
+    v1 = (
+        (F.col("ss1") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / 1e6
+    )
+    v2 = (
+        (F.col("ss2") - F.col("s2").cast("double") * F.col("s2") / F.col("n2"))
+        / (F.col("n2") - 1)
+        / 1e6
+    )
+    pooled_sd = F.sqrt(
+        ((F.col("n1") - 1) * v1 + (F.col("n2") - 1) * v2)
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    d = (m1 - m2) / pooled_sd
+    corr = 1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n2")) - 9.0)
+    return w.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_purchase"),
+        F.round(m1 - m2, 6).alias("mean_diff"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * corr, 6).alias("hedges_g"),
+    )
+
+
+@q(
+    "ts_ohlc_bars",
+    """WITH x AS (
+         SELECT date_trunc('day', ts) AS day, ts, event_id,
+                floor(value * 100)::BIGINT AS cents
+         FROM events),
+       r AS (
+         SELECT day, cents,
+                row_number() OVER (PARTITION BY day
+                                   ORDER BY ts, event_id) AS rn_a,
+                row_number() OVER (PARTITION BY day
+                                   ORDER BY ts DESC, event_id DESC) AS rn_d
+         FROM x)
+       SELECT day,
+              round(max(CASE WHEN rn_a = 1 THEN cents END) / 100.0, 2)
+                AS open,
+              round(max(cents) / 100.0, 2) AS high,
+              round(min(cents) / 100.0, 2) AS low,
+              round(max(CASE WHEN rn_d = 1 THEN cents END) / 100.0, 2)
+                AS close,
+              count(*)::BIGINT AS n_events,
+              round(sum(cents) / 100.0, 2) AS volume
+       FROM r GROUP BY day ORDER BY day""",
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC resampling — the candle-bar downsample every metrics
+    dashboard and financial pipeline draws, complementing ts_resample's
+    mean bars and ts_downsample_minmax's plot-preserving extremes: open
+    and close are the FIRST/LAST values under the total (ts, event_id)
+    order (the tie-break makes both engines pick the same row —
+    arg_min/arg_max without it is nondeterministic under equal
+    timestamps), high/low/volume are plain extremes/sums, all in exact
+    integer cents. Scale: both row_number windows and the rollup share
+    ONE day-keyed exchange; per-partition state is a day's rows."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wa = Window.partitionBy("day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("day").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    r = x.select(
+        "day",
+        "cents",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        r.groupBy("day")
+        .agg(
+            F.round(F.max(F.when(F.col("rn_a") == 1, F.col("cents"))) / 100.0, 2).alias("open"),
+            F.round(F.max("cents") / 100.0, 2).alias("high"),
+            F.round(F.min("cents") / 100.0, 2).alias("low"),
+            F.round(F.max(F.when(F.col("rn_d") == 1, F.col("cents"))) / 100.0, 2).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("cents") / 100.0, 2).alias("volume"),
+        )
+        .orderBy("day")
+    )

@@ -223,3 +223,52 @@ def test_mahalanobis_scores_match_driver_fold(spark):
     got = round10_extra.QUERIES["emb_mahalanobis_outliers"](spark, SF0001).collect()
     top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
     assert [(r["vec_id"], r["maha_score"]) for r in got] == top
+
+
+def test_effect_sizes_match_welch_inputs(spark):
+    """Cohen's d replayed from the raw milli-floored values; Hedges g is
+    a strict shrinkage of d."""
+    e = load_table(spark, SF0001, "events")
+    vals = {}
+    for grp in ("click", "purchase"):
+        xs = [
+            math.floor(r["value"] * 1000)
+            for r in e.filter(F.col("event_type") == grp).select("value").collect()
+        ]
+        vals[grp] = xs
+    n1, n2 = len(vals["click"]), len(vals["purchase"])
+    m = {g: sum(x) / len(x) / 1000 for g, x in vals.items()}
+    v = {
+        g: (sum(x * x for x in xs) - sum(xs) ** 2 / len(xs)) / (len(xs) - 1) / 1e6
+        for g, xs in vals.items()
+    }
+    pooled = math.sqrt(
+        ((n1 - 1) * v["click"] + (n2 - 1) * v["purchase"]) / (n1 + n2 - 2)
+    )
+    want_d = round((m["click"] - m["purchase"]) / pooled, 6)
+    row = round10_extra.QUERIES["agg_effect_sizes"](spark, SF0001).collect()[0]
+    assert row["n_click"] == n1 and row["n_purchase"] == n2
+    assert abs(row["cohens_d"] - want_d) <= 1e-6
+    assert abs(row["hedges_g"]) < abs(row["cohens_d"])
+
+
+def test_ohlc_bars_invariants(spark):
+    """low <= open/close <= high per day; open/close match the first/last
+    rows under the (ts, event_id) total order, replayed driver-side for
+    one day."""
+    rows = round10_extra.QUERIES["ts_ohlc_bars"](spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_events"] >= 1
+    day0 = rows[0]["day"]
+    e = load_table(spark, SF0001, "events")
+    day_rows = sorted(
+        (r["ts"], r["event_id"], math.floor(r["value"] * 100))
+        for r in e.filter(F.date_trunc("day", "ts") == day0)
+        .select("ts", "event_id", "value")
+        .collect()
+    )
+    assert rows[0]["open"] == round(day_rows[0][2] / 100.0, 2)
+    assert rows[0]["close"] == round(day_rows[-1][2] / 100.0, 2)
