@@ -430,3 +430,100 @@ def emb_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+def _nprobe_cost_sql() -> str:
+    return f"""WITH {_kmeans_ctes()},
+       sizes AS (SELECT cid, count(*)::BIGINT AS csize
+                 FROM a{_KM_ROUNDS} GROUP BY cid),
+       n AS (SELECT count(*)::BIGINT AS corpus FROM a{_KM_ROUNDS}),
+       pd AS (
+         SELECT v.vec_id AS probe_id, c.cid,
+                sum((v.q - c.cq) * (v.q - c.cq))::BIGINT AS d2
+         FROM qv v JOIN c{_KM_ROUNDS} c ON v.d = c.d
+         WHERE v.vec_id % {_ADC_STRIDE} = 0
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT probe_id, cid,
+                row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY d2, cid) AS cell_rank
+         FROM pd),
+       per AS (
+         SELECT r.probe_id, g.np,
+                (sum(CASE WHEN r.cell_rank <= g.np THEN s.csize
+                          ELSE 0 END) - 1)::BIGINT AS cand
+         FROM ranked r JOIN sizes s USING (cid)
+         CROSS JOIN (SELECT unnest([1, 2, 4])::BIGINT AS np) g
+         GROUP BY 1, 2)
+       SELECT per.np AS nprobe,
+              count(*)::BIGINT AS n_probes,
+              round(sum(per.cand)::DOUBLE / count(*), 6) AS avg_candidates,
+              max(per.cand)::BIGINT AS max_candidates,
+              round(sum(per.cand)::DOUBLE / count(*) / n.corpus * 100, 6)
+                AS corpus_pct
+       FROM per, n GROUP BY per.np, n.corpus ORDER BY per.np"""
+
+
+@q("emb_ivf_nprobe_cost_curve", _nprobe_cost_sql())
+def emb_ivf_nprobe_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COST half of the IVF tuning dial (emb_ivfpq_recall_report is
+    the quality half at nprobe=1): for nprobe ∈ {1, 2, 4}, the average
+    and worst-case candidate volume a probe's ADC scan admits and the
+    share of the corpus touched — the table that prices "raise nprobe
+    to recover recall" before anyone re-runs a recall audit. The
+    probe's own cell always ranks first under the (distance, cid)
+    total order the assignment itself uses, so candidates = admitted
+    cell sizes minus self. Exact integer cell sizes and distances; two
+    rounded divisions at the end. Scale: probe×K distance table (K
+    coarse cells — tiny), cell sizes from the assignment aggregate —
+    nothing corpus-pair-sized anywhere."""
+    qv, assign, cent = _kmeans_assign(spark, sf_dir)
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("csize"))
+    corpus = assign.count()  # scalar for the pct denominator
+    pd2 = (
+        qv.filter(F.col("vec_id") % _ADC_STRIDE == 0)
+        .join(F.broadcast(cent), "d")
+        .groupBy(F.col("vec_id").alias("probe_id"), "cid")
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("d2", "cid")
+    ranked = pd2.withColumn("cell_rank", F.row_number().over(w))
+    grid = F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("np")
+    per = (
+        ranked.join(F.broadcast(sizes), "cid")
+        .select("probe_id", "cell_rank", "csize", grid)
+        .groupBy("probe_id", "np")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("cell_rank") <= F.col("np"), F.col("csize"))
+                    .otherwise(0)
+                )
+                - 1
+            )
+            .cast("long")
+            .alias("cand")
+        )
+    )
+    return (
+        per.groupBy(F.col("np").cast("long").alias("nprobe"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.round(F.sum("cand").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_candidates"
+            ),
+            F.max("cand").cast("long").alias("max_candidates"),
+            F.round(
+                F.sum("cand").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(float(corpus))
+                * 100,
+                6,
+            ).alias("corpus_pct"),
+        )
+        .orderBy("nprobe")
+    )

@@ -272,3 +272,29 @@ def test_ohlc_bars_invariants(spark):
     )
     assert rows[0]["open"] == round(day_rows[0][2] / 100.0, 2)
     assert rows[0]["close"] == round(day_rows[-1][2] / 100.0, 2)
+
+
+def test_nprobe_cost_curve_monotone(spark):
+    """Candidate volume grows monotonically with nprobe; nprobe = K
+    (here 4) touches the whole corpus minus self; every candidate count
+    is non-negative."""
+    from hawaiidatapipeline_spark.queries import ivfpq
+
+    rows = {
+        r["nprobe"]: r
+        for r in ivfpq.QUERIES["emb_ivf_nprobe_cost_curve"](
+            spark, SF0001
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    assert (
+        rows[1]["avg_candidates"]
+        <= rows[2]["avg_candidates"]
+        <= rows[4]["avg_candidates"]
+    )
+    n = load_table(spark, SF0001, "embeddings").count()
+    # nprobe=4 admits all K=4 cells: exactly corpus-minus-self per probe
+    assert rows[4]["avg_candidates"] == n - 1
+    assert abs(rows[4]["corpus_pct"] - round((n - 1) / n * 100, 6)) <= 1e-6
+    for r in rows.values():
+        assert r["max_candidates"] >= r["avg_candidates"] >= 0
