@@ -952,3 +952,63 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@q(
+    "agg_group_median_exact",
+    """WITH vals AS (
+         SELECT o_orderpriority AS grp,
+                floor(o_totalprice * 100)::BIGINT AS cents,
+                count(*)::BIGINT AS c
+         FROM orders GROUP BY 1, 2),
+       cum AS (
+         SELECT grp, cents, c,
+                sum(c) OVER (PARTITION BY grp ORDER BY cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)::BIGINT AS gcum,
+                sum(c) OVER (PARTITION BY grp)::BIGINT AS gn
+         FROM vals)
+       SELECT grp AS priority, max(gn)::BIGINT AS n_rows,
+              round(min(cents) / 100.0, 2) AS median
+       FROM cum WHERE gcum >= (gn + 1) // 2
+       GROUP BY grp ORDER BY grp""",
+)
+def agg_group_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median (lower median: smallest value whose
+    within-group cumulative count reaches ceil(n_g/2)) — the grouped
+    companion to agg_percentile_exact_grid, and the scale answer to the
+    usual trap (a per-group Window.orderBy(value) puts each group's
+    ENTIRE value grain in one task — fine for many small groups, serial
+    for one big one). Shape: GLOBAL prefix sums over the (group, value)
+    total order via operators/ranks.py partitioned_prefix_sums — range
+    slices cut across group boundaries, so even a single dominant group
+    spreads over many partitions — then each group's local cumulative is
+    the global prefix minus the group's starting offset (a prefix over
+    the tiny per-group totals frame, one row per group). All integers
+    until the cents→dollars division."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = partitioned_prefix_sums(vals, [F.col("grp"), F.col("cents")], {"cum": "c"})
+    gtot = vals.groupBy("grp").agg(F.sum("c").cast("long").alias("gn"))
+    w_g = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    # offsets: one row per GROUP (bounded grain) — the only ordered pass
+    off = gtot.select(
+        "grp",
+        "gn",
+        F.coalesce(F.sum("gn").over(w_g), F.lit(0)).cast("long").alias("goff"),
+    )
+    j = cum.join(F.broadcast(off), "grp").withColumn(
+        "gcum", F.col("cum") - F.col("goff")
+    )
+    return (
+        j.filter(F.col("gcum") >= F.floor((F.col("gn") + 1) / 2).cast("long"))
+        .groupBy(F.col("grp").alias("priority"))
+        .agg(
+            F.max("gn").cast("long").alias("n_rows"),
+            F.round(F.min("cents") / 100.0, 2).alias("median"),
+        )
+        .orderBy("priority")
+    )

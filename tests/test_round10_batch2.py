@@ -298,3 +298,25 @@ def test_nprobe_cost_curve_monotone(spark):
     assert abs(rows[4]["corpus_pct"] - round((n - 1) / n * 100, 6)) <= 1e-6
     for r in rows.values():
         assert r["max_candidates"] >= r["avg_candidates"] >= 0
+
+
+def test_group_median_matches_driver_fold(spark):
+    """Per-group lower median replayed by sorting each group's cents."""
+    o = load_table(spark, SF0001, "orders")
+    groups = {}
+    for r in o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).collect():
+        groups.setdefault(r["o_orderpriority"], []).append(r["cents"])
+    got = {
+        r["priority"]: (r["n_rows"], r["median"])
+        for r in round10_extra.QUERIES["agg_group_median_exact"](
+            spark, SF0001
+        ).collect()
+    }
+    assert set(got) == set(groups)
+    for g, xs in groups.items():
+        xs.sort()
+        want = round(xs[(len(xs) + 1) // 2 - 1] / 100.0, 2)
+        assert got[g] == (len(xs), want), g
