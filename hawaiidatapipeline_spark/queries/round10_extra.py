@@ -1012,3 +1012,117 @@ def agg_group_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "ts_bollinger_bands",
+    """WITH daily AS (
+         SELECT date_trunc('day', ts) AS day,
+                sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+         FROM events GROUP BY 1),
+       w AS (
+         SELECT day, cents,
+                count(*) OVER tw AS k,
+                sum(cents) OVER tw::BIGINT AS s,
+                sum(cents * cents) OVER tw::BIGINT AS ss
+         FROM daily
+         WINDOW tw AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                       AND CURRENT ROW))
+       SELECT day, round(cents / 100.0, 2) AS daily_value,
+              round(s::DOUBLE / k / 100, 6) AS ma7,
+              round((s::DOUBLE / k
+                     - 2 * sqrt((ss::DOUBLE * k - s::DOUBLE * s))
+                       / k) / 100, 6) AS lower_band,
+              round((s::DOUBLE / k
+                     + 2 * sqrt((ss::DOUBLE * k - s::DOUBLE * s))
+                       / k) / 100, 6) AS upper_band,
+              CASE WHEN (cents * k - s) * (cents * k - s)
+                        > 4 * (ss * k - s * s)
+                        AND cents * k > s THEN 1
+                   WHEN (cents * k - s) * (cents * k - s)
+                        > 4 * (ss * k - s * s)
+                        AND cents * k < s THEN -1
+                   ELSE 0 END AS breakout
+       FROM w WHERE k = 7 ORDER BY day""",
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on daily volume: 7-day rolling mean ± 2 population
+    standard deviations, with a breakout flag (+1 above, −1 below) — the
+    rolling-band complement to ts_percentile_bands' per-day quantiles
+    and dq_row_count_anomaly's trailing z-score (this one includes the
+    current day in the window, the trading-chart convention). The
+    breakout decision is PURE integer arithmetic — (x·k − s)² > 4·(k·ss
+    − s²) is the band inequality cleared of divisions and square roots —
+    so the flag cannot drift across engines; band edges are doubles from
+    the same exact int sums, rounded 6 dp. Scale: day grain (calendar-
+    bounded window) after one partial-aggregated shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    tw = Window.orderBy("day").rowsBetween(-6, 0)
+    w = daily.select(
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(tw).alias("k"),
+        F.sum("cents").over(tw).cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(tw).cast("long").alias("ss"),
+    ).filter(F.col("k") == 7)
+    mean = F.col("s").cast("double") / F.col("k")
+    sd = F.sqrt(
+        F.col("ss").cast("double") * F.col("k") - F.col("s").cast("double") * F.col("s")
+    ) / F.col("k")
+    dev2 = (F.col("cents") * F.col("k") - F.col("s")) * (
+        F.col("cents") * F.col("k") - F.col("s")
+    )
+    var4 = 4 * (F.col("ss") * F.col("k") - F.col("s") * F.col("s"))
+    return w.select(
+        "day",
+        F.round(F.col("cents") / 100.0, 2).alias("daily_value"),
+        F.round(mean / 100, 6).alias("ma7"),
+        F.round((mean - 2 * sd) / 100, 6).alias("lower_band"),
+        F.round((mean + 2 * sd) / 100, 6).alias("upper_band"),
+        F.when(
+            (dev2 > var4) & (F.col("cents") * F.col("k") > F.col("s")), 1
+        )
+        .when((dev2 > var4) & (F.col("cents") * F.col("k") < F.col("s")), -1)
+        .otherwise(0)
+        .alias("breakout"),
+    ).orderBy("day")
+
+
+@q(
+    "scan_schema_merge",
+    """SELECT n_nationkey, n_name, NULL::BIGINT AS n_regionkey
+       FROM nation WHERE n_nationkey < 12
+       UNION ALL
+       SELECT n_nationkey, n_name, n_regionkey
+       FROM nation WHERE n_nationkey >= 12""",
+)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet drops under one table root —
+    an old batch written BEFORE the n_regionkey column existed and a new
+    batch with it — read back through ``mergeSchema``, which unions the
+    footers and null-fills the missing column (the migration-in-place
+    pattern every long-lived landing zone hits; without mergeSchema the
+    scan silently serves whichever footer it sampled first). At 100 TB
+    mergeSchema's footer union is a planning-time cost over file
+    metadata only; pin the canonical schema in a catalog once evolution
+    settles. The oracle replays the union with explicit NULLs."""
+    from hawaiidatapipeline_spark.queries.sources import _scratch
+
+    n = load_table(spark, sf_dir, "nation")
+    root = _scratch("nation_schema_merge")
+    old = n.filter(F.col("n_nationkey") < 12).select("n_nationkey", "n_name")
+    new = n.filter(F.col("n_nationkey") >= 12).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    old.write.mode("overwrite").parquet(root + "/batch=old")
+    new.write.mode("overwrite").parquet(root + "/batch=new")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(root)
+        .select(
+            "n_nationkey", "n_name", F.col("n_regionkey").cast("long").alias("n_regionkey")
+        )
+    )

@@ -320,3 +320,44 @@ def test_group_median_matches_driver_fold(spark):
         xs.sort()
         want = round(xs[(len(xs) + 1) // 2 - 1] / 100.0, 2)
         assert got[g] == (len(xs), want), g
+
+
+def test_bollinger_bands_invariants(spark):
+    """Bands bracket the moving average; a breakout day is strictly
+    outside its band (replayed in exact integers for every armed day)."""
+    rows = round10_extra.QUERIES["ts_bollinger_bands"](spark, SF0001).collect()
+    assert rows
+    e = load_table(spark, SF0001, "events")
+    daily = sorted(
+        (r["day"], r["cents"])
+        for r in e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+        )
+        .collect()
+    )
+    by_day = {r["day"]: r for r in rows}
+    for i in range(6, len(daily)):
+        day, x = daily[i]
+        win = [c for _, c in daily[i - 6 : i + 1]]
+        k, s, ss = len(win), sum(win), sum(c * c for c in win)
+        flag = 0
+        if (x * k - s) ** 2 > 4 * (ss * k - s * s):
+            flag = 1 if x * k > s else -1
+        r = by_day[day]
+        assert r["breakout"] == flag, day
+        assert r["lower_band"] <= r["ma7"] <= r["upper_band"]
+
+
+def test_schema_merge_null_fills_old_batch(spark):
+    """Rows from the pre-evolution batch carry NULL n_regionkey; rows
+    from the new batch carry the true value; nothing is lost."""
+    df = round10_extra.QUERIES["scan_schema_merge"](spark, SF0001)
+    rows = df.collect()
+    n = load_table(spark, SF0001, "nation")
+    assert len(rows) == n.count()
+    for r in rows:
+        if r["n_nationkey"] < 12:
+            assert r["n_regionkey"] is None
+        else:
+            assert r["n_regionkey"] is not None
