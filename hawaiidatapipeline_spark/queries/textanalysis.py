@@ -224,3 +224,56 @@ def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("code_score_milli").desc(), "doc_id")
         .limit(50)
     )
+
+
+@q(
+    "llm_lang_id_eval",
+    f"""WITH pred AS (
+         SELECT lang AS labeled_lang, {_PRED_SQL} AS predicted_lang
+         FROM documents),
+       cells AS (
+         SELECT labeled_lang, predicted_lang, count(*)::BIGINT AS n
+         FROM pred GROUP BY 1, 2),
+       totals AS (
+         SELECT labeled_lang, sum(n)::BIGINT AS label_total
+         FROM cells GROUP BY labeled_lang)
+       SELECT c.labeled_lang, c.predicted_lang, c.n,
+              t.label_total,
+              round(c.n::DOUBLE / t.label_total, 6) AS row_share
+       FROM cells c JOIN totals t USING (labeled_lang)
+       ORDER BY c.labeled_lang, c.predicted_lang""",
+)
+def llm_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the marker-token language-ID heuristic —
+    the classifier-eval companion to llm_lang_id's per-doc predictions:
+    per (labeled, predicted) cell, counts and the row share (per-label
+    recall on the diagonal, confusion mass off it). This is the table a
+    data curator reads before trusting heuristic lang tags for mixture
+    weights — a systematically confused pair (share bleeding to one
+    neighbor) means the downstream per-lang statistics are biased.
+    Scale: prediction is a pure map over markers (no vocabulary
+    broadcast), the matrix grain is langs², calendar-small."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    )
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = cells.groupBy("labeled_lang").agg(
+        F.sum("n").cast("long").alias("label_total")
+    )
+    return (
+        cells.join(F.broadcast(totals), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n",
+            "label_total",
+            F.round(F.col("n").cast("double") / F.col("label_total"), 6).alias(
+                "row_share"
+            ),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )

@@ -361,3 +361,19 @@ def test_schema_merge_null_fills_old_batch(spark):
             assert r["n_regionkey"] is None
         else:
             assert r["n_regionkey"] is not None
+
+
+def test_lang_id_eval_matrix_partitions_corpus(spark):
+    """Confusion cells partition the corpus; row shares sum to 1 per
+    label; diagonal share equals per-label recall of llm_lang_id."""
+    from hawaiidatapipeline_spark.queries import textanalysis
+
+    rows = textanalysis.QUERIES["llm_lang_id_eval"](spark, SF0001).collect()
+    n_docs = load_table(spark, SF0001, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["labeled_lang"], []).append(r)
+    for label, cells in by_label.items():
+        assert abs(sum(c["row_share"] for c in cells) - 1.0) <= 1e-4
+        assert all(c["label_total"] == cells[0]["label_total"] for c in cells)
