@@ -340,6 +340,21 @@ AUDITS: dict[str, list[str]] = {
     # round-10: value-grain cumulative stages de-serialized — the plan must
     # carry the range exchange that makes the cumsum slices parallel
     "agg_gini_lorenz": ["partial_agg", "range_exchange", "window_exec", "broadcast_any", "no_cartesian", "codegen"],
+    # round-10 batches 2-4
+    "agg_percentile_exact_grid": ["partial_agg", "range_exchange", "window_exec", "broadcast_any", "no_cartesian", "codegen"],
+    "agg_theil_index": ["partial_agg", "codegen"],
+    "graph_jaccard_links": ["partial_agg", "smj_or_bhj", "take_ordered", "no_cartesian", "codegen"],
+    "dq_row_count_anomaly": ["partial_agg", "window_exec", "codegen"],
+    "events_sequence_entropy": ["partial_agg", "window_exec", "take_ordered", "codegen"],
+    "dq_uniqueness_report": ["partial_agg", "codegen"],
+    "events_retention_triangle": ["partial_agg", "smj_or_bhj", "broadcast_any", "no_cartesian", "codegen"],
+    "llm_oov_rate": ["partial_agg", "take_ordered", "generate_exec", "broadcast_any", "codegen"],
+    "llm_mixture_epochs": ["partial_agg", "broadcast_any", "no_cartesian", "codegen"],
+    "llm_fingerprint_overlap_pairs": ["partial_agg", "smj_or_bhj", "window_exec", "take_ordered", "generate_exec", "no_cartesian", "codegen"],
+    "emb_mahalanobis_outliers": ["partial_agg", "generate_exec", "take_ordered", "broadcast_any", "no_cartesian", "codegen"],
+    "agg_effect_sizes": ["partial_agg", "pushdown", "codegen"],
+    "ts_ohlc_bars": ["partial_agg", "window_exec", "codegen"],
+    "stream_static_enrich": ["partial_agg", "broadcast", "codegen"],
 }
 
 
