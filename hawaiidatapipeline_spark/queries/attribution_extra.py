@@ -14,7 +14,7 @@ BEFORE summation so parallel addition is order-free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
@@ -224,4 +224,201 @@ def events_attribution_time_decay(
             ).alias("credit"),
         )
         .orderBy("channel")
+    )
+
+
+_MK_STEPS = 12  # truncated absorbing-chain horizon (micro-unit converged)
+_MK_CHANNELS = ("click", "signup", "view")
+
+
+def _markov_edges_sql() -> str:
+    """Shared journey→edge CTEs: per user, pre-first-purchase channel
+    touches in (ts, event_id) order; START enters the first touch, the
+    last touch exits to CONV/DROP, touchless converters go START→CONV."""
+    chans = ", ".join(f"'{c}'" for c in _MK_CHANNELS)
+    return f"""conv AS (
+         SELECT user_id, min(ts) AS fp FROM events
+         WHERE event_type = 'purchase' GROUP BY user_id),
+       t0 AS (
+         SELECT e.user_id, e.ts, e.event_id, e.event_type, c.fp
+         FROM events e LEFT JOIN conv c USING (user_id)
+         WHERE e.event_type IN ({chans})
+           AND (c.fp IS NULL OR e.ts < c.fp)),
+       seq AS (
+         SELECT user_id, event_type, fp,
+                lead(event_type) OVER w AS nxt,
+                row_number() OVER w AS rn
+         FROM t0
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       term AS (
+         SELECT user_id,
+                CASE WHEN fp IS NULL THEN 'DROP' ELSE 'CONV' END AS terminal
+         FROM seq GROUP BY user_id, fp),
+       edges AS (
+         SELECT s.event_type AS src, coalesce(s.nxt, t.terminal) AS dst
+         FROM seq s JOIN term t USING (user_id)
+         UNION ALL
+         SELECT 'START', event_type FROM seq WHERE rn = 1
+         UNION ALL
+         SELECT 'START', 'CONV' FROM conv c
+         WHERE NOT EXISTS (SELECT 1 FROM t0 WHERE t0.user_id = c.user_id)),
+       trans AS (SELECT src, dst, count(*)::BIGINT AS n
+                 FROM edges GROUP BY 1, 2),
+       tot AS (SELECT src, sum(n)::BIGINT AS total FROM trans GROUP BY src)"""
+
+
+def _markov_lane_ctes(lane: str, removed: str | None) -> str:
+    """K unrolled DP steps for one lane (pagerank/kmeans idiom): p_k(s) =
+    floor(Σ_t n(s,t)·p_{k-1}(t) / n(s)) in micro units, CONV pinned at
+    1e6; a removed channel contributes 0 by excluding its dst rows (the
+    denominator keeps them — redirected to DROP, the standard removal
+    semantics)."""
+    drop = f" AND t.dst <> '{removed}'" if removed else ""
+    parts = [f"p_{lane}_0 AS (SELECT 'CONV' AS state, 1000000::BIGINT AS val)"]
+    for k in range(1, _MK_STEPS + 1):
+        parts.append(
+            f"""p_{lane}_{k} AS (
+         SELECT t.src AS state,
+                (sum(t.n * p.val) // max(tt.total))::BIGINT AS val
+         FROM trans t
+         JOIN p_{lane}_{k - 1} p ON p.state = t.dst{drop}
+         JOIN tot tt ON tt.src = t.src
+         GROUP BY t.src
+         UNION ALL SELECT 'CONV', 1000000::BIGINT)"""
+        )
+    return ",\n       ".join(parts)
+
+
+def _markov_sql() -> str:
+    lanes = [_markov_lane_ctes("full", None)]
+    for c in _MK_CHANNELS:
+        lanes.append(_markov_lane_ctes(c, c))
+    start_val = (
+        lambda lane: f"coalesce((SELECT val FROM p_{lane}_{_MK_STEPS} "
+        f"WHERE state = 'START'), 0)"
+    )
+    per_channel = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel, {start_val(c)}::BIGINT AS p_removed"
+        for c in _MK_CHANNELS
+    )
+    lanes_sql = ",\n       ".join(lanes)
+    return f"""WITH {_markov_edges_sql()},
+       {lanes_sql},
+       base AS (
+         SELECT greatest({start_val("full")}, 1)::BIGINT AS p_full,
+                (SELECT count(*) FROM conv)::BIGINT AS n_conversions),
+       rem AS (
+         SELECT r.channel, b.p_full, b.n_conversions,
+                ((b.p_full - least(r.p_removed, b.p_full)) * 1000000
+                 // b.p_full)::BIGINT AS removal_micro
+         FROM ({per_channel}) r CROSS JOIN base b),
+       s AS (SELECT sum(removal_micro)::BIGINT AS sum_rem FROM rem)
+       SELECT rem.channel,
+              rem.n_conversions,
+              round(rem.p_full / 1000000.0, 6) AS p_conv,
+              round(rem.removal_micro / 1000000.0, 6) AS removal_effect,
+              round((rem.removal_micro * 1000000
+                     // greatest(s.sum_rem, 1)) / 1000000.0, 6)
+                AS credit_share
+       FROM rem, s ORDER BY rem.channel"""
+
+
+@q("events_attribution_markov", _markov_sql())
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven member that
+    completes the attribution family (first-touch and linear split by
+    position, time-decay by recency, Shapley by set membership; Markov
+    credits each channel by how much conversion probability DISAPPEARS
+    when journeys can no longer pass through it). First-order chain on
+    the journey states (START, channels, CONV/DROP absorbing): exact
+    integer transition counts feed a {steps}-step truncated DP in micro
+    units with truncating division — the pagerank/kmeans fixed-point
+    idiom, so both engines land identical integers at every step —
+    and channel c's lane excludes transitions INTO c from numerators
+    while denominators keep them (redirected to DROP, the standard
+    removal semantics). removal_c = 1 − P_c/P_full; credit shares
+    normalize removals. Scale: journeys need ONE user-keyed shuffle
+    (window + rollup); everything after lives on the ≤(channels+3)²
+    transition matrix — a bounded metadata pull (the states are a
+    constant, not data) that the driver-side DP mirrors integer-for-
+    integer with the unrolled oracle CTEs.""".format(steps=_MK_STEPS)
+    e = load_table(spark, sf_dir, "events")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    t0 = (
+        e.filter(F.col("event_type").isin(list(_MK_CHANNELS)))
+        .join(conv, "user_id", "left")
+        .filter(F.col("fp").isNull() | (F.col("ts") < F.col("fp")))
+        .select("user_id", "ts", "event_id", "event_type", "fp")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t0.select(
+        "user_id",
+        "event_type",
+        "fp",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    terminal = F.when(F.col("fp").isNull(), "DROP").otherwise("CONV")
+    edges = (
+        seq.select(
+            F.col("event_type").alias("src"),
+            F.coalesce("nxt", terminal).alias("dst"),
+        )
+        .unionByName(
+            seq.filter(F.col("rn") == 1).select(
+                F.lit("START").alias("src"), F.col("event_type").alias("dst")
+            )
+        )
+        .unionByName(
+            conv.join(t0.select("user_id").distinct(), "user_id", "left_anti")
+            .select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+        )
+    )
+    trans = [
+        (r["src"], r["dst"], r["n"])
+        for r in edges.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()  # bounded: <= (channels+3)^2 rows, a constant grain
+    ]
+    n_conversions = conv.count()
+    totals: dict = {}
+    for src, _, n in trans:
+        totals[src] = totals.get(src, 0) + n
+
+    def dp(removed: str | None) -> int:
+        p = {"CONV": 1000000}
+        for _ in range(_MK_STEPS):
+            nxt = {}
+            for src, dst, n in trans:
+                if removed is not None and dst == removed:
+                    continue
+                nxt[src] = nxt.get(src, 0) + n * p.get(dst, 0)
+            p = {s: v // totals[s] for s, v in nxt.items()}
+            p["CONV"] = 1000000
+        return p.get("START", 0)
+
+    p_full = max(dp(None), 1)
+    removal = {
+        c: (p_full - min(dp(c), p_full)) * 1000000 // p_full
+        for c in _MK_CHANNELS
+    }
+    sum_rem = max(sum(removal.values()), 1)
+    rows = [
+        (
+            c,
+            n_conversions,
+            round(p_full / 1000000.0, 6),
+            round(removal[c] / 1000000.0, 6),
+            round((removal[c] * 1000000 // sum_rem) / 1000000.0, 6),
+        )
+        for c in sorted(_MK_CHANNELS)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, n_conversions long, p_conv double, "
+        "removal_effect double, credit_share double",
     )

@@ -377,3 +377,60 @@ def test_lang_id_eval_matrix_partitions_corpus(spark):
     for label, cells in by_label.items():
         assert abs(sum(c["row_share"] for c in cells) - 1.0) <= 1e-4
         assert all(c["label_total"] == cells[0]["label_total"] for c in cells)
+
+
+def test_markov_attribution_invariants(spark):
+    """Removal effects are in [0,1]; credit shares sum to ~1; removing a
+    channel can only LOWER the truncated conversion probability (checked
+    structurally by removal >= 0); p_conv matches a driver-side replay of
+    the same integer DP from independently recomputed transition
+    counts."""
+    from hawaiidatapipeline_spark.queries import attribution_extra as ax
+
+    rows = ax.QUERIES["events_attribution_markov"](spark, SF0001).collect()
+    assert {r["channel"] for r in rows} == set(ax._MK_CHANNELS)
+    # truncating division loses up to 1 micro per channel
+    assert abs(sum(r["credit_share"] for r in rows) - 1.0) <= 5e-6
+    for r in rows:
+        assert 0.0 <= r["removal_effect"] <= 1.0
+        assert 0.0 < r["p_conv"] <= 1.0
+
+    # independent journey fold -> transition counts -> same DP
+    e = load_table(spark, SF0001, "events").collect()
+    fp = {}
+    for r in e:
+        if r["event_type"] == "purchase":
+            fp[r["user_id"]] = min(fp.get(r["user_id"], r["ts"]), r["ts"])
+    touches = {}
+    for r in e:
+        if r["event_type"] in ax._MK_CHANNELS and (
+            r["user_id"] not in fp or r["ts"] < fp[r["user_id"]]
+        ):
+            touches.setdefault(r["user_id"], []).append(
+                (r["ts"], r["event_id"], r["event_type"])
+            )
+    trans = {}
+
+    def bump(s, d):
+        trans[(s, d)] = trans.get((s, d), 0) + 1
+
+    for u, ts in touches.items():
+        ts.sort()
+        bump("START", ts[0][2])
+        for a, b in zip(ts, ts[1:]):
+            bump(a[2], b[2])
+        bump(ts[-1][2], "CONV" if u in fp else "DROP")
+    for u in fp:
+        if u not in touches:
+            bump("START", "CONV")
+    totals = {}
+    for (s, _), n in trans.items():
+        totals[s] = totals.get(s, 0) + n
+    p = {"CONV": 1000000}
+    for _ in range(ax._MK_STEPS):
+        nxt = {}
+        for (s, d), n in trans.items():
+            nxt[s] = nxt.get(s, 0) + n * p.get(d, 0)
+        p = {s: v // totals[s] for s, v in nxt.items()}
+        p["CONV"] = 1000000
+    assert rows[0]["p_conv"] == round(max(p.get("START", 0), 1) / 1e6, 6)
