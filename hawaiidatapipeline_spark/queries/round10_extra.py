@@ -1126,3 +1126,128 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nationkey", "n_name", F.col("n_regionkey").cast("long").alias("n_regionkey")
         )
     )
+
+
+@q(
+    "dq_partition_skew_report",
+    """WITH m AS (
+         SELECT date_trunc('month', o_orderdate) AS month,
+                count(*)::BIGINT AS n
+         FROM orders GROUP BY 1),
+       s AS (
+         SELECT count(*)::BIGINT AS n_parts,
+                max(n)::BIGINT AS max_rows,
+                min(n)::BIGINT AS min_rows,
+                sum(n)::BIGINT AS total,
+                (quantile_disc(n, 0.5))::BIGINT AS median_rows
+         FROM m),
+       top AS (SELECT month, n FROM m ORDER BY n DESC, month LIMIT 3)
+       SELECT s.n_parts, s.total, s.min_rows, s.median_rows, s.max_rows,
+              round(s.max_rows::DOUBLE / s.median_rows, 6) AS skew_factor,
+              top.month AS top_month, top.n AS top_rows
+       FROM s, top ORDER BY top_rows DESC, top_month""",
+)
+def dq_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-volume skew report for the natural layout key (order
+    month): per-partition row counts summarized as min/median/max with
+    the max/median skew factor and the three heaviest partitions — the
+    table a write-path review reads before choosing partitionBy(date)
+    at 100 TB (a skew factor of 5 means the biggest partition's files
+    and any partition-aligned task run 5× the median; the fix is
+    salting or sub-partitioning exactly where this report points).
+    Discrete median (largest value with cumulative count ≥ n/2 under
+    quantile_disc semantics — replicated exactly on the Spark side via
+    sorted-array indexing over the bounded month grain); all integers
+    but the one rounded ratio."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # month grain is calendar-bounded: collect-free summary via sort_array
+    s = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("n").cast("long").alias("total"),
+        F.min("n").cast("long").alias("min_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.sort_array(F.collect_list("n")).alias("ns"),
+    ).select(
+        "n_parts",
+        "total",
+        "min_rows",
+        "max_rows",
+        # quantile_disc(0.5): element at ceil(0.5*n) in 1-based sorted order
+        F.element_at(
+            "ns", F.ceil(F.col("n_parts") * 0.5).cast("int")
+        )
+        .cast("long")
+        .alias("median_rows"),
+    )
+    top = m.orderBy(F.col("n").desc(), "month").limit(3)
+    return (
+        top.select(F.col("month").alias("top_month"), F.col("n").alias("top_rows"))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "n_parts",
+            "total",
+            "min_rows",
+            "median_rows",
+            "max_rows",
+            F.round(
+                F.col("max_rows").cast("double") / F.col("median_rows"), 6
+            ).alias("skew_factor"),
+            "top_month",
+            "top_rows",
+        )
+        .orderBy(F.col("top_rows").desc(), "top_month")
+    )
+
+
+@q(
+    "events_new_vs_returning",
+    """WITH firsts AS (
+         SELECT user_id, min(date_trunc('day', ts)) AS first_day
+         FROM events GROUP BY user_id),
+       act AS (
+         SELECT DISTINCT e.user_id, date_trunc('day', e.ts) AS day,
+                f.first_day
+         FROM events e JOIN firsts f USING (user_id))
+       SELECT day,
+              sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)::BIGINT
+                AS new_users,
+              sum(CASE WHEN day > first_day THEN 1 ELSE 0 END)::BIGINT
+                AS returning_users,
+              round(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END)::DOUBLE
+                    / count(*), 6) AS returning_share
+       FROM act GROUP BY day ORDER BY day""",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily active mix — the growth-accounting split
+    (acquisition vs retention) that events_retention_triangle shows by
+    cohort and this shows by calendar day: per day, distinct users seen
+    for the first time vs returning, plus the returning share. One
+    user-grain first-seen aggregate joined back (broadcastable dim — one
+    row per user... at 100 TB it's a user-keyed shuffle join, the same
+    single exchange the distinct-per-day rollup already needs); exact
+    integer counts, one rounded share."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    act = (
+        e.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .join(firsts, "user_id")
+    )
+    is_new = F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+    is_ret = F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+    return (
+        act.groupBy("day")
+        .agg(
+            F.sum(is_new).cast("long").alias("new_users"),
+            F.sum(is_ret).cast("long").alias("returning_users"),
+            F.round(
+                F.sum(is_ret).cast("double") / F.count(F.lit(1)), 6
+            ).alias("returning_share"),
+        )
+        .orderBy("day")
+    )

@@ -434,3 +434,50 @@ def test_markov_attribution_invariants(spark):
         p = {s: v // totals[s] for s, v in nxt.items()}
         p["CONV"] = 1000000
     assert rows[0]["p_conv"] == round(max(p.get("START", 0), 1) / 1e6, 6)
+
+
+def test_partition_skew_report_fold(spark):
+    """Summary row replayed from raw month counts, including the
+    quantile_disc median convention."""
+    import math as _m
+
+    o = load_table(spark, SF0001, "orders")
+    ns = sorted(
+        r["n"]
+        for r in o.groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    rows = round10_extra.QUERIES["dq_partition_skew_report"](
+        spark, SF0001
+    ).collect()
+    assert len(rows) == 3
+    median = ns[_m.ceil(len(ns) * 0.5) - 1]
+    for r in rows:
+        assert r["n_parts"] == len(ns)
+        assert r["total"] == sum(ns)
+        assert r["min_rows"] == ns[0] and r["max_rows"] == ns[-1]
+        assert r["median_rows"] == median
+        assert r["skew_factor"] == round(ns[-1] / median, 6)
+    assert [r["top_rows"] for r in rows] == sorted(ns[-3:], reverse=True)
+
+
+def test_new_vs_returning_partitions_dau(spark):
+    """new + returning = distinct active users per day; the first day of
+    the fixture has zero returning users."""
+    rows = round10_extra.QUERIES["events_new_vs_returning"](
+        spark, SF0001
+    ).collect()
+    assert rows
+    assert rows[0]["returning_users"] == 0
+    e = load_table(spark, SF0001, "events")
+    dau = {
+        r["day"]: r["n"]
+        for r in e.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["new_users"] + r["returning_users"] == dau[r["day"]]
