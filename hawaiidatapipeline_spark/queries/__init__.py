@@ -84,24 +84,23 @@ _MODULES = (
 # Round-4 window: exactly the 50 keys with no driver row after round 3
 # (windows family, etl_*, corpus pipelines v1-v4, fn_bitwise, ...).
 _FRONT: tuple[str, ...] = (
-    'fn_uuid_deterministic', 'llm_dedup_threshold_curve', 'llm_code_detect',
-    'multimodal_frame_dedup', 'multimodal_audio_vad', 'etl_data_vault_keys',
-    'etl_erasure_plan', 'dq_inclusion_dependencies', 'dq_wasserstein_drift',
-    'events_pit_features', 'llm_curriculum_order', 'llm_domain_reweight_step',
-    'sql_pivot_clause', 'events_revenue_bridge', 'events_stratified_ate',
-    'events_attribution_shapley', 'events_attribution_time_decay', 'agg_trimmed_mean',
-    'llm_trigram_backoff', 'agg_hll_portable', 'agg_kmv_merge_proof',
-    'ts_window_distinct_kmv', 'ts_peak_detection', 'ts_mann_kendall',
-    'llm_readability', 'emb_hamming_topk', 'emb_hamming_recall_report',
-    'emb_mmr_rerank', 'emb_knn_dist_outliers', 'emb_srp_recall_report',
-    'emb_nearest_centroid_confusion', 'graph_bfs_hops', 'graph_rich_club',
-    'graph_lpa_modularity', 'events_bot_score', 'events_power_law_hill',
-    'win_nth_value', 'set_except_all', 'set_intersect_all',
-    'agg_gini_lorenz', 'stream_static_enrich',
-    'agg_percentile_exact_grid', 'agg_theil_index', 'graph_jaccard_links',
-    'dq_row_count_anomaly', 'events_sequence_entropy',
-    'dq_uniqueness_report', 'events_retention_triangle',
-    'llm_fingerprint_overlap_pairs', 'emb_mahalanobis_outliers',
+    'llm_lang_id_eval', 'events_attribution_markov', 'llm_oov_rate',
+    'llm_mixture_epochs', 'agg_effect_sizes', 'ts_ohlc_bars',
+    'agg_group_median_exact', 'ts_bollinger_bands', 'scan_schema_merge',
+    'dq_partition_skew_report', 'events_new_vs_returning', 'emb_ivf_nprobe_cost_curve',
+    'project_computed', 'filter_compare', 'filter_boolean',
+    'filter_in_between_null', 'filter_like', 'fulltext_search',
+    'distinct_rows', 'sort_multikey', 'limit_n',
+    'offset_paging', 'topk_global', 'set_union_all',
+    'set_union_distinct', 'set_intersect', 'set_except',
+    'subquery_scalar_correlated', 'dq_profile', 'dq_referential',
+    'join_inner_broadcast', 'join_inner_sortmerge', 'join_left_outer',
+    'join_right_outer', 'join_full_outer', 'join_left_semi',
+    'join_left_anti', 'join_cross', 'join_theta_range',
+    'join_asof', 'agg_groupby_basic', 'agg_global',
+    'agg_multikey', 'agg_count_distinct', 'agg_approx_count_distinct',
+    'agg_having', 'agg_rollup', 'agg_cube',
+    'agg_grouping_sets', 'agg_stats',
 )
 
 
