@@ -605,3 +605,89 @@ def events_markov_next_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "stream_late_audit",
+    """WITH arr AS (
+         SELECT event_type, ts, user_id, event_id,
+                event_id + (event_id * 2654435761) % 4294967296 % 101 - 50
+                  AS arrival_seq
+         FROM events),
+       wm AS (
+         SELECT event_type, ts,
+                max(ts) OVER (PARTITION BY user_id
+                              ORDER BY arrival_seq, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev_max
+         FROM arr),
+       cls AS (
+         SELECT event_type,
+                CASE WHEN prev_max IS NULL
+                       OR ts >= prev_max - INTERVAL 30 MINUTE
+                     THEN 'on_time'
+                     WHEN ts >= prev_max - INTERVAL 30 MINUTE
+                                         - INTERVAL 60 MINUTE
+                     THEN 'late_accepted'
+                     ELSE 'late_dropped' END AS late_class
+         FROM wm)
+       SELECT event_type,
+              count(*)::BIGINT AS n_total,
+              sum(CASE WHEN late_class = 'on_time' THEN 1 ELSE 0 END)::BIGINT
+                AS n_on_time,
+              sum(CASE WHEN late_class = 'late_accepted' THEN 1 ELSE 0 END)::BIGINT
+                AS n_late_accepted,
+              sum(CASE WHEN late_class = 'late_dropped' THEN 1 ELSE 0 END)::BIGINT
+                AS n_late_dropped
+       FROM cls GROUP BY 1 ORDER BY 1""",
+)
+def stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the late-data audit side sink (SURVEY §2.I "Late-data
+    audit" — the last D-only streaming row, now E-checked): every event is
+    classified against the per-user watermark its OWN arrival saw — the
+    running max event time over strictly-earlier arrivals minus a
+    30-minute threshold — into on_time / late_accepted (within a
+    60-minute grace behind the watermark) / late_dropped, rolled up per
+    event_type. The fixture's events land in event-time order (event_id
+    is ts-monotone), which would make every row trivially on-time, so the
+    twin replays them through a DETERMINISTIC bounded reorder — arrival
+    sequence = event_id + (Knuth-hash(event_id) mod 101) − 50, a ±50-slot
+    network-style jitter — which exercises all three verdicts at every
+    SF. Calls THE SAME classify_late the streaming runtime's
+    run_late_audit_sink routes with; because the verdict depends only on
+    the arrival prefix, the micro-batched replay equals this batch result
+    on any in-order split (equivalence test #31, tests/test_streaming.py).
+    Scale: the jitter is a map-side expression; one per-user ordered
+    window (per-key event counts bound the partition) + a bounded
+    event_type rollup; the streaming side carries one max-ts row per key
+    as state."""
+    from hawaiidatapipeline_spark.streaming.runtime import classify_late
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "arrival_seq",
+        F.col("event_id")
+        + (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296) % 101
+        - 50,
+    )
+    cls = classify_late(
+        e,
+        threshold="30 minutes",
+        grace="60 minutes",
+        order_col=("arrival_seq", "event_id"),
+    )
+    return (
+        cls.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.when(F.col("late_class") == "on_time", 1).otherwise(0))
+            .cast("long")
+            .alias("n_on_time"),
+            F.sum(F.when(F.col("late_class") == "late_accepted", 1).otherwise(0))
+            .cast("long")
+            .alias("n_late_accepted"),
+            F.sum(F.when(F.col("late_class") == "late_dropped", 1).otherwise(0))
+            .cast("long")
+            .alias("n_late_dropped"),
+        )
+        .orderBy("event_type")
+    )

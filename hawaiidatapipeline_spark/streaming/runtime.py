@@ -704,6 +704,138 @@ def run_aggregate_sink(
     )
 
 
+def classify_late(
+    batch_df: DataFrame,
+    prior_max: DataFrame | None = None,
+    threshold: str = "30 minutes",
+    grace: str = "60 minutes",
+    key_col: str = "user_id",
+    order_col: str | tuple[str, ...] = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key watermark classification shared by the batch twin
+    (queries/events.py stream_late_audit) and the streaming side sink
+    (run_late_audit_sink): each row is judged against the watermark its
+    OWN arrival saw — the running max event time over strictly-earlier
+    arrivals of the same key (``order_col`` is the arrival sequence),
+    minus ``threshold``. Three-way verdict in ``late_class``:
+
+    - ``on_time``       : ts >= watermark (or first arrival for the key)
+    - ``late_accepted`` : within ``grace`` behind the watermark — the rows
+      an allowed-lateness window would still fold in
+    - ``late_dropped``  : older than watermark − grace — the rows the
+      engine silently discards unless a side sink catches them
+
+    ``prior_max`` is the carry-in per-key max from earlier micro-batches
+    ((key_col, max_ts) — one row per key, broadcast); with it the verdict
+    depends only on the arrival PREFIX, never on where micro-batch
+    boundaries fall, which is exactly what makes the streaming replay
+    equal the batch twin on any in-order split (equivalence test #31).
+    Scale: one per-key ordered window (per-key event counts bound the
+    partition) + an optional broadcast join against key-cardinality state.
+    """
+    from pyspark.sql import Window
+
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    df = batch_df.withColumn("_prev_max", F.max(ts_col).over(w))
+    if prior_max is not None:
+        pm = prior_max.select(key_col, F.col("max_ts").alias("_state_max"))
+        # greatest() skips NULLs, so first-in-batch rows inherit the state
+        # max and unseen keys keep their in-batch prefix max
+        df = df.join(F.broadcast(pm), key_col, "left").withColumn(
+            "_prev_max", F.greatest("_prev_max", "_state_max")
+        ).drop("_state_max")
+    wm = F.col("_prev_max") - F.expr(f"INTERVAL {threshold}")
+    cls = (
+        F.when(F.col("_prev_max").isNull() | (F.col(ts_col) >= wm), "on_time")
+        .when(F.col(ts_col) >= wm - F.expr(f"INTERVAL {grace}"), "late_accepted")
+        .otherwise("late_dropped")
+    )
+    return df.withColumn("late_class", cls).drop("_prev_max")
+
+
+def run_late_audit_sink(
+    stream_df: DataFrame,
+    audit_path: str,
+    state_path: str,
+    checkpoint: str,
+    threshold: str = "30 minutes",
+    grace: str = "60 minutes",
+    key_col: str = "user_id",
+    order_col: str | tuple[str, ...] = "event_id",
+):
+    """Late-data audit side sink (SURVEY §2.I "Late-data audit"): each
+    micro-batch is classified by ``classify_late`` against the per-key
+    watermark carried across batches, then ROUTED — on-time + grace-window
+    rows land under ``audit_path``/accepted, watermark-expired rows under
+    ``audit_path``/dropped — so the rows a watermarked aggregation would
+    silently discard are preserved with their verdict attached.
+
+    Exactly-once shape: each batch writes into ``batch_id=N`` partition
+    dirs with overwrite, so a replayed batch rewrites its own partition
+    instead of double-appending; the per-key max state merge is a max()
+    fold, idempotent under replay by construction. State is read
+    loss-proof (_read_state) and swapped rename-aside like the merge sink.
+    Scale: state is one row per key; the routing is a map-side split of
+    the already-classified batch — no shuffle beyond the per-key window.
+    """
+    import shutil
+    import uuid
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = _read_state(spark, state_path, state_path + ".old")
+        classified = classify_late(
+            batch_df,
+            prior_max=state,
+            threshold=threshold,
+            grace=grace,
+            key_col=key_col,
+            order_col=order_col,
+        ).persist()
+        try:
+            for name, pred in (
+                ("accepted", F.col("late_class") != "late_dropped"),
+                ("dropped", F.col("late_class") == "late_dropped"),
+            ):
+                classified.filter(pred).write.mode("overwrite").parquet(
+                    os.path.join(audit_path, name, f"batch_id={batch_id}")
+                )
+            batch_max = classified.groupBy(key_col).agg(
+                F.max("ts").alias("max_ts")
+            )
+            if state is None:
+                merged = batch_max
+            else:
+                merged = (
+                    state.unionByName(batch_max)
+                    .groupBy(key_col)
+                    .agg(F.max("max_ts").alias("max_ts"))
+                )
+            tmp = f"{state_path}__tmp_{uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").parquet(tmp)
+            old = state_path + ".old"
+            if os.path.exists(state_path):
+                shutil.rmtree(old, ignore_errors=True)
+                os.replace(state_path, old)
+            os.replace(tmp, state_path)
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            classified.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str):
     """Production file sink: append mode, exactly-once via the checkpoint
     WAL + output manifest. Caller owns trigger cadence."""

@@ -1016,3 +1016,83 @@ def test_merge_sink_recovers_from_old_after_interrupted_swap(spark, tmp_path):
     q2.awaitTermination()
     # merged against the survivor: same keys -> same final row count
     assert spark.read.parquet(target).count() == n_first
+
+
+def test_late_audit_sink_equals_batch_twin(spark, tmp_path):
+    """Equivalence test #31 — the late-data audit side sink: events
+    replayed micro-batched IN ARRIVAL ORDER (the same jittered arrival
+    sequence the batch twin models), routed by run_late_audit_sink into
+    accepted/dropped side outputs with per-key max state carried across
+    batches, must reproduce the E-checked stream_late_audit rollup
+    exactly — the verdict depends only on the arrival prefix, so any
+    in-order batch split yields identical classifications."""
+    import time
+
+    events = load_table(spark, SF0001, "events").withColumn(
+        "arrival_seq",
+        F.col("event_id")
+        + (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296) % 101
+        - 50,
+    )
+    rows = events.orderBy("arrival_seq", "event_id").collect()
+    landing = tmp_path / "late_landing"
+    landing.mkdir()
+    n_files = 4
+    chunk = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = rows[i * chunk : (i + 1) * chunk]
+        spark.createDataFrame(part, events.schema).coalesce(1).write.parquet(
+            str(landing / f"b{i}")
+        )
+        time.sleep(1.1)  # file-source ordering is by mod time
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing / "b*"))
+    )
+    audit = str(tmp_path / "late_audit")
+    q = runtime.run_late_audit_sink(
+        stream,
+        audit_path=audit,
+        state_path=str(tmp_path / "late_state"),
+        checkpoint=str(tmp_path / "late_ckpt"),
+        threshold="30 minutes",
+        grace="60 minutes",
+        order_col=("arrival_seq", "event_id"),
+    )
+    q.awaitTermination()
+
+    accepted = spark.read.parquet(audit + "/accepted")
+    dropped = spark.read.parquet(audit + "/dropped")
+    # multi-batch replay actually happened, and the routing is exclusive
+    assert accepted.select("batch_id").distinct().count() >= 2
+    assert set(
+        r.late_class for r in dropped.select("late_class").distinct().collect()
+    ) == {"late_dropped"}
+    assert accepted.filter(F.col("late_class") == "late_dropped").count() == 0
+    assert accepted.count() + dropped.count() == len(rows)
+
+    got = (
+        accepted.unionByName(dropped)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.when(F.col("late_class") == "on_time", 1).otherwise(0))
+            .cast("long")
+            .alias("n_on_time"),
+            F.sum(
+                F.when(F.col("late_class") == "late_accepted", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_late_accepted"),
+            F.sum(
+                F.when(F.col("late_class") == "late_dropped", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_late_dropped"),
+        )
+    )
+    want = batch_twins.stream_late_audit(spark, SF0001)
+    cols = ["event_type", "n_total", "n_on_time", "n_late_accepted", "n_late_dropped"]
+    assert _rows(got, cols) == _rows(want, cols)
