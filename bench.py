@@ -101,6 +101,8 @@ HEAVY = [
     "graph_lpa_modularity",
     "graph_rich_club",
     "llm_dedup_threshold_curve",
+    # round-11 additions (same caveat for r10's heavy_total)
+    "emb_ivfpq_topk_nprobe2",
 ]
 
 # Sub-0.5s queries sit at the box-noise floor: with 3 passes one co-tenant

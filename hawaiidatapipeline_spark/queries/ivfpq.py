@@ -76,40 +76,92 @@ def _ivfpq_topk_sql() -> str:
        ORDER BY r.probe_id, r.rnk"""
 
 
+class _IvfpqCtx:
+    """Shared IVF-PQ training context: coarse cells + PQ codes trained
+    ONCE, with an ``adc_for(admitted_cells)`` builder so nprobe variants
+    reuse the same materialized trainings (VERDICT r10 item 5: the exact
+    leg and extra probe legs must not retrain). Fields: ``qv`` (exploded
+    (vec_id, d, m, q) integer vectors — also serves the exact-truth leg),
+    ``coarse`` (vec_id, cid), ``ccent`` (final coarse centroids),
+    ``probes`` (strided probe slice of qv), ``pcell`` (probe's own
+    cell), ``t`` (probe ADC lookup tables), ``ncodes`` (codes tagged
+    with their coarse cell)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        _, self.coarse, self.ccent = _kmeans_assign(spark, sf_dir)
+        qv, assign, cent = _pq_train(spark, sf_dir)
+        self.qv = qv
+        codes = assign.select("vec_id", "m", "cid")
+        self.probes = qv.filter(F.col("vec_id") % _ADC_STRIDE == 0)
+        self.t = (
+            self.probes.join(F.broadcast(cent), ["d", "m"])
+            .groupBy(F.col("vec_id").alias("probe_id"), "m", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("sub_d2")
+            )
+        )
+        self.pcell = self.coarse.filter(
+            F.col("vec_id") % _ADC_STRIDE == 0
+        ).select(F.col("vec_id").alias("probe_id"), F.col("cid").alias("cell"))
+        # codes tagged with their coarse cell: the (m, cid, cell) equi-join
+        # in adc_for is the IVF read path — only cell-mates are ever scored
+        self.ncodes = codes.join(
+            self.coarse.withColumnRenamed("cid", "cell"), "vec_id"
+        ).withColumnRenamed("vec_id", "neighbor_id")
+
+    def adc_for(self, admitted: DataFrame) -> DataFrame:
+        """Cell-pruned ADC scores for an admitted (probe_id, cell) set —
+        nprobe=N is just N rows per probe here; each neighbor matches at
+        most its own cell, so the groupBy never double-counts. Lookup
+        tables ride together: probes x (k x M) subspace distances, each
+        tagged with an admitted cell — tiny, broadcast."""
+        tp = self.t.join(admitted, "probe_id")
+        return materialize(
+            self.ncodes.join(F.broadcast(tp), ["m", "cid", "cell"])
+            .filter(F.col("neighbor_id") != F.col("probe_id"))
+            .groupBy("probe_id", "neighbor_id")
+            .agg(F.sum("sub_d2").alias("adc_d2"))
+        )
+
+    def pcell_nprobe2(self) -> DataFrame:
+        """Top-2 admitted cells per probe: the probe's own assignment
+        cell plus the nearest OTHER final centroid — a strict superset
+        of the nprobe=1 set, so recall can only improve. Probe-to-
+        centroid distances are a probe x K table (K coarse cells —
+        tiny); nothing corpus-sized."""
+        pd2 = (
+            self.probes.join(F.broadcast(self.ccent), "d")
+            .groupBy(F.col("vec_id").alias("probe_id"), "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                )
+                .cast("long")
+                .alias("d2")
+            )
+        )
+        own = self.pcell
+        others = pd2.join(
+            own.withColumnRenamed("cell", "own_cell"), "probe_id"
+        ).filter(F.col("cid") != F.col("own_cell"))
+        w = Window.partitionBy("probe_id").orderBy("d2", "cid")
+        second = (
+            others.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("probe_id", F.col("cid").alias("cell"))
+        )
+        return own.unionByName(second)
+
+
 def _ivfpq_spark_parts(spark: SparkSession, sf_dir: str):
     """Coarse cells + PQ codes + cell-pruned ADC scores — the Spark twin
-    of ``_ivf_adc_ctes``. Returns (pcell, adc)."""
-    _, coarse, _ = _kmeans_assign(spark, sf_dir)
-    qv, assign, cent = _pq_train(spark, sf_dir)
-    assign = assign.select("vec_id", "m", "cid")
-    probes = qv.filter(F.col("vec_id") % _ADC_STRIDE == 0)
-    t = (
-        probes.join(F.broadcast(cent), ["d", "m"])
-        .groupBy(F.col("vec_id").alias("probe_id"), "m", "cid")
-        .agg(
-            F.sum(
-                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-            ).alias("sub_d2")
-        )
-    )
-    pcell = coarse.filter(F.col("vec_id") % _ADC_STRIDE == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("cid").alias("cell")
-    )
-    # lookup tables ride together: probes x (k x M) subspace distances,
-    # each tagged with the probe's coarse cell — tiny, broadcast
-    tp = t.join(pcell, "probe_id")
-    # codes tagged with their coarse cell: the (m, cid, cell) equi-join
-    # below is the IVF read path — only cell-mates are ever scored
-    ncodes = assign.join(
-        coarse.withColumnRenamed("cid", "cell"), "vec_id"
-    ).withColumnRenamed("vec_id", "neighbor_id")
-    adc = (
-        ncodes.join(F.broadcast(tp), ["m", "cid", "cell"])
-        .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .groupBy("probe_id", "neighbor_id")
-        .agg(F.sum("sub_d2").alias("adc_d2"))
-    )
-    return pcell, materialize(adc)
+    of ``_ivf_adc_ctes``. Returns (pcell, adc, ctx); ctx carries the
+    shared trainings so callers never retrain (e.g. the recall report's
+    exact-truth leg reuses ctx.qv)."""
+    ctx = _IvfpqCtx(spark, sf_dir)
+    return ctx.pcell, ctx.adc_for(ctx.pcell), ctx
 
 
 @q("emb_ivfpq_topk", _ivfpq_topk_sql())
@@ -129,7 +181,7 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     raising nprobe re-admits more cells through the same join. All
     arithmetic is exact int64 with (dist, id) total orders, so the oracle
     (both trainings unrolled as CTEs) matches every rank bit-for-bit."""
-    pcell, adc = _ivfpq_spark_parts(spark, sf_dir)
+    pcell, adc, _ = _ivfpq_spark_parts(spark, sf_dir)
     w = Window.partitionBy("probe_id").orderBy("adc_d2", "neighbor_id")
     return (
         adc.withColumn("rnk", F.row_number().over(w))
@@ -191,8 +243,8 @@ def emb_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     large n_cand says the codebooks (not the cells) are the problem.
     Ground truth is exact int64 distance ranking priced by the probe
     stride, the same sampled-slice pattern as the LSH/IVF/PQ audits."""
-    pcell, adc = _ivfpq_spark_parts(spark, sf_dir)
-    qv, _, _ = _pq_train(spark, sf_dir)
+    pcell, adc, ctx = _ivfpq_spark_parts(spark, sf_dir)
+    qv = ctx.qv  # exact leg shares the materialized training (no retrain)
     w = Window.partitionBy("probe_id").orderBy("adc_d2", "neighbor_id")
     ivf_top = (
         adc.withColumn("rnk", F.row_number().over(w))
@@ -246,6 +298,171 @@ def emb_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+def _nprobe2_recall_sql() -> str:
+    return f"""WITH {_kmeans_ctes()},
+       {_pq_ctes()},
+       {_ivf_adc_ctes()},
+       pd AS (
+         SELECT v.vec_id AS probe_id, c.cid,
+                sum((v.q - c.cq) * (v.q - c.cq))::BIGINT AS d2
+         FROM qv v JOIN c{_KM_ROUNDS} c ON v.d = c.d
+         WHERE v.vec_id % {_ADC_STRIDE} = 0
+         GROUP BY 1, 2),
+       second AS (
+         SELECT probe_id, cid AS cell FROM (
+           SELECT pd.probe_id, pd.cid,
+                  row_number() OVER (PARTITION BY pd.probe_id
+                                     ORDER BY pd.d2, pd.cid) AS rn
+           FROM pd JOIN pcell pc ON pc.probe_id = pd.probe_id
+           WHERE pd.cid <> pc.cell) x
+         WHERE rn = 1),
+       pcell2 AS (SELECT probe_id, cell FROM pcell
+                  UNION ALL SELECT probe_id, cell FROM second),
+       adc2 AS (
+         SELECT t.probe_id, a.vec_id AS neighbor_id,
+                sum(t.sub_d2)::BIGINT AS adc_d2
+         FROM pa{_PQ_ROUNDS} a
+         JOIN ncell n ON n.vec_id = a.vec_id
+         JOIN t ON a.m = t.m AND a.cid = t.cid
+         JOIN pcell2 p ON p.probe_id = t.probe_id AND p.cell = n.cell
+         WHERE a.vec_id <> t.probe_id
+         GROUP BY 1, 2),
+       exact AS (
+         SELECT p.vec_id AS probe_id, v.vec_id AS neighbor_id,
+                sum((p.q - v.q) * (p.q - v.q))::BIGINT AS d2
+         FROM probes p JOIN pqv v ON p.d = v.d
+         WHERE v.vec_id <> p.vec_id
+         GROUP BY 1, 2),
+       exact_top AS (
+         SELECT probe_id, neighbor_id FROM (
+           SELECT probe_id, neighbor_id,
+                  row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY d2, neighbor_id) AS rnk
+           FROM exact) x WHERE rnk <= {_PQR_TOPK}),
+       top1 AS (
+         SELECT probe_id, neighbor_id FROM (
+           SELECT probe_id, neighbor_id,
+                  row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY adc_d2, neighbor_id) AS rnk
+           FROM adc) x WHERE rnk <= {_PQR_TOPK}),
+       top2 AS (
+         SELECT probe_id, neighbor_id FROM (
+           SELECT probe_id, neighbor_id,
+                  row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY adc_d2, neighbor_id) AS rnk
+           FROM adc2) x WHERE rnk <= {_PQR_TOPK}),
+       h1 AS (SELECT e.probe_id, count(i.neighbor_id) AS n_hits
+              FROM exact_top e LEFT JOIN top1 i
+                ON i.probe_id = e.probe_id AND i.neighbor_id = e.neighbor_id
+              GROUP BY 1),
+       h2 AS (SELECT e.probe_id, count(i.neighbor_id) AS n_hits
+              FROM exact_top e LEFT JOIN top2 i
+                ON i.probe_id = e.probe_id AND i.neighbor_id = e.neighbor_id
+              GROUP BY 1),
+       nc1 AS (SELECT probe_id, count(*) AS n_cand FROM adc GROUP BY 1),
+       nc2 AS (SELECT probe_id, count(*) AS n_cand FROM adc2 GROUP BY 1),
+       s1 AS (SELECT 1::BIGINT AS nprobe, count(*)::BIGINT AS n_probes,
+                     sum(coalesce(nc1.n_cand, 0))::BIGINT AS sum_cand,
+                     sum(h1.n_hits)::BIGINT AS sum_hits,
+                     round(sum(h1.n_hits)::DOUBLE
+                           / (count(*) * {_PQR_TOPK}), 6)
+                       AS recall_at_{_PQR_TOPK}
+              FROM h1 LEFT JOIN nc1 ON nc1.probe_id = h1.probe_id),
+       s2 AS (SELECT 2::BIGINT AS nprobe, count(*)::BIGINT AS n_probes,
+                     sum(coalesce(nc2.n_cand, 0))::BIGINT AS sum_cand,
+                     sum(h2.n_hits)::BIGINT AS sum_hits,
+                     round(sum(h2.n_hits)::DOUBLE
+                           / (count(*) * {_PQR_TOPK}), 6)
+                       AS recall_at_{_PQR_TOPK}
+              FROM h2 LEFT JOIN nc2 ON nc2.probe_id = h2.probe_id)
+       SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY nprobe"""
+
+
+@q("emb_ivfpq_topk_nprobe2", _nprobe2_recall_sql())
+def emb_ivfpq_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe=2 IVF-PQ search, exact-checked, priced against nprobe=1 on
+    the SAME probes — closes the last designed-but-unchecked corner of
+    the IVF read path (emb_ivf_nprobe_cost_curve priced the dial; this
+    turns it). Admitted cells at nprobe=2 are the probe's own assignment
+    cell PLUS its nearest other final centroid — a strict superset of
+    nprobe=1, so recall@{_PQR_TOPK} can only improve; the output is one
+    row per nprobe with probe count, total admitted candidates, total
+    exact-top-{_PQR_TOPK} hits, and recall — the quality/cost trade in
+    one table. Both legs share ONE training (class _IvfpqCtx): the extra
+    work for nprobe=2 is a probe x K centroid distance table and a
+    second pass of the same (m, cid, cell) broadcast equi-join with two
+    admitted rows per probe — per-probe scan stays cell-sized, never
+    corpus-sized, which is exactly how a 10⁹-vector index raises nprobe.
+    Exact int64 arithmetic, (dist, id) total orders; oracle unrolls both
+    trainings and both probe sets as CTEs and matches bit-for-bit."""
+    ctx = _IvfpqCtx(spark, sf_dir)
+    exact = (
+        ctx.probes.alias("p")
+        .join(ctx.qv.alias("v"), F.col("p.d") == F.col("v.d"))
+        .filter(F.col("v.vec_id") != F.col("p.vec_id"))
+        .groupBy(
+            F.col("p.vec_id").alias("probe_id"),
+            F.col("v.vec_id").alias("neighbor_id"),
+        )
+        .agg(
+            F.sum(
+                (F.col("p.q") - F.col("v.q")) * (F.col("p.q") - F.col("v.q"))
+            ).alias("d2")
+        )
+    )
+    w_ex = Window.partitionBy("probe_id").orderBy("d2", "neighbor_id")
+    exact_top = materialize(
+        exact.withColumn("rnk", F.row_number().over(w_ex))
+        .filter(F.col("rnk") <= _PQR_TOPK)
+        .select("probe_id", "neighbor_id")
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_d2", "neighbor_id")
+    out = None
+    for np_, admitted in ((1, ctx.pcell), (2, ctx.pcell_nprobe2())):
+        adc = ctx.adc_for(admitted)
+        top = (
+            adc.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _PQR_TOPK)
+            .select("probe_id", "neighbor_id")
+        )
+        hits = (
+            exact_top.alias("e")
+            .join(
+                top.alias("i"),
+                (F.col("i.probe_id") == F.col("e.probe_id"))
+                & (F.col("i.neighbor_id") == F.col("e.neighbor_id")),
+                "left",
+            )
+            .groupBy(F.col("e.probe_id").alias("probe_id"))
+            .agg(F.count(F.col("i.neighbor_id")).alias("n_hits"))
+        )
+        nc = adc.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_cand"))
+        leg = (
+            hits.join(nc, "probe_id", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_probes"),
+                F.sum(F.coalesce(F.col("n_cand"), F.lit(0)))
+                .cast("long")
+                .alias("sum_cand"),
+                F.sum("n_hits").cast("long").alias("sum_hits"),
+                F.round(
+                    F.sum("n_hits").cast("double")
+                    / (F.count(F.lit(1)) * _PQR_TOPK),
+                    6,
+                ).alias(f"recall_at_{_PQR_TOPK}"),
+            )
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "n_probes",
+                "sum_cand",
+                "sum_hits",
+                f"recall_at_{_PQR_TOPK}",
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("nprobe")
 
 
 def _residual_pq_ctes() -> str:
