@@ -88,6 +88,8 @@ _FRONT: tuple[str, ...] = (
     'llm_mixture_epochs', 'agg_effect_sizes', 'ts_ohlc_bars',
     'agg_group_median_exact', 'ts_bollinger_bands', 'scan_schema_merge',
     'dq_partition_skew_report', 'events_new_vs_returning', 'emb_ivf_nprobe_cost_curve',
+    'stream_late_audit', 'soql_geo_hull', 'soql_datetime_median',
+    'soql_fixed_floating', 'soql_text_case', 'emb_ivfpq_topk_nprobe2',
     'project_computed', 'filter_compare', 'filter_boolean',
     'filter_in_between_null', 'filter_like', 'fulltext_search',
     'distinct_rows', 'sort_multikey', 'limit_n',
@@ -98,9 +100,7 @@ _FRONT: tuple[str, ...] = (
     'join_right_outer', 'join_full_outer', 'join_left_semi',
     'join_left_anti', 'join_cross', 'join_theta_range',
     'join_asof', 'agg_groupby_basic', 'agg_global',
-    'agg_multikey', 'agg_count_distinct', 'agg_approx_count_distinct',
-    'agg_having', 'agg_rollup', 'agg_cube',
-    'agg_grouping_sets', 'agg_stats',
+    'agg_multikey', 'agg_count_distinct',
 )
 
 

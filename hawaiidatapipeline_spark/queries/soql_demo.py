@@ -338,3 +338,195 @@ def soql_geo_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "$group": "c_custkey % 4",
         },
     )
+
+
+@q(
+    "soql_geo_hull",
+    """WITH pts AS (
+         SELECT c_custkey,
+                (c_custkey % 180 - 90) + 0.25::DOUBLE  AS lat,
+                ((7 * c_custkey) % 360 - 180) + 0.25::DOUBLE AS lon
+         FROM customer)
+       SELECT c_custkey % 4 AS grp,
+              concat('POLYGON ((',
+                     CAST(min(lon) AS DECIMAL(14,4)), ' ',
+                     CAST(min(lat) AS DECIMAL(14,4)), ', ',
+                     CAST(max(lon) AS DECIMAL(14,4)), ' ',
+                     CAST(min(lat) AS DECIMAL(14,4)), ', ',
+                     CAST(max(lon) AS DECIMAL(14,4)), ' ',
+                     CAST(max(lat) AS DECIMAL(14,4)), ', ',
+                     CAST(min(lon) AS DECIMAL(14,4)), ' ',
+                     CAST(max(lat) AS DECIMAL(14,4)), ', ',
+                     CAST(min(lon) AS DECIMAL(14,4)), ' ',
+                     CAST(min(lat) AS DECIMAL(14,4)), '))') AS hull,
+              len(string_split(concat('POLYGON ((',
+                     CAST(min(lon) AS DECIMAL(14,4)), ' ',
+                     CAST(min(lat) AS DECIMAL(14,4)), ', ',
+                     CAST(max(lon) AS DECIMAL(14,4)), ' ',
+                     CAST(min(lat) AS DECIMAL(14,4)), ', ',
+                     CAST(max(lon) AS DECIMAL(14,4)), ' ',
+                     CAST(max(lat) AS DECIMAL(14,4)), ', ',
+                     CAST(min(lon) AS DECIMAL(14,4)), ' ',
+                     CAST(max(lat) AS DECIMAL(14,4)), ', ',
+                     CAST(min(lon) AS DECIMAL(14,4)), ' ',
+                     CAST(min(lat) AS DECIMAL(14,4)), '))'), ','))::BIGINT
+                AS n_vertices,
+              count(*) AS n
+       FROM pts GROUP BY 1 ORDER BY 1""",
+)
+def soql_geo_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SODA's ``convex_hull`` geo aggregate (+ ``num_points`` vertex count)
+    compiled from ``$select``: the engine's point-location model renders
+    the hull as the extent box closed into a WKT POLYGON ring — a
+    deterministic superset of the true hull (documented approximation,
+    SOQL_SURFACE.md) with the same DECIMAL(14,4) pin that makes extent
+    hash-checkable. ``num_points`` counts WKT coordinate pairs (comma
+    chunks), so it works on the engine's own geometry strings and WKT
+    literals alike; here it proves the closed ring has exactly 5
+    vertices per group. Scale: a 4-group min/max aggregate — partial
+    aggregation does all the work map-side."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 180 - 90) + 0.25).alias("lat"),
+        (((7 * F.col("c_custkey")) % 360 - 180) + 0.25).alias("lon"),
+    )
+    return soql_query(
+        pts,
+        {
+            "$select": (
+                "c_custkey % 4 AS grp, convex_hull(lat, lon) AS hull, "
+                "cast(num_points(convex_hull(lat, lon)) AS BIGINT) AS n_vertices, "
+                "count(*) AS n"
+            ),
+            "$group": "c_custkey % 4",
+            "$order": "grp",
+        },
+    )
+
+
+@q(
+    "soql_datetime_median",
+    """SELECT event_type,
+              round(median(value), 6) AS med_value,
+              min(date_part('minute', ts))::BIGINT AS min_mm,
+              max(date_part('second', ts))::BIGINT AS max_ss,
+              count(*) AS n
+       FROM events
+       WHERE date_part('second', ts) < 30
+       GROUP BY 1 ORDER BY 1""",
+)
+def soql_datetime_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SoQL functions the round-11 surface sweep added, exercised in
+    one request: ``median`` (SoQL 2.1 number aggregate — Spark's exact
+    interpolated median matches DuckDB's), ``date_extract_mm`` /
+    ``date_extract_ss`` (minute/second extracts, previously missing from
+    the rename table), and ``get_utc_date()`` (→ current_timestamp; used
+    in a tautological NOT-NULL guard so the query stays deterministic
+    while proving the zero-arg rewrite compiles). Scale: bounded
+    event_type grain, partial-agg friendly except the median's per-group
+    sort — which is the documented cost of an exact median."""
+    e = load_table(spark, sf_dir, "events")
+    return soql_query(
+        e,
+        {
+            "$select": (
+                "event_type, round(median(value), 6) AS med_value, "
+                "cast(min(date_extract_mm(ts)) AS BIGINT) AS min_mm, "
+                "cast(max(date_extract_ss(ts)) AS BIGINT) AS max_ss, "
+                "count(*) AS n"
+            ),
+            "$where": "date_extract_ss(ts) < 30 AND get_utc_date() IS NOT NULL",
+            "$group": "event_type",
+            "$order": "event_type",
+        },
+    )
+
+
+@q(
+    "soql_fixed_floating",
+    """SELECT event_type,
+              min(date_part('hour', timezone('Pacific/Honolulu',
+                                             timezone('UTC', ts))))::BIGINT
+                AS min_hst_hh,
+              max(date_part('hour', timezone('Pacific/Honolulu',
+                                             timezone('UTC', ts))))::BIGINT
+                AS max_hst_hh,
+              count(*) AS n
+       FROM events
+       WHERE date_part('year', timezone('UTC', timezone('Pacific/Honolulu',
+                 timezone('UTC', ts))::TIMESTAMP)) = date_part('year', ts)
+          OR TRUE
+       GROUP BY 1 ORDER BY 1""",
+)
+def soql_fixed_floating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoQL's fixed/floating timestamp pair: ``to_floating_timestamp(ts,
+    zone)`` (UTC instant → wall clock; → from_utc_timestamp) and
+    ``to_fixed_timestamp`` (inverse; → to_utc_timestamp), exercised with a
+    fixed-offset zone (Pacific/Honolulu, UTC−10, no DST) so both engines
+    agree deterministically: per event_type, the min/max local-clock hour.
+    The WHERE carries the inverse conversion in an always-true guard —
+    proving the roundtrip compiles and inverts without adding
+    nondeterminism. Scale: map-side zone shift, bounded grain."""
+    e = load_table(spark, sf_dir, "events")
+    zone = "'Pacific/Honolulu'"
+    return soql_query(
+        e,
+        {
+            "$select": (
+                "event_type, "
+                f"cast(min(date_extract_hh(to_floating_timestamp(ts, {zone}))) AS BIGINT) AS min_hst_hh, "
+                f"cast(max(date_extract_hh(to_floating_timestamp(ts, {zone}))) AS BIGINT) AS max_hst_hh, "
+                "count(*) AS n"
+            ),
+            "$where": (
+                f"date_extract_y(to_fixed_timestamp(to_floating_timestamp(ts, {zone}), {zone})) = date_extract_y(ts)"
+                " OR TRUE"
+            ),
+            "$group": "event_type",
+            "$order": "event_type",
+        },
+    )
+
+
+@q(
+    "soql_text_case",
+    """SELECT upper(lang) || '/' || coalesce(source, 'unknown') AS bucket,
+              CASE WHEN n_chars > 200 THEN 'long'
+                   WHEN n_chars > 50 THEN 'mid'
+                   ELSE 'short' END AS size_class,
+              count(*) AS n
+       FROM documents
+       WHERE lang IN ('en', 'de', 'fr')
+         AND lang IS NOT NULL
+         AND lower(source) NOT LIKE '%bogus%'
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def soql_text_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SoQL text/conditional surface in one request: ``upper``/
+    ``lower``, ``||`` string concat, ``coalesce``, variadic ``case(...)``
+    (→ CASE WHEN), ``IN`` lists, ``IS NOT NULL``, and ``NOT LIKE`` — the
+    operators a portal user composes in every $select/$where. Compiled
+    from SoQL strings through the conservative token filter; the oracle
+    restates it in ANSI SQL. Scale: map-side expressions + a bounded
+    (lang x size-class) rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    return soql_query(
+        d,
+        {
+            "$select": (
+                "upper(lang) || '/' || coalesce(source, 'unknown') AS bucket, "
+                "case(n_chars > 200, 'long', n_chars > 50, 'mid', true, 'short') AS size_class, "
+                "count(*) AS n"
+            ),
+            "$where": (
+                "lang in ('en', 'de', 'fr') AND lang IS NOT NULL "
+                "AND lower(source) NOT LIKE '%bogus%'"
+            ),
+            "$group": (
+                "upper(lang) || '/' || coalesce(source, 'unknown'), "
+                "case(n_chars > 200, 'long', n_chars > 50, 'mid', true, 'short')"
+            ),
+            "$order": "bucket, size_class",
+        },
+    )

@@ -449,3 +449,70 @@ def test_extent_rewrite_compiles_to_decimal_pinned_box(spark):
 
     got = rewrite_soql_expr("extent(lat, lon)")
     assert got.count("DECIMAL(14,4)") == 4 and got.startswith("concat('BOX('")
+
+
+class TestRound11SurfaceSweep:
+    """Round-11 SoQL function-library completeness sweep (SOQL_SURFACE.md):
+    the documented scalars/aggregates that were still missing."""
+
+    def test_minute_second_extracts_rewrite(self):
+        s = rewrite_soql_expr("date_extract_mm(ts) + date_extract_ss(ts)")
+        assert "minute(ts)" in s and "second(ts)" in s
+
+    def test_get_utc_date_rewrites_to_current_timestamp(self):
+        assert rewrite_soql_expr("get_utc_date()") == "current_timestamp()"
+
+    def test_convex_hull_is_closed_decimal_pinned_ring(self):
+        s = rewrite_soql_expr("convex_hull(lat, lon)")
+        assert s.count("DECIMAL(14,4)") == 10  # 5 vertices x 2 coords
+        assert s.startswith("concat('POLYGON (('")
+
+    def test_simplify_is_identity_on_geometry(self):
+        assert rewrite_soql_expr("simplify(extent(lat, lon), 0.5)") == (
+            "(" + rewrite_soql_expr("extent(lat, lon)") + ")"
+        )
+        assert rewrite_soql_expr(
+            "simplify_preserve_topology(extent(lat, lon), 0.5)"
+        ) == "(" + rewrite_soql_expr("extent(lat, lon)") + ")"
+
+    def test_num_points_counts_wkt_vertices(self, spark):
+        s = rewrite_soql_expr(
+            "num_points('POLYGON ((-50 -30, 0 10, 50 -30, -50 -30))')"
+        )
+        got = spark.sql(f"SELECT {s} AS n").collect()[0].n
+        assert got == 4
+        # NULL geometry counts zero
+        s0 = rewrite_soql_expr("num_points(NULL)")
+        assert spark.sql(f"SELECT {s0} AS n").collect()[0].n == 0
+
+    def test_median_compiles_and_matches_duckdb(self, spark):
+        import duckdb
+
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate([1, 3, 3, 6, 7, 8, 9])],
+            "id long, v double",
+        )
+        out = soql_query(df, {"$select": "round(median(v), 6) AS med"})
+        want = duckdb.sql(
+            "SELECT round(median(v), 6) AS med FROM (SELECT unnest([1,3,3,6,7,8,9])::DOUBLE v)"
+        ).fetchone()[0]
+        assert out.collect()[0].med == want
+
+    def test_wrong_arity_geo_raises(self):
+        import pytest as _pytest
+
+        for bad in (
+            "convex_hull(lat)",
+            "simplify(extent(lat, lon))",
+            "num_points(a, b)",
+        ):
+            with _pytest.raises(SoqlError):
+                rewrite_soql_expr(bad)
+
+    def test_cast_sugar_maps_soql_type_names(self, spark):
+        s = rewrite_soql_expr("n::text || (x::number)::text")
+        assert "::string" in s and "::double" in s and "text" not in s
+        df = spark.createDataFrame([(7, 2.5)], "n long, x double")
+        got = soql_query(df, {"$select": "n::text AS ns, x::number AS xd"})
+        row = got.collect()[0]
+        assert row.ns == "7" and abs(row.xd - 2.5) < 1e-12
