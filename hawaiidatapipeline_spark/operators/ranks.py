@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hawaiidatapipeline_spark.operators.materialize import materialize
+
 
 def doubled_avg_rank_map(df: DataFrame, col: str, out: str = "dbl_rank") -> DataFrame:
     """Map each distinct value of ``col`` to 2× its average (tie-adjusted)
@@ -45,7 +47,13 @@ def doubled_avg_rank_map(df: DataFrame, col: str, out: str = "dbl_rank") -> Data
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    rp = cnt.repartitionByRange(col).withColumn("_pid", F.spark_partition_id())
+    # materialize: _pid is consumed by TWO branches (local window and
+    # per-partition totals); freezing the exchange output here removes
+    # any dependency on exchange-reuse/AQE-coalescing agreement between
+    # the branches (ADVICE r10) — the frame is distinct-value-sized
+    rp = materialize(
+        cnt.repartitionByRange(col).withColumn("_pid", F.spark_partition_id())
+    )
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(col)
@@ -81,7 +89,12 @@ def partitioned_prefix_sums(df: DataFrame, order_by, sums: dict) -> DataFrame:
     ``Window.orderBy(...).rowsBetween(unboundedPreceding, 0)``.
     """
     sums = {name: F.col(c) if isinstance(c, str) else c for name, c in sums.items()}
-    rp = df.repartitionByRange(*order_by).withColumn("_pid", F.spark_partition_id())
+    # materialize: same two-branch _pid contract as doubled_avg_rank_map —
+    # a frozen exchange output makes the broadcast offsets immune to the
+    # two branches ever re-planning the repartition differently
+    rp = materialize(
+        df.repartitionByRange(*order_by).withColumn("_pid", F.spark_partition_id())
+    )
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(*order_by)
@@ -116,7 +129,9 @@ def partitioned_row_number(df: DataFrame, order_by, out: str = "rn") -> DataFram
     within a tie block are assigned in an unspecified order — same caveat
     as SQL row_number, but callers should not rely on tie order either
     way."""
-    rp = df.repartitionByRange(*order_by).withColumn("_pid", F.spark_partition_id())
+    rp = materialize(
+        df.repartitionByRange(*order_by).withColumn("_pid", F.spark_partition_id())
+    )  # frozen _pid, see partitioned_prefix_sums
     w_local = Window.partitionBy("_pid").orderBy(*order_by)
     loc = rp.withColumn(out, F.row_number().over(w_local).cast("long"))
     ptot = rp.groupBy("_pid").agg(F.count(F.lit(1)).alias("_t"))

@@ -57,14 +57,29 @@ def _index_row_budget(
     df: DataFrame, vec_col: str, max_index_rows: int, max_index_bytes: int
 ) -> int:
     """Convert a driver-memory BYTE budget into a row budget using the
-    actual vector dimensionality (one limit-1 probe job). Gating on rows
-    alone under-protects high-dim inputs: 4M rows of 1024-dim float64 is
+    vector dimensionality (one bounded probe job). Gating on rows alone
+    under-protects high-dim inputs: 4M rows of 1024-dim float64 is
     ~32 GB on the driver before a row-count gate would trip. The per-row
     estimate doubles dim*8 for the pandas staging copy that coexists with
     the numpy matrix during the build. ``max_index_rows`` remains a hard
-    cap on top (API compatibility + id-array overhead bound)."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"]) if first is not None and first["d"] is not None else 0
+    cap on top (API compatibility + id-array overhead bound).
+
+    Width probe (ADVICE r10): ``max(size(vec))`` over a 1024-row bounded
+    sample, not a single ``first()`` row — a low-dim first row must not
+    under-budget a mixed-width column. Beyond the sample the column is
+    ASSUMED uniform-width (the engine's embedding contract; enforced at
+    ingest by dq_embedding_norms' dim check) — a wider stray row past row
+    1024 is the ingest check's job, not this gate's. NOTE the byte gate
+    TIGHTENS the historical default for wide vectors: with the default
+    4 GiB budget a 128-dim input now routes to the fallback at ~2.1M rows
+    (4GiB/(128·16)) instead of the old 4M-row gate — see MIGRATION.md."""
+    probe = (
+        df.select(F.size(F.col(vec_col)).alias("d"))
+        .limit(1024)
+        .agg(F.max("d").alias("d"))
+        .first()
+    )
+    dim = int(probe["d"]) if probe is not None and probe["d"] is not None else 0
     if dim <= 0:
         return max_index_rows
     per_row = dim * 8 * 2

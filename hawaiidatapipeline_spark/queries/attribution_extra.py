@@ -331,17 +331,17 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     credits each channel by how much conversion probability DISAPPEARS
     when journeys can no longer pass through it). First-order chain on
     the journey states (START, channels, CONV/DROP absorbing): exact
-    integer transition counts feed a {steps}-step truncated DP in micro
-    units with truncating division — the pagerank/kmeans fixed-point
-    idiom, so both engines land identical integers at every step —
-    and channel c's lane excludes transitions INTO c from numerators
-    while denominators keep them (redirected to DROP, the standard
-    removal semantics). removal_c = 1 − P_c/P_full; credit shares
-    normalize removals. Scale: journeys need ONE user-keyed shuffle
-    (window + rollup); everything after lives on the ≤(channels+3)²
-    transition matrix — a bounded metadata pull (the states are a
-    constant, not data) that the driver-side DP mirrors integer-for-
-    integer with the unrolled oracle CTEs.""".format(steps=_MK_STEPS)
+    integer transition counts feed a truncated DP (_MK_STEPS = 12 steps)
+    in micro units with truncating division — the pagerank/kmeans
+    fixed-point idiom, so both engines land identical integers at every
+    step — and channel c's lane excludes transitions INTO c from
+    numerators while denominators keep them (redirected to DROP, the
+    standard removal semantics). removal_c = 1 − P_c/P_full; credit
+    shares normalize removals. Scale: journeys need ONE user-keyed
+    shuffle (window + rollup); everything after lives on the
+    ≤(channels+3)² transition matrix — a bounded metadata pull (the
+    states are a constant, not data) that the driver-side DP mirrors
+    integer-for-integer with the unrolled oracle CTEs."""
     e = load_table(spark, sf_dir, "events")
     conv = (
         e.filter(F.col("event_type") == "purchase")

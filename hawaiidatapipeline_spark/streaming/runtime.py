@@ -658,10 +658,10 @@ def run_aggregate_sink(
     it mid-stream and the state survives checkpoint loss up to one batch.
     Merge cost ∝ batch keys + stored group cardinality, never history.
     NOTE: parquet overwrite is used for the fixture; a table format makes
-    the swap transactional. Exactly-once: batch replay re-merges from the
-    LAST committed table, so the checkpoint WAL must fence double-commits
-    (with plain parquet a crash BETWEEN write and WAL commit can double-
-    count one batch — a known gap table formats close)."""
+    the swap transactional. Exactly-once (ADVICE r10): the table carries a
+    ``_last_batch`` stamp — a replayed batch whose id is <= the stamp is
+    skipped instead of double-merged, giving the sum-fold the same replay
+    safety the merge/kmv/cdc sinks get structurally from key dedup."""
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy(key).agg(
@@ -676,11 +676,17 @@ def run_aggregate_sink(
         if current is None:  # first batch only; a damaged target raises
             merged = batch_agg
         else:
+            if "_last_batch" in current.columns:
+                applied = current.agg(F.max("_last_batch")).collect()[0][0]
+                if applied is not None and batch_id <= applied:
+                    return  # replayed batch already folded in — skip
+                current = current.drop("_last_batch")
             merged = (
                 current.unionByName(batch_agg)
                 .groupBy(key)
                 .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
             )
+        merged = merged.withColumn("_last_batch", F.lit(batch_id))
         staged = merged.collect()  # tiny: one row per key
         import shutil
         import uuid

@@ -60,18 +60,30 @@ def test_prefix_sums_equal_serial_window_with_ties(spark):
 
 
 def test_prefix_sums_plan_is_range_partitioned(spark):
-    """The cumulative stage must run on a range exchange (parallel
-    slices), and the only zero-partition window allowed in the plan is
-    the per-partition-offset pass whose input is one row per partition."""
+    """The cumulative stage must run on parallel range slices, and the
+    only zero-partition window allowed in the plan is the per-partition-
+    offset pass whose input is one row per partition. Since ADVICE r10
+    the range exchange is FROZEN (materialize) so both consumer branches
+    read one immutable _pid assignment — the visible plan therefore
+    shows the checkpoint scan + _pid-keyed windows, and the range
+    partitioning is asserted on the pre-freeze frame."""
     li = load_table(spark, SF0001, "lineitem").select(
         F.col("l_quantity").alias("x")
     )
     vals = li.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    # the exchange the operator freezes: range partitioning, never a
+    # single-partition shuffle
+    pre = vals.repartitionByRange(F.col("x"))
+    pre_plan = _plan(pre).lower()
+    assert "rangepartitioning(" in pre_plan
+    assert "singlepartition" not in pre_plan
     df = partitioned_prefix_sums(vals, [F.col("x")], {"cum_c": "c"})
     df.collect()  # audit AQE's final plan, as tools/explain_audit.py does
     p = _plan(df)
-    assert "rangepartitioning(" in p
     assert "_pid" in p  # local window keyed by the slice id
+    # lineage is cut at the frozen exchange: downstream scans the
+    # checkpointed RDD instead of re-planning the shuffle
+    assert "ExistingRDD" in p or "LogicalRDD" in p or "Scan RDD" in p
 
 
 def test_partitioned_row_number_equals_serial(spark):

@@ -1096,3 +1096,34 @@ def test_late_audit_sink_equals_batch_twin(spark, tmp_path):
     want = batch_twins.stream_late_audit(spark, SF0001)
     cols = ["event_type", "n_total", "n_on_time", "n_late_accepted", "n_late_dropped"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_aggregate_sink_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r10: a replayed micro-batch (same or older batch_id) must NOT
+    double-merge into the running aggregate. Re-running the whole stream
+    against the same target with a fresh checkpoint replays every batch
+    from id 0 — with the _last_batch stamp the totals must be unchanged."""
+    target = str(tmp_path / "agg_target")
+    q = runtime.run_aggregate_sink(
+        runtime.stream_events(spark, SF0001),
+        target,
+        str(tmp_path / "ckpt1"),
+        key="event_type",
+    )
+    q.awaitTermination()
+    first = {
+        r["event_type"]: (r["n"], float(r["total"]))
+        for r in spark.read.parquet(target).collect()
+    }
+    q2 = runtime.run_aggregate_sink(
+        runtime.stream_events(spark, SF0001),
+        target,
+        str(tmp_path / "ckpt2"),  # fresh WAL -> full replay
+        key="event_type",
+    )
+    q2.awaitTermination()
+    second = {
+        r["event_type"]: (r["n"], float(r["total"]))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert second == first
