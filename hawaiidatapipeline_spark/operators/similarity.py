@@ -53,6 +53,41 @@ def cosine_pairs_exact(df: DataFrame, id_col: str = "vec_id", vec_col: str = "em
     )
 
 
+def cosine_pairs_in_cells(
+    df: DataFrame,
+    cells: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    cell_col: str = "cid",
+) -> DataFrame:
+    """Cell-restricted exact cosine pairs — the SemDeDup pruning shape:
+    only (a < b) pairs sharing a coarse-quantizer cell are ever scored, so
+    pair volume is Σ cell_size² instead of corpus². ``cells`` maps
+    ``id_col`` → ``cell_col`` (e.g. a k-means assignment). Returns
+    (cell, vec_a, vec_b, cos_sim) unrounded. Scale: shuffle both sides on
+    the cell key, pairs form inside each cell's partition — with balanced
+    cells this is the candidate generation of SemDeDup at 10⁹ vectors
+    (cluster count scales with corpus so cell² stays bounded)."""
+    e = with_norm(df, vec_col).join(cells, id_col)
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{cell_col}").alias("cell"),
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            (
+                _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("cos_sim"),
+        )
+    )
+
+
 def _index_row_budget(
     df: DataFrame, vec_col: str, max_index_rows: int, max_index_bytes: int
 ) -> int:

@@ -1,0 +1,179 @@
+"""Round-11 additions: SemDeDup-style cell-pruned semantic dedup
+(SURVEY.md §2.J dedup family).
+
+llm_semantic_clusters proved the exact-pairwise semantic dedup path and
+noted "at 100 TB the edge set comes from a candidate stage instead of
+exact pairwise cosine" — these keys CHECK that candidate stage: duplicate
+edges are scored only within coarse k-means cells (the SemDeDup economics:
+pair volume Σ cell_size², never corpus²), with a recall audit pricing the
+cross-cell edges the pruning gives up — the same quality/cost symmetry the
+IVF-PQ family gets from its recall reports.
+
+Cells come from the shared fixed-point k-means (queries/emb_extra.py
+``_kmeans_assign`` / ``_kmeans_ctes``), so the DuckDB oracle unrolls the
+training and both engines agree on cell membership bit-for-bit; the cosine
+contract (float, rounded 6dp, threshold reused from llm_dedup_embedding)
+is the one the driver has hash-verified since round 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.queries.emb_extra import (
+    _KM_ROUNDS,
+    _kmeans_assign,
+    _kmeans_ctes,
+)
+from hawaiidatapipeline_spark.queries.llm import _EMB_TAU
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+
+def _semdedup_cells_sql() -> str:
+    return f"""WITH {_kmeans_ctes()},
+       cells AS (SELECT vec_id, cid FROM a{_KM_ROUNDS}),
+       e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       edges AS (
+         SELECT ca.cid AS cell, a.vec_id AS va, b.vec_id AS vb
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         JOIN cells ca ON ca.vec_id = a.vec_id
+         JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cid = ca.cid
+         WHERE list_cosine_similarity(a.v, b.v) >= {_EMB_TAU}),
+       dropped AS (SELECT cell, vb FROM edges GROUP BY 1, 2),
+       sizes AS (SELECT cid AS cell, count(*)::BIGINT AS n_vectors
+                 FROM cells GROUP BY 1)
+       SELECT s.cell, s.n_vectors,
+              coalesce(ec.n_edges, 0)::BIGINT AS n_edges,
+              coalesce(dc.n_dropped, 0)::BIGINT AS n_dropped,
+              (s.n_vectors - coalesce(dc.n_dropped, 0))::BIGINT AS n_survivors
+       FROM sizes s
+       LEFT JOIN (SELECT cell, count(*) AS n_edges FROM edges GROUP BY 1) ec
+         ON ec.cell = s.cell
+       LEFT JOIN (SELECT cell, count(*) AS n_dropped FROM dropped GROUP BY 1) dc
+         ON dc.cell = s.cell
+       ORDER BY s.cell"""
+
+
+@q("llm_semdedup_cells", _semdedup_cells_sql())
+def llm_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic dedup restricted to coarse k-means cells — per
+    cell, the member count, the near-duplicate edge count (cosine >= the
+    llm_dedup_embedding threshold, scored ONLY between cell-mates via
+    operators/similarity.py cosine_pairs_in_cells), the keep-first drop
+    count (a vector drops when any smaller-id cell-mate sits above the
+    threshold) and the survivor count. This is the candidate stage
+    llm_semantic_clusters' 100 TB note promises: pair volume is
+    Σ cell_size² (clusters scale with corpus, cells stay bounded), one
+    shuffle on the cell key, no corpus-pair join anywhere. Oracle unrolls
+    the fixed-point k-means training as CTEs so cell membership matches
+    bit-for-bit; the cosine contract is llm_dedup_embedding's."""
+    _, assign, _ = _kmeans_assign(spark, sf_dir)
+    from hawaiidatapipeline_spark.operators.similarity import (
+        as_double_vec,
+        cosine_pairs_in_cells,
+    )
+
+    e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    edges = cosine_pairs_in_cells(e, assign).filter(
+        F.col("cos_sim") >= _EMB_TAU
+    )
+    sizes = assign.groupBy(F.col("cid").alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    ec = edges.groupBy("cell").agg(F.count(F.lit(1)).alias("n_edges"))
+    dc = (
+        edges.select("cell", "vec_b")
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        sizes.join(ec, "cell", "left")
+        .join(dc, "cell", "left")
+        .select(
+            "cell",
+            "n_vectors",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("long")
+            .alias("n_survivors"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _semdedup_recall_sql() -> str:
+    return f"""WITH {_kmeans_ctes()},
+       cells AS (SELECT vec_id, cid FROM a{_KM_ROUNDS}),
+       e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       exact_edges AS (
+         SELECT a.vec_id AS va, b.vec_id AS vb
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= {_EMB_TAU}),
+       cell_edges AS (
+         SELECT x.va, x.vb
+         FROM exact_edges x
+         JOIN cells ca ON ca.vec_id = x.va
+         JOIN cells cb ON cb.vec_id = x.vb AND cb.cid = ca.cid)
+       SELECT (SELECT count(*) FROM exact_edges)::BIGINT AS n_exact_edges,
+              (SELECT count(*) FROM cell_edges)::BIGINT AS n_cell_edges,
+              ((SELECT count(*) FROM exact_edges)
+               - (SELECT count(*) FROM cell_edges))::BIGINT AS n_missed,
+              round((SELECT count(*) FROM cell_edges)::DOUBLE
+                    / nullif((SELECT count(*) FROM exact_edges), 0), 6)
+                AS edge_recall"""
+
+
+@q("llm_semdedup_recall", _semdedup_recall_sql())
+def llm_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality half of SemDeDup's cell pruning: how many exact
+    semantic-duplicate edges (llm_dedup_embedding's full pairwise set)
+    survive the same-cell restriction — the edges llm_semdedup_cells can
+    see — and the recall. A missed edge is a true near-duplicate pair the
+    coarse quantizer split across cells; low recall says train more/
+    better cells (or probe neighbors, the nprobe dial), NOT that the
+    threshold is wrong. Exact-truth leg is fixture-scale pairwise (the
+    audit-slice pattern every recall report here uses); the cell leg is
+    the production shape. Oracle shares the unrolled k-means CTEs."""
+    _, assign, _ = _kmeans_assign(spark, sf_dir)
+    from hawaiidatapipeline_spark.operators.similarity import (
+        as_double_vec,
+        cosine_pairs_exact,
+    )
+
+    e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    exact = (
+        cosine_pairs_exact(e)
+        .filter(F.col("cos_sim") >= _EMB_TAU)
+        .select("vec_a", "vec_b")
+    )
+    ca = assign.withColumnRenamed("vec_id", "vec_a")
+    cb = assign.withColumnRenamed("vec_id", "vec_b").withColumnRenamed(
+        "cid", "cid_b"
+    )
+    cell_edges = (
+        exact.join(ca, "vec_a")
+        .join(cb, "vec_b")
+        .filter(F.col("cid") == F.col("cid_b"))
+        .select("vec_a", "vec_b")
+    )
+    n_exact = exact.count()
+    n_cell = cell_edges.count()
+    row = [
+        (
+            n_exact,
+            n_cell,
+            n_exact - n_cell,
+            round(n_cell / n_exact, 6) if n_exact else None,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_exact_edges bigint, n_cell_edges bigint, n_missed bigint, "
+        "edge_recall double",
+    )

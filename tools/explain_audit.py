@@ -191,7 +191,10 @@ AUDITS: dict[str, list[str]] = {
     "etl_incremental_join_view": ["broadcast_any", "partial_agg", "pruning", "codegen"],
     "etl_cdc_apply": ["window_exec", "partial_agg", "pruning", "codegen"],
     "dq_column_masking": ["take_ordered", "pruning", "codegen"],
-    "sample_systematic": ["range_exchange", "window_exec", "partial_agg", "pruning", "codegen"],
+    # (no "pruning": the frozen range exchange is localCheckpoint-
+    # materialized, so the final plan reads the checkpoint RDD, not the
+    # parquet scan — same situation as llm_dedup_minhash)
+    "sample_systematic": ["frozen_range_exchange", "window_exec", "partial_agg", "codegen"],
     "llm_corpus_pipeline_v5": ["window_exec", "partial_agg", "pruning", "codegen"],
     "events_power_users_pareto": ["window_exec", "partial_agg", "pruning", "codegen"],
     "agg_winsorize": ["broadcast_any", "partial_agg", "pruning", "codegen"],
@@ -294,7 +297,7 @@ AUDITS: dict[str, list[str]] = {
     "events_cohort_ltv": ["smj_or_bhj", "partial_agg", "window_exec", "pruning", "no_cartesian", "codegen"],
     "agg_hhi_concentration": ["broadcast", "partial_agg", "pruning", "codegen"],
     "etl_backfill_plan": ["generate_exec", "partial_agg", "pruning", "codegen"],
-    "dq_ks_drift": ["partial_agg", "range_exchange", "window_exec", "take_ordered", "pruning", "codegen"],
+    "dq_ks_drift": ["partial_agg", "frozen_range_exchange", "window_exec", "take_ordered", "pruning", "codegen"],
     "graph_adamic_adar": ["no_cartesian", "partial_agg", "broadcast_any", "take_ordered"],
     "graph_clustering_coefficient": ["no_cartesian", "partial_agg", "codegen"],
     # round-9 batch 2
@@ -339,7 +342,7 @@ AUDITS: dict[str, list[str]] = {
     "events_stratified_ate": ["partial_agg", "window_exec", "broadcast_any", "no_cartesian", "codegen"],
     # round-10: value-grain cumulative stages de-serialized — the plan must
     # carry the range exchange that makes the cumsum slices parallel
-    "agg_gini_lorenz": ["partial_agg", "range_exchange", "window_exec", "broadcast_any", "no_cartesian", "codegen"],
+    "agg_gini_lorenz": ["partial_agg", "frozen_range_exchange", "window_exec", "broadcast_any", "no_cartesian", "codegen"],
     # round-10 batches 2-4
     "agg_percentile_exact_grid": ["partial_agg", "range_exchange", "window_exec", "broadcast_any", "no_cartesian", "codegen"],
     "agg_theil_index": ["partial_agg", "codegen"],
@@ -355,6 +358,11 @@ AUDITS: dict[str, list[str]] = {
     "agg_effect_sizes": ["partial_agg", "pushdown", "codegen"],
     "ts_ohlc_bars": ["partial_agg", "window_exec", "codegen"],
     "stream_static_enrich": ["partial_agg", "broadcast", "codegen"],
+    # round-11 additions
+    "stream_late_audit": ["window_exec", "partial_agg", "pruning", "no_cartesian", "codegen"],
+    "emb_ivfpq_topk_nprobe2": ["partial_agg", "window_exec", "no_cartesian", "codegen"],
+    "llm_semdedup_cells": ["smj_or_bhj", "partial_agg", "no_cartesian", "codegen"],
+    "soql_text_case": ["pushdown", "partial_agg", "pruning", "codegen"],
 }
 
 
@@ -421,6 +429,16 @@ def check(name: str, plan: str) -> list[tuple[str, bool, str]]:
         elif assertion == "range_exchange":
             a("range_exchange", "rangepartitioning(" in p,
               "range exchange present (cumulative stage runs on parallel slices)")
+        elif assertion == "frozen_range_exchange":
+            # operators/ranks.py materializes the range exchange (ADVICE
+            # r10: frozen _pid for its two consumer branches), so the
+            # final plan shows the checkpoint scan + _pid windows instead
+            # of the rangepartitioning node itself
+            a("frozen_range_exchange",
+              "rangepartitioning(" in p
+              or (("ExistingRDD" in p or "LogicalRDD" in p or "Scan RDD" in p)
+                  and "_pid" in p),
+              "frozen range exchange (checkpointed slices + _pid windows)")
         elif assertion == "window_exec":
             a("window_exec", "Window" in p, "Window physical operator")
         elif assertion == "take_ordered":
