@@ -774,6 +774,7 @@ def run_late_audit_sink(
     grace: str = "60 minutes",
     key_col: str = "user_id",
     order_col: str | tuple[str, ...] = "event_id",
+    trigger: dict | None = None,
 ):
     """Late-data audit side sink (SURVEY §2.I "Late-data audit"): each
     micro-batch is classified by ``classify_late`` against the per-key
@@ -837,7 +838,7 @@ def run_late_audit_sink(
     return (
         stream_df.writeStream.foreachBatch(route)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 

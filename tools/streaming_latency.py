@@ -178,6 +178,45 @@ def measure_funnel_tracker(spark, rate: int) -> dict | None:
         return stats
 
 
+def measure_late_audit_sink(spark, rate: int) -> dict | None:
+    from hawaiidatapipeline_spark.streaming.runtime import run_late_audit_sink
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # ~1/7 of rows arrive with a 20-140 min-old event time so every
+        # batch routes through all three verdicts; event_id = value is the
+        # arrival order the classifier windows on
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rate)
+            .load()
+            .select(
+                F.pmod("value", F.lit(200)).alias("user_id"),
+                F.col("value").alias("event_id"),
+                (
+                    F.col("timestamp")
+                    - F.pmod("value", F.lit(7))
+                    * F.expr("INTERVAL 20 MINUTES")
+                ).alias("ts"),
+                F.element_at(
+                    F.array(F.lit("view"), F.lit("click")),
+                    (F.pmod("value", F.lit(2)) + 1).cast("int"),
+                ).alias("event_type"),
+            )
+        )
+        q = run_late_audit_sink(
+            src,
+            audit_path=f"{tmp}/audit",
+            state_path=f"{tmp}/state",
+            checkpoint=f"{tmp}/ckpt",
+            trigger=TRIGGER,
+        )
+        time.sleep(RUN_SECONDS)
+        stats = _progress_stats(q)
+        q.stop()
+        q.awaitTermination(30)
+        return stats
+
+
 def run(spark, write_to: str | None = None) -> int:
     rows = []
     for label, fn in (
@@ -185,6 +224,7 @@ def run(spark, write_to: str | None = None) -> int:
         ("run_cdc_sink", measure_cdc_applier),
         ("run_aggregate_sink", measure_aggregate_sink),
         ("funnel_stage_tracker", measure_funnel_tracker),
+        ("run_late_audit_sink", measure_late_audit_sink),
     ):
         for rate in RATES:
             s = fn(spark, rate)
