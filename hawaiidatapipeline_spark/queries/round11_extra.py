@@ -177,3 +177,110 @@ def llm_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact_edges bigint, n_cell_edges bigint, n_missed bigint, "
         "edge_recall double",
     )
+
+
+def _semdedup_survivors_sql() -> str:
+    return f"""WITH RECURSIVE km0 AS (SELECT 1),
+       {_kmeans_ctes()},
+       cells AS (SELECT vec_id, cid FROM a{_KM_ROUNDS}),
+       e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       pairs AS (
+         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         JOIN cells ca ON ca.vec_id = a.vec_id
+         JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cid = ca.cid
+         WHERE list_cosine_similarity(a.v, b.v) >= {_EMB_TAU}),
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs),
+       reach(node, r) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT g.src, rr.r FROM edges g JOIN reach rr ON g.dst = rr.node),
+       comp AS (SELECT node AS vec_id, min(r) AS cluster_id
+                FROM reach GROUP BY node),
+       dist AS (
+         SELECT v.vec_id, sum((v.q - c.cq) * (v.q - c.cq))::BIGINT AS d2
+         FROM qv v
+         JOIN cells a ON a.vec_id = v.vec_id
+         JOIN c{_KM_ROUNDS} c ON c.cid = a.cid AND c.d = v.d
+         GROUP BY v.vec_id),
+       m AS (
+         SELECT comp.cluster_id, cells.cid AS cell, comp.vec_id, dist.d2
+         FROM comp
+         JOIN cells ON cells.vec_id = comp.vec_id
+         JOIN dist ON dist.vec_id = comp.vec_id),
+       sel AS (
+         SELECT cluster_id, vec_id AS survivor_id, d2 AS survivor_d2
+         FROM (SELECT cluster_id, vec_id, d2,
+                      row_number() OVER (PARTITION BY cluster_id
+                                         ORDER BY d2 DESC, vec_id) AS rn
+               FROM m) x WHERE rn = 1)
+       SELECT g.cluster_id, g.cell, g.n_members,
+              sel.survivor_id, sel.survivor_d2
+       FROM (SELECT cluster_id, min(cell)::BIGINT AS cell,
+                    count(*)::BIGINT AS n_members
+             FROM m GROUP BY 1) g
+       JOIN sel ON sel.cluster_id = g.cluster_id
+       ORDER BY g.cluster_id"""
+
+
+@q("llm_semdedup_survivors", _semdedup_survivors_sql())
+def llm_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivor selection, the paper's keep-rule: within-cell
+    duplicate edges grouped into clusters (the SAME hash-min connected
+    components the MinHash path uses), then each cluster keeps the member
+    FARTHEST from its coarse-cell centroid (max integer d², ties → min
+    vec_id) — dropping the redundant near-centroid copies preserves the
+    cluster's most distinctive example, which is the semantic analog of
+    winnowing's min-hash pick. Components can't cross cells (edges are
+    cell-internal by construction) so every cluster has ONE cell. All
+    distances are the exact int64 fixed-point the k-means training itself
+    used, so the DuckDB oracle (recursive-CTE reachability + unrolled
+    training) matches bit-for-bit. Scale: CC is O(diameter) narrow joins
+    on the cell-bounded edge set; the keep-rule is one window over
+    cluster-sized partitions."""
+    qv, assign, cent = _kmeans_assign(spark, sf_dir)
+    from hawaiidatapipeline_spark.operators.dedup import connected_components
+    from hawaiidatapipeline_spark.operators.similarity import (
+        as_double_vec,
+        cosine_pairs_in_cells,
+    )
+
+    e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    edges = cosine_pairs_in_cells(e, assign).filter(
+        F.col("cos_sim") >= _EMB_TAU
+    )
+    comp = connected_components(edges, a_col="vec_a", b_col="vec_b").select(
+        F.col("node").alias("vec_id"), F.col("comp").alias("cluster_id")
+    )
+    dist = (
+        qv.join(assign, "vec_id")
+        .join(F.broadcast(cent), ["cid", "d"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    m = comp.join(assign.withColumnRenamed("cid", "cell"), "vec_id").join(
+        dist, "vec_id"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(F.col("d2").desc(), "vec_id")
+    sel = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("vec_id").alias("survivor_id"),
+            F.col("d2").alias("survivor_d2"),
+        )
+    )
+    g = m.groupBy("cluster_id").agg(
+        F.min("cell").cast("long").alias("cell"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    return g.join(sel, "cluster_id").orderBy("cluster_id")

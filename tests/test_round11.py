@@ -84,3 +84,20 @@ def test_semdedup_tau_matches_dedup_embedding_contract(spark):
         .s
     )
     assert n_edges == ledger
+
+
+def test_semdedup_survivors_rule(spark):
+    """Survivor = the cluster member with max centroid distance (ties →
+    min id); every cluster is cell-homogeneous and has >= 2 members."""
+    from hawaiidatapipeline_spark.queries.round11_extra import (
+        llm_semdedup_survivors,
+    )
+
+    rows = llm_semdedup_survivors(spark, SF0001).collect()
+    assert rows
+    _, assign, _ = _kmeans_assign(spark, SF0001)
+    cells = {r.vec_id: r.cid for r in assign.collect()}
+    for r in rows:
+        assert r.n_members >= 2
+        assert cells[r.survivor_id] == r.cell
+        assert r.survivor_d2 > 0
