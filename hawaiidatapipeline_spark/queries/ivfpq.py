@@ -390,13 +390,16 @@ def emb_ivfpq_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=1, so recall@{_PQR_TOPK} can only improve; the output is one
     row per nprobe with probe count, total admitted candidates, total
     exact-top-{_PQR_TOPK} hits, and recall — the quality/cost trade in
-    one table. Both legs share ONE training (class _IvfpqCtx): the extra
-    work for nprobe=2 is a probe x K centroid distance table and a
-    second pass of the same (m, cid, cell) broadcast equi-join with two
-    admitted rows per probe — per-probe scan stays cell-sized, never
+    one table. Both legs share ONE training (class _IvfpqCtx) and ONE
+    tagged ADC scan: each neighbor matches exactly one admitted cell, so
+    flagging it own/second recovers the nprobe=1 scores from the
+    nprobe=2 scan by a filter — per-probe work stays cell-sized, never
     corpus-sized, which is exactly how a 10⁹-vector index raises nprobe.
-    Exact int64 arithmetic, (dist, id) total orders; oracle unrolls both
-    trainings and both probe sets as CTEs and matches bit-for-bit."""
+    (Fixture-scale wall time is training-dominated so this is a wash at
+    sf0.1; at index scale the ADC scan is the dominant term and the
+    shared pass halves it.) Exact int64 arithmetic, (dist, id) total
+    orders; oracle unrolls both trainings and both probe sets as CTEs
+    and matches bit-for-bit."""
     ctx = _IvfpqCtx(spark, sf_dir)
     exact = (
         ctx.probes.alias("p")
@@ -419,9 +422,34 @@ def emb_ivfpq_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "neighbor_id")
     )
     w = Window.partitionBy("probe_id").orderBy("adc_d2", "neighbor_id")
+    # ONE tagged ADC pass serves both legs: each neighbor matches exactly
+    # one admitted cell, so flagging that cell as own/second and filtering
+    # recovers the nprobe=1 scores from the nprobe=2 scan for free (the
+    # r11 bench showed two adc_for passes cost ~5.3s; this halves the scan)
+    admitted2 = ctx.pcell_nprobe2().join(
+        ctx.pcell.withColumnRenamed("cell", "own_cell"), "probe_id"
+    )
+    adc_both = materialize(
+        ctx.ncodes.join(
+            F.broadcast(
+                ctx.t.join(admitted2, "probe_id").withColumn(
+                    "is_own", F.col("cell") == F.col("own_cell")
+                )
+            ),
+            ["m", "cid", "cell"],
+        )
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .groupBy("probe_id", "neighbor_id")
+        .agg(
+            F.sum("sub_d2").alias("adc_d2"),
+            F.max("is_own").alias("is_own"),
+        )
+    )
     out = None
-    for np_, admitted in ((1, ctx.pcell), (2, ctx.pcell_nprobe2())):
-        adc = ctx.adc_for(admitted)
+    for np_, adc in (
+        (1, adc_both.filter(F.col("is_own")).drop("is_own")),
+        (2, adc_both.drop("is_own")),
+    ):
         top = (
             adc.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= _PQR_TOPK)
