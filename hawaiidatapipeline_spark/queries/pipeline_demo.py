@@ -451,3 +451,98 @@ def llm_corpus_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def _corpus_v6_sql() -> str:
+    from hawaiidatapipeline_spark.queries.emb_extra import _kmeans_ctes
+    from hawaiidatapipeline_spark.queries.round11_extra import _semdedup_cc_ctes
+
+    return f"""WITH RECURSIVE km0 AS (SELECT 1),
+{_kmeans_ctes()},
+{_semdedup_cc_ctes()},
+sem_drop AS (
+  SELECT m.vec_id FROM m
+  JOIN sel s ON s.cluster_id = m.cluster_id
+  WHERE m.vec_id <> s.survivor_id),
+pfx AS (
+  SELECT doc_id, n_chars, text,
+         md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '))
+           AS prefix_md5
+  FROM documents),
+pfx_kept AS (
+  SELECT doc_id, n_chars, text FROM (
+    SELECT doc_id, n_chars, text,
+           min(doc_id) OVER (PARTITION BY prefix_md5) AS canon
+    FROM pfx) t
+  WHERE doc_id = canon),
+exact_kept AS (
+  SELECT doc_id, n_chars, text FROM (
+    SELECT doc_id, n_chars, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+    FROM pfx_kept) t
+  WHERE doc_id = canon),
+sized AS (
+  SELECT doc_id, text FROM exact_kept WHERE n_chars BETWEEN 50 AND 2000),
+sem_kept AS (
+  SELECT doc_id, text FROM sized
+  WHERE doc_id NOT IN (SELECT vec_id FROM sem_drop)),
+shards AS (
+  SELECT ('0x' || substring(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT % 8
+           AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM sem_kept)
+SELECT shard, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+FROM shards GROUP BY shard ORDER BY shard"""
+
+
+@q("llm_corpus_pipeline_v6", _corpus_v6_sql())
+def llm_corpus_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v5's release funnel with SEMANTIC dedup composed in — the full
+    modern curation stack in one checked plan: prefix gate → exact
+    content dedup → length window → SemDeDup (drop non-survivor members
+    of within-cell embedding-duplicate clusters, keep-rule = farthest
+    from cell centroid; queries/round11_extra.semdedup_drop_set) →
+    deterministic 8-way shard manifest. The syntactic gates run FIRST
+    (cheap, no embedding needed); the semantic drop list comes from the
+    corpus-wide cell-pruned pass and is duplicate-member-sized, so it
+    broadcasts into a left-anti join against the already-narrowed
+    stream. Scale: v5's three window/agg shuffles + one cell-key shuffle
+    for the edges + O(diameter) CC rounds on the (tiny) duplicate edge
+    set — nothing corpus-pair-sized. Oracle composes the proven v5 CTEs
+    with the unrolled k-means + recursive-CC survivor CTEs."""
+    from pyspark.sql import Window
+
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+    from hawaiidatapipeline_spark.queries.round11_extra import semdedup_drop_set
+
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
+    w_pfx = Window.partitionBy(prefix)
+    pfx_kept = (
+        d.withColumn("_canon", F.min("doc_id").over(w_pfx))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .drop("_canon")
+    )
+    w_md5 = Window.partitionBy(F.md5("text"))
+    exact_kept = (
+        pfx_kept.withColumn("_canon", F.min("doc_id").over(w_md5))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .drop("_canon")
+    )
+    sized = exact_kept.filter(F.col("n_chars").between(50, 2000))
+    drops = semdedup_drop_set(spark, sf_dir).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    sem_kept = sized.join(F.broadcast(drops), "doc_id", "left_anti")
+    shard = F.pmod(portable_hash64(F.col("doc_id").cast("string"), 7), F.lit(8))
+    return (
+        sem_kept.select(
+            shard.alias("shard"), F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )

@@ -179,10 +179,55 @@ def llm_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_survivors_sql() -> str:
-    return f"""WITH RECURSIVE km0 AS (SELECT 1),
-       {_kmeans_ctes()},
-       cells AS (SELECT vec_id, cid FROM a{_KM_ROUNDS}),
+def semdedup_drop_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup DROP list: members of within-cell duplicate clusters
+    that are NOT the keep-rule survivor (farthest from cell centroid,
+    ties → min id). One (vec_id) column; duplicate members are a small
+    fraction of the corpus, so consumers can broadcast this for an
+    anti-join. Shared by llm_semdedup_survivors and the v6 corpus
+    pipeline."""
+    qv, assign, cent = _kmeans_assign(spark, sf_dir)
+    from hawaiidatapipeline_spark.operators.dedup import connected_components
+    from hawaiidatapipeline_spark.operators.similarity import (
+        as_double_vec,
+        cosine_pairs_in_cells,
+    )
+    from pyspark.sql import Window
+
+    e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    edges = cosine_pairs_in_cells(e, assign).filter(
+        F.col("cos_sim") >= _EMB_TAU
+    )
+    comp = connected_components(edges, a_col="vec_a", b_col="vec_b").select(
+        F.col("node").alias("vec_id"), F.col("comp").alias("cluster_id")
+    )
+    dist = (
+        qv.join(assign, "vec_id")
+        .join(F.broadcast(cent), ["cid", "d"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    m = comp.join(assign.withColumnRenamed("cid", "cell"), "vec_id").join(
+        dist, "vec_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("d2").desc(), "vec_id")
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("vec_id")
+    )
+
+
+def _semdedup_cc_ctes() -> str:
+    """Shared CTE tail (assumes ``_kmeans_ctes()`` in scope): within-cell
+    duplicate edges → recursive-CTE connected components → centroid
+    distances → per-cluster member table ``m`` and keep-rule pick
+    ``sel``. Used by the survivors key and the v6 corpus pipeline."""
+    return f"""cells AS (SELECT vec_id, cid FROM a{_KM_ROUNDS}),
        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        pairs AS (
          SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
@@ -215,7 +260,13 @@ def _semdedup_survivors_sql() -> str:
          FROM (SELECT cluster_id, vec_id, d2,
                       row_number() OVER (PARTITION BY cluster_id
                                          ORDER BY d2 DESC, vec_id) AS rn
-               FROM m) x WHERE rn = 1)
+               FROM m) x WHERE rn = 1)"""
+
+
+def _semdedup_survivors_sql() -> str:
+    return f"""WITH RECURSIVE km0 AS (SELECT 1),
+       {_kmeans_ctes()},
+       {_semdedup_cc_ctes()}
        SELECT g.cluster_id, g.cell, g.n_members,
               sel.survivor_id, sel.survivor_d2
        FROM (SELECT cluster_id, min(cell)::BIGINT AS cell,

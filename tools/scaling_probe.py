@@ -71,6 +71,10 @@ PROBES = [
     ("emb_hamming_topk", "sign-signature build linear; broadcast probe join, k-bounded ranks"),
     ("graph_bfs_hops", "frontier joins — per-hop O(touched edges), fixed hop count"),
     ("multimodal_frame_dedup", "Arrow decode map + one fingerprint-key shuffle"),
+    # round-11 additions
+    ("stream_late_audit", "per-key arrival window + bounded rollup — linear in events"),
+    ("llm_semdedup_cells", "within-cell cosine pairs — Σ cell_size² at fixed k (watch alpha2; real deployments scale k with corpus)"),
+    ("emb_ivfpq_topk_nprobe2", "two-cell ADC read — cell-bounded scan per probe over one shared training"),
 ]
 
 
