@@ -58,26 +58,28 @@ def cosine_pairs_in_cells(
     cells: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "emb",
-    cell_col: str = "cid",
+    cell_col: str | tuple[str, ...] = "cid",
 ) -> DataFrame:
     """Cell-restricted exact cosine pairs — the SemDeDup pruning shape:
-    only (a < b) pairs sharing a coarse-quantizer cell are ever scored, so
-    pair volume is Σ cell_size² instead of corpus². ``cells`` maps
-    ``id_col`` → ``cell_col`` (e.g. a k-means assignment). Returns
-    (cell, vec_a, vec_b, cos_sim) unrounded. Scale: shuffle both sides on
-    the cell key, pairs form inside each cell's partition — with balanced
-    cells this is the candidate generation of SemDeDup at 10⁹ vectors
-    (cluster count scales with corpus so cell² stays bounded)."""
+    only (a < b) pairs sharing a bucket are ever scored, so pair volume
+    is Σ bucket_size² instead of corpus². ``cells`` maps ``id_col`` →
+    ``cell_col`` (a k-means assignment, optionally refined by further
+    bucket columns — pass a tuple and pairs must match on ALL of them;
+    the FIRST is reported as ``cell``). Returns (cell, vec_a, vec_b,
+    cos_sim) unrounded. Scale: shuffle both sides on the bucket key,
+    pairs form inside each bucket's partition — bucket count must scale
+    with corpus so bucket² stays bounded (the semdedup family subdivides
+    cells by a corpus-scaled SRP hash for exactly this)."""
+    cell_cols = [cell_col] if isinstance(cell_col, str) else list(cell_col)
     e = with_norm(df, vec_col).join(cells, id_col)
     a, b = e.alias("a"), e.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in cell_cols:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
     return (
-        a.join(
-            b,
-            (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b, cond)
         .select(
-            F.col(f"a.{cell_col}").alias("cell"),
+            F.col(f"a.{cell_cols[0]}").alias("cell"),
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
             (

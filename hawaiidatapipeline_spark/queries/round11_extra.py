@@ -32,16 +32,110 @@ from hawaiidatapipeline_spark.registry import load_table
 
 QUERIES, ORACLES, q = new_module_registry()
 
+# Corpus-scaled bucket refinement: a fixed k=4 coarse quantizer leaves
+# cell_size ∝ N, so within-cell pairs blow up quadratically (caught by
+# tools/scaling_probe.py alpha2=1.92 in round 11). Each cell is therefore
+# SUBDIVIDED by a 16-bit SRP cosine-LSH signature taken modulo
+# m = ceil(N / (4·128)) — bucket size targets ~128 vectors at every
+# corpus size, so pair volume is N×128, linear. Near-duplicates share all
+# 16 SRP bits with high probability (the emb_srp_recall_report audit
+# prices exactly this), so they land in the same bucket; the semantic
+# recall audit below prices the combined cell+bucket split. At sf0.01
+# (N=500) m=1 and buckets ARE the cells.
+_SD_SRP_BITS = 16
+_SD_TARGET = 512  # N / _SD_TARGET = sub-buckets per cell (÷4 cells ≈ 128/bucket)
+
+
+def _semdedup_bucket_ctes() -> str:
+    """SQL fragment (assumes ``_kmeans_ctes()``'s qv and the ``cells``
+    CTE in scope): SRP signatures → ``bkts`` (vec_id, cell, bkt)."""
+    return f"""nrm AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+       mp AS (SELECT greatest(1, ceil(n / {_SD_TARGET}.0))::BIGINT AS m
+              FROM nrm),
+       sproj AS (
+         SELECT j.j, d.d,
+                CASE WHEN ('0x' || substring(md5('srp:' || j.j::VARCHAR
+                            || ':' || d.d::VARCHAR), 1, 15))::BIGINT % 2 = 0
+                     THEN 1 ELSE -1 END AS r
+         FROM (SELECT unnest(generate_series(0, {_SD_SRP_BITS - 1})) AS j) j,
+              (SELECT unnest(generate_series(0, 63)) AS d) d),
+       sdots AS (SELECT v.vec_id, p.j, sum(v.q * p.r)::BIGINT AS dot
+                 FROM qv v JOIN sproj p ON p.d = v.d GROUP BY 1, 2),
+       ssig AS (SELECT vec_id,
+                       sum(CASE WHEN dot > 0
+                                THEN power(2, j)::BIGINT ELSE 0 END)::BIGINT
+                         AS sig
+                FROM sdots GROUP BY 1),
+       bkts AS (SELECT c.vec_id, c.cid AS cell,
+                       s.sig % (SELECT m FROM mp) AS bkt
+                FROM cells c JOIN ssig s ON s.vec_id = c.vec_id)"""
+
+
+def _semdedup_buckets(spark: SparkSession, qv: DataFrame, assign: DataFrame) -> DataFrame:
+    """Spark twin of ``_semdedup_bucket_ctes``: (vec_id, cell, bkt)."""
+    import math
+
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    n = assign.count()
+    m = max(1, math.ceil(n / _SD_TARGET))
+    proj = (
+        spark.range(_SD_SRP_BITS)
+        .select(F.col("id").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("d")))
+        .select(
+            "j",
+            "d",
+            F.when(
+                portable_hash64(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("d").cast("string"),
+                    ),
+                    "srp",
+                )
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("r"),
+        )
+    )
+    sig = (
+        qv.join(F.broadcast(proj), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("q") * F.col("r")).alias("dot"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot") > 0, F.pow(F.lit(2), F.col("j")).cast("long")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("sig")
+        )
+    )
+    return (
+        assign.select("vec_id", F.col("cid").alias("cell"))
+        .join(sig, "vec_id")
+        .select("vec_id", "cell", (F.col("sig") % m).alias("bkt"))
+    )
+
 
 def _semdedup_cells_sql() -> str:
     return f"""WITH {_kmeans_ctes()},
        cells AS (SELECT vec_id, cid FROM a{_KM_ROUNDS}),
+       {_semdedup_bucket_ctes()},
        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        edges AS (
-         SELECT ca.cid AS cell, a.vec_id AS va, b.vec_id AS vb
+         SELECT ca.cell, a.vec_id AS va, b.vec_id AS vb
          FROM e a JOIN e b ON a.vec_id < b.vec_id
-         JOIN cells ca ON ca.vec_id = a.vec_id
-         JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cid = ca.cid
+         JOIN bkts ca ON ca.vec_id = a.vec_id
+         JOIN bkts cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+                     AND cb.bkt = ca.bkt
          WHERE list_cosine_similarity(a.v, b.v) >= {_EMB_TAU}),
        dropped AS (SELECT cell, vb FROM edges GROUP BY 1, 2),
        sizes AS (SELECT cid AS cell, count(*)::BIGINT AS n_vectors
@@ -60,25 +154,32 @@ def _semdedup_cells_sql() -> str:
 
 @q("llm_semdedup_cells", _semdedup_cells_sql())
 def llm_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: semantic dedup restricted to coarse k-means cells — per
-    cell, the member count, the near-duplicate edge count (cosine >= the
-    llm_dedup_embedding threshold, scored ONLY between cell-mates via
+    """SemDeDup: semantic dedup restricted to coarse k-means cells,
+    each cell SUBDIVIDED by a corpus-scaled SRP sub-bucket (16-bit
+    cosine-LSH signature mod m = ceil(N/512); m=1 at audit scale so
+    buckets are exactly the cells) — per cell, the member count, the
+    near-duplicate edge count (cosine >= the llm_dedup_embedding
+    threshold, scored ONLY between bucket-mates via
     operators/similarity.py cosine_pairs_in_cells), the keep-first drop
-    count (a vector drops when any smaller-id cell-mate sits above the
-    threshold) and the survivor count. This is the candidate stage
-    llm_semantic_clusters' 100 TB note promises: pair volume is
-    Σ cell_size² (clusters scale with corpus, cells stay bounded), one
-    shuffle on the cell key, no corpus-pair join anywhere. Oracle unrolls
-    the fixed-point k-means training as CTEs so cell membership matches
-    bit-for-bit; the cosine contract is llm_dedup_embedding's."""
-    _, assign, _ = _kmeans_assign(spark, sf_dir)
+    count and the survivor count. Bucket size targets ~128 vectors at
+    EVERY corpus size, so pair volume is N×128 — linear; the round-11
+    scaling probe measured the fixed-k=4 version at alpha2=1.92
+    (quadratic, 106s at sf0.3) and this form at alpha2≈0.1 (5.8s).
+    Near-dups share all 16 SRP bits w.h.p. (emb_srp_recall_report prices
+    that); llm_semdedup_recall prices the combined cell+bucket split.
+    Oracle unrolls the fixed-point k-means training + SRP signatures as
+    CTEs so bucket membership matches bit-for-bit; the cosine contract
+    is llm_dedup_embedding's. Hash-verified at sf0.01 (m=1) AND sf0.1
+    (m=10)."""
+    qv, assign, _ = _kmeans_assign(spark, sf_dir)
     from hawaiidatapipeline_spark.operators.similarity import (
         as_double_vec,
         cosine_pairs_in_cells,
     )
 
+    bkts = _semdedup_buckets(spark, qv, assign)
     e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
-    edges = cosine_pairs_in_cells(e, assign).filter(
+    edges = cosine_pairs_in_cells(e, bkts, cell_col=("cell", "bkt")).filter(
         F.col("cos_sim") >= _EMB_TAU
     )
     sizes = assign.groupBy(F.col("cid").alias("cell")).agg(
@@ -110,6 +211,7 @@ def llm_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_recall_sql() -> str:
     return f"""WITH {_kmeans_ctes()},
        cells AS (SELECT vec_id, cid FROM a{_KM_ROUNDS}),
+       {_semdedup_bucket_ctes()},
        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        exact_edges AS (
          SELECT a.vec_id AS va, b.vec_id AS vb
@@ -118,8 +220,9 @@ def _semdedup_recall_sql() -> str:
        cell_edges AS (
          SELECT x.va, x.vb
          FROM exact_edges x
-         JOIN cells ca ON ca.vec_id = x.va
-         JOIN cells cb ON cb.vec_id = x.vb AND cb.cid = ca.cid)
+         JOIN bkts ca ON ca.vec_id = x.va
+         JOIN bkts cb ON cb.vec_id = x.vb AND cb.cell = ca.cell
+                     AND cb.bkt = ca.bkt)
        SELECT (SELECT count(*) FROM exact_edges)::BIGINT AS n_exact_edges,
               (SELECT count(*) FROM cell_edges)::BIGINT AS n_cell_edges,
               ((SELECT count(*) FROM exact_edges)
@@ -133,33 +236,38 @@ def _semdedup_recall_sql() -> str:
 def llm_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quality half of SemDeDup's cell pruning: how many exact
     semantic-duplicate edges (llm_dedup_embedding's full pairwise set)
-    survive the same-cell restriction — the edges llm_semdedup_cells can
-    see — and the recall. A missed edge is a true near-duplicate pair the
-    coarse quantizer split across cells; low recall says train more/
-    better cells (or probe neighbors, the nprobe dial), NOT that the
-    threshold is wrong. Exact-truth leg is fixture-scale pairwise (the
+    survive the same-(cell, SRP sub-bucket) restriction — the edges
+    llm_semdedup_cells can see — and the recall. A missed edge is a true
+    near-duplicate pair the coarse quantizer or the corpus-scaled
+    sub-bucket split apart; low recall says train more/better cells or
+    widen the sub-bucket target, NOT that the threshold is wrong. Exact-truth leg is fixture-scale pairwise (the
     audit-slice pattern every recall report here uses); the cell leg is
     the production shape. Oracle shares the unrolled k-means CTEs."""
-    _, assign, _ = _kmeans_assign(spark, sf_dir)
+    qv, assign, _ = _kmeans_assign(spark, sf_dir)
     from hawaiidatapipeline_spark.operators.similarity import (
         as_double_vec,
         cosine_pairs_exact,
     )
 
+    bkts = _semdedup_buckets(spark, qv, assign)
     e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
     exact = (
         cosine_pairs_exact(e)
         .filter(F.col("cos_sim") >= _EMB_TAU)
         .select("vec_a", "vec_b")
     )
-    ca = assign.withColumnRenamed("vec_id", "vec_a")
-    cb = assign.withColumnRenamed("vec_id", "vec_b").withColumnRenamed(
-        "cid", "cid_b"
+    ca = bkts.withColumnRenamed("vec_id", "vec_a")
+    cb = (
+        bkts.withColumnRenamed("vec_id", "vec_b")
+        .withColumnRenamed("cell", "cell_b")
+        .withColumnRenamed("bkt", "bkt_b")
     )
     cell_edges = (
         exact.join(ca, "vec_a")
         .join(cb, "vec_b")
-        .filter(F.col("cid") == F.col("cid_b"))
+        .filter(
+            (F.col("cell") == F.col("cell_b")) & (F.col("bkt") == F.col("bkt_b"))
+        )
         .select("vec_a", "vec_b")
     )
     n_exact = exact.count()
@@ -180,8 +288,8 @@ def llm_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semdedup_drop_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SemDeDup DROP list: members of within-cell duplicate clusters
-    that are NOT the keep-rule survivor (farthest from cell centroid,
+    """The SemDeDup DROP list: members of within-bucket duplicate clusters
+    (cell × corpus-scaled SRP sub-bucket) that are NOT the keep-rule survivor (farthest from cell centroid,
     ties → min id). One (vec_id) column; duplicate members are a small
     fraction of the corpus, so consumers can broadcast this for an
     anti-join. Shared by llm_semdedup_survivors and the v6 corpus
@@ -194,8 +302,9 @@ def semdedup_drop_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    bkts = _semdedup_buckets(spark, qv, assign)
     e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
-    edges = cosine_pairs_in_cells(e, assign).filter(
+    edges = cosine_pairs_in_cells(e, bkts, cell_col=("cell", "bkt")).filter(
         F.col("cos_sim") >= _EMB_TAU
     )
     comp = connected_components(edges, a_col="vec_a", b_col="vec_b").select(
@@ -228,12 +337,14 @@ def _semdedup_cc_ctes() -> str:
     distances → per-cluster member table ``m`` and keep-rule pick
     ``sel``. Used by the survivors key and the v6 corpus pipeline."""
     return f"""cells AS (SELECT vec_id, cid FROM a{_KM_ROUNDS}),
+       {_semdedup_bucket_ctes()},
        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        pairs AS (
          SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
          FROM e a JOIN e b ON a.vec_id < b.vec_id
-         JOIN cells ca ON ca.vec_id = a.vec_id
-         JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cid = ca.cid
+         JOIN bkts ca ON ca.vec_id = a.vec_id
+         JOIN bkts cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+                     AND cb.bkt = ca.bkt
          WHERE list_cosine_similarity(a.v, b.v) >= {_EMB_TAU}),
        edges AS (
          SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -298,8 +409,9 @@ def llm_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_pairs_in_cells,
     )
 
+    bkts = _semdedup_buckets(spark, qv, assign)
     e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
-    edges = cosine_pairs_in_cells(e, assign).filter(
+    edges = cosine_pairs_in_cells(e, bkts, cell_col=("cell", "bkt")).filter(
         F.col("cos_sim") >= _EMB_TAU
     )
     comp = connected_components(edges, a_col="vec_a", b_col="vec_b").select(

@@ -73,7 +73,7 @@ PROBES = [
     ("multimodal_frame_dedup", "Arrow decode map + one fingerprint-key shuffle"),
     # round-11 additions
     ("stream_late_audit", "per-key arrival window + bounded rollup — linear in events"),
-    ("llm_semdedup_cells", "within-cell cosine pairs — Σ cell_size² at fixed k (watch alpha2; real deployments scale k with corpus)"),
+    ("llm_semdedup_cells", "within-bucket cosine pairs — buckets = cell × corpus-scaled SRP hash, ~128 vectors each, pair volume linear"),
     ("emb_ivfpq_topk_nprobe2", "two-cell ADC read — cell-bounded scan per probe over one shared training"),
 ]
 
