@@ -44,6 +44,7 @@ QUERIES, ORACLES, q = new_module_registry()
 # (N=500) m=1 and buckets ARE the cells.
 _SD_SRP_BITS = 16
 _SD_TARGET = 512  # N / _SD_TARGET = sub-buckets per cell (÷4 cells ≈ 128/bucket)
+_SD_RECALL_SAMPLE = 1000  # recall-audit vertex sample size (stride = N/this)
 
 
 def _semdedup_bucket_ctes() -> str:
@@ -213,9 +214,12 @@ def _semdedup_recall_sql() -> str:
        cells AS (SELECT vec_id, cid FROM a{_KM_ROUNDS}),
        {_semdedup_bucket_ctes()},
        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       srs AS (SELECT greatest(1, ceil((SELECT count(*) FROM embeddings)
+                                       / {_SD_RECALL_SAMPLE}.0))::BIGINT AS s),
+       es AS (SELECT * FROM e WHERE vec_id % (SELECT s FROM srs) = 0),
        exact_edges AS (
          SELECT a.vec_id AS va, b.vec_id AS vb
-         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         FROM es a JOIN es b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= {_EMB_TAU}),
        cell_edges AS (
          SELECT x.va, x.vb
@@ -240,9 +244,16 @@ def llm_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_semdedup_cells can see — and the recall. A missed edge is a true
     near-duplicate pair the coarse quantizer or the corpus-scaled
     sub-bucket split apart; low recall says train more/better cells or
-    widen the sub-bucket target, NOT that the threshold is wrong. Exact-truth leg is fixture-scale pairwise (the
-    audit-slice pattern every recall report here uses); the cell leg is
-    the production shape. Oracle shares the unrolled k-means CTEs."""
+    widen the sub-bucket target, NOT that the threshold is wrong. The
+    exact-truth leg runs on a corpus-scaled VERTEX SAMPLE (stride =
+    ceil(N/{_SD_RECALL_SAMPLE}), so ~{_SD_RECALL_SAMPLE} vectors and a
+    fixed ~{_SD_RECALL_SAMPLE}²/2 pair volume at ANY corpus size — the
+    audit-slice pattern every recall report here uses; full pairwise
+    grew 7.4x per 10x data in tools/scaling_probe.py); the cell leg is
+    the production shape. At sf0.01 the stride is 1 (sample = corpus).
+    Oracle shares the unrolled k-means CTEs."""
+    import math
+
     qv, assign, _ = _kmeans_assign(spark, sf_dir)
     from hawaiidatapipeline_spark.operators.similarity import (
         as_double_vec,
@@ -251,8 +262,9 @@ def llm_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bkts = _semdedup_buckets(spark, qv, assign)
     e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    stride = max(1, math.ceil(e.count() / _SD_RECALL_SAMPLE))
     exact = (
-        cosine_pairs_exact(e)
+        cosine_pairs_exact(e.filter(F.col("vec_id") % stride == 0))
         .filter(F.col("cos_sim") >= _EMB_TAU)
         .select("vec_a", "vec_b")
     )

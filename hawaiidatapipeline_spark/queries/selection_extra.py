@@ -1,0 +1,220 @@
+"""Data selection via importance resampling — DSIR (SURVEY.md §2.J
+curation family; Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling").
+
+The curation surface already filters by shape (llm_quality_score), by
+content surprisal (llm_unigram_logprob) and reweights domains
+(llm_domain_reweight_step / llm_mixture_*); DSIR is the missing
+TARGET-DISTRIBUTION selector: score every raw document by how much its
+hashed n-gram profile looks like a target corpus slice, then resample
+with probability proportional to the importance weight (Gumbel-top-k on
+the log weights — the paper's exact sampling procedure, made
+deterministic here by hashing the Gumbel uniforms from doc_id).
+
+Determinism discipline (house integer lane): the per-bucket log ratio
+λ(f) = ln(p_target(f)/p_raw(f)) under add-1 smoothing is floored to
+MICRO-UNITS once per bucket (B buckets total), so every per-document
+weight is an exact INTEGER dot product — no float partial-sum order to
+disagree across partitionings or engines. The only float ops are one ln
+per bucket and one -ln(-ln(u)) per doc, on bit-identical double inputs.
+
+Scale shape (100 TB): the λ table is B rows (broadcast — the whole
+point of HASHED n-grams is that the model size is fixed no matter the
+corpus); feature extraction is a linear explode; the weight is one
+doc_id-keyed partial agg; the resample is a TakeOrdered top-N, never a
+global row_number. Nothing grows super-linearly with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+_DSIR_B = 256  # hashed feature buckets — λ model is B rows, broadcastable
+_DSIR_SEED = 777  # feature-hash seed
+_DSIR_GSEED = 778  # Gumbel-uniform seed (independent of the feature hash)
+_DSIR_N = 64  # resample size
+_DSIR_TARGET_LANG = "en"  # target slice: look-like-English selection
+# Gumbel uniform: u = (h % (2^50-1) + 1) / 2^50 — 50 bits keeps the
+# integer exactly representable in a double, +1 keeps u in (0,1)
+_DSIR_UMOD = (1 << 50) - 1
+_DSIR_UDEN = float(1 << 50)
+
+
+def _dsir_weights_sql() -> str:
+    return f"""WITH toks AS (
+         SELECT doc_id, lang,
+                unnest(string_split(text, ' ')) AS tok,
+                generate_subscripts(string_split(text, ' '), 1) AS pos
+         FROM documents),
+       bi AS (
+         SELECT a.doc_id, a.lang, a.tok || ' ' || b.tok AS feat
+         FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+       feats AS (
+         SELECT doc_id, lang, tok AS feat FROM toks
+         UNION ALL SELECT doc_id, lang, feat FROM bi),
+       hashed AS (
+         SELECT doc_id, lang,
+                ('0x' || substring(md5('{_DSIR_SEED}:' || feat), 1, 15))::BIGINT
+                  % {_DSIR_B} AS f
+         FROM feats),
+       docf AS (SELECT doc_id, lang, f, count(*)::BIGINT AS c
+                FROM hashed GROUP BY 1, 2, 3),
+       raw AS (SELECT f, sum(c)::BIGINT AS cr FROM docf GROUP BY 1),
+       tgt AS (SELECT f, sum(c)::BIGINT AS ct FROM docf
+               WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1),
+       tot AS (SELECT (SELECT sum(cr) FROM raw)::BIGINT AS tr,
+                      (SELECT coalesce(sum(ct), 0) FROM tgt)::BIGINT AS tt),
+       lam AS (
+         SELECT r.f,
+                floor(ln(((coalesce(t.ct, 0) + 1)::DOUBLE * (tot.tr + {_DSIR_B}))
+                         / ((r.cr + 1)::DOUBLE * (tot.tt + {_DSIR_B})))
+                      * 1000000)::BIGINT AS lam_micro
+         FROM raw r LEFT JOIN tgt t ON t.f = r.f, tot),
+       w AS (
+         SELECT d.doc_id, d.lang, sum(d.c)::BIGINT AS n_feats,
+                sum(d.c * l.lam_micro)::BIGINT AS weight_micro
+         FROM docf d JOIN lam l ON l.f = d.f GROUP BY 1, 2)"""
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_feats, weight_micro) — Spark twin of the ``w``
+    CTE in ``_dsir_weights_sql``."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.withColumn("nxt", F.lead("tok").over(wl))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", "lang", F.concat_ws(" ", "tok", "nxt").alias("feat"))
+    )
+    feats = toks.select("doc_id", "lang", F.col("tok").alias("feat")).unionByName(bi)
+    hashed = feats.select(
+        "doc_id",
+        "lang",
+        (portable_hash64(F.col("feat"), _DSIR_SEED) % _DSIR_B).alias("f"),
+    )
+    docf = hashed.groupBy("doc_id", "lang", "f").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    raw = docf.groupBy("f").agg(F.sum("c").alias("cr"))
+    tgt = (
+        docf.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("f")
+        .agg(F.sum("c").alias("ct"))
+    )
+    tot = raw.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    )
+    lam = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        * (F.col("tr") + _DSIR_B)
+                    )
+                    / ((F.col("cr") + 1).cast("double") * (F.col("tt") + _DSIR_B))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lam_micro"),
+        )
+    )
+    return docf.join(F.broadcast(lam), "f").groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n_feats"),
+        F.sum(F.col("c") * F.col("lam_micro")).alias("weight_micro"),
+    )
+
+
+@q(
+    "llm_dsir_weights",
+    _dsir_weights_sql()
+    + """
+       SELECT doc_id, lang, n_feats, weight_micro,
+              round(weight_micro / 1000000.0, 6) AS weight
+       FROM w ORDER BY weight_micro DESC, doc_id LIMIT 100""",
+)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: hashed uni+bigram bag-of-n-grams models of
+    the target slice (lang = 'en') and the raw corpus, add-1 smoothed
+    over B = 256 buckets; each document's log importance weight is the
+    integer dot product of its bucket counts with the micro-unit per-
+    bucket log ratio λ(f) = ln(p_target(f)/p_raw(f)). Top-100 by weight —
+    the documents whose n-gram profile most resembles the target. Plan:
+    two linear feature aggs, a B-row broadcast λ join, one doc-keyed
+    partial agg — the hashed model is fixed-size at any corpus scale."""
+    w = _dsir_weights(spark, sf_dir)
+    return (
+        w.select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            "weight_micro",
+            F.round(F.col("weight_micro") / 1000000.0, 6).alias("weight"),
+        )
+        .orderBy(F.col("weight_micro").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+@q(
+    "llm_dsir_sample",
+    _dsir_weights_sql()
+    + f""",
+       keyed AS (
+         SELECT doc_id, lang, weight_micro,
+                floor(-ln(-ln(((('0x' || substring(md5('{_DSIR_GSEED}:'
+                                || doc_id::VARCHAR), 1, 15))::BIGINT
+                               % {_DSIR_UMOD}) + 1) / {_DSIR_UDEN}))
+                      * 1000000)::BIGINT AS gumbel_micro
+         FROM w)
+       SELECT doc_id, lang, weight_micro, gumbel_micro,
+              weight_micro + gumbel_micro AS key_micro
+       FROM keyed
+       ORDER BY key_micro DESC, doc_id LIMIT {_DSIR_N}""",
+)
+def llm_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resampling step: Gumbel-top-k over the log importance weights
+    — adding an independent Gumbel(0,1) to each log weight and taking the
+    top N draws an exact weighted sample WITHOUT replacement with
+    p(doc) ∝ exp(log weight) (the paper's procedure). The Gumbel uniform
+    is hashed from doc_id (50-bit mantissa-exact), so the "randomness" is
+    reproducible bit-for-bit in any engine — the property a 100 TB rerun
+    needs anyway. Plan: weights as in llm_dsir_weights, then a map-side
+    key and a TakeOrdered top-N — no global sort, no single-partition
+    window."""
+    w = _dsir_weights(spark, sf_dir)
+    u = (
+        (portable_hash64(F.col("doc_id").cast("string"), _DSIR_GSEED) % _DSIR_UMOD)
+        + 1
+    ) / F.lit(_DSIR_UDEN)
+    keyed = w.select(
+        "doc_id",
+        "lang",
+        "weight_micro",
+        F.floor(-F.log(-F.log(u)) * 1000000).cast("long").alias("gumbel_micro"),
+    )
+    return (
+        keyed.select(
+            "doc_id",
+            "lang",
+            "weight_micro",
+            "gumbel_micro",
+            (F.col("weight_micro") + F.col("gumbel_micro")).alias("key_micro"),
+        )
+        .orderBy(F.col("key_micro").desc(), "doc_id")
+        .limit(_DSIR_N)
+    )

@@ -75,12 +75,27 @@ PROBES = [
     ("stream_late_audit", "per-key arrival window + bounded rollup — linear in events"),
     ("llm_semdedup_cells", "within-bucket cosine pairs — buckets = cell × corpus-scaled SRP hash, ~128 vectors each, pair volume linear"),
     ("emb_ivfpq_topk_nprobe2", "two-cell ADC read — cell-bounded scan per probe over one shared training"),
+    ("llm_semdedup_survivors", "bucketed pair scan + per-cluster min — linear in bucketed pairs"),
+    ("llm_semdedup_recall", "bucketed candidate edges vs sampled truth slice — linear in buckets + sample²"),
+    ("llm_corpus_pipeline_v6", "staged funnel; semantic drop-list is a broadcast anti-join over doc ids"),
 ]
 
 
 def main() -> int:
     from hawaiidatapipeline_spark.queries import collect
     from hawaiidatapipeline_spark.session import get_spark
+
+    # subset mode: `python tools/scaling_probe.py key1 key2` re-times only
+    # those probes and patches their rows in the existing SCALING.md table
+    # (full run with no args rewrites the whole file)
+    subset = set(sys.argv[1:])
+    probes = PROBES
+    if subset:
+        unknown = subset - {n for n, _ in PROBES}
+        if unknown:
+            print(f"unknown probe keys (add to PROBES first): {sorted(unknown)}")
+            return 2
+        probes = [(n, e) for n, e in PROBES if n in subset]
 
     spark = get_spark(app_name="hdp-scaling-probe")
     queries, _ = collect()
@@ -99,7 +114,7 @@ def main() -> int:
         print(f"NOTE: {SF3} missing — run tools/make_scale_lane.py for the 3rd point")
 
     results = []
-    for name, expectation in PROBES:
+    for name, expectation in probes:
         walls = []
         for sf in lanes:
             best = float("inf")
@@ -130,6 +145,33 @@ def main() -> int:
         if have_sf3:
             line += f" sf0.3={walls[2]:.2f}s growth2={g2:.2f}x alpha2={alpha2:.2f}"
         print(line)
+
+    if subset:
+        # patch mode: replace (or append) only the re-timed rows
+        rows = {}
+        for name, walls, g, g2, alpha2, expectation in results:
+            w3 = f"{walls[2]:.2f}" if have_sf3 else "—"
+            g2s = f"{g2:.2f}×" if have_sf3 else "—"
+            a2s = f"{alpha2:.2f}" if have_sf3 else "—"
+            rows[name] = (
+                f"| {name} | {walls[0]:.2f} | {walls[1]:.2f} | {w3} "
+                f"| {g:.1f}× | {g2s} | {a2s} | {expectation} |"
+            )
+        lines = open("SCALING.md").read().splitlines()
+        for i, ln in enumerate(lines):
+            parts = ln.split("|")
+            key = parts[1].strip() if len(parts) > 2 else ""
+            if key in rows:
+                lines[i] = rows.pop(key)
+        lines.extend(rows.values())  # probes new to the table
+        open("SCALING.md", "w").write("\n".join(lines) + "\n")
+        print("\npatched SCALING.md rows for subset")
+        if have_sf3:
+            bad = [n for n, _w, _g, _g2, a2, _e in results if a2 == a2 and a2 > 1.15]
+            if bad:
+                print(f"SUPER-LINEAR second interval (alpha2 > 1.15): {bad}")
+                return 1
+        return 0
 
     with open("SCALING.md", "w") as f:
         f.write(
