@@ -93,7 +93,8 @@ _FRONT: tuple[str, ...] = (
     'stream_late_audit', 'soql_geo_hull', 'soql_datetime_median',
     'soql_fixed_floating', 'soql_text_case', 'emb_ivfpq_topk_nprobe2',
     'llm_semdedup_cells', 'llm_semdedup_recall', 'llm_semdedup_survivors',
-    'llm_corpus_pipeline_v6', 'project_computed', 'filter_compare',
+    'llm_corpus_pipeline_v6', 'llm_dsir_weights', 'llm_dsir_sample',
+    'emb_ivfpq_rerank', 'project_computed', 'filter_compare',
     'filter_boolean', 'filter_in_between_null', 'filter_like',
     'fulltext_search', 'distinct_rows', 'sort_multikey',
     'limit_n', 'offset_paging', 'topk_global',
@@ -101,8 +102,7 @@ _FRONT: tuple[str, ...] = (
     'set_except', 'subquery_scalar_correlated', 'dq_profile',
     'dq_referential', 'join_inner_broadcast', 'join_inner_sortmerge',
     'join_left_outer', 'join_right_outer', 'join_full_outer',
-    'join_left_semi', 'join_left_anti', 'join_cross',
-    'join_theta_range', 'join_asof',
+    'join_left_semi', 'join_left_anti',
 )
 
 

@@ -300,6 +300,82 @@ def emb_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RR_SHORTLIST = 30  # ADC shortlist depth feeding the exact re-rank (3x top-k)
+
+
+def _ivfpq_rerank_sql() -> str:
+    return f"""WITH {_kmeans_ctes()},
+       {_pq_ctes()},
+       {_ivf_adc_ctes()},
+       short AS (
+         SELECT probe_id, neighbor_id, rnk AS adc_rnk FROM (
+           SELECT probe_id, neighbor_id,
+                  row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY adc_d2, neighbor_id) AS rnk
+           FROM adc) x WHERE rnk <= {_RR_SHORTLIST}),
+       ex AS (
+         SELECT s.probe_id, s.neighbor_id, s.adc_rnk,
+                sum((p.q - v.q) * (p.q - v.q))::BIGINT AS exact_d2
+         FROM short s
+         JOIN pqv v ON v.vec_id = s.neighbor_id
+         JOIN probes p ON p.vec_id = s.probe_id AND p.d = v.d
+         GROUP BY 1, 2, 3),
+       reranked AS (
+         SELECT probe_id, neighbor_id, adc_rnk, exact_d2,
+                row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY exact_d2, neighbor_id) AS rnk
+         FROM ex)
+       SELECT probe_id, rnk, neighbor_id, exact_d2, adc_rnk
+       FROM reranked WHERE rnk <= {_PQR_TOPK}
+       ORDER BY probe_id, rnk"""
+
+
+@q("emb_ivfpq_rerank", _ivfpq_rerank_sql())
+def emb_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ retrieval: the cell-pruned ADC scan produces a
+    cheap SHORTLIST ({_RR_SHORTLIST} = 3x top-k), which is then re-ranked
+    by EXACT int64 distance on the raw vectors — the standard refine step
+    every production ANN serving stack runs (quantization error perturbs
+    ranks near the boundary; re-ranking a 3x shortlist recovers most of
+    it for a probes x shortlist-sized exact cost). The adc_rnk column
+    shows the reorder the refine performed. Scale: the exact leg touches
+    only probes x {_RR_SHORTLIST} candidate vectors (never the corpus),
+    fetched by a neighbor_id equi-join against the vector table — at 10⁹
+    vectors that is the point: ADC reads codes, re-rank reads ~30 full
+    vectors per query. Same integer contract as the rest of the family;
+    the oracle unrolls both trainings and matches every rank."""
+    pcell, adc, ctx = _ivfpq_spark_parts(spark, sf_dir)
+    w = Window.partitionBy("probe_id").orderBy("adc_d2", "neighbor_id")
+    short = (
+        adc.withColumn("adc_rnk", F.row_number().over(w))
+        .filter(F.col("adc_rnk") <= _RR_SHORTLIST)
+        .select("probe_id", "neighbor_id", "adc_rnk")
+    )
+    nb = ctx.qv.select(
+        F.col("vec_id").alias("neighbor_id"), "d", F.col("q").alias("nq")
+    )
+    pv = ctx.probes.select(
+        F.col("vec_id").alias("probe_id"), "d", F.col("q").alias("pq")
+    )
+    ex = (
+        short.join(nb, "neighbor_id")
+        .join(F.broadcast(pv), ["probe_id", "d"])
+        .groupBy("probe_id", "neighbor_id", "adc_rnk")
+        .agg(
+            F.sum((F.col("pq") - F.col("nq")) * (F.col("pq") - F.col("nq")))
+            .cast("long")
+            .alias("exact_d2")
+        )
+    )
+    w_ex = Window.partitionBy("probe_id").orderBy("exact_d2", "neighbor_id")
+    return (
+        ex.withColumn("rnk", F.row_number().over(w_ex))
+        .filter(F.col("rnk") <= _PQR_TOPK)
+        .select("probe_id", "rnk", "neighbor_id", "exact_d2", "adc_rnk")
+        .orderBy("probe_id", "rnk")
+    )
+
+
 def _nprobe2_recall_sql() -> str:
     return f"""WITH {_kmeans_ctes()},
        {_pq_ctes()},

@@ -74,10 +74,13 @@ PROBES = [
     # round-11 additions
     ("stream_late_audit", "per-key arrival window + bounded rollup — linear in events"),
     ("llm_semdedup_cells", "within-bucket cosine pairs — buckets = cell × corpus-scaled SRP hash, ~128 vectors each, pair volume linear"),
-    ("emb_ivfpq_topk_nprobe2", "two-cell ADC read — cell-bounded scan per probe over one shared training"),
+    ("emb_ivfpq_topk_nprobe2", "two-cell ADC read — bounded by cell size; K=4 cells is fixture-scale, production scales cell count with N (priced by emb_ivf_nprobe_cost_curve)"),
     ("llm_semdedup_survivors", "bucketed pair scan + per-cluster min — linear in bucketed pairs"),
     ("llm_semdedup_recall", "bucketed candidate edges vs sampled truth slice — linear in buckets + sample²"),
     ("llm_corpus_pipeline_v6", "staged funnel; semantic drop-list is a broadcast anti-join over doc ids"),
+    ("llm_dsir_weights", "DSIR — linear feature explode + B-row broadcast λ join + doc-keyed agg"),
+    ("llm_dsir_sample", "DSIR Gumbel-top-k — weights plan + map-side key + TakeOrdered top-N"),
+    ("emb_ivfpq_rerank", "ADC shortlist + exact refine — probes x shortlist vector fetch, never corpus"),
 ]
 
 
