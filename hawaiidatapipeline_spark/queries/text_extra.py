@@ -288,3 +288,296 @@ def llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+_BM25_TERMS = ("merge", "window", "hash")  # multi-term retrieval query
+_BM25_K1_X10 = 12  # k1 = 1.2, scaled x10 so the scoring stays integral
+_BM25_B_X100 = 75  # b = 0.75
+
+
+@q(
+    "fulltext_bm25",
+    f"""WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+       nn AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS t FROM dl),
+       terms AS (SELECT unnest(['merge', 'window', 'hash']) AS term),
+       tf AS (SELECT t.doc_id, t.tok AS term, count(*)::BIGINT AS tf
+              FROM toks t JOIN terms q ON q.term = t.tok GROUP BY 1, 2),
+       df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       idf AS (SELECT term,
+                      floor(ln((((SELECT n FROM nn) - df + 0.5) / (df + 0.5))
+                               + 1) * 1000)::BIGINT AS idf_milli
+               FROM df),
+       sc AS (SELECT f.doc_id,
+                     floor((i.idf_milli * 22.0 * nn.t * f.tf)
+                           / (10 * nn.t * f.tf + 3 * nn.t
+                              + 9 * d.dl * nn.n))::BIGINT AS s_milli
+              FROM tf f
+              JOIN idf i ON i.term = f.term
+              JOIN dl d ON d.doc_id = f.doc_id, nn),
+       agg AS (SELECT doc_id, count(*)::BIGINT AS n_terms,
+                      sum(s_milli)::BIGINT AS score_milli
+               FROM sc GROUP BY 1)
+       SELECT a.doc_id, d2.lang, a.n_terms, a.score_milli,
+              round(a.score_milli / 1000.0, 6) AS bm25
+       FROM agg a JOIN documents d2 ON d2.doc_id = a.doc_id
+       ORDER BY a.score_milli DESC, a.doc_id LIMIT 50""",
+)
+def fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (k1 = 1.2, b = 0.75, Lucene +1 IDF) —
+    the scoring fulltext_ranked's raw term frequency approximates: IDF
+    damps stop-ish terms and the dl/avgdl factor stops long documents
+    from winning on volume alone. Integer lane: with T = total corpus
+    tokens and N = docs, the per-term contribution
+    idf·tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) is multiplied through by
+    10·T, making the denominator the exact integer
+    10·T·tf + 3·T + 9·dl·N — one IEEE division + floor per (doc, term)
+    in milli-units, then an exact integer sum per doc, so both engines
+    rank identically. Plan: one token explode, a 3-row broadcast term
+    join (the posting-list read of an inverted index — at 100 TB this
+    join IS the index lookup, touching only matching postings), doc-
+    grain aggs, TakeOrdered top-50. The df/idf tables are term-count
+    sized; nothing corpus-quadratic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    nn = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("t"),
+    )
+    terms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    tf = (
+        toks.join(F.broadcast(terms), toks["tok"] == terms["term"])
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = (
+        df_.crossJoin(F.broadcast(nn))
+        .select(
+            "term",
+            F.floor(
+                F.log(
+                    ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1
+                )
+                * 1000
+            )
+            .cast("long")
+            .alias("idf_milli"),
+        )
+    )
+    sc = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            F.floor(
+                (F.col("idf_milli") * 22.0 * F.col("t") * F.col("tf"))
+                / (
+                    10 * F.col("t") * F.col("tf")
+                    + 3 * F.col("t")
+                    + 9 * F.col("dl") * F.col("n")
+                )
+            )
+            .cast("long")
+            .alias("s_milli"),
+        )
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("s_milli").cast("long").alias("score_milli"),
+    )
+    return (
+        agg.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_terms",
+            "score_milli",
+            F.round(F.col("score_milli") / 1000.0, 6).alias("bm25"),
+        )
+        .orderBy(F.col("score_milli").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+_NDCG_TERMS = ("merge", "window", "hash", "scan", "sort")
+_NDCG_K = 10
+
+
+@q(
+    "fulltext_eval_ndcg",
+    f"""WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+       nn AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS t FROM dl),
+       terms AS (SELECT unnest(['merge', 'window', 'hash', 'scan', 'sort'])
+                   AS term),
+       tf AS (SELECT t.doc_id, t.tok AS term, count(*)::BIGINT AS tf
+              FROM toks t JOIN terms q ON q.term = t.tok GROUP BY 1, 2),
+       df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       idf AS (SELECT term,
+                      floor(ln((((SELECT n FROM nn) - df + 0.5) / (df + 0.5))
+                               + 1) * 1000)::BIGINT AS idf_milli
+               FROM df),
+       scored AS (
+         SELECT f.term, f.doc_id, f.tf,
+                least(f.tf, 3)::BIGINT AS rel,
+                floor((i.idf_milli * 22.0 * nn.t * f.tf)
+                      / (10 * nn.t * f.tf + 3 * nn.t
+                         + 9 * d.dl * nn.n))::BIGINT AS s_milli
+         FROM tf f
+         JOIN idf i ON i.term = f.term
+         JOIN dl d ON d.doc_id = f.doc_id, nn),
+       ranked AS (
+         SELECT term, doc_id, tf, rel,
+                CASE rel WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END AS gain,
+                row_number() OVER (PARTITION BY term
+                                   ORDER BY s_milli DESC, doc_id) AS rn_sys,
+                row_number() OVER (PARTITION BY term
+                                   ORDER BY rel DESC, doc_id) AS rn_ideal
+         FROM scored),
+       disc AS (SELECT i,
+                       floor(1000000 / log2(i + 1))::BIGINT AS disc_micro
+                FROM (SELECT unnest(generate_series(1, {_NDCG_K})) AS i)),
+       agg AS (
+         SELECT r.term,
+                count(*)::BIGINT AS n_matched,
+                sum(CASE WHEN r.rn_sys <= {_NDCG_K}
+                         THEN r.gain * ds.disc_micro ELSE 0 END)::BIGINT
+                  AS dcg_micro,
+                sum(CASE WHEN r.rn_ideal <= {_NDCG_K}
+                         THEN r.gain * di.disc_micro ELSE 0 END)::BIGINT
+                  AS idcg_micro,
+                min(CASE WHEN r.tf >= 2 THEN r.rn_sys END)::BIGINT
+                  AS first_rel_rank
+         FROM ranked r
+         LEFT JOIN disc ds ON ds.i = r.rn_sys
+         LEFT JOIN disc di ON di.i = r.rn_ideal
+         GROUP BY 1)
+       SELECT term, n_matched, dcg_micro, idcg_micro,
+              round(dcg_micro::DOUBLE / idcg_micro, 6) AS ndcg_at_{_NDCG_K},
+              round(coalesce(1.0 / first_rel_rank, 0), 6) AS mrr
+       FROM agg ORDER BY term""",
+)
+def fulltext_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of BM25 retrieval: nDCG@10 and MRR per
+    query term, with graded relevance = min(tf, 3) (the raw term-count
+    signal BM25's length normalization deliberately reorders — nDCG < 1
+    here measures exactly that reorder) and "highly relevant" = tf >= 2
+    for MRR. Integer lane: gains are the exact integers 2^rel − 1; the
+    position discount 1/log2(i+1) is pre-floored to MICRO-UNITS in a
+    10-row broadcast table, so each DCG is an exact integer dot product
+    and the only per-term floats are the final two divisions. Plan: the
+    BM25 scoring plan (term-join = posting-list read), then rank windows
+    PER TERM partition (posting-list sized, the win_topk_per_group
+    bound) and a 10-row broadcast discount join — metric output is
+    #terms rows, nothing corpus-sized survives the agg."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    nn = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("t"),
+    )
+    terms = spark.createDataFrame([(t,) for t in _NDCG_TERMS], "term string")
+    tf = (
+        toks.join(F.broadcast(terms), toks["tok"] == terms["term"])
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = df_.crossJoin(F.broadcast(nn)).select(
+        "term",
+        F.floor(
+            F.log(((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1)
+            * 1000
+        )
+        .cast("long")
+        .alias("idf_milli"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            F.least(F.col("tf"), F.lit(3)).cast("long").alias("rel"),
+            F.floor(
+                (F.col("idf_milli") * 22.0 * F.col("t") * F.col("tf"))
+                / (
+                    10 * F.col("t") * F.col("tf")
+                    + 3 * F.col("t")
+                    + 9 * F.col("dl") * F.col("n")
+                )
+            )
+            .cast("long")
+            .alias("s_milli"),
+        )
+    )
+    w_sys = Window.partitionBy("term").orderBy(F.col("s_milli").desc(), "doc_id")
+    w_ideal = Window.partitionBy("term").orderBy(F.col("rel").desc(), "doc_id")
+    ranked = scored.select(
+        "term",
+        "doc_id",
+        "tf",
+        "rel",
+        F.when(F.col("rel") == 1, 1)
+        .when(F.col("rel") == 2, 3)
+        .otherwise(7)
+        .cast("long")
+        .alias("gain"),
+        F.row_number().over(w_sys).alias("rn_sys"),
+        F.row_number().over(w_ideal).alias("rn_ideal"),
+    )
+    disc = spark.range(1, _NDCG_K + 1).select(
+        F.col("id").alias("i"),
+        F.floor(1000000 / F.log2(F.col("id") + 1)).cast("long").alias("disc_micro"),
+    )
+    ds = disc.select(F.col("i").alias("rn_sys"), F.col("disc_micro").alias("dm_s"))
+    di = disc.select(
+        F.col("i").alias("rn_ideal"), F.col("disc_micro").alias("dm_i")
+    )
+    agg = (
+        ranked.join(F.broadcast(ds), "rn_sys", "left")
+        .join(F.broadcast(di), "rn_ideal", "left")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum(
+                F.when(
+                    F.col("rn_sys") <= _NDCG_K, F.col("gain") * F.col("dm_s")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("dcg_micro"),
+            F.sum(
+                F.when(
+                    F.col("rn_ideal") <= _NDCG_K, F.col("gain") * F.col("dm_i")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("idcg_micro"),
+            F.min(F.when(F.col("tf") >= 2, F.col("rn_sys")))
+            .cast("long")
+            .alias("first_rel_rank"),
+        )
+    )
+    return agg.select(
+        "term",
+        "n_matched",
+        "dcg_micro",
+        "idcg_micro",
+        F.round(F.col("dcg_micro").cast("double") / F.col("idcg_micro"), 6).alias(
+            f"ndcg_at_{_NDCG_K}"
+        ),
+        F.round(F.coalesce(1.0 / F.col("first_rel_rank"), F.lit(0.0)), 6).alias(
+            "mrr"
+        ),
+    ).orderBy("term")
