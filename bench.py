@@ -103,6 +103,8 @@ HEAVY = [
     "llm_dedup_threshold_curve",
     # round-11 additions (same caveat for r10's heavy_total)
     "emb_ivfpq_topk_nprobe2",
+    "emb_ivfpq_rerank",
+    "llm_semdedup_cells",
 ]
 
 # Sub-0.5s queries sit at the box-noise floor: with 3 passes one co-tenant

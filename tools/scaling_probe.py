@@ -81,6 +81,8 @@ PROBES = [
     ("llm_dsir_weights", "DSIR — linear feature explode + B-row broadcast λ join + doc-keyed agg"),
     ("llm_dsir_sample", "DSIR Gumbel-top-k — weights plan + map-side key + TakeOrdered top-N"),
     ("emb_ivfpq_rerank", "ADC shortlist + exact refine — probes x shortlist vector fetch, never corpus"),
+    ("fulltext_bm25", "BM25 — token explode + 3-term posting join + doc agg, top-50"),
+    ("fulltext_eval_ndcg", "nDCG/MRR — BM25 plan + per-term posting-bounded rank windows"),
 ]
 
 
