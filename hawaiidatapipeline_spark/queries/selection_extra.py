@@ -218,3 +218,120 @@ def llm_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("key_micro").desc(), "doc_id")
         .limit(_DSIR_N)
     )
+
+
+@q(
+    "llm_dsir_eval",
+    _dsir_weights_sql()
+    + f""",
+       keyed AS (
+         SELECT w.doc_id, d.source, w.weight_micro,
+                floor(-ln(-ln(((('0x' || substring(md5('{_DSIR_GSEED}:'
+                                || w.doc_id::VARCHAR), 1, 15))::BIGINT
+                               % {_DSIR_UMOD}) + 1) / {_DSIR_UDEN}))
+                      * 1000000)::BIGINT AS gumbel_micro
+         FROM w JOIN documents d ON d.doc_id = w.doc_id),
+       sel AS (SELECT doc_id, source FROM keyed
+               ORDER BY weight_micro + gumbel_micro DESC, doc_id
+               LIMIT {_DSIR_N}),
+       raw_s AS (SELECT source, count(*)::BIGINT AS n_raw FROM documents
+                 GROUP BY 1),
+       tgt_s AS (SELECT source, count(*)::BIGINT AS n_tgt FROM documents
+                 WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1),
+       sel_s AS (SELECT source, count(*)::BIGINT AS n_sel FROM sel
+                 GROUP BY 1),
+       tots AS (SELECT (SELECT sum(n_raw) FROM raw_s)::BIGINT AS t_raw,
+                       (SELECT sum(n_tgt) FROM tgt_s)::BIGINT AS t_tgt,
+                       (SELECT sum(n_sel) FROM sel_s)::BIGINT AS t_sel)
+       SELECT r.source,
+              r.n_raw,
+              coalesce(t.n_tgt, 0)::BIGINT AS n_tgt,
+              coalesce(s.n_sel, 0)::BIGINT AS n_sel,
+              floor(1000 * r.n_raw / tots.t_raw)::BIGINT AS raw_share_milli,
+              floor(1000 * coalesce(t.n_tgt, 0) / tots.t_tgt)::BIGINT
+                AS tgt_share_milli,
+              floor(1000 * coalesce(s.n_sel, 0) / tots.t_sel)::BIGINT
+                AS sel_share_milli,
+              (abs(floor(1000 * coalesce(s.n_sel, 0) / tots.t_sel)
+                   - floor(1000 * coalesce(t.n_tgt, 0) / tots.t_tgt))
+               - abs(floor(1000 * r.n_raw / tots.t_raw)
+                     - floor(1000 * coalesce(t.n_tgt, 0) / tots.t_tgt)))::BIGINT
+                AS gap_change_milli
+       FROM raw_s r
+       LEFT JOIN tgt_s t ON t.source = r.source
+       LEFT JOIN sel_s s ON s.source = r.source, tots
+       ORDER BY r.source""",
+)
+def llm_dsir_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection audit — the paper's own evaluation question: did
+    importance resampling move the SELECTED mix toward the TARGET mix?
+    Per source: raw / target / selected counts and milli-shares, plus
+    gap_change_milli = |sel − tgt| − |raw − tgt| (negative = the sample
+    sits closer to the target's source profile than the raw corpus does).
+    Integer truncating-division shares, so both engines agree exactly.
+    Plan: the weights plan + a TakeOrdered top-N, then three source-grain
+    partial aggs (source cardinality output) and broadcast totals —
+    nothing corpus-sized past the aggs."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _dsir_weights(spark, sf_dir)
+    u = (
+        (portable_hash64(F.col("doc_id").cast("string"), _DSIR_GSEED) % _DSIR_UMOD)
+        + 1
+    ) / F.lit(_DSIR_UDEN)
+    keyed = (
+        w.join(d.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "weight_micro",
+            F.floor(-F.log(-F.log(u)) * 1000000).cast("long").alias("gumbel_micro"),
+        )
+    )
+    sel = (
+        keyed.orderBy(
+            (F.col("weight_micro") + F.col("gumbel_micro")).desc(), "doc_id"
+        )
+        .limit(_DSIR_N)
+        .select("doc_id", "source")
+    )
+    raw_s = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    tgt_s = (
+        d.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tgt"))
+    )
+    sel_s = sel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sel")
+    )
+    tots = (
+        raw_s.agg(F.sum("n_raw").alias("t_raw"))
+        .crossJoin(tgt_s.agg(F.sum("n_tgt").alias("t_tgt")))
+        .crossJoin(sel_s.agg(F.sum("n_sel").alias("t_sel")))
+    )
+    nt = F.coalesce(F.col("n_tgt"), F.lit(0))
+    ns = F.coalesce(F.col("n_sel"), F.lit(0))
+    raw_sh = (1000 * F.col("n_raw")).cast("long") / F.col("t_raw")
+    tgt_sh = (1000 * nt).cast("long") / F.col("t_tgt")
+    sel_sh = (1000 * ns).cast("long") / F.col("t_sel")
+    out = (
+        raw_s.join(tgt_s, "source", "left")
+        .join(sel_s, "source", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "source",
+            "n_raw",
+            nt.cast("long").alias("n_tgt"),
+            ns.cast("long").alias("n_sel"),
+            F.floor(raw_sh).cast("long").alias("raw_share_milli"),
+            F.floor(tgt_sh).cast("long").alias("tgt_share_milli"),
+            F.floor(sel_sh).cast("long").alias("sel_share_milli"),
+            (
+                F.abs(F.floor(sel_sh) - F.floor(tgt_sh))
+                - F.abs(F.floor(raw_sh) - F.floor(tgt_sh))
+            )
+            .cast("long")
+            .alias("gap_change_milli"),
+        )
+        .orderBy("source")
+    )
+    return out

@@ -581,3 +581,178 @@ def fulltext_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mrr"
         ),
     ).orderBy("term")
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_ctes(r: int) -> str:
+    """One unrolled BPE merge round (consumes ``s{r-1}``: word, wcount,
+    pos, sym with CONSECUTIVE pos per word; produces ``s{r}`` + ``st{r}``
+    stats row). Greedy left-to-right merging is set-expressible: matches
+    of an (a,b) pair with a != b can never overlap (the next start would
+    need s[i+1] = a but s[i+1] = b), and within a run of a == b matches
+    (gaps-and-islands on pos) greedy keeps exactly the even-offset ones."""
+    prev = r - 1
+    return f"""p{r} AS (
+         SELECT word, wcount, pos, sym,
+                lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         FROM s{prev}),
+       pc{r} AS (SELECT sym AS a, nxt AS b, sum(wcount)::BIGINT AS total
+                 FROM p{r} WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       best{r} AS (SELECT a, b, total FROM pc{r}
+                   ORDER BY total DESC, a, b LIMIT 1),
+       mt{r} AS (SELECT p.word, p.pos,
+                        row_number() OVER (PARTITION BY p.word
+                                           ORDER BY p.pos) AS rn
+                 FROM p{r} p, best{r} bb
+                 WHERE p.sym = bb.a AND p.nxt = bb.b),
+       mg{r} AS (SELECT word, pos FROM (
+                   SELECT word, pos,
+                          row_number() OVER (PARTITION BY word, pos - rn
+                                             ORDER BY pos) AS k
+                   FROM mt{r}) x WHERE (k - 1) % 2 = 0),
+       sp{r} AS (
+         SELECT p.word, p.wcount, p.pos,
+                CASE WHEN m.pos IS NOT NULL THEN p.sym || p.nxt
+                     ELSE p.sym END AS sym,
+                c.pos AS consumed
+         FROM p{r} p
+         LEFT JOIN mg{r} m ON m.word = p.word AND m.pos = p.pos
+         LEFT JOIN mg{r} c ON c.word = p.word AND c.pos = p.pos - 1),
+       s{r} AS (
+         SELECT word, wcount,
+                row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+                sym
+         FROM sp{r} WHERE consumed IS NULL),
+       st{r} AS (
+         SELECT {r} AS round, bb.a AS sym_a, bb.b AS sym_b,
+                bb.total AS pair_total,
+                (SELECT sum(wcount) FROM s{r})::BIGINT AS n_symbols_after,
+                (SELECT count(DISTINCT sym) FROM s{r})::BIGINT AS vocab_after
+         FROM best{r} bb)"""
+
+
+def _bpe_merge_sql() -> str:
+    rounds = ",\n       ".join(_bpe_round_ctes(r) for r in range(1, _BPE_ROUNDS + 1))
+    union = "\n       UNION ALL ".join(
+        f"SELECT * FROM st{r}" for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""WITH toks AS (
+         SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       words AS (SELECT word, count(*)::BIGINT AS wcount
+                 FROM toks GROUP BY 1),
+       chars AS (SELECT word, wcount,
+                        unnest(generate_series(1, length(word))) AS i
+                 FROM words),
+       s0 AS (SELECT word, wcount, i - 1 AS pos,
+                     substring(word, i, 1) AS sym
+              FROM chars),
+       {rounds}
+       {union}
+       ORDER BY round"""
+
+
+def _bpe_one_round(spark, syms: DataFrame, r: int):
+    """Spark twin of ``_bpe_round_ctes``: returns (new_syms, stats_df)."""
+    wl = Window.partitionBy("word").orderBy("pos")
+    p = syms.withColumn("nxt", F.lead("sym").over(wl))
+    pc = (
+        p.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.sum("wcount").cast("long").alias("total"))
+    )
+    best = pc.orderBy(F.col("total").desc(), "a", "b").limit(1)
+    mt = (
+        p.crossJoin(F.broadcast(best))
+        .filter((F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b")))
+        .select("word", "pos", F.row_number().over(wl).alias("rn"))
+    )
+    wi = Window.partitionBy("word", F.col("pos") - F.col("rn")).orderBy("pos")
+    mg = (
+        mt.withColumn("k", F.row_number().over(wi))
+        .filter((F.col("k") - 1) % 2 == 0)
+        .select("word", F.col("pos").alias("mpos"))
+    )
+    merged = mg.withColumnRenamed("mpos", "pos").withColumn("m", F.lit(1))
+    consumed = mg.select(
+        "word", (F.col("mpos") + 1).alias("pos"), F.lit(1).alias("c")
+    )
+    sp = (
+        p.join(merged, ["word", "pos"], "left")
+        .join(consumed, ["word", "pos"], "left")
+        .filter(F.col("c").isNull())
+        .select(
+            "word",
+            "wcount",
+            "pos",
+            F.when(F.col("m").isNotNull(), F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    new_syms = materialize(
+        sp.select(
+            "word",
+            "wcount",
+            (F.row_number().over(wl) - 1).alias("pos"),
+            "sym",
+        )
+    )
+    stats = new_syms.agg(
+        F.sum("wcount").cast("long").alias("n_symbols_after"),
+        F.countDistinct("sym").cast("long").alias("vocab_after"),
+    )
+    st = best.crossJoin(stats).select(
+        F.lit(r).alias("round"),
+        F.col("a").alias("sym_a"),
+        F.col("b").alias("sym_b"),
+        F.col("total").alias("pair_total"),
+        "n_symbols_after",
+        "vocab_after",
+    )
+    return new_syms, st
+
+
+@q("llm_bpe_merge_steps", _bpe_merge_sql())
+def llm_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, three unrolled merge rounds — the iterative
+    half llm_bpe_pair_counts stops short of: per round, pick the highest-
+    count adjacent symbol pair (ties → lexicographic) and apply the greedy
+    left-to-right merge everywhere, exactly Sennrich et al.'s algorithm.
+    The merge is set-expressible without any per-row Python: an (a,b)
+    match with a != b can never overlap the next one, and runs of an
+    a == b pair reduce to gaps-and-islands parity (keep even offsets), so
+    three window functions per round do it. Scale: after ONE linear
+    corpus pass (the word-frequency agg), every round operates on the
+    WORD table — vocabulary-bounded, not corpus-bounded, which is why
+    word-level BPE training is tractable at 100 TB; windows partition by
+    word (≤ word-length rows). Pure integer counts end to end; outputs
+    the learned merge per round plus corpus symbol count and symbol
+    vocabulary after each round."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcount"))
+    )
+    syms = words.select(
+        "word",
+        "wcount",
+        F.posexplode(F.sequence(F.lit(1), F.length("word"))).alias("_j", "i"),
+    ).select(
+        "word",
+        "wcount",
+        (F.col("i") - 1).alias("pos"),
+        F.expr("substring(word, i, 1)").alias("sym"),
+    )
+    stats = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        syms, st = _bpe_one_round(spark, syms, r)
+        stats.append(st)
+    out = stats[0]
+    for st in stats[1:]:
+        out = out.unionByName(st)
+    return out.orderBy("round")

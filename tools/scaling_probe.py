@@ -83,6 +83,8 @@ PROBES = [
     ("emb_ivfpq_rerank", "ADC shortlist + exact refine — probes x shortlist vector fetch, never corpus"),
     ("fulltext_bm25", "BM25 — token explode + 3-term posting join + doc agg, top-50"),
     ("fulltext_eval_ndcg", "nDCG/MRR — BM25 plan + per-term posting-bounded rank windows"),
+    ("llm_bpe_merge_steps", "BPE training — one linear word agg, then vocabulary-grain merge rounds"),
+    ("llm_dsir_eval", "DSIR audit — weights plan + top-N + source-grain share aggs"),
 ]
 
 
