@@ -453,3 +453,107 @@ def ts_outage_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "outage_start")
     )
+
+
+@q(
+    "llm_dupspan_removal_plan",
+    """WITH g AS (
+         SELECT d.doc_id, t.i AS start, t.i + 3 AS fin,
+                array_to_string(d.ws[t.i:t.i+3], ' ') AS gram
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+         LATERAL (SELECT unnest(range(1, greatest(len(d.ws) - 2, 1))) AS i) t),
+       pd AS (SELECT DISTINCT gram, doc_id FROM g),
+       dup AS (SELECT gram FROM pd GROUP BY gram HAVING count(*) >= 2),
+       m AS (SELECT g.doc_id, g.start, g.fin FROM g JOIN dup USING (gram)),
+       c AS (SELECT doc_id, start, fin,
+                    max(fin) OVER (PARTITION BY doc_id ORDER BY start, fin
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pmax
+             FROM m),
+       cov AS (SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+                      sum(greatest(0, fin - greatest(coalesce(pmax, 0),
+                                                     start - 1)))::BIGINT
+                        AS tokens_covered
+               FROM c GROUP BY 1),
+       nt AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents)
+       SELECT v.doc_id, n.n_tokens, v.n_dup_spans, v.tokens_covered,
+              floor(1000.0 * (n.n_tokens - v.tokens_covered)
+                    / n.n_tokens)::BIGINT AS retention_milli
+       FROM cov v JOIN nt n USING (doc_id)
+       ORDER BY v.tokens_covered DESC, v.doc_id LIMIT 100""",
+)
+def llm_dupspan_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better"):
+    llm_dupspan_ngram finds the cross-document duplicated 4-gram spans;
+    this plans the edit — per document, the UNION of covered token
+    intervals (overlapping spans merged by a running-max window: each
+    span contributes max(0, end − max(prev_max_end, start−1)) new
+    tokens), yielding tokens-to-remove and the retention ratio the
+    cleaned corpus would keep. Top-100 most-affected documents. Scale:
+    gram table is the linear inverted-index build; the dup-gram join is
+    gram-keyed; the interval union is one per-document ordered window
+    (doc-length bounded). Integer milli-ratio, no float sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 3, 0)),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 4)))"
+            )
+        ).alias("p", "gram"),
+    ).select("doc_id", (F.col("p") + 1).alias("start"), "gram")
+    pd_ = spans.select("gram", "doc_id").distinct()
+    dup = (
+        pd_.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    m = spans.join(dup, "gram").select(
+        "doc_id", "start", (F.col("start") + 3).alias("fin")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("start", "fin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = m.withColumn("pmax", F.max("fin").over(w))
+    cov = (
+        c.select(
+            "doc_id",
+            F.greatest(
+                F.lit(0),
+                F.col("fin")
+                - F.greatest(F.coalesce(F.col("pmax"), F.lit(0)), F.col("start") - 1),
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.sum("contrib").cast("long").alias("tokens_covered"),
+        )
+    )
+    nt = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        cov.join(nt, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_spans",
+            "tokens_covered",
+            F.floor(
+                1000.0
+                * (F.col("n_tokens") - F.col("tokens_covered"))
+                / F.col("n_tokens")
+            )
+            .cast("long")
+            .alias("retention_milli"),
+        )
+        .orderBy(F.col("tokens_covered").desc(), "doc_id")
+        .limit(100)
+    )

@@ -627,3 +627,92 @@ def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+@q(
+    "graph_harmonic_centrality",
+    f"""WITH RECURSIVE {_ADJ_SQL},
+       seeds AS (
+         SELECT DISTINCT node FROM adj WHERE node % {_BFS_SEED_MOD} = 0),
+       bfs (seed, node, dist) AS (
+         SELECT node, node, 0 FROM seeds
+         UNION
+         SELECT bfs.seed, adj.nbr, bfs.dist + 1
+         FROM bfs JOIN adj ON adj.node = bfs.node
+         WHERE bfs.dist < {_BFS_MAX_HOPS}),
+       best AS (SELECT seed, node, min(dist) AS dist
+                FROM bfs GROUP BY 1, 2),
+       agg AS (
+         SELECT seed,
+                sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END)::BIGINT AS n_1hop,
+                sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END)::BIGINT AS n_2hop,
+                sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END)::BIGINT AS n_3hop
+         FROM best WHERE dist > 0 GROUP BY 1)
+       SELECT seed AS part, n_1hop, n_2hop, n_3hop,
+              (1000 * n_1hop + 500 * n_2hop + 333 * n_3hop)::BIGINT
+                AS harmonic_milli
+       FROM agg ORDER BY part""",
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded harmonic centrality Σ 1/d(s, v) for the sampled seed set
+    (d ≤ 3 hops on the co-purchase graph) — the closeness-family
+    centrality that handles disconnected graphs (unreachable nodes
+    contribute 0, no infinite distances). Reuses graph_bfs_hops'
+    frontier rounds but keyed (seed, node) so every seed's distance
+    field rides one shuffle family; the discount 1/d for d in {{1,2,3}}
+    is the exact integer milli-table 1000/500/333, so the centrality is
+    a pure integer sum — no float anywhere. Scale: per hop the join
+    touches frontier-adjacent edges only; seeds are the audit-slice
+    sample (the all-pairs version is quadratic by definition — sampled
+    seeds is how production estimates centralities, Eppstein-Wang
+    style)."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = materialize(copurchase_edges(li))
+    adj = materialize(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+    )
+    dist = materialize(
+        adj.select("node")
+        .distinct()
+        .filter(F.col("node") % _BFS_SEED_MOD == 0)
+        .select(F.col("node").alias("seed"), "node", F.lit(0).alias("dist"))
+    )
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        frontier = dist.filter(F.col("dist") == hop - 1)
+        reached = frontier.join(adj, "node").select(
+            "seed", F.col("nbr").alias("node"), F.lit(hop).alias("dist")
+        )
+        dist = materialize(
+            dist.unionByName(reached)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    agg = (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.sum(F.when(F.col("dist") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_1hop"),
+            F.sum(F.when(F.col("dist") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_2hop"),
+            F.sum(F.when(F.col("dist") == 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_3hop"),
+        )
+    )
+    return agg.select(
+        F.col("seed").alias("part"),
+        "n_1hop",
+        "n_2hop",
+        "n_3hop",
+        (1000 * F.col("n_1hop") + 500 * F.col("n_2hop") + 333 * F.col("n_3hop"))
+        .cast("long")
+        .alias("harmonic_milli"),
+    ).orderBy("part")

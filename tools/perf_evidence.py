@@ -72,6 +72,12 @@ PROBES = [
     ("dq_ks_drift", "KS ECDFs: distributed prefix sums on distinct prices, serial pass = 1 row/partition"),
     ("sample_systematic", "systematic sample: zipWithIndex-style offsets, no global row_number window"),
     ("stream_static_enrich", "stream-static enrich: broadcast dim join, stream side unshuffled for the join"),
+    # round-11 additions
+    ("llm_dsir_weights", "DSIR: lambda model broadcast (B=256 rows) — corpus shuffle = hashed-feature partials + doc-keyed agg only"),
+    ("fulltext_bm25", "BM25: 3-row term broadcast = posting-list read; shuffle ~ matched postings + doc-grain partials"),
+    ("llm_bpe_merge_steps", "BPE training: one word-frequency exchange, then vocabulary-grain rounds"),
+    ("llm_semdedup_cells", "SemDeDup: shuffle ~ (vec,cell,bkt) keys + within-bucket pair partials, never corpus x corpus"),
+    ("emb_ivfpq_rerank", "two-stage ANN: ADC cell scan + shortlist-sized exact fetch; probe lookup tables broadcast"),
 ]
 
 
@@ -124,11 +130,23 @@ def main() -> int:
         return 1
     queries, _ = collect()
 
+    # subset mode: `python tools/perf_evidence.py [sf_dir] key1 key2` re-probes
+    # only those keys and patches their rows in the existing PERF_EVIDENCE.md
+    # table (the appended skew/streaming lanes survive untouched)
+    subset = set(sys.argv[2:])
+    probes = PROBES
+    if subset:
+        unknown = subset - {n for n, _ in PROBES}
+        if unknown:
+            print(f"unknown probe keys (add to PROBES first): {sorted(unknown)}")
+            return 2
+        probes = [(n, e) for n, e in PROBES if n in subset]
+
     # warm the JVM + Python worker pool so deltas measure the query alone
     queries["pricing_summary"](spark, sf_dir).collect()
 
     rows = []
-    for name, expectation in PROBES:
+    for name, expectation in probes:
         time.sleep(0.5)  # let async stage metrics settle before the snapshot
         before = stage_totals(ui, app_id)
         t0 = time.monotonic()
@@ -142,6 +160,37 @@ def main() -> int:
             f"{name}: {wall:.2f}s, shuffle_write={fmt_bytes(delta['shuffle_write'])}, "
             f"input={fmt_bytes(delta['input'])}, tasks={delta['tasks']}"
         )
+
+    if subset:
+        fmt = {}
+        for name, wall, d, expectation in rows:
+            fmt[name] = (
+                f"| {name} | {wall:.2f} | {fmt_bytes(d['input'])} | "
+                f"{fmt_bytes(d['shuffle_write'])} | {fmt_bytes(d['shuffle_read'])} | "
+                f"{d['tasks']} | {expectation} |"
+            )
+        lines = open("PERF_EVIDENCE.md").read().splitlines()
+        # insert point: end of the main table = first blank line after it
+        table_end = None
+        in_table = False
+        for i, ln in enumerate(lines):
+            parts = ln.split("|")
+            key = parts[1].strip() if len(parts) > 2 else ""
+            if key in fmt:
+                lines[i] = fmt.pop(key)
+            if ln.startswith("|"):
+                in_table = True
+            elif in_table and not ln.startswith("|"):
+                if table_end is None:
+                    table_end = i
+                in_table = False
+        insert_at = table_end if table_end is not None else len(lines)
+        for row in fmt.values():  # probes new to the table
+            lines.insert(insert_at, row)
+            insert_at += 1
+        open("PERF_EVIDENCE.md", "w").write("\n".join(lines) + "\n")
+        print("\npatched PERF_EVIDENCE.md rows for subset")
+        return 0
 
     with open("PERF_EVIDENCE.md", "w") as f:
         f.write(

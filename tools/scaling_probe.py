@@ -85,6 +85,8 @@ PROBES = [
     ("fulltext_eval_ndcg", "nDCG/MRR — BM25 plan + per-term posting-bounded rank windows"),
     ("llm_bpe_merge_steps", "BPE training — one linear word agg, then vocabulary-grain merge rounds"),
     ("llm_dsir_eval", "DSIR audit — weights plan + top-N + source-grain share aggs"),
+    ("graph_harmonic_centrality", "seeded 3-hop harmonic — per-hop frontier joins, (seed,node) keys"),
+    ("llm_dupspan_removal_plan", "span-union removal plan — gram index + dup join + per-doc window"),
 ]
 
 
