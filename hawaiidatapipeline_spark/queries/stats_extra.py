@@ -439,3 +439,143 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "edit_dist")
         .orderBy("name_a", "name_b")
     )
+
+
+@q(
+    "ts_pacf",
+    """WITH daily AS (
+         SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS x
+         FROM events GROUP BY 1, 2),
+       st AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+              FROM daily GROUP BY 1),
+       yy AS (SELECT d.event_type, d.d, d.x * st.n - st.s AS y
+              FROM daily d JOIN st ON st.event_type = d.event_type),
+       lg AS (SELECT event_type, y,
+                     lag(y, 1) OVER w AS y1,
+                     lag(y, 2) OVER w AS y2,
+                     lag(y, 3) OVER w AS y3
+              FROM yy WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+       g AS (SELECT event_type,
+                    sum(y * y)::BIGINT AS g0,
+                    sum(CASE WHEN y1 IS NOT NULL THEN y * y1 ELSE 0 END)::BIGINT AS g1,
+                    sum(CASE WHEN y2 IS NOT NULL THEN y * y2 ELSE 0 END)::BIGINT AS g2,
+                    sum(CASE WHEN y3 IS NOT NULL THEN y * y3 ELSE 0 END)::BIGINT AS g3
+             FROM lg GROUP BY 1),
+       r AS (SELECT event_type,
+                    floor(1000.0 * g1 / nullif(g0, 0))::BIGINT AS r1,
+                    floor(1000.0 * g2 / nullif(g0, 0))::BIGINT AS r2,
+                    floor(1000.0 * g3 / nullif(g0, 0))::BIGINT AS r3
+             FROM g),
+       p AS (SELECT event_type, r1, r2, r3,
+                    (1000 * r2 - r1 * r1)::BIGINT AS n2,
+                    (1000000 - r1 * r1)::BIGINT AS d2,
+                    (1000 * (1000 * r3 - r2 * r1) - r1 * (r1 * r3 - r2 * r2)
+                     + r1 * (r1 * r1 - 1000 * r2))::BIGINT AS n3,
+                    (1000 * (1000000 - r1 * r1) - r1 * (1000 * r1 - r1 * r2)
+                     + r2 * (r1 * r1 - 1000 * r2))::BIGINT AS d3
+             FROM r)
+       SELECT event_type, 1 AS lag, r1 AS acf_milli,
+              round(r1 / 1000.0, 6) AS pacf FROM p
+       UNION ALL
+       SELECT event_type, 2, r2, round(n2::DOUBLE / d2, 6) FROM p
+       UNION ALL
+       SELECT event_type, 3, r3, round(n3::DOUBLE / d3, 6) FROM p
+       ORDER BY event_type, lag""",
+)
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (Yule-Walker) through lag 3 of the daily
+    event-count series per type — the ARIMA order-selection companion to
+    ts_autocorr (AR(p) shows a PACF cutoff after lag p). Exact-integer
+    construction end to end: centering multiplies through by N
+    (y_t = N·x_t − S, integer), the lag co-moments G_k are exact integer
+    sums, the autocorrelations are quantized to MILLI-UNITS, and each
+    Yule-Walker solution is a ratio of determinants of small integer
+    Toeplitz matrices — Cramer's rule expanded to integer polynomials,
+    so the only floats are the three final divisions. The quantization
+    (PACF of the milli-rounded ACF) is the documented contract, exactly
+    like the engine's other fixed-point statistics. Plan: one day-grain
+    agg, one bounded per-type lag window, one 4-sum partial agg — the
+    series never leaves the executors."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    yy = daily.join(st, "event_type").select(
+        "event_type", "d", (F.col("x") * F.col("n") - F.col("s")).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lg = yy.select(
+        "event_type",
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 2).over(w).alias("y2"),
+        F.lag("y", 3).over(w).alias("y3"),
+    )
+
+    def gsum(c):
+        return (
+            F.sum(
+                F.when(F.col(c).isNotNull(), F.col("y") * F.col(c)).otherwise(0)
+            )
+            .cast("long")
+        )
+
+    g = lg.groupBy("event_type").agg(
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("g0"),
+        gsum("y1").alias("g1"),
+        gsum("y2").alias("g2"),
+        gsum("y3").alias("g3"),
+    )
+    g0 = F.nullif(F.col("g0"), F.lit(0))
+    r = g.select(
+        "event_type",
+        F.floor(1000.0 * F.col("g1") / g0).cast("long").alias("r1"),
+        F.floor(1000.0 * F.col("g2") / g0).cast("long").alias("r2"),
+        F.floor(1000.0 * F.col("g3") / g0).cast("long").alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p = r.select(
+        "event_type",
+        "r1",
+        "r2",
+        "r3",
+        (1000 * r2 - r1 * r1).cast("long").alias("n2"),
+        (F.lit(1000000) - r1 * r1).cast("long").alias("d2"),
+        (
+            1000 * (1000 * r3 - r2 * r1)
+            - r1 * (r1 * r3 - r2 * r2)
+            + r1 * (r1 * r1 - 1000 * r2)
+        )
+        .cast("long")
+        .alias("n3"),
+        (
+            1000 * (F.lit(1000000) - r1 * r1)
+            - r1 * (1000 * r1 - r1 * r2)
+            + r2 * (r1 * r1 - 1000 * r2)
+        )
+        .cast("long")
+        .alias("d3"),
+    )
+    out1 = p.select(
+        "event_type",
+        F.lit(1).alias("lag"),
+        F.col("r1").alias("acf_milli"),
+        F.round(F.col("r1") / 1000.0, 6).alias("pacf"),
+    )
+    out2 = p.select(
+        "event_type",
+        F.lit(2).alias("lag"),
+        F.col("r2").alias("acf_milli"),
+        F.round(F.col("n2").cast("double") / F.col("d2"), 6).alias("pacf"),
+    )
+    out3 = p.select(
+        "event_type",
+        F.lit(3).alias("lag"),
+        F.col("r3").alias("acf_milli"),
+        F.round(F.col("n3").cast("double") / F.col("d3"), 6).alias("pacf"),
+    )
+    return out1.unionByName(out2).unionByName(out3).orderBy("event_type", "lag")

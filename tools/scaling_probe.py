@@ -87,6 +87,7 @@ PROBES = [
     ("llm_dsir_eval", "DSIR audit — weights plan + top-N + source-grain share aggs"),
     ("graph_harmonic_centrality", "seeded 3-hop harmonic — per-hop frontier joins, (seed,node) keys"),
     ("llm_dupspan_removal_plan", "span-union removal plan — gram index + dup join + per-doc window"),
+    ("ts_pacf", "Yule-Walker PACF — day agg + per-type lag window + 4-sum agg"),
 ]
 
 
