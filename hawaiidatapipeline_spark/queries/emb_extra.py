@@ -1852,3 +1852,107 @@ def emb_nearest_centroid_confusion(
         )
         .orderBy("true_label", "pred_label")
     )
+
+
+def _kpp_ctes() -> str:
+    """Unrolled farthest-first seeding rounds: ``p{r}`` = the r-th pick
+    (argmax of running min-distance, ties → min vec_id), ``m{r}`` = the
+    corpus min-d² table after including pick r."""
+    parts = [
+        f"""p0 AS (SELECT min(vec_id)::BIGINT AS vec_id FROM qv),
+       m0 AS (SELECT v.vec_id, sum((v.q - c.q) * (v.q - c.q))::BIGINT AS min_d2
+              FROM qv v JOIN qv c ON c.d = v.d
+                   AND c.vec_id = (SELECT vec_id FROM p0)
+              GROUP BY v.vec_id)"""
+    ]
+    for r in range(1, _KM_K):
+        parts.append(
+            f"""p{r} AS (SELECT vec_id, min_d2 FROM m{r - 1}
+                  ORDER BY min_d2 DESC, vec_id LIMIT 1),
+       m{r} AS (SELECT m.vec_id, least(m.min_d2, d.d2) AS min_d2
+                FROM m{r - 1} m
+                JOIN (SELECT v.vec_id,
+                             sum((v.q - c.q) * (v.q - c.q))::BIGINT AS d2
+                      FROM qv v JOIN qv c ON c.d = v.d
+                           AND c.vec_id = (SELECT vec_id FROM p{r})
+                      GROUP BY v.vec_id) d ON d.vec_id = m.vec_id)"""
+        )
+    return ",\n       ".join(parts)
+
+
+def _kpp_sql() -> str:
+    rows = [
+        """SELECT 0 AS pick, p0.vec_id, 0::BIGINT AS min_d2,
+              (SELECT sum(min_d2) FROM m0)::BIGINT AS objective FROM p0"""
+    ]
+    for r in range(1, _KM_K):
+        rows.append(
+            f"""SELECT {r}, p{r}.vec_id, p{r}.min_d2,
+              (SELECT sum(min_d2) FROM m{r})::BIGINT FROM p{r}"""
+        )
+    union = "\n       UNION ALL ".join(rows)
+    return f"""WITH qv AS (
+         SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+                round(unnest(embedding) * 1000)::BIGINT AS q
+         FROM embeddings),
+       {_kpp_ctes()}
+       {union}
+       ORDER BY pick"""
+
+
+@q("emb_kmeanspp_init", _kpp_sql())
+def emb_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first k-means seeding (Gonzalez maxmin — the
+    derandomized k-means++ rule: each pick is the point FARTHEST from
+    the chosen set, ties → min id) for K = 4 centers, with the k-means
+    objective Σ min-d² after every pick — the init-quality curve that
+    says how much each extra center buys. ml_kmeans_fixed_point seeds
+    with the first K ids; this key prices the principled alternative.
+    Exact integer milli-unit distances end to end (argmax under a total
+    order, integer objective sums), so the oracle unrolls the picks as
+    CTEs and matches bit-for-bit. Scale: each pick is one broadcast of a
+    single d-dim vector against the corpus + a running least() fold —
+    K linear passes, the standard distributed seeding; the argmax is a
+    TakeOrdered(1), never a global sort."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = materialize(
+        e.select("vec_id", F.posexplode("embedding").alias("d", "x")).select(
+            "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+        )
+    )
+
+    def dist_to(pick_df: DataFrame) -> DataFrame:
+        c = qv.join(
+            F.broadcast(pick_df.select(F.col("vec_id").alias("_pid"))),
+            F.col("vec_id") == F.col("_pid"),
+        ).select("d", F.col("q").alias("cq"))
+        return (
+            qv.join(F.broadcast(c), "d")
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+                .cast("long")
+                .alias("d2")
+            )
+        )
+
+    p = materialize(qv.agg(F.min("vec_id").cast("long").alias("vec_id")))
+    m = materialize(dist_to(p).withColumnRenamed("d2", "min_d2"))
+    out = p.select(
+        F.lit(0).alias("pick"), "vec_id", F.lit(0).cast("long").alias("min_d2")
+    ).crossJoin(m.agg(F.sum("min_d2").cast("long").alias("objective")))
+    for r in range(1, _KM_K):
+        p = materialize(
+            m.orderBy(F.col("min_d2").desc(), "vec_id").limit(1)
+        )
+        m = materialize(
+            m.join(dist_to(p).withColumnRenamed("vec_id", "v2"),
+                   F.col("vec_id") == F.col("v2"))
+            .select("vec_id", F.least("min_d2", "d2").alias("min_d2"))
+        )
+        out = out.unionByName(
+            p.select(F.lit(r).alias("pick"), "vec_id", "min_d2").crossJoin(
+                m.agg(F.sum("min_d2").cast("long").alias("objective"))
+            )
+        )
+    return out.orderBy("pick")

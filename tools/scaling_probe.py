@@ -88,6 +88,8 @@ PROBES = [
     ("graph_harmonic_centrality", "seeded 3-hop harmonic — per-hop frontier joins, (seed,node) keys"),
     ("llm_dupspan_removal_plan", "span-union removal plan — gram index + dup join + per-doc window"),
     ("ts_pacf", "Yule-Walker PACF — day agg + per-type lag window + 4-sum agg"),
+    ("agg_ddsketch_quantiles", "DDSketch — map-side log buckets, bounded (flag,bucket) state"),
+    ("emb_kmeanspp_init", "farthest-first seeding — K broadcast passes + least() folds"),
 ]
 
 
