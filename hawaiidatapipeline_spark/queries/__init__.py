@@ -94,15 +94,15 @@ _FRONT: tuple[str, ...] = (
     'soql_fixed_floating', 'soql_text_case', 'emb_ivfpq_topk_nprobe2',
     'llm_semdedup_cells', 'llm_semdedup_recall', 'llm_semdedup_survivors',
     'llm_corpus_pipeline_v6', 'llm_dsir_weights', 'llm_dsir_sample',
-    'emb_ivfpq_rerank', 'project_computed', 'filter_compare',
+    'emb_ivfpq_rerank', 'llm_dupspan_removal_plan', 'ts_pacf',
+    'agg_ddsketch_quantiles', 'llm_dsir_eval', 'fulltext_bm25',
+    'fulltext_eval_ndcg', 'llm_bpe_merge_steps', 'emb_kmeanspp_init',
+    'graph_harmonic_centrality', 'project_computed', 'filter_compare',
     'filter_boolean', 'filter_in_between_null', 'filter_like',
     'fulltext_search', 'distinct_rows', 'sort_multikey',
     'limit_n', 'offset_paging', 'topk_global',
     'set_union_all', 'set_union_distinct', 'set_intersect',
-    'set_except', 'subquery_scalar_correlated', 'dq_profile',
-    'dq_referential', 'join_inner_broadcast', 'join_inner_sortmerge',
-    'join_left_outer', 'join_right_outer', 'join_full_outer',
-    'join_left_semi', 'join_left_anti',
+    'set_except', 'subquery_scalar_correlated',
 )
 
 
