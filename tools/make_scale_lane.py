@@ -20,8 +20,10 @@ workload SHAPE is preserved, not just the row count:
 This lane exists ONLY for scaling curves (tools/scaling_probe.py); the
 correctness gate keeps running against the untouched driver fixtures.
 
-Run: ``python tools/make_scale_lane.py [out_dir]`` (default
-``.cache/sf0.3``). ~10 s; skips work if the output already exists.
+Run: ``python tools/make_scale_lane.py [out_dir] [replicas]`` (default
+``.cache/sf0.3`` with 3 replicas; e.g. ``.cache/sf1.0 10`` builds the
+10x lane for tools/scale10_probe.py). ~10 s; skips work if the output
+already exists.
 """
 
 from __future__ import annotations
@@ -83,7 +85,10 @@ def _replicate(df: DataFrame, table: str, r: int) -> DataFrame:
 
 
 def main() -> int:
+    global REPLICAS
     out_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_OUT
+    if len(sys.argv) > 2:
+        REPLICAS = int(sys.argv[2])
     if os.path.exists(out_dir):
         print(f"{out_dir} already exists — delete it to regenerate")
         return 0
