@@ -453,6 +453,36 @@ def llm_corpus_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _v6_sem_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v6 funnel through the SemDeDup anti-join: prefix gate -> exact
+    content dedup -> length window -> semantic drop-list anti-join.
+    Returns the surviving full document rows (incl. lang, for v7's DSIR
+    stage). Shared by llm_corpus_pipeline_v6 and _v7."""
+    from pyspark.sql import Window
+
+    from hawaiidatapipeline_spark.queries.round11_extra import semdedup_drop_set
+
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
+    w_pfx = Window.partitionBy(prefix)
+    pfx_kept = (
+        d.withColumn("_canon", F.min("doc_id").over(w_pfx))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .drop("_canon")
+    )
+    w_md5 = Window.partitionBy(F.md5("text"))
+    exact_kept = (
+        pfx_kept.withColumn("_canon", F.min("doc_id").over(w_md5))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .drop("_canon")
+    )
+    sized = exact_kept.filter(F.col("n_chars").between(50, 2000))
+    drops = semdedup_drop_set(spark, sf_dir).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return sized.join(F.broadcast(drops), "doc_id", "left_anti")
+
+
 def _corpus_v6_sql() -> str:
     from hawaiidatapipeline_spark.queries.emb_extra import _kmeans_ctes
     from hawaiidatapipeline_spark.queries.round11_extra import _semdedup_cc_ctes
@@ -510,33 +540,134 @@ def llm_corpus_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the edges + O(diameter) CC rounds on the (tiny) duplicate edge
     set — nothing corpus-pair-sized. Oracle composes the proven v5 CTEs
     with the unrolled k-means + recursive-CC survivor CTEs."""
-    from pyspark.sql import Window
-
+    sem_kept = _v6_sem_kept(spark, sf_dir)
     from hawaiidatapipeline_spark.operators.dedup import portable_hash64
-    from hawaiidatapipeline_spark.queries.round11_extra import semdedup_drop_set
 
-    d = load_table(spark, sf_dir, "documents")
-    prefix = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
-    w_pfx = Window.partitionBy(prefix)
-    pfx_kept = (
-        d.withColumn("_canon", F.min("doc_id").over(w_pfx))
-        .filter(F.col("doc_id") == F.col("_canon"))
-        .drop("_canon")
-    )
-    w_md5 = Window.partitionBy(F.md5("text"))
-    exact_kept = (
-        pfx_kept.withColumn("_canon", F.min("doc_id").over(w_md5))
-        .filter(F.col("doc_id") == F.col("_canon"))
-        .drop("_canon")
-    )
-    sized = exact_kept.filter(F.col("n_chars").between(50, 2000))
-    drops = semdedup_drop_set(spark, sf_dir).withColumnRenamed(
-        "vec_id", "doc_id"
-    )
-    sem_kept = sized.join(F.broadcast(drops), "doc_id", "left_anti")
     shard = F.pmod(portable_hash64(F.col("doc_id").cast("string"), 7), F.lit(8))
     return (
         sem_kept.select(
+            shard.alias("shard"), F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+_V7_DSIR_N = 128  # DSIR selection size out of the funnel survivors
+
+
+def _corpus_v7_sql() -> str:
+    from hawaiidatapipeline_spark.queries.emb_extra import _kmeans_ctes
+    from hawaiidatapipeline_spark.queries.round11_extra import _semdedup_cc_ctes
+    from hawaiidatapipeline_spark.queries.selection_extra import (
+        _DSIR_GSEED,
+        _DSIR_UDEN,
+        _DSIR_UMOD,
+        _dsir_weights_sql,
+    )
+
+    dsir = _dsir_weights_sql("sem_docs")
+    assert dsir.startswith("WITH ")
+    return f"""WITH RECURSIVE km0 AS (SELECT 1),
+{_kmeans_ctes()},
+{_semdedup_cc_ctes()},
+sem_drop AS (
+  SELECT m.vec_id FROM m
+  JOIN sel s ON s.cluster_id = m.cluster_id
+  WHERE m.vec_id <> s.survivor_id),
+pfx AS (
+  SELECT doc_id, n_chars, text,
+         md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '))
+           AS prefix_md5
+  FROM documents),
+pfx_kept AS (
+  SELECT doc_id, n_chars, text FROM (
+    SELECT doc_id, n_chars, text,
+           min(doc_id) OVER (PARTITION BY prefix_md5) AS canon
+    FROM pfx) t
+  WHERE doc_id = canon),
+exact_kept AS (
+  SELECT doc_id, n_chars, text FROM (
+    SELECT doc_id, n_chars, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+    FROM pfx_kept) t
+  WHERE doc_id = canon),
+sized AS (
+  SELECT doc_id, text FROM exact_kept WHERE n_chars BETWEEN 50 AND 2000),
+sem_kept AS (
+  SELECT doc_id, text FROM sized
+  WHERE doc_id NOT IN (SELECT vec_id FROM sem_drop)),
+sem_docs AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d
+  JOIN sem_kept k ON k.doc_id = d.doc_id),
+{dsir.removeprefix("WITH ")},
+keyed AS (
+  SELECT w.doc_id,
+         w.weight_micro
+         + floor(-ln(-ln(((('0x' || substring(md5('{_DSIR_GSEED}:'
+                           || w.doc_id::VARCHAR), 1, 15))::BIGINT
+                          % {_DSIR_UMOD}) + 1) / {_DSIR_UDEN}))
+                 * 1000000)::BIGINT AS key_micro
+  FROM w),
+picked AS (SELECT doc_id FROM keyed
+           ORDER BY key_micro DESC, doc_id LIMIT {_V7_DSIR_N}),
+shards AS (
+  SELECT ('0x' || substring(md5('7:' || s.doc_id::VARCHAR), 1, 15))::BIGINT % 8
+           AS shard,
+         len(string_split(s.text, ' ')) AS n_tokens
+  FROM sem_docs s JOIN picked p ON p.doc_id = s.doc_id)
+SELECT shard, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+FROM shards GROUP BY shard ORDER BY shard"""
+
+
+@q("llm_corpus_pipeline_v7", _corpus_v7_sql())
+def llm_corpus_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v6's funnel with DSIR TARGET-DISTRIBUTION SELECTION as the final
+    stage — the complete modern curation stack: prefix gate → exact
+    content dedup → length window → SemDeDup drop-list anti-join →
+    DSIR importance weights fit ON THE SURVIVORS (target slice
+    lang = 'en', hashed uni+bigram models) → Gumbel-top-128 weighted
+    resample → deterministic 8-way shard manifest of the selection.
+    Fitting the n-gram models on the post-dedup corpus is the order the
+    DSIR paper prescribes (dedup first, or duplicate mass distorts the
+    raw model). Scale: the funnel's window/agg shuffles + the B-row λ
+    broadcast + one TakeOrdered — the selection stage adds nothing
+    corpus-pair-sized. Oracle composes the proven v6 CTEs with the
+    parametrized DSIR CTE chain (src = survivors)."""
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+    from hawaiidatapipeline_spark.queries.selection_extra import (
+        _DSIR_GSEED,
+        _DSIR_UDEN,
+        _DSIR_UMOD,
+        _dsir_weights_for,
+    )
+
+    sem_kept = _v6_sem_kept(spark, sf_dir)
+    w = _dsir_weights_for(sem_kept.select("doc_id", "lang", "text"))
+    u = (
+        (portable_hash64(F.col("doc_id").cast("string"), _DSIR_GSEED) % _DSIR_UMOD)
+        + 1
+    ) / F.lit(_DSIR_UDEN)
+    keyed = w.select(
+        "doc_id",
+        (
+            F.col("weight_micro")
+            + F.floor(-F.log(-F.log(u)) * 1000000).cast("long")
+        ).alias("key_micro"),
+    )
+    picked = (
+        keyed.orderBy(F.col("key_micro").desc(), "doc_id")
+        .limit(_V7_DSIR_N)
+        .select("doc_id")
+    )
+    shard = F.pmod(portable_hash64(F.col("doc_id").cast("string"), 7), F.lit(8))
+    return (
+        sem_kept.join(F.broadcast(picked), "doc_id")
+        .select(
             shard.alias("shard"), F.size(F.split("text", " ")).alias("n_tokens")
         )
         .groupBy("shard")

@@ -47,12 +47,15 @@ _DSIR_UMOD = (1 << 50) - 1
 _DSIR_UDEN = float(1 << 50)
 
 
-def _dsir_weights_sql() -> str:
+def _dsir_weights_sql(src: str = "documents") -> str:
+    """DSIR weights CTE chain ending in ``w`` (doc_id, lang, n_feats,
+    weight_micro); ``src`` is any in-scope relation with (doc_id, lang,
+    text) — the v7 pipeline points it at the funnel's survivors."""
     return f"""WITH toks AS (
          SELECT doc_id, lang,
                 unnest(string_split(text, ' ')) AS tok,
                 generate_subscripts(string_split(text, ' '), 1) AS pos
-         FROM documents),
+         FROM {src}),
        bi AS (
          SELECT a.doc_id, a.lang, a.tok || ' ' || b.tok AS feat
          FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
@@ -86,7 +89,11 @@ def _dsir_weights_sql() -> str:
 def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, n_feats, weight_micro) — Spark twin of the ``w``
     CTE in ``_dsir_weights_sql``."""
-    d = load_table(spark, sf_dir, "documents")
+    return _dsir_weights_for(load_table(spark, sf_dir, "documents"))
+
+
+def _dsir_weights_for(d: DataFrame) -> DataFrame:
+    """DSIR weights over an arbitrary (doc_id, lang, text) frame."""
     toks = d.select(
         "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )

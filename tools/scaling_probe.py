@@ -90,6 +90,7 @@ PROBES = [
     ("ts_pacf", "Yule-Walker PACF — day agg + per-type lag window + 4-sum agg"),
     ("agg_ddsketch_quantiles", "DDSketch — map-side log buckets, bounded (flag,bucket) state"),
     ("emb_kmeanspp_init", "farthest-first seeding — K broadcast passes + least() folds"),
+    ("llm_corpus_pipeline_v7", "v6 funnel + DSIR selection — λ broadcast + TakeOrdered, nothing pair-sized"),
 ]
 
 
