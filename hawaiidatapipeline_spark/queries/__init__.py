@@ -97,12 +97,12 @@ _FRONT: tuple[str, ...] = (
     'emb_ivfpq_rerank', 'llm_dupspan_removal_plan', 'ts_pacf',
     'agg_ddsketch_quantiles', 'llm_dsir_eval', 'fulltext_bm25',
     'fulltext_eval_ndcg', 'llm_bpe_merge_steps', 'emb_kmeanspp_init',
-    'graph_harmonic_centrality', 'llm_corpus_pipeline_v7', 'project_computed',
-    'filter_compare', 'filter_boolean', 'filter_in_between_null',
-    'filter_like', 'fulltext_search', 'distinct_rows',
-    'sort_multikey', 'limit_n', 'offset_paging',
-    'topk_global', 'set_union_all', 'set_union_distinct',
-    'set_intersect', 'set_except',
+    'graph_harmonic_centrality', 'llm_corpus_pipeline_v7', 'agg_cms_merge_proof',
+    'project_computed', 'filter_compare', 'filter_boolean',
+    'filter_in_between_null', 'filter_like', 'fulltext_search',
+    'distinct_rows', 'sort_multikey', 'limit_n',
+    'offset_paging', 'topk_global', 'set_union_all',
+    'set_union_distinct', 'set_intersect',
 )
 
 

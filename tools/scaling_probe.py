@@ -91,6 +91,7 @@ PROBES = [
     ("agg_ddsketch_quantiles", "DDSketch — map-side log buckets, bounded (flag,bucket) state"),
     ("emb_kmeanspp_init", "farthest-first seeding — K broadcast passes + least() folds"),
     ("llm_corpus_pipeline_v7", "v6 funnel + DSIR selection — λ broadcast + TakeOrdered, nothing pair-sized"),
+    ("agg_cms_merge_proof", "CMS merge proof — linear cell map + bounded counter aggs"),
 ]
 
 
