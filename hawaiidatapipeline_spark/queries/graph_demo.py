@@ -716,3 +716,107 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("harmonic_milli"),
     ).orderBy("part")
+
+
+_PPR_ITER = 3
+_PPR_TELEPORT = 150000  # (1-d)·1e6 per seed, unnormalized convention
+_PPR_TOPK = 100
+
+
+def _ppr_sql() -> str:
+    step = """p{i} AS (
+       SELECT n.node,
+              (CASE WHEN n.node % 200 = 0 THEN 150000 ELSE 0 END
+               + (85 * coalesce(s.inn, 0)) // 100)::BIGINT AS r
+       FROM nodes n LEFT JOIN (
+         SELECT e.dst AS node, sum(p{p}.r // d.deg) AS inn
+         FROM p{p} JOIN cop e ON p{p}.node = e.src
+                   JOIN deg d ON d.src = e.src
+         WHERE p{p}.r > 0
+         GROUP BY e.dst
+       ) s ON s.node = n.node)"""
+    steps = ",\n       ".join(
+        step.format(i=i, p=i - 1) for i in range(1, _PPR_ITER + 1)
+    )
+    return f"""WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 64),
+       cop AS (
+         SELECT a.l_partkey AS src, b.l_partkey AS dst
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 2
+       ),
+       nodes AS (SELECT DISTINCT src AS node FROM cop),
+       deg AS (SELECT src, count(*) AS deg FROM cop GROUP BY src),
+       p0 AS (SELECT node,
+                     CASE WHEN node % 200 = 0 THEN 1000000 ELSE 0 END::BIGINT
+                       AS r
+              FROM nodes),
+       {steps}
+       SELECT node AS part,
+              CASE WHEN node % 200 = 0 THEN 1 ELSE 0 END AS is_seed,
+              r AS ppr_micro
+       FROM p{_PPR_ITER} WHERE r > 0
+       ORDER BY r DESC, node LIMIT {_PPR_TOPK}"""
+
+
+@q("graph_ppr_seeded", _ppr_sql())
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the sampled seed set (parts divisible
+    by 200, the BFS/harmonic seed idiom) over the co-purchase graph —
+    THE related-items / graph-similarity primitive: teleport mass
+    returns only to the SEEDS (unnormalized per-seed convention,
+    (1−d)·1e6 each, documented), so rank concentrates in the seeds'
+    neighborhoods instead of global hubs. Same integer fixed-point
+    contract as graph_pagerank_copurchase (micro-unit ranks, integer
+    floor-div contributions, d = 85%), so the oracle unrolls the three
+    rounds as CTEs and hash-matches. The r > 0 guard keeps each round's
+    join frontier-sized (only touched nodes propagate) — at 100 TB a
+    seeded PPR touches the seeds' k-hop ball, never the full graph,
+    which is exactly how production related-items pipelines run it.
+    Top-100 under a total (rank, node) order."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = materialize(copurchase_edges(li, directed=True))
+    nodes = materialize(edges.select(F.col("src").alias("node")).distinct())
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    is_seed = F.col("node") % 200 == 0
+    ranks = materialize(
+        nodes.select(
+            "node",
+            F.when(is_seed, 1000000).otherwise(0).cast("long").alias("r"),
+        )
+    )
+    for _ in range(_PPR_ITER):
+        contribs = (
+            ranks.filter(F.col("r") > 0)
+            .join(edges, ranks["node"] == edges["src"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("_dst"),
+                F.expr("div(r, deg)").alias("_c"),
+            )
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("inn"))
+        )
+        ranks = materialize(
+            nodes.join(contribs, nodes["node"] == contribs["_dst"], "left")
+            .select(
+                "node",
+                (
+                    F.when(is_seed, _PPR_TELEPORT).otherwise(0).cast("long")
+                    + F.expr("div(85 * coalesce(inn, 0), 100)").cast("long")
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.filter(F.col("r") > 0)
+        .select(
+            F.col("node").alias("part"),
+            F.when(is_seed, 1).otherwise(0).alias("is_seed"),
+            F.col("r").alias("ppr_micro"),
+        )
+        .orderBy(F.col("ppr_micro").desc(), "part")
+        .limit(_PPR_TOPK)
+    )

@@ -92,6 +92,7 @@ PROBES = [
     ("emb_kmeanspp_init", "farthest-first seeding — K broadcast passes + least() folds"),
     ("llm_corpus_pipeline_v7", "v6 funnel + DSIR selection — λ broadcast + TakeOrdered, nothing pair-sized"),
     ("agg_cms_merge_proof", "CMS merge proof — linear cell map + bounded counter aggs"),
+    ("graph_ppr_seeded", "seeded PPR — frontier-sized join + partial agg per round"),
 ]
 
 
