@@ -98,11 +98,11 @@ _FRONT: tuple[str, ...] = (
     'agg_ddsketch_quantiles', 'llm_dsir_eval', 'fulltext_bm25',
     'fulltext_eval_ndcg', 'llm_bpe_merge_steps', 'emb_kmeanspp_init',
     'graph_harmonic_centrality', 'llm_corpus_pipeline_v7', 'agg_cms_merge_proof',
-    'project_computed', 'filter_compare', 'filter_boolean',
-    'filter_in_between_null', 'filter_like', 'fulltext_search',
-    'distinct_rows', 'sort_multikey', 'limit_n',
-    'offset_paging', 'topk_global', 'set_union_all',
-    'set_union_distinct', 'set_intersect',
+    'graph_ppr_seeded', 'project_computed', 'filter_compare',
+    'filter_boolean', 'filter_in_between_null', 'filter_like',
+    'fulltext_search', 'distinct_rows', 'sort_multikey',
+    'limit_n', 'offset_paging', 'topk_global',
+    'set_union_all', 'set_union_distinct',
 )
 
 
