@@ -78,6 +78,13 @@ PROBES = [
     ("llm_bpe_merge_steps", "BPE training: one word-frequency exchange, then vocabulary-grain rounds"),
     ("llm_semdedup_cells", "SemDeDup: shuffle ~ (vec,cell,bkt) keys + within-bucket pair partials, never corpus x corpus"),
     ("emb_ivfpq_rerank", "two-stage ANN: ADC cell scan + shortlist-sized exact fetch; probe lookup tables broadcast"),
+    ("graph_harmonic_centrality", "seeded BFS rounds: shuffle ~ (seed,node) frontier keys per hop"),
+    ("llm_dupspan_removal_plan", "span removal: gram-keyed dup join; interval union is a per-doc window"),
+    ("ts_pacf", "PACF: day-grain agg + per-type lag window — shuffle ~ series, output 3 rows/type"),
+    ("agg_ddsketch_quantiles", "DDSketch: shuffle ~ (flag,bucket) counters, row-count independent"),
+    ("emb_kmeanspp_init", "farthest-first seeding: K broadcast-one-vector passes, argmax = TakeOrdered(1)"),
+    ("llm_corpus_pipeline_v7", "v7 funnel: v6 shuffles + B-row lambda broadcast + top-N — selection adds no pair-sized exchange"),
+    ("graph_ppr_seeded", "seeded PPR: frontier-sized contrib join + partial agg per round"),
 ]
 
 
