@@ -86,23 +86,23 @@ _MODULES = (
 # Round-4 window: exactly the 50 keys with no driver row after round 3
 # (windows family, etl_*, corpus pipelines v1-v4, fn_bitwise, ...).
 _FRONT: tuple[str, ...] = (
-    'llm_lang_id_eval', 'events_attribution_markov', 'llm_oov_rate',
-    'llm_mixture_epochs', 'agg_effect_sizes', 'ts_ohlc_bars',
-    'agg_group_median_exact', 'ts_bollinger_bands', 'scan_schema_merge',
-    'dq_partition_skew_report', 'events_new_vs_returning', 'emb_ivf_nprobe_cost_curve',
-    'stream_late_audit', 'soql_geo_hull', 'soql_datetime_median',
-    'soql_fixed_floating', 'soql_text_case', 'emb_ivfpq_topk_nprobe2',
-    'llm_semdedup_cells', 'llm_semdedup_recall', 'llm_semdedup_survivors',
-    'llm_corpus_pipeline_v6', 'llm_dsir_weights', 'llm_dsir_sample',
-    'emb_ivfpq_rerank', 'llm_dupspan_removal_plan', 'ts_pacf',
-    'agg_ddsketch_quantiles', 'llm_dsir_eval', 'fulltext_bm25',
-    'fulltext_eval_ndcg', 'llm_bpe_merge_steps', 'emb_kmeanspp_init',
-    'graph_harmonic_centrality', 'llm_corpus_pipeline_v7', 'agg_cms_merge_proof',
-    'graph_ppr_seeded', 'project_computed', 'filter_compare',
-    'filter_boolean', 'filter_in_between_null', 'filter_like',
-    'fulltext_search', 'distinct_rows', 'sort_multikey',
-    'limit_n', 'offset_paging', 'topk_global',
-    'set_union_all', 'set_union_distinct',
+    'set_intersect', 'set_except', 'subquery_scalar_correlated',
+    'dq_profile', 'dq_referential', 'join_inner_broadcast',
+    'join_inner_sortmerge', 'join_left_outer', 'join_right_outer',
+    'join_full_outer', 'join_left_semi', 'join_left_anti',
+    'join_cross', 'join_theta_range', 'join_asof',
+    'agg_groupby_basic', 'agg_global', 'agg_multikey',
+    'agg_count_distinct', 'agg_approx_count_distinct', 'agg_having',
+    'agg_rollup', 'agg_cube', 'agg_grouping_sets',
+    'agg_stats', 'agg_minby_maxby', 'agg_percentile',
+    'agg_percentile_approx', 'agg_pivot', 'reshape_unpivot',
+    'agg_salted_skew', 'fn_string', 'fn_regex',
+    'fn_date_extract', 'fn_date_trunc', 'fn_date_arith',
+    'fn_math', 'fn_conditional', 'fn_cast',
+    'fn_json', 'fn_map', 'fn_array',
+    'fn_explode', 'fn_hash', 'fn_geo_distance',
+    'fn_url_parse', 'fn_array_topk_struct', 'fn_null_semantics',
+    'stream_tumbling', 'stream_sliding',
 )
 
 
