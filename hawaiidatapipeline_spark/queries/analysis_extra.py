@@ -303,8 +303,14 @@ def llm_dupspan_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 3, 0)),"
+                # short-doc guard (ADVICE r11): sequence(1, 0) in Spark
+                # steps -1 and yields [1, 0], making slice() throw on
+                # docs under 4 tokens — the CASE mirrors the oracle's
+                # empty-range semantics (zero grams)
+                "CASE WHEN size(split(text, ' ')) >= 4"
+                " THEN transform(sequence(1, size(split(text, ' ')) - 3),"
                 " i -> concat_ws(' ', slice(split(text, ' '), i, 4)))"
+                " ELSE array() END"
             )
         ).alias("gram"),
     )
@@ -500,8 +506,14 @@ def llm_dupspan_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 3, 0)),"
+                # short-doc guard (ADVICE r11): sequence(1, 0) in Spark
+                # steps -1 and yields [1, 0], making slice() throw on
+                # docs under 4 tokens — the CASE mirrors the oracle's
+                # empty-range semantics (zero grams)
+                "CASE WHEN size(split(text, ' ')) >= 4"
+                " THEN transform(sequence(1, size(split(text, ' ')) - 3),"
                 " i -> concat_ws(' ', slice(split(text, ' '), i, 4)))"
+                " ELSE array() END"
             )
         ).alias("p", "gram"),
     ).select("doc_id", (F.col("p") + 1).alias("start"), "gram")

@@ -171,7 +171,19 @@ def etl_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONTAIN_TAU = 0.5
-_STOP_SHINGLE_DF = 20  # shingles in more docs than this are boilerplate
+# Stop-shingle cap: shingles in more docs than this are boilerplate and are
+# dropped before the self-join. _STOP_SHINGLE_DF is the FIXTURE FLOOR; the
+# effective cap is corpus-scaled — cap = max(20, ceil(n_docs / 250)), i.e.
+# "more than 0.4% of documents" — because boilerplate df grows with the
+# corpus: a fixed absolute cap at 100 TB drops every legitimately shared
+# phrase (df of any common phrase ∝ N) and the detector silently returns
+# nothing (VERDICT r11 #3). At sf0.01 (500 docs → ceil=2, clamped) and
+# sf0.1 (5000 docs → ceil=20) the cap is exactly 20, so fixture hashes are
+# unchanged. Pair volume stays linear at any N: pairs ≤ cap·Σdf with the
+# cap a constant FRACTION, matching the LSH band-cap discipline.
+_STOP_SHINGLE_DF = 20
+_STOP_SHINGLE_DOCS_PER_DF = 250
+_CONTAIN_HASH_SEED = 77  # shingle → int64 before the shuffles (narrow keys)
 
 _CONTAIN_SQL = f"""
 WITH words AS (
@@ -181,14 +193,18 @@ WITH words AS (
   FROM documents
 ),
 tok AS (
-  SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS sh
+  SELECT DISTINCT t1.doc_id,
+         ('0x' || substring(md5('{_CONTAIN_HASH_SEED}:' || t1.w || ' ' || t2.w
+                                || ' ' || t3.w), 1, 15))::BIGINT AS sh
   FROM words t1
   JOIN words t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
   JOIN words t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
 ),
 kept AS (
   SELECT sh FROM (SELECT sh, count(*) AS c FROM tok GROUP BY sh)
-  WHERE c <= {_STOP_SHINGLE_DF}
+  WHERE c <= (SELECT greatest({_STOP_SHINGLE_DF},
+                              ceil(count(*) / {_STOP_SHINGLE_DOCS_PER_DF}.0))::BIGINT
+              FROM documents)
 ),
 tokf AS (SELECT t.doc_id, t.sh FROM tok t JOIN kept k USING (sh)),
 sizes AS (SELECT doc_id, count(*) AS n FROM tokf GROUP BY doc_id),
@@ -213,32 +229,52 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays tiny. The training-data concern is verbatim repetition
     (memorization), and repeated substrings are exactly what this flags.
 
-    Scale guards, both mirrored in the oracle so exactness is preserved:
-    shingles in more than ``_STOP_SHINGLE_DF`` docs are dropped before the
-    self-join (boilerplate removal — the same hot-key cap the inverted
-    index applies; without it one viral phrase makes the join quadratic),
-    and pair generation is an inverted-index equi-join on the shingle, so
+    Scale guards, all mirrored in the oracle so exactness is preserved:
+    shingles in more than max(``_STOP_SHINGLE_DF``, n_docs/250) docs are
+    dropped before the self-join (boilerplate removal as a constant
+    FRACTION of the corpus — an absolute cap at 100 TB would drop every
+    legitimately shared phrase, since common-phrase df grows with N; the
+    fraction keeps pair volume ≤ cap·Σdf, linear), shingles are hashed to
+    int64 (portable_hash64) BEFORE the distinct/df/self-join shuffles so
+    every exchange moves 8-byte keys instead of 3-word strings, and pair
+    generation is an inverted-index equi-join on the shingle hash, so
     candidates only form where a shingle is genuinely shared. The LSH
     analog at 100 TB seeds the same pipeline from MinHash bands."""
-    from hawaiidatapipeline_spark.operators.dedup import shingles_distinct
+    import math
+
+    from hawaiidatapipeline_spark.operators.dedup import (
+        portable_hash64,
+        shingles_distinct,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    tok = shingles_distinct(d, 3)
+    cap = max(
+        _STOP_SHINGLE_DF,
+        math.ceil(d.count() / _STOP_SHINGLE_DOCS_PER_DF),
+    )
+    tok = (
+        shingles_distinct(d, 3, distinct=False)
+        .select(
+            "doc_id",
+            portable_hash64(F.col("token"), _CONTAIN_HASH_SEED).alias("sh"),
+        )
+        .distinct()
+    )
     kept = (
-        tok.groupBy("token")
+        tok.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") <= _STOP_SHINGLE_DF)
-        .select("token")
+        .filter(F.col("c") <= cap)
+        .select("sh")
     )
     # tokf feeds THREE plan branches (sizes + both self-join sides); without
     # materialization each branch re-scans documents and re-shingles — the
     # checkpoint turns 3 explode+distinct passes into 1 (same pattern as
     # the triangle edge set and the minhash signature table)
-    tokf = materialize(tok.join(kept, "token"))
+    tokf = materialize(tok.join(kept, "sh"))
     sizes = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = tokf.alias("a"), tokf.alias("b")
     inter = (
-        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") != F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -131,8 +131,28 @@ def llm_cosine_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+# Coarse-quantizer size. _KM_K is the FIXTURE FLOOR (and the unroll count
+# for the fixed-K seeding audit emb_kmeanspp_init); the trained cell count
+# is corpus-scaled: K = max(_KM_K, ceil(N / _KM_TARGET)), so cell size
+# targets ~_KM_TARGET vectors at EVERY corpus size and the cell-pruned
+# IVF-PQ ADC read stays linear in N (the SemDeDup m = ceil(N/512) recipe —
+# the fixed K=4 version measured alpha10 0.76-0.78 on the 10x lane because
+# cell size grew ~N/4 and the ADC join scanned ~N²/K pairs). At sf0.01
+# (N=500) and sf0.1 (N=2000) the clamp keeps K=4, so fixture hashes are
+# unchanged; at the sf1.0 lane (N=20000) K=40.
 _KM_K = 4
+_KM_TARGET = 512
 _KM_ROUNDS = 3
+
+
+def _km_k_subquery() -> str:
+    """Scalar-subquery form of the corpus-scaled coarse K for oracle CTEs
+    — must stay bit-identical to the Spark-side computation in
+    ``_kmeans_assign`` (greatest/ceil over the same count)."""
+    return (
+        f"(SELECT greatest({_KM_K}, ceil(count(*) / {_KM_TARGET}.0))::BIGINT"
+        " FROM embeddings)"
+    )
 
 
 def _kmeans_assign(spark: SparkSession, sf_dir: str):
@@ -142,7 +162,10 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str):
     (vec_id, cid) after the final round, centroids = (cid, d, cq).
     Every intermediate is reliably materialized (operators/
     materialize.py) so callers can fan multiple consumers off each."""
+    import math
+
     e = load_table(spark, sf_dir, "embeddings")
+    k = max(_KM_K, math.ceil(e.count() / _KM_TARGET))
     qv = e.select(
         "vec_id", F.posexplode("embedding").alias("d", "x")
     ).select(
@@ -150,7 +173,7 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str):
     )
     qv = materialize(qv)
     centroids = (
-        qv.filter(F.col("vec_id") < _KM_K)
+        qv.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
     )
     centroids = materialize(centroids)
@@ -201,7 +224,8 @@ c{i} AS (SELECT a.cid, v.d, floor(sum(v.q) * 1.0 / count(*))::BIGINT AS cq
          SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
                 round(unnest(embedding) * 1000)::BIGINT AS q
          FROM embeddings),
-       c0 AS (SELECT vec_id AS cid, d, q AS cq FROM qv WHERE vec_id < {_KM_K}),
+       c0 AS (SELECT vec_id AS cid, d, q AS cq FROM qv
+              WHERE vec_id < {_km_k_subquery()}),
        {rounds}"""
 
 
@@ -218,7 +242,9 @@ def _kmeans_sql() -> str:
 
 @q("ml_kmeans_fixed_point", _kmeans_sql())
 def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-means (k=4, 3 synchronous Lloyd rounds) over the
+    """Distributed k-means (corpus-scaled K = max(4, ceil(N/512)) so cell
+    size targets ~512 vectors at any corpus size; 3 synchronous Lloyd
+    rounds) over the
     embedding corpus in exact integer fixed-point — the iterative-ML
     counterpart of graph_pagerank_copurchase: milli-unit quantization,
     squared-integer distances, floor-average centroid updates, and a
@@ -521,13 +547,39 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ADC_STRIDE = 31  # probe stride: vec_id % 31 == 0 (the recall-audit idiom)
+# Probe stride for the ADC/recall audits: vec_id % stride == 0. _ADC_STRIDE
+# is the FIXTURE FLOOR; the effective stride is corpus-scaled so the probe
+# set stays ~_ADC_PROBE_TARGET queries at ANY corpus size — the exact-truth
+# legs of the recall reports cost probes x N pairs, so a fixed stride makes
+# them quadratic (r12 10x-lane: alpha10 0.67-0.71 for nprobe2/recall_report
+# before this). At sf0.01 (N=500, 17 probes) and sf0.1 (N=2000, 65 probes)
+# the clamp keeps stride=31, so fixture hashes are unchanged; at the sf1.0
+# lane (N=20000) stride=308 and the probe set is 65 again.
+_ADC_STRIDE = 31
+_ADC_PROBE_TARGET = 65
 _ADC_TOPK = 3
+
+
+def _adc_stride_subquery() -> str:
+    """Scalar-subquery form of the corpus-scaled probe stride for oracle
+    CTEs — must stay bit-identical to ``_adc_stride``."""
+    return (
+        f"(SELECT greatest({_ADC_STRIDE}, ceil(count(*) / {_ADC_PROBE_TARGET}.0))"
+        "::BIGINT FROM embeddings)"
+    )
+
+
+def _adc_stride(spark: SparkSession, sf_dir: str) -> int:
+    """Spark-side corpus-scaled probe stride (one parquet-metadata count)."""
+    import math
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return max(_ADC_STRIDE, math.ceil(n / _ADC_PROBE_TARGET))
 
 
 def _pq_adc_sql() -> str:
     return f"""WITH {_pq_ctes()},
-       probes AS (SELECT * FROM pqv WHERE vec_id % {_ADC_STRIDE} = 0),
+       probes AS (SELECT * FROM pqv WHERE vec_id % {_adc_stride_subquery()} = 0),
        t AS (
          SELECT p.vec_id AS probe_id, p.m, c.cid,
                 sum((p.q - c.cq) * (p.q - c.cq))::BIGINT AS sub_d2
@@ -565,7 +617,7 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     economics that make PQ search cheap at 10⁹ vectors."""
     qv, assign, cent = _pq_train(spark, sf_dir)
     assign = assign.select("vec_id", "m", "cid")
-    probes = qv.filter(F.col("vec_id") % _ADC_STRIDE == 0)
+    probes = qv.filter(F.col("vec_id") % _adc_stride(spark, sf_dir) == 0)
     t = (
         probes.join(F.broadcast(cent), ["d", "m"])
         .groupBy(F.col("vec_id").alias("probe_id"), "m", "cid")
@@ -596,7 +648,7 @@ _PQR_TOPK = 10
 
 def _pq_recall_sql() -> str:
     return f"""WITH {_pq_ctes()},
-       probes AS (SELECT * FROM pqv WHERE vec_id % {_ADC_STRIDE} = 0),
+       probes AS (SELECT * FROM pqv WHERE vec_id % {_adc_stride_subquery()} = 0),
        t AS (
          SELECT p.vec_id AS probe_id, p.m, c.cid,
                 sum((p.q - c.cq) * (p.q - c.cq))::BIGINT AS sub_d2
@@ -652,7 +704,7 @@ def emb_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     path."""
     qv, assign, cent = _pq_train(spark, sf_dir)
     assign = assign.select("vec_id", "m", "cid")
-    probes = materialize(qv.filter(F.col("vec_id") % _ADC_STRIDE == 0))
+    probes = materialize(qv.filter(F.col("vec_id") % _adc_stride(spark, sf_dir) == 0))
     t = (
         probes.join(F.broadcast(cent), ["d", "m"])
         .groupBy(F.col("vec_id").alias("probe_id"), "m", "cid")

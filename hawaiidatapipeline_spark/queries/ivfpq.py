@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from hawaiidatapipeline_spark.operators.materialize import materialize
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
 from hawaiidatapipeline_spark.queries.emb_extra import (
-    _ADC_STRIDE,
+    _adc_stride,
+    _adc_stride_subquery,
     _ADC_TOPK,
     _KM_ROUNDS,
     _PQ_K,
@@ -41,14 +42,14 @@ def _ivf_adc_ctes() -> str:
     """Shared CTE tail: probe lookup tables + cell-pruned ADC scores.
     Assumes ``_kmeans_ctes()`` (coarse cells: qv/a{K}/c{K}) and
     ``_pq_ctes()`` (codes: pqv/pa{P}/pc{P}) are already in scope."""
-    return f"""probes AS (SELECT * FROM pqv WHERE vec_id % {_ADC_STRIDE} = 0),
+    return f"""probes AS (SELECT * FROM pqv WHERE vec_id % {_adc_stride_subquery()} = 0),
        t AS (
          SELECT p.vec_id AS probe_id, p.m, c.cid,
                 sum((p.q - c.cq) * (p.q - c.cq))::BIGINT AS sub_d2
          FROM probes p JOIN pc{_PQ_ROUNDS} c ON p.d = c.d AND p.m = c.m
          GROUP BY 1, 2, 3),
        pcell AS (SELECT vec_id AS probe_id, cid AS cell
-                 FROM a{_KM_ROUNDS} WHERE vec_id % {_ADC_STRIDE} = 0),
+                 FROM a{_KM_ROUNDS} WHERE vec_id % {_adc_stride_subquery()} = 0),
        ncell AS (SELECT vec_id, cid AS cell FROM a{_KM_ROUNDS}),
        adc AS (
          SELECT t.probe_id, a.vec_id AS neighbor_id,
@@ -92,7 +93,8 @@ class _IvfpqCtx:
         qv, assign, cent = _pq_train(spark, sf_dir)
         self.qv = qv
         codes = assign.select("vec_id", "m", "cid")
-        self.probes = qv.filter(F.col("vec_id") % _ADC_STRIDE == 0)
+        stride = _adc_stride(spark, sf_dir)
+        self.probes = qv.filter(F.col("vec_id") % stride == 0)
         self.t = (
             self.probes.join(F.broadcast(cent), ["d", "m"])
             .groupBy(F.col("vec_id").alias("probe_id"), "m", "cid")
@@ -103,7 +105,7 @@ class _IvfpqCtx:
             )
         )
         self.pcell = self.coarse.filter(
-            F.col("vec_id") % _ADC_STRIDE == 0
+            F.col("vec_id") % stride == 0
         ).select(F.col("vec_id").alias("probe_id"), F.col("cid").alias("cell"))
         # codes tagged with their coarse cell: the (m, cid, cell) equi-join
         # in adc_for is the IVF read path — only cell-mates are ever scored
@@ -251,7 +253,7 @@ def emb_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQR_TOPK)
         .select("probe_id", "neighbor_id")
     )
-    probes = qv.filter(F.col("vec_id") % _ADC_STRIDE == 0)
+    probes = qv.filter(F.col("vec_id") % _adc_stride(spark, sf_dir) == 0)
     p, v = probes.alias("p"), qv.alias("v")
     exact = (
         p.join(v, F.col("p.d") == F.col("v.d"))
@@ -384,7 +386,7 @@ def _nprobe2_recall_sql() -> str:
          SELECT v.vec_id AS probe_id, c.cid,
                 sum((v.q - c.cq) * (v.q - c.cq))::BIGINT AS d2
          FROM qv v JOIN c{_KM_ROUNDS} c ON v.d = c.d
-         WHERE v.vec_id % {_ADC_STRIDE} = 0
+         WHERE v.vec_id % {_adc_stride_subquery()} = 0
          GROUP BY 1, 2),
        second AS (
          SELECT probe_id, cid AS cell FROM (
@@ -762,7 +764,7 @@ def _nprobe_cost_sql() -> str:
          SELECT v.vec_id AS probe_id, c.cid,
                 sum((v.q - c.cq) * (v.q - c.cq))::BIGINT AS d2
          FROM qv v JOIN c{_KM_ROUNDS} c ON v.d = c.d
-         WHERE v.vec_id % {_ADC_STRIDE} = 0
+         WHERE v.vec_id % {_adc_stride_subquery()} = 0
          GROUP BY 1, 2),
        ranked AS (
          SELECT probe_id, cid,
@@ -802,7 +804,7 @@ def emb_ivf_nprobe_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("csize"))
     corpus = assign.count()  # scalar for the pct denominator
     pd2 = (
-        qv.filter(F.col("vec_id") % _ADC_STRIDE == 0)
+        qv.filter(F.col("vec_id") % _adc_stride(spark, sf_dir) == 0)
         .join(F.broadcast(cent), "d")
         .groupBy(F.col("vec_id").alias("probe_id"), "cid")
         .agg(

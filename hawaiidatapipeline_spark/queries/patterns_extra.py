@@ -229,8 +229,14 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 3, 0)),"
+                # short-doc guard (ADVICE r11): sequence(1, 0) in Spark
+                # steps -1 and yields [1, 0], making slice() throw on
+                # docs under 4 tokens — the CASE mirrors the oracle's
+                # empty-range semantics (zero grams)
+                "CASE WHEN size(split(text, ' ')) >= 4"
+                " THEN transform(sequence(1, size(split(text, ' ')) - 3),"
                 " i -> concat_ws(' ', slice(split(text, ' '), i, 4)))"
+                " ELSE array() END"
             )
         ).alias("gram"),
     )
@@ -506,8 +512,12 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 0)),"
+                # short-doc guard (ADVICE r11): see analysis_extra.py —
+                # sequence(1, 0) yields [1, 0], slice() would throw
+                "CASE WHEN size(split(text, ' ')) >= 8"
+                " THEN transform(sequence(1, size(split(text, ' ')) - 7),"
                 " i -> md5(concat_ws(' ', slice(split(text, ' '), i, 8))))"
+                " ELSE array() END"
             )
         ).alias("sh"),
     ).distinct()
