@@ -477,9 +477,9 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT event_type, 1 AS lag, r1 AS acf_milli,
               round(r1 / 1000.0, 6) AS pacf FROM p
        UNION ALL
-       SELECT event_type, 2, r2, round(n2::DOUBLE / d2, 6) FROM p
+       SELECT event_type, 2, r2, round(n2::DOUBLE / nullif(d2, 0), 6) FROM p
        UNION ALL
-       SELECT event_type, 3, r3, round(n3::DOUBLE / d3, 6) FROM p
+       SELECT event_type, 3, r3, round(n3::DOUBLE / nullif(d3, 0), 6) FROM p
        ORDER BY event_type, lag""",
 )
 def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,12 +570,19 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.lit(2).alias("lag"),
         F.col("r2").alias("acf_milli"),
-        F.round(F.col("n2").cast("double") / F.col("d2"), 6).alias("pacf"),
+        # nullif: d2 = 0 when the milli-ACF is exactly +/-1000 (degenerate
+        # series) — Spark 0-division gives NULL but DuckDB gives inf/NaN,
+        # so both engines must take the NULL path (ADVICE r11)
+        F.round(
+            F.col("n2").cast("double") / F.nullif(F.col("d2"), F.lit(0)), 6
+        ).alias("pacf"),
     )
     out3 = p.select(
         "event_type",
         F.lit(3).alias("lag"),
         F.col("r3").alias("acf_milli"),
-        F.round(F.col("n3").cast("double") / F.col("d3"), 6).alias("pacf"),
+        F.round(
+            F.col("n3").cast("double") / F.nullif(F.col("d3"), F.lit(0)), 6
+        ).alias("pacf"),
     )
     return out1.unionByName(out2).unionByName(out3).orderBy("event_type", "lag")

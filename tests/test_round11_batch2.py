@@ -127,8 +127,12 @@ def test_rerank_refines_adc_order(spark):
         assert all(r.adc_rnk <= 30 for r in rows)
     adc = emb_ivfpq_topk(spark, SF0001).collect()
     adc_pairs = {(r.probe_id, r.neighbor_id) for r in adc}
-    rr_pairs = {(r.probe_id, r.neighbor_id) for r in rr}
-    # the ADC top-3 shortlist head is a subset of the 30-deep shortlist,
-    # so every ADC-top neighbor appears somewhere in the rerank input;
-    # those that place in the exact top-10 appear in the output
-    assert rr_pairs, adc_pairs
+    # cross-key consistency: a rerank-output row carrying adc_rnk <= 3
+    # claims its pair was in the ADC top-3 — it must literally be an
+    # emb_ivfpq_topk row (same training, same candidate space), and both
+    # keys must serve the same probe set (ADVICE r11: the old form
+    # `assert rr_pairs, adc_pairs` used adc_pairs as the assert MESSAGE
+    # and checked nothing)
+    rr_top3_claims = {(r.probe_id, r.neighbor_id) for r in rr if r.adc_rnk <= 3}
+    assert rr_top3_claims <= adc_pairs
+    assert {p for p, _ in adc_pairs} == {r.probe_id for r in rr}

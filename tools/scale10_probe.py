@@ -88,12 +88,27 @@ def main() -> int:
             for name, b, w, g, a, e in results
         }
         lines = open("SCALING10.md").read().splitlines()
+        # insert point: end of the FIRST table (perf_evidence.py idiom) —
+        # a plain EOF extend would land rows after any later table and
+        # the key match above would also be fooled by same-keyed rows
+        # there (ADVICE r11)
+        table_end = None
+        in_table = False
         for i, ln in enumerate(lines):
             parts = ln.split("|")
             key = parts[1].strip() if len(parts) > 2 else ""
-            if key in rows:
+            if key in rows and table_end is None:
                 lines[i] = rows.pop(key)
-        lines.extend(rows.values())
+            if ln.startswith("|"):
+                in_table = True
+            elif in_table and not ln.startswith("|"):
+                if table_end is None:
+                    table_end = i
+                in_table = False
+        insert_at = table_end if table_end is not None else len(lines)
+        for row in rows.values():
+            lines.insert(insert_at, row)
+            insert_at += 1
         open("SCALING10.md", "w").write("\n".join(lines) + "\n")
         print("\npatched SCALING10.md rows for subset")
     else:
