@@ -340,51 +340,118 @@ def soql_geo_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "soql_geo_hull",
-    """WITH pts AS (
-         SELECT c_custkey,
-                (c_custkey % 180 - 90) + 0.25::DOUBLE  AS lat,
-                ((7 * c_custkey) % 360 - 180) + 0.25::DOUBLE AS lon
-         FROM customer)
-       SELECT c_custkey % 4 AS grp,
-              concat('POLYGON ((',
-                     CAST(min(lon) AS DECIMAL(14,4)), ' ',
-                     CAST(min(lat) AS DECIMAL(14,4)), ', ',
-                     CAST(max(lon) AS DECIMAL(14,4)), ' ',
-                     CAST(min(lat) AS DECIMAL(14,4)), ', ',
-                     CAST(max(lon) AS DECIMAL(14,4)), ' ',
-                     CAST(max(lat) AS DECIMAL(14,4)), ', ',
-                     CAST(min(lon) AS DECIMAL(14,4)), ' ',
-                     CAST(max(lat) AS DECIMAL(14,4)), ', ',
-                     CAST(min(lon) AS DECIMAL(14,4)), ' ',
-                     CAST(min(lat) AS DECIMAL(14,4)), '))') AS hull,
-              len(string_split(concat('POLYGON ((',
-                     CAST(min(lon) AS DECIMAL(14,4)), ' ',
-                     CAST(min(lat) AS DECIMAL(14,4)), ', ',
-                     CAST(max(lon) AS DECIMAL(14,4)), ' ',
-                     CAST(min(lat) AS DECIMAL(14,4)), ', ',
-                     CAST(max(lon) AS DECIMAL(14,4)), ' ',
-                     CAST(max(lat) AS DECIMAL(14,4)), ', ',
-                     CAST(min(lon) AS DECIMAL(14,4)), ' ',
-                     CAST(max(lat) AS DECIMAL(14,4)), ', ',
-                     CAST(min(lon) AS DECIMAL(14,4)), ' ',
-                     CAST(min(lat) AS DECIMAL(14,4)), '))'), ','))::BIGINT
-                AS n_vertices,
-              count(*) AS n
-       FROM pts GROUP BY 1 ORDER BY 1""",
-)
+def _hull_key_sql(dy: str, dx: str) -> str:
+    """DuckDB twin of soql.py ``_convex_hull_expr``'s slope key:
+    floor(slope * 2^52) as hi-digit floor division (HUGEINT //, exact by
+    divisibility after the floor-mod subtraction) plus two 26-bit
+    long-division digits (double division of ints < 2^48 then floor —
+    quotient error <= 7.4e-9, fractional gaps >= 2.8e-7, so exact)."""
+    return f"""(
+      ({dy} - ((({dy}) % ({dx})) + ({dx})) % ({dx}))::HUGEINT // ({dx}) * 4503599627370496
+      + floor((((({dy}) % ({dx})) + ({dx})) % ({dx})) * 67108864 / ({dx}))::HUGEINT * 67108864
+      + floor(((((({dy}) % ({dx})) + ({dx})) % ({dx})) * 67108864 % ({dx})) * 67108864 / ({dx}))::HUGEINT)"""
+
+
+def _hull_oracle_sql() -> str:
+    """Monotone-chain convex hull, CTE-for-CTE with the Spark expression:
+    distinct 1e-4 grid points -> 4-extreme Akl–Toussaint prefilter ->
+    per-x y-extremes -> supporting-line test on exact slope keys ->
+    lower-asc + upper-desc ring, closed, WKT-rendered from integers."""
+    minl = _hull_key_sql("(u.y - c.y)", "(u.x - c.x)")
+    maxr = _hull_key_sql("(c.y - u.y)", "(c.x - u.x)")
+    return f"""WITH pts AS (
+  SELECT DISTINCT c_custkey % 4 AS grp,
+         floor((((7 * c_custkey) % 360 - 180) + 0.25) * 10000 + 0.5)::BIGINT AS x,
+         floor(((c_custkey % 180 - 90) + 0.25) * 10000 + 0.5)::BIGINT AS y
+  FROM customer),
+ranked AS (
+  SELECT grp, x, y,
+         row_number() OVER (PARTITION BY grp ORDER BY x, y) AS rw,
+         row_number() OVER (PARTITION BY grp ORDER BY x DESC, y DESC) AS re,
+         row_number() OVER (PARTITION BY grp ORDER BY y DESC, x DESC) AS rn,
+         row_number() OVER (PARTITION BY grp ORDER BY y, x) AS rs
+  FROM pts),
+ext AS (
+  SELECT grp,
+         max(CASE WHEN rw = 1 THEN x END) AS wx, max(CASE WHEN rw = 1 THEN y END) AS wy,
+         max(CASE WHEN rn = 1 THEN x END) AS nx, max(CASE WHEN rn = 1 THEN y END) AS ny,
+         max(CASE WHEN re = 1 THEN x END) AS ex, max(CASE WHEN re = 1 THEN y END) AS ey,
+         max(CASE WHEN rs = 1 THEN x END) AS sx, max(CASE WHEN rs = 1 THEN y END) AS sy
+  FROM ranked GROUP BY grp),
+cand AS (
+  SELECT p.grp, p.x, p.y
+  FROM pts p JOIN ext e USING (grp)
+  WHERE NOT (
+    (e.nx - e.wx) * (p.y - e.wy) - (e.ny - e.wy) * (p.x - e.wx) < 0
+    AND (e.ex - e.nx) * (p.y - e.ny) - (e.ey - e.ny) * (p.x - e.nx) < 0
+    AND (e.sx - e.ex) * (p.y - e.ey) - (e.sy - e.ey) * (p.x - e.ex) < 0
+    AND (e.wx - e.sx) * (p.y - e.sy) - (e.wy - e.sy) * (p.x - e.sx) < 0)),
+ucand AS (SELECT grp, x, max(y) AS y FROM cand GROUP BY 1, 2),
+lcand AS (SELECT grp, x, min(y) AS y FROM cand GROUP BY 1, 2),
+ukeys AS (
+  SELECT u.grp, u.x, u.y,
+    min(CASE WHEN c.x < u.x THEN {minl}
+    END) AS minl,
+    max(CASE WHEN c.x > u.x THEN {maxr}
+    END) AS maxr
+  FROM ucand u JOIN cand c ON c.grp = u.grp
+  GROUP BY 1, 2, 3),
+uverts AS (SELECT grp, x, y FROM ukeys WHERE minl IS NULL OR maxr IS NULL OR minl > maxr),
+lkeys AS (
+  SELECT u.grp, u.x, u.y,
+    max(CASE WHEN c.x < u.x THEN {minl}
+    END) AS maxl,
+    min(CASE WHEN c.x > u.x THEN {maxr}
+    END) AS minr
+  FROM lcand u JOIN cand c ON c.grp = u.grp
+  GROUP BY 1, 2, 3),
+lverts AS (SELECT grp, x, y FROM lkeys WHERE maxl IS NULL OR minr IS NULL OR maxl < minr),
+lchain AS (SELECT grp, list(struct_pack(x := x, y := y) ORDER BY x) AS l FROM lverts GROUP BY grp),
+uchain AS (SELECT grp, list(struct_pack(x := x, y := y) ORDER BY x DESC) AS u FROM uverts GROUP BY grp),
+rings AS (
+  SELECT lc.grp,
+    list_concat(list_concat(lc.l,
+      CASE WHEN len(u3.u3) > 0 AND u3.u3[-1] = lc.l[1]
+           THEN u3.u3[:len(u3.u3) - 1] ELSE u3.u3 END),
+      [lc.l[1]]) AS ring
+  FROM lchain lc
+  JOIN (SELECT uc.grp,
+          CASE WHEN len(uc.u) > 0 AND uc.u[1] = lc2.l[-1]
+               THEN uc.u[2:] ELSE uc.u END AS u3
+        FROM uchain uc JOIN lchain lc2 USING (grp)) u3 USING (grp)),
+wkts AS (
+  SELECT grp,
+    'POLYGON ((' || array_to_string(list_transform(ring, rp ->
+      (CASE WHEN rp.x < 0 THEN '-' ELSE '' END) || (abs(rp.x) // 10000)::VARCHAR
+      || '.' || lpad((abs(rp.x) % 10000)::VARCHAR, 4, '0') || ' ' ||
+      (CASE WHEN rp.y < 0 THEN '-' ELSE '' END) || (abs(rp.y) // 10000)::VARCHAR
+      || '.' || lpad((abs(rp.y) % 10000)::VARCHAR, 4, '0')), ', ') || '))' AS hull,
+    len(ring)::BIGINT AS n_vertices
+  FROM rings),
+n AS (SELECT c_custkey % 4 AS grp, count(*) AS n FROM customer GROUP BY 1)
+SELECT w.grp, w.hull, w.n_vertices, n.n
+FROM wkts w JOIN n USING (grp) ORDER BY w.grp"""
+
+
+@q("soql_geo_hull", _hull_oracle_sql())
 def soql_geo_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SODA's ``convex_hull`` geo aggregate (+ ``num_points`` vertex count)
-    compiled from ``$select``: the engine's point-location model renders
-    the hull as the extent box closed into a WKT POLYGON ring — a
-    deterministic superset of the true hull (documented approximation,
-    SOQL_SURFACE.md) with the same DECIMAL(14,4) pin that makes extent
-    hash-checkable. ``num_points`` counts WKT coordinate pairs (comma
-    chunks), so it works on the engine's own geometry strings and WKT
-    literals alike; here it proves the closed ring has exactly 5
-    vertices per group. Scale: a 4-group min/max aggregate — partial
-    aggregation does all the work map-side."""
+    compiled from ``$select``: the EXACT convex hull as a closed
+    counterclockwise WKT POLYGON ring (lower chain x-asc, upper chain
+    x-desc, collinear mid-edge points excluded — vertex-minimal), the
+    true-hull upgrade of the round-11 extent-box approximation. The
+    compiler (soql.py _convex_hull_expr) quantizes points to the 1e-4
+    grid the WKT has always rendered, prefilters with the Akl–Toussaint
+    4-extreme quadrilateral, decides membership with the supporting-line
+    test on EXACT integer slope keys (floor(slope*2^52) via two 26-bit
+    long-division digits), and the oracle mirrors every step CTE-for-CTE
+    (HUGEINT keys), so the ring hash-matches bit-for-bit — both engines
+    were also cross-checked against a monotone-chain reference on
+    adversarial cases (collinear, vertical, circle, duplicates, single
+    point). ``num_points`` counts WKT coordinate pairs (comma chunks) so
+    it works on hull output and WKT literals alike. Scale: one linear
+    collect of DISTINCT grid points per group, a linear prefilter, and a
+    quadratic membership test on the hull-adjacent survivors only."""
     c = load_table(spark, sf_dir, "customer")
     pts = c.select(
         "c_custkey",

@@ -462,10 +462,24 @@ class TestRound11SurfaceSweep:
     def test_get_utc_date_rewrites_to_current_timestamp(self):
         assert rewrite_soql_expr("get_utc_date()") == "current_timestamp()"
 
-    def test_convex_hull_is_closed_decimal_pinned_ring(self):
+    def test_convex_hull_exact_ring(self, spark):
+        """The compiled hull is the TRUE convex hull (round-12 upgrade
+        from the extent-box approximation): vertex-minimal closed ring,
+        monotone-chain order, 1e-4 grid rendering."""
         s = rewrite_soql_expr("convex_hull(lat, lon)")
-        assert s.count("DECIMAL(14,4)") == 10  # 5 vertices x 2 coords
-        assert s.startswith("concat('POLYGON (('")
+        assert "collect_list" in s and "4503599627370496" in s
+        df = spark.createDataFrame(
+            [(0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 3.0),
+             (2.0, 1.5),            # interior — must not appear
+             (2.0, 0.0)],           # collinear mid-edge — must not appear
+            "lat double, lon double",
+        )
+        out = soql_query(df, {"$select": "convex_hull(lat, lon) AS hull"})
+        hull = out.collect()[0].hull
+        assert hull == (
+            "POLYGON ((0.0000 0.0000, 3.0000 0.0000, 3.0000 4.0000, "
+            "0.0000 4.0000, 0.0000 0.0000))"
+        )
 
     def test_simplify_is_identity_on_geometry(self):
         assert rewrite_soql_expr("simplify(extent(lat, lon), 0.5)") == (
