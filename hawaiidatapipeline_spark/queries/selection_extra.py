@@ -92,8 +92,11 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsir_weights_for(load_table(spark, sf_dir, "documents"))
 
 
-def _dsir_weights_for(d: DataFrame) -> DataFrame:
-    """DSIR weights over an arbitrary (doc_id, lang, text) frame."""
+def _dsir_doc_buckets(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, f, c): per-document hashed uni+bigram bucket counts
+    — the featurizer shared by the batch weights and the streaming
+    λ-model sink (streaming/runtime.py run_dsir_model_sink), so both
+    paths see bit-identical features."""
     toks = d.select(
         "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
@@ -109,41 +112,55 @@ def _dsir_weights_for(d: DataFrame) -> DataFrame:
         "lang",
         (portable_hash64(F.col("feat"), _DSIR_SEED) % _DSIR_B).alias("f"),
     )
-    docf = hashed.groupBy("doc_id", "lang", "f").agg(
+    return hashed.groupBy("doc_id", "lang", "f").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    raw = docf.groupBy("f").agg(F.sum("c").alias("cr"))
-    tgt = (
-        docf.filter(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("f")
-        .agg(F.sum("c").alias("ct"))
+
+
+def _dsir_bucket_model(docf: DataFrame) -> DataFrame:
+    """(f, cr, ct): raw-corpus and target-slice bucket counters — the
+    ENTIRE λ-model state (≤ B rows). Pure sums, so partial models from
+    disjoint document batches merge by adding counters: the mergeability
+    the streaming sink leans on (same discipline as the KMV/CMS sinks)."""
+    return docf.groupBy("f").agg(
+        F.sum("c").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("c")).otherwise(0)
+        ).alias("ct"),
     )
-    tot = raw.agg(F.sum("cr").alias("tr")).crossJoin(
-        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
-    )
-    lam = (
-        raw.join(tgt, "f", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "f",
-            F.floor(
-                F.log(
-                    (
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                        * (F.col("tr") + _DSIR_B)
-                    )
-                    / ((F.col("cr") + 1).cast("double") * (F.col("tt") + _DSIR_B))
-                )
-                * 1000000
+
+
+def _dsir_lambda(model: DataFrame) -> DataFrame:
+    """(f, lam_micro): add-1-smoothed micro-unit log ratio
+    λ(f) = ln(p_target(f)/p_raw(f)) from the bucket counters."""
+    tot = model.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    return model.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.floor(
+            F.log(
+                ((F.col("ct") + 1).cast("double") * (F.col("tr") + _DSIR_B))
+                / ((F.col("cr") + 1).cast("double") * (F.col("tt") + _DSIR_B))
             )
-            .cast("long")
-            .alias("lam_micro"),
+            * 1000000
         )
+        .cast("long")
+        .alias("lam_micro"),
     )
+
+
+def _dsir_score(docf: DataFrame, lam: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_feats, weight_micro): integer dot product of the
+    document bucket counts with a (possibly externally maintained) λ."""
     return docf.join(F.broadcast(lam), "f").groupBy("doc_id", "lang").agg(
         F.sum("c").alias("n_feats"),
         F.sum(F.col("c") * F.col("lam_micro")).alias("weight_micro"),
     )
+
+
+def _dsir_weights_for(d: DataFrame) -> DataFrame:
+    """DSIR weights over an arbitrary (doc_id, lang, text) frame."""
+    docf = _dsir_doc_buckets(d)
+    return _dsir_score(docf, _dsir_lambda(_dsir_bucket_model(docf)))
 
 
 @q(

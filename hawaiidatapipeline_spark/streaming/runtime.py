@@ -1166,6 +1166,105 @@ def run_kmv_sink(
     )
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental file source over the documents table — the corpus
+    landing zone a crawler appends into. Schema pinned from the batch
+    read; ``maxFilesPerTrigger=1`` with a 4-way split stage forces
+    multiple micro-batches out of the single-file fixture so merge
+    logic is actually exercised."""
+    prepare_session(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    landing = os.path.join(
+        "/root/repo/.cache",
+        "landing_docs_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    import shutil
+
+    shutil.rmtree(landing, ignore_errors=True)
+    batch = spark.read.parquet(src)
+    batch.repartition(4).write.mode("overwrite").parquet(landing)
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+
+def run_dsir_model_sink(
+    docs: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+):
+    """foreachBatch DSIR λ-model maintenance sink — the streaming twin of
+    the llm_dsir_weights model build (VERDICT r11 #8: the last batch-only
+    stage in the curation stack). Each micro-batch contributes its hashed
+    uni+bigram bucket counters (f, cr, ct) via the SAME featurizer the
+    batch path uses (queries/selection_extra._dsir_doc_buckets →
+    _dsir_bucket_model); counters are pure sums, so partial models from
+    disjoint document batches merge by adding — mergeable by construction,
+    the KMV/CMS-sink discipline. Stored state is ≤ B = 256 rows at ANY
+    corpus size; λ (and document scores) are derived FROM the counters at
+    read time (``dsir_model_lambda``), so the drained model scores every
+    document exactly as a single batch pass would (equivalence test #33).
+    Exactly-once: the table carries the ``_last_batch`` stamp — a replayed
+    batch folds in once (counter sums are NOT idempotent under replay,
+    unlike the union/distinct sinks, so the stamp is load-bearing here
+    exactly as in run_aggregate_sink)."""
+    from hawaiidatapipeline_spark.queries.selection_extra import (
+        _dsir_bucket_model,
+        _dsir_doc_buckets,
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = _dsir_bucket_model(_dsir_doc_buckets(batch_df))
+        current = _read_state(spark, target_path, target_path + ".old")
+        if current is None:  # first batch only; a damaged target raises
+            merged = partial
+        else:
+            if "_last_batch" in current.columns:
+                applied = current.agg(F.max("_last_batch")).collect()[0][0]
+                if applied is not None and batch_id <= applied:
+                    return  # replayed batch already folded in — skip
+                current = current.drop("_last_batch")
+            merged = (
+                current.unionByName(partial)
+                .groupBy("f")
+                .agg(F.sum("cr").alias("cr"), F.sum("ct").alias("ct"))
+            )
+        merged = merged.withColumn("_last_batch", F.lit(batch_id))
+        staged = merged.collect()  # <= B = 256 rows by construction
+        import shutil
+        import uuid
+
+        tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
+        spark.createDataFrame(staged, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        old = target_path + ".old"
+        if os.path.exists(target_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(target_path, old)
+        os.replace(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        docs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def dsir_model_lambda(model: DataFrame) -> DataFrame:
+    """Read-time λ derivation over a stored DSIR model table (f, cr, ct)
+    — identical arithmetic to the batch twin's _dsir_lambda."""
+    from hawaiidatapipeline_spark.queries.selection_extra import _dsir_lambda
+
+    return _dsir_lambda(model.drop("_last_batch"))
+
+
 def kmv_estimates(synopsis: DataFrame, k: int = 32) -> DataFrame:
     """Read-time estimator over a stored KMV synopsis table (w, h):
     per window, (k−1)·2^60/h_k when the synopsis is full, exact count

@@ -1127,3 +1127,36 @@ def test_aggregate_sink_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert second == first
+
+
+def test_dsir_model_sink_equals_batch_twin(spark, tmp_path):
+    """Streaming DSIR λ-model maintenance (equivalence test #33): the
+    documents fixture streamed through run_dsir_model_sink in 4
+    micro-batches must end at EXACTLY the counter table one batch pass
+    builds (counters are pure sums — mergeable by construction), so the
+    derived λ and the document scores equal the hash-checked
+    llm_dsir_weights twin row for row."""
+    from hawaiidatapipeline_spark.queries import selection_extra as se
+
+    target = str(tmp_path / "dsir_model")
+    ckpt = str(tmp_path / "dsir_ckpt")
+    q = runtime.run_dsir_model_sink(
+        runtime.stream_documents(spark, SF0001), target, ckpt
+    )
+    q.awaitTermination()
+    model = spark.read.parquet(target)
+    # multiple micro-batches actually ran (the merge path was exercised)
+    assert model.agg(F.max("_last_batch")).collect()[0][0] >= 1
+    # state bound: the stored model is <= B rows
+    assert model.count() <= se._DSIR_B
+    docs = load_table(spark, SF0001, "documents")
+    docf = se._dsir_doc_buckets(docs)
+    # 1) drained counters == batch-pass counters, row for row
+    batch_model = se._dsir_bucket_model(docf)
+    cols = ["f", "cr", "ct"]
+    assert _rows(model.select(*cols), cols) == _rows(batch_model, cols)
+    # 2) scores through the streamed model == the checked batch twin
+    got = se._dsir_score(docf, runtime.dsir_model_lambda(model))
+    want = se._dsir_weights_for(docs)
+    cols = ["doc_id", "lang", "n_feats", "weight_micro"]
+    assert _rows(got, cols) == _rows(want, cols)
