@@ -78,6 +78,11 @@ PROBES = [
     ("llm_bpe_merge_steps", "BPE training: one word-frequency exchange, then vocabulary-grain rounds"),
     ("llm_semdedup_cells", "SemDeDup: shuffle ~ (vec,cell,bkt) keys + within-bucket pair partials, never corpus x corpus"),
     ("emb_ivfpq_rerank", "two-stage ANN: ADC cell scan + shortlist-sized exact fetch; probe lookup tables broadcast"),
+    ("emb_ivfpq_topk", "IVF-PQ read: corpus-scaled K cells, ADC candidates ~ N*512/stride"),
+    ("emb_ivfpq_topk_nprobe2", "nprobe=2: one tagged ADC scan serves both legs; ~65-probe exact-truth slice"),
+    ("emb_ivfpq_recall_report", "recall audit: corpus-scaled probe stride bounds the exact leg at ~65 x N"),
+    ("soql_geo_hull", "exact hull: one distinct-grid-point collect per group; quadratic test on AT survivors only"),
+    ("llm_cosine_topk", "GEMM top-k: cached width probe; broadcast index + Arrow-batched local top-k"),
     ("graph_harmonic_centrality", "seeded BFS rounds: shuffle ~ (seed,node) frontier keys per hop"),
     ("llm_dupspan_removal_plan", "span removal: gram-keyed dup join; interval union is a per-doc window"),
     ("ts_pacf", "PACF: day-grain agg + per-type lag window — shuffle ~ series, output 3 rows/type"),
