@@ -57,6 +57,7 @@ _MODULES = (
     "metrics_extra",
     "round10_extra",
     "round11_extra",
+    "round12_extra",
     "selection_extra",
     "text_extra",
     "curation_extra",

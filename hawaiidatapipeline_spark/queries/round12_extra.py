@@ -1,0 +1,326 @@
+"""Round-12 additions: trained quality classifier (SURVEY.md §2.J
+curation family).
+
+The curation stack's quality gates so far are heuristic (length/stopword
+ratios, LM NLL) or generative (DSIR's importance ratio). Production
+pipelines (CCNet, the GPT-3 WebText filter, FineWeb) add a DISCRIMINATIVE
+stage: a linear classifier on hashed n-gram features trained to separate
+a curated slice from the crawl, whose scores gate or re-weight documents.
+These keys train exactly that — batch gradient descent on logistic loss,
+3 synchronous rounds in integer fixed point (the pagerank/kmeans idiom:
+floor after the one transcendental per round), so the DuckDB oracle
+unrolls the training as CTEs and every weight, score and accuracy
+hash-matches bit-for-bit.
+
+Two modelling choices carry the scale story:
+
+- Features are hashed uni+bigram counts over B = 256 buckets (the DSIR
+  featurizer) CENTERED by the per-bucket corpus mean. Raw counts share a
+  document-length common mode — every bucket correlates with length, the
+  batch gradient points down that one axis, and training crawls (measured:
+  stuck within 0.07 of the base rate after 10 sweeps). Centering removes
+  the common mode for the cost of ONE extra B-row aggregate; accuracy then
+  climbs 0.50 → 0.74 → 0.86 in three sweeps.
+- The checked label is a marker-DENSITY gate (documents whose marker-token
+  count crosses a threshold, the keyword/boilerplate-density special case
+  of a quality filter) because the fixture corpus is synthetic i.i.d. text
+  over one shared 31-token vocabulary — there is no latent style signal
+  for ANY text classifier to find (measured: language labels sit exactly
+  at the base rate at every step size). The training machinery is
+  label-agnostic; a real deployment feeds curated-vs-crawl labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.operators.materialize import materialize
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.queries.selection_extra import (
+    _DSIR_B,
+    _DSIR_SEED,
+    _dsir_doc_buckets,
+)
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+_QC_ROUNDS = 3
+# step = floor(grad_sum / (n_docs * _QC_LR_DEN)); 500 keeps the 3-sweep
+# curve monotone (smaller denominators overshoot into oscillation)
+_QC_LR_DEN = 500
+_QC_MARKER = "data"  # marker token; label = count(marker) >= _QC_MIN_HITS
+_QC_MIN_HITS = 2  # ~50% of fixture docs — a balanced target
+
+
+def _qc_sql_parts() -> str:
+    """Shared training CTEs, mirroring the Spark loop step for step:
+    docf (hashed bucket counts), means (per-bucket corpus mean, milli),
+    dense (centered milli features + bias row per doc), lab, n,
+    w0..w{R} (unrolled GD rounds; nano-unit logits = milli features x
+    micro weights). The only transcendental is exp() inside the sigmoid,
+    floored to micro units immediately (house determinism rule)."""
+    steps = []
+    for r in range(1, _QC_ROUNDS + 1):
+        steps.append(f"""
+s{r} AS (SELECT d.doc_id, sum(d.v * w.w)::BIGINT AS s
+         FROM dense d JOIN w{r - 1} w ON w.f = d.f GROUP BY 1),
+p{r} AS (SELECT s.doc_id,
+                (l.y * 1000000
+                 - floor(1000000.0
+                         / (1.0 + exp(-(s.s / 1000000000.0)))))::BIGINT
+                  AS resid
+         FROM s{r} s JOIN lab l ON l.doc_id = s.doc_id),
+g{r} AS (SELECT d.f, sum(p.resid * d.v)::BIGINT AS g
+         FROM dense d JOIN p{r} p ON p.doc_id = d.doc_id GROUP BY 1),
+w{r} AS (SELECT w.f,
+                (w.w + floor(coalesce(g.g, 0)
+                             / ((SELECT n FROM n) * {_QC_LR_DEN}.0)))::BIGINT
+                  AS w
+         FROM w{r - 1} w LEFT JOIN g{r} g ON g.f = w.f)""")
+    rounds = ",".join(steps)
+    return f"""words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+bi AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS feat
+  FROM words a JOIN words b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+feats AS (
+  SELECT doc_id, tok AS feat FROM words
+  UNION ALL SELECT doc_id, feat FROM bi),
+docf AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('{_DSIR_SEED}:' || feat), 1, 15))::BIGINT
+           % {_DSIR_B} AS f,
+         count(*)::BIGINT AS c
+  FROM feats GROUP BY 1, 2),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+means AS (SELECT f, floor(sum(c) * 1000.0 / (SELECT n FROM n))::BIGINT AS m
+          FROM docf GROUP BY 1),
+dense AS (
+  SELECT d.doc_id, mn.f,
+         (coalesce(df.c, 0) * 1000 - mn.m)::BIGINT AS v
+  FROM documents d
+  CROSS JOIN means mn
+  LEFT JOIN docf df ON df.doc_id = d.doc_id AND df.f = mn.f
+  UNION ALL
+  SELECT doc_id, -1::BIGINT AS f, 1000::BIGINT AS v FROM documents),
+lab AS (SELECT doc_id, source,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         x -> x = '{_QC_MARKER}'))
+                         >= {_QC_MIN_HITS}
+                    THEN 1 ELSE 0 END AS y
+        FROM documents),
+w0 AS (SELECT f, 0::BIGINT AS w FROM means
+       UNION ALL SELECT -1::BIGINT, 0::BIGINT),
+{rounds}"""
+
+
+def _qc_train(spark: SparkSession, d: DataFrame):
+    """Shared trainer: returns (dense, lab, n, weights, per-round scores).
+    Weights and scores are materialized per round so the plan never
+    deepens (SCALE.md round-5 rule for iterative operators). ``dense``
+    is docs x B centered milli features plus a bias row per doc —
+    linear in corpus size; the weight vector is <= B + 1 rows at any
+    scale, always broadcast."""
+    docf = materialize(_dsir_doc_buckets(d).select("doc_id", "f", "c"))
+    n = d.count()
+    means = materialize(
+        docf.groupBy("f").agg(
+            F.floor(F.sum("c") * 1000.0 / F.lit(float(n)))
+            .cast("long")
+            .alias("m")
+        )
+    )
+    ids = d.select("doc_id")
+    dense = materialize(
+        ids.crossJoin(F.broadcast(means))
+        .join(docf, ["doc_id", "f"], "left")
+        .select(
+            "doc_id",
+            "f",
+            (F.coalesce(F.col("c"), F.lit(0)) * 1000 - F.col("m"))
+            .cast("long")
+            .alias("v"),
+        )
+        .unionByName(
+            ids.select(
+                "doc_id",
+                F.lit(-1).cast("long").alias("f"),
+                F.lit(1000).cast("long").alias("v"),
+            )
+        )
+    )
+    lab = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.size(
+                F.filter(
+                    F.split("text", " "), lambda x: x == F.lit(_QC_MARKER)
+                )
+            )
+            >= _QC_MIN_HITS,
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    w = materialize(
+        means.select("f")
+        .unionByName(spark.range(1).select(F.lit(-1).cast("long").alias("f")))
+        .withColumn("w", F.lit(0).cast("long"))
+    )
+    scores = []
+    for _ in range(_QC_ROUNDS):
+        s = materialize(
+            dense.join(F.broadcast(w), "f")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("v") * F.col("w")).cast("long").alias("s"))
+        )
+        scores.append(s)
+        resid = s.join(lab, "doc_id").select(
+            "doc_id",
+            (
+                F.col("y") * 1000000
+                - F.floor(
+                    1000000.0
+                    / (1.0 + F.exp(-(F.col("s") / 1000000000.0)))
+                )
+            )
+            .cast("long")
+            .alias("resid"),
+        )
+        grad = (
+            dense.join(resid, "doc_id")
+            .groupBy("f")
+            .agg(F.sum(F.col("resid") * F.col("v")).cast("long").alias("g"))
+        )
+        w = materialize(
+            w.join(grad, "f", "left").select(
+                "f",
+                (
+                    F.col("w")
+                    + F.floor(
+                        F.coalesce(F.col("g"), F.lit(0))
+                        / F.lit(float(n * _QC_LR_DEN))
+                    )
+                )
+                .cast("long")
+                .alias("w"),
+            )
+        )
+    return dense, lab, n, w, scores
+
+
+@q(
+    "llm_quality_classifier_train",
+    f"""WITH {_qc_sql_parts()},
+       acc AS (
+         {" UNION ALL ".join(
+             f'''SELECT {r} AS round,
+                 sum(CASE WHEN (s.s >= 0) = (l.y = 1) THEN 1 ELSE 0 END)::BIGINT
+                   AS n_correct,
+                 count(*)::BIGINT AS n_docs,
+                 floor(sum(CASE WHEN (s.s >= 0) = (l.y = 1) THEN 1 ELSE 0 END)
+                       * 1000000.0 / count(*))::BIGINT AS accuracy_micro
+             FROM s{r} s JOIN lab l ON l.doc_id = s.doc_id'''
+             for r in range(1, _QC_ROUNDS + 1))}
+       )
+       SELECT round, n_correct, n_docs, accuracy_micro
+       FROM acc ORDER BY round""",
+)
+def llm_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier training curve: logistic regression on hashed
+    uni+bigram features (the DSIR featurizer, B = 256 buckets, CENTERED
+    by the per-bucket corpus mean — see the module docstring for why raw
+    counts stall) with a bias term, trained with 3 synchronous batch-GD
+    rounds in exact integer fixed point. The label is the marker-density
+    gate (count(marker) >= 2, ~50% of the fixture). Reports per round
+    the training-set accuracy at threshold 0.5 (equivalently logit >= 0,
+    so the eval needs NO transcendental); the round-r score uses the
+    round-(r-1) weights, so round 1 is the all-zero model (base rate)
+    and the curve shows what each sweep buys — 0.50 -> 0.74 -> 0.86 on
+    the fixture. Per round: one broadcast of the <= B+1-row weight
+    vector against the docs x B dense frame, one doc-keyed logit agg,
+    one f-keyed gradient agg — two linear passes, the distributed
+    batch-GD shape at any corpus size. The sigmoid is the single
+    transcendental, floored to micro units immediately (both engines
+    share libm — the DSIR lam_micro precedent), so the oracle unrolls
+    the rounds as CTEs and hash-matches every weight and count."""
+    d = load_table(spark, sf_dir, "documents")
+    _, lab, _, _, scores = _qc_train(spark, d)
+    out = None
+    for r, s in enumerate(scores, start=1):
+        leg = (
+            s.join(lab, "doc_id")
+            .agg(
+                F.sum(
+                    F.when((F.col("s") >= 0) == (F.col("y") == 1), 1).otherwise(
+                        0
+                    )
+                )
+                .cast("long")
+                .alias("n_correct"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+            )
+            .select(
+                F.lit(r).alias("round"),
+                "n_correct",
+                "n_docs",
+                F.floor(F.col("n_correct") * 1000000.0 / F.col("n_docs"))
+                .cast("long")
+                .alias("accuracy_micro"),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("round")
+
+
+@q(
+    "llm_quality_classifier_scores",
+    f"""WITH {_qc_sql_parts()},
+       sf AS (SELECT d.doc_id, sum(d.v * w.w)::BIGINT AS s
+              FROM dense d JOIN w{_QC_ROUNDS} w ON w.f = d.f GROUP BY 1)
+       SELECT s.doc_id, l.source, l.y AS label, s.s AS score_nano,
+              floor(1000000.0 / (1.0 + exp(-(s.s / 1000000000.0))))::BIGINT
+                AS prob_micro
+       FROM sf s JOIN lab l ON l.doc_id = s.doc_id
+       ORDER BY s.s DESC, s.doc_id LIMIT 30""",
+)
+def llm_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final-model document scores — the gate the classifier actually
+    runs in a pipeline: top-30 documents by the trained (3-round) model's
+    logit, with the micro-unit sigmoid probability. Scoring is the
+    broadcast-join + doc-agg read path (model <= B+1 rows at any corpus
+    size); thresholding this score IS the CCNet-style quality gate, and
+    the label column makes precision-at-top inspectable. Shares the
+    unrolled training CTEs with llm_quality_classifier_train."""
+    d = load_table(spark, sf_dir, "documents")
+    dense, lab, _, w, _ = _qc_train(spark, d)
+    sf = (
+        dense.join(F.broadcast(w), "f")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("v") * F.col("w")).cast("long").alias("score_nano"))
+    )
+    return (
+        sf.join(lab, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.col("y").alias("label"),
+            "score_nano",
+            F.floor(
+                1000000.0
+                / (1.0 + F.exp(-(F.col("score_nano") / 1000000000.0)))
+            )
+            .cast("long")
+            .alias("prob_micro"),
+        )
+        .orderBy(F.col("score_nano").desc(), "doc_id")
+        .limit(30)
+    )

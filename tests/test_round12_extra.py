@@ -1,0 +1,67 @@
+"""Round-12 quality-classifier semantics (beyond the driver hash checks):
+the training actually LEARNS, the gate actually separates, and the
+centering actually removes the length common mode."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.queries.round12_extra import (
+    _QC_MARKER,
+    _QC_MIN_HITS,
+    _qc_train,
+    llm_quality_classifier_scores,
+    llm_quality_classifier_train,
+)
+from hawaiidatapipeline_spark.registry import load_table
+
+from .conftest import SF0001
+
+
+def test_training_curve_improves(spark):
+    """Round 1 is the all-zero model (base rate); each GD sweep must
+    strictly improve training accuracy on the fixture — the curve that
+    proves the distributed gradient actually descends."""
+    rows = llm_quality_classifier_train(spark, SF0001).collect()
+    accs = [r.accuracy_micro for r in sorted(rows, key=lambda r: r.round)]
+    assert len(accs) == 3
+    assert accs[0] < accs[1] < accs[2]
+    # base rate ~50% (balanced label), final model well above it
+    assert 400000 <= accs[0] <= 600000
+    assert accs[2] >= accs[0] + 150000
+
+
+def test_top_scores_are_precise(spark):
+    """Precision at the top of the gate: the 30 highest-scoring documents
+    should be overwhelmingly positive-label, and prob_micro must be
+    monotone in score (same sigmoid)."""
+    rows = llm_quality_classifier_scores(spark, SF0001).collect()
+    assert len(rows) == 30
+    assert sum(r.label for r in rows) >= 24  # >= 80% precision@30
+    probs = [r.prob_micro for r in rows]  # rows come score-desc
+    assert probs == sorted(probs, reverse=True)
+
+
+def test_centering_kills_length_mode(spark):
+    """Per-bucket centered features must sum to ~0 over the corpus
+    (|Σ v| < n from the floor in the mean), unlike raw counts whose
+    bucket sums are all positive — the common mode the module docstring
+    blames for stalling raw-count GD."""
+    d = load_table(spark, SF0001, "documents")
+    dense, lab, n, w, _ = _qc_train(spark, d)
+    sums = (
+        dense.filter(F.col("f") >= 0)
+        .groupBy("f")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    assert sums and all(0 <= r.s < n for r in sums)
+    # label sanity: y really is the marker-density gate
+    docs = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x == F.lit(_QC_MARKER))
+        ).alias("hits"),
+    )
+    joined = lab.join(docs, "doc_id").collect()
+    assert all((r.hits >= _QC_MIN_HITS) == (r.y == 1) for r in joined)

@@ -74,6 +74,7 @@ PROBES = [
     ("stream_static_enrich", "stream-static enrich: broadcast dim join, stream side unshuffled for the join"),
     # round-11 additions
     ("llm_dsir_weights", "DSIR: lambda model broadcast (B=256 rows) — corpus shuffle = hashed-feature partials + doc-keyed agg only"),
+    ("llm_quality_classifier_train", "logistic GD: weight vector broadcast per round; shuffle = docs x B partials, model never shuffles"),
     ("fulltext_bm25", "BM25: 3-row term broadcast = posting-list read; shuffle ~ matched postings + doc-grain partials"),
     ("llm_bpe_merge_steps", "BPE training: one word-frequency exchange, then vocabulary-grain rounds"),
     ("llm_semdedup_cells", "SemDeDup: shuffle ~ (vec,cell,bkt) keys + within-bucket pair partials, never corpus x corpus"),
