@@ -32,7 +32,7 @@ Two modelling choices carry the scale story:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hawaiidatapipeline_spark.operators.materialize import materialize
@@ -324,3 +324,226 @@ def llm_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("score_nano").desc(), "doc_id")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------- k-means||
+
+_KSC_L = 8  # oversampling factor per round (expected new candidates)
+_KSC_ROUNDS = 2
+_KSC_SEED = 900  # per-round u = portable_hash64(vec_id, _KSC_SEED + r) % 2^50
+_KSC_K = 4  # final centers (matches the fixture coarse-quantizer floor)
+_P50 = 1 << 50
+
+
+def _ksc_sql() -> str:
+    """Unrolled k-means|| CTEs: per round r, phi{r-1} = Σ min-d², the
+    hashed-Bernoulli candidate draw n{r} (kept iff u·φ < l·d²·2^50 —
+    HUGEINT products, exact), and the min-distance fold m{r}; then the
+    weighted candidate-grain reclustering p1..p{K} (greedy weighted
+    farthest-first, ties → min id)."""
+    parts = [f"""qv AS (
+  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+         round(unnest(embedding) * 1000)::BIGINT AS q
+  FROM embeddings),
+c0 AS (SELECT min(vec_id)::BIGINT AS cid FROM qv),
+m0 AS (SELECT v.vec_id, sum((v.q - c.q) * (v.q - c.q))::BIGINT AS m
+       FROM qv v JOIN qv c ON c.d = v.d AND c.vec_id = (SELECT cid FROM c0)
+       GROUP BY 1)"""]
+    for r in range(1, _KSC_ROUNDS + 1):
+        parts.append(f"""phi{r - 1} AS (SELECT sum(m)::BIGINT AS phi FROM m{r - 1}),
+n{r} AS (SELECT vec_id FROM m{r - 1}
+         WHERE (('0x' || substring(md5('{_KSC_SEED + r}:' || vec_id::VARCHAR),
+                                   1, 15))::BIGINT % {_P50})::HUGEINT
+                 * (SELECT phi FROM phi{r - 1})
+               < {_KSC_L}::HUGEINT * m * {_P50}),
+d{r} AS (SELECT p.vec_id, min(x.d2) AS dn FROM (
+           SELECT p.vec_id AS pv, c.vec_id AS cv,
+                  sum((p.q - c.q) * (p.q - c.q))::BIGINT AS d2
+           FROM qv p JOIN qv c ON c.d = p.d
+           JOIN n{r} s ON s.vec_id = c.vec_id
+           GROUP BY 1, 2) x
+         JOIN m{r - 1} p ON p.vec_id = x.pv GROUP BY 1),
+m{r} AS (SELECT m.vec_id, least(m.m, coalesce(d.dn, m.m))::BIGINT AS m
+         FROM m{r - 1} m LEFT JOIN d{r} d ON d.vec_id = m.vec_id)""")
+    union_n = " UNION SELECT vec_id FROM ".join(
+        f"n{r}" for r in range(1, _KSC_ROUNDS + 1)
+    )
+    parts.append(f"""cand AS (SELECT cid FROM c0
+        UNION SELECT vec_id FROM {union_n}),
+xd AS (SELECT v.vec_id, c.vec_id AS cid,
+              sum((v.q - c.q) * (v.q - c.q))::BIGINT AS d2
+       FROM qv v JOIN qv c ON c.d = v.d
+       JOIN cand x ON x.cid = c.vec_id GROUP BY 1, 2),
+asg AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cid) AS rn
+          FROM xd) t WHERE rn = 1),
+wts AS (SELECT cid, count(*)::BIGINT AS w FROM asg GROUP BY 1),
+cd AS (SELECT a.vec_id AS ca, b.vec_id AS cb,
+              sum((a.q - b.q) * (a.q - b.q))::BIGINT AS d2
+       FROM qv a JOIN qv b ON b.d = a.d
+       JOIN cand x ON x.cid = a.vec_id
+       JOIN cand y ON y.cid = b.vec_id GROUP BY 1, 2),
+p1 AS (SELECT cid, w FROM wts ORDER BY w DESC, cid LIMIT 1),
+md1 AS (SELECT w.cid, w.w, cd.d2 AS mind
+        FROM wts w JOIN cd ON cd.ca = w.cid
+                          AND cd.cb = (SELECT cid FROM p1))""")
+    for k in range(2, _KSC_K + 1):
+        excl = " AND ".join(
+            f"cid <> (SELECT cid FROM p{j})" for j in range(1, k)
+        )
+        parts.append(f"""p{k} AS (SELECT cid, w, mind FROM md{k - 1}
+        WHERE {excl}
+        ORDER BY w * mind DESC, cid LIMIT 1),
+md{k} AS (SELECT m.cid, m.w, least(m.mind, cd.d2) AS mind
+          FROM md{k - 1} m JOIN cd ON cd.ca = m.cid
+                                  AND cd.cb = (SELECT cid FROM p{k}))""")
+    legs = ["SELECT 0 AS pick, cid AS vec_id, w AS weight, 0::BIGINT AS wd2 FROM p1"]
+    legs += [
+        f"SELECT {k - 1}, cid, w, (w * mind)::BIGINT FROM p{k}"
+        for k in range(2, _KSC_K + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\nUNION ALL ".join(legs) + "\nORDER BY pick"
+    )
+
+
+@q("emb_kmeans_scalable_init", _ksc_sql())
+def emb_kmeans_scalable_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| seeding (Bahmani et al. 2012) — the DISTRIBUTED init a
+    production coarse-quantizer trainer runs at 10⁹ vectors, completing
+    the seeding family next to emb_kmeanspp_init's sequential
+    farthest-first: instead of K dependent corpus passes, each of
+    {_KSC_ROUNDS} rounds draws ~l = {_KSC_L} candidates IN PARALLEL
+    (point x kept iff u_x·φ < l·d²(x,C)·2^50, u_x a per-round 50-bit
+    portable hash — the llm_dsir_sample reproducible-randomness idiom;
+    the product comparison runs in DECIMAL(38,0)/HUGEINT so it is exact),
+    folds the min-distance state with one candidate-set join, and
+    finally RECLUSTERS the ~1+l·R candidates to K = {_KSC_K} centers at
+    the candidate grain: weights = assignment counts, then greedy
+    weighted farthest-first (argmax w·min-d², ties → min id) unrolled
+    {_KSC_K} picks. Output: (pick, vec_id, weight, wd2). Scale: per
+    round one broadcast of ~l candidate vectors against the corpus +
+    one partial-agg fold — O(R) passes instead of k-means++'s O(K);
+    the recluster is candidate-grain (tiny). All integer milli-unit
+    arithmetic; the oracle unrolls rounds and picks as CTEs and
+    matches bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = materialize(
+        e.select("vec_id", F.posexplode("embedding").alias("d", "x")).select(
+            "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+        )
+    )
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    def dist_to_set(ids: DataFrame) -> DataFrame:
+        cvec = qv.join(
+            F.broadcast(ids.select(F.col("vec_id").alias("cid"))),
+            F.col("vec_id") == F.col("cid"),
+        ).select("cid", "d", F.col("q").alias("cq"))
+        return (
+            qv.join(F.broadcast(cvec), "d")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+                .cast("long")
+                .alias("d2")
+            )
+        )
+
+    c0 = materialize(qv.agg(F.min("vec_id").cast("long").alias("vec_id")))
+    m = materialize(
+        dist_to_set(c0).select("vec_id", F.col("d2").alias("m"))
+    )
+    cand_ids = c0
+    for r in range(1, _KSC_ROUNDS + 1):
+        phi = m.agg(F.sum("m").cast("long").alias("phi"))
+        u = portable_hash64(F.col("vec_id").cast("string"), _KSC_SEED + r) % _P50
+        new = materialize(
+            m.crossJoin(F.broadcast(phi))
+            .filter(
+                u.cast("decimal(20,0)") * F.col("phi")
+                < F.lit(_KSC_L).cast("decimal(20,0)") * F.col("m") * F.lit(_P50)
+            )
+            .select("vec_id")
+        )
+        dn = dist_to_set(new).groupBy("vec_id").agg(F.min("d2").alias("dn"))
+        m = materialize(
+            m.join(dn, "vec_id", "left").select(
+                "vec_id",
+                F.least(F.col("m"), F.coalesce("dn", "m")).cast("long").alias("m"),
+            )
+        )
+        cand_ids = cand_ids.unionByName(new)
+    cand_ids = materialize(cand_ids.distinct())
+    xd = dist_to_set(cand_ids)
+    wpick = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    wts = materialize(
+        xd.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    # candidate-grain pairwise distances (tiny: ~(1+l·R)² pairs)
+    cv = qv.join(
+        F.broadcast(cand_ids.select(F.col("vec_id").alias("cid"))),
+        F.col("vec_id") == F.col("cid"),
+    ).select("cid", "d", "q")
+    cd = materialize(
+        cv.alias("a")
+        .join(cv.alias("b"), F.col("a.d") == F.col("b.d"))
+        .groupBy(
+            F.col("a.cid").alias("ca"), F.col("b.cid").alias("cb")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.q") - F.col("b.q")) * (F.col("a.q") - F.col("b.q"))
+            )
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    p = materialize(wts.orderBy(F.col("w").desc(), "cid").limit(1))
+    out = p.select(
+        F.lit(0).alias("pick"),
+        F.col("cid").alias("vec_id"),
+        F.col("w").alias("weight"),
+        F.lit(0).cast("long").alias("wd2"),
+    )
+    md = materialize(
+        wts.join(
+            cd.join(
+                F.broadcast(p.select(F.col("cid").alias("pc"))),
+                F.col("cb") == F.col("pc"),
+            ).select(F.col("ca").alias("cid"), F.col("d2").alias("mind")),
+            "cid",
+        )
+    )
+    picked = p.select("cid")
+    for k in range(1, _KSC_K):
+        nxt = materialize(
+            md.join(picked, "cid", "left_anti")
+            .orderBy((F.col("w") * F.col("mind")).desc(), "cid")
+            .limit(1)
+        )
+        out = out.unionByName(
+            nxt.select(
+                F.lit(k).alias("pick"),
+                F.col("cid").alias("vec_id"),
+                F.col("w").alias("weight"),
+                (F.col("w") * F.col("mind")).cast("long").alias("wd2"),
+            )
+        )
+        md = materialize(
+            md.join(
+                cd.join(
+                    F.broadcast(nxt.select(F.col("cid").alias("pc"))),
+                    F.col("cb") == F.col("pc"),
+                ).select(F.col("ca").alias("cid"), F.col("d2").alias("nd")),
+                "cid",
+            ).select("cid", "w", F.least("mind", "nd").alias("mind"))
+        )
+        picked = picked.unionByName(nxt.select("cid"))
+    return out.orderBy("pick")

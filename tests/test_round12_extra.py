@@ -65,3 +65,23 @@ def test_centering_kills_length_mode(spark):
     )
     joined = lab.join(docs, "doc_id").collect()
     assert all((r.hits >= _QC_MIN_HITS) == (r.y == 1) for r in joined)
+
+
+def test_kmeans_scalable_init_properties(spark):
+    """k-means|| invariants on the fixture: K distinct picks, the first
+    pick is the heaviest candidate (greedy rule), weights are positive
+    and sum to <= corpus size, and wd2 is 0 only for pick 0."""
+    from hawaiidatapipeline_spark.queries.round12_extra import (
+        _KSC_K,
+        emb_kmeans_scalable_init,
+    )
+
+    rows = emb_kmeans_scalable_init(spark, SF0001).collect()
+    assert [r.pick for r in rows] == list(range(_KSC_K))
+    assert len({r.vec_id for r in rows}) == _KSC_K
+    n = load_table(spark, SF0001, "embeddings").count()
+    assert all(1 <= r.weight <= n for r in rows)
+    assert sum(r.weight for r in rows) <= n
+    assert rows[0].wd2 == 0 and all(r.wd2 > 0 for r in rows[1:])
+    # greedy rule: pick 0 has the max weight among the picks
+    assert rows[0].weight == max(r.weight for r in rows)

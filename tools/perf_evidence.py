@@ -75,6 +75,7 @@ PROBES = [
     # round-11 additions
     ("llm_dsir_weights", "DSIR: lambda model broadcast (B=256 rows) — corpus shuffle = hashed-feature partials + doc-keyed agg only"),
     ("llm_quality_classifier_train", "logistic GD: weight vector broadcast per round; shuffle = docs x B partials, model never shuffles"),
+    ("emb_kmeans_scalable_init", "k-means||: candidate-vector broadcasts per round; shuffle = per-vector distance partials only"),
     ("fulltext_bm25", "BM25: 3-row term broadcast = posting-list read; shuffle ~ matched postings + doc-grain partials"),
     ("llm_bpe_merge_steps", "BPE training: one word-frequency exchange, then vocabulary-grain rounds"),
     ("llm_semdedup_cells", "SemDeDup: shuffle ~ (vec,cell,bkt) keys + within-bucket pair partials, never corpus x corpus"),
