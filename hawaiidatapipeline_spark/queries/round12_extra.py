@@ -547,3 +547,183 @@ def emb_kmeans_scalable_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         picked = picked.unionByName(nxt.select("cid"))
     return out.orderBy("pick")
+
+
+# ------------------------------------------------------------------ DoReMi
+
+_DM_ETA = 20.0  # multiplicative-weights step (exp(eta * excess_nats))
+_DM_ROUNDS = 3
+
+
+def _dm_sql() -> str:
+    """Unrolled DoReMi CTEs: cnt/tokd (one linear pass), ceo (per-domain
+    CE under its OWN add-1 unigram model — the static baseline), then per
+    round: the weight-blended shared model (num/den), per-domain CE under
+    it, excess = max(0, shared - own), exponentiated update + integer
+    renormalize. ln/exp floored to micro units immediately."""
+    parts = ["""cnt AS (
+  SELECT source, tok, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents) GROUP BY 1, 2),
+tokd AS (SELECT source, sum(c)::BIGINT AS tokd FROM cnt GROUP BY 1),
+v AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM cnt),
+dc AS (SELECT count(*)::BIGINT AS d FROM tokd),
+ceo AS (
+  SELECT c.source,
+         floor(-sum(c.c * floor(ln((c.c + 1.0)
+                                   / (t.tokd + (SELECT v FROM v)))
+                                * 1000000)) * 1.0 / t.tokd)::BIGINT AS ceo
+  FROM cnt c JOIN tokd t USING (source) GROUP BY c.source, t.tokd),
+w0 AS (SELECT source,
+              (1000000 // (SELECT d FROM dc))::BIGINT AS w FROM tokd)"""]
+    for r in range(1, _DM_ROUNDS + 1):
+        parts.append(f"""num{r} AS (
+  SELECT c.tok, sum(w.w * c.c)::BIGINT AS num
+  FROM cnt c JOIN w{r - 1} w USING (source) GROUP BY 1),
+den{r} AS (SELECT sum(w.w * t.tokd)::BIGINT AS den
+           FROM tokd t JOIN w{r - 1} w USING (source)),
+lnp{r} AS (SELECT tok,
+                  floor(ln((num + 1.0)
+                           / ((SELECT den FROM den{r}) + (SELECT v FROM v)))
+                        * 1000000)::BIGINT AS lnp
+           FROM num{r}),
+ces{r} AS (
+  SELECT c.source,
+         floor(-sum(c.c * l.lnp) * 1.0 / t.tokd)::BIGINT AS ces
+  FROM cnt c JOIN lnp{r} l USING (tok) JOIN tokd t USING (source)
+  GROUP BY c.source, t.tokd),
+ex{r} AS (SELECT s.source, greatest(0, s.ces - o.ceo)::BIGINT AS ex
+          FROM ces{r} s JOIN ceo o USING (source)),
+wp{r} AS (SELECT w.source,
+                 floor(w.w * exp({_DM_ETA} * e.ex / 1000000.0))::BIGINT AS wp
+          FROM w{r - 1} w JOIN ex{r} e USING (source)),
+sw{r} AS (SELECT sum(wp)::BIGINT AS s FROM wp{r}),
+w{r} AS (SELECT source,
+                floor(wp * 1000000.0
+                      / (SELECT s FROM sw{r}))::BIGINT AS w
+         FROM wp{r})""")
+    R = _DM_ROUNDS
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT w.source, w.w AS weight_micro, s.ces AS ce_shared_micro,
+       o.ceo AS ce_own_micro, e.ex AS excess_micro
+FROM w{R} w
+JOIN ces{R} s USING (source)
+JOIN ceo o USING (source)
+JOIN ex{R} e USING (source)
+ORDER BY w.w DESC, w.source"""
+    )
+
+
+@q("llm_doremi_mixture", _dm_sql())
+def llm_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (Xie et al. 2023, the
+    multiplicative-weights skeleton): domains = sources; per round the
+    SHARED reference unigram model is refit as the current-weight blend
+    of the per-domain token counts, each domain's excess loss = max(0,
+    CE under the shared model − CE under its own model) is measured, and
+    weights update w ∝ w·exp(η·excess) with an integer renormalize — so
+    domains the blended model underserves get upweighted, and rounds
+    genuinely interact through the refit (a static reference would make
+    the loop one closed-form step). 3 unrolled rounds; output = final
+    per-domain weight + the last round's CE/excess diagnostics. Scale:
+    ONE linear token pass builds the (domain, token) count matrix;
+    every round after that is domain/token-grain (D·V rows — constant in
+    corpus size, broadcastable). Integer micro-unit fixed point; ln/exp
+    floored immediately (lam_micro precedent), so the oracle unrolls the
+    rounds and matches bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = materialize(
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tokd = materialize(
+        cnt.groupBy("source").agg(F.sum("c").cast("long").alias("tokd"))
+    )
+    V = cnt.select("tok").distinct().count()
+    D = tokd.count()
+    ceo = materialize(
+        cnt.join(tokd, "source")
+        .withColumn(
+            "lnp",
+            F.floor(
+                F.log((F.col("c") + 1.0) / (F.col("tokd") + F.lit(V)))
+                * 1000000
+            ).cast("long"),
+        )
+        .groupBy("source", "tokd")
+        .agg(F.sum(F.col("c") * F.col("lnp")).alias("slnp"))
+        .select(
+            "source",
+            F.floor(-F.col("slnp") * 1.0 / F.col("tokd"))
+            .cast("long")
+            .alias("ceo"),
+        )
+    )
+    w = materialize(
+        tokd.select("source").withColumn(
+            "w", F.lit(10**6 // D).cast("long")
+        )
+    )
+    ces = ex = None
+    for _ in range(_DM_ROUNDS):
+        num = cnt.join(F.broadcast(w), "source").groupBy("tok").agg(
+            F.sum(F.col("w") * F.col("c")).cast("long").alias("num")
+        )
+        den = tokd.join(F.broadcast(w), "source").agg(
+            F.sum(F.col("w") * F.col("tokd")).cast("long").alias("den")
+        )
+        lnp = num.crossJoin(F.broadcast(den)).select(
+            "tok",
+            F.floor(
+                F.log((F.col("num") + 1.0) / (F.col("den") + F.lit(V)))
+                * 1000000
+            )
+            .cast("long")
+            .alias("lnp"),
+        )
+        ces = materialize(
+            cnt.join(F.broadcast(lnp), "tok")
+            .join(tokd, "source")
+            .groupBy("source", "tokd")
+            .agg(F.sum(F.col("c") * F.col("lnp")).alias("slnp"))
+            .select(
+                "source",
+                F.floor(-F.col("slnp") * 1.0 / F.col("tokd"))
+                .cast("long")
+                .alias("ces"),
+            )
+        )
+        ex = materialize(
+            ces.join(ceo, "source").select(
+                "source",
+                F.greatest(F.lit(0), F.col("ces") - F.col("ceo"))
+                .cast("long")
+                .alias("ex"),
+            )
+        )
+        wp = w.join(ex, "source").select(
+            "source",
+            F.floor(
+                F.col("w") * F.exp(F.lit(_DM_ETA) * F.col("ex") / 1000000.0)
+            )
+            .cast("long")
+            .alias("wp"),
+        )
+        sw = wp.agg(F.sum("wp").cast("long").alias("s"))
+        w = materialize(
+            wp.crossJoin(F.broadcast(sw)).select(
+                "source",
+                F.floor(F.col("wp") * 1000000.0 / F.col("s"))
+                .cast("long")
+                .alias("w"),
+            )
+        )
+    return (
+        w.select("source", F.col("w").alias("weight_micro"))
+        .join(ces.select("source", F.col("ces").alias("ce_shared_micro")), "source")
+        .join(ceo.select("source", F.col("ceo").alias("ce_own_micro")), "source")
+        .join(ex.select("source", F.col("ex").alias("excess_micro")), "source")
+        .orderBy(F.col("weight_micro").desc(), "source")
+    )

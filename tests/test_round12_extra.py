@@ -85,3 +85,26 @@ def test_kmeans_scalable_init_properties(spark):
     assert rows[0].wd2 == 0 and all(r.wd2 > 0 for r in rows[1:])
     # greedy rule: pick 0 has the max weight among the picks
     assert rows[0].weight == max(r.weight for r in rows)
+
+
+def test_doremi_mixture_semantics(spark):
+    """DoReMi invariants: weights renormalize to ~1e6 (floor slack < D),
+    every domain keeps positive weight, excess >= 0, and the highest
+    final weight belongs to a domain with maximal excess ordering (the
+    multiplicative-weights monotonicity: same starting weight, so final
+    weight order follows cumulative excess — spot-check the extremes)."""
+    from hawaiidatapipeline_spark.queries.round12_extra import (
+        llm_doremi_mixture,
+    )
+
+    rows = llm_doremi_mixture(spark, SF0001).collect()
+    d = len(rows)
+    assert d >= 2
+    total = sum(r.weight_micro for r in rows)
+    assert 1000000 - d <= total <= 1000000
+    assert all(r.weight_micro > 0 for r in rows)
+    assert all(r.excess_micro >= 0 for r in rows)
+    assert all(r.ce_shared_micro >= r.ce_own_micro - 1 for r in rows)
+    # rows come weight-desc; the top domain's LAST-round excess should be
+    # >= the bottom domain's (weights accumulate exp(excess) per round)
+    assert rows[0].excess_micro >= rows[-1].excess_micro
