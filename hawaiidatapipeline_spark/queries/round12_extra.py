@@ -727,3 +727,89 @@ def llm_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ex.select("source", F.col("ex").alias("excess_micro")), "source")
         .orderBy(F.col("weight_micro").desc(), "source")
     )
+
+
+# -------------------------------------------------------- sequence packing
+
+_PK_CTX = 512  # context-window token budget
+_PK_SEED = 903  # reproducible global-shuffle hash seed
+
+
+@q(
+    "llm_sequence_packing",
+    f"""WITH d AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('{_PK_SEED}:' || doc_id::VARCHAR),
+                            1, 15))::BIGINT AS sh,
+         len(string_split(text, ' '))::BIGINT AS tok
+  FROM documents),
+c AS (
+  SELECT doc_id, tok,
+         sum(tok) OVER (ORDER BY sh, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+  FROM d),
+sp AS (
+  SELECT doc_id, tok,
+         ((cum - 1) // {_PK_CTX} - (cum - tok) // {_PK_CTX})::BIGINT AS spans
+  FROM c),
+n AS (SELECT count(*)::BIGINT AS n FROM sp)
+SELECT spans, count(*)::BIGINT AS n_docs,
+       sum(tok)::BIGINT AS n_tokens,
+       floor(count(*) * 1000000.0 / (SELECT n FROM n))::BIGINT
+         AS doc_share_micro
+FROM sp GROUP BY spans ORDER BY spans""",
+)
+def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence-packing audit — the fragmentation
+    profile of the GPT-style packing step: documents are laid out in a
+    REPRODUCIBLE global shuffle order (portable-hash key, the training
+    shuffle every epoch pipeline runs), concatenated, and cut into
+    {_PK_CTX}-token context windows; each document then spans
+    (end_chunk - start_chunk) boundaries. The histogram by span count is
+    the packing-quality table: spans = 0 documents sit whole inside one
+    window, spans >= 1 are fragmented across attention boundaries — the
+    share the loss masking / document-attention design has to care
+    about. Scale: token counts are one narrow map; the running offset
+    uses operators/ranks.partitioned_prefix_sums (range-repartition +
+    local windows + one <= #partitions-row serial pass) — NO
+    single-partition global window anywhere; the histogram grain is the
+    span count (tiny). The oracle's plain windowed prefix sum is the
+    fixture-tier mirror of the same total order."""
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+    from hawaiidatapipeline_spark.operators.ranks import (
+        partitioned_prefix_sums,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        portable_hash64(F.col("doc_id").cast("string"), _PK_SEED).alias("sh"),
+        F.size(F.split("text", " ")).cast("long").alias("tok"),
+    )
+    c = partitioned_prefix_sums(
+        d, [F.col("sh"), F.col("doc_id")], {"cum": "tok"}
+    )
+    sp = c.select(
+        "doc_id",
+        "tok",
+        (
+            F.floor((F.col("cum") - 1) / _PK_CTX)
+            - F.floor((F.col("cum") - F.col("tok")) / _PK_CTX)
+        )
+        .cast("long")
+        .alias("spans"),
+    )
+    n = sp.count()
+    return (
+        sp.groupBy("spans")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "doc_share_micro",
+            F.floor(F.col("n_docs") * 1000000.0 / F.lit(float(n)))
+            .cast("long"),
+        )
+        .orderBy("spans")
+    )

@@ -108,3 +108,28 @@ def test_doremi_mixture_semantics(spark):
     # rows come weight-desc; the top domain's LAST-round excess should be
     # >= the bottom domain's (weights accumulate exp(excess) per round)
     assert rows[0].excess_micro >= rows[-1].excess_micro
+
+
+def test_sequence_packing_accounting(spark):
+    """Packing invariants: token totals reconcile with the corpus, doc
+    shares sum to ~1e6, and a document can span at most
+    ceil(max_tokens / CTX) boundaries."""
+    from hawaiidatapipeline_spark.queries.round12_extra import (
+        _PK_CTX,
+        llm_sequence_packing,
+    )
+
+    rows = llm_sequence_packing(spark, SF0001).collect()
+    d = load_table(spark, SF0001, "documents")
+    total_docs = d.count()
+    total_toks = d.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0].t
+    assert sum(r.n_docs for r in rows) == total_docs
+    assert sum(r.n_tokens for r in rows) == total_toks
+    share = sum(r.doc_share_micro for r in rows)
+    assert 1000000 - len(rows) <= share <= 1000000
+    max_tok = d.select(
+        F.max(F.size(F.split("text", " "))).alias("m")
+    ).collect()[0].m
+    assert all(0 <= r.spans <= (max_tok // _PK_CTX) + 1 for r in rows)
