@@ -813,3 +813,116 @@ def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("spans")
     )
+
+
+# ----------------------------------------------------------- effective rank
+
+
+@q(
+    "emb_effective_rank",
+    """WITH vm AS (
+  SELECT list_transform(embedding, e -> round(e * 1000)::BIGINT) AS vm
+  FROM embeddings),
+u AS (
+  SELECT rid, unnest(vm) AS e,
+         generate_subscripts(vm, 1) - 1 AS i
+  FROM (SELECT vm, row_number() OVER () AS rid FROM vm)),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, count(*)::BIGINT AS n,
+         sum(a.e)::BIGINT AS sx, sum(b.e)::BIGINT AS sy,
+         sum(a.e * b.e)::BIGINT AS sxy
+  FROM u a JOIN u b ON a.rid = b.rid AND a.i <= b.i
+  GROUP BY 1, 2),
+cm AS (SELECT i, j, (n * sxy - sx * sy)::BIGINT AS cov_mm FROM pairs),
+agg AS (
+  SELECT sum(CASE WHEN i = j THEN cov_mm END)::HUGEINT AS tr,
+         (sum(CASE WHEN i = j THEN cov_mm::HUGEINT * cov_mm END)
+          + 2 * sum(CASE WHEN i < j THEN cov_mm::HUGEINT * cov_mm END))
+           AS frob2
+  FROM cm)
+SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vectors,
+       (SELECT max(len(vm)) FROM vm)::BIGINT AS dim,
+       tr::BIGINT AS trace_mm,
+       (tr * tr * 1000 // frob2)::BIGINT AS pr_milli
+FROM agg""",
+)
+def emb_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective rank (participation ratio) of the embedding covariance:
+    PR = (tr S)² / ||S||_F² = (Σλ)²/Σλ² — the embedding-COLLAPSE
+    diagnostic (PR ≈ dim for isotropic embeddings, PR ≈ 1 when the
+    space has collapsed onto one direction; a collapsed space silently
+    breaks SemDeDup cells and IVF recall, so this is the health gate
+    before any of them). Computed WITHOUT an eigensolve: trace and
+    Frobenius norm come straight from the exact integer co-moment
+    matrix n·Σxy − Σx·Σy (milli-unit values, the kmeans quantization),
+    squares and the final ratio in DECIMAL(38,0)/HUGEINT with integral
+    division — bit-identical across engines. Scale: the (i, j) pair
+    expansion is IN-ARRAY per vector (the emb_covariance_topk trick) so
+    the only shuffle is d²/2 partial-agg groups (d = 64 → 2,080 rows)
+    regardless of N; everything after is matrix-grain."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n_vec = e.count()
+    vm = e.select(
+        F.expr(
+            "transform(embedding, x -> cast(round(x * 1000) AS bigint))"
+        ).alias("vm")
+    )
+    pairs = vm.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(vm, (x, i) -> transform("
+                "  slice(vm, i + 1, size(vm) - i),"
+                "  (y, j) -> struct(cast(i AS bigint) AS i,"
+                "                   cast(i + j AS bigint) AS j,"
+                "                   x AS x, y AS y))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    cm = (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("long")
+            .alias("cov_mm"),
+        )
+    )
+    dec = "decimal(38,0)"
+    agg = cm.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("cov_mm")))
+        .cast(dec)
+        .alias("tr"),
+        (
+            F.sum(
+                F.when(
+                    F.col("i") == F.col("j"),
+                    F.col("cov_mm").cast(dec) * F.col("cov_mm"),
+                )
+            )
+            + 2
+            * F.sum(
+                F.when(
+                    F.col("i") < F.col("j"),
+                    F.col("cov_mm").cast(dec) * F.col("cov_mm"),
+                )
+            )
+        )
+        .cast(dec)
+        .alias("frob2"),
+    )
+    dim = e.select(F.max(F.size("embedding")).alias("d")).collect()[0].d
+    return agg.select(
+        F.lit(n_vec).cast("long").alias("n_vectors"),
+        F.lit(dim).cast("long").alias("dim"),
+        F.col("tr").cast("long").alias("trace_mm"),
+        F.expr(
+            "CAST((tr * tr * 1000) div frob2 AS BIGINT)"
+        ).alias("pr_milli"),
+    )

@@ -133,3 +133,17 @@ def test_sequence_packing_accounting(spark):
         F.max(F.size(F.split("text", " "))).alias("m")
     ).collect()[0].m
     assert all(0 <= r.spans <= (max_tok // _PK_CTX) + 1 for r in rows)
+
+
+def test_effective_rank_bounds(spark):
+    """PR is bounded by (1, dim], and the fixture's near-isotropic
+    synthetic embeddings should sit close to the dim ceiling."""
+    from hawaiidatapipeline_spark.queries.round12_extra import (
+        emb_effective_rank,
+    )
+
+    r = emb_effective_rank(spark, SF0001).collect()[0]
+    assert r.dim == 64 and r.n_vectors > 0
+    assert 1000 < r.pr_milli <= r.dim * 1000
+    assert r.pr_milli > r.dim * 1000 * 0.8  # near-isotropic fixture
+    assert r.trace_mm > 0

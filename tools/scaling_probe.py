@@ -94,6 +94,7 @@ PROBES = [
     ("emb_kmeans_scalable_init", "k-means|| — R oversampling rounds, each one candidate broadcast + fold; candidate-grain recluster"),
     ("llm_doremi_mixture", "DoReMi — one linear token pass, then constant-grain (domains x vocab) rounds"),
     ("llm_sequence_packing", "packing audit — narrow map + distributed prefix sums + span-grain histogram"),
+    ("emb_effective_rank", "participation ratio — in-array pair expansion, d^2/2 shuffle groups at any N"),
     ("llm_corpus_pipeline_v7", "v6 funnel + DSIR selection — λ broadcast + TakeOrdered, nothing pair-sized"),
     ("agg_cms_merge_proof", "CMS merge proof — linear cell map + bounded counter aggs"),
     ("graph_ppr_seeded", "seeded PPR — frontier-sized join + partial agg per round"),
