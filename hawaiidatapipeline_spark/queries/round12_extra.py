@@ -926,3 +926,136 @@ def emb_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((tr * tr * 1000) div frob2 AS BIGINT)"
         ).alias("pr_milli"),
     )
+
+
+# ----------------------------------------------------------- hard negatives
+
+
+def _hn_sql() -> str:
+    from hawaiidatapipeline_spark.queries.emb_extra import (
+        _adc_stride_subquery,
+    )
+
+    return f"""WITH qv AS (
+  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+         round(unnest(embedding) * 1000)::BIGINT AS q
+  FROM embeddings),
+src AS (SELECT e.vec_id, d.source
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+probes AS (SELECT * FROM qv
+           WHERE vec_id % {_adc_stride_subquery()} = 0),
+dist AS (
+  SELECT p.vec_id AS probe_id, v.vec_id AS other_id,
+         sum((p.q - v.q) * (p.q - v.q))::BIGINT AS d2
+  FROM probes p JOIN qv v ON v.d = p.d
+  WHERE v.vec_id <> p.vec_id
+  GROUP BY 1, 2),
+tagged AS (
+  SELECT t.probe_id, sp.source AS probe_src, t.other_id,
+         so.source AS other_src, t.d2,
+         (sp.source = so.source) AS same_src
+  FROM dist t
+  JOIN src sp ON sp.vec_id = t.probe_id
+  JOIN src so ON so.vec_id = t.other_id),
+best AS (
+  SELECT probe_id, probe_src, same_src, other_id, other_src, d2
+  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id, same_src
+                                     ORDER BY d2, other_id) AS rn
+        FROM tagged) x WHERE rn = 1)
+SELECT p.probe_id, p.probe_src,
+       p.other_id AS pos_id, p.d2 AS pos_d2,
+       n.other_id AS neg_id, n.other_src AS neg_src, n.d2 AS neg_d2,
+       (n.d2 - p.d2)::BIGINT AS margin
+FROM best p JOIN best n ON n.probe_id = p.probe_id
+WHERE p.same_src AND NOT n.same_src
+ORDER BY margin, p.probe_id LIMIT 20"""
+
+
+@q("emb_triplet_margins", _hn_sql())
+def emb_triplet_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-margin mining for embedding-model training — the MARGIN
+    view emb_hard_negatives (top-5 similar different-label vectors)
+    does not give: per
+    corpus-scaled stride probe, the nearest SAME-source vector (the
+    in-batch positive candidate) and the nearest DIFFERENT-source vector
+    (the hard negative), with margin = neg_d² − pos_d². The 20 smallest
+    margins are the hardest triplets — the ones that actually move a
+    contrastive loss; a NEGATIVE margin flags a probe whose nearest
+    neighbor crosses the source boundary (either a labeling problem or a
+    genuinely hard case). Exact int64 milli-unit distances with
+    (d², id) total orders; sources come from the documents table
+    (vec_id = doc_id, the pipeline_demo join). Scale: the exact leg is
+    probes × corpus with the probe set held at ~65 by the corpus-scaled
+    _adc_stride (the recall-audit discipline); at production scale the
+    same mining runs per ANN cell instead (cell-mates are the candidate
+    pool), which this audits."""
+    from hawaiidatapipeline_spark.queries.emb_extra import _adc_stride
+
+    e = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qv = materialize(
+        e.select("vec_id", F.posexplode("embedding").alias("d", "x")).select(
+            "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+        )
+    )
+    src = e.select("vec_id").join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    )
+    stride = _adc_stride(spark, sf_dir)
+    probes = qv.filter(F.col("vec_id") % stride == 0)
+    dist = (
+        probes.alias("p")
+        .join(qv.alias("v"), F.col("p.d") == F.col("v.d"))
+        .filter(F.col("v.vec_id") != F.col("p.vec_id"))
+        .groupBy(
+            F.col("p.vec_id").alias("probe_id"),
+            F.col("v.vec_id").alias("other_id"),
+        )
+        .agg(
+            F.sum(
+                (F.col("p.q") - F.col("v.q")) * (F.col("p.q") - F.col("v.q"))
+            )
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    sp = src.select(F.col("vec_id").alias("probe_id"), F.col("source").alias("probe_src"))
+    so = src.select(F.col("vec_id").alias("other_id"), F.col("source").alias("other_src"))
+    tagged = (
+        dist.join(F.broadcast(sp), "probe_id")
+        .join(so, "other_id")
+        .withColumn("same_src", F.col("probe_src") == F.col("other_src"))
+    )
+    wbest = Window.partitionBy("probe_id", "same_src").orderBy("d2", "other_id")
+    best = (
+        tagged.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "probe_src", "same_src", "other_id", "other_src", "d2")
+    )
+    p = best.filter(F.col("same_src")).select(
+        "probe_id",
+        "probe_src",
+        F.col("other_id").alias("pos_id"),
+        F.col("d2").alias("pos_d2"),
+    )
+    n = best.filter(~F.col("same_src")).select(
+        "probe_id",
+        F.col("other_id").alias("neg_id"),
+        F.col("other_src").alias("neg_src"),
+        F.col("d2").alias("neg_d2"),
+    )
+    return (
+        p.join(n, "probe_id")
+        .select(
+            "probe_id",
+            "probe_src",
+            "pos_id",
+            "pos_d2",
+            "neg_id",
+            "neg_src",
+            "neg_d2",
+            (F.col("neg_d2") - F.col("pos_d2")).cast("long").alias("margin"),
+        )
+        .orderBy("margin", "probe_id")
+        .limit(20)
+    )

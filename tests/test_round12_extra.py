@@ -147,3 +147,20 @@ def test_effective_rank_bounds(spark):
     assert 1000 < r.pr_milli <= r.dim * 1000
     assert r.pr_milli > r.dim * 1000 * 0.8  # near-isotropic fixture
     assert r.trace_mm > 0
+
+
+def test_triplet_margins_semantics(spark):
+    """Triplet invariants: margins sorted ascending, margin arithmetic
+    consistent, positives share the probe's source, negatives don't."""
+    from hawaiidatapipeline_spark.queries.round12_extra import (
+        emb_triplet_margins,
+    )
+
+    rows = emb_triplet_margins(spark, SF0001).collect()
+    assert rows
+    margins = [r.margin for r in rows]
+    assert margins == sorted(margins)
+    for r in rows:
+        assert r.margin == r.neg_d2 - r.pos_d2
+        assert r.neg_src != r.probe_src
+        assert r.pos_id != r.probe_id and r.neg_id != r.probe_id
