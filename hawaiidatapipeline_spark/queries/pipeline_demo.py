@@ -677,3 +677,189 @@ def llm_corpus_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_V8_CTX = 512  # packing context window (llm_sequence_packing's budget)
+
+
+def _corpus_v8_sql() -> str:
+    from hawaiidatapipeline_spark.queries.emb_extra import _kmeans_ctes
+    from hawaiidatapipeline_spark.queries.round11_extra import _semdedup_cc_ctes
+    from hawaiidatapipeline_spark.queries.round12_extra import (
+        _QC_ROUNDS,
+        _qc_sql_parts,
+    )
+    from hawaiidatapipeline_spark.queries.selection_extra import (
+        _DSIR_GSEED,
+        _DSIR_UDEN,
+        _DSIR_UMOD,
+        _dsir_weights_sql,
+    )
+
+    dsir = _dsir_weights_sql("sem_docs")
+    assert dsir.startswith("WITH ")
+    return f"""WITH RECURSIVE km0 AS (SELECT 1),
+{_kmeans_ctes()},
+{_semdedup_cc_ctes()},
+sem_drop AS (
+  SELECT m.vec_id FROM m
+  JOIN sel s ON s.cluster_id = m.cluster_id
+  WHERE m.vec_id <> s.survivor_id),
+pfx AS (
+  SELECT doc_id, n_chars, text,
+         md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '))
+           AS prefix_md5
+  FROM documents),
+pfx_kept AS (
+  SELECT doc_id, n_chars, text FROM (
+    SELECT doc_id, n_chars, text,
+           min(doc_id) OVER (PARTITION BY prefix_md5) AS canon
+    FROM pfx) t
+  WHERE doc_id = canon),
+exact_kept AS (
+  SELECT doc_id, n_chars, text FROM (
+    SELECT doc_id, n_chars, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+    FROM pfx_kept) t
+  WHERE doc_id = canon),
+sized AS (
+  SELECT doc_id, text FROM exact_kept WHERE n_chars BETWEEN 50 AND 2000),
+sem_kept AS (
+  SELECT doc_id, text FROM sized
+  WHERE doc_id NOT IN (SELECT vec_id FROM sem_drop)),
+sem_docs AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d
+  JOIN sem_kept k ON k.doc_id = d.doc_id),
+{dsir.removeprefix("WITH ")},
+keyed AS (
+  SELECT w.doc_id,
+         w.weight_micro
+         + floor(-ln(-ln(((('0x' || substring(md5('{_DSIR_GSEED}:'
+                           || w.doc_id::VARCHAR), 1, 15))::BIGINT
+                          % {_DSIR_UMOD}) + 1) / {_DSIR_UDEN}))
+                 * 1000000)::BIGINT AS key_micro
+  FROM w),
+picked AS (SELECT doc_id FROM keyed
+           ORDER BY key_micro DESC, doc_id LIMIT {_V7_DSIR_N}),
+{_qc_sql_parts("qc_")},
+qc_scores AS (
+  SELECT d.doc_id, sum(d.v * w.w)::BIGINT AS s
+  FROM qc_dense d JOIN qc_w{_QC_ROUNDS} w ON w.f = d.f GROUP BY 1),
+kept AS (
+  SELECT p.doc_id FROM picked p
+  JOIN qc_scores q ON q.doc_id = p.doc_id
+  WHERE q.s >= 0),
+laid AS (
+  SELECT k.doc_id,
+         ('0x' || substring(md5('7:' || k.doc_id::VARCHAR), 1, 15))::BIGINT % 8
+           AS shard,
+         ('0x' || substring(md5('903:' || k.doc_id::VARCHAR), 1, 15))::BIGINT
+           AS sh,
+         len(string_split(s.text, ' '))::BIGINT AS tok
+  FROM kept k JOIN sem_docs s ON s.doc_id = k.doc_id),
+packed AS (
+  SELECT shard, tok,
+         sum(tok) OVER (PARTITION BY shard ORDER BY sh, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+  FROM laid)
+SELECT shard, count(*)::BIGINT AS n_docs,
+       sum(tok)::BIGINT AS total_tokens,
+       ((sum(tok) + {_V8_CTX - 1}) // {_V8_CTX})::BIGINT AS n_chunks,
+       sum(CASE WHEN (cum - 1) // {_V8_CTX}
+                 <> (cum - tok) // {_V8_CTX} THEN 1 ELSE 0 END)::BIGINT
+         AS frag_docs
+FROM packed GROUP BY shard ORDER BY shard"""
+
+
+@q("llm_corpus_pipeline_v8", _corpus_v8_sql())
+def llm_corpus_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v7's funnel with the TRAINED QUALITY GATE and the PACKING MANIFEST
+    as final stages — the full modern curation-to-training handoff in
+    one Catalyst plan: prefix gate → exact dedup → length window →
+    SemDeDup anti-join → DSIR Gumbel-top-128 selection → the round-12
+    logistic classifier's logit >= 0 gate (trained on the full corpus,
+    scoring = one B+1-row model broadcast) → per-shard
+    concatenate-and-chunk packing stats over the reproducible shuffle
+    order (chunk budget {_V8_CTX} tokens): docs, tokens, chunk count,
+    and boundary-fragmented docs per shard — the numbers a training
+    launcher reads off the manifest. Scale: everything the component
+    keys already proved — the classifier gate adds one broadcast join,
+    the packing adds per-shard prefix sums (shard count is a manifest
+    parameter that scales with corpus; within-shard order is the hash
+    shuffle). Oracle composes the proven v7 CTEs with the prefixed
+    classifier chain (qc_*) and the packing window."""
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+    from hawaiidatapipeline_spark.queries.round12_extra import _qc_train
+    from hawaiidatapipeline_spark.queries.selection_extra import (
+        _DSIR_GSEED,
+        _DSIR_UDEN,
+        _DSIR_UMOD,
+        _dsir_weights_for,
+    )
+
+    sem_kept = _v6_sem_kept(spark, sf_dir)
+    w = _dsir_weights_for(sem_kept.select("doc_id", "lang", "text"))
+    u = (
+        (portable_hash64(F.col("doc_id").cast("string"), _DSIR_GSEED) % _DSIR_UMOD)
+        + 1
+    ) / F.lit(_DSIR_UDEN)
+    keyed = w.select(
+        "doc_id",
+        (
+            F.col("weight_micro")
+            + F.floor(-F.log(-F.log(u)) * 1000000).cast("long")
+        ).alias("key_micro"),
+    )
+    picked = (
+        keyed.orderBy(F.col("key_micro").desc(), "doc_id")
+        .limit(_V7_DSIR_N)
+        .select("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    dense, _, _, wq, _ = _qc_train(spark, d)
+    scores = (
+        dense.join(F.broadcast(wq), "f")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("v") * F.col("w")).cast("long").alias("s"))
+    )
+    kept = picked.join(scores, "doc_id").filter(F.col("s") >= 0).select("doc_id")
+    laid = (
+        sem_kept.join(F.broadcast(kept), "doc_id")
+        .select(
+            "doc_id",
+            F.pmod(
+                portable_hash64(F.col("doc_id").cast("string"), 7), F.lit(8)
+            ).alias("shard"),
+            portable_hash64(F.col("doc_id").cast("string"), 903).alias("sh"),
+            F.size(F.split("text", " ")).cast("long").alias("tok"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w_pack = (
+        W.partitionBy("shard")
+        .orderBy("sh", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = laid.withColumn("cum", F.sum("tok").over(w_pack))
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+            F.floor((F.sum("tok") + _V8_CTX - 1) / _V8_CTX)
+            .cast("long")
+            .alias("n_chunks"),
+            F.sum(
+                F.when(
+                    F.floor((F.col("cum") - 1) / _V8_CTX)
+                    != F.floor((F.col("cum") - F.col("tok")) / _V8_CTX),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("frag_docs"),
+        )
+        .orderBy("shard")
+    )

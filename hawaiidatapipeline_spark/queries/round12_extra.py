@@ -54,68 +54,71 @@ _QC_MARKER = "data"  # marker token; label = count(marker) >= _QC_MIN_HITS
 _QC_MIN_HITS = 2  # ~50% of fixture docs — a balanced target
 
 
-def _qc_sql_parts() -> str:
+def _qc_sql_parts(pfx: str = "") -> str:
     """Shared training CTEs, mirroring the Spark loop step for step:
     docf (hashed bucket counts), means (per-bucket corpus mean, milli),
     dense (centered milli features + bias row per doc), lab, n,
     w0..w{R} (unrolled GD rounds; nano-unit logits = milli features x
     micro weights). The only transcendental is exp() inside the sigmoid,
-    floored to micro units immediately (house determinism rule)."""
+    floored to micro units immediately (house determinism rule).
+    ``pfx`` prefixes every CTE name so the chain can compose into a WITH
+    that already binds bi/feats/docf (the v8 pipeline oracle)."""
+    p = pfx
     steps = []
     for r in range(1, _QC_ROUNDS + 1):
         steps.append(f"""
-s{r} AS (SELECT d.doc_id, sum(d.v * w.w)::BIGINT AS s
-         FROM dense d JOIN w{r - 1} w ON w.f = d.f GROUP BY 1),
-p{r} AS (SELECT s.doc_id,
+{p}s{r} AS (SELECT d.doc_id, sum(d.v * w.w)::BIGINT AS s
+         FROM {p}dense d JOIN {p}w{r - 1} w ON w.f = d.f GROUP BY 1),
+{p}p{r} AS (SELECT s.doc_id,
                 (l.y * 1000000
                  - floor(1000000.0
                          / (1.0 + exp(-(s.s / 1000000000.0)))))::BIGINT
                   AS resid
-         FROM s{r} s JOIN lab l ON l.doc_id = s.doc_id),
-g{r} AS (SELECT d.f, sum(p.resid * d.v)::BIGINT AS g
-         FROM dense d JOIN p{r} p ON p.doc_id = d.doc_id GROUP BY 1),
-w{r} AS (SELECT w.f,
+         FROM {p}s{r} s JOIN {p}lab l ON l.doc_id = s.doc_id),
+{p}g{r} AS (SELECT d.f, sum(p.resid * d.v)::BIGINT AS g
+         FROM {p}dense d JOIN {p}p{r} p ON p.doc_id = d.doc_id GROUP BY 1),
+{p}w{r} AS (SELECT w.f,
                 (w.w + floor(coalesce(g.g, 0)
-                             / ((SELECT n FROM n) * {_QC_LR_DEN}.0)))::BIGINT
+                             / ((SELECT n FROM {p}n) * {_QC_LR_DEN}.0)))::BIGINT
                   AS w
-         FROM w{r - 1} w LEFT JOIN g{r} g ON g.f = w.f)""")
+         FROM {p}w{r - 1} w LEFT JOIN {p}g{r} g ON g.f = w.f)""")
     rounds = ",".join(steps)
-    return f"""words AS (
+    return f"""{pfx}words AS (
   SELECT doc_id,
          unnest(string_split(text, ' ')) AS tok,
          generate_subscripts(string_split(text, ' '), 1) AS pos
   FROM documents),
-bi AS (
+{pfx}bi AS (
   SELECT a.doc_id, a.tok || ' ' || b.tok AS feat
-  FROM words a JOIN words b
+  FROM {pfx}words a JOIN {pfx}words b
     ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
-feats AS (
-  SELECT doc_id, tok AS feat FROM words
-  UNION ALL SELECT doc_id, feat FROM bi),
-docf AS (
+{pfx}feats AS (
+  SELECT doc_id, tok AS feat FROM {pfx}words
+  UNION ALL SELECT doc_id, feat FROM {pfx}bi),
+{pfx}docf AS (
   SELECT doc_id,
          ('0x' || substring(md5('{_DSIR_SEED}:' || feat), 1, 15))::BIGINT
            % {_DSIR_B} AS f,
          count(*)::BIGINT AS c
-  FROM feats GROUP BY 1, 2),
-n AS (SELECT count(*)::BIGINT AS n FROM documents),
-means AS (SELECT f, floor(sum(c) * 1000.0 / (SELECT n FROM n))::BIGINT AS m
-          FROM docf GROUP BY 1),
-dense AS (
+  FROM {pfx}feats GROUP BY 1, 2),
+{pfx}n AS (SELECT count(*)::BIGINT AS n FROM documents),
+{pfx}means AS (SELECT f, floor(sum(c) * 1000.0 / (SELECT n FROM {pfx}n))::BIGINT AS m
+          FROM {pfx}docf GROUP BY 1),
+{pfx}dense AS (
   SELECT d.doc_id, mn.f,
          (coalesce(df.c, 0) * 1000 - mn.m)::BIGINT AS v
   FROM documents d
-  CROSS JOIN means mn
-  LEFT JOIN docf df ON df.doc_id = d.doc_id AND df.f = mn.f
+  CROSS JOIN {pfx}means mn
+  LEFT JOIN {pfx}docf df ON df.doc_id = d.doc_id AND df.f = mn.f
   UNION ALL
   SELECT doc_id, -1::BIGINT AS f, 1000::BIGINT AS v FROM documents),
-lab AS (SELECT doc_id, source,
+{pfx}lab AS (SELECT doc_id, source,
                CASE WHEN len(list_filter(string_split(text, ' '),
                                          x -> x = '{_QC_MARKER}'))
                          >= {_QC_MIN_HITS}
                     THEN 1 ELSE 0 END AS y
         FROM documents),
-w0 AS (SELECT f, 0::BIGINT AS w FROM means
+{pfx}w0 AS (SELECT f, 0::BIGINT AS w FROM {pfx}means
        UNION ALL SELECT -1::BIGINT, 0::BIGINT),
 {rounds}"""
 

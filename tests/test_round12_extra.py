@@ -164,3 +164,22 @@ def test_triplet_margins_semantics(spark):
         assert r.margin == r.neg_d2 - r.pos_d2
         assert r.neg_src != r.probe_src
         assert r.pos_id != r.probe_id and r.neg_id != r.probe_id
+
+
+def test_pipeline_v8_manifest_consistency(spark):
+    """v8 manifest invariants: chunk accounting per shard (n_chunks =
+    ceil(tokens/CTX)), fragmentation bounded by docs, and the classifier
+    gate only shrinks v7's selection."""
+    from hawaiidatapipeline_spark.queries.pipeline_demo import (
+        _V8_CTX,
+        llm_corpus_pipeline_v7,
+        llm_corpus_pipeline_v8,
+    )
+
+    v8 = llm_corpus_pipeline_v8(spark, SF0001).collect()
+    assert v8
+    for r in v8:
+        assert r.n_chunks == (r.total_tokens + _V8_CTX - 1) // _V8_CTX
+        assert 0 <= r.frag_docs <= r.n_docs
+    v7 = llm_corpus_pipeline_v7(spark, SF0001).collect()
+    assert sum(r.n_docs for r in v8) <= sum(r.n_docs for r in v7)

@@ -95,6 +95,7 @@ PROBES = [
     ("llm_doremi_mixture", "DoReMi — one linear token pass, then constant-grain (domains x vocab) rounds"),
     ("llm_sequence_packing", "packing audit — narrow map + distributed prefix sums + span-grain histogram"),
     ("emb_effective_rank", "participation ratio — in-array pair expansion, d^2/2 shuffle groups at any N"),
+    ("llm_corpus_pipeline_v8", "v7 funnel + classifier-gate broadcast + per-shard packing windows"),
     ("llm_corpus_pipeline_v7", "v6 funnel + DSIR selection — λ broadcast + TakeOrdered, nothing pair-sized"),
     ("agg_cms_merge_proof", "CMS merge proof — linear cell map + bounded counter aggs"),
     ("graph_ppr_seeded", "seeded PPR — frontier-sized join + partial agg per round"),
