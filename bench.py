@@ -105,6 +105,11 @@ HEAVY = [
     "emb_ivfpq_topk_nprobe2",
     "emb_ivfpq_rerank",
     "llm_semdedup_cells",
+    # round-12 additions (same caveat for r11's heavy_total)
+    "llm_quality_classifier_train",
+    "emb_kmeans_scalable_init",
+    "llm_doremi_mixture",
+    "llm_corpus_pipeline_v8",
 ]
 
 # Sub-0.5s queries sit at the box-noise floor: with 3 passes one co-tenant
