@@ -87,23 +87,23 @@ _MODULES = (
 # Round-4 window: exactly the 50 keys with no driver row after round 3
 # (windows family, etl_*, corpus pipelines v1-v4, fn_bitwise, ...).
 _FRONT: tuple[str, ...] = (
-    'set_intersect', 'set_except', 'subquery_scalar_correlated',
-    'dq_profile', 'dq_referential', 'join_inner_broadcast',
-    'join_inner_sortmerge', 'join_left_outer', 'join_right_outer',
-    'join_full_outer', 'join_left_semi', 'join_left_anti',
-    'join_cross', 'join_theta_range', 'join_asof',
-    'agg_groupby_basic', 'agg_global', 'agg_multikey',
-    'agg_count_distinct', 'agg_approx_count_distinct', 'agg_having',
-    'agg_rollup', 'agg_cube', 'agg_grouping_sets',
-    'agg_stats', 'agg_minby_maxby', 'agg_percentile',
-    'agg_percentile_approx', 'agg_pivot', 'reshape_unpivot',
-    'agg_salted_skew', 'fn_string', 'fn_regex',
-    'fn_date_extract', 'fn_date_trunc', 'fn_date_arith',
-    'fn_math', 'fn_conditional', 'fn_cast',
-    'fn_json', 'fn_map', 'fn_array',
-    'fn_explode', 'fn_hash', 'fn_geo_distance',
-    'fn_url_parse', 'fn_array_topk_struct', 'fn_null_semantics',
-    'stream_tumbling', 'stream_sliding',
+    'llm_quality_classifier_train', 'llm_quality_classifier_scores', 'emb_kmeans_scalable_init',
+    'llm_doremi_mixture', 'llm_sequence_packing', 'emb_effective_rank',
+    'emb_triplet_margins', 'llm_corpus_pipeline_v8', 'set_intersect',
+    'set_except', 'subquery_scalar_correlated', 'dq_profile',
+    'dq_referential', 'join_inner_broadcast', 'join_inner_sortmerge',
+    'join_left_outer', 'join_right_outer', 'join_full_outer',
+    'join_left_semi', 'join_left_anti', 'join_cross',
+    'join_theta_range', 'join_asof', 'agg_groupby_basic',
+    'agg_global', 'agg_multikey', 'agg_count_distinct',
+    'agg_approx_count_distinct', 'agg_having', 'agg_rollup',
+    'agg_cube', 'agg_grouping_sets', 'agg_stats',
+    'agg_minby_maxby', 'agg_percentile', 'agg_percentile_approx',
+    'agg_pivot', 'reshape_unpivot', 'agg_salted_skew',
+    'fn_string', 'fn_regex', 'fn_date_extract',
+    'fn_date_trunc', 'fn_date_arith', 'fn_math',
+    'fn_conditional', 'fn_cast', 'fn_json',
+    'fn_map', 'fn_array',
 )
 
 
