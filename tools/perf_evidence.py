@@ -76,6 +76,11 @@ PROBES = [
     ("llm_dsir_weights", "DSIR: lambda model broadcast (B=256 rows) — corpus shuffle = hashed-feature partials + doc-keyed agg only"),
     ("llm_quality_classifier_train", "logistic GD: weight vector broadcast per round; shuffle = docs x B partials, model never shuffles"),
     ("emb_kmeans_scalable_init", "k-means||: candidate-vector broadcasts per round; shuffle = per-vector distance partials only"),
+    ("llm_doremi_mixture", "DoReMi: one linear token pass; rounds are domain x vocab grain — shuffle stays constant-size"),
+    ("llm_sequence_packing", "packing: narrow token map + range-partitioned prefix sums; no single-partition window"),
+    ("emb_effective_rank", "participation ratio: in-array pair expansion — shuffle = d^2/2 partial-agg groups"),
+    ("emb_triplet_margins", "triplet mining: ~65-probe exact slice; shuffle = probe x corpus distance partials"),
+    ("llm_corpus_pipeline_v8", "v8 funnel: classifier-gate broadcast + per-shard packing windows on top of v7"),
     ("fulltext_bm25", "BM25: 3-row term broadcast = posting-list read; shuffle ~ matched postings + doc-grain partials"),
     ("llm_bpe_merge_steps", "BPE training: one word-frequency exchange, then vocabulary-grain rounds"),
     ("llm_semdedup_cells", "SemDeDup: shuffle ~ (vec,cell,bkt) keys + within-bucket pair partials, never corpus x corpus"),
