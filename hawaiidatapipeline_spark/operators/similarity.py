@@ -90,8 +90,26 @@ def cosine_pairs_in_cells(
     )
 
 
-# (plan semantic hash, vec_col) -> max vector width over the 1024-row probe
-_WIDTH_PROBE_CACHE: dict[tuple[int, str], int] = {}
+# (plan semantic hash, data-version hash, vec_col) -> max vector width
+# over the 1024-row probe
+_WIDTH_PROBE_CACHE: dict[tuple[int, int, str], int] = {}
+
+
+def _data_version(df: DataFrame) -> int:
+    """Data-version signal for the width-probe cache (ADVICE r12): the
+    plan's semantic hash covers only the LOGICAL plan, so re-reading the
+    same path after files changed would hit a stale cached width in a
+    long-lived driver. Folding the resolved leaf-file listing into the
+    key makes a rewrite (new part-file names) re-probe. ``inputFiles()``
+    is a driver-side FileIndex read — no Spark job. Non-file sources
+    (e.g. in-memory ranges) return [] and rely on the semantic hash
+    alone; an in-place mutation that preserves every file name is the
+    one remaining staleness window, which parquet writers never do."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    return hash(tuple(sorted(files)))
 
 
 def _index_row_budget(
@@ -118,9 +136,10 @@ def _index_row_budget(
     The probe is CACHED per (plan semantic hash, column) so repeated
     searches against the same index input pay the extra Spark job once
     (VERDICT r11: the uncached probe added one job per call to the
-    llm_cosine_topk headline). The width is a property of the input plan;
-    a genuinely different input hashes differently and re-probes."""
-    key = (df.semanticHash(), vec_col)
+    llm_cosine_topk headline). The key is (plan semantic hash, leaf-file
+    listing hash, column): a genuinely different input plan OR a rewrite
+    of the same path (new part files) re-probes — see _data_version."""
+    key = (df.semanticHash(), _data_version(df), vec_col)
     dim = _WIDTH_PROBE_CACHE.get(key)
     if dim is None:
         probe = (

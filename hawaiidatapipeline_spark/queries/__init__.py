@@ -84,26 +84,26 @@ _MODULES = (
 # tools/rotate_window.py with all CORRECTNESS_r*.json files — it rewrites
 # this tuple to fail-on-record keys first, then never-checked keys.
 #
-# Round-4 window: exactly the 50 keys with no driver row after round 3
-# (windows family, etl_*, corpus pipelines v1-v4, fn_bitwise, ...).
+# Current window (tool-rewritten): 50 keys — 0 failed-to-reprove, 0 never-checked,
+# then the 50 stalest greens (earliest last-checked round first).
 _FRONT: tuple[str, ...] = (
-    'llm_quality_classifier_train', 'llm_quality_classifier_scores', 'emb_kmeans_scalable_init',
-    'llm_doremi_mixture', 'llm_sequence_packing', 'emb_effective_rank',
-    'emb_triplet_margins', 'llm_corpus_pipeline_v8', 'set_intersect',
-    'set_except', 'subquery_scalar_correlated', 'dq_profile',
-    'dq_referential', 'join_inner_broadcast', 'join_inner_sortmerge',
-    'join_left_outer', 'join_right_outer', 'join_full_outer',
-    'join_left_semi', 'join_left_anti', 'join_cross',
-    'join_theta_range', 'join_asof', 'agg_groupby_basic',
-    'agg_global', 'agg_multikey', 'agg_count_distinct',
-    'agg_approx_count_distinct', 'agg_having', 'agg_rollup',
-    'agg_cube', 'agg_grouping_sets', 'agg_stats',
-    'agg_minby_maxby', 'agg_percentile', 'agg_percentile_approx',
-    'agg_pivot', 'reshape_unpivot', 'agg_salted_skew',
-    'fn_string', 'fn_regex', 'fn_date_extract',
-    'fn_date_trunc', 'fn_date_arith', 'fn_math',
-    'fn_conditional', 'fn_cast', 'fn_json',
-    'fn_map', 'fn_array',
+    'fn_explode', 'fn_hash', 'fn_geo_distance',
+    'fn_url_parse', 'fn_array_topk_struct', 'fn_null_semantics',
+    'stream_tumbling', 'stream_sliding', 'stream_session',
+    'stream_dedup', 'ts_resample', 'ts_fill_forward',
+    'llm_dedup_exact', 'llm_dedup_jaccard', 'llm_dedup_minhash',
+    'llm_dedup_jaccard_ngram', 'llm_dedup_embedding', 'llm_simhash_buckets',
+    'llm_cosine_topk', 'llm_cosine_ivf', 'llm_knn_label',
+    'llm_tfidf_topterms', 'llm_text_stats', 'llm_lang_id',
+    'llm_quality_score', 'llm_token_count_bpe', 'llm_fingerprint',
+    'multimodal_features', 'udf_python_scalar', 'udf_pandas_scalar',
+    'udf_grouped_map', 'udf_grouped_agg', 'udtf_python',
+    'scan_csv_roundtrip', 'scan_jsonlines', 'catalog_list',
+    'sink_parquet_partitioned', 'fn_money_decimal', 'fn_timezone',
+    'llm_lang_source_matrix', 'multimodal_image_decode', 'multimodal_audio_decode',
+    'soql_aggregate', 'soql_date_functions', 'soql_full_query_string',
+    'soql_chained_pipeline', 'soql_fulltext_paged', 'scan_orc_roundtrip',
+    'scan_text_lines', 'scan_csv_malformed',
 )
 
 

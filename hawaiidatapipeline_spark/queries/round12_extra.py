@@ -836,7 +836,9 @@ pairs AS (
          sum(a.e * b.e)::BIGINT AS sxy
   FROM u a JOIN u b ON a.rid = b.rid AND a.i <= b.i
   GROUP BY 1, 2),
-cm AS (SELECT i, j, (n * sxy - sx * sy)::BIGINT AS cov_mm FROM pairs),
+cm AS (SELECT i, j,
+         (n::HUGEINT * sxy::HUGEINT - sx::HUGEINT * sy::HUGEINT)::BIGINT
+           AS cov_mm FROM pairs),
 agg AS (
   SELECT sum(CASE WHEN i = j THEN cov_mm END)::HUGEINT AS tr,
          (sum(CASE WHEN i = j THEN cov_mm::HUGEINT * cov_mm END)
@@ -892,7 +894,19 @@ def emb_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i",
             "j",
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            # Wide co-moment multiply (ADVICE r12): n*sxy alone exceeds
+            # int64 around N >= ~3M vectors, where Spark (non-ANSI) wraps
+            # silently but DuckDB raises — so both engines form the
+            # product in DECIMAL(38,0)/HUGEINT, then narrow the CENTERED
+            # co-moment. Exactness envelope: cov_mm (~ n^2 * 1e6) fits
+            # int64 and frob2 (~ d * cov_mm^2) fits 38 digits up to
+            # N ~= 3e6 vectors; past that, run PR on a corpus-scaled
+            # subsample (the triplet-stride pattern) — the diagnostic is
+            # a ratio and subsampling preserves it.
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sxy")
+                - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+            )
             .cast("long")
             .alias("cov_mm"),
         )

@@ -81,7 +81,10 @@ _TRUNC_UNITS = {"date_trunc_y": "YEAR", "date_trunc_ym": "MONTH", "date_trunc_ym
 
 # Spark SQL functions allowed to pass through unchanged (ANSI ∩ SoQL core,
 # plus the aggregates SoQL exposes). Conservative allow-list: anything not
-# here and not SoQL-mapped raises.
+# here and not SoQL-mapped raises. This is the PUBLIC user surface — names
+# the compiler's own rewrites emit live in _REWRITE_GENERATED below
+# (ADVICE r12: whitelisting them here silently widened the SoQL surface to
+# user-written higher-order functions).
 _PASSTHROUGH = {
     "upper", "lower", "length", "abs", "round", "floor", "ceil", "ceiling",
     "trim", "ltrim", "rtrim", "contains", "sum", "count", "avg", "min",
@@ -91,15 +94,36 @@ _PASSTHROUGH = {
     "date_trunc", "like", "between", "exp", "ln", "log", "power", "sqrt",
     "sin", "cos", "asin", "radians", "pow", "median", "minute", "second",
     "current_timestamp", "from_utc_timestamp", "to_utc_timestamp",
-    # generated by the geo rewrites (num_points vertex count)
+}
+
+# Names EMITTED by the compiler's own rewrites (geo num_points, haversine,
+# extent, the convex_hull monotone-chain machinery). Consulted ONLY when
+# validating compiler OUTPUT (post-rewrite pass in soql_query) — a user
+# expression containing one of these raises, keeping the public SoQL
+# function surface exactly the documented set (ADVICE r12).
+_REWRITE_GENERATED = {
+    # geo rewrites (num_points vertex count)
     "size", "split",
-    # generated by the convex_hull rewrite (_convex_hull_expr): collected
-    # point state + higher-order hull machinery
+    # convex_hull rewrite (_convex_hull_expr): collected point state +
+    # higher-order hull machinery
     "element_at", "transform", "filter", "aggregate", "exists",
     "named_struct", "array_sort", "array_distinct", "collect_list",
     "slice", "reverse", "array_join", "lpad", "least", "greatest",
     "pmod", "array",
 }
+
+# SoQL-spelled functions consumed BY the rewrites (valid in user input,
+# never present after rewriting), plus the straight renames/truncs.
+_SOQL_REWRITTEN = {
+    "case", "within_circle", "within_box", "within_polygon", "intersects",
+    "distance_in_meters", "extent", "convex_hull", "simplify",
+    "simplify_preserve_topology", "num_points",
+} | set(_RENAME) | set(_TRUNC_UNITS)
+
+# The full USER-facing function surface: what a clause may contain BEFORE
+# rewriting. Compiler output validates against _PASSTHROUGH ∪
+# _REWRITE_GENERATED instead.
+_USER_SURFACE = _PASSTHROUGH | _SOQL_REWRITTEN
 
 _VIEW_COUNTER = iter(range(10**9))
 
@@ -165,8 +189,16 @@ _KEYWORDS = {
 }
 
 
-def _check_tokens(clause: str, what: str) -> None:
-    """Reject anything outside the SoQL token set BEFORE SQL splicing."""
+def _check_tokens(clause: str, what: str, allowed: frozenset | set = None) -> None:
+    """Reject anything outside the SoQL token set BEFORE SQL splicing.
+
+    ``allowed`` picks the function surface: user clauses validate against
+    ``_USER_SURFACE`` (documented SoQL names only — the default); the
+    post-rewrite pass validates compiler OUTPUT against ``_PASSTHROUGH ∪
+    _REWRITE_GENERATED`` so rewrite-emitted higher-order machinery never
+    widens what a user may write (ADVICE r12)."""
+    if allowed is None:
+        allowed = _USER_SURFACE
     pos = 0
     while pos < len(clause):
         m = _TOKEN_RE.match(clause, pos)
@@ -177,7 +209,7 @@ def _check_tokens(clause: str, what: str) -> None:
         if tok[:1].isalpha() or tok[:1] == "_":
             low = tok.lower()
             is_call = clause[pos : pos + 1] == "("
-            if is_call and low not in _PASSTHROUGH and low not in _KEYWORDS:
+            if is_call and low not in allowed and low not in _KEYWORDS:
                 raise SoqlError(f"unsupported SoQL function {tok!r} in {what}")
 
 
@@ -665,15 +697,25 @@ def soql_query(
     if unknown:
         raise SoqlError(f"unsupported SODA parameters: {sorted(unknown)}")
 
+    # Pass 1 — validate the RAW user clauses against the documented SoQL
+    # surface (rewrite-emitted names like transform/aggregate are NOT valid
+    # here; ADVICE r12 closed that widening).
+    for key in ("$select", "$where", "$group", "$having", "$order"):
+        raw = params.get(key)
+        if raw and raw != "*":
+            _check_tokens(raw, key, allowed=_USER_SURFACE)
+
     select = rewrite_soql_expr(params.get("$select", "*"))
     where = rewrite_soql_expr(params["$where"]) if "$where" in params else None
     group = rewrite_soql_expr(params["$group"]) if "$group" in params else None
     having = rewrite_soql_expr(params["$having"]) if "$having" in params else None
     order = rewrite_soql_expr(params["$order"]) if "$order" in params else None
+    # Pass 2 — defense-in-depth on the COMPILER OUTPUT before SQL splicing:
+    # passthrough core plus exactly the names the rewrites emit.
     for clause, what in [(select, "$select"), (where, "$where"), (group, "$group"),
                          (having, "$having"), (order, "$order")]:
         if clause and clause != "*":
-            _check_tokens(clause, what)
+            _check_tokens(clause, what, allowed=_PASSTHROUGH | _REWRITE_GENERATED)
 
     # $q: portal full-text search, SODA semantics (dev.socrata.com "search
     # with $q"): the snippet is TOKENIZED — double-quoted spans are phrase

@@ -197,6 +197,8 @@ def test_bench_final_line_fits_tail_capture():
     simulated = {
         "metric": "headline_query_total",
         "value": 99999.999,
+        "value_normalized": 99999.999,
+        "cal_max_drift": 99.999,
         "unit": "sec",
         "queries": {k: 99999.999 for k in bench.HEADLINE},
         "sf": 0.1,

@@ -237,6 +237,26 @@ def test_rejects_unsupported(spark):
         soql_query(d, {"$bogus": "1"})
 
 
+def test_rewrite_generated_names_not_user_writable(spark):
+    """ADVICE r12: the convex_hull rewrite emits higher-order machinery
+    (transform/aggregate/element_at/...) that must stay INTERNAL — a user
+    clause spelling those names raises, while convex_hull itself (whose
+    compiled output contains them) still passes validation."""
+    d = load_table(spark, SF0001, "documents")
+    for expr in ("transform(array(1), x - 1) = array(0)",
+                 "aggregate(array(1), 0, (a, x) - a) = 1",
+                 "element_at(array(1), 1) = 1",
+                 "collect_list(doc_id)"):
+        with pytest.raises(SoqlError, match="unsupported SoQL function"):
+            soql_query(d, {"$select": "doc_id", "$where": expr})
+    # the compiler's own output still validates (pass-2 allowlist)
+    pts = spark.createDataFrame(
+        [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0)], "lat double, lon double"
+    )
+    out = soql_query(pts, {"$select": "convex_hull(lat, lon) AS hull"})
+    assert out.columns == ["hull"] and out.count() == 1
+
+
 class TestQTokenization:
     """SODA $q spec corner cases (dev.socrata.com): multi-token AND,
     quoted phrases, boundary-punctuation stripping."""

@@ -85,6 +85,21 @@ def main() -> int:
     if n != 1:
         print("ERROR: _FRONT tuple not found/replaced", file=sys.stderr)
         return 1
+    # Keep the descriptive comment above the tuple in sync with the rewrite
+    # (ADVICE r12: a stale "Round-4 window" comment misdescribed the list).
+    n_unchecked = len([k for k in new_front if k in unchecked])
+    n_stale = len([k for k in new_front if k in green])
+    desc = (
+        f"# Current window (tool-rewritten): {len(new_front)} keys — "
+        f"{len(failed)} failed-to-reprove, {n_unchecked} never-checked,\n"
+        f"# then the {n_stale} stalest greens (earliest last-checked round first)."
+    )
+    out = re.sub(
+        r"# (?:Round-\S+ window|Current window \(tool-rewritten\)):[^\n]*\n#[^\n]*\n(?=_FRONT)",
+        desc + "\n",
+        out,
+        count=1,
+    )
     open(INIT_PATH, "w").write(out)
     print(
         f"green={len(green)} failed={sorted(failed)} "
