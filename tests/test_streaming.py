@@ -1160,3 +1160,45 @@ def test_dsir_model_sink_equals_batch_twin(spark, tmp_path):
     want = se._dsir_weights_for(docs)
     cols = ["doc_id", "lang", "n_feats", "weight_micro"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_classifier_model_sink_equals_batch_twin(spark, tmp_path):
+    """Streaming quality-classifier feature store (equivalence test #34,
+    VERDICT r12 #6): the documents fixture streamed through
+    run_classifier_model_sink in micro-batches must train — via the
+    read-time curve derivation over the drained store — to EXACTLY the
+    hash-checked llm_quality_classifier_train curve. Featurization is a
+    pure per-doc map so disjoint batches union to the one-pass result;
+    training arithmetic is shared code (_qc_train_from)."""
+    from hawaiidatapipeline_spark.queries import round12_extra as r12
+
+    target = str(tmp_path / "qc_store")
+    ckpt = str(tmp_path / "qc_ckpt")
+    q = runtime.run_classifier_model_sink(
+        runtime.stream_documents(spark, SF0001), target, ckpt
+    )
+    q.awaitTermination()
+    store = spark.read.parquet(target)
+    # multiple micro-batches actually ran (the merge path was exercised)
+    assert store.agg(F.max("_last_batch")).collect()[0][0] >= 1
+    # store shape: one label row per doc, feature rows hash-bounded
+    docs = load_table(spark, SF0001, "documents")
+    n_docs = docs.count()
+    assert store.filter(F.col("f") == -2).count() == n_docs
+    assert store.filter(F.col("f") >= 0).count() <= n_docs * 256
+    # 1) curve derived from the drained store == the checked batch twin
+    got = runtime.classifier_training_curve(store)
+    want = r12.llm_quality_classifier_train(spark, SF0001)
+    cols = ["round", "n_correct", "n_docs", "accuracy_micro"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # 2) replay idempotence: fresh checkpoint -> full replay, store unchanged
+    q2 = runtime.run_classifier_model_sink(
+        runtime.stream_documents(spark, SF0001), target,
+        str(tmp_path / "qc_ckpt2"),
+    )
+    q2.awaitTermination()
+    store2 = spark.read.parquet(target)
+    cols2 = ["doc_id", "f", "c"]
+    assert _rows(store2.select(*cols2), cols2) == _rows(
+        store.select(*cols2), cols2
+    )
