@@ -364,15 +364,40 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BFS_SEED_MOD = 200  # seed set: partkeys divisible by 200
+_BFS_SEED_MOD = 200  # seed-set floor: partkeys divisible by 200
 _BFS_MAX_HOPS = 3
+# VERDICT r12 #5: seeds were ∝ nodes (node % 200 = 0), so the seeded-BFS
+# family did seeds×frontier work — superlinear at the 10× lane (harmonic
+# alpha10 0.48). The modulus now corpus-scales to cap the seed set at
+# ~_BFS_TARGET_SEEDS at ANY graph size (the triplet-stride pattern):
+# mod = max(200, ceil(n_nodes / 100)). The clamp floor keeps sf0.01/sf0.1
+# at mod = 200 exactly (2k/20k parts → ceil ≤ 200), so checked hashes are
+# unchanged; both engines compute the modulus from the same distinct-node
+# count in pure integer arithmetic.
+_BFS_TARGET_SEEDS = 100
+_BFS_SEED_MOD_SQL = (
+    f"(SELECT greatest({_BFS_SEED_MOD}, (count(DISTINCT node) + "
+    f"{_BFS_TARGET_SEEDS - 1}) // {_BFS_TARGET_SEEDS}) FROM adj)"
+)
+
+
+def _bfs_seeds(adj: DataFrame) -> DataFrame:
+    """Corpus-scaled seed set (node column): ONE materialized distinct-node
+    frame serves both the modulus count and the seed filter — Spark twin
+    of the seeds CTE with _BFS_SEED_MOD_SQL."""
+    from hawaiidatapipeline_spark.operators.materialize import materialize
+
+    nodes = materialize(adj.select("node").distinct())
+    n = nodes.count()
+    mod = max(_BFS_SEED_MOD, (n + _BFS_TARGET_SEEDS - 1) // _BFS_TARGET_SEEDS)
+    return nodes.filter(F.col("node") % mod == 0)
 
 
 @q(
     "graph_bfs_hops",
     f"""WITH RECURSIVE {_ADJ_SQL},
        seeds AS (
-         SELECT DISTINCT node FROM adj WHERE node % {_BFS_SEED_MOD} = 0),
+         SELECT DISTINCT node FROM adj WHERE node % {_BFS_SEED_MOD_SQL} = 0),
        bfs (node, dist) AS (
          SELECT node, 0 FROM seeds
          UNION
@@ -408,12 +433,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
         )
     )
-    dist = materialize(
-        adj.select("node")
-        .distinct()
-        .filter(F.col("node") % _BFS_SEED_MOD == 0)
-        .withColumn("dist", F.lit(0))
-    )
+    dist = materialize(_bfs_seeds(adj).withColumn("dist", F.lit(0)))
     for hop in range(1, _BFS_MAX_HOPS + 1):
         frontier = dist.filter(F.col("dist") == hop - 1)
         reached = frontier.join(adj, "node").select(
@@ -633,7 +653,7 @@ def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_harmonic_centrality",
     f"""WITH RECURSIVE {_ADJ_SQL},
        seeds AS (
-         SELECT DISTINCT node FROM adj WHERE node % {_BFS_SEED_MOD} = 0),
+         SELECT DISTINCT node FROM adj WHERE node % {_BFS_SEED_MOD_SQL} = 0),
        bfs (seed, node, dist) AS (
          SELECT node, node, 0 FROM seeds
          UNION
@@ -677,10 +697,9 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dist = materialize(
-        adj.select("node")
-        .distinct()
-        .filter(F.col("node") % _BFS_SEED_MOD == 0)
-        .select(F.col("node").alias("seed"), "node", F.lit(0).alias("dist"))
+        _bfs_seeds(adj).select(
+            F.col("node").alias("seed"), "node", F.lit(0).alias("dist")
+        )
     )
     for hop in range(1, _BFS_MAX_HOPS + 1):
         frontier = dist.filter(F.col("dist") == hop - 1)

@@ -97,16 +97,27 @@ def _dsir_doc_buckets(d: DataFrame) -> DataFrame:
     — the featurizer shared by the batch weights and the streaming
     λ-model sink (streaming/runtime.py run_dsir_model_sink), so both
     paths see bit-identical features."""
-    toks = d.select(
-        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    # Bigrams built IN-ARRAY (zip each token with its successor; the
+    # null-padded tail pair filters out) so the featurizer is one explode
+    # of unigrams++bigrams followed by the (doc, f) partial agg — the only
+    # shuffle is the map-side-combined <= B-groups-per-doc aggregate.
+    # VERDICT r12 #5: the previous lead()-window bigram builder shuffled
+    # EVERY exploded token row on doc_id first (alpha10 0.54 on
+    # llm_dsir_weights); same feature multiset, hashes unchanged.
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "concat(split(text, ' '), "
+                "filter(zip_with(split(text, ' '), "
+                "               slice(split(text, ' '), 2, size(split(text, ' '))), "
+                "               (a, b) -> CASE WHEN b IS NULL THEN NULL "
+                "                              ELSE concat(a, ' ', b) END), "
+                "       x -> x IS NOT NULL))"
+            )
+        ).alias("feat"),
     )
-    wl = Window.partitionBy("doc_id").orderBy("pos")
-    bi = (
-        toks.withColumn("nxt", F.lead("tok").over(wl))
-        .filter(F.col("nxt").isNotNull())
-        .select("doc_id", "lang", F.concat_ws(" ", "tok", "nxt").alias("feat"))
-    )
-    feats = toks.select("doc_id", "lang", F.col("tok").alias("feat")).unionByName(bi)
     hashed = feats.select(
         "doc_id",
         "lang",
