@@ -140,6 +140,7 @@ MAX_PASSES = max(int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PASSES", "7")),
 CAL_EVERY = max(int(os.environ.get("SPARK_GRAFT_BENCH_CAL_EVERY", "5")), 1)
 CAL_PASSES = 3
 NOISE_DRIFT_BUMP = 1.3
+NOISE_DEADBAND = 1.15  # drift <= this counts as a quiet box (no normalization)
 NOISY_PASSES = max(
     int(os.environ.get("SPARK_GRAFT_BENCH_NOISY_PASSES", "5")), PASSES
 )
@@ -175,19 +176,46 @@ class Calibration:
         return time.time() - t0
 
     def establish(self) -> None:
+        # Warm the calibration plan itself first (3 discarded passes):
+        # the first run of ANY plan pays codegen + scheduler one-time
+        # costs, and a baseline that includes them reads every later
+        # sample as "faster than baseline" (drift < 1), blinding the
+        # drift signal — observed on the first calibrated run, where the
+        # whole series sat at 0.29-0.69.
+        for _ in range(3):
+            self._once()
         self.baseline = statistics.median(self._once() for _ in range(5))
 
     def sample(self, at: str) -> float:
         sec = statistics.median(self._once() for _ in range(CAL_PASSES))
-        drift = sec / self.baseline
-        self.series.append(
-            {"at": at, "sec": round(sec, 4), "drift": round(drift, 3)}
-        )
-        return drift
+        self.series.append({"at": at, "sec": round(sec, 4)})
+        return self.current_drift
+
+    @property
+    def floor(self) -> float:
+        """The box's demonstrated clean capability: the fastest
+        calibration reading seen so far (baseline included). Referencing
+        drift to the FLOOR instead of the baseline keeps the signal
+        meaningful even if the baseline itself was taken during a noisy
+        window — drift >= 1 by construction."""
+        secs = [r["sec"] for r in self.series]
+        return min([self.baseline] + secs) if self.baseline else 1.0
+
+    def drift_at(self, idx: int) -> float:
+        """Drift of reading ``idx`` vs the final session floor."""
+        return self.series[idx]["sec"] / self.floor
+
+    def finalize(self) -> None:
+        """Stamp each reading's drift vs the FINAL floor (the floor can
+        drop as later, quieter readings arrive)."""
+        for r in self.series:
+            r["drift"] = round(r["sec"] / self.floor, 3)
 
     @property
     def current_drift(self) -> float:
-        return self.series[-1]["drift"] if self.series else 1.0
+        if not self.series:
+            return 1.0
+        return self.series[-1]["sec"] / self.floor
 
 
 def main() -> None:
@@ -248,21 +276,38 @@ def main() -> None:
             }
             time.sleep(COOLDOWN_SEC)
         cal.sample(f"{set_name}:end")
-        # Noise-normalized medians: divide each raw median by the mean of
-        # its bracketing calibration drifts, clamped at >=1.0 — inflation
-        # on a noisy box is corrected, but a fast box or a genuine code
-        # regression is never flattered (raw stays the primary metric).
+        return timings, spread, cal_idx
+
+    def normalize(
+        names: list[str],
+        timings: dict[str, float],
+        spread: dict[str, dict[str, float]],
+        cal_idx: dict[str, int],
+    ) -> dict[str, float]:
+        # Noise-normalized medians, computed AFTER the whole run so every
+        # drift references the final session floor: divide each raw
+        # median by the mean of its bracketing calibration drifts. A
+        # DEADBAND (<= NOISE_DEADBAND counts as quiet) keeps ordinary
+        # scheduler jitter from flattering the normalized numbers;
+        # drift-vs-floor is >= 1 by construction so normalization can
+        # only CORRECT inflation, never hide a code regression (raw
+        # stays the primary metric).
         normalized: dict[str, float] = {}
         for name in names:
-            before = cal.series[cal_idx[name]]["drift"]
-            after = cal.series[min(cal_idx[name] + 1, len(cal.series) - 1)]["drift"]
-            local = max(1.0, (before + after) / 2.0)
+            before = cal.drift_at(cal_idx[name])
+            after = cal.drift_at(min(cal_idx[name] + 1, len(cal.series) - 1))
+            local = (before + after) / 2.0
+            if local <= NOISE_DEADBAND:
+                local = 1.0
             normalized[name] = round(timings[name] / local, 3)
             spread[name]["drift"] = round(local, 3)
-        return timings, spread, normalized
+        return normalized
 
-    timings, spread, norm = run_set(HEADLINE, "headline")
-    heavy_timings, heavy_spread, heavy_norm = run_set(HEAVY, "heavy")
+    timings, spread, cal_idx_h = run_set(HEADLINE, "headline")
+    heavy_timings, heavy_spread, cal_idx_v = run_set(HEAVY, "heavy")
+    cal.finalize()
+    norm = normalize(HEADLINE, timings, spread, cal_idx_h)
+    heavy_norm = normalize(HEAVY, heavy_timings, heavy_spread, cal_idx_v)
 
     # Per-key heavy budgets (VERDICT r7 item 5): heavy_total grows as
     # queries are added, so regressions hide in the total. Each key's

@@ -1,0 +1,602 @@
+"""Round-13 additions: data-mixing allocation, CCNet bucketing, semantic
+decontamination, and embedding-geometry health (SURVEY.md §2.J).
+
+Four gaps a production training-data pipeline hits that the registry did
+not yet cover:
+
+- **UniMax allocation** (Chung et al. 2023): the closed-form
+  epoch-capped budget waterfill that replaced temperature sampling for
+  multilingual mixes — distinct from ``llm_mixture_epochs`` (the
+  sqrt-mixture repeat planner): UniMax maximizes uniformity subject to a
+  per-source repeat cap instead of reweighting by a power of size.
+- **CCNet buckets** (Wenzek et al. 2019): the head/middle/tail tercile
+  split by corpus-LM perplexity, per language — the split CCNet-family
+  pipelines SAMPLE from (head-heavy), where ``llm_doc_ppl_percentiles``
+  only reports the percentile curve.
+- **Semantic decontamination**: benchmark-leak detection in EMBEDDING
+  space (cosine against a probe set), the complement of the n-gram
+  ``llm_decontaminate`` — catches paraphrased leakage n-grams miss.
+- **Embedding geometry**: TwoNN intrinsic dimension (Facco et al. 2017)
+  and a per-dimension whitening audit — the health checks run before
+  trusting an index or a whitening transform.
+
+House determinism rules throughout: whitespace tokens, milli/micro
+integer fixed point with floor after each transcendental, wide
+DECIMAL(38,0)/HUGEINT intermediates where int64 could wrap, aliases
+identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.operators.materialize import materialize
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+# ------------------------------------------------------------- UniMax
+
+_UNIMAX_EPOCH_CAP = 4  # max repeats of any source
+_UNIMAX_BUDGET_DEN = 2  # token budget = total corpus tokens / 2
+
+
+@q(
+    "llm_unimax_allocation",
+    f"""WITH st AS (
+  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS tokens
+  FROM documents GROUP BY source),
+b AS (SELECT (sum(tokens) // {_UNIMAX_BUDGET_DEN})::BIGINT AS budget,
+             count(*)::BIGINT AS k
+      FROM st),
+r AS (
+  SELECT source, tokens,
+         row_number() OVER (ORDER BY tokens, source) AS i,
+         sum(tokens * {_UNIMAX_EPOCH_CAP})
+           OVER (ORDER BY tokens, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::BIGINT AS pcap
+  FROM st),
+ok AS (
+  SELECT r.*, b.budget, b.k,
+         CASE WHEN tokens * {_UNIMAX_EPOCH_CAP} * (b.k - i + 1)
+                   <= b.budget - (pcap - tokens * {_UNIMAX_EPOCH_CAP})
+              THEN 1 ELSE 0 END AS fits
+  FROM r, b),
+pf AS (
+  SELECT ok.*,
+         min(fits) OVER (ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prefix_ok
+  FROM ok),
+m AS (SELECT coalesce(sum(prefix_ok), 0)::BIGINT AS m,
+             coalesce(sum(CASE WHEN prefix_ok = 1 THEN
+                          tokens * {_UNIMAX_EPOCH_CAP} END), 0)::BIGINT AS pm
+      FROM pf)
+SELECT pf.source, pf.tokens,
+       (CASE WHEN pf.prefix_ok = 1 THEN pf.tokens * {_UNIMAX_EPOCH_CAP}
+             ELSE (pf.budget - m.pm) // (pf.k - m.m) END)::BIGINT
+         AS alloc_tokens,
+       (CASE WHEN pf.prefix_ok = 1 THEN pf.tokens * {_UNIMAX_EPOCH_CAP}
+             ELSE (pf.budget - m.pm) // (pf.k - m.m) END) * 1000
+         // pf.tokens AS epochs_milli,
+       pf.prefix_ok AS capped
+FROM pf, m ORDER BY pf.source""",
+)
+def llm_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, 'UniMax: Fairer and
+    More Effective Language Sampling'): given a token budget (half the
+    corpus here) and a per-source repeat cap E = 4, allocate the budget
+    as uniformly as possible — process sources by ASCENDING size; a
+    source whose full E-epoch allotment fits under the equal share of
+    the remaining budget is CAPPED at E epochs, everything larger splits
+    the remainder equally. The capped set is prefix-closed in size
+    order, so the sequential waterfill collapses to window functions
+    over the SOURCE-grain frame: a running cap prefix-sum, an integer
+    fits test (E·n_i·(K−i+1) ≤ B − P_{i−1}), a running-min prefix AND,
+    and one integer split of the leftover. Output per source: tokens,
+    allocated tokens, achieved epochs (milli), capped flag. Scale: one
+    linear token-count agg; everything after is K rows (sources) — the
+    single-partition windows run on a constant-size frame, never the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    b = st.agg(
+        F.expr(f"sum(tokens) div {_UNIMAX_BUDGET_DEN}").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    wasc = Window.orderBy("tokens", "source")
+    r = st.select(
+        "source",
+        "tokens",
+        F.row_number().over(wasc).alias("i"),
+        F.sum(F.col("tokens") * _UNIMAX_EPOCH_CAP)
+        .over(wasc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("pcap"),
+    )
+    ok = r.crossJoin(F.broadcast(b)).select(
+        "*",
+        F.when(
+            F.col("tokens") * _UNIMAX_EPOCH_CAP * (F.col("k") - F.col("i") + 1)
+            <= F.col("budget")
+            - (F.col("pcap") - F.col("tokens") * _UNIMAX_EPOCH_CAP),
+            1,
+        )
+        .otherwise(0)
+        .alias("fits"),
+    )
+    wi = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pf = ok.select("*", F.min("fits").over(wi).alias("prefix_ok"))
+    m = pf.agg(
+        F.coalesce(F.sum("prefix_ok"), F.lit(0)).cast("long").alias("m"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("prefix_ok") == 1,
+                    F.col("tokens") * _UNIMAX_EPOCH_CAP,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pm"),
+    )
+    alloc = F.when(
+        F.col("prefix_ok") == 1, F.col("tokens") * _UNIMAX_EPOCH_CAP
+    ).otherwise(
+        F.expr("(budget - pm) div (k - m)")
+    )
+    return (
+        pf.crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            "tokens",
+            alloc.cast("long").alias("alloc_tokens"),
+            F.expr(
+                f"""(CASE WHEN prefix_ok = 1 THEN tokens * {_UNIMAX_EPOCH_CAP}
+                     ELSE (budget - pm) div (k - m) END) * 1000
+                    div tokens"""
+            ).alias("epochs_milli"),
+            F.col("prefix_ok").cast("int").alias("capped"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------------------ CCNet buckets
+
+# Shared with llm_bigram_logprob (mining_extra): add-one-smoothed bigram
+# LM fit on the corpus itself, per-doc mean NLL in micro units.
+_CCNET_NLL_SQL = """docs AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS a FROM documents),
+occ AS (
+  SELECT doc_id, a[CAST(i AS INT)] AS w1,
+         a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS bg
+  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+        FROM docs)),
+bgc AS (SELECT bg, w1, count(*)::BIGINT AS cb FROM occ GROUP BY bg, w1),
+pfc AS (SELECT w1, count(*)::BIGINT AS cp FROM occ GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT t)::BIGINT AS v
+  FROM (SELECT unnest(a) AS t FROM docs)),
+term AS (
+  SELECT bgc.bg,
+         (floor((ln(bgc.cb + 1) - ln(pfc.cp + vocab.v)) * 1000000))::BIGINT
+           AS t_micro
+  FROM bgc JOIN pfc USING (w1) CROSS JOIN vocab),
+per_doc AS (
+  SELECT o.doc_id, count(*)::BIGINT AS n_bigrams,
+         ((-sum(t.t_micro)) // count(*))::BIGINT AS nll_micro
+  FROM occ o JOIN term t USING (bg) GROUP BY o.doc_id)"""
+
+
+@q(
+    "llm_ccnet_buckets",
+    f"""WITH {_CCNET_NLL_SQL},
+scored AS (
+  SELECT d.lang, p.doc_id, p.nll_micro,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY p.nll_micro, p.doc_id) AS rnk,
+         count(*) OVER (PARTITION BY d.lang) AS n
+  FROM per_doc p JOIN docs d USING (doc_id))
+SELECT lang,
+       (1 + (3 * (rnk - 1)) // n)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs,
+       min(nll_micro)::BIGINT AS min_nll_micro,
+       max(nll_micro)::BIGINT AS max_nll_micro,
+       (sum(nll_micro) // count(*))::BIGINT AS mean_nll_micro
+FROM scored GROUP BY 1, 2 ORDER BY lang, bucket""",
+)
+def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019): per
+    language, documents split into head/middle/tail TERCILES (bucket
+    1/2/3) of the corpus-LM per-doc mean NLL — the split the CCNet
+    family samples from (head-heavy mixes, tail often dropped). The LM
+    is the same add-one-smoothed bigram model as ``llm_bigram_logprob``
+    (integer micro-unit log terms, exact per-doc sums); terciles are
+    RANK-based under the (nll, doc_id) total order, so the assignment is
+    deterministic — no percentile interpolation. Single-token documents
+    have no bigrams and are out of scope of the LM screen (documented,
+    both engines agree). Output: (lang, bucket) doc counts and min/max/
+    mean NLL. Scale: model fit is two linear hash aggs; scoring is one
+    bigram-keyed equi-join; the rank window is per-language over doc-
+    grain rows — the same shape the existing percentile keys run."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "lang", F.split(F.lower(F.col("text")), " ").alias("a")
+    )
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(a, 1, greatest(size(a) - 1, 0)), "
+                "(x, i) -> struct(x AS w1, "
+                "concat(x, ' ', element_at(a, i + 2)) AS bg))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.bg")
+    bgc = occ.groupBy("bg", "w1").agg(F.count(F.lit(1)).alias("cb"))
+    pfc = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
+    vocab = docs.select(F.explode("a").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    term = (
+        bgc.join(pfc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.floor(
+                (F.log(F.col("cb") + 1) - F.log(F.col("cp") + F.col("v")))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("t_micro"),
+        )
+    )
+    per_doc = (
+        occ.join(term, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.expr("(-sum(t_micro)) div count(*)").alias("nll_micro"),
+        )
+    )
+    wl = Window.partitionBy("lang").orderBy("nll_micro", "doc_id")
+    wn = Window.partitionBy("lang")
+    scored = per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "nll_micro",
+        F.row_number().over(wl).alias("rnk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        scored.select(
+            "lang",
+            (1 + F.expr("(3 * (rnk - 1)) div n")).cast("long").alias("bucket"),
+            "nll_micro",
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("nll_micro").cast("long").alias("min_nll_micro"),
+            F.max("nll_micro").cast("long").alias("max_nll_micro"),
+            F.expr("sum(nll_micro) div count(*)").alias("mean_nll_micro"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# ------------------------------------------- semantic decontamination
+
+_SEMDECON_TAU2_PCT = 81  # cos^2 threshold in percent: cos >= 0.9
+
+
+@q(
+    "llm_decontaminate_semantic",
+    """WITH qv AS (
+  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+         round(unnest(embedding) * 1000)::BIGINT AS q
+  FROM embeddings),
+nrm AS (SELECT vec_id, sum(q * q)::BIGINT AS n2 FROM qv GROUP BY vec_id),
+probes AS (
+  SELECT * FROM qv
+  WHERE vec_id % (SELECT greatest(31, ceil(count(*) / 65.0))::BIGINT
+                  FROM embeddings) = 0),
+dots AS (
+  SELECT p.vec_id AS probe_id, v.vec_id, sum(p.q * v.q)::BIGINT AS dp
+  FROM probes p JOIN qv v ON v.d = p.d
+  WHERE v.vec_id <> p.vec_id
+  GROUP BY 1, 2),
+flagged AS (
+  SELECT d.vec_id,
+         max(CASE WHEN d.dp > 0
+                  AND d.dp::HUGEINT * d.dp * 100
+                      >= 81::HUGEINT * nv.n2 * np.n2
+             THEN 1 ELSE 0 END) AS hit
+  FROM dots d JOIN nrm nv ON nv.vec_id = d.vec_id
+              JOIN nrm np ON np.vec_id = d.probe_id
+  GROUP BY 1)
+SELECT e.label::BIGINT AS label,
+       count(*)::BIGINT AS n_scanned,
+       coalesce(sum(f.hit), 0)::BIGINT AS n_contaminated
+FROM embeddings e JOIN flagged f ON f.vec_id = e.vec_id
+GROUP BY 1 ORDER BY 1""",
+)
+def llm_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination — the semantic complement of the
+    n-gram ``llm_decontaminate``: a corpus-scaled probe set (the ~65-row
+    ``_adc_stride`` sample, standing in for benchmark eval vectors)
+    sweeps the corpus and every vector whose cosine to ANY probe clears
+    0.9 is flagged as suspected leakage — paraphrased or re-encoded
+    contamination that exact n-gram matching cannot see. Exactness: the
+    cosine test is the INTEGER comparison dp² · 100 ≥ 81 · |v|² · |p|²
+    (dp > 0) over milli-quantized vectors — no sqrt, no float; dp² can
+    wrap int64 so both engines compare in DECIMAL(38,0)/HUGEINT. Output:
+    per label, vectors scanned and vectors flagged. Scale: probes ×
+    corpus exact sweep with the probe set held ~65 by the corpus-scaled
+    stride (recall-audit discipline); the production path runs the same
+    test per ANN cell against the real benchmark set (which is always
+    probe-sized)."""
+    from hawaiidatapipeline_spark.queries.emb_extra import _adc_stride
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = materialize(
+        e.select("vec_id", F.posexplode("embedding").alias("d", "x")).select(
+            "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+        )
+    )
+    nrm = qv.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("n2")
+    )
+    stride = _adc_stride(spark, sf_dir)
+    probes = qv.filter(F.col("vec_id") % stride == 0)
+    dots = (
+        probes.alias("p")
+        .join(qv.alias("v"), F.col("p.d") == F.col("v.d"))
+        .filter(F.col("v.vec_id") != F.col("p.vec_id"))
+        .groupBy(
+            F.col("p.vec_id").alias("probe_id"),
+            F.col("v.vec_id").alias("vec_id"),
+        )
+        .agg(F.sum(F.col("p.q") * F.col("v.q")).cast("long").alias("dp"))
+    )
+    dec = "decimal(38,0)"
+    flagged = (
+        dots.join(
+            nrm.select(F.col("vec_id"), F.col("n2").alias("nv")), "vec_id"
+        )
+        .join(
+            F.broadcast(
+                nrm.select(
+                    F.col("vec_id").alias("probe_id"), F.col("n2").alias("np")
+                )
+            ),
+            "probe_id",
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("dp") > 0)
+                    & (
+                        F.col("dp").cast(dec) * F.col("dp") * 100
+                        >= F.lit(_SEMDECON_TAU2_PCT).cast(dec)
+                        * F.col("nv")
+                        * F.col("np")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("hit")
+        )
+    )
+    return (
+        e.select("vec_id", F.col("label").cast("long").alias("label"))
+        .join(flagged, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scanned"),
+            F.coalesce(F.sum("hit"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------- TwoNN intrinsic dimension
+
+
+@q(
+    "emb_intrinsic_dim_twonn",
+    """WITH qv AS (
+  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+         round(unnest(embedding) * 1000)::BIGINT AS q
+  FROM embeddings),
+probes AS (
+  SELECT * FROM qv
+  WHERE vec_id % (SELECT greatest(31, ceil(count(*) / 65.0))::BIGINT
+                  FROM embeddings) = 0),
+d2 AS (
+  SELECT p.vec_id AS probe_id, v.vec_id AS other_id,
+         sum((p.q - v.q) * (p.q - v.q))::BIGINT AS d2
+  FROM probes p JOIN qv v ON v.d = p.d
+  WHERE v.vec_id <> p.vec_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT probe_id, d2,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY d2, other_id) AS rnk
+  FROM d2 WHERE d2 > 0),
+mu AS (
+  SELECT probe_id,
+         floor(ln(max(CASE WHEN rnk = 2 THEN d2 END)::DOUBLE
+                  / max(CASE WHEN rnk = 1 THEN d2 END)) * 1000000)::BIGINT
+           AS lnmu_micro
+  FROM ranked WHERE rnk <= 2 GROUP BY probe_id
+  HAVING max(CASE WHEN rnk = 2 THEN d2 END) IS NOT NULL)
+SELECT count(*)::BIGINT AS n_probes,
+       sum(lnmu_micro)::BIGINT AS sum_lnmu_micro,
+       (count(*) * 2000000000 // nullif(sum(lnmu_micro), 0))::BIGINT
+         AS id_milli
+FROM mu""",
+)
+def emb_intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each
+    corpus-scaled probe, μ = r₂/r₁ — the ratio of 2nd- to 1st-nearest-
+    neighbor distance — and ID = n / Σ ln μ (the Pareto MLE). A LOW ID
+    against the ambient dim means the embeddings live on a thin manifold
+    (expected, healthy); ID ≈ ambient dim on random noise. Works on
+    SQUARED exact int64 distances: ln(d₂²/d₁²) = 2·ln μ, so the
+    estimator is n·2e9 // Σ floor(ln(d₂²/d₁²)·1e6) in milli units — ln
+    of a ratio of two exact integers is the single transcendental,
+    floored immediately (house rule). Zero-distance duplicates are
+    excluded from the neighbor ranks (μ would be undefined); ranks are
+    total-ordered by (d², id). Scale: the exact leg is probes × corpus
+    with probes held ~65 by the corpus-scaled ``_adc_stride``; per-probe
+    state after the distance agg is 2 rows."""
+    from hawaiidatapipeline_spark.queries.emb_extra import _adc_stride
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = materialize(
+        e.select("vec_id", F.posexplode("embedding").alias("d", "x")).select(
+            "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+        )
+    )
+    stride = _adc_stride(spark, sf_dir)
+    probes = qv.filter(F.col("vec_id") % stride == 0)
+    d2 = (
+        probes.alias("p")
+        .join(qv.alias("v"), F.col("p.d") == F.col("v.d"))
+        .filter(F.col("v.vec_id") != F.col("p.vec_id"))
+        .groupBy(
+            F.col("p.vec_id").alias("probe_id"),
+            F.col("v.vec_id").alias("other_id"),
+        )
+        .agg(
+            F.sum(
+                (F.col("p.q") - F.col("v.q")) * (F.col("p.q") - F.col("v.q"))
+            )
+            .cast("long")
+            .alias("d2")
+        )
+        .filter(F.col("d2") > 0)
+    )
+    wr = Window.partitionBy("probe_id").orderBy("d2", "other_id")
+    ranked = d2.select("probe_id", "d2", F.row_number().over(wr).alias("rnk"))
+    mu = (
+        ranked.filter(F.col("rnk") <= 2)
+        .groupBy("probe_id")
+        .agg(
+            F.max(F.when(F.col("rnk") == 1, F.col("d2"))).alias("d1"),
+            F.max(F.when(F.col("rnk") == 2, F.col("d2"))).alias("d2n"),
+        )
+        .filter(F.col("d2n").isNotNull())
+        .select(
+            F.floor(
+                F.log(F.col("d2n").cast("double") / F.col("d1"))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("lnmu_micro")
+        )
+    )
+    return mu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("lnmu_micro").cast("long").alias("sum_lnmu_micro"),
+        F.expr(
+            "CAST(count(1) * 2000000000 div nullif(sum(lnmu_micro), 0) "
+            "AS BIGINT)"
+        ).alias("id_milli"),
+    )
+
+
+# ------------------------------------------------- whitening audit
+
+
+@q(
+    "emb_whitening_audit",
+    """WITH qv AS (
+  SELECT unnest(generate_series(0, len(embedding) - 1)) AS d,
+         round(unnest(embedding) * 1000)::BIGINT AS q
+  FROM embeddings),
+mom AS (
+  SELECT d, count(*)::BIGINT AS n, sum(q)::BIGINT AS sx,
+         sum(q * q)::BIGINT AS sxx
+  FROM qv GROUP BY d),
+v AS (
+  SELECT d, n,
+         ((n::HUGEINT * sxx - sx::HUGEINT * sx) // (n::HUGEINT * n))::BIGINT
+           AS var_mm2
+  FROM mom),
+s AS (
+  SELECT d, n, var_mm2,
+         CASE WHEN var_mm2 > 0
+              THEN floor(1000000.0 / sqrt(var_mm2))::BIGINT END AS scale_micro
+  FROM v)
+SELECT d AS dim, n, var_mm2, scale_micro,
+       CASE WHEN scale_micro IS NOT NULL
+            THEN (var_mm2 * scale_micro * scale_micro) // 1000000 END
+         ::BIGINT AS post_var_micro
+FROM s ORDER BY dim""",
+)
+def emb_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension whitening audit — the health check before trusting
+    a diagonal (PCA-free) whitening transform: per dim, the exact
+    population variance of the milli-quantized coordinate (integer
+    co-moments n·Σx² − (Σx)², widened to DECIMAL(38,0)/HUGEINT before
+    the multiply — the emb_effective_rank envelope), the whitening scale
+    floor(1e6/√var) (one sqrt, floored — house rule), and the POST-
+    whitening variance the floored scale actually achieves (pure integer
+    from var · scale², ≈ 1e6 micro = unit variance; the deviation IS the
+    quantization cost of the fixed-point transform). A dim with var 0 is
+    constant (scale NULL) — the degenerate-coordinate alarm. Scale: one
+    explode + map-side-combined d-grain agg — the shuffle is d = 64
+    groups regardless of N, the covariance-family discipline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(F.posexplode("embedding").alias("d", "x")).select(
+        "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+    )
+    dec = "decimal(38,0)"
+    mom = qv.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sx"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sxx"),
+    )
+    v = mom.select(
+        "d",
+        "n",
+        F.expr(
+            f"CAST((CAST(n AS {dec}) * sxx - CAST(sx AS {dec}) * sx) "
+            f"div (CAST(n AS {dec}) * n) AS BIGINT)"
+        ).alias("var_mm2"),
+    )
+    s = v.select(
+        "d",
+        "n",
+        "var_mm2",
+        F.when(
+            F.col("var_mm2") > 0,
+            F.floor(F.lit(1000000.0) / F.sqrt(F.col("var_mm2"))).cast("long"),
+        ).alias("scale_micro"),
+    )
+    return s.select(
+        F.col("d").alias("dim"),
+        "n",
+        "var_mm2",
+        "scale_micro",
+        F.when(
+            F.col("scale_micro").isNotNull(),
+            F.expr(
+                "(var_mm2 * scale_micro * scale_micro) div 1000000"
+            ),
+        )
+        .cast("long")
+        .alias("post_var_micro"),
+    ).orderBy("dim")
