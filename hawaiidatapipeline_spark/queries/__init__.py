@@ -85,11 +85,12 @@ _MODULES = (
 # tools/rotate_window.py with all CORRECTNESS_r*.json files — it rewrites
 # this tuple to fail-on-record keys first, then never-checked keys.
 #
-# Current window (tool-rewritten): 50 keys — 0 failed-to-reprove, 5 never-checked,
-# then the 45 stalest greens (earliest last-checked round first).
+# Current window (tool-rewritten): 50 keys — 0 failed-to-reprove, 8 never-checked,
+# then the 42 stalest greens (earliest last-checked round first).
 _FRONT: tuple[str, ...] = (
     'llm_unimax_allocation', 'llm_ccnet_buckets', 'llm_decontaminate_semantic',
-    'emb_intrinsic_dim_twonn', 'emb_whitening_audit', 'fn_explode',
+    'emb_intrinsic_dim_twonn', 'emb_whitening_audit', 'emb_cosine_histogram',
+    'llm_domain_cross_entropy', 'graph_betweenness_sampled', 'fn_explode',
     'fn_hash', 'fn_geo_distance', 'fn_url_parse',
     'fn_array_topk_struct', 'fn_null_semantics', 'stream_tumbling',
     'stream_sliding', 'stream_session', 'stream_dedup',
@@ -103,8 +104,7 @@ _FRONT: tuple[str, ...] = (
     'udf_grouped_agg', 'udtf_python', 'scan_csv_roundtrip',
     'scan_jsonlines', 'catalog_list', 'sink_parquet_partitioned',
     'fn_money_decimal', 'fn_timezone', 'llm_lang_source_matrix',
-    'multimodal_image_decode', 'multimodal_audio_decode', 'soql_aggregate',
-    'soql_date_functions', 'soql_full_query_string',
+    'multimodal_image_decode', 'multimodal_audio_decode',
 )
 
 

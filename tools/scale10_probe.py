@@ -52,6 +52,9 @@ PROBES = [
     ("llm_quality_classifier_train", "logistic GD — docs x B dense frame per round, B+1-row broadcasts"),
     ("llm_corpus_pipeline_v8", "v7 funnel + classifier gate broadcast + per-shard packing windows"),
     ("emb_kmeans_scalable_init", "k-means|| — R candidate broadcasts + folds; candidate-grain recluster"),
+    ("llm_decontaminate_semantic", "probe-strided integer cosine sweep — probes ~65 at any N"),
+    ("emb_intrinsic_dim_twonn", "TwoNN ID — probe-strided exact NN distances"),
+    ("graph_betweenness_sampled", "Brandes sampled — corpus-scaled seeds, per-level frontier joins"),
 ]
 
 

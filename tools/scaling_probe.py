@@ -99,6 +99,15 @@ PROBES = [
     ("llm_corpus_pipeline_v7", "v6 funnel + DSIR selection — λ broadcast + TakeOrdered, nothing pair-sized"),
     ("agg_cms_merge_proof", "CMS merge proof — linear cell map + bounded counter aggs"),
     ("graph_ppr_seeded", "seeded PPR — frontier-sized join + partial agg per round"),
+    # round-13 additions
+    ("llm_unimax_allocation", "UniMax waterfill — one linear token agg, then source-grain windows"),
+    ("llm_ccnet_buckets", "CCNet terciles — bigram model aggs + bigram join + per-lang rank window"),
+    ("llm_decontaminate_semantic", "semantic decon — ~65 corpus-scaled probes x corpus integer cosine test"),
+    ("emb_intrinsic_dim_twonn", "TwoNN ID — probe x corpus exact distances, 2-row state per probe"),
+    ("emb_whitening_audit", "whitening audit — d-grain co-moment agg, shuffle = 64 groups"),
+    ("emb_cosine_histogram", "probe-pair cosine buckets — ~2k pairs at any N"),
+    ("llm_domain_cross_entropy", "source CE — model aggs + bigram join, source grain after"),
+    ("graph_betweenness_sampled", "Brandes sampled — per-level (seed,node) joins, seeds capped ~100"),
 ]
 
 
