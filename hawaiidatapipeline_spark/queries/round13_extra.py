@@ -977,3 +977,148 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["graph_betweenness_sampled"] = _betw_sql()
+
+
+# --------------------------------------------- RHO-loss selection
+
+_RHO_REF_LANG = "en"
+_RHO_TOPK = 30
+
+
+@q(
+    "llm_rho_loss_selection",
+    f"""WITH docs AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS a FROM documents),
+occ AS (
+  SELECT doc_id, a[CAST(i AS INT)] AS w1,
+         a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS bg
+  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+        FROM docs)),
+bgc AS (SELECT bg, w1, count(*)::BIGINT AS cb FROM occ GROUP BY bg, w1),
+pfc AS (SELECT w1, count(*)::BIGINT AS cp FROM occ GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT t)::BIGINT AS v
+  FROM (SELECT unnest(a) AS t FROM docs)),
+refocc AS (
+  SELECT o.w1, o.bg FROM occ o JOIN docs d USING (doc_id)
+  WHERE d.lang = '{_RHO_REF_LANG}'),
+rbgc AS (SELECT bg, count(*)::BIGINT AS cb FROM refocc GROUP BY bg),
+rpfc AS (SELECT w1, count(*)::BIGINT AS cp FROM refocc GROUP BY w1),
+rvocab AS (
+  SELECT count(DISTINCT t)::BIGINT AS v
+  FROM (SELECT unnest(a) AS t FROM docs d WHERE lang = '{_RHO_REF_LANG}')),
+term AS (
+  SELECT b.bg,
+         (floor((ln(b.cb + 1) - ln(p.cp + vocab.v)) * 1000000))::BIGINT
+           AS tc_micro,
+         (floor((ln(coalesce(rb.cb, 0) + 1)
+                 - ln(coalesce(rp.cp, 0) + rvocab.v)) * 1000000))::BIGINT
+           AS tr_micro
+  FROM bgc b JOIN pfc p USING (w1)
+  LEFT JOIN rbgc rb ON rb.bg = b.bg
+  LEFT JOIN rpfc rp ON rp.w1 = b.w1
+  CROSS JOIN vocab CROSS JOIN rvocab),
+per_doc AS (
+  SELECT o.doc_id, count(*)::BIGINT AS n_bigrams,
+         ((-sum(t.tc_micro)) // count(*))::BIGINT AS nll_corpus_micro,
+         ((-sum(t.tr_micro)) // count(*))::BIGINT AS nll_ref_micro
+  FROM occ o JOIN term t USING (bg) GROUP BY o.doc_id)
+SELECT p.doc_id, d.lang, p.n_bigrams, p.nll_corpus_micro, p.nll_ref_micro,
+       (p.nll_corpus_micro - p.nll_ref_micro)::BIGINT AS excess_micro
+FROM per_doc p JOIN docs d USING (doc_id)
+ORDER BY excess_micro DESC, p.doc_id LIMIT {_RHO_TOPK}""",
+)
+def llm_rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss data selection (Mindermann et al. 2022, 'Prioritized
+    training on points that are learnable, worth learning, and not yet
+    learnt'): score every document by REDUCIBLE loss — its NLL under the
+    current (corpus) model minus its NLL under a reference model trained
+    on the target slice (lang = 'en' here, standing in for the holdout).
+    High excess = the corpus model finds the doc hard but the target
+    model finds it easy: learnable and worth learning; low/negative =
+    noise or already-learnt. Both are add-one-smoothed bigram LMs in the
+    house integer micro-unit fixed point (one floor per distinct bigram
+    term, exact per-doc sums); bigrams unseen by the reference model get
+    the ln(1) - ln(cp + V_ref) backstop via LEFT joins with coalesce(0).
+    Top-30 by (excess, doc_id). Scale: two model fits (linear hash
+    aggs over corpus and slice), one bigram-keyed term join, doc-grain
+    partial aggs — the llm_bigram_logprob shuffle family twice."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "lang", F.split(F.lower(F.col("text")), " ").alias("a")
+    )
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(a, 1, greatest(size(a) - 1, 0)), "
+                "(x, i) -> struct(x AS w1, "
+                "concat(x, ' ', element_at(a, i + 2)) AS bg))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.bg")
+    bgc = occ.groupBy("bg", "w1").agg(F.count(F.lit(1)).alias("cb"))
+    pfc = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
+    vocab = docs.select(F.explode("a").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    ref_ids = docs.filter(F.col("lang") == _RHO_REF_LANG).select("doc_id")
+    refocc = occ.join(ref_ids, "doc_id")
+    rbgc = refocc.groupBy("bg").agg(F.count(F.lit(1)).alias("rcb"))
+    rpfc = refocc.groupBy("w1").agg(F.count(F.lit(1)).alias("rcp"))
+    rvocab = (
+        docs.filter(F.col("lang") == _RHO_REF_LANG)
+        .select(F.explode("a").alias("t"))
+        .agg(F.countDistinct("t").alias("rv"))
+    )
+    term = (
+        bgc.join(pfc, "w1")
+        .join(rbgc, "bg", "left")
+        .join(rpfc, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(rvocab))
+        .select(
+            "bg",
+            F.floor(
+                (F.log(F.col("cb") + 1) - F.log(F.col("cp") + F.col("v")))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("tc_micro"),
+            F.floor(
+                (
+                    F.log(F.coalesce(F.col("rcb"), F.lit(0)) + 1)
+                    - F.log(
+                        F.coalesce(F.col("rcp"), F.lit(0)) + F.col("rv")
+                    )
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("tr_micro"),
+        )
+    )
+    per_doc = (
+        occ.join(term, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.expr("(-sum(tc_micro)) div count(*)").alias("nll_corpus_micro"),
+            F.expr("(-sum(tr_micro)) div count(*)").alias("nll_ref_micro"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "nll_corpus_micro",
+            "nll_ref_micro",
+            (F.col("nll_corpus_micro") - F.col("nll_ref_micro"))
+            .cast("long")
+            .alias("excess_micro"),
+        )
+        .orderBy(F.col("excess_micro").desc(), "doc_id")
+        .limit(_RHO_TOPK)
+    )

