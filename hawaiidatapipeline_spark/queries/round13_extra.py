@@ -1122,3 +1122,76 @@ def llm_rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("excess_micro").desc(), "doc_id")
         .limit(_RHO_TOPK)
     )
+
+
+# ------------------------------------------------ video scene cuts
+
+_SCENE_CUT_PER_PX = 100  # cut when per-pixel |ΔR|+|ΔG|+|ΔB| clears this
+
+
+@q(
+    "multimodal_scene_cuts",
+    f"""WITH dims AS (
+  SELECT doc_id AS id, 3 + doc_id % 4 AS n FROM documents),
+pairs AS (
+  SELECT id, unnest(generate_series(1, n - 1)) AS f FROM dims),
+deltas AS (
+  SELECT id, f, 20::BIGINT AS n_pixels,
+         (20 * (abs((id + 11 * f) % 256 - (id + 11 * (f - 1)) % 256)
+              + abs((3 * id + 5 * f) % 256 - (3 * id + 5 * (f - 1)) % 256)
+              + abs((7 * id + f) % 256 - (7 * id + (f - 1)) % 256)))::BIGINT
+           AS delta_sum
+  FROM pairs),
+flagged AS (
+  SELECT id, f, delta_sum,
+         CASE WHEN delta_sum > {_SCENE_CUT_PER_PX} * n_pixels
+              THEN 1 ELSE 0 END AS cut
+  FROM deltas)
+SELECT id, count(*)::BIGINT AS n_pairs, sum(cut)::BIGINT AS n_cuts,
+       sum(delta_sum)::BIGINT AS total_delta,
+       coalesce(min(CASE WHEN cut = 1 THEN f END), -1)::BIGINT
+         AS first_cut_frame
+FROM flagged GROUP BY id ORDER BY id""",
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection plumbing: REAL RAWV decode → consecutive-
+    frame EXACT integer pixel deltas (|ΔR|+|ΔG|+|ΔB| summed over the
+    frame, one row per frame pair out of the Arrow batch) → SQL-side
+    cut threshold (per-pixel delta > 100 — the policy lives in the
+    plan, so tuning re-runs metadata-sized work) → per-video cut
+    profile with the first cut frame. This is the shot-segmentation
+    front-end a video curation pipeline runs before sampling frames for
+    captioning or training selection — cuts bound the segments
+    frame-sampling must cover. The closed-form synthetic corpus (flat-color frames
+    whose channels wrap mod 256) gives the oracle every delta exactly:
+    a cut IS a channel wrap, so both the no-cut and the cut branch are
+    exercised across ids. Shape: map-only decode+delta (linear in
+    pixels), one (video, pair) partial agg to video grain — pixel I/O
+    never shuffles (the multimodal discipline)."""
+    from hawaiidatapipeline_spark.sources.multimodal import (
+        synthetic_video_blobs,
+        video_scene_deltas,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    deltas = video_scene_deltas(synthetic_video_blobs(d))
+    flagged = deltas.withColumn(
+        "cut",
+        F.when(
+            F.col("delta_sum") > _SCENE_CUT_PER_PX * F.col("n_pixels"), 1
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("cut").cast("long").alias("n_cuts"),
+            F.sum("delta_sum").cast("long").alias("total_delta"),
+            F.coalesce(
+                F.min(F.when(F.col("cut") == 1, F.col("f"))), F.lit(-1)
+            )
+            .cast("long")
+            .alias("first_cut_frame"),
+        )
+        .orderBy("id")
+    )

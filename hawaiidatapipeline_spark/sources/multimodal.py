@@ -712,3 +712,34 @@ def audio_frame_energies(blobs: DataFrame, frame: int = 160) -> DataFrame:
     return blobs.select("id", "payload").mapInPandas(
         run, "id bigint, f int, n_samples int, sum_sq bigint"
     )
+
+
+def video_scene_deltas(blobs: DataFrame) -> DataFrame:
+    """REAL RAWV decode → consecutive-frame pixel deltas: for each frame
+    pair (f−1, f) the EXACT integer sum of |ΔR|+|ΔG|+|ΔB| over all
+    pixels (int64 numpy, no float) plus the pixel count — the scene-cut
+    primitive (a cut is a pair whose per-pixel delta clears a policy
+    threshold, applied SQL-side so tuning re-runs metadata-sized work
+    only). One output row per frame pair; pixels never leave the decode
+    map."""
+    import numpy as np
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in ("id", "f", "n_pixels", "delta_sum")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                video = decode_rawv(bytes(payload)).astype(np.int64)
+                n_px = video.shape[1] * video.shape[2]
+                for f in range(1, video.shape[0]):
+                    d = np.abs(video[f] - video[f - 1]).sum()
+                    out["id"].append(int(i))
+                    out["f"].append(f)
+                    out["n_pixels"].append(int(n_px))
+                    out["delta_sum"].append(int(d))
+            yield pd.DataFrame(out)
+
+    return blobs.select("id", "payload").mapInPandas(
+        run, "id bigint, f int, n_pixels bigint, delta_sum bigint"
+    )

@@ -207,3 +207,20 @@ def test_rho_loss_prefers_target_like_docs(spark):
     assert all(
         r.excess_micro == r.nll_corpus_micro - r.nll_ref_micro for r in rows
     )
+
+
+def test_scene_cuts_detect_channel_wraps(spark):
+    """The synthetic flat-color frames wrap channels mod 256, so a cut
+    is exactly a wrap: verify both branches occur across the fixture,
+    totals are consistent, and first_cut_frame is a real pair index."""
+    rows = r13.multimodal_scene_cuts(spark, SF0001).collect()
+    d = load_table(spark, SF0001, "documents")
+    assert len(rows) == d.count()
+    assert any(r.n_cuts > 0 for r in rows)
+    assert any(r.n_cuts == 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_cuts <= r.n_pairs
+        if r.n_cuts == 0:
+            assert r.first_cut_frame == -1
+        else:
+            assert 1 <= r.first_cut_frame <= r.n_pairs

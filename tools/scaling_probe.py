@@ -109,6 +109,7 @@ PROBES = [
     ("llm_domain_cross_entropy", "source CE — model aggs + bigram join, source grain after"),
     ("graph_betweenness_sampled", "Brandes sampled — per-level (seed,node) joins, seeds capped ~100"),
     ("llm_rho_loss_selection", "RHO-loss — two bigram models + term join, doc-grain aggs"),
+    ("multimodal_scene_cuts", "RAWV decode + frame-pair deltas — map-only, one video-grain agg"),
 ]
 
 
