@@ -122,6 +122,9 @@ HEAVY = [
     "emb_kmeans_scalable_init",
     "llm_doremi_mixture",
     "llm_corpus_pipeline_v8",
+    # round-13 additions (same caveat for r12's heavy_total)
+    "graph_betweenness_sampled",
+    "llm_decontaminate_semantic",
 ]
 
 # Sub-0.5s queries sit at the box-noise floor: with 3 passes one co-tenant
