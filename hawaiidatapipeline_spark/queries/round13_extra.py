@@ -1195,3 +1195,227 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+# ------------------------------------------------ classifier AUC
+
+
+@q(
+    "llm_classifier_auc",
+    None,  # oracle assigned below (shares the unrolled training CTEs)
+)
+def llm_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC of the trained quality classifier — the evaluation a
+    gate ships with: AUC = P(score_pos > score_neg) computed from RANK
+    statistics (AUC = (R_pos − n1(n1+1)/2) / (n1·n0), the Mann-Whitney
+    identity), tie-aware via the doubled-average-rank trick
+    (2·avg_rank = 2·#below + #tied + 1, always an integer) so the whole
+    statistic is exact integer arithmetic; the final ratio floors to
+    micro units in DECIMAL(38,0)/HUGEINT. Ranks come from
+    ``operators/ranks.doubled_avg_rank_map`` — the distributed rank map,
+    NO single-partition window over doc-grain rows (the spearman
+    discipline). Gini = 2·AUC − 1 derives from the floored AUC on both
+    engines. Output: one row (n_pos, n_neg, auc_micro, gini_micro)."""
+    from hawaiidatapipeline_spark.operators.ranks import doubled_avg_rank_map
+    from hawaiidatapipeline_spark.queries.round12_extra import _qc_train
+
+    d = load_table(spark, sf_dir, "documents")
+    dense, lab, _, w, _ = _qc_train(spark, d)
+    sf = (
+        dense.join(F.broadcast(w), "f")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("v") * F.col("w")).cast("long").alias("s"))
+    )
+    scored = materialize(sf.join(lab.select("doc_id", "y"), "doc_id"))
+    rmap = doubled_avg_rank_map(scored, "s", out="dbl")
+    dec = "decimal(38,0)"
+    agg = (
+        scored.join(rmap, "s")
+        .agg(
+            F.sum(F.col("y")).cast("long").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("y")).cast("long").alias("n_neg"),
+            F.sum(F.when(F.col("y") == 1, F.col("dbl")).otherwise(0))
+            .cast("long")
+            .alias("r2"),
+        )
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            f"CAST((CAST(r2 - n_pos * (n_pos + 1) AS {dec}) * 1000000) "
+            f"div (CAST(2 AS {dec}) * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_micro"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "auc_micro",
+        (2 * F.col("auc_micro") - 1000000).cast("long").alias("gini_micro"),
+    )
+
+
+def _auc_sql() -> str:
+    from hawaiidatapipeline_spark.queries.round12_extra import _qc_sql_parts, _QC_ROUNDS
+
+    return f"""WITH {_qc_sql_parts()},
+sf AS (SELECT d.doc_id, sum(d.v * w.w)::BIGINT AS s
+       FROM dense d JOIN w{_QC_ROUNDS} w ON w.f = d.f GROUP BY 1),
+scored AS (SELECT s.doc_id, s.s, l.y FROM sf s JOIN lab l USING (doc_id)),
+vals AS (SELECT s, count(*)::BIGINT AS n FROM scored GROUP BY s),
+rmap AS (
+  SELECT s, (2 * (sum(n) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+             + n + 1)::BIGINT AS dbl
+  FROM vals),
+agg AS (
+  SELECT sum(sc.y)::BIGINT AS n_pos,
+         sum(1 - sc.y)::BIGINT AS n_neg,
+         sum(CASE WHEN sc.y = 1 THEN r.dbl ELSE 0 END)::BIGINT AS r2
+  FROM scored sc JOIN rmap r USING (s)),
+auc AS (
+  SELECT n_pos, n_neg,
+         (((r2 - n_pos * (n_pos + 1))::HUGEINT * 1000000)
+          // (2::HUGEINT * n_pos * n_neg))::BIGINT AS auc_micro
+  FROM agg)
+SELECT n_pos, n_neg, auc_micro,
+       (2 * auc_micro - 1000000)::BIGINT AS gini_micro
+FROM auc"""
+
+
+ORACLES["llm_classifier_auc"] = _auc_sql()
+
+
+# ------------------------------------------- cluster pruning plan
+
+_CP_SRP_BITS = 16
+_CP_TARGET = 128  # ~docs per SRP cluster at any corpus size
+_CP_PRUNE_DEN = 4  # prune the bottom quarter of clusters by mean quality
+
+
+@q(
+    "llm_cluster_prune_plan",
+    f"""WITH qv AS (
+  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+         round(unnest(embedding) * 1000)::BIGINT AS q
+  FROM embeddings),
+nrm AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+mp AS (SELECT greatest(1, ceil(n / {_CP_TARGET}.0))::BIGINT AS m FROM nrm),
+sproj AS (
+  SELECT j.j, d.d,
+         CASE WHEN ('0x' || substring(md5('srp:' || j.j::VARCHAR
+                     || ':' || d.d::VARCHAR), 1, 15))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS r
+  FROM (SELECT unnest(generate_series(0, {_CP_SRP_BITS - 1})) AS j) j,
+       (SELECT unnest(generate_series(0, 63)) AS d) d),
+sdots AS (SELECT v.vec_id, p.j, sum(v.q * p.r)::BIGINT AS dot
+          FROM qv v JOIN sproj p ON p.d = v.d GROUP BY 1, 2),
+ssig AS (SELECT vec_id,
+                sum(CASE WHEN dot > 0
+                         THEN power(2, j)::BIGINT ELSE 0 END)::BIGINT AS sig
+         FROM sdots GROUP BY 1),
+clus AS (SELECT vec_id, sig % (SELECT m FROM mp) AS cluster FROM ssig),
+docq AS (
+  SELECT doc_id,
+         (1000 * len(list_distinct(string_split(lower(text), ' ')))
+          // len(string_split(text, ' ')))::BIGINT AS q_milli
+  FROM documents),
+cq AS (
+  SELECT c.cluster, count(*)::BIGINT AS n_docs,
+         (sum(d.q_milli) // count(*))::BIGINT AS mean_q_milli
+  FROM clus c JOIN docq d ON d.doc_id = c.vec_id
+  GROUP BY c.cluster),
+k AS (SELECT greatest(1, count(*) // {_CP_PRUNE_DEN})::BIGINT AS k FROM cq),
+ranked AS (
+  SELECT cluster, n_docs, mean_q_milli,
+         row_number() OVER (ORDER BY mean_q_milli, cluster) AS rn
+  FROM cq)
+SELECT cluster, n_docs, mean_q_milli
+FROM ranked, k WHERE rn <= k.k
+ORDER BY mean_q_milli, cluster""",
+)
+def llm_cluster_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level corpus pruning (the MiniPile / SSL-prototypes
+    recipe, Sorscher et al.'s beyond-neural-scaling pruning at cluster
+    grain): embeddings cluster by a corpus-scaled SRP signature
+    (16-bit cosine-LSH mod m = ceil(N/128) — the SemDeDup bucketing
+    family, ~128 docs per cluster at ANY corpus size); each cluster's
+    mean document quality (distinct-token ratio, exact milli) ranks it,
+    and the bottom quarter of clusters is the PRUNE PLAN — dropping
+    whole low-quality clusters removes boilerplate/spam neighborhoods
+    that per-document gates see only one doc at a time. Spark avoids
+    any global window: the pruned set IS the TakeOrdered bottom-k under
+    the (mean_q, cluster) total order with k computed from the
+    cluster count (constant-grain scalar). Scale: SRP signatures are
+    one 16×d broadcast + per-vector fold; cluster grain is N/128
+    rows."""
+    import math
+
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    n = e.count()
+    m = max(1, math.ceil(n / _CP_TARGET))
+    qv = e.select("vec_id", F.posexplode("embedding").alias("d", "x")).select(
+        "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+    )
+    spark_proj = (
+        spark.range(_CP_SRP_BITS)
+        .select(F.col("id").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("d")))
+        .select(
+            "j",
+            "d",
+            F.when(
+                portable_hash64(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("d").cast("string"),
+                    ),
+                    "srp",
+                )
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("r"),
+        )
+    )
+    sdots = (
+        qv.join(F.broadcast(spark_proj), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("q") * F.col("r")).cast("long").alias("dot"))
+    )
+    ssig = sdots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("sig")
+    )
+    clus = ssig.select("vec_id", (F.col("sig") % m).alias("cluster"))
+    docq = d.select(
+        F.col("doc_id"),
+        F.expr(
+            "CAST(1000 * size(array_distinct(split(lower(text), ' '))) "
+            "div size(split(text, ' ')) AS BIGINT)"
+        ).alias("q_milli"),
+    )
+    cq = materialize(
+        clus.join(docq, clus["vec_id"] == docq["doc_id"])
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(q_milli) div count(*)").alias("mean_q_milli"),
+        )
+    )
+    k = max(1, cq.count() // _CP_PRUNE_DEN)
+    return (
+        cq.orderBy("mean_q_milli", "cluster")
+        .limit(k)
+        .select("cluster", "n_docs", "mean_q_milli")
+        .orderBy("mean_q_milli", "cluster")
+    )

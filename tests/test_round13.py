@@ -224,3 +224,27 @@ def test_scene_cuts_detect_channel_wraps(spark):
             assert r.first_cut_frame == -1
         else:
             assert 1 <= r.first_cut_frame <= r.n_pairs
+
+
+def test_classifier_auc_beats_chance_and_matches_accuracy_story(spark):
+    """The round-12 classifier reaches 0.86 train accuracy on the
+    fixture, so its score AUC must be well above chance; bounds and the
+    Gini identity hold exactly."""
+    row = r13.llm_classifier_auc(spark, SF0001).collect()[0]
+    assert row.n_pos > 0 and row.n_neg > 0
+    assert 0 <= row.auc_micro <= 1_000_000
+    assert row.auc_micro > 600_000  # comfortably above chance
+    assert row.gini_micro == 2 * row.auc_micro - 1_000_000
+
+
+def test_cluster_prune_plan_is_bottom_quarter(spark):
+    import math
+
+    rows = r13.llm_cluster_prune_plan(spark, SF0001).collect()
+    e = load_table(spark, SF0001, "embeddings")
+    n = e.count()
+    n_clusters_max = max(1, math.ceil(n / r13._CP_TARGET))
+    assert 1 <= len(rows) <= max(1, n_clusters_max // r13._CP_PRUNE_DEN)
+    q = [r.mean_q_milli for r in rows]
+    assert q == sorted(q)  # ordered plan, worst first
+    assert all(r.n_docs > 0 for r in rows)

@@ -110,6 +110,8 @@ PROBES = [
     ("graph_betweenness_sampled", "Brandes sampled — per-level (seed,node) joins, seeds capped ~100"),
     ("llm_rho_loss_selection", "RHO-loss — two bigram models + term join, doc-grain aggs"),
     ("multimodal_scene_cuts", "RAWV decode + frame-pair deltas — map-only, one video-grain agg"),
+    ("llm_classifier_auc", "rank-map AUC — classifier train + value-grain rank join"),
+    ("llm_cluster_prune_plan", "SRP clusters + quality agg + bottom-k — cluster grain N/128"),
 ]
 
 
