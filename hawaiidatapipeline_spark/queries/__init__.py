@@ -59,6 +59,7 @@ _MODULES = (
     "round11_extra",
     "round12_extra",
     "round13_extra",
+    "round13b_extra",
     "selection_extra",
     "text_extra",
     "curation_extra",

@@ -1,0 +1,1022 @@
+"""Round-13 batch 6: privacy audit, theta-sketch set operations,
+weighted-reservoir mergeability, and Katz centrality (SURVEY.md §2).
+
+Four more gaps a production deployment hits:
+
+- **k-anonymity / l-diversity audit** (Sweeney 2002; Machanavajjhala
+  et al. 2006): before releasing a table, report every quasi-identifier
+  equivalence class with its k (class size) and l (distinct sensitive
+  values), plus whether one generalization step (nation → region)
+  rescues the at-risk classes — the privacy twin of `dq_column_masking`.
+- **Theta-sketch set operations** (Dasgupta et al. 2016, the
+  DataSketches theta family): KMV synopses support not just distinct
+  counts (`agg_distinct_kmv`) but set ALGEBRA — union / intersection /
+  a-not-b estimates from the k smallest hashes under a common theta.
+  That is the sketch a 100 TB audience-overlap query actually ships.
+- **Weighted-reservoir mergeability proof** (Efraimidis & Spirakis
+  2006, A-ES): weighted sampling without replacement via top-k by
+  u^(1/w) keys is a MERGEABLE sampler — per-shard top-k synopses union
+  + re-take-k to exactly the direct sample. The sampling twin of
+  `agg_kmv_merge_proof`.
+- **Katz centrality** (Katz 1953): attenuated walk-count centrality
+  over the part co-purchase graph — the damping-free complement of
+  `graph_pagerank_copurchase`, unrolled to 3 rounds in integer milli
+  fixed point so the oracle reproduces every score exactly.
+
+House determinism rules throughout: portable 60-bit md5 hashes, floor
+immediately after every transcendental, integer division for every
+rescale, identical aliases both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hawaiidatapipeline_spark.operators.materialize import materialize
+from hawaiidatapipeline_spark.queries._registry import new_module_registry
+from hawaiidatapipeline_spark.registry import load_table
+
+QUERIES, ORACLES, q = new_module_registry()
+
+# ------------------------------------------------- k-anonymity audit
+
+_KANON_K = 5  # release threshold: every QI class must have >= K rows
+
+
+@q(
+    "dq_k_anonymity",
+    f"""WITH sens AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         floor(c_acctbal / 1000.0)::BIGINT AS sbucket
+  FROM customer),
+cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         count(*)::BIGINT AS k,
+         count(DISTINCT sbucket)::BIGINT AS l_div
+  FROM sens GROUP BY 1, 2),
+gen AS (
+  SELECT n.n_regionkey, s.c_mktsegment, count(*)::BIGINT AS region_k
+  FROM sens s JOIN nation n ON n.n_nationkey = s.c_nationkey
+  GROUP BY 1, 2)
+SELECT c.c_nationkey, c.c_mktsegment, c.k, c.l_div,
+       CASE WHEN c.k < {_KANON_K} THEN 1 ELSE 0 END AS at_risk,
+       g.region_k,
+       CASE WHEN c.k >= {_KANON_K} OR g.region_k >= {_KANON_K}
+            THEN 1 ELSE 0 END AS releasable
+FROM cls c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN gen g ON g.n_regionkey = n.n_regionkey
+          AND g.c_mktsegment = c.c_mktsegment
+ORDER BY c.c_nationkey, c.c_mktsegment""",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit (Sweeney 2002;
+    Machanavajjhala et al. 2006). Quasi-identifier = (nation, market
+    segment); sensitive attribute = account-balance k$-bucket. Per QI
+    equivalence class: k (rows sharing the QI tuple — an attacker's
+    ambiguity set), l (distinct sensitive values — protection against
+    homogeneity attacks), the k < 5 at-risk flag, and whether ONE
+    generalization step up the nation → region hierarchy lifts the
+    class over the threshold (the first move of a Mondrian-style
+    generalizer). Scale: two partial-aggregated groupBys at QI grain
+    plus broadcast joins against the 25-row nation dim — class count is
+    bounded by the QI domain, never the row count."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    sens = c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("sbucket"),
+    )
+    cls = sens.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.countDistinct("sbucket").cast("long").alias("l_div"),
+    )
+    gen = (
+        sens.join(F.broadcast(n), sens.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("region_k"))
+    )
+    return (
+        cls.join(F.broadcast(n), cls.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(gen), ["n_regionkey", "c_mktsegment"])
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k",
+            "l_div",
+            F.when(F.col("k") < _KANON_K, 1).otherwise(0).alias("at_risk"),
+            "region_k",
+            F.when(
+                (F.col("k") >= _KANON_K) | (F.col("region_k") >= _KANON_K), 1
+            )
+            .otherwise(0)
+            .alias("releasable"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# ---------------------------------------- theta-sketch set operations
+
+_THETA_K = 64
+_THETA_SEED = 11
+_H_SPACE = 1152921504606846976  # 2^60, the portable-hash range
+
+
+def _theta_hash_sql(col: str, seed: int) -> str:
+    return (
+        f"('0x' || substring(md5('{seed}:' || {col}::VARCHAR), 1, 15))::BIGINT"
+    )
+
+
+@q(
+    "agg_theta_sketch_setops",
+    f"""WITH a_raw AS (
+  SELECT DISTINCT {_theta_hash_sql('o_custkey', _THETA_SEED)} AS h
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+b_raw AS (
+  SELECT DISTINCT {_theta_hash_sql('o_custkey', _THETA_SEED)} AS h
+  FROM orders WHERE o_totalprice > 250000),
+a_syn AS (SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM a_raw)
+  WHERE rn <= {_THETA_K}),
+b_syn AS (SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM b_raw)
+  WHERE rn <= {_THETA_K}),
+th AS (SELECT least(
+    (SELECT CASE WHEN count(*) < {_THETA_K} THEN {_H_SPACE}
+                 ELSE max(h) END FROM a_syn),
+    (SELECT CASE WHEN count(*) < {_THETA_K} THEN {_H_SPACE}
+                 ELSE max(h) END FROM b_syn)) AS theta),
+ra AS (SELECT h FROM a_syn, th WHERE h < theta),
+rb AS (SELECT h FROM b_syn, th WHERE h < theta),
+ops AS (
+  SELECT 'union' AS op, count(*)::BIGINT AS retained
+  FROM (SELECT h FROM ra UNION SELECT h FROM rb)
+  UNION ALL
+  SELECT 'intersect', count(*)::BIGINT
+  FROM (SELECT h FROM ra INTERSECT SELECT h FROM rb)
+  UNION ALL
+  SELECT 'a_not_b', count(*)::BIGINT
+  FROM (SELECT h FROM ra EXCEPT SELECT h FROM rb)),
+exact AS (
+  SELECT 'union' AS op, count(*)::BIGINT AS exact_distinct
+  FROM (SELECT h FROM a_raw UNION SELECT h FROM b_raw)
+  UNION ALL
+  SELECT 'intersect', count(*)::BIGINT
+  FROM (SELECT h FROM a_raw INTERSECT SELECT h FROM b_raw)
+  UNION ALL
+  SELECT 'a_not_b', count(*)::BIGINT
+  FROM (SELECT h FROM a_raw EXCEPT SELECT h FROM b_raw))
+SELECT o.op, o.retained, th.theta,
+       round(o.retained * {_H_SPACE}.0 / th.theta, 6) AS est_distinct,
+       e.exact_distinct
+FROM ops o JOIN exact e ON e.op = o.op CROSS JOIN th
+ORDER BY o.op""",
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (Dasgupta et al. 2016 — the Apache
+    DataSketches theta family): two audiences (customers with an
+    urgent/high-priority order; customers with a >250k order) are each
+    summarized by a k=64 KMV synopsis over the portable 60-bit hash;
+    theta = min of the two k-th hash values (2^60 when a set is exact);
+    every synopsis hash below theta is a uniform sample of the union
+    stream, so |union| ≈ retained·2^60/θ and the SAME retained sets
+    answer intersection and a-not-b — set algebra no single-pass distinct
+    count can do. Output per op: retained count, theta, the estimate, and
+    the exact cardinality (audit leg). Scale: per-set synopses are
+    bounded (k hashes) partial aggregates — the only thing that would
+    cross the wire at 100 TB; the exact leg is the fixture-side audit,
+    shed first at scale. Window tops run over distinct hashes only."""
+    o = load_table(spark, sf_dir, "orders")
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    def synopsis(raw: DataFrame) -> DataFrame:
+        w = Window.orderBy("h")
+        return (
+            raw.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _THETA_K)
+            .select("h")
+        )
+
+    a_raw = materialize(
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(
+            portable_hash64(
+                F.col("o_custkey").cast("string"), _THETA_SEED
+            ).alias("h")
+        )
+        .distinct()
+    )
+    b_raw = materialize(
+        o.filter(F.col("o_totalprice") > 250000)
+        .select(
+            portable_hash64(
+                F.col("o_custkey").cast("string"), _THETA_SEED
+            ).alias("h")
+        )
+        .distinct()
+    )
+    a_syn, b_syn = materialize(synopsis(a_raw)), materialize(synopsis(b_raw))
+
+    def kth(syn: DataFrame) -> DataFrame:
+        return syn.agg(
+            F.when(F.count(F.lit(1)) < _THETA_K, F.lit(_H_SPACE))
+            .otherwise(F.max("h"))
+            .cast("long")
+            .alias("t")
+        )
+
+    theta = materialize(
+        kth(a_syn)
+        .crossJoin(F.broadcast(kth(b_syn).withColumnRenamed("t", "t2")))
+        .select(F.least("t", "t2").alias("theta"))
+    )
+    ra = a_syn.crossJoin(F.broadcast(theta)).filter(
+        F.col("h") < F.col("theta")
+    ).select("h")
+    rb = b_syn.crossJoin(F.broadcast(theta)).filter(
+        F.col("h") < F.col("theta")
+    ).select("h")
+
+    def cnt(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count(F.lit(1)).cast("long").alias("retained"),
+        ).select("op", "retained")
+
+    ops = (
+        cnt(ra.union(rb).distinct(), "union")
+        .unionByName(cnt(ra.intersect(rb), "intersect"))
+        .unionByName(cnt(ra.exceptAll(rb).distinct(), "a_not_b"))
+    )
+    exact = (
+        cnt(a_raw.union(b_raw).distinct(), "union")
+        .unionByName(cnt(a_raw.intersect(b_raw), "intersect"))
+        .unionByName(cnt(a_raw.exceptAll(b_raw).distinct(), "a_not_b"))
+    ).withColumnRenamed("retained", "exact_distinct")
+    return (
+        ops.join(exact, "op")
+        .crossJoin(F.broadcast(theta))
+        .select(
+            "op",
+            "retained",
+            "theta",
+            F.round(
+                F.col("retained") * float(_H_SPACE) / F.col("theta"), 6
+            ).alias("est_distinct"),
+            "exact_distinct",
+        )
+        .orderBy("op")
+    )
+
+
+# ------------------------------- weighted-reservoir mergeability proof
+
+_RES_K = 32
+_RES_SHARDS = 32
+_RES_SEED = 13
+
+
+@q(
+    "sample_reservoir_merge_proof",
+    f"""WITH keyed AS (
+  SELECT o_orderkey,
+         o_orderkey % {_RES_SHARDS} AS shard,
+         (floor(-ln(({_theta_hash_sql('o_orderkey', _RES_SEED)} + 1)
+                    / {_H_SPACE}.0) * 1000000)::BIGINT * 1000000)
+           // greatest(1, floor(o_totalprice)::BIGINT) AS kv
+  FROM orders),
+shard_syn AS (
+  SELECT o_orderkey, kv FROM (
+    SELECT o_orderkey, kv,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY kv, o_orderkey) AS rn
+    FROM keyed)
+  WHERE rn <= {_RES_K}),
+merged AS (
+  SELECT o_orderkey, kv,
+         row_number() OVER (ORDER BY kv, o_orderkey) AS rn
+  FROM shard_syn QUALIFY rn <= {_RES_K}),
+direct AS (
+  SELECT o_orderkey, kv,
+         row_number() OVER (ORDER BY kv, o_orderkey) AS rn
+  FROM keyed QUALIFY rn <= {_RES_K})
+SELECT m.rn, m.o_orderkey, m.kv AS key_val,
+       CASE WHEN m.o_orderkey = d.o_orderkey
+             AND m.kv = d.kv THEN 1 ELSE 0 END AS match_direct
+FROM merged m JOIN direct d ON d.rn = m.rn
+ORDER BY m.rn""",
+)
+def sample_reservoir_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-reservoir MERGEABILITY proof (Efraimidis & Spirakis
+    2006, A-ES): sampling k orders without replacement with probability
+    ∝ o_totalprice is top-k by the key −ln(u)/w (u = uniform from the
+    portable hash, w = the weight) — and because top-k is a mergeable
+    synopsis, per-shard reservoirs (orderkey mod 32 — stand-in for
+    executor partials) union + re-take-k to EXACTLY the direct sample.
+    Key arithmetic is the house integer lane: floor(−ln(u)·1e6) then an
+    exact integer rescale-divide by w, ties broken by orderkey, so both
+    engines rank identically. Output: the merged reservoir's 32 rows
+    with a per-position match flag against the direct sample. Scale:
+    the per-shard top-k window partitions by shard (production swaps in
+    a bounded per-executor heap); the merge and the direct leg rank
+    ≤ shards·k and k rows — only synopses cross the wire."""
+    o = load_table(spark, sf_dir, "orders")
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    u = (
+        portable_hash64(F.col("o_orderkey").cast("string"), _RES_SEED)
+        + F.lit(1)
+    ) / F.lit(float(_H_SPACE))
+    keyed = materialize(
+        o.select(
+            "o_orderkey",
+            F.pmod(F.col("o_orderkey"), F.lit(_RES_SHARDS)).alias("shard"),
+            F.floor(-F.log(u) * 1000000).cast("long").alias("lkey"),
+            F.greatest(
+                F.lit(1), F.floor("o_totalprice").cast("long")
+            ).alias("w"),
+        ).select(
+            "o_orderkey",
+            "shard",
+            F.expr("(lkey * 1000000) div w").alias("kv"),
+        )
+    )
+    w_shard = Window.partitionBy("shard").orderBy("kv", "o_orderkey")
+    shard_syn = (
+        keyed.withColumn("rn", F.row_number().over(w_shard))
+        .filter(F.col("rn") <= _RES_K)
+        .select("o_orderkey", "kv")
+    )
+    w_all = Window.orderBy("kv", "o_orderkey")
+    merged = (
+        shard_syn.withColumn("rn", F.row_number().over(w_all))
+        .filter(F.col("rn") <= _RES_K)
+    )
+    # direct leg: sort+limit (TakeOrdered — no global window over the
+    # corpus), then rank the 32 survivors
+    direct = (
+        keyed.select("o_orderkey", "kv")
+        .orderBy("kv", "o_orderkey")
+        .limit(_RES_K)
+        .withColumn("rn", F.row_number().over(w_all))
+        .withColumnRenamed("o_orderkey", "d_orderkey")
+        .withColumnRenamed("kv", "d_kv")
+    )
+    return (
+        merged.join(direct, "rn")
+        .select(
+            "rn",
+            "o_orderkey",
+            F.col("kv").alias("key_val"),
+            F.when(
+                (F.col("o_orderkey") == F.col("d_orderkey"))
+                & (F.col("kv") == F.col("d_kv")),
+                1,
+            )
+            .otherwise(0)
+            .alias("match_direct"),
+        )
+        .orderBy("rn")
+    )
+
+
+# ---------------------------------------------------- Katz centrality
+
+_KATZ_ROUNDS = 3  # walk lengths 1..3, attenuation alpha = 1/4
+
+
+def _katz_sql() -> str:
+    step = """x{i} AS (
+       SELECT n.node, (coalesce(s.t, 0) // 4)::BIGINT AS x
+       FROM nodes n LEFT JOIN (
+         SELECT e.dst AS node, sum(x{p}.x)::BIGINT AS t
+         FROM x{p} JOIN cop e ON x{p}.node = e.src
+         GROUP BY e.dst) s ON s.node = n.node)"""
+    steps = ",\n       ".join(
+        step.format(i=i, p=i - 1) for i in range(1, _KATZ_ROUNDS + 1)
+    )
+    parts = " + ".join(f"x{i}.x" for i in range(1, _KATZ_ROUNDS + 1))
+    joins = " ".join(
+        f"JOIN x{i} ON x{i}.node = x1.node"
+        for i in range(2, _KATZ_ROUNDS + 1)
+    )
+    return f"""WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 64),
+       cop AS (
+         SELECT a.l_partkey AS src, b.l_partkey AS dst
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       nodes AS (SELECT DISTINCT src AS node FROM cop),
+       x0 AS (SELECT node, 1000::BIGINT AS x FROM nodes),
+       {steps}
+       SELECT x1.node, ({parts})::BIGINT AS katz_milli
+       FROM x1 {joins}
+       ORDER BY x1.node"""
+
+
+@q("graph_katz_centrality", _katz_sql())
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (Katz 1953): Σ_{l=1..3} α^l · (walks of length l
+    ending at the node), α = 1/4, over the part co-purchase graph — the
+    attenuated-walk complement of `graph_pagerank_copurchase` (no degree
+    normalization, no damping mass) and of `graph_harmonic_centrality`
+    (walks, not shortest paths). Integer milli fixed point: x0 = 1000,
+    each round x_i(n) = (Σ_{src→n} x_{i−1}(src)) // 4 — floor-divide is
+    the attenuation, so the oracle unrolls the rounds as CTEs and
+    reproduces every score exactly. Per round: one join + one
+    partial-aggregated groupBy at edge grain, materialized so the plan
+    never deepens — the same O(rounds) linear-shuffle budget as
+    PageRank. Scale: edge-grain shuffles only; no global state."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = materialize(copurchase_edges(li, directed=True))
+    nodes = materialize(
+        edges.select(F.col("src").alias("node")).distinct()
+    )
+    x = nodes.select("node", F.lit(1000).cast("long").alias("x"))
+    acc = None
+    for _ in range(_KATZ_ROUNDS):
+        inn = (
+            x.join(edges, x.node == edges.src)
+            .groupBy("dst")
+            .agg(F.sum("x").cast("long").alias("t"))
+        )
+        x = materialize(
+            nodes.join(inn, nodes.node == inn.dst, "left").select(
+                "node",
+                F.expr("coalesce(t, 0) div 4").cast("long").alias("x"),
+            )
+        )
+        acc = x if acc is None else materialize(
+            acc.withColumnRenamed("x", "a")
+            .join(x, "node")
+            .select("node", (F.col("a") + F.col("x")).alias("x"))
+        )
+    return acc.select(
+        "node", F.col("x").cast("long").alias("katz_milli")
+    ).orderBy("node")
+
+
+# ------------------------------------- gradient-alignment influence
+
+_INFL_VAL_MOD = 7  # doc_id % 7 == 0 is the held-out validation slice
+_INFL_SCALE = 1000000000000  # output = raw influence // 1e12
+_INFL_TOPK = 20
+
+
+def _influence_sql() -> str:
+    from hawaiidatapipeline_spark.queries.round12_extra import (
+        _QC_ROUNDS,
+        _qc_sql_parts,
+    )
+
+    r = _QC_ROUNDS
+    return f"""WITH {_qc_sql_parts()},
+sfin AS (SELECT d.doc_id, sum(d.v * w.w)::BIGINT AS s
+         FROM dense d JOIN w{r} w ON w.f = d.f GROUP BY 1),
+rfin AS (SELECT s.doc_id,
+                (l.y * 1000000
+                 - floor(1000000.0
+                         / (1.0 + exp(-(s.s / 1000000000.0)))))::BIGINT
+                  AS resid
+         FROM sfin s JOIN lab l ON l.doc_id = s.doc_id),
+gv AS (SELECT d.f, sum(r.resid::HUGEINT * d.v) AS g
+       FROM dense d JOIN rfin r ON r.doc_id = d.doc_id
+       WHERE d.doc_id % {_INFL_VAL_MOD} = 0 GROUP BY 1),
+dot AS (SELECT d.doc_id, sum(d.v::HUGEINT * g.g) AS dp
+        FROM dense d JOIN gv g ON g.f = d.f
+        WHERE d.doc_id % {_INFL_VAL_MOD} <> 0 GROUP BY 1),
+infl AS (SELECT t.doc_id,
+                ((r.resid::HUGEINT * t.dp) // {_INFL_SCALE})::BIGINT
+                  AS influence_e12
+         FROM dot t JOIN rfin r ON r.doc_id = t.doc_id)
+SELECT doc_id, influence_e12 FROM infl
+ORDER BY influence_e12 DESC, doc_id LIMIT {_INFL_TOPK}"""
+
+
+@q("llm_influence_proxy", _influence_sql())
+def llm_influence_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-alignment data attribution (TracIn / TRAK-lite — Pruthi
+    et al. 2020): after the quality classifier trains
+    (``llm_quality_classifier_train``'s exact GD arithmetic, reused),
+    each training document's influence on a held-out validation slice is
+    the dot product of its per-example logistic gradient resid_i·x_i
+    with the validation-set gradient Σ_{v∈V} resid_v·x_v. Positive
+    influence = this document pushes the model the way the validation
+    slice wants — the ranking that drives gradient-based data selection
+    and poisoned-example triage. Arithmetic: residuals in micro units,
+    features in centered milli units, all products in
+    DECIMAL(38,0)/HUGEINT (int64 wraps at corpus scale), truncating
+    divide (both engines round toward zero) down to e12 units. Output:
+    top-20 training docs by influence. Scale: the val gradient is a
+    B+1-row broadcast; influence is ONE linear pass over the docs×B
+    dense frame — same economics as a GD round."""
+    from hawaiidatapipeline_spark.queries.round12_extra import _qc_train
+
+    d = load_table(spark, sf_dir, "documents")
+    dense, lab, n, w, _scores = _qc_train(spark, d)
+    sfin = dense.join(F.broadcast(w), "f").groupBy("doc_id").agg(
+        F.sum(F.col("v") * F.col("w")).cast("long").alias("s")
+    )
+    rfin = materialize(
+        sfin.join(lab, "doc_id").select(
+            "doc_id",
+            (
+                F.col("y") * 1000000
+                - F.floor(
+                    1000000.0 / (1.0 + F.exp(-(F.col("s") / 1000000000.0)))
+                )
+            )
+            .cast("long")
+            .alias("resid"),
+        )
+    )
+    wide = "decimal(38,0)"
+    gv = (
+        dense.filter(F.col("doc_id") % _INFL_VAL_MOD == 0)
+        .join(rfin, "doc_id")
+        .groupBy("f")
+        .agg(
+            F.sum(F.col("resid").cast(wide) * F.col("v")).alias("g")
+        )
+    )
+    dot = (
+        dense.filter(F.col("doc_id") % _INFL_VAL_MOD != 0)
+        .join(F.broadcast(gv), "f")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("v").cast(wide) * F.col("g")).alias("dp"))
+    )
+    return (
+        dot.join(rfin, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(f"cast(resid as {wide}) * dp div {_INFL_SCALE}")
+            .cast("long")
+            .alias("influence_e12"),
+        )
+        .orderBy(F.desc("influence_e12"), "doc_id")
+        .limit(_INFL_TOPK)
+    )
+
+
+# --------------------------------------- JL projection distortion audit
+
+_JL_M = 16  # projected dimensionality
+_JL_SEED = 17
+
+
+@q(
+    "emb_jl_distortion",
+    f"""WITH qv AS (
+  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+         round(unnest(embedding) * 1000)::BIGINT AS q
+  FROM embeddings),
+dims AS (SELECT DISTINCT d FROM qv),
+signs AS (
+  SELECT j.j, dims.d,
+         CASE WHEN ('0x' || substring(md5('{_JL_SEED}:' || j.j || '|' || dims.d), 1, 15))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(generate_series(0, {_JL_M - 1})) AS j) j
+  CROSS JOIN dims),
+proj AS (
+  SELECT qv.vec_id, signs.j, sum(signs.s * qv.q)::BIGINT AS y
+  FROM qv JOIN signs ON signs.d = qv.d
+  GROUP BY 1, 2),
+probes AS (SELECT DISTINCT vec_id FROM qv
+           WHERE vec_id % (SELECT greatest(31, ceil(count(*) / 65.0))::BIGINT
+                           FROM embeddings) = 0),
+od AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         sum((a.q - b.q) * (a.q - b.q))::BIGINT AS d2
+  FROM qv a JOIN qv b ON b.d = a.d AND a.vec_id < b.vec_id
+  JOIN probes pa ON pa.vec_id = a.vec_id
+  JOIN probes pb ON pb.vec_id = b.vec_id
+  GROUP BY 1, 2),
+pd AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         sum((a.y - b.y) * (a.y - b.y))::BIGINT AS p2
+  FROM proj a JOIN proj b ON b.j = a.j AND a.vec_id < b.vec_id
+  JOIN probes pa ON pa.vec_id = a.vec_id
+  JOIN probes pb ON pb.vec_id = b.vec_id
+  GROUP BY 1, 2),
+dist AS (
+  SELECT od.va, od.vb,
+         ((pd.p2 * 1000) // ({_JL_M} * od.d2))::BIGINT AS distortion_milli
+  FROM od JOIN pd ON pd.va = od.va AND pd.vb = od.vb
+  WHERE od.d2 > 0)
+SELECT (distortion_milli // 250)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_pairs,
+       min(distortion_milli)::BIGINT AS min_milli,
+       max(distortion_milli)::BIGINT AS max_milli,
+       (sum(distortion_milli) // count(*))::BIGINT AS mean_milli
+FROM dist GROUP BY 1 ORDER BY 1""",
+)
+def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss distortion audit: project the milli-unit
+    vectors to m=16 dims with a Rademacher ±1 matrix (signs from the
+    portable hash of (j, d) — both engines rebuild the identical
+    matrix), then compare projected vs original squared distances on
+    the corpus-scaled probe pairs: distortion = ‖Pa−Pb‖²·1000 //
+    (m·‖a−b‖²), expectation 1000 by E[‖Px‖²] = m‖x‖². The histogram
+    (quarter-width buckets) is the go/no-go audit before shipping a
+    JL-compressed index — the dimensionality-reduction twin of
+    `emb_srp_buckets` (signs only) and `emb_pq_recall_report` (trained
+    codebooks, this key's untrained baseline). Integer-only: quantized
+    coordinates, exact int64 sums, one truncating divide. Scale: the
+    projection is a 16×d broadcast + per-vector fold (map-only);
+    distance legs are probe-pair grain (~2k pairs at ANY corpus size
+    via the stride)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+    from hawaiidatapipeline_spark.queries.emb_extra import _adc_stride
+
+    qv = materialize(
+        e.select(
+            "vec_id", F.posexplode("embedding").alias("d", "x")
+        ).select(
+            "vec_id",
+            "d",
+            F.round(F.col("x") * 1000).cast("long").alias("q"),
+        )
+    )
+    dims = qv.select("d").distinct()
+    signs = (
+        spark.range(_JL_M)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "j",
+            "d",
+            F.when(
+                F.pmod(
+                    portable_hash64(
+                        F.concat_ws(
+                            "|",
+                            F.col("j").cast("string"),
+                            F.col("d").cast("string"),
+                        ),
+                        _JL_SEED,
+                    ),
+                    F.lit(2),
+                )
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    proj = materialize(
+        qv.join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("q")).cast("long").alias("y"))
+    )
+    stride = _adc_stride(spark, sf_dir)
+    probes = materialize(
+        qv.select("vec_id").distinct().filter(F.col("vec_id") % stride == 0)
+    )
+
+    def pair_d2(df: DataFrame, dim: str, val: str, out: str) -> DataFrame:
+        a = df.join(probes, "vec_id").select(
+            F.col("vec_id").alias("va"), F.col(dim).alias("k"),
+            F.col(val).alias("xa"),
+        )
+        b = df.join(probes, "vec_id").select(
+            F.col("vec_id").alias("vb"), F.col(dim).alias("k"),
+            F.col(val).alias("xb"),
+        )
+        return (
+            a.join(b, "k")
+            .filter(F.col("va") < F.col("vb"))
+            .groupBy("va", "vb")
+            .agg(
+                F.sum(
+                    (F.col("xa") - F.col("xb"))
+                    * (F.col("xa") - F.col("xb"))
+                )
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    od = pair_d2(qv, "d", "q", "d2")
+    pd_ = pair_d2(proj, "j", "y", "p2")
+    dist = (
+        od.join(pd_, ["va", "vb"])
+        .filter(F.col("d2") > 0)
+        .select(
+            F.expr(f"(p2 * 1000) div ({_JL_M} * d2)")
+            .cast("long")
+            .alias("distortion_milli")
+        )
+    )
+    return (
+        dist.groupBy(
+            F.expr("distortion_milli div 250").cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("distortion_milli").cast("long").alias("min_milli"),
+            F.max("distortion_milli").cast("long").alias("max_milli"),
+            F.expr("sum(distortion_milli) div count(*)")
+            .cast("long")
+            .alias("mean_milli"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------- bitemporal corrections
+
+_BT_ASOF = "1998-01-01"  # transaction-time horizon for the as-of leg
+_BT_CORR_MOD = 10  # orders with key % 10 == 0 receive a late correction
+
+
+@q(
+    "etl_bitemporal_correction",
+    f"""WITH v1 AS (
+  SELECT o_orderkey, o_orderdate AS valid_ts, o_orderdate AS txn_ts,
+         floor(o_totalprice * 100)::BIGINT AS cents
+  FROM orders),
+v2 AS (
+  SELECT o_orderkey, o_orderdate AS valid_ts,
+         o_orderdate + INTERVAL 30 DAY AS txn_ts,
+         (floor(o_totalprice * 100)::BIGINT * 9) // 10 AS cents
+  FROM orders WHERE o_orderkey % {_BT_CORR_MOD} = 0),
+versions AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+asofv AS (
+  SELECT o_orderkey, valid_ts, cents FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY txn_ts DESC) AS rn
+    FROM versions WHERE txn_ts <= TIMESTAMP '{_BT_ASOF}')
+  WHERE rn = 1),
+now_v AS (
+  SELECT o_orderkey, valid_ts, cents FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY txn_ts DESC) AS rn
+    FROM versions)
+  WHERE rn = 1)
+SELECT date_trunc('month', a.valid_ts) AS order_month,
+       count(*)::BIGINT AS n_orders,
+       sum(a.cents)::BIGINT AS total_asof_cents,
+       sum(n.cents)::BIGINT AS total_now_cents,
+       sum(CASE WHEN a.cents <> n.cents THEN 1 ELSE 0 END)::BIGINT
+         AS n_restated
+FROM asofv a JOIN now_v n ON n.o_orderkey = a.o_orderkey
+GROUP BY 1 ORDER BY 1""",
+)
+def etl_bitemporal_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal restatement report (valid time × transaction time —
+    the Kimball/SQL:2011 bitemporal pattern `etl_scd2` covers only half
+    of): every order is a version at txn = order date; every tenth
+    order receives a −10% correction posted 30 days later. The report
+    answers the auditor's question 'what did we BELIEVE each month's
+    revenue was on 1998-01-01, and what do we believe NOW?' — as-of leg
+    filters versions to txn_ts ≤ horizon then takes the latest per
+    order; current leg takes the overall latest; restated = the rows
+    where the two disagree (corrections posted after the horizon).
+    Cents are exact integers (floor(price·100), −10% as ·9//10). Scale:
+    per-order version windows rank ≤ 2 rows per key (orderkey
+    partitioned); month rollup is a partial agg — the SCD2 shuffle
+    family."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    v1 = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_ts"),
+        F.col("o_orderdate").alias("txn_ts"),
+        cents.alias("cents"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % _BT_CORR_MOD == 0).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_ts"),
+        F.expr("o_orderdate + INTERVAL 30 DAYS").alias("txn_ts"),
+        F.expr(
+            "(cast(floor(o_totalprice * 100) as bigint) * 9) div 10"
+        ).alias("cents"),
+    )
+    versions = v1.unionByName(v2)
+    wv = Window.partitionBy("o_orderkey").orderBy(F.desc("txn_ts"))
+    asof = (
+        versions.filter(F.col("txn_ts") <= F.lit(_BT_ASOF).cast("timestamp"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "valid_ts", F.col("cents").alias("a_cents"))
+    )
+    now_v = (
+        versions.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", F.col("cents").alias("n_cents"))
+    )
+    return (
+        asof.join(now_v, "o_orderkey")
+        .groupBy(F.date_trunc("month", "valid_ts").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("a_cents").cast("long").alias("total_asof_cents"),
+            F.sum("n_cents").cast("long").alias("total_now_cents"),
+            F.sum(
+                F.when(F.col("a_cents") != F.col("n_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_restated"),
+        )
+        .orderBy("order_month")
+    )
+
+
+# -------------------------------------------------- IPW treatment effect
+
+_IPW_STRATA = 4
+_IPW_CLIP_LO = 25  # propensity clip (milli): [0.025, 0.975]
+_IPW_CLIP_HI = 975
+
+
+@q(
+    "events_ipw_ate",
+    f"""WITH per_user AS (
+  SELECT user_id, count(*)::BIGINT AS n_ev,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+           AS n_err,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN floor(value * 1000)::BIGINT ELSE 0 END)::BIGINT AS y
+  FROM events GROUP BY user_id),
+tot AS (SELECT count(*)::BIGINT AS nu, sum(n_err)::BIGINT AS te
+        FROM per_user),
+assigned AS (
+  SELECT p.*, CASE WHEN p.n_err * t.nu > t.te THEN 1 ELSE 0 END AS treat
+  FROM per_user p CROSS JOIN tot t),
+vals AS (SELECT n_ev, count(*)::BIGINT AS c FROM assigned GROUP BY n_ev),
+cum AS (SELECT n_ev,
+               sum(c) OVER (ORDER BY n_ev
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ::BIGINT AS cum_c,
+               sum(c) OVER ()::BIGINT AS n
+        FROM vals),
+strata AS (SELECT n_ev,
+                  least({_IPW_STRATA},
+                        ceil({_IPW_STRATA}.0 * cum_c / n))::BIGINT AS stratum
+           FROM cum),
+prop AS (
+  SELECT s.stratum,
+         greatest({_IPW_CLIP_LO},
+                  least({_IPW_CLIP_HI},
+                        (1000 * sum(a.treat)) // count(*)))::BIGINT AS p_milli
+  FROM assigned a JOIN strata s ON s.n_ev = a.n_ev
+  GROUP BY s.stratum),
+wtd AS (
+  SELECT a.treat, a.y,
+         CASE WHEN a.treat = 1 THEN 1000000 // p.p_milli
+              ELSE 1000000 // (1000 - p.p_milli) END AS w
+  FROM assigned a JOIN strata s ON s.n_ev = a.n_ev
+  JOIN prop p ON p.stratum = s.stratum)
+SELECT sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treated,
+       sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END)::BIGINT AS n_control,
+       (sum(CASE WHEN treat = 1 THEN w * y ELSE 0 END)
+        // sum(CASE WHEN treat = 1 THEN w ELSE 0 END))::BIGINT AS mu1_milli,
+       (sum(CASE WHEN treat = 0 THEN w * y ELSE 0 END)
+        // sum(CASE WHEN treat = 0 THEN w ELSE 0 END))::BIGINT AS mu0_milli,
+       (sum(CASE WHEN treat = 1 THEN w * y ELSE 0 END)
+        // sum(CASE WHEN treat = 1 THEN w ELSE 0 END)
+        - sum(CASE WHEN treat = 0 THEN w * y ELSE 0 END)
+        // sum(CASE WHEN treat = 0 THEN w ELSE 0 END))::BIGINT AS ate_milli
+FROM wtd""",
+)
+def events_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE (Horvitz–Thompson with Hájek
+    normalization): OBSERVATIONAL treatment (above-mean error count —
+    confounded with activity, unlike `events_stratified_ate`'s
+    hash-randomized variant), propensity estimated nonparametrically
+    per activity quartile (value-grain quantile assignment, ties
+    whole-bucket), clipped to [2.5%, 97.5%] (the standard positivity
+    trim), weights 1/p and 1/(1−p) in integer micro units, and the
+    Hájek ratio Σwy/Σw per arm in milli. One row: arm sizes, weighted
+    means, ATE. Scale: user-grain aggregation then constant-grain
+    stratum frames — the CUPED shuffle family; the quantile windows run
+    on the distinct-value frame, never the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_err"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1000).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("n_err").cast("long").alias("te"),
+    )
+    assigned = per_user.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.when(F.col("n_err") * F.col("nu") > F.col("te"), 1)
+        .otherwise(0)
+        .alias("treat"),
+    )
+    assigned = materialize(assigned)
+    vals = assigned.groupBy("n_ev").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = Window.orderBy("n_ev").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vals.select(
+        "n_ev",
+        F.sum("c").over(wcum).cast("long").alias("cum_c"),
+        F.sum("c")
+        .over(
+            Window.orderBy("n_ev").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    strata = cum.select(
+        "n_ev",
+        F.least(
+            F.lit(_IPW_STRATA),
+            F.ceil(_IPW_STRATA * F.col("cum_c") / F.col("n")),
+        )
+        .cast("long")
+        .alias("stratum"),
+    )
+    prop = (
+        assigned.join(F.broadcast(strata), "n_ev")
+        .groupBy("stratum")
+        .agg(
+            F.greatest(
+                F.lit(_IPW_CLIP_LO),
+                F.least(
+                    F.lit(_IPW_CLIP_HI),
+                    F.expr("(1000 * sum(treat)) div count(*)"),
+                ),
+            )
+            .cast("long")
+            .alias("p_milli")
+        )
+    )
+    wtd = (
+        assigned.join(F.broadcast(strata), "n_ev")
+        .join(F.broadcast(prop), "stratum")
+        .select(
+            "treat",
+            "y",
+            F.when(
+                F.col("treat") == 1,
+                F.expr("1000000 div p_milli"),
+            )
+            .otherwise(F.expr("1000000 div (1000 - p_milli)"))
+            .alias("w"),
+        )
+    )
+    t1 = F.when(F.col("treat") == 1, F.col("w") * F.col("y")).otherwise(0)
+    t0 = F.when(F.col("treat") == 0, F.col("w") * F.col("y")).otherwise(0)
+    w1 = F.when(F.col("treat") == 1, F.col("w")).otherwise(0)
+    w0 = F.when(F.col("treat") == 0, F.col("w")).otherwise(0)
+    return wtd.agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_treated"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_control"),
+        F.expr(
+            "sum(CASE WHEN treat = 1 THEN w * y ELSE 0 END)"
+            " div sum(CASE WHEN treat = 1 THEN w ELSE 0 END)"
+        )
+        .cast("long")
+        .alias("mu1_milli"),
+        F.expr(
+            "sum(CASE WHEN treat = 0 THEN w * y ELSE 0 END)"
+            " div sum(CASE WHEN treat = 0 THEN w ELSE 0 END)"
+        )
+        .cast("long")
+        .alias("mu0_milli"),
+        (
+            F.expr(
+                "sum(CASE WHEN treat = 1 THEN w * y ELSE 0 END)"
+                " div sum(CASE WHEN treat = 1 THEN w ELSE 0 END)"
+            )
+            - F.expr(
+                "sum(CASE WHEN treat = 0 THEN w * y ELSE 0 END)"
+                " div sum(CASE WHEN treat = 0 THEN w ELSE 0 END)"
+            )
+        )
+        .cast("long")
+        .alias("ate_milli"),
+    )
