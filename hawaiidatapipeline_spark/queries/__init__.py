@@ -86,26 +86,26 @@ _MODULES = (
 # tools/rotate_window.py with all CORRECTNESS_r*.json files — it rewrites
 # this tuple to fail-on-record keys first, then never-checked keys.
 #
-# Current window (tool-rewritten): 50 keys — 0 failed-to-reprove, 12 never-checked,
-# then the 38 stalest greens (earliest last-checked round first).
+# Current window (tool-rewritten): 50 keys — 0 failed-to-reprove, 20 never-checked,
+# then the 30 stalest greens (earliest last-checked round first).
 _FRONT: tuple[str, ...] = (
     'llm_unimax_allocation', 'llm_ccnet_buckets', 'llm_decontaminate_semantic',
     'emb_intrinsic_dim_twonn', 'emb_whitening_audit', 'emb_cosine_histogram',
     'llm_domain_cross_entropy', 'graph_betweenness_sampled', 'llm_rho_loss_selection',
     'multimodal_scene_cuts', 'llm_classifier_auc', 'llm_cluster_prune_plan',
-    'fn_explode', 'fn_hash', 'fn_geo_distance',
-    'fn_url_parse', 'fn_array_topk_struct', 'fn_null_semantics',
-    'stream_tumbling', 'stream_sliding', 'stream_session',
-    'stream_dedup', 'ts_resample', 'ts_fill_forward',
-    'llm_dedup_exact', 'llm_dedup_jaccard', 'llm_dedup_minhash',
-    'llm_dedup_jaccard_ngram', 'llm_dedup_embedding', 'llm_simhash_buckets',
-    'llm_cosine_topk', 'llm_cosine_ivf', 'llm_knn_label',
-    'llm_tfidf_topterms', 'llm_text_stats', 'llm_lang_id',
-    'llm_quality_score', 'llm_token_count_bpe', 'llm_fingerprint',
-    'multimodal_features', 'udf_python_scalar', 'udf_pandas_scalar',
-    'udf_grouped_map', 'udf_grouped_agg', 'udtf_python',
-    'scan_csv_roundtrip', 'scan_jsonlines', 'catalog_list',
-    'sink_parquet_partitioned', 'fn_money_decimal',
+    'dq_k_anonymity', 'agg_theta_sketch_setops', 'sample_reservoir_merge_proof',
+    'graph_katz_centrality', 'llm_influence_proxy', 'emb_jl_distortion',
+    'etl_bitemporal_correction', 'events_ipw_ate', 'fn_explode',
+    'fn_hash', 'fn_geo_distance', 'fn_url_parse',
+    'fn_array_topk_struct', 'fn_null_semantics', 'stream_tumbling',
+    'stream_sliding', 'stream_session', 'stream_dedup',
+    'ts_resample', 'ts_fill_forward', 'llm_dedup_exact',
+    'llm_dedup_jaccard', 'llm_dedup_minhash', 'llm_dedup_jaccard_ngram',
+    'llm_dedup_embedding', 'llm_simhash_buckets', 'llm_cosine_topk',
+    'llm_cosine_ivf', 'llm_knn_label', 'llm_tfidf_topterms',
+    'llm_text_stats', 'llm_lang_id', 'llm_quality_score',
+    'llm_token_count_bpe', 'llm_fingerprint', 'multimodal_features',
+    'udf_python_scalar', 'udf_pandas_scalar',
 )
 
 

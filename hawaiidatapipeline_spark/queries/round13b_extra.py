@@ -1020,3 +1020,397 @@ def events_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ate_milli"),
     )
+
+
+# ------------------------------------------------------ HITS hubs/auth
+
+_HITS_ROUNDS = 2
+
+
+def _hits_sql() -> str:
+    step = """a{i} AS (
+       SELECT n.node, coalesce(s.t, 0)::BIGINT AS raw
+       FROM nodes n LEFT JOIN (
+         SELECT e.dst AS node, sum(h{p}.x)::BIGINT AS t
+         FROM h{p} JOIN cop e ON h{p}.node = e.src GROUP BY e.dst) s
+         ON s.node = n.node),
+an{i} AS (SELECT node, (raw * 1000 // (SELECT max(raw) FROM a{i}))::BIGINT
+            AS x FROM a{i}),
+hr{i} AS (
+       SELECT n.node, coalesce(s.t, 0)::BIGINT AS raw
+       FROM nodes n LEFT JOIN (
+         SELECT e.src AS node, sum(an{i}.x)::BIGINT AS t
+         FROM an{i} JOIN cop e ON an{i}.node = e.dst GROUP BY e.src) s
+         ON s.node = n.node),
+h{i} AS (SELECT node, (raw * 1000 // (SELECT max(raw) FROM hr{i}))::BIGINT
+            AS x FROM hr{i})"""
+    steps = ",\n".join(
+        step.format(i=i, p=i - 1) for i in range(1, _HITS_ROUNDS + 1)
+    )
+    return f"""WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 64),
+       cop AS (
+         SELECT a.l_partkey AS src, b.l_partkey AS dst
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       nodes AS (SELECT DISTINCT src AS node FROM cop),
+       h0 AS (SELECT node, 1000::BIGINT AS x FROM nodes),
+       {steps}
+       SELECT h.node, h.x AS hub_milli, a.x AS auth_milli
+       FROM h{_HITS_ROUNDS} h JOIN an{_HITS_ROUNDS} a ON a.node = h.node
+       ORDER BY h.node"""
+
+
+@q("graph_hits_hubs_auth", _hits_sql())
+def graph_hits_hubs_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999), 2 synchronous rounds
+    over the part co-purchase graph: authority = Σ hub(in-neighbors),
+    hub = Σ authority(out-neighbors), each max-normalized to milli units
+    with an integer floor-divide — the mutual-reinforcement complement
+    of `graph_pagerank_copurchase` (one score) and
+    `graph_katz_centrality` (walk counts). Every score is oracle-exact:
+    normalization is raw·1000 // max(raw), a 1-row global agg broadcast
+    per half-round, so the CTE unroll reproduces the fixture bit for
+    bit. Scale: per half-round one edge-grain join + partial agg + a
+    1-row max — the PageRank shuffle family with one extra scalar
+    reduce."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = materialize(copurchase_edges(li, directed=True))
+    nodes = materialize(edges.select(F.col("src").alias("node")).distinct())
+
+    def normalize(raw: DataFrame) -> DataFrame:
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return materialize(
+            raw.crossJoin(F.broadcast(mx)).select(
+                "node", F.expr("raw * 1000 div mx").cast("long").alias("x")
+            )
+        )
+
+    h = nodes.select("node", F.lit(1000).cast("long").alias("x"))
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        a_raw = nodes.join(
+            h.join(edges, h.node == edges.src)
+            .groupBy("dst")
+            .agg(F.sum("x").cast("long").alias("t")),
+            nodes.node == F.col("dst"),
+            "left",
+        ).select("node", F.coalesce("t", F.lit(0)).cast("long").alias("raw"))
+        a = normalize(a_raw)
+        h_raw = nodes.join(
+            a.join(edges, a.node == edges.dst)
+            .groupBy("src")
+            .agg(F.sum("x").cast("long").alias("t")),
+            nodes.node == F.col("src"),
+            "left",
+        ).select("node", F.coalesce("t", F.lit(0)).cast("long").alias("raw"))
+        h = normalize(h_raw)
+    return (
+        h.withColumnRenamed("x", "hub_milli")
+        .join(a.withColumnRenamed("x", "auth_milli"), "node")
+        .select("node", "hub_milli", "auth_milli")
+        .orderBy("node")
+    )
+
+
+# ------------------------------------------- functional-dependency audit
+
+# candidate FDs: (table, determinant, dependent)
+_FD_CANDIDATES = (
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("customer", "c_custkey", "c_mktsegment"),
+)
+
+
+def _fd_sql() -> str:
+    legs = []
+    for tbl, a, b in _FD_CANDIDATES:
+        legs.append(f"""
+SELECT '{a}->{b}' AS fd,
+       sum(cnt)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN cnt > mx THEN 1 ELSE 0 END)::BIGINT AS violating_groups,
+       sum(cnt - mx)::BIGINT AS violation_rows,
+       ((sum(cnt - mx) * 1000) // sum(cnt))::BIGINT AS g3_milli,
+       CASE WHEN sum(cnt - mx) = 0 THEN 1 ELSE 0 END AS holds
+FROM (
+  SELECT {a}, sum(c)::BIGINT AS cnt, max(c)::BIGINT AS mx
+  FROM (SELECT {a}, {b}, count(*)::BIGINT AS c
+        FROM {tbl} GROUP BY 1, 2)
+  GROUP BY 1)""")
+    return " UNION ALL ".join(legs) + " ORDER BY fd"
+
+
+@q("dq_fd_discovery", _fd_sql())
+def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (Metanome/TANE-style g3 error,
+    Huhtala et al. 1999): for each candidate FD A→B, the g3 measure is
+    the fraction of rows that must be deleted for the dependency to
+    hold — per determinant value, every row outside the PLURALITY
+    dependent value is a violation. Reports row/group counts, violating
+    groups, exact violation rows, g3 in milli, and a holds flag — the
+    schema-discovery companion to `dq_candidate_keys` (single-column
+    uniqueness) and `dq_inclusion_dependencies` (cross-table
+    containment). Scale: per FD one (A,B)-grain partial-agg count, one
+    A-grain fold, one scalar reduce — three shuffles of strictly
+    shrinking grain, embarrassingly parallel across candidates."""
+    frames = []
+    for tbl, a, b in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        ab = t.groupBy(a, b).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        grp = ab.groupBy(a).agg(
+            F.sum("c").cast("long").alias("cnt"),
+            F.max("c").cast("long").alias("mx"),
+        )
+        frames.append(
+            grp.agg(
+                F.lit(f"{a}->{b}").alias("fd"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("cnt") > F.col("mx"), 1).otherwise(0))
+                .cast("long")
+                .alias("violating_groups"),
+                F.sum(F.col("cnt") - F.col("mx"))
+                .cast("long")
+                .alias("violation_rows"),
+                F.expr("(sum(cnt - mx) * 1000) div sum(cnt)")
+                .cast("long")
+                .alias("g3_milli"),
+                F.when(F.sum(F.col("cnt") - F.col("mx")) == 0, 1)
+                .otherwise(0)
+                .alias("holds"),
+            ).select(
+                "fd", "n_rows", "n_groups", "violating_groups",
+                "violation_rows", "g3_milli", "holds",
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("fd")
+
+
+# ------------------------------------------- sequential pattern pairs
+
+@q(
+    "mine_sequential_pairs",
+    """WITH ut AS (
+  SELECT user_id, event_type, min(ts) AS first_ts, max(ts) AS last_ts
+  FROM events GROUP BY 1, 2),
+base AS (SELECT event_type, count(*)::BIGINT AS users_with
+         FROM ut GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         count(*)::BIGINT AS support_users
+  FROM ut a JOIN ut b
+    ON b.user_id = a.user_id AND b.event_type <> a.event_type
+  WHERE a.first_ts < b.last_ts
+  GROUP BY 1, 2)
+SELECT p.antecedent, p.consequent, p.support_users,
+       ba.users_with AS users_with_a,
+       ((p.support_users * 1000) // ba.users_with)::BIGINT
+         AS confidence_milli,
+       bc.users_with AS users_with_b
+FROM pairs p
+JOIN base ba ON ba.event_type = p.antecedent
+JOIN base bc ON bc.event_type = p.consequent
+ORDER BY p.antecedent, p.consequent""",
+)
+def mine_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern pairs (the length-2 core of GSP/PrefixSpan —
+    Srikant & Agrawal 1996): for every ordered event-type pair A→B,
+    the users for whom SOME A event precedes SOME B event (min ts of A
+    < max ts of B — 'eventually followed', any gap), with sequence
+    confidence support/users(A). Distinct from `events_top_sequences`
+    (consecutive n-grams) and `events_transition_matrix` (Markov
+    next-step): this is the order-constrained co-occurrence miners run
+    before promoting a funnel hypothesis. Scale: one (user, type)-grain
+    partial agg (the only pass over raw events), then a per-user
+    type×type expansion bounded by |types|² per user, then type-grain
+    folds — the association-rules shuffle family with a time
+    constraint."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = materialize(
+        ev.groupBy("user_id", "event_type").agg(
+            F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+        )
+    )
+    base = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("users_with")
+    )
+    a = ut.select(
+        "user_id",
+        F.col("event_type").alias("antecedent"),
+        "first_ts",
+    )
+    b = ut.select(
+        "user_id",
+        F.col("event_type").alias("consequent"),
+        "last_ts",
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("antecedent") != F.col("consequent"))
+            & (F.col("first_ts") < F.col("last_ts"))
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("support_users"))
+    )
+    ba = base.select(
+        F.col("event_type").alias("antecedent"),
+        F.col("users_with").alias("users_with_a"),
+    )
+    bc = base.select(
+        F.col("event_type").alias("consequent"),
+        F.col("users_with").alias("users_with_b"),
+    )
+    return (
+        pairs.join(F.broadcast(ba), "antecedent")
+        .join(F.broadcast(bc), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "support_users",
+            "users_with_a",
+            F.expr("(support_users * 1000) div users_with_a")
+            .cast("long")
+            .alias("confidence_milli"),
+            "users_with_b",
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+# ------------------------------------------ STL-residual anomaly gate
+
+_STL_MAD_K = 29652  # 2 * 1.4826 in e4 units: |r|·1e4 > K·MAD flags
+
+
+@q(
+    "ts_stl_anomaly",
+    f"""WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         sum(round(value * 100)::BIGINT) AS cents
+  FROM events GROUP BY 1),
+tr AS (SELECT day, cents,
+              (epoch(day)::BIGINT // 86400) % 7 AS dow,
+              CASE WHEN count(*) OVER w = 7
+                   THEN round(sum(cents) OVER w / 700.0, 6) END AS trend
+       FROM daily
+       WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                    AND 3 FOLLOWING)),
+se AS (SELECT dow, round(avg(cents / 100.0 - trend), 6) AS seasonal
+       FROM tr WHERE trend IS NOT NULL GROUP BY dow),
+resid AS (
+  SELECT t.day,
+         round(t.cents / 100.0 - t.trend - s.seasonal, 6) AS residual,
+         abs(round((t.cents / 100.0 - t.trend - s.seasonal) * 1000000))
+           ::BIGINT AS r_micro
+  FROM tr t JOIN se s ON s.dow = t.dow
+  WHERE t.trend IS NOT NULL),
+mad AS (
+  SELECT r_micro AS mad_micro FROM (
+    SELECT r_micro, row_number() OVER (ORDER BY r_micro, day) AS rn,
+           count(*) OVER () AS n
+    FROM resid)
+  WHERE rn = (n + 1) // 2)
+SELECT r.day, r.residual,
+       ((r.r_micro * 1000) // greatest(1, m.mad_micro))::BIGINT
+         AS score_milli
+FROM resid r CROSS JOIN mad m
+WHERE r.r_micro * 10000 > {_STL_MAD_K} * m.mad_micro
+ORDER BY r.day""",
+)
+def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposition-residual anomaly gate: the `ts_seasonal_decompose`
+    residuals (daily value minus centered 7-day trend minus day-of-week
+    seasonal) screened by the robust MAD rule — flag days where
+    |residual| > 2·1.4826·MAD (robust z > 2; the fixture history is ~30
+    days, so the stricter 3σ gate fires on nothing — a real deployment
+    tunes K; MAD here
+    is the lower median of |residual| under a (value, day) total
+    order — an exact integer selection, not a percentile estimate).
+    The comparison runs entirely in integer micro units
+    (|r|·1e4 > 29652·MAD), so the flag set is hash-exact — no float
+    boundary ambiguity. Output: flagged days with residual and the
+    robust score in milli-MADs. Scale: day-grain pre-aggregation is
+    the only pass over raw events; the decomposition, the median rank,
+    and the gate all run on the bounded calendar-grain frame."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "cents",
+        (F.floor(F.unix_timestamp("day") / 86400) % 7).alias("dow"),
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.round(F.sum("cents").over(w) / 700.0, 6),
+        ).alias("trend"),
+    )
+    se = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.round(F.avg(F.col("cents") / 100.0 - F.col("trend")), 6).alias(
+                "seasonal"
+            )
+        )
+    )
+    resid = materialize(
+        tr.filter(F.col("trend").isNotNull())
+        .join(F.broadcast(se), "dow")
+        .select(
+            "day",
+            F.round(
+                F.col("cents") / 100.0 - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+            F.abs(
+                F.round(
+                    (
+                        F.col("cents") / 100.0
+                        - F.col("trend")
+                        - F.col("seasonal")
+                    )
+                    * 1000000
+                )
+            )
+            .cast("long")
+            .alias("r_micro"),
+        )
+    )
+    wr = Window.orderBy("r_micro", "day")
+    wn = Window.orderBy("r_micro", "day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mad = (
+        resid.select(
+            "r_micro",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("r_micro").alias("mad_micro"))
+    )
+    return (
+        resid.crossJoin(F.broadcast(mad))
+        .filter(
+            F.col("r_micro") * 10000 > F.lit(_STL_MAD_K) * F.col("mad_micro")
+        )
+        .select(
+            "day",
+            "residual",
+            F.expr("(r_micro * 1000) div greatest(1, mad_micro)")
+            .cast("long")
+            .alias("score_milli"),
+        )
+        .orderBy("day")
+    )

@@ -112,6 +112,19 @@ PROBES = [
     ("multimodal_scene_cuts", "RAWV decode + frame-pair deltas — map-only, one video-grain agg"),
     ("llm_classifier_auc", "rank-map AUC — classifier train + value-grain rank join"),
     ("llm_cluster_prune_plan", "SRP clusters + quality agg + bottom-k — cluster grain N/128"),
+    # round-13 batch 6-7 additions
+    ("dq_k_anonymity", "QI-grain aggs + broadcast nation dim — class count bounded by QI domain"),
+    ("agg_theta_sketch_setops", "two KMV synopses + bounded set ops; exact audit leg is the linear part"),
+    ("sample_reservoir_merge_proof", "per-shard top-k windows + bounded merge — linear scan, synopsis state"),
+    ("graph_katz_centrality", "3 attenuated-walk rounds — edge-grain join+agg per round"),
+    ("llm_influence_proxy", "classifier train + one linear influence pass over docs x B frame"),
+    ("emb_jl_distortion", "16xd broadcast projection fold + probe-pair distances via stride"),
+    ("etl_bitemporal_correction", "per-order <=2-row version windows + month rollup"),
+    ("events_ipw_ate", "user-grain agg + constant-grain strata — CUPED family"),
+    ("graph_hits_hubs_auth", "2 HITS rounds — edge join + partial agg + 1-row max per half-round"),
+    ("dq_fd_discovery", "5 FDs x (A,B)-grain count then A-grain fold — shrinking grains"),
+    ("mine_sequential_pairs", "(user,type) agg + bounded per-user type-pair expansion"),
+    ("ts_stl_anomaly", "day-grain pre-agg; decomposition + MAD gate on calendar frame"),
 ]
 
 
