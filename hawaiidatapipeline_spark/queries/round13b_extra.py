@@ -1414,3 +1414,292 @@ def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------- audio fingerprinting
+
+_AFP_FRAME = 160  # 20 ms at 8 kHz — shared with multimodal_audio_vad
+
+
+@q(
+    "multimodal_audio_fingerprint",
+    f"""WITH dims AS (
+  SELECT doc_id AS id, 800 + 8 * (doc_id % 100) AS n FROM documents),
+samples AS (
+  SELECT id, unnest(generate_series(0, n - 1)) AS i FROM dims),
+frames AS (
+  SELECT id, (i // {_AFP_FRAME})::INT AS f,
+         count(*)::BIGINT AS n_samples,
+         sum(((id + i) % 200 - 100) * ((id + i) % 200 - 100))::BIGINT
+           AS sum_sq
+  FROM samples GROUP BY 1, 2),
+full_f AS (SELECT * FROM frames WHERE n_samples = {_AFP_FRAME}),
+bits AS (
+  SELECT id, f - 1 AS k,
+         CASE WHEN sum_sq > lag(sum_sq) OVER (PARTITION BY id ORDER BY f)
+              THEN 1 ELSE 0 END AS bit
+  FROM full_f QUALIFY f > 0),
+fp AS (
+  SELECT id, count(*)::BIGINT AS n_bits,
+         sum(bit::BIGINT << k)::BIGINT AS fingerprint
+  FROM bits GROUP BY id),
+cl AS (SELECT fingerprint, count(*)::BIGINT AS cluster_n
+       FROM fp GROUP BY 1)
+SELECT f.id, f.n_bits, f.fingerprint, c.cluster_n
+FROM fp f JOIN cl c ON c.fingerprint = f.fingerprint
+ORDER BY f.id""",
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprinting (Chromaprint/Shazam-style energy-delta hash,
+    time-domain variant — spectral bands need an FFT library this
+    container lacks, and the docstring says so): REAL WAV decode →
+    20 ms frame energies (the `multimodal_audio_vad` front-end reused)
+    → one bit per consecutive FULL-frame pair (energy rose = 1) → the
+    bit vector packed into an integer fingerprint, then a
+    fingerprint-grain cluster count — the near-duplicate audio dedup
+    key (same pipeline position as `multimodal_image_dhash` for
+    images). Trailing partial frames are excluded so padding bugs
+    change n_bits and fail the hash. The closed-form synthetic corpus
+    lets the oracle recompute every frame energy. Shape: map-only
+    decode+energy, per-clip lag window over ≤10 frame rows, one
+    fingerprint-grain count — samples never shuffle."""
+    from hawaiidatapipeline_spark.sources.multimodal import (
+        audio_frame_energies,
+        synthetic_audio_blobs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = audio_frame_energies(synthetic_audio_blobs(d), frame=_AFP_FRAME)
+    full_f = frames.filter(F.col("n_samples") == _AFP_FRAME)
+    wf = Window.partitionBy("id").orderBy("f")
+    bits = (
+        full_f.withColumn("prev", F.lag("sum_sq").over(wf))
+        .filter(F.col("f") > 0)
+        .select(
+            "id",
+            (F.col("f") - 1).alias("k"),
+            F.when(F.col("sum_sq") > F.col("prev"), 1).otherwise(0).alias("bit"),
+        )
+    )
+    fp = bits.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bits"),
+        F.sum(F.expr("shiftleft(cast(bit as bigint), cast(k as int))"))
+        .cast("long")
+        .alias("fingerprint"),
+    )
+    cl = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_n")
+    )
+    return (
+        fp.join(F.broadcast(cl), "fingerprint")
+        .select("id", "n_bits", "fingerprint", "cluster_n")
+        .orderBy("id")
+    )
+
+
+# ------------------------------------------- Kneser-Ney bigram LM
+
+_KN_TOPK = 30  # report the 30 most frequent bigrams
+
+
+@q(
+    "llm_kneser_ney_bigram",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents),
+bg AS (
+  SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS c
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2),
+pre AS (SELECT w1, sum(c)::BIGINT AS cp,
+               count(*)::BIGINT AS n_after
+        FROM bg GROUP BY 1),
+cont AS (SELECT w2, count(*)::BIGINT AS n_before FROM bg GROUP BY 1),
+tt AS (SELECT count(*)::BIGINT AS t FROM bg)
+SELECT bg.w1, bg.w2, bg.c,
+       ((4 * bg.c - 3) * 1000000 // (4 * pre.cp))::BIGINT AS pmain_micro,
+       (3 * pre.n_after * 1000000 // (4 * pre.cp))::BIGINT AS lambda_micro,
+       (cont.n_before * 1000000 // tt.t)::BIGINT AS pcont_micro,
+       ((4 * bg.c - 3) * 1000000 // (4 * pre.cp)
+        + (3 * pre.n_after * 1000000 // (4 * pre.cp))
+          * (cont.n_before * 1000000 // tt.t) // 1000000)::BIGINT
+         AS p_kn_micro
+FROM bg JOIN pre ON pre.w1 = bg.w1
+        JOIN cont ON cont.w2 = bg.w2
+        CROSS JOIN tt
+ORDER BY bg.c DESC, bg.w1, bg.w2 LIMIT {_KN_TOPK}""",
+)
+def llm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1998 — the smoothing every n-gram-LM data-quality scorer
+    ships): P(w2|w1) = max(c−D,0)/c(w1·) + λ(w1)·Pcont(w2) with
+    absolute discount D = 0.75 and the CONTINUATION probability
+    Pcont(w2) = |distinct predecessors of w2| / |bigram types| — the
+    part `llm_trigram_backoff`'s count backoff misses (frequent-but-
+    predictable words get LOW continuation mass). All probabilities in
+    exact integer micro units: D = 3/4 enters as (4c−3)/(4·cp), λ as
+    3·n_after/(4·cp), one truncating divide per term. Output: the 30
+    most frequent bigrams with the full decomposition. Scale: one
+    token-grain self-join (the bigram-logprob shuffle family), then
+    three bigram-type-grain folds and a TakeOrdered top-k — model size
+    is type-grain, never corpus-grain."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    a = toks.select("doc_id", "pos", F.col("w").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+    )
+    bg = materialize(
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pre = bg.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("cp"),
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+    )
+    cont = bg.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    tt = bg.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    return (
+        bg.join(pre, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.expr("(4 * c - 3) * 1000000 div (4 * cp)")
+            .cast("long")
+            .alias("pmain_micro"),
+            F.expr("3 * n_after * 1000000 div (4 * cp)")
+            .cast("long")
+            .alias("lambda_micro"),
+            F.expr("n_before * 1000000 div t")
+            .cast("long")
+            .alias("pcont_micro"),
+            F.expr(
+                "(4 * c - 3) * 1000000 div (4 * cp)"
+                " + (3 * n_after * 1000000 div (4 * cp))"
+                "   * (n_before * 1000000 div t) div 1000000"
+            )
+            .cast("long")
+            .alias("p_kn_micro"),
+        )
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(_KN_TOPK)
+    )
+
+
+# --------------------------------------------- bitext mining margin
+
+_BITEXT_SRC = "en"
+_BITEXT_TGT = "de"
+_BITEXT_NN = 3
+_BITEXT_TOPK = 20
+
+
+def _bitext_sql() -> str:
+    from hawaiidatapipeline_spark.queries.emb_extra import (
+        _adc_stride_subquery,
+    )
+
+    return f"""WITH qv AS (
+  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+         round(unnest(embedding) * 1000)::BIGINT AS q
+  FROM embeddings),
+lv AS (SELECT e.vec_id, d.lang, qv.d, qv.q
+       FROM embeddings e
+       JOIN documents d ON d.doc_id = e.vec_id
+       JOIN qv ON qv.vec_id = e.vec_id),
+probes AS (SELECT DISTINCT vec_id FROM lv
+           WHERE lang = '{_BITEXT_SRC}'
+             AND vec_id % {_adc_stride_subquery()} = 0),
+dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.q * b.q)::BIGINT AS dp
+  FROM lv a JOIN probes p ON p.vec_id = a.vec_id
+  JOIN lv b ON b.d = a.d AND b.lang = '{_BITEXT_TGT}'
+  GROUP BY 1, 2),
+top3 AS (
+  SELECT va, dp, row_number() OVER (PARTITION BY va
+                                    ORDER BY dp DESC, vb) AS rn
+  FROM dots),
+denom AS (SELECT va, (sum(dp) // {_BITEXT_NN})::BIGINT AS avg3
+          FROM top3 WHERE rn <= {_BITEXT_NN} GROUP BY va),
+margin AS (
+  SELECT d.va, d.vb, d.dp,
+         ((d.dp * 1000) // greatest(1, dn.avg3))::BIGINT AS margin_milli
+  FROM dots d JOIN denom dn ON dn.va = d.va)
+SELECT va, vb, dp, margin_milli FROM margin
+ORDER BY margin_milli DESC, va, vb LIMIT {_BITEXT_TOPK}"""
+
+
+@q("llm_bitext_mining_margin", _bitext_sql())
+def llm_bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix parallel-corpus miner, adapted to the house integer
+    lane): for each corpus-scaled English probe vector, score every
+    German candidate by the RATIO of its dot product to the mean of the
+    probe's top-3 German dots — the margin criterion that suppresses
+    hubness (a candidate near everything scores ≈1000 milli, a true
+    translation stands out above it). Quantized milli coordinates,
+    exact int64 dots, truncating divides; top-20 mined pairs. The
+    forward-direction margin only (the full criterion averages both
+    directions — same shuffle shape twice). Scale: probes are held ~65
+    by the shared `_adc_stride`; candidates are one language shard; the
+    per-probe top-3 window ranks probe×candidate rows — the ADC search
+    economics."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    from hawaiidatapipeline_spark.queries.emb_extra import _adc_stride
+
+    qv = (
+        e.join(d, e.vec_id == d.doc_id)
+        .select(
+            "vec_id", "lang", F.posexplode("embedding").alias("dd", "x")
+        )
+        .select(
+            "vec_id",
+            "lang",
+            F.col("dd").alias("d"),
+            F.round(F.col("x") * 1000).cast("long").alias("q"),
+        )
+    )
+    qv = materialize(qv)
+    stride = _adc_stride(spark, sf_dir)
+    pa = qv.filter(
+        (F.col("lang") == _BITEXT_SRC) & (F.col("vec_id") % stride == 0)
+    ).select(F.col("vec_id").alias("va"), "d", F.col("q").alias("qa"))
+    pb = qv.filter(F.col("lang") == _BITEXT_TGT).select(
+        F.col("vec_id").alias("vb"), "d", F.col("q").alias("qb")
+    )
+    dots = materialize(
+        pa.join(pb, "d")
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("dp"))
+    )
+    w3 = Window.partitionBy("va").orderBy(F.desc("dp"), "vb")
+    denom = (
+        dots.withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") <= _BITEXT_NN)
+        .groupBy("va")
+        .agg(F.expr(f"sum(dp) div {_BITEXT_NN}").cast("long").alias("avg3"))
+    )
+    return (
+        dots.join(F.broadcast(denom), "va")
+        .select(
+            "va",
+            "vb",
+            "dp",
+            F.expr("(dp * 1000) div greatest(1, avg3)")
+            .cast("long")
+            .alias("margin_milli"),
+        )
+        .orderBy(F.desc("margin_milli"), "va", "vb")
+        .limit(_BITEXT_TOPK)
+    )

@@ -1512,3 +1512,152 @@ def kmv_estimates(synopsis: DataFrame, k: int = 32) -> DataFrame:
     return kth.select(
         F.col("w").alias("window_id"), est.alias("est_distinct")
     )
+
+
+def run_theta_sink(
+    orders: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    k: int = 64,
+    trigger: dict | None = None,
+):
+    """foreachBatch theta-sketch maintenance sink: each micro-batch of
+    orders contributes its per-AUDIENCE k-smallest distinct customer
+    hashes (audience 'a' = urgent/high priority, 'b' = totalprice >
+    250k — the `agg_theta_sketch_setops` audiences), merged into the
+    stored per-tag synopsis by union → distinct → re-take-k — the same
+    lossless KMV merge `agg_kmv_merge_proof` proves, so after the
+    stream drains the stored sketches equal the batch pass's and the
+    derived set-operation estimates match the checked batch twin row
+    for row (equivalence test #36). State: ≤ k hashes per audience at
+    any stream length; replayed batches re-union the same hashes
+    (idempotent, the merge-sink family's exactly-once shape). Set
+    algebra (union/intersection/a-not-b under a common theta) is
+    derived FROM the synopses at read time by :func:`theta_setops` —
+    the streaming answer to 'how big is the audience overlap' without
+    storing either audience."""
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    def synopsis(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        h = portable_hash64(F.col("o_custkey").cast("string"), 11)
+        tagged = (
+            df.select(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "a"
+                ).alias("tag"),
+                h.alias("h"),
+            )
+            .filter(F.col("tag").isNotNull())
+            .unionByName(
+                df.filter(F.col("o_totalprice") > 250000).select(
+                    F.lit("b").alias("tag"), h.alias("h")
+                )
+            )
+            .distinct()
+        )
+        wk = Window.partitionBy("tag").orderBy("h")
+        return (
+            tagged.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= k)
+            .select("tag", "h")
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_syn = synopsis(batch_df)
+        current = _read_state(spark, target_path, target_path + ".old")
+        if current is None:
+            merged_src = batch_syn
+        else:
+            merged_src = current.unionByName(batch_syn).distinct()
+        from pyspark.sql import Window
+
+        wk = Window.partitionBy("tag").orderBy("h")
+        merged = (
+            merged_src.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= k)
+            .select("tag", "h")
+        )
+        staged = merged.collect()  # tiny: <= k hashes per audience
+        import shutil
+        import uuid
+
+        tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
+        spark.createDataFrame(staged, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        old = target_path + ".old"
+        if os.path.exists(target_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(target_path, old)
+        os.replace(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        orders.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def theta_setops(synopsis: DataFrame, k: int = 64) -> DataFrame:
+    """Read-time theta set algebra over a stored per-tag synopsis
+    (tag, h): theta = min of per-tag k-th hashes (2^60 for short
+    synopses), retained = synopsis hashes below theta, then
+    union/intersection/a-not-b counts scaled by 2^60/theta — identical
+    arithmetic to the batch twin `agg_theta_sketch_setops` (minus its
+    exact-cardinality audit leg, which needs the raw stream)."""
+    from pyspark.sql import Window
+
+    H = 1152921504606846976
+    wk = Window.partitionBy("tag").orderBy("h")
+    wa = Window.partitionBy("tag")
+    ranked = synopsis.select(
+        "tag",
+        "h",
+        F.row_number().over(wk).alias("rn"),
+        F.count(F.lit(1)).over(wa).alias("nd"),
+    )
+    kth = (
+        ranked.filter(F.col("rn") == k)
+        .groupBy("tag")
+        .agg(F.max("h").alias("t"))
+    )
+    full = ranked.select("tag").distinct().join(kth, "tag", "left").select(
+        "tag", F.coalesce("t", F.lit(H)).cast("long").alias("t")
+    )
+    theta = full.agg(F.min("t").cast("long").alias("theta"))
+    r = (
+        ranked.crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .select("tag", "h")
+    )
+    ra = r.filter(F.col("tag") == "a").select("h")
+    rb = r.filter(F.col("tag") == "b").select("h")
+
+    def cnt(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count(F.lit(1)).cast("long").alias("retained"),
+        ).select("op", "retained")
+
+    ops = (
+        cnt(ra.union(rb).distinct(), "union")
+        .unionByName(cnt(ra.intersect(rb), "intersect"))
+        .unionByName(cnt(ra.exceptAll(rb).distinct(), "a_not_b"))
+    )
+    return (
+        ops.crossJoin(F.broadcast(theta))
+        .select(
+            "op",
+            "retained",
+            "theta",
+            F.round(
+                F.col("retained") * float(H) / F.col("theta"), 6
+            ).alias("est_distinct"),
+        )
+        .orderBy("op")
+    )

@@ -1245,3 +1245,29 @@ def test_cdc_apply_sink_equals_batch_twin(spark, tmp_path):
     assert _rows(state2.select(*cols2), cols2) == _rows(
         state.select(*cols2), cols2
     )
+
+
+def test_theta_sink_setops_equal_batch_twin(spark, tmp_path):
+    """Streaming theta-sketch maintenance (#36): per-micro-batch
+    per-audience k-smallest hashes merged by union+distinct+retake-k
+    must end at the same synopses a batch pass builds, so the derived
+    union/intersection/a-not-b estimates equal the checked batch twin
+    agg_theta_sketch_setops on (op, retained, theta, est_distinct)."""
+    from hawaiidatapipeline_spark.queries import round13b_extra
+
+    target = str(tmp_path / "theta_target")
+    ckpt = str(tmp_path / "theta_ckpt")
+    q = runtime.run_theta_sink(
+        runtime.stream_orders(spark, SF0001), target, ckpt, k=64
+    )
+    q.awaitTermination()
+    syn = spark.read.parquet(target)
+    got = runtime.theta_setops(syn, k=64)
+    want = round13b_extra.QUERIES["agg_theta_sketch_setops"](
+        spark, SF0001
+    ).select("op", "retained", "theta", "est_distinct")
+    cols = ["op", "retained", "theta", "est_distinct"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # state bound: at most k hashes per audience tag
+    per_tag = syn.groupBy("tag").count().collect()
+    assert all(r["count"] <= 64 for r in per_tag)

@@ -125,6 +125,9 @@ PROBES = [
     ("dq_fd_discovery", "5 FDs x (A,B)-grain count then A-grain fold — shrinking grains"),
     ("mine_sequential_pairs", "(user,type) agg + bounded per-user type-pair expansion"),
     ("ts_stl_anomaly", "day-grain pre-agg; decomposition + MAD gate on calendar frame"),
+    ("multimodal_audio_fingerprint", "map-only decode+energy, per-clip lag over <=10 frames"),
+    ("llm_kneser_ney_bigram", "token self-join + type-grain folds + TakeOrdered"),
+    ("llm_bitext_mining_margin", "strided probes x one lang shard — ADC economics"),
 ]
 
 
