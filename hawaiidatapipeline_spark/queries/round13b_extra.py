@@ -1703,3 +1703,415 @@ def llm_bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("margin_milli"), "va", "vb")
         .limit(_BITEXT_TOPK)
     )
+
+
+# ------------------------------------------- split-leakage audit
+
+def _split_leakage_sql() -> str:
+    ph = "('0x' || substring(md5('42:' || doc_id::VARCHAR), 1, 15))::BIGINT"
+    return f"""WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS f
+  FROM documents),
+cl AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS cluster_id,
+         count(*) OVER (PARTITION BY f) AS cn
+  FROM fp),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {ph} % 100 < 90 THEN 'train'
+              WHEN {ph} % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+mem AS (
+  SELECT c.cluster_id, c.doc_id, s.split
+  FROM cl c JOIN splits s ON s.doc_id = c.doc_id
+  WHERE c.cn > 1),
+canon AS (
+  SELECT cluster_id, split AS reassign_to FROM mem
+  WHERE doc_id = cluster_id),
+agg AS (
+  SELECT m.cluster_id,
+         count(*)::BIGINT AS n_docs,
+         count(DISTINCT m.split)::BIGINT AS n_splits,
+         string_agg(DISTINCT m.split, ',' ORDER BY m.split) AS split_list
+  FROM mem m GROUP BY 1)
+SELECT a.cluster_id, a.n_docs, a.n_splits, a.split_list, c.reassign_to,
+       (SELECT count(*) FROM mem m
+        WHERE m.cluster_id = a.cluster_id
+          AND m.split <> c.reassign_to)::BIGINT AS n_moved
+FROM agg a JOIN canon c ON c.cluster_id = a.cluster_id
+WHERE a.n_splits > 1
+ORDER BY a.cluster_id"""
+
+
+@q("llm_split_leakage_audit", _split_leakage_sql())
+def llm_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split-leakage audit — the check every eval
+    pipeline needs and most skip: a duplicate CLUSTER (8-token-prefix
+    fingerprint groups, the `llm_prefix_clusters` /
+    `llm_cross_lang_contamination` boilerplate-dup family) whose
+    members land in DIFFERENT splits of `llm_train_val_split`'s hash
+    assignment leaks training text into evaluation, inflating every
+    metric. Reports each straddling cluster with its split list and
+    the fix plan: reassign the whole cluster to its CANONICAL (min
+    doc_id) member's split — deterministic, so incremental appends
+    converge to the same assignment — with the move count. Scale: one
+    md5 per doc + one fingerprint-grain window + cluster-grain folds,
+    all map-side-combinable; swap in the MinHash-LSH cluster labels
+    for near-dup (vs prefix-dup) coverage, same audit shape."""
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+        ).alias("f"),
+    )
+    wf = Window.partitionBy("f")
+    labels = (
+        fp.select(
+            "doc_id",
+            F.min("doc_id").over(wf).alias("cluster_id"),
+            F.count(F.lit(1)).over(wf).alias("cn"),
+        )
+        .filter(F.col("cn") > 1)
+        .select("doc_id", "cluster_id")
+    )
+    bucket = F.pmod(
+        portable_hash64(F.col("doc_id").cast("string"), 42), F.lit(100)
+    )
+    splits = d.select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    mem = materialize(labels.join(splits, "doc_id"))
+    canon = mem.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "cluster_id", F.col("split").alias("reassign_to")
+    )
+    agg = mem.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("split").cast("long").alias("n_splits"),
+        F.array_join(F.array_sort(F.collect_set("split")), ",").alias(
+            "split_list"
+        ),
+    )
+    moved = (
+        mem.join(F.broadcast(canon), "cluster_id")
+        .filter(F.col("split") != F.col("reassign_to"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_moved"))
+    )
+    return (
+        agg.filter(F.col("n_splits") > 1)
+        .join(F.broadcast(canon), "cluster_id")
+        .join(F.broadcast(moved), "cluster_id")
+        .select(
+            "cluster_id", "n_docs", "n_splits", "split_list",
+            "reassign_to", "n_moved",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# --------------------------------------- manifest-based file pruning
+
+_MANIFEST_FILE_ROWS = 1000  # ingestion-batch file size (orderkeys per file)
+_MANIFEST_LO = "1997-01-01"
+_MANIFEST_HI = "1997-04-01"  # exclusive
+
+
+@q(
+    "layout_manifest_prune",
+    f"""WITH base AS (
+  SELECT o_orderkey, o_orderdate,
+         floor(o_totalprice * 100)::BIGINT AS cents,
+         o_orderkey // {_MANIFEST_FILE_ROWS} AS file_ing,
+         (row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1)
+           // {_MANIFEST_FILE_ROWS} AS file_sorted
+  FROM orders),
+layouts AS (
+  SELECT 'ingestion_order' AS layout, file_ing AS file_id, o_orderdate,
+         cents FROM base
+  UNION ALL
+  SELECT 'date_sorted', file_sorted, o_orderdate, cents FROM base),
+manifest AS (
+  SELECT layout, file_id, min(o_orderdate) AS lo, max(o_orderdate) AS hi,
+         count(*)::BIGINT AS rows_in_file
+  FROM layouts GROUP BY 1, 2),
+pruned AS (
+  SELECT layout,
+         count(*)::BIGINT AS total_files,
+         sum(CASE WHEN hi >= TIMESTAMP '{_MANIFEST_LO}'
+                   AND lo < TIMESTAMP '{_MANIFEST_HI}'
+                  THEN 1 ELSE 0 END)::BIGINT AS candidate_files,
+         sum(CASE WHEN hi >= TIMESTAMP '{_MANIFEST_LO}'
+                   AND lo < TIMESTAMP '{_MANIFEST_HI}'
+                  THEN rows_in_file ELSE 0 END)::BIGINT AS rows_scanned
+  FROM manifest GROUP BY 1),
+truth AS (
+  SELECT layout,
+         count(*)::BIGINT AS rows_matched,
+         sum(cents)::BIGINT AS revenue_cents
+  FROM layouts
+  WHERE o_orderdate >= TIMESTAMP '{_MANIFEST_LO}'
+    AND o_orderdate < TIMESTAMP '{_MANIFEST_HI}'
+  GROUP BY 1)
+SELECT p.layout, p.total_files, p.candidate_files, p.rows_scanned,
+       t.rows_matched, t.revenue_cents,
+       ((p.candidate_files * 1000) // p.total_files)::BIGINT
+         AS files_scanned_milli
+FROM pruned p JOIN truth t ON t.layout = p.layout
+ORDER BY p.layout""",
+)
+def layout_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based file pruning report (the Iceberg/Delta metadata
+    economics, measured — no table format ships in this container, so
+    the manifest is modeled as the per-file min/max stats table those
+    formats maintain; MIGRATION.md carries the environment note): files
+    are 1000-order ingestion batches; the manifest stores per-file
+    (min, max) order date; a Q1-1997 range query may skip every file
+    whose interval misses the range. Reported per LAYOUT — raw
+    ingestion order (dates scattered ⇒ ~every file is a candidate) vs
+    date-sorted rewrite (`layout_zorder_key`'s 1-D special case ⇒
+    candidates collapse to the range's share) — with identical
+    rows_matched/revenue in both (pruning is lossless; only
+    rows_scanned differs). The 100 TB lesson in one row pair: metadata
+    pruning is worth nothing without a clustering layout. Scale: the
+    manifest is file-grain; the sorted leg's rank is the one full
+    shuffle (a one-time layout rewrite in production)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    base = materialize(
+        o.select(
+            "o_orderkey",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr(f"o_orderkey div {_MANIFEST_FILE_ROWS}").alias("file_ing"),
+        ).withColumn(
+            "file_sorted",
+            F.expr(
+                f"(row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1)"
+                f" div {_MANIFEST_FILE_ROWS}"
+            ),
+        )
+    )
+    layouts = base.select(
+        F.lit("ingestion_order").alias("layout"),
+        F.col("file_ing").alias("file_id"),
+        "o_orderdate",
+        "cents",
+    ).unionByName(
+        base.select(
+            F.lit("date_sorted").alias("layout"),
+            F.col("file_sorted").alias("file_id"),
+            "o_orderdate",
+            "cents",
+        )
+    )
+    lo = F.lit(_MANIFEST_LO).cast("timestamp")
+    hi = F.lit(_MANIFEST_HI).cast("timestamp")
+    manifest = layouts.groupBy("layout", "file_id").agg(
+        F.min("o_orderdate").alias("lo"),
+        F.max("o_orderdate").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("rows_in_file"),
+    )
+    cand = (F.col("hi") >= lo) & (F.col("lo") < hi)
+    pruned = manifest.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("total_files"),
+        F.sum(F.when(cand, 1).otherwise(0))
+        .cast("long")
+        .alias("candidate_files"),
+        F.sum(F.when(cand, F.col("rows_in_file")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+    )
+    truth = (
+        layouts.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows_matched"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    return (
+        pruned.join(truth, "layout")
+        .select(
+            "layout", "total_files", "candidate_files", "rows_scanned",
+            "rows_matched", "revenue_cents",
+            F.expr("(candidate_files * 1000) div total_files")
+            .cast("long")
+            .alias("files_scanned_milli"),
+        )
+        .orderBy("layout")
+    )
+
+
+# ------------------------------------- char-entropy compressibility
+
+@q(
+    "llm_char_entropy_compressibility",
+    """WITH docs AS (
+  SELECT doc_id, source, lower(text) AS s FROM documents),
+grams AS (
+  SELECT doc_id, substring(s, CAST(i AS INT), 2) AS g
+  FROM (SELECT doc_id, s, unnest(generate_series(1, len(s) - 1)) AS i
+        FROM docs)),
+gc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM grams GROUP BY 1, 2),
+ent AS (
+  SELECT doc_id, sum(c)::BIGINT AS n,
+         (floor(ln(sum(c)) * 1000000)::BIGINT
+          - sum(c * floor(ln(c) * 1000000)::BIGINT)::BIGINT // sum(c))
+           ::BIGINT AS h_micro
+  FROM gc GROUP BY doc_id)
+SELECT d.source,
+       (e.h_micro // 250000)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs,
+       min(e.h_micro)::BIGINT AS min_h_micro,
+       max(e.h_micro)::BIGINT AS max_h_micro,
+       (sum(e.h_micro) // count(*))::BIGINT AS mean_h_micro
+FROM ent e JOIN docs d ON d.doc_id = e.doc_id
+GROUP BY 1, 2 ORDER BY source, bucket""",
+)
+def llm_char_entropy_compressibility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Character-bigram entropy as a compressibility quality signal (the
+    Shannon bound a gzip-ratio filter approximates — Gopher-style
+    pipelines drop both tails: near-zero entropy is boilerplate/repeated
+    padding, near-max is encrypted/binary junk): per document,
+    H = ln n − (Σ c·ln c)/n over char-bigram counts, floored to micro
+    nats after each ln (house transcendental rule), then a per-source
+    histogram in quarter-nat buckets with min/max/mean. Complements
+    `llm_repetition_filter` (token-level loops) and `llm_quality_score`
+    (surface ratios) with an encoding-level signal. Scale: one char-
+    bigram explode (the widest but purely map-side stage), one
+    (doc, gram) partial agg, doc-grain entropy, source-grain rollup —
+    strictly shrinking grains."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "source", F.lower("text").alias("s"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(s) - 1),"
+                   " i -> substring(s, i, 2))")
+        ).alias("g"),
+    )
+    gc = grams.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ent = gc.groupBy("doc_id").agg(
+        (
+            F.floor(F.log(F.sum("c")) * 1000000)
+            - F.expr(
+                "sum(c * cast(floor(ln(c) * 1000000) as bigint)) div sum(c)"
+            )
+        )
+        .cast("long")
+        .alias("h_micro")
+    )
+    return (
+        ent.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy(
+            "source",
+            F.expr("h_micro div 250000").cast("long").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("h_micro").cast("long").alias("min_h_micro"),
+            F.max("h_micro").cast("long").alias("max_h_micro"),
+            F.expr("sum(h_micro) div count(*)")
+            .cast("long")
+            .alias("mean_h_micro"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+# --------------------------------------------- video keyframe select
+
+from hawaiidatapipeline_spark.queries.round13_extra import (  # noqa: E402
+    _SCENE_CUT_PER_PX,
+)
+
+
+@q(
+    "multimodal_video_keyframes",
+    f"""WITH dims AS (
+  SELECT doc_id AS id, 3 + doc_id % 4 AS n FROM documents),
+pairs AS (
+  SELECT id, unnest(generate_series(1, n - 1)) AS f FROM dims),
+deltas AS (
+  SELECT id, f, 20::BIGINT AS n_pixels,
+         (20 * (abs((id + 11 * f) % 256 - (id + 11 * (f - 1)) % 256)
+              + abs((3 * id + 5 * f) % 256 - (3 * id + 5 * (f - 1)) % 256)
+              + abs((7 * id + f) % 256 - (7 * id + (f - 1)) % 256)))::BIGINT
+           AS delta_sum
+  FROM pairs),
+nf AS (SELECT id, count(*) + 1 AS n_frames FROM deltas GROUP BY id),
+starts AS (
+  SELECT id, 0 AS start FROM nf
+  UNION ALL
+  SELECT id, f FROM deltas
+  WHERE delta_sum > {_SCENE_CUT_PER_PX} * n_pixels),
+scenes AS (
+  SELECT s.id,
+         row_number() OVER (PARTITION BY s.id ORDER BY s.start) - 1
+           AS scene_no,
+         s.start AS keyframe_frame,
+         coalesce(lead(s.start) OVER (PARTITION BY s.id ORDER BY s.start),
+                  nf.n_frames) - s.start AS scene_len_frames
+  FROM starts s JOIN nf ON nf.id = s.id)
+SELECT id, scene_no, keyframe_frame, scene_len_frames::BIGINT
+         AS scene_len_frames
+FROM scenes ORDER BY id, scene_no""",
+)
+def multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection manifest — the artifact a video curation
+    pipeline hands to captioning/training after shot segmentation: each
+    scene (bounded by `multimodal_scene_cuts`' threshold on REAL
+    decoded frame deltas) contributes its FIRST frame as the keyframe,
+    with the scene length for coverage accounting. Frame counts come
+    from the decoded delta rows (n_pairs + 1), not trusted metadata, so
+    a truncated decode changes scene lengths and fails the hash. Shape:
+    map-only decode+delta, then per-video windows over ≤ n_frames
+    bounded rows (scene starts), one manifest row per scene — pixels
+    never shuffle; the policy threshold lives in the plan."""
+    from hawaiidatapipeline_spark.sources.multimodal import (
+        synthetic_video_blobs,
+        video_scene_deltas,
+    )
+    from hawaiidatapipeline_spark.queries.round13_extra import (
+        _SCENE_CUT_PER_PX as _CUT,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    deltas = materialize(video_scene_deltas(synthetic_video_blobs(d)))
+    nf = deltas.groupBy("id").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_frames")
+    )
+    starts = nf.select("id", F.lit(0).cast("long").alias("start")).unionByName(
+        deltas.filter(
+            F.col("delta_sum") > F.lit(_CUT) * F.col("n_pixels")
+        ).select("id", F.col("f").cast("long").alias("start"))
+    )
+    ws = Window.partitionBy("id").orderBy("start")
+    return (
+        starts.join(nf, "id")
+        .select(
+            "id",
+            (F.row_number().over(ws) - 1).cast("long").alias("scene_no"),
+            F.col("start").alias("keyframe_frame"),
+            (
+                F.coalesce(F.lead("start").over(ws), F.col("n_frames"))
+                - F.col("start")
+            )
+            .cast("long")
+            .alias("scene_len_frames"),
+        )
+        .orderBy("id", "scene_no")
+    )

@@ -38,6 +38,11 @@ PROBES = [
     ("events_sessionize_gap", "gap sessionization: ONE user_id shuffle for two windows + agg"),
     ("llm_dupspan_ngram", "4-gram dupspan: codegen gram expansion, shuffle = gram agg only"),
     ("scan_partition_pruned_agg", "partition pruning: input bytes ~ 2 of 5 partitions"),
+    ("llm_influence_proxy", "influence: val gradient = B+1-row broadcast; one linear pass over docs x B"),
+    ("agg_theta_sketch_setops", "theta set ops: synopsis legs bounded (k hashes); exact audit leg is the linear part"),
+    ("emb_jl_distortion", "JL audit: 16xd sign broadcast + per-vector fold; distances probe-pair grain"),
+    ("multimodal_audio_fingerprint", "audio fingerprint: map-only decode+energy, frame rows ~10/clip"),
+    ("llm_kneser_ney_bigram", "KN bigram LM: token self-join linear; model state type-grain"),
     # round-9 batch 7-15 scale-notable shapes
     ("events_pit_features", "PIT features: ONE user_id shuffle shared by all range windows"),
     ("emb_hamming_topk", "sign-signature scan: shuffle ~ 8-byte signatures, probes broadcast"),

@@ -128,6 +128,10 @@ PROBES = [
     ("multimodal_audio_fingerprint", "map-only decode+energy, per-clip lag over <=10 frames"),
     ("llm_kneser_ney_bigram", "token self-join + type-grain folds + TakeOrdered"),
     ("llm_bitext_mining_margin", "strided probes x one lang shard — ADC economics"),
+    ("llm_split_leakage_audit", "prefix-fingerprint clusters + split column — one md5 + fp-grain window"),
+    ("layout_manifest_prune", "file-grain manifest aggs; sorted-leg rank is the one full shuffle"),
+    ("llm_char_entropy_compressibility", "char-bigram explode -> doc -> source shrinking grains"),
+    ("multimodal_video_keyframes", "map-only decode+delta; per-video bounded windows"),
 ]
 
 
