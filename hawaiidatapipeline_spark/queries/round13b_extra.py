@@ -2115,3 +2115,290 @@ def multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id", "scene_no")
     )
+
+
+# ----------------------------------------------- Gopher rules gate
+
+_GO_MIN_WORDS = 20
+_GO_MAX_WORDS = 100000
+_GO_MWL_LO = 3000   # mean word length bounds, milli chars
+_GO_MWL_HI = 10000
+_GO_STOPS = ("the", "a", "of", "and", "to", "in", "is", "with")
+_GO_DOM_MILLI = 200   # top-token share cap
+_GO_DUP2_MILLI = 300  # repeated-bigram share cap
+
+
+def _gopher_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in _GO_STOPS)
+    return f"""WITH toks AS (
+  SELECT d.doc_id, d.source, t.w, t.i
+  FROM documents d,
+       LATERAL (SELECT unnest(string_split(d.text, ' ')) AS w,
+                       generate_subscripts(string_split(d.text, ' '), 1)
+                         AS i) t),
+per_tok AS (
+  SELECT doc_id, source, count(*)::BIGINT AS n,
+         sum(len(w))::BIGINT AS chars,
+         count(DISTINCT CASE WHEN w IN ({stops}) THEN w END)::BIGINT
+           AS n_stops
+  FROM toks GROUP BY 1, 2),
+dom AS (
+  SELECT doc_id, max(c)::BIGINT AS mx FROM (
+    SELECT doc_id, w, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2)
+  GROUP BY 1),
+bg AS (
+  SELECT a.doc_id, count(*)::BIGINT AS nb,
+         count(DISTINCT a.w || ' ' || b.w)::BIGINT AS db
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  GROUP BY 1),
+flags AS (
+  SELECT p.source,
+         CASE WHEN p.n BETWEEN {_GO_MIN_WORDS} AND {_GO_MAX_WORDS}
+              THEN 1 ELSE 0 END AS r1,
+         CASE WHEN (p.chars * 1000) // p.n
+                   BETWEEN {_GO_MWL_LO} AND {_GO_MWL_HI}
+              THEN 1 ELSE 0 END AS r2,
+         CASE WHEN p.n_stops >= 2 THEN 1 ELSE 0 END AS r3,
+         CASE WHEN (d.mx * 1000) // p.n <= {_GO_DOM_MILLI}
+              THEN 1 ELSE 0 END AS r4,
+         CASE WHEN ((g.nb - g.db) * 1000) // g.nb <= {_GO_DUP2_MILLI}
+              THEN 1 ELSE 0 END AS r5
+  FROM per_tok p JOIN dom d ON d.doc_id = p.doc_id
+       JOIN bg g ON g.doc_id = p.doc_id)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(r1)::BIGINT AS pass_wordcount,
+       sum(r2)::BIGINT AS pass_mean_word_len,
+       sum(r3)::BIGINT AS pass_stopwords,
+       sum(r4)::BIGINT AS pass_dominance,
+       sum(r5)::BIGINT AS pass_dup_bigram,
+       sum(r1 * r2 * r3 * r4 * r5)::BIGINT AS pass_all,
+       ((sum(r1 * r2 * r3 * r4 * r5) * 1000) // count(*))::BIGINT
+         AS retention_milli
+FROM flags GROUP BY source ORDER BY source"""
+
+
+@q("llm_gopher_rules_gate", _gopher_sql())
+def llm_gopher_rules_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, Appendix A — the rule set
+    MassiveText shipped and most crawl pipelines copied), the five that
+    discriminate on a whitespace corpus: word count in [20, 100k], mean
+    word length in [3, 10] (milli), ≥2 distinct function words present,
+    top-token share ≤ 20% (the repetition dominance rule), repeated-
+    bigram share ≤ 30% (the dup-n-gram rule). Per source: independent
+    per-rule pass counts AND the conjunction with retention — the
+    breakdown that tells a curator WHICH rule is eating a source
+    (`llm_quality_gate_report` reports the funnel; this reports the
+    rules). All ratios exact integer milli. Scale: one token explode
+    feeding three doc-grain partial aggs (token stats, dominance,
+    bigram dup) + one source-grain rollup — the quality-score shuffle
+    family."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("i0", "w"),
+    ).select("doc_id", "source", (F.col("i0") + 1).alias("i"), "w")
+    toks = materialize(toks)
+    per_tok = toks.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.length("w")).cast("long").alias("chars"),
+        F.countDistinct(
+            F.when(F.col("w").isin(*_GO_STOPS), F.col("w"))
+        )
+        .cast("long")
+        .alias("n_stops"),
+    )
+    dom = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("mx"))
+    )
+    a = toks.select("doc_id", "i", F.col("w").alias("w1"))
+    b = toks.select("doc_id", (F.col("i") - 1).alias("i"), F.col("w").alias("w2"))
+    bg = (
+        a.join(b, ["doc_id", "i"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.countDistinct(F.concat_ws(" ", "w1", "w2"))
+            .cast("long")
+            .alias("db"),
+        )
+    )
+    flags = (
+        per_tok.join(dom, "doc_id")
+        .join(bg, "doc_id")
+        .select(
+            "source",
+            F.when(
+                F.col("n").between(_GO_MIN_WORDS, _GO_MAX_WORDS), 1
+            ).otherwise(0).alias("r1"),
+            F.when(
+                F.expr("(chars * 1000) div n").between(_GO_MWL_LO, _GO_MWL_HI),
+                1,
+            ).otherwise(0).alias("r2"),
+            F.when(F.col("n_stops") >= 2, 1).otherwise(0).alias("r3"),
+            F.when(
+                F.expr("(mx * 1000) div n") <= _GO_DOM_MILLI, 1
+            ).otherwise(0).alias("r4"),
+            F.when(
+                F.expr("((nb - db) * 1000) div nb") <= _GO_DUP2_MILLI, 1
+            ).otherwise(0).alias("r5"),
+        )
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("r1").cast("long").alias("pass_wordcount"),
+            F.sum("r2").cast("long").alias("pass_mean_word_len"),
+            F.sum("r3").cast("long").alias("pass_stopwords"),
+            F.sum("r4").cast("long").alias("pass_dominance"),
+            F.sum("r5").cast("long").alias("pass_dup_bigram"),
+            F.sum(
+                F.col("r1") * F.col("r2") * F.col("r3") * F.col("r4")
+                * F.col("r5")
+            )
+            .cast("long")
+            .alias("pass_all"),
+            F.expr(
+                "(sum(r1 * r2 * r3 * r4 * r5) * 1000) div count(*)"
+            )
+            .cast("long")
+            .alias("retention_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------- time-decayed counters
+
+_DECAY_HALVES = (7, 30)  # half-lives in days
+
+
+@q(
+    "agg_decay_counters",
+    f"""WITH ev AS (
+  SELECT event_type,
+         (epoch(date_trunc('day', ts))::BIGINT // 86400) AS day
+  FROM events),
+mx AS (SELECT max(day)::BIGINT AS t FROM ev)
+SELECT ev.event_type,
+       count(*)::BIGINT AS n_events,
+       sum(1000000 >> CAST((mx.t - ev.day) // {_DECAY_HALVES[0]} AS INT))
+         ::BIGINT AS decayed_h7_micro,
+       sum(1000000 >> CAST((mx.t - ev.day) // {_DECAY_HALVES[1]} AS INT))
+         ::BIGINT AS decayed_h30_micro,
+       (sum(1000000 >> CAST((mx.t - ev.day) // {_DECAY_HALVES[0]} AS INT))
+        // count(*))::BIGINT AS mean_weight_h7_micro
+FROM ev CROSS JOIN mx
+GROUP BY ev.event_type ORDER BY ev.event_type""",
+)
+def agg_decay_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed counters (the freshness-weighted
+    count behind trending/decayed-heavy-hitter features): weight =
+    2^(−age/h) with half-lives 7 and 30 days, in DYADIC integer form —
+    1e6 >> (age_days // h) — so both engines decay identically (the
+    `ts_ewma_dyadic` discipline applied to counters). Per event type:
+    raw count, decayed counts, mean freshness weight. MERGEABLE: the
+    weight depends only on the event and the anchor T (max day), so
+    per-shard partial sums add — a streaming maintenance sink rescales
+    stored sums by one shift per epoch advance, the classic decayed-
+    counter trick. Scale: one map-side weight + type-grain partial agg
+    — sketch-family economics (state = type count, never event
+    count)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "cast(unix_timestamp(date_trunc('day', ts)) as bigint)"
+            " div 86400"
+        ).alias("day"),
+    )
+    mx = ev.agg(F.max("day").cast("long").alias("t"))
+    h7, h30 = _DECAY_HALVES
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.expr(f"shiftright(1000000, cast((t - day) div {h7} as int))")
+            )
+            .cast("long")
+            .alias("decayed_h7_micro"),
+            F.sum(
+                F.expr(f"shiftright(1000000, cast((t - day) div {h30} as int))")
+            )
+            .cast("long")
+            .alias("decayed_h30_micro"),
+            F.expr(
+                f"sum(shiftright(1000000, cast((t - day) div {h7} as int)))"
+                " div count(*)"
+            )
+            .cast("long")
+            .alias("mean_weight_h7_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ----------------------------------------------- image patch manifest
+
+_PATCH = 4
+
+
+@q(
+    "multimodal_image_patches",
+    f"""WITH dims AS (
+  SELECT doc_id AS id, 8 + doc_id % 5 AS h, 16 + doc_id % 8 AS w
+  FROM documents),
+tiles AS (
+  SELECT id, h, w, py.py, px.px
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, h // {_PATCH} - 1)) AS py) py,
+       LATERAL (SELECT unnest(generate_series(0, w // {_PATCH} - 1)) AS px) px),
+sums AS (
+  SELECT t.id, t.py, t.px,
+         ({_PATCH} * {_PATCH})::BIGINT AS n_px,
+         ({_PATCH} * sum((t.id + r.row) % 256))::BIGINT AS sum_r,
+         ({_PATCH} * {_PATCH} * ((3 * t.id) % 256))::BIGINT AS sum_g,
+         ({_PATCH} * {_PATCH} * ((7 * t.id) % 256))::BIGINT AS sum_b
+  FROM tiles t,
+       LATERAL (SELECT unnest(generate_series(t.py * {_PATCH},
+                                              t.py * {_PATCH} + {_PATCH} - 1))
+                  AS row) r
+  GROUP BY 1, 2, 3)
+SELECT id, py, px, n_px, sum_r, sum_g, sum_b,
+       ((sum_r * 1000) // n_px)::BIGINT AS mean_r_milli
+FROM sums ORDER BY id, py, px""",
+)
+def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style image patchify manifest: REAL BMP decode → 4×4
+    non-overlapping tiles (edge remainders cropped, the patchifier
+    convention) → exact integer per-channel pixel sums + milli mean,
+    one manifest row per tile — the tensorization step between a
+    multimodal lake and a vision encoder, with the tile grid (not the
+    pixels) as the unit that crosses the wire. Closed-form synthetic
+    images (row-varying red, flat green/blue) let the oracle recompute
+    every tile sum, and the row-order-sensitive red sum catches
+    bottom-up BMP decode bugs tile by tile. Shape: map-only
+    decode+patchify (patch² compression before the first shuffle),
+    SQL-side means — the multimodal discipline."""
+    from hawaiidatapipeline_spark.sources.multimodal import (
+        image_patch_stats,
+        synthetic_image_blobs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    tiles = image_patch_stats(synthetic_image_blobs(d), patch=_PATCH)
+    return tiles.select(
+        "id",
+        "py",
+        "px",
+        "n_px",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        F.expr("(sum_r * 1000) div n_px").cast("long").alias("mean_r_milli"),
+    ).orderBy("id", "py", "px")

@@ -743,3 +743,47 @@ def video_scene_deltas(blobs: DataFrame) -> DataFrame:
     return blobs.select("id", "payload").mapInPandas(
         run, "id bigint, f int, n_pixels bigint, delta_sum bigint"
     )
+
+
+def image_patch_stats(blobs: DataFrame, patch: int = 4) -> DataFrame:
+    """REAL image decode → non-overlapping ``patch``×``patch`` tile
+    grid (full tiles only — the ViT-style patchify a vision training
+    pipeline runs before embedding): one row per tile with exact
+    integer per-channel pixel sums. Edge remainders are dropped the
+    way a patchifier crops; tile means are derived SQL-side so the
+    normalization policy lives in the plan. Pixels never leave the
+    decode map — only tile-grain sums do (patch² compression before
+    the first shuffle)."""
+    import numpy as np
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                k: []
+                for k in ("id", "py", "px", "n_px", "sum_r", "sum_g", "sum_b")
+            }
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                img = decode_image(bytes(payload)).astype("int64")
+                h, w = img.shape[0], img.shape[1]
+                for py in range(h // patch):
+                    for px in range(w // patch):
+                        tile = img[
+                            py * patch : (py + 1) * patch,
+                            px * patch : (px + 1) * patch,
+                        ]
+                        out["id"].append(int(i))
+                        out["py"].append(py)
+                        out["px"].append(px)
+                        out["n_px"].append(patch * patch)
+                        out["sum_r"].append(int(tile[:, :, 0].sum()))
+                        out["sum_g"].append(int(tile[:, :, 1].sum()))
+                        out["sum_b"].append(int(tile[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return blobs.select("id", "payload").mapInPandas(
+        run,
+        "id bigint, py int, px int, n_px bigint, "
+        "sum_r bigint, sum_g bigint, sum_b bigint",
+    )

@@ -132,6 +132,9 @@ PROBES = [
     ("layout_manifest_prune", "file-grain manifest aggs; sorted-leg rank is the one full shuffle"),
     ("llm_char_entropy_compressibility", "char-bigram explode -> doc -> source shrinking grains"),
     ("multimodal_video_keyframes", "map-only decode+delta; per-video bounded windows"),
+    ("llm_gopher_rules_gate", "token explode -> 3 doc-grain partial aggs -> source rollup"),
+    ("agg_decay_counters", "map-side dyadic weight + type-grain partial agg"),
+    ("multimodal_image_patches", "map-only decode+patchify; tile-grain rows"),
 ]
 
 
