@@ -2402,3 +2402,351 @@ def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_b",
         F.expr("(sum_r * 1000) div n_px").cast("long").alias("mean_r_milli"),
     ).orderBy("id", "py", "px")
+
+
+# --------------------------------- group-sequential guardrail (OBF)
+
+_OBF_C_MILLI = 2040  # O'Brien-Fleming constant: reject when z^2*t >= C^2
+
+
+def _obf_sql() -> str:
+    c2 = _OBF_C_MILLI * _OBF_C_MILLI  # micro-scaled boundary constant
+    return f"""WITH pu AS (
+  SELECT user_id,
+         CASE WHEN ('0x' || substring(md5('7:' || user_id::VARCHAR), 1, 15))
+                   ::BIGINT % 2 = 0 THEN 0 ELSE 1 END AS variant
+  FROM (SELECT DISTINCT user_id FROM events)),
+obs AS (
+  SELECT (epoch(date_trunc('day', e.ts))::BIGINT // 86400) AS day,
+         p.variant, floor(e.value * 100)::BIGINT AS cents
+  FROM events e JOIN pu p ON p.user_id = e.user_id
+  WHERE e.event_type = 'purchase'),
+sig AS (
+  SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+         sum(cents * cents)::BIGINT AS q
+  FROM obs),
+var AS (SELECT ((q * n - s * s) / (n * (n - 1)))::BIGINT AS v FROM sig),
+daily AS (
+  SELECT day,
+         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS dn1,
+         sum(CASE WHEN variant = 1 THEN cents ELSE 0 END)::BIGINT AS ds1,
+         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS dn0,
+         sum(CASE WHEN variant = 0 THEN cents ELSE 0 END)::BIGINT AS ds0
+  FROM obs GROUP BY 1),
+cum AS (
+  SELECT day,
+         sum(dn1) OVER w::BIGINT AS n1, sum(ds1) OVER w::BIGINT AS s1,
+         sum(dn0) OVER w::BIGINT AS n0, sum(ds0) OVER w::BIGINT AS s0
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)),
+tot AS (SELECT max(n1 + n0) AS nf FROM cum),
+z AS (
+  SELECT c.day, c.n1, c.n0,
+         ((1000000::HUGEINT * (c.s1 * c.n0 - c.s0 * c.n1)
+           * (c.s1 * c.n0 - c.s0 * c.n1))
+          // (c.n1::HUGEINT * c.n0 * (c.n1 + c.n0) * v.v))::BIGINT
+           AS z2_micro,
+         ((1000000::HUGEINT * {c2} * t.nf) // ((c.n1 + c.n0) * 1000000))
+           ::BIGINT AS bound2_micro
+  FROM cum c CROSS JOIN var v CROSS JOIN tot t
+  WHERE c.n1 > 0 AND c.n0 > 0)
+SELECT day, n1, n0, z2_micro, bound2_micro,
+       CASE WHEN z2_micro >= bound2_micro THEN 1 ELSE 0 END AS reject
+FROM z ORDER BY day"""
+
+
+@q("events_sequential_obf_guardrail", _obf_sql())
+def events_sequential_obf_guardrail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Group-sequential A/B guardrail with O'Brien–Fleming spending
+    (Pocock 1977 / O'Brien & Fleming 1979 — the peeking-safe monitor
+    `events_ab_lift`'s fixed-horizon z cannot be): each day, the
+    CUMULATIVE two-sample z² is compared to the OBF boundary
+    C²/t (t = information fraction), spending almost no alpha early.
+    Everything stays rational so both engines agree exactly: z² =
+    (S₁n₀−S₀n₁)² / (n₁n₀(n₁+n₀)σ̂²) in micro units (one HUGEINT/
+    DECIMAL(38,0) product chain), boundary² = C²·n_final/n_d, reject =
+    integer compare — no sqrt anywhere (the emb-distance discipline
+    applied to sequential testing). σ̂² is the pooled all-data variance
+    (integer n·Q−S² form). Output: the daily monitoring table with
+    reject flags. Scale: one purchase-grain pass → day-grain daily
+    sums → windows on the bounded calendar frame."""
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.select("user_id").distinct().select(
+        "user_id",
+        F.pmod(
+            portable_hash64(F.col("user_id").cast("string"), 7), F.lit(2)
+        ).alias("variant"),
+    )
+    obs = materialize(
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(pu), "user_id")
+        .select(
+            F.expr(
+                "cast(unix_timestamp(date_trunc('day', ts)) as bigint)"
+                " div 86400"
+            ).alias("day"),
+            "variant",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    sig = obs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q"),
+    )
+    var = sig.select(
+        F.expr("(q * n - s * s) div (n * (n - 1))").cast("long").alias("v")
+    )
+    daily = obs.groupBy("day").agg(
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("dn1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("ds1"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("dn0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("ds0"),
+    )
+    wc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.sum("dn1").over(wc).cast("long").alias("n1"),
+        F.sum("ds1").over(wc).cast("long").alias("s1"),
+        F.sum("dn0").over(wc).cast("long").alias("n0"),
+        F.sum("ds0").over(wc).cast("long").alias("s0"),
+    )
+    tot = cum.agg(F.max(F.col("n1") + F.col("n0")).alias("nf"))
+    c2 = _OBF_C_MILLI * _OBF_C_MILLI
+    wide = "decimal(38,0)"
+    return (
+        cum.crossJoin(F.broadcast(var))
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("n1") > 0) & (F.col("n0") > 0))
+        .select(
+            "day",
+            "n1",
+            "n0",
+            F.expr(
+                f"cast(1000000 as {wide}) * (s1 * n0 - s0 * n1)"
+                f" * (s1 * n0 - s0 * n1)"
+                f" div (cast(n1 as {wide}) * n0 * (n1 + n0) * v)"
+            )
+            .cast("long")
+            .alias("z2_micro"),
+            F.expr(
+                f"cast(1000000 as {wide}) * {c2} * nf"
+                f" div ((n1 + n0) * 1000000)"
+            )
+            .cast("long")
+            .alias("bound2_micro"),
+        )
+        .withColumn(
+            "reject",
+            F.when(F.col("z2_micro") >= F.col("bound2_micro"), 1).otherwise(0),
+        )
+        .orderBy("day")
+    )
+
+
+# ------------------------------------------ RRF hybrid retrieval
+
+_RRF_K = 60
+_RRF_LEG_N = 50
+_RRF_TOPK = 20
+_RRF_TERMS = ("merge", "window", "hash")  # the fulltext_bm25 query
+_RRF_PROBE_VEC = 0
+
+
+def _rrf_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _RRF_TERMS)
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+lex_score AS (
+  SELECT doc_id, count(*)::BIGINT AS tf
+  FROM toks WHERE tok IN ({terms}) GROUP BY 1),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS r
+  FROM lex_score QUALIFY r <= {_RRF_LEG_N}),
+qv AS (
+  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+         round(unnest(embedding) * 1000)::BIGINT AS q
+  FROM embeddings),
+pv AS (SELECT d, q FROM qv WHERE vec_id = {_RRF_PROBE_VEC}),
+dots AS (
+  SELECT v.vec_id AS doc_id, sum(v.q * p.q)::BIGINT AS dp
+  FROM qv v JOIN pv p ON p.d = v.d
+  WHERE v.vec_id <> {_RRF_PROBE_VEC}
+  GROUP BY 1),
+sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY dp DESC, doc_id) AS r
+  FROM dots QUALIFY r <= {_RRF_LEG_N}),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         l.r AS lex_rank, s.r AS sem_rank,
+         (coalesce(1000000 // ({_RRF_K} + l.r), 0)
+          + coalesce(1000000 // ({_RRF_K} + s.r), 0))::BIGINT AS rrf_micro
+  FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id)
+SELECT doc_id, lex_rank, sem_rank, rrf_micro
+FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_TOPK}"""
+
+
+@q("llm_rrf_hybrid_retrieval", _rrf_sql())
+def llm_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of lexical and semantic retrieval
+    (Cormack et al. 2009 — the hybrid-search default every RAG stack
+    ships): the lexical leg ranks documents by term frequency for the
+    `fulltext_bm25` query terms, the semantic leg by exact integer dot
+    product to the probe embedding; RRF = Σ 1e6/(60+rank) over the
+    legs (integer truncating divides), a method that needs NO score
+    calibration between legs — only ranks. Top-20 fused with each
+    leg's rank exposed (NULL = leg missed it — the complementarity
+    evidence). Scale: each leg is a bounded top-N (posting-list grain
+    / one probe×corpus dot pass); fusion joins two ≤N-row frames —
+    fused state never exceeds 2N rows."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    lex_score = (
+        toks.filter(F.col("tok").isin(*_RRF_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    wl = Window.orderBy(F.desc("tf"), "doc_id")
+    lex = (
+        lex_score.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= _RRF_LEG_N)
+        .select("doc_id", F.col("r").alias("lex_rank"))
+    )
+    qv = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+    )
+    pv = qv.filter(F.col("vec_id") == _RRF_PROBE_VEC).select(
+        "d", F.col("q").alias("pq")
+    )
+    dots = (
+        qv.filter(F.col("vec_id") != _RRF_PROBE_VEC)
+        .join(F.broadcast(pv), "d")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("q") * F.col("pq")).cast("long").alias("dp"))
+    )
+    ws = Window.orderBy(F.desc("dp"), "vec_id")
+    sem = (
+        dots.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= _RRF_LEG_N)
+        .select(F.col("vec_id").alias("doc_id"), F.col("r").alias("sem_rank"))
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(
+                F.expr(f"1000000 div ({_RRF_K} + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 div ({_RRF_K} + sem_rank)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(_RRF_TOPK)
+
+
+# ------------------------------------------- audio downsample audit
+
+@q(
+    "multimodal_audio_downsample",
+    """WITH dims AS (
+  SELECT doc_id AS id, 800 + 8 * (doc_id % 100) AS n FROM documents),
+inn AS (
+  SELECT id, count(*)::BIGINT AS n_in,
+         sum(((id + i) % 200 - 100) * ((id + i) % 200 - 100))::BIGINT
+           AS energy_in
+  FROM (SELECT id, unnest(generate_series(0, n - 1)) AS i FROM dims)
+  GROUP BY id),
+outt AS (
+  SELECT id, count(*)::BIGINT AS n_out,
+         sum(((id + i) % 200 - 100) * ((id + i) % 200 - 100))::BIGINT
+           AS energy_out,
+         min(CASE WHEN i = 0 THEN (id + i) % 200 - 100 END)::BIGINT
+           AS first_sample_out
+  FROM (SELECT id, unnest(generate_series(0, n - 1)) AS i FROM dims)
+  WHERE i % 2 = 0
+  GROUP BY id)
+SELECT i.id, i.n_in, o.n_out, i.energy_in, o.energy_out,
+       o.first_sample_out,
+       ((o.energy_out * 1000) // i.energy_in)::BIGINT AS energy_ratio_milli
+FROM inn i JOIN outt o ON o.id = i.id ORDER BY i.id""",
+)
+def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decimation audit (8 kHz → 4 kHz by stride-2 sample drop —
+    the rate-normalization step before batching clips into a training
+    shard; a real resampler low-pass-filters first, which needs an FFT
+    library this container lacks and the docstring says so): REAL WAV
+    decode → keep every 2nd sample → exact integer in/out sample
+    counts, energies, the first output sample (offset bugs move it),
+    and the energy-retention ratio in milli. The closed-form synthetic
+    corpus lets the oracle recompute both legs. Shape: map-only
+    decode+decimate stats (one row per clip out of the Arrow batch),
+    one join at clip grain — samples never shuffle."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterable, Iterator
+
+    from hawaiidatapipeline_spark.sources.multimodal import (
+        decode_wav,
+        synthetic_audio_blobs,
+    )
+
+    def run(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                k: []
+                for k in (
+                    "id", "n_in", "n_out", "energy_in", "energy_out",
+                    "first_sample_out",
+                )
+            }
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                samples, _rate = decode_wav(bytes(payload))
+                s64 = samples.astype("int64")
+                dec = s64[::2]
+                out["id"].append(int(i))
+                out["n_in"].append(len(s64))
+                out["n_out"].append(len(dec))
+                out["energy_in"].append(int((s64 * s64).sum()))
+                out["energy_out"].append(int((dec * dec).sum()))
+                out["first_sample_out"].append(int(dec[0]))
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    blobs = synthetic_audio_blobs(d)
+    stats = blobs.select("id", "payload").mapInPandas(
+        run,
+        "id bigint, n_in bigint, n_out bigint, energy_in bigint,"
+        " energy_out bigint, first_sample_out bigint",
+    )
+    return stats.select(
+        "*",
+        F.expr("(energy_out * 1000) div energy_in")
+        .cast("long")
+        .alias("energy_ratio_milli"),
+    ).orderBy("id")

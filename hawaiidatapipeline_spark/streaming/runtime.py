@@ -1661,3 +1661,109 @@ def theta_setops(synopsis: DataFrame, k: int = 64) -> DataFrame:
         )
         .orderBy("op")
     )
+
+
+def run_decay_sink(
+    events: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+):
+    """foreachBatch decayed-counter state maintenance: each micro-batch
+    contributes per-(event_type, day) counts, merged into the stored
+    frame by key-summed addition — the (type × calendar)-grain state
+    that lets `decay_estimates` derive the EXACT `agg_decay_counters`
+    table at read time for ANY half-life and ANY anchor (the dyadic
+    2^(−age/h) weights depend only on (day, T), so decayed sums are a
+    deterministic function of this state — no weight is baked in at
+    write time, the policy lives at read time like the VAD/scene-cut
+    thresholds). Replay safety: a replayed batch is pre-aggregated and
+    summed once per batch id via the `_last_batch` stamp. State is
+    bounded by types × days-of-history, never event count."""
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_counts = (
+            batch_df.select(
+                "event_type",
+                F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+                .cast("long")
+                .alias("day"),
+            )
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("_last_batch", F.lit(batch_id).cast("long"))
+        )
+        current = _read_state(spark, target_path, target_path + ".old")
+        if current is not None:
+            done = current.agg(
+                F.max("_last_batch").alias("m")
+            ).collect()[0]["m"]
+            if done is not None and batch_id <= done:
+                return  # replayed batch already folded
+            merged_src = current.unionByName(batch_counts)
+        else:
+            merged_src = batch_counts
+        merged = merged_src.groupBy("event_type", "day").agg(
+            F.sum("n").cast("long").alias("n"),
+            F.max("_last_batch").cast("long").alias("_last_batch"),
+        )
+        staged = merged.collect()  # bounded: types x days-of-history
+        import shutil
+        import uuid
+
+        tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
+        spark.createDataFrame(staged, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        old = target_path + ".old"
+        if os.path.exists(target_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(target_path, old)
+        os.replace(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def decay_estimates(state: DataFrame, halves=(7, 30)) -> DataFrame:
+    """Read-time decayed-counter derivation over the stored
+    (event_type, day, n) state: anchor T = max stored day, weight =
+    1e6 >> (age // h) — bit-identical arithmetic to the batch twin
+    `agg_decay_counters` (equivalence test #37)."""
+    h7, h30 = halves
+    mx = state.agg(F.max("day").cast("long").alias("t"))
+    return (
+        state.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum(
+                F.col("n")
+                * F.expr(
+                    f"shiftright(1000000, cast((t - day) div {h7} as int))"
+                )
+            )
+            .cast("long")
+            .alias("decayed_h7_micro"),
+            F.sum(
+                F.col("n")
+                * F.expr(
+                    f"shiftright(1000000, cast((t - day) div {h30} as int))"
+                )
+            )
+            .cast("long")
+            .alias("decayed_h30_micro"),
+            F.expr(
+                f"sum(n * shiftright(1000000, cast((t - day) div {h7} as int)))"
+                " div sum(n)"
+            )
+            .cast("long")
+            .alias("mean_weight_h7_micro"),
+        )
+        .orderBy("event_type")
+    )

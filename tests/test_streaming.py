@@ -1271,3 +1271,31 @@ def test_theta_sink_setops_equal_batch_twin(spark, tmp_path):
     # state bound: at most k hashes per audience tag
     per_tag = syn.groupBy("tag").count().collect()
     assert all(r["count"] <= 64 for r in per_tag)
+
+
+def test_decay_sink_estimates_equal_batch_twin(spark, tmp_path):
+    """Streaming decayed-counter maintenance (#37): per-micro-batch
+    (type, day) counts merged by key-summed addition must end at the
+    state from which decay_estimates derives EXACTLY the batch twin
+    agg_decay_counters — weights are a read-time function of (day,
+    anchor), so the stream and the batch pass agree bit for bit."""
+    from hawaiidatapipeline_spark.queries import round13b_extra
+
+    target = str(tmp_path / "decay_target")
+    ckpt = str(tmp_path / "decay_ckpt")
+    q = runtime.run_decay_sink(
+        runtime.stream_events(spark, SF0001), target, ckpt
+    )
+    q.awaitTermination()
+    state = spark.read.parquet(target)
+    got = runtime.decay_estimates(state)
+    want = round13b_extra.QUERIES["agg_decay_counters"](spark, SF0001)
+    cols = [
+        "event_type", "n_events", "decayed_h7_micro",
+        "decayed_h30_micro", "mean_weight_h7_micro",
+    ]
+    assert _rows(got, cols) == _rows(want, cols)
+    # state bound: (type, day) grain, not event grain
+    n_state = state.count()
+    n_events = spark.read.parquet(SF0001 + "/events.parquet").count()
+    assert n_state < n_events / 2

@@ -135,6 +135,9 @@ PROBES = [
     ("llm_gopher_rules_gate", "token explode -> 3 doc-grain partial aggs -> source rollup"),
     ("agg_decay_counters", "map-side dyadic weight + type-grain partial agg"),
     ("multimodal_image_patches", "map-only decode+patchify; tile-grain rows"),
+    ("events_sequential_obf_guardrail", "purchase pass -> day sums -> calendar-frame windows"),
+    ("llm_rrf_hybrid_retrieval", "two bounded top-N legs + <=2N fusion join"),
+    ("multimodal_audio_downsample", "map-only decode+decimate, clip-grain rows"),
 ]
 
 
