@@ -55,6 +55,12 @@ PROBES = [
     ("llm_decontaminate_semantic", "probe-strided integer cosine sweep — probes ~65 at any N"),
     ("emb_intrinsic_dim_twonn", "TwoNN ID — probe-strided exact NN distances"),
     ("graph_betweenness_sampled", "Brandes sampled — corpus-scaled seeds, per-level frontier joins"),
+    ("llm_influence_proxy", "classifier train + one linear influence pass over docs x B"),
+    ("emb_jl_distortion", "16xd sign broadcast fold; strided probe pairs"),
+    ("llm_gopher_rules_gate", "token explode -> doc-grain partial aggs"),
+    ("llm_char_entropy_compressibility", "char-bigram explode -> doc -> source grains"),
+    ("agg_theta_sketch_setops", "bounded synopses; exact audit leg linear"),
+    ("graph_katz_centrality", "3 attenuated rounds, edge-grain join+agg"),
 ]
 
 
