@@ -2750,3 +2750,360 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("energy_ratio_milli"),
     ).orderBy("id")
+
+
+# ------------------------------------------------- Granger-lite test
+
+def _granger_sql() -> str:
+    return """WITH daily AS (
+  SELECT (epoch(date_trunc('day', ts))::BIGINT // 86400) AS day,
+         floor(sum(CASE WHEN event_type = 'purchase'
+                        THEN floor(value * 100) ELSE 0 END) / 1000)
+           ::BIGINT AS y,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1),
+lagged AS (
+  SELECT day, y,
+         lag(y) OVER (ORDER BY day) AS y1,
+         lag(x) OVER (ORDER BY day) AS x1
+  FROM daily QUALIFY y1 IS NOT NULL),
+m AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(y)::HUGEINT AS sy, sum(y1)::HUGEINT AS sa,
+         sum(x1)::HUGEINT AS sb,
+         sum(y * y)::HUGEINT AS syy, sum(y1 * y1)::HUGEINT AS saa,
+         sum(x1 * x1)::HUGEINT AS sbb, sum(y1 * y)::HUGEINT AS say,
+         sum(x1 * y)::HUGEINT AS sby, sum(y1 * x1)::HUGEINT AS sab
+  FROM lagged),
+c AS (
+  SELECT n,
+         n * syy - sy * sy AS cyy,
+         n * saa - sa * sa AS caa,
+         n * sbb - sb * sb AS cbb,
+         n * say - sa * sy AS cay,
+         n * sby - sb * sy AS cby,
+         n * sab - sa * sb AS cab
+  FROM m)
+SELECT n::BIGINT AS n,
+       ((cay * 1000000) // caa)::BIGINT AS b_micro,
+       ((cyy * caa - cay * cay) // caa)::BIGINT AS sse_r_scaled,
+       (((cyy * (caa * cbb - cab * cab)
+          - cay * (cay * cbb - cab * cby)
+          + cby * (cay * cab - caa * cby)))
+        // (caa * cbb - cab * cab))::BIGINT AS sse_f_scaled,
+       ((((cyy * caa - cay * cay)
+          - (cyy * (caa * cbb - cab * cab)
+             - cay * (cay * cbb - cab * cby)
+             + cby * (cay * cab - caa * cby))
+            // (caa * cbb - cab * cab) * caa) * 1000)
+        // (cyy * caa - cay * cay))::BIGINT AS lr_gain_milli
+FROM c"""
+
+
+@q("ts_granger_lite", _granger_sql())
+def ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger-causality screen (Granger 1969): does yesterday's
+    EVENT VOLUME improve today's REVENUE forecast beyond yesterday's
+    revenue? Restricted model y ~ y₋₁ vs full y ~ y₋₁ + x₋₁, both
+    solved exactly via centered Gram determinants (the `ts_pacf`
+    Cramer's-rule discipline): SSE·n² = (C_yy·C_aa − C_ay²)/C_aa for
+    the restricted leg and the 3×3/2×2 determinant ratio for the full
+    leg — HUGEINT/DECIMAL(38,0) throughout, one truncating divide per
+    reported number, no matrix inversion. Revenue is pre-scaled to
+    kilo-cents so the determinant chain stays inside 38 digits to
+    ~10× the bench lane (documented envelope). Output: n, restricted
+    slope, both scaled SSEs, and the explained-variance gain (milli) —
+    the screen's decision number. Scale: one day-grain pre-agg is the
+    only pass over raw events; the lag frame and moment sums live on
+    the bounded calendar grain."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "cast(unix_timestamp(date_trunc('day', ts)) as bigint) div 86400"
+        ).alias("day")
+    ).agg(
+        F.floor(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100),
+                ).otherwise(0)
+            )
+            / 1000
+        )
+        .cast("long")
+        .alias("y"),
+        F.count(F.lit(1)).cast("long").alias("x"),
+    )
+    wd = Window.orderBy("day")
+    lagged = (
+        daily.select(
+            "day",
+            "y",
+            F.lag("y").over(wd).alias("y1"),
+            F.lag("x").over(wd).alias("x1"),
+        )
+        .filter(F.col("y1").isNotNull())
+    )
+    wide = "decimal(38,0)"
+    m = lagged.agg(
+        F.count(F.lit(1)).cast(wide).alias("n"),
+        F.sum("y").cast(wide).alias("sy"),
+        F.sum("y1").cast(wide).alias("sa"),
+        F.sum("x1").cast(wide).alias("sb"),
+        F.sum(F.col("y") * F.col("y")).cast(wide).alias("syy"),
+        F.sum(F.col("y1") * F.col("y1")).cast(wide).alias("saa"),
+        F.sum(F.col("x1") * F.col("x1")).cast(wide).alias("sbb"),
+        F.sum(F.col("y1") * F.col("y")).cast(wide).alias("say"),
+        F.sum(F.col("x1") * F.col("y")).cast(wide).alias("sby"),
+        F.sum(F.col("y1") * F.col("x1")).cast(wide).alias("sab"),
+    )
+    c = m.select(
+        "n",
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).alias("caa"),
+        (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).alias("cbb"),
+        (F.col("n") * F.col("say") - F.col("sa") * F.col("sy")).alias("cay"),
+        (F.col("n") * F.col("sby") - F.col("sb") * F.col("sy")).alias("cby"),
+        (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).alias("cab"),
+    )
+    return c.select(
+        F.col("n").cast("long").alias("n"),
+        F.expr("cay * 1000000 div caa").cast("long").alias("b_micro"),
+        F.expr("(cyy * caa - cay * cay) div caa")
+        .cast("long")
+        .alias("sse_r_scaled"),
+        F.expr(
+            "(cyy * (caa * cbb - cab * cab)"
+            " - cay * (cay * cbb - cab * cby)"
+            " + cby * (cay * cab - caa * cby))"
+            " div (caa * cbb - cab * cab)"
+        )
+        .cast("long")
+        .alias("sse_f_scaled"),
+        F.expr(
+            "(((cyy * caa - cay * cay)"
+            "  - (cyy * (caa * cbb - cab * cab)"
+            "     - cay * (cay * cbb - cab * cby)"
+            "     + cby * (cay * cab - caa * cby))"
+            "    div (caa * cbb - cab * cab) * caa) * 1000)"
+            " div (cyy * caa - cay * cay)"
+        )
+        .cast("long")
+        .alias("lr_gain_milli"),
+    )
+
+
+# ------------------------------------------------ rolling median
+
+@q(
+    "ts_rolling_median",
+    """WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         sum(round(value * 100)::BIGINT)::BIGINT AS cents
+  FROM events GROUP BY 1)
+SELECT day, cents,
+       round(median(cents) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6)
+         AS med7,
+       count(*) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::BIGINT AS frame_n
+FROM daily ORDER BY day""",
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day MEDIAN of daily revenue — the robust smoother the
+    7-day moving AVERAGE (`ts_seasonal_decompose`'s trend) is not: one
+    spike day drags a mean for a week but never moves the median. Both
+    engines compute the exact frame median of integer cents (odd frames
+    are a cent value, even edge frames the midpoint — rounded to 6 dp
+    on both sides per the float contract), with the frame size exposed
+    so edge frames are honest. Scale: day-grain pre-agg is the only
+    pass over raw rows; the median window runs on the bounded calendar
+    frame (the `ts_stl_anomaly` discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    return daily.select(
+        "day",
+        "cents",
+        F.round(F.expr("percentile(cents, 0.5)").over(w), 6).alias("med7"),
+        F.count(F.lit(1)).over(w).cast("long").alias("frame_n"),
+    ).orderBy("day")
+
+
+# ---------------------------------------- domain diversity (Hill)
+
+@q(
+    "llm_domain_balance_hill",
+    """WITH st AS (
+  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS tokens
+  FROM documents GROUP BY 1),
+tot AS (SELECT sum(tokens)::BIGINT AS t, count(*)::BIGINT AS k FROM st),
+h AS (
+  SELECT tot.k AS n0,
+         (floor(ln(tot.t) * 1000000)::BIGINT
+          - sum(st.tokens * floor(ln(st.tokens) * 1000000)::BIGINT)::BIGINT
+            // tot.t)::BIGINT AS h_micro,
+         ((tot.t::HUGEINT * tot.t * 1000000)
+          // sum(st.tokens::HUGEINT * st.tokens))::BIGINT AS n2_micro
+  FROM st CROSS JOIN tot
+  GROUP BY tot.k, tot.t)
+SELECT n0, h_micro,
+       floor(exp(h_micro / 1000000.0) * 1000)::BIGINT AS n1_milli,
+       n2_micro
+FROM h""",
+)
+def llm_domain_balance_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balance diversity profile as Hill numbers (Hill 1973 —
+    the ecology diversity ladder data-mixture papers borrowed): N0 =
+    source count, N1 = exp(Shannon entropy of token shares) = the
+    'effective number of equally-sized domains', N2 = 1/Simpson =
+    the effective count weighted toward the big domains. N1 ≪ N0 is
+    the one-number summary that a mixture is dominated by a few
+    sources — the audit `llm_mixture_temperature` reweights FROM.
+    Entropy in floored micro nats (ln-with-floor), N2 fully rational
+    (t²/Σtokens² in HUGEINT/DECIMAL), the single exp floored to milli.
+    Scale: one linear token-count agg; everything after is K rows."""
+    d = load_table(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    tot = st.agg(
+        F.sum("tokens").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    wide = "decimal(38,0)"
+    h = (
+        st.crossJoin(F.broadcast(tot))
+        .groupBy("k", "t")
+        .agg(
+            (
+                F.floor(F.log(F.max("t")) * 1000000)
+                - F.expr(
+                    "sum(tokens * cast(floor(ln(tokens) * 1000000) as bigint))"
+                    " div max(t)"
+                )
+            )
+            .cast("long")
+            .alias("h_micro"),
+            F.expr(
+                f"cast(max(t) as {wide}) * max(t) * 1000000"
+                f" div sum(cast(tokens as {wide}) * tokens)"
+            )
+            .cast("long")
+            .alias("n2_micro"),
+        )
+    )
+    return h.select(
+        F.col("k").cast("long").alias("n0"),
+        "h_micro",
+        F.floor(F.exp(F.col("h_micro") / 1000000.0) * 1000)
+        .cast("long")
+        .alias("n1_milli"),
+        "n2_micro",
+    )
+
+
+# ------------------------------------------- random-walk sampler
+
+_WALK_LEN = 3
+_WALK_SEED = 23
+
+
+def _walks_sql() -> str:
+    ph = "('0x' || substring(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
+    step = """s{i} AS (
+  SELECT w.walk_id, w.n{p}, e.dst AS n{i},
+         row_number() OVER (
+           PARTITION BY w.walk_id
+           ORDER BY """ + ph.format(
+        seed=_WALK_SEED, expr="w.walk_id || '|' || {i} || '|' || e.dst"
+    ) + """, e.dst) AS rn
+  FROM w{p} w JOIN cop e ON e.src = w.n{p}
+  QUALIFY rn = 1),
+w{i} AS (SELECT walk_id, n{i} FROM s{i})"""
+    steps = ",\n".join(
+        step.replace("{i}", str(i)).replace("{p}", str(i - 1))
+        for i in range(1, _WALK_LEN + 1)
+    )
+    joins = " ".join(
+        f"JOIN s{i} ON s{i}.walk_id = seeds.walk_id"
+        for i in range(1, _WALK_LEN + 1)
+    )
+    cols = ", ".join(f"s{i}.n{i} AS hop{i}" for i in range(1, _WALK_LEN + 1))
+    return f"""WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 64),
+cop AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+nodes AS (SELECT DISTINCT src AS node FROM cop),
+seeds AS (
+  SELECT node AS walk_id, node AS n0 FROM nodes
+  WHERE node % (SELECT greatest(1, ceil(count(*) / 200.0))::BIGINT
+                FROM nodes) = 0),
+w0 AS (SELECT walk_id, n0 FROM seeds),
+{steps}
+SELECT seeds.walk_id, seeds.n0 AS seed, {cols}
+FROM seeds {joins}
+ORDER BY seeds.walk_id"""
+
+
+@q("graph_random_walks", _walks_sql())
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style random-walk corpus sampler (Perozzi et al. 2014
+    — the walk generator graph-embedding training feeds on), made
+    hash-deterministic so the oracle replays every step: from ~200
+    corpus-scaled seed nodes, 3 hops; at each hop the walker moves to
+    the neighbor with the MINIMUM portable hash of (walk, step,
+    neighbor) — a uniform-at-random choice under the hash's uniformity
+    that both engines reproduce exactly (the house substitute for an
+    RNG, same trick as the Gumbel-top-k sampler). Output: one training
+    sequence (seed, hop1..hop3) per seed — the skip-gram input. Dead
+    ends are impossible on the mirrored co-purchase graph. Scale: per
+    hop one frontier×edges join + per-walk min-hash rank (neighbor-
+    grain, never graph-grain); seeds capped corpus-scaled like the
+    BFS/Brandes family."""
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = materialize(copurchase_edges(li, directed=True))
+    nodes = materialize(edges.select(F.col("src").alias("node")).distinct())
+    n_nodes = nodes.count()
+    mod = max(1, -(-n_nodes // 200))
+    seeds = nodes.filter(F.col("node") % mod == 0).select(
+        F.col("node").alias("walk_id"), F.col("node").alias("n0")
+    )
+    cur = seeds.select("walk_id", F.col("n0").alias("cur"))
+    hops = []
+    for i in range(1, _WALK_LEN + 1):
+        cand = cur.join(edges, cur.cur == edges.src).select(
+            "walk_id",
+            F.col("dst"),
+            portable_hash64(
+                F.concat_ws(
+                    "|",
+                    F.col("walk_id").cast("string"),
+                    F.lit(str(i)),
+                    F.col("dst").cast("string"),
+                ),
+                _WALK_SEED,
+            ).alias("h"),
+        )
+        wk = Window.partitionBy("walk_id").orderBy("h", "dst")
+        nxt = materialize(
+            cand.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .select("walk_id", F.col("dst").alias(f"hop{i}"))
+        )
+        hops.append(nxt)
+        cur = nxt.select("walk_id", F.col(f"hop{i}").alias("cur"))
+    out = seeds.select("walk_id", F.col("n0").alias("seed"))
+    for nxt in hops:
+        out = out.join(nxt, "walk_id")
+    return out.orderBy("walk_id")

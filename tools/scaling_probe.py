@@ -138,6 +138,10 @@ PROBES = [
     ("events_sequential_obf_guardrail", "purchase pass -> day sums -> calendar-frame windows"),
     ("llm_rrf_hybrid_retrieval", "two bounded top-N legs + <=2N fusion join"),
     ("multimodal_audio_downsample", "map-only decode+decimate, clip-grain rows"),
+    ("ts_granger_lite", "day-grain pre-agg + calendar-frame moment sums"),
+    ("ts_rolling_median", "day-grain pre-agg + bounded median window"),
+    ("llm_domain_balance_hill", "one linear token agg, then K rows"),
+    ("graph_random_walks", "per-hop frontier x edges join, ~200 seeds"),
 ]
 
 
