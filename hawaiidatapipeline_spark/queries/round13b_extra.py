@@ -3107,3 +3107,171 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in hops:
         out = out.join(nxt, "walk_id")
     return out.orderBy("walk_id")
+
+
+# ------------------------------------------- Good-Turing spectrum
+
+_GT_MAX_R = 10  # report the 10 lowest count classes present
+
+
+@q(
+    "llm_good_turing_spectrum",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS i
+  FROM documents),
+bg AS (
+  SELECT a.w || ' ' || b.w AS t
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+tc AS (SELECT t, count(*)::BIGINT AS r FROM bg GROUP BY 1),
+nn AS (SELECT sum(r)::BIGINT AS n FROM tc),
+spec AS (SELECT r, count(*)::BIGINT AS n_r FROM tc GROUP BY r),
+gt AS (
+  SELECT s.r, s.n_r,
+         lead(s.n_r) OVER (ORDER BY s.r) AS n_r1,
+         lead(s.r) OVER (ORDER BY s.r) AS r_next,
+         row_number() OVER (ORDER BY s.r) AS rn
+  FROM spec s)
+SELECT g.r, g.n_r,
+       CASE WHEN g.r_next = g.r + 1
+            THEN ((g.r + 1) * g.n_r1 * 1000) // g.n_r END AS r_star_milli,
+       (g.r * g.n_r * 1000000 // nn.n)::BIGINT AS mass_micro
+FROM gt g CROSS JOIN nn
+WHERE g.rn <= {_GT_MAX_R}
+ORDER BY g.r""",
+)
+def llm_good_turing_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing frequency spectrum (Good 1953 — the count-of-counts
+    table every held-out LM smoother starts from): N_r = how many token
+    types occur exactly r times, the adjusted count r* = (r+1)·N_{r+1}
+    / N_r (milli; NULL where the spectrum has a gap, the standard
+    signal to switch to a fitted smoother), and each count class's
+    probability mass (micro), over BIGRAM types (the fixture's unigram
+    vocabulary is saturated — every word frequent — so the informative
+    tail lives at the bigram grain; the 10 lowest count classes present
+    are reported). The lowest-r row's mass is the unseen-mass estimate.
+    Complements `llm_kneser_ney_bigram` (parametric discount) with the
+    nonparametric one. Scale: one bigram self-join → type-grain count →
+    COUNT-grain spectrum (strictly shrinking; tiny at any corpus size)
+    → lead window on the bounded spectrum frame."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("i0", "w"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "w")
+    a = toks.select("doc_id", "i", F.col("w").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("i") - 1).alias("i"), F.col("w").alias("w2")
+    )
+    bg = a.join(b, ["doc_id", "i"]).select(
+        F.concat_ws(" ", "w1", "w2").alias("t")
+    )
+    tc = bg.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    nn = tc.agg(F.sum("r").cast("long").alias("n"))
+    spec = tc.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    wr = Window.orderBy("r")
+    gt = spec.select(
+        "r",
+        "n_r",
+        F.lead("n_r").over(wr).alias("n_r1"),
+        F.lead("r").over(wr).alias("r_next"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        gt.crossJoin(F.broadcast(nn))
+        .filter(F.col("rn") <= _GT_MAX_R)
+        .select(
+            "r",
+            "n_r",
+            F.when(
+                F.col("r_next") == F.col("r") + 1,
+                F.expr("((r + 1) * n_r1 * 1000) div n_r"),
+            )
+            .cast("long")
+            .alias("r_star_milli"),
+            F.expr("r * n_r * 1000000 div n").cast("long").alias("mass_micro"),
+        )
+        .orderBy("r")
+    )
+
+
+# --------------------------------------- image channel histograms
+
+_HIST_BINS = 16  # 256 / 16 levels per bin
+
+
+@q(
+    "multimodal_image_channel_hist",
+    f"""WITH dims AS (
+  SELECT doc_id AS id, 8 + doc_id % 5 AS h, 16 + doc_id % 8 AS w
+  FROM documents),
+rows_ AS (
+  SELECT id, h, w, unnest(generate_series(0, h - 1)) AS row FROM dims),
+px AS (
+  SELECT id, 'r' AS channel, ((id + row) % 256) // {_HIST_BINS} AS bin,
+         w::BIGINT AS n_px
+  FROM rows_
+  UNION ALL
+  SELECT id, 'g', ((3 * id) % 256) // {_HIST_BINS}, (h * w)::BIGINT
+  FROM dims
+  UNION ALL
+  SELECT id, 'b', ((7 * id) % 256) // {_HIST_BINS}, (h * w)::BIGINT
+  FROM dims)
+SELECT channel, bin::BIGINT AS bin,
+       count(DISTINCT id)::BIGINT AS n_images,
+       sum(n_px)::BIGINT AS n_pixels
+FROM px GROUP BY 1, 2 ORDER BY channel, bin""",
+)
+def multimodal_image_channel_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-level color-profile audit: per-channel 16-bin intensity
+    histograms over REAL decoded pixels — the distribution check a
+    vision-data curator runs before trusting a shard (an all-dark or
+    clipped-channel corpus shows up here before any model does). The
+    decode map emits per-image per-channel bin counts (16×3 rows per
+    image, the pixel→histogram compression on the executor); the
+    corpus rollup is a (channel, bin)-grain partial agg. Closed-form
+    synthetic pixels let the oracle recompute every bin: the
+    row-varying red exercises multi-bin histograms, the flat
+    green/blue land each image in exactly one bin. Scale: map-only
+    decode+bin, constant-grain (48-row) output at any corpus size."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterable, Iterator
+
+    from hawaiidatapipeline_spark.sources.multimodal import (
+        decode_image,
+        synthetic_image_blobs,
+    )
+
+    def run(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"id": [], "channel": [], "bin": [], "n_px": []}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                for ci, cname in enumerate(("r", "g", "b")):
+                    binned = img[:, :, ci].astype("int64") // _HIST_BINS
+                    vals, counts = np.unique(binned, return_counts=True)
+                    for v, c in zip(vals, counts):
+                        out["id"].append(int(i))
+                        out["channel"].append(cname)
+                        out["bin"].append(int(v))
+                        out["n_px"].append(int(c))
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    blobs = synthetic_image_blobs(d)
+    binned = blobs.select("id", "payload").mapInPandas(
+        run, "id bigint, channel string, bin bigint, n_px bigint"
+    )
+    return (
+        binned.groupBy("channel", "bin")
+        .agg(
+            F.countDistinct("id").cast("long").alias("n_images"),
+            F.sum("n_px").cast("long").alias("n_pixels"),
+        )
+        .orderBy("channel", "bin")
+    )

@@ -142,6 +142,8 @@ PROBES = [
     ("ts_rolling_median", "day-grain pre-agg + bounded median window"),
     ("llm_domain_balance_hill", "one linear token agg, then K rows"),
     ("graph_random_walks", "per-hop frontier x edges join, ~200 seeds"),
+    ("llm_good_turing_spectrum", "bigram self-join -> type count -> spectrum"),
+    ("multimodal_image_channel_hist", "map-only decode+bin; 48-row output"),
 ]
 
 
