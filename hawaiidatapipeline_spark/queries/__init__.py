@@ -86,26 +86,26 @@ _MODULES = (
 # tools/rotate_window.py with all CORRECTNESS_r*.json files — it rewrites
 # this tuple to fail-on-record keys first, then never-checked keys.
 #
-# Current window (tool-rewritten): 50 keys — 0 failed-to-reprove, 43 never-checked,
-# then the 7 stalest greens (earliest last-checked round first).
+# Current window (tool-rewritten): 50 keys — 0 failed-to-reprove, 0 never-checked,
+# then the 50 stalest greens (earliest last-checked round first).
 _FRONT: tuple[str, ...] = (
-    'llm_unimax_allocation', 'llm_ccnet_buckets', 'llm_decontaminate_semantic',
-    'emb_intrinsic_dim_twonn', 'emb_whitening_audit', 'emb_cosine_histogram',
-    'llm_domain_cross_entropy', 'graph_betweenness_sampled', 'llm_rho_loss_selection',
-    'multimodal_scene_cuts', 'llm_classifier_auc', 'llm_cluster_prune_plan',
-    'dq_k_anonymity', 'agg_theta_sketch_setops', 'sample_reservoir_merge_proof',
-    'graph_katz_centrality', 'llm_influence_proxy', 'emb_jl_distortion',
-    'etl_bitemporal_correction', 'events_ipw_ate', 'graph_hits_hubs_auth',
-    'dq_fd_discovery', 'mine_sequential_pairs', 'ts_stl_anomaly',
-    'multimodal_audio_fingerprint', 'llm_kneser_ney_bigram', 'llm_bitext_mining_margin',
-    'llm_split_leakage_audit', 'layout_manifest_prune', 'llm_char_entropy_compressibility',
-    'multimodal_video_keyframes', 'llm_gopher_rules_gate', 'agg_decay_counters',
-    'multimodal_image_patches', 'events_sequential_obf_guardrail', 'llm_rrf_hybrid_retrieval',
-    'multimodal_audio_downsample', 'ts_granger_lite', 'ts_rolling_median',
-    'llm_domain_balance_hill', 'graph_random_walks', 'llm_good_turing_spectrum',
-    'multimodal_image_channel_hist', 'fn_explode', 'fn_hash',
-    'fn_geo_distance', 'fn_url_parse', 'fn_array_topk_struct',
-    'fn_null_semantics', 'stream_tumbling',
+    'stream_sliding', 'stream_session', 'stream_dedup',
+    'ts_resample', 'ts_fill_forward', 'llm_dedup_exact',
+    'llm_dedup_jaccard', 'llm_dedup_minhash', 'llm_dedup_jaccard_ngram',
+    'llm_dedup_embedding', 'llm_simhash_buckets', 'llm_cosine_topk',
+    'llm_cosine_ivf', 'llm_knn_label', 'llm_tfidf_topterms',
+    'llm_text_stats', 'llm_lang_id', 'llm_quality_score',
+    'llm_token_count_bpe', 'llm_fingerprint', 'multimodal_features',
+    'udf_python_scalar', 'udf_pandas_scalar', 'udf_grouped_map',
+    'udf_grouped_agg', 'udtf_python', 'scan_csv_roundtrip',
+    'scan_jsonlines', 'catalog_list', 'sink_parquet_partitioned',
+    'fn_money_decimal', 'fn_timezone', 'llm_lang_source_matrix',
+    'multimodal_image_decode', 'multimodal_audio_decode', 'soql_aggregate',
+    'soql_date_functions', 'soql_full_query_string', 'soql_chained_pipeline',
+    'soql_fulltext_paged', 'scan_orc_roundtrip', 'scan_text_lines',
+    'scan_csv_malformed', 'scan_schema_evolution', 'udf_cogrouped_map',
+    'udf_arrow_batch', 'tpch_q3_shipping_priority', 'tpch_q5_local_supplier_volume',
+    'tpch_q10_returned_items', 'tpch_q6_forecast_revenue',
 )
 
 

@@ -1960,7 +1960,7 @@ def layout_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 grams AS (
   SELECT doc_id, substring(s, CAST(i AS INT), 2) AS g
   FROM (SELECT doc_id, s, unnest(generate_series(1, len(s) - 1)) AS i
-        FROM docs)),
+        FROM docs WHERE len(s) >= 2)),
 gc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM grams GROUP BY 1, 2),
 ent AS (
   SELECT doc_id, sum(c)::BIGINT AS n,
@@ -1994,7 +1994,10 @@ def llm_char_entropy_compressibility(
     strictly shrinking grains."""
     d = load_table(spark, sf_dir, "documents")
     docs = d.select("doc_id", "source", F.lower("text").alias("s"))
-    grams = docs.select(
+    # length(s) < 2 would make sequence(1, 0) DESCEND ([1, 0]) in Spark
+    # while DuckDB's generate_series(1, 0) is empty — guard both sides
+    # (ADVICE r13) so degenerate documents emit no bigrams anywhere.
+    grams = docs.filter(F.length("s") >= 2).select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(1, length(s) - 1),"
@@ -2425,7 +2428,7 @@ sig AS (
   SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
          sum(cents * cents)::BIGINT AS q
   FROM obs),
-var AS (SELECT ((q * n - s * s) / (n * (n - 1)))::BIGINT AS v FROM sig),
+var AS (SELECT ((q * n - s * s) // (n * (n - 1)))::BIGINT AS v FROM sig),
 daily AS (
   SELECT day,
          sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS dn1,

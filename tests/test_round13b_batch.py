@@ -279,4 +279,40 @@ def test_char_entropy_buckets_ordered(spark):
     """Histogram buckets carry consistent min/max envelopes."""
     for r in Q["llm_char_entropy_compressibility"](spark, SF0001).collect():
         assert r["min_h_micro"] <= r["mean_h_micro"] <= r["max_h_micro"]
-        assert r["bucket"] == r["min_h_micro"] // 250000 or r["n_docs"] >= 1
+        assert r["bucket"] == r["min_h_micro"] // 250000
+        assert r["bucket"] == r["max_h_micro"] // 250000
+
+
+def test_char_entropy_degenerate_docs_match_oracle(spark, tmp_path):
+    """Docs shorter than 2 chars must emit NO bigrams on either engine
+    (ADVICE r13: Spark's sequence(1, 0) descends while DuckDB's
+    generate_series(1, 0) is empty — the guard makes both sides drop
+    them). Build a fixture with empty/1-char docs and hash-compare."""
+    import duckdb
+
+    sf = str(tmp_path)
+    rows = [
+        (1, "", "en", "web", 0),
+        (2, "a", "en", "web", 1),
+        (3, "ab", "en", "web", 2),
+        (4, "abcabc", "en", "wiki", 6),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    got = sorted(
+        tuple(r) for r in Q["llm_char_entropy_compressibility"](spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    from hawaiidatapipeline_spark.queries.round13b_extra import ORACLES
+
+    want = sorted(tuple(r) for r in con.execute(
+        ORACLES["llm_char_entropy_compressibility"]
+    ).fetchall())
+    assert got == want
+    # only docs 3 and 4 survive the guard; both engines agree on that
+    assert sum(r[2] for r in got) == 2
