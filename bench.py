@@ -381,14 +381,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": detail["sf"],
-        # usually [] — at most 3 names + a count on a breach, so the final
-        # line stays inside the driver's tail-capture bound (see the
-        # test_bench_final_line_fits_tail_capture size test); the full
-        # list is in BENCH_DETAIL.json
-        "budget_breaches": (
-            breaches if len(breaches) <= 3
-            else breaches[:3] + [f"+{len(breaches) - 3} more"]
-        ),
+        # COMPLETE list, never truncated (VERDICT r13 #2: the artifact must
+        # not self-truncate — BENCH_r13 literally stored "+2 more" as a list
+        # element). The driver tail-captures the last 2000 chars; even the
+        # worst case (all 43 heavy keys breached) serializes to 1841 bytes
+        # — test_bench_final_line_fits_tail_capture pins that bound.
+        "budget_breaches": breaches,
     }
     print(json.dumps(headline))
 

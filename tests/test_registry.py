@@ -202,11 +202,13 @@ def test_bench_final_line_fits_tail_capture():
         "unit": "sec",
         "queries": {k: 99999.999 for k in bench.HEADLINE},
         "sf": 0.1,
-        # worst case: every heavy key breached — bench truncates the final
-        # line's list to 3 names + a count so the bound still holds
-        "budget_breaches": sorted(bench.HEAVY)[:3] + [f"+{len(bench.HEAVY) - 3} more"],
+        # worst case: every heavy key breached — the final line carries the
+        # COMPLETE list (VERDICT r13 #2: the artifact must never truncate
+        # itself); the driver tail-captures the last 2000 chars, so the
+        # whole worst-case line must stay under that with newline margin
+        "budget_breaches": sorted(bench.HEAVY),
     }
-    assert len(json.dumps(simulated)) < 1800
+    assert len(json.dumps(simulated)) < 1950
 
 
 def test_front_window_keys_are_registered(registry):
