@@ -16,6 +16,14 @@ silently absorbed exactly the drift that failed `fn_money_decimal` and
 `llm_lang_source_matrix` on the driver.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py [sf_dir] --changed-since <git-ref>
+
+``--changed-since`` (VERDICT r13 #7) is the mid-round incremental mode:
+the full sweep is ~50 min and grows with the registry, so while iterating
+check only (a) keys whose defining query module changed since <git-ref>
+(mapped via each callable's ``__module__``) and (b) the pinned driver
+window (``queries._FRONT`` — what the driver will actually sample next).
+The close ritual (tools/close_round.py) still runs the FULL sweep.
 """
 
 from __future__ import annotations
@@ -131,9 +139,40 @@ def table_fingerprint(cols, rows, bridge=frozenset()):
     return h.hexdigest()
 
 
+def changed_since_keys(ref: str, qs) -> set[str]:
+    """Keys to re-check after working at <ref>: every key whose defining
+    module file changed since, plus the pinned driver window."""
+    import os
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "diff", "--name-only", ref, "--", "hawaiidatapipeline_spark"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        check=True,
+    ).stdout
+    changed_files = {ln.strip() for ln in out.splitlines() if ln.strip()}
+    keys: set[str] = set()
+    for name, fn in qs.items():
+        mod = sys.modules.get(getattr(fn, "__module__", ""))
+        path = getattr(mod, "__file__", None)
+        if path and os.path.relpath(path, "/root/repo") in changed_files:
+            keys.add(name)
+    from hawaiidatapipeline_spark import queries as qmod
+
+    keys.update(k for k in qmod._FRONT if k in qs)
+    return keys
+
+
 def main():
     argv = [a for a in sys.argv[1:] if a != "--plain-session"]
     plain = "--plain-session" in sys.argv
+    since = None
+    if "--changed-since" in argv:
+        i = argv.index("--changed-since")
+        since = argv[i + 1]
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -151,6 +190,13 @@ def main():
         spark = get_spark()
     qs = E.queries()
     oracles = E.oracle_sql()
+    if since is not None:
+        sel = changed_since_keys(since, qs)
+        only = sel if not only else (only & sel)
+        print(
+            f"--changed-since {since}: {len(sel)} keys "
+            f"(changed modules + driver window)"
+        )
 
     con = duckdb.connect()
     for t in (

@@ -9,6 +9,14 @@ for structural smells) and flags:
   only the explicitly-deliberate cross-join queries may carry one;
 - **python_row_udf**: `BatchEvalPython` (row-at-a-time Python) — the
   slow path; only the deliberate §2.K UDF-surface rows may carry one.
+- **global_window**: a `Window` node with an EMPTY partition spec —
+  every row moves to ONE partition, the classic 100 TB killer. Known
+  bounded-frame sites (k-row synopses, calendar grains, merge proofs,
+  declared one-time rewrites) are whitelisted with a reason each
+  (VERDICT r13 #4); a new data-sized global window fails the day it
+  lands. Detection: in formatted explain a Window section's Arguments
+  line is `[exprs], [partitionSpec], [orderSpec]` — a global window
+  drops the middle group, leaving exactly one `], [` separator.
 
 (No codegen assertion here: under AQE a planning-only formatted explain
 shows the adaptive sketch without WholeStageCodegen spans — that check
@@ -38,6 +46,32 @@ ALLOW_PYTHON_ROW = {
     "udtf_python",  # Python UDTF surface — row-based by API definition
 }
 
+# Queries allowed to carry a GLOBAL window (empty partition spec), each
+# with the bound that makes the single partition safe at 100 TB. Adding
+# a key here requires naming the row bound — "it passed at sf0.01" is
+# not a bound.
+ALLOW_GLOBAL_WINDOW: dict[str, str] = {}
+
+
+def _global_window_sections(formatted: str) -> int:
+    """Count Window nodes whose partition spec is empty.
+
+    Formatted explain renders each Window node's Arguments line as
+    ``[windowExprs], [partitionSpec], [orderSpec]``; with no partition
+    keys the middle group is omitted entirely, so exactly ONE top-level
+    ``], [`` separator remains (probed on Spark 4.1: partitioned windows
+    always show two)."""
+    count = 0
+    lines = formatted.splitlines()
+    for i, ln in enumerate(lines):
+        if ln.startswith("(") and ln.rstrip().endswith(" Window"):
+            for detail in lines[i + 1 : i + 6]:
+                if detail.startswith("Arguments: "):
+                    if detail.count("], [") == 1:
+                        count += 1
+                    break
+    return count
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -61,9 +95,20 @@ def main() -> int:
             failures.append(f"{name}: CartesianProduct in plan")
         if "BatchEvalPython" in p and name not in ALLOW_PYTHON_ROW:
             failures.append(f"{name}: row-at-a-time Python UDF in plan")
+        n_global = _global_window_sections(p)
+        if n_global and name not in ALLOW_GLOBAL_WINDOW:
+            failures.append(
+                f"{name}: {n_global} global Window node(s) — empty partition "
+                "spec moves every row to one partition; whitelist with a row "
+                "bound or partition the window"
+            )
     for f in failures:
         print(f"SMELL {f}")
-    print(f"== {len(queries)} plans, {len(failures)} smells ==")
+    n_wl = len(ALLOW_GLOBAL_WINDOW)
+    print(
+        f"== {len(queries)} plans, {len(failures)} smells "
+        f"({n_wl} whitelisted global windows) =="
+    )
     spark.stop()
     return 1 if failures else 0
 
