@@ -60,6 +60,7 @@ _MODULES = (
     "round12_extra",
     "round13_extra",
     "round13b_extra",
+    "round14_extra",
     "selection_extra",
     "text_extra",
     "curation_extra",

@@ -2627,10 +2627,14 @@ def llm_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    # top-N FIRST via orderBy+limit (distributed TakeOrderedAndProject),
+    # THEN rank the N-row slice — the leg window never sees the full
+    # matching-doc set (plan_smell global-window audit)
     wl = Window.orderBy(F.desc("tf"), "doc_id")
     lex = (
-        lex_score.withColumn("r", F.row_number().over(wl))
-        .filter(F.col("r") <= _RRF_LEG_N)
+        lex_score.orderBy(F.desc("tf"), "doc_id")
+        .limit(_RRF_LEG_N)
+        .withColumn("r", F.row_number().over(wl))
         .select("doc_id", F.col("r").alias("lex_rank"))
     )
     qv = e.select(
@@ -2649,8 +2653,9 @@ def llm_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ws = Window.orderBy(F.desc("dp"), "vec_id")
     sem = (
-        dots.withColumn("r", F.row_number().over(ws))
-        .filter(F.col("r") <= _RRF_LEG_N)
+        dots.orderBy(F.desc("dp"), "vec_id")
+        .limit(_RRF_LEG_N)
+        .withColumn("r", F.row_number().over(ws))
         .select(F.col("vec_id").alias("doc_id"), F.col("r").alias("sem_rank"))
     )
     fused = lex.join(sem, "doc_id", "full_outer").select(

@@ -85,8 +85,12 @@ def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigram")
     )
     counts = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    # top slice FIRST via orderBy+limit (plans as distributed
+    # TakeOrderedAndProject), then the rank window runs over 100 rows —
+    # never the full bigram vocabulary (plan_smell global-window audit)
+    top = counts.orderBy(F.col("n").desc(), "bigram").limit(100)
     w = Window.orderBy(F.col("n").desc(), "bigram")
-    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 100)
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 _CHI2_MIN_DF = 5
