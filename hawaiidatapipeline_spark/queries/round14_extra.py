@@ -335,3 +335,511 @@ def llm_moe_router_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("expert")
     )
+
+
+# ------------------------------------------- context-window chunking
+
+_CHUNK_W = 256  # window (tokens per chunk)
+_CHUNK_S = 192  # stride (overlap = W - S = 64)
+
+
+@q(
+    "llm_context_chunking",
+    f"""WITH dt AS (
+  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n
+  FROM documents),
+ch AS (
+  SELECT doc_id, source, n,
+         CASE WHEN n <= {_CHUNK_W} THEN 1
+              ELSE 1 + (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+         END::BIGINT AS n_chunks
+  FROM dt)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chunks)::BIGINT AS n_chunks,
+       sum(n)::BIGINT AS n_tokens,
+       sum(n_chunks * {_CHUNK_W})::BIGINT AS emitted_tokens,
+       ((sum(n_chunks * {_CHUNK_W}) - sum(n)) * 1000 // sum(n))::BIGINT
+         AS overhead_milli,
+       sum(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END)::BIGINT AS docs_split
+FROM ch GROUP BY source ORDER BY source""",
+)
+def llm_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking economics: docs split into
+    W=256-token chunks at stride S=192 (64-token overlap, the
+    long-document convention for pretraining and retrieval indexing).
+    Per source: chunk counts, raw vs emitted token volume, and the
+    overhead ratio (overlap + final-chunk padding) — the cost table
+    that decides W/S against ``llm_sequence_packing``'s bin-packing
+    alternative. Exactness: chunk count is the closed form
+    1 + ceil((n−W)/S) in integer arithmetic (ceil via (x+S−1)//S);
+    overhead in floored milli. Scale: map-only per-doc arithmetic +
+    one source-grain aggregate — no explode, the chunk table itself is
+    never materialized (counts suffice)."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    ch = dt.withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= _CHUNK_W, F.lit(1))
+        .otherwise(
+            1 + F.expr(f"(n - {_CHUNK_W} + {_CHUNK_S} - 1) div {_CHUNK_S}")
+        )
+        .cast("long"),
+    )
+    return (
+        ch.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("n_chunks") * _CHUNK_W)
+            .cast("long")
+            .alias("emitted_tokens"),
+            F.expr(
+                f"(sum(n_chunks * {_CHUNK_W}) - sum(n)) * 1000 div sum(n)"
+            )
+            .cast("long")
+            .alias("overhead_milli"),
+            F.sum(F.when(F.col("n_chunks") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_split"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------- Neyman allocation
+
+_NEYMAN_BUDGET_DEN = 10  # sample budget = corpus docs / 10
+
+
+@q(
+    "sample_neyman_allocation",
+    f"""WITH st AS (
+  SELECT source, count(*)::BIGINT AS n_h,
+         sum(n_chars)::BIGINT AS s, sum(n_chars * n_chars)::BIGINT AS qq
+  FROM documents GROUP BY source),
+v AS (
+  SELECT source, n_h,
+         ((n_h::HUGEINT * qq - s::HUGEINT * s)
+          // (n_h::HUGEINT * (n_h - 1)))::BIGINT AS var_unit
+  FROM st WHERE n_h >= 2),
+w AS (
+  SELECT source, n_h,
+         floor(sqrt(var_unit) * 1000)::BIGINT AS s_milli,
+         n_h * floor(sqrt(var_unit) * 1000)::BIGINT AS wt
+  FROM v),
+tot AS (SELECT sum(wt)::BIGINT AS tw, sum(n_h)::BIGINT AS nd FROM w),
+b AS (SELECT (nd // {_NEYMAN_BUDGET_DEN})::BIGINT AS budget, tw FROM tot),
+base AS (
+  SELECT w.source, w.n_h, w.s_milli, w.wt, b.budget,
+         (b.budget * w.wt // b.tw)::BIGINT AS alloc0,
+         (b.budget * w.wt % b.tw)::BIGINT AS rem
+  FROM w, b),
+d AS (SELECT (max(budget) - sum(alloc0))::BIGINT AS deficit FROM base),
+rk AS (
+  SELECT base.*, row_number() OVER (ORDER BY rem DESC, source) AS rnk
+  FROM base)
+SELECT rk.source, rk.n_h, rk.s_milli,
+       (rk.alloc0 + CASE WHEN rk.rnk <= d.deficit THEN 1 ELSE 0 END)::BIGINT
+         AS alloc_docs,
+       ((rk.alloc0 + CASE WHEN rk.rnk <= d.deficit THEN 1 ELSE 0 END)
+        * 1000 // rk.budget)::BIGINT AS share_milli
+FROM rk, d
+ORDER BY rk.source""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: each source stratum
+    gets sample size ∝ N_h·S_h (size × doc-length standard deviation) —
+    the survey-statistics allocation that minimizes estimator variance
+    at fixed budget, upgrading ``sample_stratified``'s proportional
+    rule (high-variance strata get oversampled). Budget = docs/10;
+    allocations hit the budget EXACTLY via largest-remainder rounding
+    under the (remainder, source) total order. Exactness: the variance
+    numerator N·Σx²−S² is exact HUGEINT/DECIMAL; the single sqrt runs
+    on the exact integer per-unit variance (correctly-rounded IEEE,
+    floored to milli — the ``ts_changepoint_binary`` precedent). Scale:
+    one source-grain aggregate; all allocation math on the |sources|
+    frame (the rank window is source-grain, bounded)."""
+    d = load_table(spark, sf_dir, "documents")
+    wide = "decimal(38,0)"
+    st = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("qq"),
+    )
+    v = st.filter(F.col("n_h") >= 2).select(
+        "source",
+        "n_h",
+        F.expr(
+            f"(cast(n_h as {wide}) * qq - cast(s as {wide}) * s)"
+            f" div (cast(n_h as {wide}) * (n_h - 1))"
+        )
+        .cast("long")
+        .alias("var_unit"),
+    )
+    w = v.select(
+        "source",
+        "n_h",
+        F.floor(F.sqrt("var_unit") * 1000).cast("long").alias("s_milli"),
+    ).withColumn("wt", F.col("n_h") * F.col("s_milli"))
+    tot = w.agg(
+        F.sum("wt").cast("long").alias("tw"),
+        F.sum("n_h").cast("long").alias("nd"),
+    ).select(
+        F.expr(f"nd div {_NEYMAN_BUDGET_DEN}").cast("long").alias("budget"),
+        "tw",
+    )
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_h",
+        "s_milli",
+        "budget",
+        F.expr("budget * wt div tw").cast("long").alias("alloc0"),
+        F.expr("budget * wt % tw").cast("long").alias("rem"),
+    )
+    base = materialize(base)
+    dd = base.agg(
+        (F.max("budget") - F.sum("alloc0")).cast("long").alias("deficit")
+    )
+    wr = Window.orderBy(F.desc("rem"), "source")
+    return (
+        base.withColumn("rnk", F.row_number().over(wr))
+        .crossJoin(F.broadcast(dd))
+        .select(
+            "source",
+            "n_h",
+            "s_milli",
+            (
+                F.col("alloc0")
+                + F.when(F.col("rnk") <= F.col("deficit"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_docs"),
+            F.expr(
+                "(alloc0 + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END)"
+                " * 1000 div budget"
+            )
+            .cast("long")
+            .alias("share_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------------ kNN-graph health
+
+_KNNG_K = 3
+
+
+@q(
+    "emb_knn_graph_health",
+    f"""WITH qv AS (
+  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+         round(unnest(embedding) * 1000)::BIGINT AS q
+  FROM embeddings),
+stride AS (SELECT greatest(8, ceil(count(*) / 64.0))::BIGINT AS st
+           FROM embeddings),
+probes AS (SELECT qv.* FROM qv, stride WHERE qv.vec_id % stride.st = 0),
+dots AS (
+  SELECT a.vec_id AS u, b.vec_id AS v,
+         sum(a.q * b.q)::BIGINT AS dp
+  FROM probes a JOIN probes b ON b.d = a.d AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2),
+rk AS (
+  SELECT u, v, row_number() OVER (PARTITION BY u
+                                  ORDER BY dp DESC, v) AS rn
+  FROM dots),
+e AS (SELECT u, v FROM rk WHERE rn <= {_KNNG_K}),
+recip AS (
+  SELECT count(*)::BIGINT AS n_recip
+  FROM e e1 JOIN e e2 ON e2.u = e1.v AND e2.v = e1.u),
+indeg AS (SELECT v, count(*)::BIGINT AS ind FROM e GROUP BY v),
+agg AS (
+  SELECT (SELECT count(DISTINCT u) FROM e)::BIGINT AS n_nodes,
+         (SELECT count(*) FROM e)::BIGINT AS n_edges,
+         (SELECT n_recip FROM recip) AS n_reciprocal,
+         (SELECT max(ind) FROM indeg)::BIGINT AS max_in_degree)
+SELECT n_nodes, n_edges, n_reciprocal,
+       (n_reciprocal * 1000 // n_edges)::BIGINT AS reciprocity_milli,
+       max_in_degree
+FROM agg""",
+)
+def emb_knn_graph_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph health audit over a corpus-scaled probe sample: build
+    the directed k=3 nearest-neighbor graph (exact integer dots on
+    milli-quantized vectors, (dp, id) total-ordered), then report edge
+    reciprocity and the in-degree hub maximum — the graph-structure
+    diagnostics (Jarman et al. / UMAP practice) that predict whether a
+    kNN-based index or clustering will behave: low reciprocity or one
+    giant hub means hubness pathology, and mutual-kNN methods will
+    shatter. Probe-sampled like every recall audit (the ``_adc_stride``
+    discipline, ~64 nodes at any corpus size — production runs the same
+    audit on ANN candidates per cell); probes×probes dots are
+    (64·d)-grain, never corpus². Oracle recomputes the identical graph
+    in CTEs; reciprocity in floored milli."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select("vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q"))
+    import math
+
+    n = e.count()
+    stride = max(8, math.ceil(n / 64.0))
+    probes = materialize(qv.filter(F.col("vec_id") % stride == 0))
+    dots = (
+        probes.alias("a")
+        .join(
+            probes.alias("b"),
+            (F.col("b.d") == F.col("a.d"))
+            & (F.col("b.vec_id") != F.col("a.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).cast("long").alias("dp"))
+    )
+    wk = Window.partitionBy("u").orderBy(F.desc("dp"), "v")
+    edges = materialize(
+        dots.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _KNNG_K)
+        .select("u", "v")
+    )
+    recip = (
+        edges.alias("e1")
+        .join(
+            edges.alias("e2"),
+            (F.col("e2.u") == F.col("e1.v")) & (F.col("e2.v") == F.col("e1.u")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    )
+    nodes = edges.agg(F.countDistinct("u").cast("long").alias("n_nodes"))
+    ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    indeg = (
+        edges.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("ind"))
+        .agg(F.max("ind").cast("long").alias("max_in_degree"))
+    )
+    return (
+        nodes.join(ne)
+        .join(recip)
+        .join(indeg)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_reciprocal",
+            F.expr("n_reciprocal * 1000 div n_edges")
+            .cast("long")
+            .alias("reciprocity_milli"),
+            "max_in_degree",
+        )
+    )
+
+
+# -------------------------------------------- audio clipping audit
+
+_CLIP_THRESHOLD = 95  # int16 amplitude rail for the ±100 synthetic fixture
+
+
+@q(
+    "multimodal_audio_clipping",
+    f"""WITH g AS (
+  SELECT doc_id, source, (800 + 8 * (doc_id % 100))::BIGINT AS n
+  FROM documents),
+s AS (
+  SELECT doc_id, source, n, unnest(generate_series(0, n - 1)) AS i
+  FROM g),
+h AS (
+  SELECT doc_id, source, n,
+         count(CASE WHEN (doc_id + i) % 200 <= 100 - {_CLIP_THRESHOLD}
+                      OR (doc_id + i) % 200 >= 100 + {_CLIP_THRESHOLD}
+                    THEN 1 END)::BIGINT AS hits
+  FROM s GROUP BY 1, 2, 3)
+SELECT source,
+       count(*)::BIGINT AS n_clips,
+       sum(CASE WHEN hits * 20 > n THEN 1 ELSE 0 END)::BIGINT
+         AS clips_flagged,
+       sum(hits)::BIGINT AS total_clipped,
+       sum(n)::BIGINT AS total_samples,
+       (sum(hits) * 1000 // sum(n))::BIGINT AS clip_share_milli
+FROM h GROUP BY source ORDER BY source""",
+)
+def multimodal_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio clipping audit — the loudness-damage quality gate audio
+    curation runs before transcription: REAL WAV decode (Arrow
+    ``mapInPandas``, ``sources/multimodal.py audio_clipping_stats``)
+    counts samples at or beyond the ±95 rail per clip; clips with >5 %
+    clipped samples are flagged, rolled up per source. The oracle
+    recomputes the counts CLOSED-FORM from the synthetic generator's
+    sample law ((id+i) mod 200 − 100 — ``synthetic_audio_blobs``), so a
+    decode that truncates frames, drops the header offset, or misreads
+    endianness diverges immediately. Scale: decode is map-only (samples
+    never shuffle — only per-clip counters), rollup is source-grain;
+    the 5 %-flag is the integer cross-multiplication hits·20 > n."""
+    from hawaiidatapipeline_spark.sources.multimodal import (
+        audio_clipping_stats,
+        synthetic_audio_blobs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = audio_clipping_stats(
+        synthetic_audio_blobs(d), threshold=_CLIP_THRESHOLD
+    )
+    return (
+        stats.join(d.select(F.col("doc_id").alias("id"), "source"), "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.sum(
+                F.when(F.col("n_clipped") * 20 > F.col("n_samples"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("clips_flagged"),
+            F.sum("n_clipped").cast("long").alias("total_clipped"),
+            F.sum("n_samples").cast("long").alias("total_samples"),
+            F.expr("sum(n_clipped) * 1000 div sum(n_samples)")
+            .cast("long")
+            .alias("clip_share_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+# -------------------------------------------- uniqueness profile
+
+_UNIQ_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+@q(
+    "dq_uniqueness_profile",
+    """WITH u AS (
+  SELECT 'o_orderstatus' AS col_name, o_orderstatus::VARCHAR AS val
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority::VARCHAR FROM orders
+  UNION ALL
+  SELECT 'o_custkey', o_custkey::VARCHAR FROM orders),
+vc AS (SELECT col_name, val, count(*)::BIGINT AS c FROM u GROUP BY 1, 2),
+pc AS (
+  SELECT col_name, count(*)::BIGINT AS n_distinct, sum(c)::BIGINT AS n,
+         max(c)::BIGINT AS top_c,
+         (floor(ln(sum(c)) * 1000000)::BIGINT
+          - sum(c * floor(ln(c) * 1000000)::BIGINT)::BIGINT // sum(c))
+           ::BIGINT AS entropy_micro
+  FROM vc GROUP BY col_name)
+SELECT col_name, n_distinct,
+       (n_distinct * 1000000 // n)::BIGINT AS distinct_ratio_micro,
+       (top_c * 1000 // n)::BIGINT AS top_share_milli,
+       entropy_micro
+FROM pc ORDER BY col_name""",
+)
+def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column uniqueness/cardinality profile of ``orders``: per declared
+    column the distinct count, distinct ratio, top-value share, and
+    Shannon entropy of the value distribution — the profiling row a
+    catalog shows per column and the input to join-strategy and
+    encoding choices (a 3-value status column dictionary-encodes; a
+    near-unique custkey does not). One UNPIVOT to (column, value) rows
+    → ONE value-grain aggregate for every column together (scans never
+    grow with the column count — the ``dq_completeness_matrix``
+    discipline). Entropy in floored micro nats via the exact
+    Σc·ln c identity, ratios in floored micro/milli."""
+    o = load_table(spark, sf_dir, "orders")
+    u = None
+    for c in _UNIQ_COLS:
+        part = o.select(
+            F.lit(c).alias("col_name"), F.col(c).cast("string").alias("val")
+        )
+        u = part if u is None else u.unionAll(part)
+    vc = u.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pc = vc.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("c").cast("long").alias("n"),
+        F.max("c").cast("long").alias("top_c"),
+        (
+            F.floor(F.log(F.sum("c")) * 1000000)
+            - F.expr("sum(c * cast(floor(ln(c) * 1000000) as bigint)) div sum(c)")
+        )
+        .cast("long")
+        .alias("entropy_micro"),
+    )
+    return pc.select(
+        "col_name",
+        "n_distinct",
+        F.expr("n_distinct * 1000000 div n").cast("long").alias("distinct_ratio_micro"),
+        F.expr("top_c * 1000 div n").cast("long").alias("top_share_milli"),
+        "entropy_micro",
+    ).orderBy("col_name")
+
+
+# ------------------------------------------------ graph reciprocity
+
+
+@q(
+    "graph_reciprocity",
+    """WITH items AS (SELECT l_orderkey, l_partkey
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 64),
+e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+recip AS (
+  SELECT count(*)::BIGINT AS n_recip
+  FROM e e1 JOIN e e2 ON e2.src = e1.dst AND e2.dst = e1.src),
+agg AS (
+  SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+         (SELECT count(DISTINCT src) FROM e)::BIGINT AS n_sources,
+         (SELECT n_recip FROM recip) AS n_reciprocal)
+SELECT n_edges, n_sources, n_reciprocal,
+       (n_reciprocal * 1000 // n_edges)::BIGINT AS reciprocity_milli
+FROM agg""",
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity of the co-purchase graph — the
+    Garlaschelli–Loffredo dial (what share of u→v edges have a v→u
+    twin) that separates mutual-affinity structure from one-way
+    accessory relationships, and calibrates whether the directed
+    centralities (Katz, HITS, betweenness) will differ materially from
+    their undirected twins. The co-purchase edge build is symmetric by
+    construction ONLY when thresholds keep both directions — the ≥2
+    shared-orders HAVING applies per direction, so reciprocity here is
+    exactly 1000 unless the build drops a direction: the audit pins
+    that invariant (and generalizes to any directed edge table).
+    Scale: one orderkey-grain edge build + one (dst,src)-keyed
+    self-equi-join at edge grain; counts only, no pair blowup."""
+    from hawaiidatapipeline_spark.operators.graph import copurchase_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = materialize(
+        copurchase_edges(li, directed=True).select(
+            F.col("src").alias("src"), F.col("dst").alias("dst")
+        )
+    )
+    recip = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            (F.col("e2.src") == F.col("e1.dst"))
+            & (F.col("e2.dst") == F.col("e1.src")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    )
+    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    ns = e.agg(F.countDistinct("src").cast("long").alias("n_sources"))
+    return (
+        ne.join(ns)
+        .join(recip)
+        .select(
+            "n_edges",
+            "n_sources",
+            "n_reciprocal",
+            F.expr("n_reciprocal * 1000 div n_edges")
+            .cast("long")
+            .alias("reciprocity_milli"),
+        )
+    )

@@ -491,6 +491,31 @@ def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
     return vals
 
 
+def audio_clipping_stats(blobs: DataFrame, threshold: int = 95) -> DataFrame:
+    """REAL WAV decode per Arrow batch → clipping audit: samples at or
+    beyond ±threshold counted per clip (int16 domain; the synthetic
+    fixture's amplitude is ±100, so threshold 95 exercises both rails).
+    Map-only — samples never leave the executor, only (id, counts)."""
+    import numpy as np
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in ("id", "n_samples", "n_clipped")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                data, _rate = decode_audio(bytes(payload))
+                mono = data[:, 0].astype(np.int64)
+                out["id"].append(int(i))
+                out["n_samples"].append(int(data.shape[0]))
+                out["n_clipped"].append(int((np.abs(mono) >= threshold).sum()))
+            yield pd.DataFrame(out)
+
+    return blobs.select("id", "payload").mapInPandas(
+        run, "id bigint, n_samples bigint, n_clipped bigint"
+    )
+
+
 def extract_features(blobs: DataFrame, dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
