@@ -125,6 +125,10 @@ HEAVY = [
     # round-13 additions (same caveat for r12's heavy_total)
     "graph_betweenness_sampled",
     "llm_decontaminate_semantic",
+    # round-14 additions (same caveat for r13's heavy_total)
+    "llm_heaps_law",
+    "llm_term_burstiness",
+    "emb_knn_graph_health",
 ]
 
 # Sub-0.5s queries sit at the box-noise floor: with 3 passes one co-tenant

@@ -217,7 +217,149 @@ def measure_late_audit_sink(spark, rate: int) -> dict | None:
         return stats
 
 
-def run(spark, write_to: str | None = None) -> int:
+def measure_kmv_sink(spark, rate: int) -> dict | None:
+    from hawaiidatapipeline_spark.streaming.runtime import run_kmv_sink
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rate)
+            .load()
+            .select(
+                F.col("timestamp").alias("ts"),
+                F.pmod("value", F.lit(10000)).alias("user_id"),
+            )
+        )
+        q = run_kmv_sink(src, f"{tmp}/target", f"{tmp}/ckpt", k=32,
+                         trigger=TRIGGER)
+        time.sleep(RUN_SECONDS)
+        stats = _progress_stats(q)
+        q.stop()
+        q.awaitTermination(30)
+        return stats
+
+
+def _doc_stream(spark, rate: int):
+    """Rate source shaped like the documents table: 8-token synthetic
+    text through the SAME featurizer path the batch twin uses."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                (F.pmod("value", F.lit(3)) + 1).cast("int"),
+            ).alias("lang"),
+            F.element_at(
+                F.array(F.lit("web"), F.lit("wiki")),
+                (F.pmod("value", F.lit(2)) + 1).cast("int"),
+            ).alias("source"),
+            F.format_string(
+                "w%d the w%d of w%d quality w%d data w%d end w%d",
+                F.pmod("value", F.lit(97)),
+                F.pmod("value", F.lit(53)),
+                F.pmod("value", F.lit(31)),
+                F.pmod("value", F.lit(17)),
+                F.pmod("value", F.lit(11)),
+                F.pmod("value", F.lit(7)),
+            ).alias("text"),
+        )
+    )
+
+
+def measure_dsir_model_sink(spark, rate: int) -> dict | None:
+    from hawaiidatapipeline_spark.streaming.runtime import run_dsir_model_sink
+
+    with tempfile.TemporaryDirectory() as tmp:
+        q = run_dsir_model_sink(
+            _doc_stream(spark, rate), f"{tmp}/target", f"{tmp}/ckpt",
+            trigger=TRIGGER,
+        )
+        time.sleep(RUN_SECONDS)
+        stats = _progress_stats(q)
+        q.stop()
+        q.awaitTermination(30)
+        return stats
+
+
+def measure_classifier_model_sink(spark, rate: int) -> dict | None:
+    from hawaiidatapipeline_spark.streaming.runtime import (
+        run_classifier_model_sink,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        q = run_classifier_model_sink(
+            _doc_stream(spark, rate), f"{tmp}/target", f"{tmp}/ckpt",
+            trigger=TRIGGER,
+        )
+        time.sleep(RUN_SECONDS)
+        stats = _progress_stats(q)
+        q.stop()
+        q.awaitTermination(30)
+        return stats
+
+
+def measure_theta_sink(spark, rate: int) -> dict | None:
+    from hawaiidatapipeline_spark.streaming.runtime import run_theta_sink
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rate)
+            .load()
+            .select(
+                F.pmod("value", F.lit(5000)).alias("o_custkey"),
+                F.element_at(
+                    F.array(
+                        F.lit("1-URGENT"), F.lit("2-HIGH"),
+                        F.lit("3-MEDIUM"), F.lit("4-NOT SPECIFIED"),
+                        F.lit("5-LOW"),
+                    ),
+                    (F.pmod("value", F.lit(5)) + 1).cast("int"),
+                ).alias("o_orderpriority"),
+                (F.pmod("value", F.lit(400000)) * 1.0).alias("o_totalprice"),
+            )
+        )
+        q = run_theta_sink(src, f"{tmp}/target", f"{tmp}/ckpt", k=64,
+                           trigger=TRIGGER)
+        time.sleep(RUN_SECONDS)
+        stats = _progress_stats(q)
+        q.stop()
+        q.awaitTermination(30)
+        return stats
+
+
+def measure_decay_sink(spark, rate: int) -> dict | None:
+    from hawaiidatapipeline_spark.streaming.runtime import run_decay_sink
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rate)
+            .load()
+            .select(
+                F.concat(F.lit("t"), F.pmod("value", F.lit(20))).alias(
+                    "event_type"
+                ),
+                (
+                    F.col("timestamp")
+                    - F.pmod("value", F.lit(40)) * F.expr("INTERVAL 1 DAY")
+                ).alias("ts"),
+            )
+        )
+        q = run_decay_sink(src, f"{tmp}/target", f"{tmp}/ckpt",
+                           trigger=TRIGGER)
+        time.sleep(RUN_SECONDS)
+        stats = _progress_stats(q)
+        q.stop()
+        q.awaitTermination(30)
+        return stats
+
+
+def run(spark, write_to: str | None = None,
+        only: set[str] | None = None) -> int:
     rows = []
     for label, fn in (
         ("rate_limited_counters", measure_rate_limiter),
@@ -225,7 +367,14 @@ def run(spark, write_to: str | None = None) -> int:
         ("run_aggregate_sink", measure_aggregate_sink),
         ("funnel_stage_tracker", measure_funnel_tracker),
         ("run_late_audit_sink", measure_late_audit_sink),
+        ("run_kmv_sink", measure_kmv_sink),
+        ("run_dsir_model_sink", measure_dsir_model_sink),
+        ("run_classifier_model_sink", measure_classifier_model_sink),
+        ("run_theta_sink", measure_theta_sink),
+        ("run_decay_sink", measure_decay_sink),
     ):
+        if only and label not in only:
+            continue
         for rate in RATES:
             s = fn(spark, rate)
             if s is None:  # too few batches (slow startup race) — once more
@@ -268,8 +417,11 @@ def main() -> int:
     write_to = None
     if "--write" in sys.argv:
         write_to = sys.argv[sys.argv.index("--write") + 1]
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     spark = get_spark(app_name="hdp-streaming-latency")
-    rc = run(spark, write_to)
+    rc = run(spark, write_to, only)
     spark.stop()
     return rc
 
