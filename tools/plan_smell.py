@@ -88,6 +88,20 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "llm_classifier_auc": "prefix-sum offsets (_pid grain, <=#partitions)",
     "llm_sequence_packing": "prefix-sum offsets (_pid grain)",
     "sample_systematic": "prefix-sum offsets (_pid grain)",
+    "agg_percentile_exact_grid": "prefix-sum offsets (_pid grain)",
+    # -- value-grain / test-grain statistical frames
+    "agg_benjamini_hochberg": "p-value ranks (|hypotheses| rows)",
+    "agg_bootstrap_ci_mean": "bootstrap replicate frame (B rows)",
+    "agg_gini_lorenz": "distinct-value cumulative (value grain)",
+    "agg_group_median_exact": "group-offset pass (one row per group)",
+    "agg_mann_whitney_u": "distinct-value ranks (value grain)",
+    "agg_spearman_corr": "distinct-value ranks (value grain)",
+    "dq_ks_drift": "distinct-value CDF frame (value grain)",
+    "dq_wasserstein_drift": "distinct-value CDF frame (value grain)",
+    "dq_row_count_anomaly": "day-grain trailing 28-day window",
+    "etl_compaction_plan": "day-partition bin-pack (calendar grain)",
+    "llm_domain_reweight_step": "source-grain normalization frame",
+    "sample_neyman_allocation": "largest-remainder rank (|sources| rows)",
 }
 
 

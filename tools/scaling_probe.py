@@ -144,6 +144,17 @@ PROBES = [
     ("graph_random_walks", "per-hop frontier x edges join, ~200 seeds"),
     ("llm_good_turing_spectrum", "bigram self-join -> type count -> spectrum"),
     ("multimodal_image_channel_hist", "map-only decode+bin; 48-row output"),
+    # round-14 additions
+    ("llm_heaps_law", "token explode -> type min-agg; 5-row broadcast checkpoints"),
+    ("llm_term_burstiness", "(doc,term) partial agg -> term rollup -> TakeOrdered"),
+    ("llm_softdedup_weights", "hash-cluster sizes + hash-keyed join back, no pairs"),
+    ("llm_moe_router_balance", "map-side portable hash + E-row aggregate"),
+    ("llm_context_chunking", "map-only closed-form chunk math + source rollup"),
+    ("sample_neyman_allocation", "source-grain moments; allocation on |sources| frame"),
+    ("emb_knn_graph_health", "~64 probes x probes integer dots + top-k windows"),
+    ("multimodal_audio_clipping", "map-only decode+count; source rollup"),
+    ("dq_uniqueness_profile", "one (col,value) unpivot shuffle for all columns"),
+    ("graph_reciprocity", "edge build + edge-grain (dst,src) self-equi-join"),
 ]
 
 
