@@ -412,7 +412,7 @@ def run(spark, write_to: str | None = None,
 
 
 def main() -> int:
-    from hawaiidatapipeline_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
     write_to = None
     if "--write" in sys.argv:
@@ -420,7 +420,23 @@ def main() -> int:
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
-    spark = get_spark(app_name="hdp-streaming-latency")
+    # -Xss16m: under sustained 1 s processing-time triggers on local[32],
+    # Spark's streaming progress/offset path recurses a java.util.regex
+    # match deep enough to overflow the DEFAULT JVM thread stack
+    # (StackOverflowError entirely inside Pattern$Loop.match frames,
+    # observed on the dsir/theta model sinks at 2k rows/s — round 14).
+    # A deployment sets executor/driver stack via spark-submit; the probe
+    # sets it here so the lane measures the sinks, not the JVM default.
+    import os as _os
+
+    cpus = _os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.appName("hdp-streaming-latency")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.extraJavaOptions", "-Xss16m")
+        .getOrCreate()
+    )
     rc = run(spark, write_to, only)
     spark.stop()
     return rc
