@@ -277,7 +277,9 @@ def measure_dsir_model_sink(spark, rate: int) -> dict | None:
             _doc_stream(spark, rate), f"{tmp}/target", f"{tmp}/ckpt",
             trigger=TRIGGER,
         )
-        time.sleep(RUN_SECONDS)
+        # model-sink batches run ~2s (featurize + merge + rewrite): a 25s
+        # window leaves <3 usable post-warmup batches — run longer
+        time.sleep(RUN_SECONDS * 2)
         stats = _progress_stats(q)
         q.stop()
         q.awaitTermination(30)
@@ -294,7 +296,7 @@ def measure_classifier_model_sink(spark, rate: int) -> dict | None:
             _doc_stream(spark, rate), f"{tmp}/target", f"{tmp}/ckpt",
             trigger=TRIGGER,
         )
-        time.sleep(RUN_SECONDS)
+        time.sleep(RUN_SECONDS * 2)  # see dsir note
         stats = _progress_stats(q)
         q.stop()
         q.awaitTermination(30)
