@@ -843,3 +843,328 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reciprocity_milli"),
         )
     )
+
+
+# -------------------------------------------- held-out perplexity
+
+
+@q(
+    "llm_heldout_perplexity",
+    """WITH tr AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE doc_id % 2 = 0),
+freq AS (SELECT w, count(*)::BIGINT AS c FROM tr GROUP BY w),
+tot AS (SELECT sum(c)::BIGINT AS t, count(*)::BIGINT AS v FROM freq),
+ev AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE doc_id % 2 = 1),
+scored AS (
+  SELECT ev.source,
+         floor(ln(tot.t + tot.v + 1) * 1000000)::BIGINT
+           - floor(ln(coalesce(freq.c, 0) + 1) * 1000000)::BIGINT
+           AS nll_micro,
+         CASE WHEN freq.c IS NULL THEN 1 ELSE 0 END AS oov
+  FROM ev LEFT JOIN freq ON freq.w = ev.w
+  CROSS JOIN tot)
+SELECT source,
+       count(*)::BIGINT AS n_tokens,
+       sum(oov)::BIGINT AS n_oov,
+       (sum(oov) * 1000 // count(*))::BIGINT AS oov_milli,
+       (sum(nll_micro) // count(*))::BIGINT AS nll_per_token_micro
+FROM scored GROUP BY source ORDER BY source""",
+)
+def llm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT unigram perplexity — the generalization twin of
+    ``llm_doc_ppl_percentiles`` (which scores the corpus with a model
+    fit on itself): an add-one-smoothed unigram LM fit on the EVEN-doc
+    half scores the ODD-doc half, per source — the standard
+    train/held-out protocol LM-data papers report, and the honest
+    quality dial (self-scored NLL rewards memorizable duplication;
+    held-out NLL penalizes it). Also reports the OOV rate the training
+    half fails to cover. Exactness: per-token nll term =
+    floor(ln(T+V+1)·1e6) − floor(ln(c+1)·1e6) with c = 0 for OOV —
+    difference of floored ln's on exact ints (no float ratio), final
+    per-token division truncating. Scale: one train-half token agg +
+    one vocab-keyed eval join (the ``llm_bigram_logprob`` shape) —
+    linear, shuffles on the token hash."""
+    d = load_table(spark, sf_dir, "documents")
+    tr = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    freq = tr.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = freq.agg(
+        F.sum("c").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    ev = d.filter(F.col("doc_id") % 2 == 1).select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    scored = (
+        ev.join(freq, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            (
+                F.floor(F.log(F.col("t") + F.col("v") + 1) * 1000000)
+                - F.floor(
+                    F.log(F.coalesce(F.col("c"), F.lit(0)) + 1) * 1000000
+                )
+            )
+            .cast("long")
+            .alias("nll_micro"),
+            F.when(F.col("c").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("oov").cast("long").alias("n_oov"),
+            F.expr("sum(oov) * 1000 div count(*)")
+            .cast("long")
+            .alias("oov_milli"),
+            F.expr("sum(nll_micro) div count(*)")
+            .cast("long")
+            .alias("nll_per_token_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+# -------------------------------------------- embedding centroid drift
+
+
+@q(
+    "emb_centroid_drift",
+    """WITH qv AS (
+  SELECT vec_id, label, vec_id % 2 AS half,
+         unnest(generate_series(0, len(embedding) - 1)) AS d,
+         round(unnest(embedding) * 1000)::BIGINT AS q
+  FROM embeddings),
+cent AS (
+  SELECT label, half, d,
+         (sum(q) // count(*))::BIGINT AS cq,
+         count(*)::BIGINT AS n
+  FROM qv GROUP BY 1, 2, 3),
+a AS (SELECT label, d, cq AS c0, n AS n0 FROM cent WHERE half = 0),
+b AS (SELECT label, d, cq AS c1, n AS n1 FROM cent WHERE half = 1)
+SELECT label,
+       max(n0)::BIGINT AS n_half0,
+       max(n1)::BIGINT AS n_half1,
+       sum((c0 - c1) * (c0 - c1))::BIGINT AS drift_d2,
+       max(abs(c0 - c1))::BIGINT AS max_dim_gap
+FROM a JOIN b USING (label, d)
+GROUP BY label ORDER BY label""",
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift between deterministic corpus
+    halves (vec_id parity — standing in for two ingestion snapshots):
+    squared L2 gap between half-centroids plus the worst single
+    dimension — the embedding-space drift gate run before trusting a
+    persisted ANN index against a re-encoded or re-crawled corpus
+    (the ``dq_psi_drift`` idea lifted to vector space). Exactness:
+    centroids are truncating integer means of milli coordinates; the
+    gap is an exact integer quadratic. Scale: one (label, half, d)-grain
+    partial agg (shuffle = labels × 2 × d rows, independent of N) and a
+    d-grain self-join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("d", "x"),
+    ).select(
+        "vec_id", "label", "half", "d",
+        F.round(F.col("x") * 1000).cast("long").alias("q"),
+    )
+    cent = qv.groupBy("label", "half", "d").agg(
+        F.expr("sum(q) div count(*)").cast("long").alias("cq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "d", F.col("cq").alias("c0"), F.col("n").alias("n0")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "d", F.col("cq").alias("c1"), F.col("n").alias("n1")
+    )
+    return (
+        a.join(b, ["label", "d"])
+        .groupBy("label")
+        .agg(
+            F.max("n0").cast("long").alias("n_half0"),
+            F.max("n1").cast("long").alias("n_half1"),
+            F.sum((F.col("c0") - F.col("c1")) * (F.col("c0") - F.col("c1")))
+            .cast("long")
+            .alias("drift_d2"),
+            F.max(F.abs(F.col("c0") - F.col("c1")))
+            .cast("long")
+            .alias("max_dim_gap"),
+        )
+        .orderBy("label")
+    )
+
+
+# ------------------------------------------------ Hurst exponent (R/S)
+
+_HURST_WINDOWS = (8, 16, 32)
+_LN4_MICRO = 1386294  # floor(ln(4) * 1e6) — the ln(32/8) denominator
+
+
+@q(
+    "ts_hurst_exponent",
+    f"""WITH daily AS (
+  SELECT event_type,
+         (epoch(date_trunc('day', ts))::BIGINT // 86400) AS ed,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+mn AS (SELECT min(ed)::BIGINT AS m FROM daily),
+idx AS (SELECT event_type, ed - mn.m AS di, x FROM daily, mn),
+ws AS (SELECT unnest(ARRAY{list(_HURST_WINDOWS)})::BIGINT AS w),
+blk AS (
+  SELECT i.event_type, ws.w, i.di // ws.w AS b, i.di, i.x
+  FROM idx i, ws),
+bs AS (
+  SELECT event_type, w, b, sum(x)::BIGINT AS s, sum(x * x)::BIGINT AS q,
+         count(*)::BIGINT AS n
+  FROM blk GROUP BY 1, 2, 3),
+full_b AS (SELECT * FROM bs WHERE n = w),
+dev AS (
+  SELECT blk.event_type, blk.w, blk.b,
+         blk.w * sum(blk.x) OVER (PARTITION BY blk.event_type, blk.w, blk.b
+                                  ORDER BY blk.di
+                                  ROWS UNBOUNDED PRECEDING)
+           - row_number() OVER (PARTITION BY blk.event_type, blk.w, blk.b
+                                ORDER BY blk.di) * f.s AS dv,
+         f.s, f.q
+  FROM blk JOIN full_b f
+    ON f.event_type = blk.event_type AND f.w = blk.w AND f.b = blk.b),
+rs AS (
+  SELECT event_type, w, b,
+         ((max(dv) - min(dv)) * 1000
+          // floor(sqrt(max(w * q - s * s)))::BIGINT)::BIGINT AS rs_milli
+  FROM dev
+  WHERE w * q - s * s > 0
+  GROUP BY 1, 2, 3),
+mrs AS (
+  SELECT event_type, w,
+         count(*)::BIGINT AS n_blocks,
+         (sum(rs_milli) // count(*))::BIGINT AS mean_rs
+  FROM rs GROUP BY 1, 2)
+SELECT event_type,
+       max(CASE WHEN w = 8 THEN n_blocks END)::BIGINT AS blocks_w8,
+       max(CASE WHEN w = 8 THEN mean_rs END)::BIGINT AS rs8_milli,
+       max(CASE WHEN w = 16 THEN mean_rs END)::BIGINT AS rs16_milli,
+       max(CASE WHEN w = 32 THEN mean_rs END)::BIGINT AS rs32_milli,
+       ((floor(ln(max(CASE WHEN w = 32 THEN mean_rs END)) * 1000000)::BIGINT
+         - floor(ln(max(CASE WHEN w = 8 THEN mean_rs END)) * 1000000)::BIGINT)
+        * 1000 // {_LN4_MICRO})::BIGINT AS hurst_milli
+FROM mrs
+GROUP BY event_type
+HAVING max(CASE WHEN w = 8 THEN mean_rs END) > 0
+   AND max(CASE WHEN w = 32 THEN mean_rs END) > 0
+ORDER BY event_type""",
+)
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via rescaled-range (R/S) analysis of the daily
+    event-count series per type — the long-range-dependence dial
+    (H ≈ 0.5 memoryless, > 0.5 persistent/trending, < 0.5
+    mean-reverting) behind capacity planning and anomaly-gate tuning
+    (a persistent series needs wider control bands than an i.i.d. one).
+    Per window size W ∈ {{8, 16, 32}} days: complete W-day blocks only;
+    within a block the cumulative deviation is kept EXACT by scaling
+    with W (dv_i = W·cumsum(x) − i·S, so no rational mean ever
+    appears), R/S = range(dv) / floor(sqrt(W·Σx² − S²)) in floored
+    milli (the single sqrt runs on an exact int — correctly-rounded
+    IEEE). H = Δln(R/S)/ln(4) between W=32 and W=8 from floored-micro
+    ln's. Scale: day-grain pre-agg is the only pass over raw rows;
+    blocks/windows are (type × calendar)-bounded frames."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", "ts")).cast("long").alias("es"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x")).select(
+        "event_type", F.expr("es div 86400").cast("long").alias("ed"), "x"
+    )
+    mn = daily.agg(F.min("ed").cast("long").alias("m"))
+    idx = daily.crossJoin(F.broadcast(mn)).select(
+        "event_type", (F.col("ed") - F.col("m")).alias("di"), "x"
+    )
+    ws = spark.range(1).select(
+        F.explode(F.array(*[F.lit(w) for w in _HURST_WINDOWS])).alias("w0")
+    ).select(F.col("w0").cast("long").alias("w"))
+    blk = idx.crossJoin(F.broadcast(ws)).select(
+        "event_type", "w", F.expr("di div w").alias("b"), "di", "x"
+    )
+    bs = blk.groupBy("event_type", "w", "b").agg(
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    full_b = bs.filter(F.col("n") == F.col("w")).select(
+        "event_type", "w", "b", "s", "q"
+    )
+    wcum = (
+        Window.partitionBy("event_type", "w", "b")
+        .orderBy("di")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrn = Window.partitionBy("event_type", "w", "b").orderBy("di")
+    dev = blk.join(full_b, ["event_type", "w", "b"]).select(
+        "event_type",
+        "w",
+        "b",
+        (
+            F.col("w") * F.sum("x").over(wcum)
+            - F.row_number().over(wrn) * F.col("s")
+        ).alias("dv"),
+        "s",
+        "q",
+    )
+    rs = (
+        dev.filter(F.col("w") * F.col("q") - F.col("s") * F.col("s") > 0)
+        .groupBy("event_type", "w", "b")
+        .agg(
+            F.expr(
+                "(max(dv) - min(dv)) * 1000"
+                " div cast(floor(sqrt(max(w * q - s * s))) as bigint)"
+            )
+            .cast("long")
+            .alias("rs_milli")
+        )
+    )
+    mrs = rs.groupBy("event_type", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.expr("sum(rs_milli) div count(*)").cast("long").alias("mean_rs"),
+    )
+    out = mrs.groupBy("event_type").agg(
+        F.max(F.when(F.col("w") == 8, F.col("n_blocks")))
+        .cast("long")
+        .alias("blocks_w8"),
+        F.max(F.when(F.col("w") == 8, F.col("mean_rs")))
+        .cast("long")
+        .alias("rs8_milli"),
+        F.max(F.when(F.col("w") == 16, F.col("mean_rs")))
+        .cast("long")
+        .alias("rs16_milli"),
+        F.max(F.when(F.col("w") == 32, F.col("mean_rs")))
+        .cast("long")
+        .alias("rs32_milli"),
+    )
+    return (
+        out.filter((F.col("rs8_milli") > 0) & (F.col("rs32_milli") > 0))
+        .select(
+            "event_type",
+            "blocks_w8",
+            "rs8_milli",
+            "rs16_milli",
+            "rs32_milli",
+            F.expr(
+                "(cast(floor(ln(rs32_milli) * 1000000) as bigint)"
+                " - cast(floor(ln(rs8_milli) * 1000000) as bigint))"
+                f" * 1000 div {_LN4_MICRO}"
+            )
+            .cast("long")
+            .alias("hurst_milli"),
+        )
+        .orderBy("event_type")
+    )
