@@ -155,52 +155,165 @@ def _km_k_subquery() -> str:
     )
 
 
-def _kmeans_assign(spark: SparkSession, sf_dir: str):
-    """Milli-quantized vectors + 3-round fixed-point Lloyd assignment —
-    the Spark twin of ``_kmeans_ctes()``. Returns (qv, assign,
-    centroids): qv = (vec_id, d, q) exploded integer vectors, assign =
-    (vec_id, cid) after the final round, centroids = (cid, d, cq).
-    Every intermediate is reliably materialized (operators/
-    materialize.py) so callers can fan multiple consumers off each."""
-    import math
+# --- array-native integer-vector kernels (round-14 optimization) -----------
+#
+# The whole emb/ANN family computes exact integer distances/dots between
+# milli-quantized vectors. The original implementation exploded vectors to
+# (vec_id, d, q) rows and JOINED on the dimension index d — a 64-distinct-key
+# join that materializes N·K·d intermediate rows through a hash aggregate for
+# every distance table (guide §2.3/§2.4: shuffle/row blowup the optimizer
+# cannot remove). These kernels keep vectors as ARRAYS and compute each
+# distance as one codegen'd zip_with/aggregate fold against a broadcast
+# centroid/probe list: the corpus side is never shuffled or exploded for the
+# distance pass, and per round the only exchange carries K·d centroid cells.
+# All arithmetic is the exact same int64 expression tree ((q-cq)² sums,
+# floor-average updates, (dist, cid) argmin), so every oracle hash is
+# unchanged — verified key-by-key against the unchanged DuckDB CTEs.
 
+_ZERO_L = "cast(0 as bigint)"
+
+
+def _fold_d2(a: str, b: str) -> str:
+    """Exact int64 squared L2 distance between two bigint arrays."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"{_ZERO_L}, (s, v) -> s + v)"
+    )
+
+
+def _fold_dot(a: str, b: str) -> str:
+    """Exact int64 inner product between two bigint arrays."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"{_ZERO_L}, (s, v) -> s + v)"
+    )
+
+
+def _quant_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (vec_id, qarr) milli-quantized integer vectors — the
+    shared base every trainer/exact leg derives from. round() here is the
+    same HALF_UP SQL round the exploded form used, so q values are
+    bit-identical."""
     e = load_table(spark, sf_dir, "embeddings")
-    k = max(_KM_K, math.ceil(e.count() / _KM_TARGET))
-    qv = e.select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
-    ).select(
-        "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+    return materialize(
+        e.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> cast(round(x * 1000) as bigint))"
+            ).alias("qarr"),
+        )
     )
-    qv = materialize(qv)
-    centroids = (
-        qv.filter(F.col("vec_id") < k)
-        .select(F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
+
+
+def _cent_row(cent_arr: DataFrame):
+    """Collapse a (cid, carr) centroid table into ONE broadcast row with
+    an array<struct<cid, carr>> — the per-row argmin scans it in codegen.
+    Same broadcast economics as the old F.broadcast(exploded centroids)."""
+    return F.broadcast(
+        cent_arr.agg(F.collect_list(F.struct("cid", "carr")).alias("_cs"))
     )
-    centroids = materialize(centroids)
-    assign = None
+
+
+def _km_assign_from(qarr: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """Map-only Lloyd assignment: (vec_id, qarr, cid, dist) via the
+    (dist, cid) lexicographic argmin over the broadcast centroid list —
+    no shuffle at all (the old path paid a d-keyed join plus a window)."""
+    mn = (
+        "array_min(transform(_cs, c -> struct("
+        + _fold_d2("qarr", "c.carr")
+        + " AS dist, c.cid AS cid)))"
+    )
+    return (
+        qarr.crossJoin(_cent_row(cent_arr))
+        .select("vec_id", "qarr", F.expr(mn).alias("_mn"))
+        .select(
+            "vec_id",
+            "qarr",
+            F.col("_mn.cid").alias("cid"),
+            F.col("_mn.dist").alias("dist"),
+        )
+    )
+
+
+_CENT_SCHEMA = "cid bigint, carr array<bigint>"
+
+
+def _local_cent(spark, rows) -> DataFrame:
+    """Centroids as a driver-local relation (LocalTableScan): the next
+    round's broadcast builds from it with no job and no checkpoint. The
+    K·d values are EXACTLY the rows F.broadcast(centroids) already pulls
+    through the driver, so the driver footprint is unchanged — this is
+    the MLlib-kmeans centroid round-trip, which is what makes each Lloyd
+    round a single Spark job."""
+    return spark.createDataFrame(rows, _CENT_SCHEMA)
+
+
+def _km_train_arr(qarr: DataFrame, k: int):
+    """Fixed-point Lloyd rounds on array vectors. Per round ONE job: the
+    map-only assignment (broadcast centroids, no shuffle) feeds a
+    (cid, d)-grain partial-aggregated centroid update whose K·d result
+    rows are collected and re-issued as a local relation — zero
+    corpus-sized exchanges and zero per-round checkpoints. Returns
+    (cent_for_assign, cent_final) = (c_{R-1}, c_R): the caller's
+    assignment pairs with c_{R-1}, exactly like the unrolled oracle
+    (a{R} is argmin vs c{R-1})."""
+    spark = qarr.sparkSession
+    rows = [
+        (r["cid"], list(r["carr"]))
+        for r in qarr.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), F.col("qarr").alias("carr"))
+        .collect()
+    ]
+    cent = _local_cent(spark, rows)
+    prev = cent
     for _ in range(_KM_ROUNDS):
-        dists = (
-            qv.join(F.broadcast(centroids), "d")
-            .groupBy("vec_id", "cid")
-            .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("dist"))
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        assign = (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid")
-        )
-        assign = materialize(assign)
-        centroids = (
-            assign.join(qv, "vec_id")
+        prev = cent
+        upd = (
+            _km_assign_from(qarr, cent)
+            .select("cid", F.posexplode("qarr").alias("d", "q"))
             .groupBy("cid", "d")
             .agg(
                 F.floor(F.sum("q") * 1.0 / F.count(F.lit(1)))
                 .cast("long")
                 .alias("cq")
             )
+            .collect()
         )
-        centroids = materialize(centroids)
+        by_cid: dict = {}
+        for r in upd:
+            by_cid.setdefault(r["cid"], {})[r["d"]] = r["cq"]
+        cent = _local_cent(
+            spark,
+            [
+                (cid, [ds[d] for d in sorted(ds)])
+                for cid, ds in sorted(by_cid.items())
+            ],
+        )
+    return prev, cent
+
+
+def _coarse_k(spark: SparkSession, sf_dir: str) -> int:
+    import math
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return max(_KM_K, math.ceil(n / _KM_TARGET))
+
+
+def _kmeans_assign(spark: SparkSession, sf_dir: str):
+    """Milli-quantized vectors + 3-round fixed-point Lloyd assignment —
+    the Spark twin of ``_kmeans_ctes()``. Returns (qv, assign,
+    centroids): qv = (vec_id, d, q) exploded integer vectors, assign =
+    (vec_id, cid) after the final round, centroids = (cid, d, cq).
+    Internally array-native (see the kernel comment above): training
+    rounds are map-only assignments + (cid, d)-grain updates; the
+    exploded views are cheap derivations from the materialized arrays."""
+    k = _coarse_k(spark, sf_dir)
+    qarr = _quant_arrays(spark, sf_dir)
+    c_prev, c_fin = _km_train_arr(qarr, k)
+    assign_arr = materialize(_km_assign_from(qarr, c_prev))
+    qv = qarr.select("vec_id", F.posexplode("qarr").alias("d", "q"))
+    assign = assign_arr.select("vec_id", "cid")
+    centroids = c_fin.select("cid", F.posexplode("carr").alias("d", "cq"))
     return qv, assign, centroids
 
 
@@ -400,67 +513,142 @@ _PQ_K = 4  # codebook size per subspace (2 bits; 8 subspaces pack into 16 bits)
 _PQ_ROUNDS = 2
 
 
-def _pq_train(spark: SparkSession, sf_dir: str):
-    """Milli-quantized subspace vectors + fixed-point PQ codebook training —
-    the ``_kmeans_assign`` idiom with the subspace m = d div 8 threaded
-    through every step so all M codebooks train in ONE relational pass.
-    Shared by the emb_pq_* family and queries/ivfpq.py. Returns (qv,
-    assign, cent): qv = (vec_id, d, m, q) exploded integer vectors,
-    assign = final-round (vec_id, m, cid, dist) code assignments, cent =
-    final codebooks (m, cid, d, cq). Every intermediate is reliably
-    materialized so callers can fan multiple consumers off each."""
-    e = load_table(spark, sf_dir, "embeddings")
-    qv = e.select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
-    ).select(
-        "vec_id",
-        "d",
-        (F.col("d") / _PQ_M_DIMS).cast("long").alias("m"),
-        F.round(F.col("x") * 1000).cast("long").alias("q"),
+def _pq_cent_row(cent_arr: DataFrame):
+    """One broadcast row with array<struct<m, cid, carr>> — the subspace
+    codebook list the per-row PQ argmin scans in codegen."""
+    return F.broadcast(
+        cent_arr.agg(F.collect_list(F.struct("m", "cid", "carr")).alias("_cs"))
     )
-    qv = materialize(qv)
-    return (qv, *_pq_rounds(qv))
 
 
-def _pq_rounds(qv: DataFrame):
-    """The fixed-point PQ Lloyd rounds over an already-exploded
-    (vec_id, d, m, q) integer frame — factored out so queries/ivfpq.py
-    can train codebooks on coarse-quantizer RESIDUALS with the exact
-    same contract. Returns (assign, cent)."""
-    cent = (
-        qv.filter(F.col("vec_id") < _PQ_K)
-        .select("m", F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
+def _pq_assign_from(qarr: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """Map-only PQ assignment: (vec_id, qarr, amn) where amn[m] =
+    struct(dist, cid), the (dist, cid) argmin per subspace against the
+    broadcast codebooks — no shuffle (the old path paid a (d, m)-keyed
+    join plus a per-(vec, m) window)."""
+    W = _PQ_M_DIMS
+    amn = (
+        f"transform(sequence(0, cast(size(qarr) div {W} - 1 as int)), mm -> "
+        "array_min(transform(filter(_cs, c -> c.m = mm), c -> struct("
+        + _fold_d2(f"slice(qarr, mm * {W} + 1, {W})", "c.carr")
+        + " AS dist, c.cid AS cid))))"
     )
-    cent = materialize(cent)
-    assign = None
+    # withColumn + drop so extra input columns (e.g. a coarse cell tag)
+    # ride along — the IvfpqCtx fused pass depends on that
+    return (
+        qarr.crossJoin(_pq_cent_row(cent_arr))
+        .withColumn("amn", F.expr(amn))
+        .drop("_cs")
+    )
+
+
+_PQ_CENT_SCHEMA = "m bigint, cid bigint, carr array<bigint>"
+
+
+def _pq_local_cent(spark, rows) -> DataFrame:
+    return spark.createDataFrame(rows, _PQ_CENT_SCHEMA)
+
+
+def _pq_train_arr(qarr: DataFrame):
+    """Fixed-point PQ Lloyd rounds on array vectors — all M codebooks in
+    the same pass. Per round ONE job (the ``_km_train_arr`` recipe with
+    the subspace threaded through): map-only assignment, (m, cid, dl)
+    partial-agg update, K·M·(d/M) = K·d result values round-tripped
+    through the driver as the next local-relation codebook. Returns
+    (cent_for_assign, cent_final) = (pc_{R-1}, pc_R), matching the
+    unrolled oracle (pa{R} is argmin vs pc{R-1})."""
+    W = _PQ_M_DIMS
+    spark = qarr.sparkSession
+    rows = [
+        (r["m"], r["cid"], list(r["carr"]))
+        for r in qarr.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast(size(qarr) div {W} - 1 as int)),"
+                    f" mm -> struct(cast(mm as bigint) AS m,"
+                    f" slice(qarr, mm * {W} + 1, {W}) AS carr))"
+                )
+            ).alias("_s"),
+        )
+        .select(F.col("_s.m").alias("m"), "cid", F.col("_s.carr").alias("carr"))
+        .collect()
+    ]
+    cent = _pq_local_cent(spark, rows)
+    prev = cent
     for _ in range(_PQ_ROUNDS):
-        dists = (
-            qv.join(F.broadcast(cent), ["d", "m"])
-            .groupBy("vec_id", "m", "cid")
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-                ).alias("dist")
+        prev = cent
+        upd = (
+            _pq_assign_from(qarr, cent)
+            .select("qarr", F.posexplode("amn").alias("mm", "_st"))
+            .select(
+                F.col("mm").cast("long").alias("m"),
+                F.col("_st.cid").alias("cid"),
+                F.posexplode(
+                    F.expr(f"slice(qarr, mm * {W} + 1, {W})")
+                ).alias("dl", "q"),
             )
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
-        assign = (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "cid", "dist")
-        )
-        assign = materialize(assign)
-        cent = (
-            assign.join(qv, ["vec_id", "m"])
-            .groupBy("m", "cid", "d")
+            .groupBy("m", "cid", "dl")
             .agg(
                 F.floor(F.sum("q") * 1.0 / F.count(F.lit(1)))
                 .cast("long")
                 .alias("cq")
             )
+            .collect()
         )
-        cent = materialize(cent)
-    return assign, cent
+        by_mc: dict = {}
+        for r in upd:
+            by_mc.setdefault((r["m"], r["cid"]), {})[r["dl"]] = r["cq"]
+        cent = _pq_local_cent(
+            spark,
+            [
+                (m, cid, [ds[d] for d in sorted(ds)])
+                for (m, cid), ds in sorted(by_mc.items())
+            ],
+        )
+    return prev, cent
+
+
+def _pq_exploded_views(qarr: DataFrame, assign_arr: DataFrame, cent_fin: DataFrame):
+    """Derive the legacy exploded frames (qv, assign, cent) from the
+    array-native training outputs — cheap maps over checkpointed arrays."""
+    W = _PQ_M_DIMS
+    qv = (
+        qarr.select("vec_id", F.posexplode("qarr").alias("d", "q"))
+        .select(
+            "vec_id",
+            "d",
+            (F.col("d") / W).cast("long").alias("m"),
+            "q",
+        )
+    )
+    assign = assign_arr.select(
+        "vec_id", F.posexplode("amn").alias("mm", "_st")
+    ).select(
+        "vec_id",
+        F.col("mm").cast("long").alias("m"),
+        F.col("_st.cid").alias("cid"),
+        F.col("_st.dist").alias("dist"),
+    )
+    cent = cent_fin.select("m", "cid", F.posexplode("carr").alias("dl", "cq")).select(
+        "m", "cid", (F.col("m") * W + F.col("dl")).cast("int").alias("d"), "cq"
+    )
+    return qv, assign, cent
+
+
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Milli-quantized subspace vectors + fixed-point PQ codebook training —
+    all M codebooks in ONE pass. Shared by the emb_pq_* family and
+    queries/ivfpq.py. Returns (qv, assign, cent): qv = (vec_id, d, m, q)
+    exploded integer vectors, assign = final-round (vec_id, m, cid, dist)
+    code assignments, cent = final codebooks (m, cid, d, cq). Internally
+    array-native (see the kernel comment above); the exploded frames are
+    cheap derivations from the materialized arrays."""
+    qarr = _quant_arrays(spark, sf_dir)
+    prev, fin = _pq_train_arr(qarr)
+    assign_arr = materialize(_pq_assign_from(qarr, prev))
+    return _pq_exploded_views(qarr, assign_arr, fin)
 
 
 def _pq_ctes() -> str:
@@ -1446,22 +1634,32 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything is constant-sized per probe regardless of corpus scale."""
     from hawaiidatapipeline_spark.operators.materialize import materialize
 
-    e = load_table(spark, sf_dir, "embeddings")
-    qv = e.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("d", "x")
-    ).select(
-        "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
-    )
-    pqv = qv.filter(F.col("vec_id") % _HAM_PROBE_MOD == 0)
-    dots = (
-        pqv.alias("p")
-        .join(
-            qv.alias("v"),
-            (F.col("p.d") == F.col("v.d"))
-            & (F.col("p.vec_id") != F.col("v.vec_id")),
+    qarr = _quant_arrays(spark, sf_dir)
+    # Pool build (r14 optimization, guide §2.3/§2.4): probes broadcast as
+    # one array-of-structs row, relevance = per-corpus-row zip_with fold —
+    # the old path exploded to (vec, d, q) and joined on the 64-distinct-key
+    # dimension index, materializing probes x corpus x d rows through a
+    # hash aggregate. Exactly the same int64 dot values.
+    probes_row = F.broadcast(
+        qarr.filter(F.col("vec_id") % _HAM_PROBE_MOD == 0).agg(
+            F.collect_list(
+                F.struct("vec_id", F.col("qarr").alias("parr"))
+            ).alias("_ps")
         )
-        .groupBy(F.col("p.vec_id").alias("pa"), F.col("v.vec_id").alias("pb"))
-        .agg(F.sum(F.col("p.q") * F.col("v.q")).alias("rel"))
+    )
+    rel_expr = (
+        "transform(_ps, p -> struct(p.vec_id AS pa, "
+        + _fold_dot("p.parr", "qarr")
+        + " AS rel))"
+    )
+    dots = (
+        qarr.crossJoin(probes_row)
+        .select(
+            F.col("vec_id").alias("pb"),
+            F.explode(F.expr(rel_expr)).alias("_s"),
+        )
+        .select(F.col("_s.pa").alias("pa"), "pb", F.col("_s.rel").alias("rel"))
+        .filter(F.col("pa") != F.col("pb"))
     )
     w_rel = Window.partitionBy("pa").orderBy(F.col("rel").desc(), "pb")
     cand = materialize(
@@ -1469,10 +1667,17 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _MMR_POOL)
         .select("pa", "pb", "rel")
     )
-    sims = materialize(
-        cand.alias("a")
+    # Candidate vectors ride a broadcast join (cand is POOL x probes rows);
+    # pool-pair sims are zip_with folds over the tiny cv frame.
+    cv = materialize(
+        qarr.join(F.broadcast(cand), qarr["vec_id"] == cand["pb"]).select(
+            "pa", "pb", "rel", "qarr"
+        )
+    )
+    sims = (
+        cv.alias("a")
         .join(
-            cand.alias("b"),
+            cv.alias("b"),
             (F.col("a.pa") == F.col("b.pa"))
             & (F.col("a.pb") != F.col("b.pb")),
         )
@@ -1480,57 +1685,52 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.pa").alias("pa"),
             F.col("a.pb").alias("b1"),
             F.col("b.pb").alias("b2"),
+            F.expr(
+                "aggregate(zip_with(a.qarr, b.qarr, (x, y) -> x * y), "
+                "cast(0 as bigint), (s, v) -> s + v)"
+            ).alias("sim"),
         )
-        .join(qv.alias("v1"), F.col("v1.vec_id") == F.col("b1"))
-        .join(
-            qv.alias("v2"),
-            (F.col("v2.vec_id") == F.col("b2"))
-            & (F.col("v2.d") == F.col("v1.d")),
-        )
-        .groupBy("pa", "b1", "b2")
-        .agg(F.sum(F.col("v1.q") * F.col("v2.q")).alias("sim"))
     )
-    sel = materialize(
-        cand.withColumn("rn", F.row_number().over(w_rel))
-        .filter(F.col("rn") == 1)
-        .select("pa", "pb", F.lit(1).alias("rk"), "rel")
+    # All MMR_K greedy rounds in ONE per-probe expression over the
+    # collected pool/sims arrays (the old loop ran 3 join+window+checkpoint
+    # rounds — ~9 extra jobs for constant-sized frames). The argmax order
+    # is the same (score DESC, pb) total order: array_min over
+    # struct(-score, pb). Round 1 score = rel; round i score =
+    # rel - max(sim to already-picked), exactly the unrolled oracle CTEs.
+    pools = cand.groupBy("pa").agg(
+        F.collect_list(F.struct("pb", "rel")).alias("pool")
     )
-    for i in range(2, _MMR_K + 1):
-        picked = sel.select(
-            F.col("pa").alias("x_pa"), F.col("pb").alias("x_pb")
+    simsa = sims.groupBy("pa").agg(
+        F.collect_list(F.struct("b1", "b2", "sim")).alias("sims")
+    )
+    greedy = (
+        "aggregate(sequence(2, "
+        + str(_MMR_K)
+        + "), "
+        # seed: round-1 pick = argmax rel
+        "transform(filter(array(array_min(transform(pool, c -> "
+        "struct(-c.rel AS ns, c.pb AS pb, c.rel AS rel)))), p -> p IS NOT NULL), "
+        "p -> named_struct('pb', p.pb, 'rk', 1, 'rel', p.rel)), "
+        "(acc, i) -> concat(acc, transform(filter(array(array_min(transform("
+        "filter(pool, c -> NOT exists(acc, x -> x.pb = c.pb)), "
+        "c -> struct("
+        "coalesce(array_max(transform(filter(sims, s -> s.b1 = c.pb AND "
+        "exists(acc, x -> x.pb = s.b2)), s -> s.sim)), cast(0 as bigint))"
+        " - c.rel AS ns, "
+        "c.pb AS pb, c.rel AS rel)))), p -> p IS NOT NULL), "
+        "p -> named_struct('pb', p.pb, 'rk', i, 'rel', p.rel))))"
+    )
+    sel = (
+        pools.join(simsa, "pa", "left")
+        .withColumn("sims", F.coalesce("sims", F.expr("array()")))
+        .select("pa", F.explode(F.expr(greedy)).alias("_p"))
+        .select(
+            "pa",
+            F.col("_p.pb").alias("pb"),
+            F.col("_p.rk").alias("rk"),
+            F.col("_p.rel").alias("rel"),
         )
-        remaining = cand.join(
-            picked,
-            (cand["pa"] == picked["x_pa"]) & (cand["pb"] == picked["x_pb"]),
-            "left_anti",
-        )
-        max_sim = (
-            sims.join(
-                sel.select(
-                    F.col("pa").alias("s_pa"), F.col("pb").alias("s_pb")
-                ),
-                (F.col("pa") == F.col("s_pa")) & (F.col("b2") == F.col("s_pb")),
-            )
-            .groupBy("pa", "b1")
-            .agg(F.max("sim").alias("msim"))
-        )
-        scored = remaining.join(
-            max_sim,
-            (remaining["pa"] == max_sim["pa"])
-            & (remaining["pb"] == max_sim["b1"]),
-        ).select(
-            remaining["pa"].alias("pa"),
-            remaining["pb"].alias("pb"),
-            "rel",
-            (F.col("rel") - F.col("msim")).alias("score"),
-        )
-        w_s = Window.partitionBy("pa").orderBy(F.col("score").desc(), "pb")
-        pick = (
-            scored.withColumn("rn", F.row_number().over(w_s))
-            .filter(F.col("rn") == 1)
-            .select("pa", "pb", F.lit(i).alias("rk"), "rel")
-        )
-        sel = materialize(sel.unionByName(pick))
+    )
     return sel.select(
         F.col("pa").alias("probe_id"),
         F.col("rk").alias("rank"),
