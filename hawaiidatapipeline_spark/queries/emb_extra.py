@@ -189,6 +189,43 @@ def _fold_dot(a: str, b: str) -> str:
     )
 
 
+def _probe_pairs(
+    qarr: DataFrame,
+    probes_arr: DataFrame,
+    metric: str,
+    pa: str = "pa",
+    pb: str = "pb",
+    val: str = "dot",
+) -> DataFrame:
+    """Exact (probe, other, int64 metric) pairs in ONE map-only pass: the
+    probe slice rides a broadcast array-of-structs row and every corpus
+    row folds against each probe — replaces the d-keyed self-join that
+    materialized probes x corpus x d rows through a hash aggregate
+    (guide §2.3/§2.4). Self-pairs are dropped, values are the identical
+    int64 sums the join produced. ``probes_arr`` needs (vec_id, qarr)."""
+    fold = _fold_dot if metric == "dot" else _fold_d2
+    row = F.broadcast(
+        probes_arr.select("vec_id", "qarr").agg(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("_pid"), F.col("qarr").alias("_parr")
+                )
+            ).alias("_ps")
+        )
+    )
+    expr = (
+        "transform(_ps, p -> struct(p._pid AS _pa, "
+        + fold("p._parr", "qarr")
+        + " AS _v))"
+    )
+    return (
+        qarr.crossJoin(row)
+        .select(F.col("vec_id").alias(pb), F.explode(F.expr(expr)).alias("_s"))
+        .select(F.col("_s._pa").alias(pa), pb, F.col("_s._v").alias(val))
+        .filter(F.col(pa) != F.col(pb))
+    )
+
+
 def _quant_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized (vec_id, qarr) milli-quantized integer vectors — the
     shared base every trainer/exact leg derives from. round() here is the
@@ -445,18 +482,21 @@ def emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth is O(probes·N·dim) — priced by the probe stride, the
     same sampled-slice trick the LSH recall audit uses; the IVF lane is
     linear in cell size."""
-    qv, assign, _ = _kmeans_assign(spark, sf_dir)
-    probes_qv = qv.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0)
-    dots = (
-        probes_qv.alias("p")
-        .join(qv.alias("v"), (F.col("p.d") == F.col("v.d"))
-              & (F.col("p.vec_id") != F.col("v.vec_id")))
-        .groupBy(
-            F.col("p.vec_id").alias("pa"), F.col("v.vec_id").alias("pb")
-        )
-        .agg(F.sum(F.col("p.q") * F.col("v.q")).alias("dot"))
+    qarr = _quant_arrays(spark, sf_dir)
+    c_prev, _ = _km_train_arr(qarr, _coarse_k(spark, sf_dir))
+    assign = materialize(
+        _km_assign_from(qarr, c_prev).select("vec_id", "qarr", "cid")
     )
-    dots = materialize(dots)
+    # exact ground-truth dots: map-only broadcast-probes fold (was a
+    # d-keyed probes x corpus join + hash aggregate — guide §2.4)
+    dots = materialize(
+        _probe_pairs(
+            qarr,
+            assign.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0),
+            "dot",
+        )
+    )
+    assign = assign.select("vec_id", "cid")
     w = Window.partitionBy("pa").orderBy(F.col("dot").desc(), "pb")
     gt = (
         dots.withColumn("rn", F.row_number().over(w))
@@ -637,6 +677,33 @@ def _pq_exploded_views(qarr: DataFrame, assign_arr: DataFrame, cent_fin: DataFra
     return qv, assign, cent
 
 
+def _pq_sub_tables(
+    probes_arr: DataFrame, cent_arr: DataFrame, out_id: str = "probe_id"
+) -> DataFrame:
+    """Probe ADC lookup tables (probe, m, cid, sub_d2) as ONE map-only
+    fold against the broadcast codebooks — replaces the (d, m)-keyed
+    join + (probe, m, cid) hash aggregate."""
+    W = _PQ_M_DIMS
+    texpr = (
+        "transform(_cs, c -> struct(c.m AS m, c.cid AS cid, "
+        + _fold_d2(f"slice(qarr, cast(c.m * {W} + 1 as int), {W})", "c.carr")
+        + " AS sub_d2))"
+    )
+    return (
+        probes_arr.crossJoin(_pq_cent_row(cent_arr))
+        .select(
+            F.col("vec_id").alias(out_id),
+            F.explode(F.expr(texpr)).alias("_s"),
+        )
+        .select(
+            out_id,
+            F.col("_s.m").alias("m"),
+            F.col("_s.cid").alias("cid"),
+            F.col("_s.sub_d2").alias("sub_d2"),
+        )
+    )
+
+
 def _pq_train(spark: SparkSession, sf_dir: str):
     """Milli-quantized subspace vectors + fixed-point PQ codebook training —
     all M codebooks in ONE pass. Shared by the emb_pq_* family and
@@ -803,21 +870,23 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     N·M code table against it on (m, cid) and partial-aggregates to
     (probe, vector) — linear in corpus size per probe, the exact
     economics that make PQ search cheap at 10⁹ vectors."""
-    qv, assign, cent = _pq_train(spark, sf_dir)
-    assign = assign.select("vec_id", "m", "cid")
-    probes = qv.filter(F.col("vec_id") % _adc_stride(spark, sf_dir) == 0)
-    t = (
-        probes.join(F.broadcast(cent), ["d", "m"])
-        .groupBy(F.col("vec_id").alias("probe_id"), "m", "cid")
-        .agg(
-            F.sum(
-                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-            ).alias("sub_d2")
-        )
+    qarr = _quant_arrays(spark, sf_dir)
+    pc_prev, pc_fin = _pq_train_arr(qarr)
+    assign_arr = materialize(_pq_assign_from(qarr, pc_prev))
+    codes = assign_arr.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode("amn").alias("mm", "_st"),
+    ).select(
+        "neighbor_id",
+        F.col("mm").cast("long").alias("m"),
+        F.col("_st.cid").alias("cid"),
+    )
+    t = _pq_sub_tables(
+        assign_arr.filter(F.col("vec_id") % _adc_stride(spark, sf_dir) == 0),
+        pc_fin,
     )
     adc = (
-        assign.withColumnRenamed("vec_id", "neighbor_id")
-        .join(F.broadcast(t), ["m", "cid"])
+        codes.join(F.broadcast(t), ["m", "cid"])
         .filter(F.col("neighbor_id") != F.col("probe_id"))
         .groupBy("probe_id", "neighbor_id")
         .agg(F.sum("sub_d2").alias("adc_d2"))
@@ -890,21 +959,23 @@ def emb_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Low recall here says 'train bigger codebooks or more subspaces'
     BEFORE the index ships — the go/no-go table for the 100 TB ANN
     path."""
-    qv, assign, cent = _pq_train(spark, sf_dir)
-    assign = assign.select("vec_id", "m", "cid")
-    probes = materialize(qv.filter(F.col("vec_id") % _adc_stride(spark, sf_dir) == 0))
-    t = (
-        probes.join(F.broadcast(cent), ["d", "m"])
-        .groupBy(F.col("vec_id").alias("probe_id"), "m", "cid")
-        .agg(
-            F.sum(
-                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-            ).alias("sub_d2")
-        )
+    qarr = _quant_arrays(spark, sf_dir)
+    pc_prev, pc_fin = _pq_train_arr(qarr)
+    assign_arr = materialize(_pq_assign_from(qarr, pc_prev))
+    probes_arr = assign_arr.filter(
+        F.col("vec_id") % _adc_stride(spark, sf_dir) == 0
     )
+    codes = assign_arr.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode("amn").alias("mm", "_st"),
+    ).select(
+        "neighbor_id",
+        F.col("mm").cast("long").alias("m"),
+        F.col("_st.cid").alias("cid"),
+    )
+    t = _pq_sub_tables(probes_arr, pc_fin)
     adc = (
-        assign.withColumnRenamed("vec_id", "neighbor_id")
-        .join(F.broadcast(t), ["m", "cid"])
+        codes.join(F.broadcast(t), ["m", "cid"])
         .filter(F.col("neighbor_id") != F.col("probe_id"))
         .groupBy("probe_id", "neighbor_id")
         .agg(F.sum("sub_d2").alias("adc_d2"))
@@ -915,19 +986,9 @@ def emb_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQR_TOPK)
         .select("probe_id", "neighbor_id")
     )
-    p, v = probes.alias("p"), qv.alias("v")
-    exact = (
-        p.join(v, F.col("p.d") == F.col("v.d"))
-        .filter(F.col("v.vec_id") != F.col("p.vec_id"))
-        .groupBy(
-            F.col("p.vec_id").alias("probe_id"),
-            F.col("v.vec_id").alias("neighbor_id"),
-        )
-        .agg(
-            F.sum(
-                (F.col("p.q") - F.col("v.q")) * (F.col("p.q") - F.col("v.q"))
-            ).alias("d2")
-        )
+    # exact ground truth: map-only broadcast-probes fold (guide §2.4)
+    exact = _probe_pairs(
+        qarr, probes_arr, "d2", "probe_id", "neighbor_id", "d2"
     )
     w_ex = Window.partitionBy("probe_id").orderBy("d2", "neighbor_id")
     exact_top = (
@@ -1516,22 +1577,12 @@ def emb_hamming_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _HAM_K)
         .select("pa", "pb")
     )
-    qv = e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding")).alias("d", "x"),
-    ).select(
-        "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
-    )
-    pqv = qv.filter(F.col("vec_id") % _HAM_PROBE_MOD == 0)
+    # exact ground-truth dots: map-only broadcast-probes fold (guide §2.4)
+    qarr = _quant_arrays(spark, sf_dir)
     dots = materialize(
-        pqv.alias("p")
-        .join(
-            qv.alias("v"),
-            (F.col("p.d") == F.col("v.d"))
-            & (F.col("p.vec_id") != F.col("v.vec_id")),
+        _probe_pairs(
+            qarr, qarr.filter(F.col("vec_id") % _HAM_PROBE_MOD == 0), "dot"
         )
-        .groupBy(F.col("p.vec_id").alias("pa"), F.col("v.vec_id").alias("pb"))
-        .agg(F.sum(F.col("p.q") * F.col("v.q")).alias("dot"))
     )
     w_d = Window.partitionBy("pa").orderBy(F.col("dot").desc(), "pb")
     gt = (

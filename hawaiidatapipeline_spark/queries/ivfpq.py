@@ -37,6 +37,8 @@ from hawaiidatapipeline_spark.queries.emb_extra import (
     _pq_cent_row,
     _pq_ctes,
     _pq_exploded_views,
+    _pq_sub_tables,
+    _probe_pairs,
     _PQR_TOPK,
     _pq_train_arr,
     _quant_arrays,
@@ -143,24 +145,7 @@ class _IvfpqCtx:
         # probe ADC lookup tables: map-only fold against the broadcast
         # FINAL codebooks (pc_R, as in the oracle's t CTE) — the old path
         # paid a (d, m)-keyed join + (probe, m, cid) hash aggregate.
-        texpr = (
-            "transform(_cs, c -> struct(c.m AS m, c.cid AS cid, "
-            + _fold_d2(f"slice(qarr, cast(c.m * {W} + 1 as int), {W})", "c.carr")
-            + " AS sub_d2))"
-        )
-        self.t = (
-            probes_arr.crossJoin(_pq_cent_row(pc_fin))
-            .select(
-                F.col("vec_id").alias("probe_id"),
-                F.explode(F.expr(texpr)).alias("_s"),
-            )
-            .select(
-                "probe_id",
-                F.col("_s.m").alias("m"),
-                F.col("_s.cid").alias("cid"),
-                F.col("_s.sub_d2").alias("sub_d2"),
-            )
-        )
+        self.t = _pq_sub_tables(probes_arr, pc_fin)
         self.pcell = probes_arr.select(
             F.col("vec_id").alias("probe_id"), "cell"
         )
@@ -327,20 +312,9 @@ def emb_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQR_TOPK)
         .select("probe_id", "neighbor_id")
     )
-    probes = qv.filter(F.col("vec_id") % ctx.stride == 0)
-    p, v = probes.alias("p"), qv.alias("v")
-    exact = (
-        p.join(v, F.col("p.d") == F.col("v.d"))
-        .filter(F.col("v.vec_id") != F.col("p.vec_id"))
-        .groupBy(
-            F.col("p.vec_id").alias("probe_id"),
-            F.col("v.vec_id").alias("neighbor_id"),
-        )
-        .agg(
-            F.sum(
-                (F.col("p.q") - F.col("v.q")) * (F.col("p.q") - F.col("v.q"))
-            ).alias("d2")
-        )
+    # exact ground truth: map-only broadcast-probes fold (guide §2.4)
+    exact = _probe_pairs(
+        ctx.qarr, ctx.probes_arr, "d2", "probe_id", "neighbor_id", "d2"
     )
     w_ex = Window.partitionBy("probe_id").orderBy("d2", "neighbor_id")
     exact_top = (
@@ -427,20 +401,35 @@ def emb_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("adc_rnk") <= _RR_SHORTLIST)
         .select("probe_id", "neighbor_id", "adc_rnk")
     )
-    nb = ctx.qv.select(
-        F.col("vec_id").alias("neighbor_id"), "d", F.col("q").alias("nq")
-    )
-    pv = ctx.probes.select(
-        F.col("vec_id").alias("probe_id"), "d", F.col("q").alias("pq")
-    )
+    # exact re-rank: shortlist rows fetch their neighbor ARRAY via a
+    # broadcast join (shortlist is probes x 30 rows), probe arrays ride a
+    # second broadcast, d2 is one zip_with fold — the old path shuffled
+    # the exploded corpus (N·d rows) on neighbor_id (guide §2.3).
     ex = (
-        short.join(nb, "neighbor_id")
-        .join(F.broadcast(pv), ["probe_id", "d"])
-        .groupBy("probe_id", "neighbor_id", "adc_rnk")
-        .agg(
-            F.sum((F.col("pq") - F.col("nq")) * (F.col("pq") - F.col("nq")))
+        ctx.qarr.join(
+            F.broadcast(short),
+            ctx.qarr["vec_id"] == short["neighbor_id"],
+        )
+        .select("probe_id", "neighbor_id", "adc_rnk", "qarr")
+        .join(
+            F.broadcast(
+                ctx.probes_arr.select(
+                    F.col("vec_id").alias("probe_id"),
+                    F.col("qarr").alias("_parr"),
+                )
+            ),
+            "probe_id",
+        )
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "adc_rnk",
+            F.expr(
+                "aggregate(zip_with(qarr, _parr, (x, y) -> (x - y) * (x - y)),"
+                " cast(0 as bigint), (s, v) -> s + v)"
+            )
             .cast("long")
-            .alias("exact_d2")
+            .alias("exact_d2"),
         )
     )
     w_ex = Window.partitionBy("probe_id").orderBy("exact_d2", "neighbor_id")
@@ -553,19 +542,9 @@ def emb_ivfpq_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders; oracle unrolls both trainings and both probe sets as CTEs
     and matches bit-for-bit."""
     ctx = _IvfpqCtx(spark, sf_dir)
-    exact = (
-        ctx.probes.alias("p")
-        .join(ctx.qv.alias("v"), F.col("p.d") == F.col("v.d"))
-        .filter(F.col("v.vec_id") != F.col("p.vec_id"))
-        .groupBy(
-            F.col("p.vec_id").alias("probe_id"),
-            F.col("v.vec_id").alias("neighbor_id"),
-        )
-        .agg(
-            F.sum(
-                (F.col("p.q") - F.col("v.q")) * (F.col("p.q") - F.col("v.q"))
-            ).alias("d2")
-        )
+    # exact ground truth: map-only broadcast-probes fold (guide §2.4)
+    exact = _probe_pairs(
+        ctx.qarr, ctx.probes_arr, "d2", "probe_id", "neighbor_id", "d2"
     )
     w_ex = Window.partitionBy("probe_id").orderBy("d2", "neighbor_id")
     exact_top = materialize(
