@@ -428,12 +428,13 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     edges = materialize(copurchase_edges(li))  # (u, v), u < v
-    adj = materialize(
-        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
-            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-        )
+    # adj/dist0 derive from checkpoints with one cheap map each — their
+    # own materialize() passes were pure overhead (r14, guide §1.2: fewer
+    # passes; the expensive edge build above stays checkpointed once)
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
-    dist = materialize(_bfs_seeds(adj).withColumn("dist", F.lit(0)))
+    dist = _bfs_seeds(adj).withColumn("dist", F.lit(0))
     for hop in range(1, _BFS_MAX_HOPS + 1):
         frontier = dist.filter(F.col("dist") == hop - 1)
         reached = frontier.join(adj, "node").select(

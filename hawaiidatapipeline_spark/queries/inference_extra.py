@@ -283,7 +283,11 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
     amap = doubled_avg_rank_map(v, "x", "a")
     bmap = doubled_avg_rank_map(v, "y", "b")
-    r = v.join(amap, "x").join(bmap, "y").select("a", "b")
+    # x = l_quantity has a fixed ~50-value domain (TPC-H law), so its rank
+    # map is always broadcastable — saves shuffling the fact table on x
+    # (guide §3.1: hint when you know a side is small). y's map scales
+    # with distinct prices and keeps the shuffle join.
+    r = v.join(F.broadcast(amap), "x").join(bmap, "y").select("a", "b")
     s = r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("a").cast("long").alias("sa"),
