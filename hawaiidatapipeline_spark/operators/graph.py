@@ -119,11 +119,14 @@ def copurchase_edges(
     above order-shaped data (≤7 parts/order in TPC-H) so fixture
     results are unchanged; if real data can exceed the cap, mirror the
     same HAVING bound in any oracle/downstream that recomputes edges."""
+    # collect_set fuses the old distinct + collect_list into ONE orderkey
+    # shuffle with map-side partial aggregation (r14, guide §2.4: two
+    # exchanges -> one); sort_array(collect_set(x)) is exactly
+    # sort_array(collect_list(distinct x)) per order.
     pairs = (
         li.select("l_orderkey", "l_partkey")
-        .distinct()
         .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .filter(F.size("ps") <= max_parts_per_order)
         .select(
             F.explode(

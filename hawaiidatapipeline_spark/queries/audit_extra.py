@@ -727,15 +727,15 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-units; S = XᵀX is an exact-int partial aggregate; S pre-scales
     by 2^20 and every squaring renormalizes entries to ±1e5 so products
     stay in int64 (64·1e10·1e5 < 2^63); integer division truncates
-    toward zero identically on both engines (verified). Each squaring
-    is materialized (operators/materialize.py) — the frame feeds the
-    next round THREE times (both join legs + the max-abs normalizer),
-    so an unmaterialized chain recomputes 3^10 subtrees; the oracle
-    stays one unrolled nested-CTE SQL (DuckDB CTEs evaluate once).
+    toward zero identically on both engines (verified; emulated in the
+    driver ladder with sign·(|x| // m)). The squaring ladder runs on the
+    COLLECTED d² co-moment matrix in exact numpy int64 (r14: the frame
+    is constant-sized and feeding it through 10 materialize rounds cost
+    10 Spark jobs for 64×64 matmuls); the oracle stays one unrolled
+    nested-CTE SQL (DuckDB CTEs evaluate once).
     Scale: S aggregates to d²=4,096 rows with map-side combine
-    (shuffle is d² per task, independent of N); each squaring is a
-    d²⋈d² join on tiny materialized frames — driver never touches
-    data. At 100 TB,
+    (shuffle is d² per task, independent of N); the driver holds only
+    that d² summary — never row data. At 100 TB,
     lift vectors to 1e3 units so the Σ x·x partials stay in int64 at
     N=10⁹ rows; the squaring ladder is unchanged (it never sees N)."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -764,42 +764,37 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"sxy div {_PCA_PRESCALE}").cast("bigint").alias("a"),
         )
     )
+    # The squaring ladder runs on the COLLECTED d² matrix (r14, guide
+    # §1.2): the d×d frame is constant-sized (never sees N — only the S
+    # aggregate above touches data), and the old per-squaring
+    # materialize+Observation chain cost 10 Spark jobs to multiply
+    # 64×64 integer matrices. numpy int64 matmul is exact here by the
+    # same bound that kept Spark's sums in int64 (entries ≤ ±1e5,
+    # products ≤ 64e10 < 2^63); `div` truncates toward zero, emulated
+    # exactly with sign·(|x| // m). The collect moves d² rows — the
+    # same volume the Observation normalizer already pulled per round.
+    import numpy as np
 
-    from pyspark.sql import Observation
+    rows = s.collect()
+    d = 1 + max(max(r["i"] for r in rows), max(r["j"] for r in rows))
+    mat = np.zeros((d, d), dtype=np.int64)
+    for r in rows:
+        mat[r["i"], r["j"]] = r["a"]
 
-    from hawaiidatapipeline_spark.operators.materialize import (
-        materialize,
-        observed_metric,
-    )
+    def normalize(x: "np.ndarray") -> "np.ndarray":
+        m = int(np.abs(x).max())
+        return (np.abs(x) * _PCA_NORM // m) * np.sign(x)
 
-    def materialize_normalized(df: DataFrame, col: str) -> DataFrame:
-        # the max-abs normalizer rides the materialization action as an
-        # Observation metric (free-convergence pattern) — one job per
-        # squaring instead of a separate max-agg job, and the divisor
-        # splices into the next plan as an exact integer literal
-        obs = Observation()
-        dfm = materialize(df.observe(obs, F.max(F.abs(col)).alias("m")))
-        m = int(observed_metric(obs, "m"))
-        return dfm.select(
-            "i", "j",
-            F.expr(f"({col} * {_PCA_NORM}) div {m}").cast("bigint").alias("a"),
-        )
-
-    a = materialize_normalized(s, "a")
+    a = normalize(mat)
     for _ in range(_PCA_SQUARINGS):
-        p = (
-            a.alias("l")
-            .join(a.alias("r"), F.col("l.j") == F.col("r.i"))
-            .groupBy(F.col("l.i").alias("i"), F.col("r.j").alias("j"))
-            .agg(F.sum(F.col("l.a") * F.col("r.a")).alias("p"))
-        )
-        a = materialize_normalized(p, "p")
-    wr = a.groupBy("i").agg(F.sum("a").alias("wr"))
-    mw = wr.agg(F.max(F.abs("wr")).alias("m"))
-    w = wr.crossJoin(F.broadcast(mw)).select(
-        "i", F.expr("(wr * 1000) div m").cast("bigint").alias("w")
+        a = normalize(a @ a)
+    wr = a.sum(axis=1)
+    mw = int(np.abs(wr).max())
+    w = (np.abs(wr) * 1000 // mw) * np.sign(wr)
+    out = spark.createDataFrame(
+        [(int(i), int(w[i])) for i in range(d)], "i bigint, w bigint"
     )
-    return w.select(
+    return out.select(
         "i", "w", F.round(F.col("w").cast("double") / 1000, 6).alias("loading")
     ).orderBy("i")
 
