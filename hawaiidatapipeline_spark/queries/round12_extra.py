@@ -460,30 +460,44 @@ def emb_kmeans_scalable_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recluster is candidate-grain (tiny). All integer milli-unit
     arithmetic; the oracle unrolls rounds and picks as CTEs and
     matches bit-for-bit."""
-    e = load_table(spark, sf_dir, "embeddings")
-    qv = materialize(
-        e.select("vec_id", F.posexplode("embedding").alias("d", "x")).select(
-            "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
-        )
-    )
     from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+    from hawaiidatapipeline_spark.queries.emb_extra import (
+        _fold_d2,
+        _quant_arrays,
+    )
+
+    qarr = _quant_arrays(spark, sf_dir)
 
     def dist_to_set(ids: DataFrame) -> DataFrame:
-        cvec = qv.join(
-            F.broadcast(ids.select(F.col("vec_id").alias("cid"))),
-            F.col("vec_id") == F.col("cid"),
-        ).select("cid", "d", F.col("q").alias("cq"))
+        # map-only fold against the broadcast candidate vectors (r14,
+        # guide §2.4) — was a d-keyed join + (vec, cid) hash aggregate;
+        # self-pairs (d2 = 0) are kept, exactly like the old join.
+        row = F.broadcast(
+            qarr.join(
+                F.broadcast(ids.select(F.col("vec_id").alias("cid"))),
+                F.col("vec_id") == F.col("cid"),
+            ).agg(
+                F.collect_list(
+                    F.struct("cid", F.col("qarr").alias("carr"))
+                ).alias("_cs")
+            )
+        )
+        dex = (
+            "transform(_cs, c -> struct(c.cid AS cid, "
+            + _fold_d2("qarr", "c.carr")
+            + " AS d2))"
+        )
         return (
-            qv.join(F.broadcast(cvec), "d")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
-                .cast("long")
-                .alias("d2")
+            qarr.crossJoin(row)
+            .select("vec_id", F.explode(F.expr(dex)).alias("_s"))
+            .select(
+                "vec_id",
+                F.col("_s.cid").alias("cid"),
+                F.col("_s.d2").cast("long").alias("d2"),
             )
         )
 
-    c0 = materialize(qv.agg(F.min("vec_id").cast("long").alias("vec_id")))
+    c0 = materialize(qarr.agg(F.min("vec_id").cast("long").alias("vec_id")))
     m = materialize(
         dist_to_set(c0).select("vec_id", F.col("d2").alias("m"))
     )
@@ -508,75 +522,49 @@ def emb_kmeans_scalable_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cand_ids = cand_ids.unionByName(new)
     cand_ids = materialize(cand_ids.distinct())
+    # assignment counts: min_by struct argmin (one shuffle — was a
+    # (vec, cid) window + a second groupBy exchange)
     xd = dist_to_set(cand_ids)
-    wpick = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    wts = materialize(
-        xd.withColumn("rn", F.row_number().over(wpick))
-        .filter(F.col("rn") == 1)
-        .groupBy("cid")
+    wts_rows = (
+        xd.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("_mn"))
+        .groupBy(F.col("_mn.cid").alias("cid"))
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .collect()
     )
-    # candidate-grain pairwise distances (tiny: ~(1+l·R)² pairs)
-    cv = qv.join(
-        F.broadcast(cand_ids.select(F.col("vec_id").alias("cid"))),
-        F.col("vec_id") == F.col("cid"),
-    ).select("cid", "d", "q")
-    cd = materialize(
-        cv.alias("a")
-        .join(cv.alias("b"), F.col("a.d") == F.col("b.d"))
-        .groupBy(
-            F.col("a.cid").alias("ca"), F.col("b.cid").alias("cb")
+    # The recluster is candidate-grain (~1 + l·R ≈ 17 rows at ANY corpus
+    # size) — the greedy weighted-farthest-first picks run on the driver
+    # in exact Python ints (r14: was cd + 2·(K-1) + 2 more materialize
+    # jobs over constant-sized frames). Same (w·mind DESC, cid) order.
+    cvecs = {
+        r["cid"]: list(r["qarr"])
+        for r in qarr.join(
+            F.broadcast(cand_ids.select(F.col("vec_id").alias("cid"))),
+            F.col("vec_id") == F.col("cid"),
         )
-        .agg(
-            F.sum(
-                (F.col("a.q") - F.col("b.q")) * (F.col("a.q") - F.col("b.q"))
-            )
-            .cast("long")
-            .alias("d2")
-        )
-    )
-    p = materialize(wts.orderBy(F.col("w").desc(), "cid").limit(1))
-    out = p.select(
-        F.lit(0).alias("pick"),
-        F.col("cid").alias("vec_id"),
-        F.col("w").alias("weight"),
-        F.lit(0).cast("long").alias("wd2"),
-    )
-    md = materialize(
-        wts.join(
-            cd.join(
-                F.broadcast(p.select(F.col("cid").alias("pc"))),
-                F.col("cb") == F.col("pc"),
-            ).select(F.col("ca").alias("cid"), F.col("d2").alias("mind")),
-            "cid",
-        )
-    )
-    picked = p.select("cid")
+        .select("cid", "qarr")
+        .collect()
+    }
+
+    def d2(a: int, b: int) -> int:
+        va, vb = cvecs[a], cvecs[b]
+        return sum((x - y) * (x - y) for x, y in zip(va, vb))
+
+    wts = {r["cid"]: r["w"] for r in wts_rows}
+    p1 = min(wts, key=lambda c: (-wts[c], c))
+    out_rows = [(0, p1, wts[p1], 0)]
+    mind = {c: d2(c, p1) for c in wts if c != p1}
     for k in range(1, _KSC_K):
-        nxt = materialize(
-            md.join(picked, "cid", "left_anti")
-            .orderBy((F.col("w") * F.col("mind")).desc(), "cid")
-            .limit(1)
-        )
-        out = out.unionByName(
-            nxt.select(
-                F.lit(k).alias("pick"),
-                F.col("cid").alias("vec_id"),
-                F.col("w").alias("weight"),
-                (F.col("w") * F.col("mind")).cast("long").alias("wd2"),
-            )
-        )
-        md = materialize(
-            md.join(
-                cd.join(
-                    F.broadcast(nxt.select(F.col("cid").alias("pc"))),
-                    F.col("cb") == F.col("pc"),
-                ).select(F.col("ca").alias("cid"), F.col("d2").alias("nd")),
-                "cid",
-            ).select("cid", "w", F.least("mind", "nd").alias("mind"))
-        )
-        picked = picked.unionByName(nxt.select("cid"))
-    return out.orderBy("pick")
+        if not mind:  # fewer weighted candidates than K: emit what exists
+            break
+        nxt = min(mind, key=lambda c: (-(wts[c] * mind[c]), c))
+        out_rows.append((k, nxt, wts[nxt], wts[nxt] * mind[nxt]))
+        del mind[nxt]
+        for c in mind:
+            mind[c] = min(mind[c], d2(c, nxt))
+    return spark.createDataFrame(
+        out_rows, "pick int, vec_id bigint, weight bigint, wd2 bigint"
+    ).orderBy("pick")
 
 
 # ------------------------------------------------------------------ DoReMi
