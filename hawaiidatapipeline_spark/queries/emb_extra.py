@@ -226,6 +226,43 @@ def _probe_pairs(
     )
 
 
+def _srp_sign_rows(bits: int, dims: int = 64) -> list:
+    """The bits×dims SRP sign matrix, computed driver-side: a pure
+    function of (j, d) through the portable md5 hash (no data touches
+    it), bit-identical to the old portable_hash64 column expression."""
+    import hashlib
+
+    rows = []
+    for j in range(bits):
+        rarr = []
+        for d in range(dims):
+            h = int(hashlib.md5(f"srp:{j}:{d}".encode()).hexdigest()[:15], 16)
+            rarr.append(1 if h % 2 == 0 else -1)
+        rows.append((j, rarr))
+    return rows
+
+
+def _with_srp_sig(df: DataFrame, bits: int) -> DataFrame:
+    """Append the SRP bucket signature as a per-row fold over the
+    broadcast sign matrix — replaces the d-keyed join + (vec, j) + (vec)
+    double aggregate the exploded form needed. Identical values:
+    bit j set iff the exact int64 dot with hyperplane j is > 0."""
+    spark = df.sparkSession
+    srp = spark.createDataFrame(
+        _srp_sign_rows(bits), "j bigint, rarr array<bigint>"
+    )
+    row = F.broadcast(
+        srp.agg(F.collect_list(F.struct("j", "rarr")).alias("_srp"))
+    )
+    expr = (
+        "aggregate(_srp, cast(0 as bigint), (acc, p) -> acc + IF("
+        + _fold_dot("p.rarr", "qarr")
+        + " > 0, shiftleft(cast(1 as bigint), cast(p.j as int)), "
+        "cast(0 as bigint)))"
+    )
+    return df.crossJoin(row).withColumn("srp_sig", F.expr(expr)).drop("_srp")
+
+
 def _quant_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized (vec_id, qarr) milli-quantized integer vectors — the
     shared base every trainer/exact leg derives from. round() here is the
@@ -1933,66 +1970,17 @@ def emb_srp_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec, j) partial agg; ground truth is the probe-strided GEMM row;
     the candidate lane joins on the 16-bit bucket key — sub-linear
     candidate generation, the whole point of SRP."""
-    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
-    from hawaiidatapipeline_spark.operators.materialize import materialize
-
-    e = load_table(spark, sf_dir, "embeddings")
-    proj = (
-        spark.range(_SRP_BITS)
-        .select(F.col("id").alias("j"))
-        .crossJoin(spark.range(64).select(F.col("id").alias("d")))
-        .select(
-            "j",
-            "d",
-            F.when(
-                portable_hash64(
-                    F.concat(
-                        F.col("j").cast("string"),
-                        F.lit(":"),
-                        F.col("d").cast("string"),
-                    ),
-                    "srp",
-                )
-                % 2
-                == 0,
-                1,
-            )
-            .otherwise(-1)
-            .alias("r"),
-        )
-    )
-    qv = e.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("d", "x")
-    ).select(
-        "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
-    )
-    pdots = (
-        qv.join(F.broadcast(proj), "d")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("q") * F.col("r")).alias("dot"))
-    )
+    # SRP signature as a per-row fold; exact ground truth via the
+    # broadcast-probes fold (r14, guide §2.4 — was two d-keyed joins
+    # plus three corpus-sized aggregates)
+    qarr = _quant_arrays(spark, sf_dir)
     sig = materialize(
-        pdots.groupBy("vec_id").agg(
-            F.sum(
-                F.when(
-                    F.col("dot") > 0,
-                    F.pow(F.lit(2.0), F.col("j")).cast("long"),
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("srp_sig")
-        )
+        _with_srp_sig(qarr, _SRP_BITS).select("vec_id", "srp_sig")
     )
-    pqv = qv.filter(F.col("vec_id") % _HAM_PROBE_MOD == 0)
     dots = materialize(
-        pqv.alias("a")
-        .join(
-            qv.alias("b"),
-            (F.col("a.d") == F.col("b.d"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        _probe_pairs(
+            qarr, qarr.filter(F.col("vec_id") % _HAM_PROBE_MOD == 0), "dot"
         )
-        .groupBy(F.col("a.vec_id").alias("pa"), F.col("b.vec_id").alias("pb"))
-        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("dot"))
     )
     w = Window.partitionBy("pa").orderBy(F.col("dot").desc(), "pb")
     gt = (

@@ -34,6 +34,7 @@ from hawaiidatapipeline_spark.queries.emb_extra import (
     _kmeans_assign,
     _kmeans_ctes,
     _quant_arrays,
+    _srp_sign_rows,
 )
 from hawaiidatapipeline_spark.queries.llm import _EMB_TAU
 from hawaiidatapipeline_spark.registry import load_table
@@ -80,25 +81,6 @@ def _semdedup_bucket_ctes() -> str:
                 FROM cells c JOIN ssig s ON s.vec_id = c.vec_id)"""
 
 
-def _srp_rows() -> list:
-    """The 16x64 SRP sign matrix, computed driver-side: it is a pure
-    function of (j, d) through the portable md5 hash — no data touches it
-    — so shipping it as a local relation replaces a 1024-row distributed
-    build. Bit-identical to the old portable_hash64 column expression."""
-    import hashlib
-
-    rows = []
-    for j in range(_SD_SRP_BITS):
-        rarr = []
-        for d in range(64):
-            h = int(
-                hashlib.md5(f"srp:{j}:{d}".encode()).hexdigest()[:15], 16
-            )
-            rarr.append(1 if h % 2 == 0 else -1)
-        rows.append((j, rarr))
-    return rows
-
-
 def _semdedup_ctx(spark: SparkSession, sf_dir: str):
     """Shared array-native SemDeDup context (r14 optimization): ONE
     quantization + ONE k-means training serve every consumer, and the
@@ -119,7 +101,9 @@ def _semdedup_ctx(spark: SparkSession, sf_dir: str):
         _km_assign_from(qarr, c_prev).select("vec_id", "qarr", "cid")
     )
     m = max(1, math.ceil(n / _SD_TARGET))
-    srp = spark.createDataFrame(_srp_rows(), "j bigint, rarr array<bigint>")
+    srp = spark.createDataFrame(
+        _srp_sign_rows(_SD_SRP_BITS), "j bigint, rarr array<bigint>"
+    )
     srp_row = F.broadcast(
         srp.agg(F.collect_list(F.struct("j", "rarr")).alias("_ps"))
     )
