@@ -366,28 +366,52 @@ def _km_train_arr(qarr: DataFrame, k: int):
     return prev, cent
 
 
-def _coarse_k(spark: SparkSession, sf_dir: str) -> int:
-    import math
-
-    n = load_table(spark, sf_dir, "embeddings").count()
-    return max(_KM_K, math.ceil(n / _KM_TARGET))
-
-
 def _kmeans_assign(spark: SparkSession, sf_dir: str):
     """Milli-quantized vectors + 3-round fixed-point Lloyd assignment —
     the Spark twin of ``_kmeans_ctes()``. Returns (qv, assign,
     centroids): qv = (vec_id, d, q) exploded integer vectors, assign =
     (vec_id, cid) after the final round, centroids = (cid, d, cq).
-    Internally array-native (see the kernel comment above): training
-    rounds are map-only assignments + (cid, d)-grain updates; the
-    exploded views are cheap derivations from the materialized arrays."""
-    k = _coarse_k(spark, sf_dir)
-    qarr = _quant_arrays(spark, sf_dir)
-    c_prev, c_fin = _km_train_arr(qarr, k)
-    assign_arr = materialize(_km_assign_from(qarr, c_prev))
-    qv = qarr.select("vec_id", F.posexplode("qarr").alias("d", "q"))
-    assign = assign_arr.select("vec_id", "cid")
-    centroids = c_fin.select("cid", F.posexplode("carr").alias("d", "cq"))
+    Every intermediate is reliably materialized (operators/
+    materialize.py) so callers can fan multiple consumers off each."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k = max(_KM_K, math.ceil(e.count() / _KM_TARGET))
+    qv = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+    )
+    qv = materialize(qv)
+    centroids = (
+        qv.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
+    )
+    centroids = materialize(centroids)
+    assign = None
+    for _ in range(_KM_ROUNDS):
+        dists = (
+            qv.join(F.broadcast(centroids), "d")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        assign = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        assign = materialize(assign)
+        centroids = (
+            assign.join(qv, "vec_id")
+            .groupBy("cid", "d")
+            .agg(
+                F.floor(F.sum("q") * 1.0 / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cq")
+            )
+        )
+        centroids = materialize(centroids)
     return qv, assign, centroids
 
 
@@ -519,21 +543,18 @@ def emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth is O(probes·N·dim) — priced by the probe stride, the
     same sampled-slice trick the LSH recall audit uses; the IVF lane is
     linear in cell size."""
-    qarr = _quant_arrays(spark, sf_dir)
-    c_prev, _ = _km_train_arr(qarr, _coarse_k(spark, sf_dir))
-    assign = materialize(
-        _km_assign_from(qarr, c_prev).select("vec_id", "qarr", "cid")
-    )
-    # exact ground-truth dots: map-only broadcast-probes fold (was a
-    # d-keyed probes x corpus join + hash aggregate — guide §2.4)
-    dots = materialize(
-        _probe_pairs(
-            qarr,
-            assign.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0),
-            "dot",
+    qv, assign, _ = _kmeans_assign(spark, sf_dir)
+    probes_qv = qv.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0)
+    dots = (
+        probes_qv.alias("p")
+        .join(qv.alias("v"), (F.col("p.d") == F.col("v.d"))
+              & (F.col("p.vec_id") != F.col("v.vec_id")))
+        .groupBy(
+            F.col("p.vec_id").alias("pa"), F.col("v.vec_id").alias("pb")
         )
+        .agg(F.sum(F.col("p.q") * F.col("v.q")).alias("dot"))
     )
-    assign = assign.select("vec_id", "cid")
+    dots = materialize(dots)
     w = Window.partitionBy("pa").orderBy(F.col("dot").desc(), "pb")
     gt = (
         dots.withColumn("rn", F.row_number().over(w))
@@ -590,169 +611,67 @@ _PQ_K = 4  # codebook size per subspace (2 bits; 8 subspaces pack into 16 bits)
 _PQ_ROUNDS = 2
 
 
-def _pq_cent_row(cent_arr: DataFrame):
-    """One broadcast row with array<struct<m, cid, carr>> — the subspace
-    codebook list the per-row PQ argmin scans in codegen."""
-    return F.broadcast(
-        cent_arr.agg(F.collect_list(F.struct("m", "cid", "carr")).alias("_cs"))
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Milli-quantized subspace vectors + fixed-point PQ codebook training —
+    the ``_kmeans_assign`` idiom with the subspace m = d div 8 threaded
+    through every step so all M codebooks train in ONE relational pass.
+    Shared by the emb_pq_* family and queries/ivfpq.py. Returns (qv,
+    assign, cent): qv = (vec_id, d, m, q) exploded integer vectors,
+    assign = final-round (vec_id, m, cid, dist) code assignments, cent =
+    final codebooks (m, cid, d, cq). Every intermediate is reliably
+    materialized so callers can fan multiple consumers off each."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "vec_id",
+        "d",
+        (F.col("d") / _PQ_M_DIMS).cast("long").alias("m"),
+        F.round(F.col("x") * 1000).cast("long").alias("q"),
     )
+    qv = materialize(qv)
+    return (qv, *_pq_rounds(qv))
 
 
-def _pq_assign_from(qarr: DataFrame, cent_arr: DataFrame) -> DataFrame:
-    """Map-only PQ assignment: (vec_id, qarr, amn) where amn[m] =
-    struct(dist, cid), the (dist, cid) argmin per subspace against the
-    broadcast codebooks — no shuffle (the old path paid a (d, m)-keyed
-    join plus a per-(vec, m) window)."""
-    W = _PQ_M_DIMS
-    amn = (
-        f"transform(sequence(0, cast(size(qarr) div {W} - 1 as int)), mm -> "
-        "array_min(transform(filter(_cs, c -> c.m = mm), c -> struct("
-        + _fold_d2(f"slice(qarr, mm * {W} + 1, {W})", "c.carr")
-        + " AS dist, c.cid AS cid))))"
+def _pq_rounds(qv: DataFrame):
+    """The fixed-point PQ Lloyd rounds over an already-exploded
+    (vec_id, d, m, q) integer frame — factored out so queries/ivfpq.py
+    can train codebooks on coarse-quantizer RESIDUALS with the exact
+    same contract. Returns (assign, cent)."""
+    cent = (
+        qv.filter(F.col("vec_id") < _PQ_K)
+        .select("m", F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
     )
-    # withColumn + drop so extra input columns (e.g. a coarse cell tag)
-    # ride along — the IvfpqCtx fused pass depends on that
-    return (
-        qarr.crossJoin(_pq_cent_row(cent_arr))
-        .withColumn("amn", F.expr(amn))
-        .drop("_cs")
-    )
-
-
-_PQ_CENT_SCHEMA = "m bigint, cid bigint, carr array<bigint>"
-
-
-def _pq_local_cent(spark, rows) -> DataFrame:
-    return spark.createDataFrame(rows, _PQ_CENT_SCHEMA)
-
-
-def _pq_train_arr(qarr: DataFrame):
-    """Fixed-point PQ Lloyd rounds on array vectors — all M codebooks in
-    the same pass. Per round ONE job (the ``_km_train_arr`` recipe with
-    the subspace threaded through): map-only assignment, (m, cid, dl)
-    partial-agg update, K·M·(d/M) = K·d result values round-tripped
-    through the driver as the next local-relation codebook. Returns
-    (cent_for_assign, cent_final) = (pc_{R-1}, pc_R), matching the
-    unrolled oracle (pa{R} is argmin vs pc{R-1})."""
-    W = _PQ_M_DIMS
-    spark = qarr.sparkSession
-    rows = [
-        (r["m"], r["cid"], list(r["carr"]))
-        for r in qarr.filter(F.col("vec_id") < _PQ_K)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, cast(size(qarr) div {W} - 1 as int)),"
-                    f" mm -> struct(cast(mm as bigint) AS m,"
-                    f" slice(qarr, mm * {W} + 1, {W}) AS carr))"
-                )
-            ).alias("_s"),
-        )
-        .select(F.col("_s.m").alias("m"), "cid", F.col("_s.carr").alias("carr"))
-        .collect()
-    ]
-    cent = _pq_local_cent(spark, rows)
-    prev = cent
+    cent = materialize(cent)
+    assign = None
     for _ in range(_PQ_ROUNDS):
-        prev = cent
-        upd = (
-            _pq_assign_from(qarr, cent)
-            .select("qarr", F.posexplode("amn").alias("mm", "_st"))
-            .select(
-                F.col("mm").cast("long").alias("m"),
-                F.col("_st.cid").alias("cid"),
-                F.posexplode(
-                    F.expr(f"slice(qarr, mm * {W} + 1, {W})")
-                ).alias("dl", "q"),
+        dists = (
+            qv.join(F.broadcast(cent), ["d", "m"])
+            .groupBy("vec_id", "m", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist")
             )
-            .groupBy("m", "cid", "dl")
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+        assign = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "cid", "dist")
+        )
+        assign = materialize(assign)
+        cent = (
+            assign.join(qv, ["vec_id", "m"])
+            .groupBy("m", "cid", "d")
             .agg(
                 F.floor(F.sum("q") * 1.0 / F.count(F.lit(1)))
                 .cast("long")
                 .alias("cq")
             )
-            .collect()
         )
-        by_mc: dict = {}
-        for r in upd:
-            by_mc.setdefault((r["m"], r["cid"]), {})[r["dl"]] = r["cq"]
-        cent = _pq_local_cent(
-            spark,
-            [
-                (m, cid, [ds[d] for d in sorted(ds)])
-                for (m, cid), ds in sorted(by_mc.items())
-            ],
-        )
-    return prev, cent
-
-
-def _pq_exploded_views(qarr: DataFrame, assign_arr: DataFrame, cent_fin: DataFrame):
-    """Derive the legacy exploded frames (qv, assign, cent) from the
-    array-native training outputs — cheap maps over checkpointed arrays."""
-    W = _PQ_M_DIMS
-    qv = (
-        qarr.select("vec_id", F.posexplode("qarr").alias("d", "q"))
-        .select(
-            "vec_id",
-            "d",
-            (F.col("d") / W).cast("long").alias("m"),
-            "q",
-        )
-    )
-    assign = assign_arr.select(
-        "vec_id", F.posexplode("amn").alias("mm", "_st")
-    ).select(
-        "vec_id",
-        F.col("mm").cast("long").alias("m"),
-        F.col("_st.cid").alias("cid"),
-        F.col("_st.dist").alias("dist"),
-    )
-    cent = cent_fin.select("m", "cid", F.posexplode("carr").alias("dl", "cq")).select(
-        "m", "cid", (F.col("m") * W + F.col("dl")).cast("int").alias("d"), "cq"
-    )
-    return qv, assign, cent
-
-
-def _pq_sub_tables(
-    probes_arr: DataFrame, cent_arr: DataFrame, out_id: str = "probe_id"
-) -> DataFrame:
-    """Probe ADC lookup tables (probe, m, cid, sub_d2) as ONE map-only
-    fold against the broadcast codebooks — replaces the (d, m)-keyed
-    join + (probe, m, cid) hash aggregate."""
-    W = _PQ_M_DIMS
-    texpr = (
-        "transform(_cs, c -> struct(c.m AS m, c.cid AS cid, "
-        + _fold_d2(f"slice(qarr, cast(c.m * {W} + 1 as int), {W})", "c.carr")
-        + " AS sub_d2))"
-    )
-    return (
-        probes_arr.crossJoin(_pq_cent_row(cent_arr))
-        .select(
-            F.col("vec_id").alias(out_id),
-            F.explode(F.expr(texpr)).alias("_s"),
-        )
-        .select(
-            out_id,
-            F.col("_s.m").alias("m"),
-            F.col("_s.cid").alias("cid"),
-            F.col("_s.sub_d2").alias("sub_d2"),
-        )
-    )
-
-
-def _pq_train(spark: SparkSession, sf_dir: str):
-    """Milli-quantized subspace vectors + fixed-point PQ codebook training —
-    all M codebooks in ONE pass. Shared by the emb_pq_* family and
-    queries/ivfpq.py. Returns (qv, assign, cent): qv = (vec_id, d, m, q)
-    exploded integer vectors, assign = final-round (vec_id, m, cid, dist)
-    code assignments, cent = final codebooks (m, cid, d, cq). Internally
-    array-native (see the kernel comment above); the exploded frames are
-    cheap derivations from the materialized arrays."""
-    qarr = _quant_arrays(spark, sf_dir)
-    prev, fin = _pq_train_arr(qarr)
-    assign_arr = materialize(_pq_assign_from(qarr, prev))
-    return _pq_exploded_views(qarr, assign_arr, fin)
+        cent = materialize(cent)
+    return assign, cent
 
 
 def _pq_ctes() -> str:
@@ -907,23 +826,21 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     N·M code table against it on (m, cid) and partial-aggregates to
     (probe, vector) — linear in corpus size per probe, the exact
     economics that make PQ search cheap at 10⁹ vectors."""
-    qarr = _quant_arrays(spark, sf_dir)
-    pc_prev, pc_fin = _pq_train_arr(qarr)
-    assign_arr = materialize(_pq_assign_from(qarr, pc_prev))
-    codes = assign_arr.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.posexplode("amn").alias("mm", "_st"),
-    ).select(
-        "neighbor_id",
-        F.col("mm").cast("long").alias("m"),
-        F.col("_st.cid").alias("cid"),
-    )
-    t = _pq_sub_tables(
-        assign_arr.filter(F.col("vec_id") % _adc_stride(spark, sf_dir) == 0),
-        pc_fin,
+    qv, assign, cent = _pq_train(spark, sf_dir)
+    assign = assign.select("vec_id", "m", "cid")
+    probes = qv.filter(F.col("vec_id") % _adc_stride(spark, sf_dir) == 0)
+    t = (
+        probes.join(F.broadcast(cent), ["d", "m"])
+        .groupBy(F.col("vec_id").alias("probe_id"), "m", "cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("sub_d2")
+        )
     )
     adc = (
-        codes.join(F.broadcast(t), ["m", "cid"])
+        assign.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(t), ["m", "cid"])
         .filter(F.col("neighbor_id") != F.col("probe_id"))
         .groupBy("probe_id", "neighbor_id")
         .agg(F.sum("sub_d2").alias("adc_d2"))
@@ -935,7 +852,6 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "rnk", "neighbor_id", "adc_d2")
         .orderBy("probe_id", "rnk")
     )
-
 
 _PQR_TOPK = 10
 
@@ -996,23 +912,21 @@ def emb_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Low recall here says 'train bigger codebooks or more subspaces'
     BEFORE the index ships — the go/no-go table for the 100 TB ANN
     path."""
-    qarr = _quant_arrays(spark, sf_dir)
-    pc_prev, pc_fin = _pq_train_arr(qarr)
-    assign_arr = materialize(_pq_assign_from(qarr, pc_prev))
-    probes_arr = assign_arr.filter(
-        F.col("vec_id") % _adc_stride(spark, sf_dir) == 0
+    qv, assign, cent = _pq_train(spark, sf_dir)
+    assign = assign.select("vec_id", "m", "cid")
+    probes = materialize(qv.filter(F.col("vec_id") % _adc_stride(spark, sf_dir) == 0))
+    t = (
+        probes.join(F.broadcast(cent), ["d", "m"])
+        .groupBy(F.col("vec_id").alias("probe_id"), "m", "cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("sub_d2")
+        )
     )
-    codes = assign_arr.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.posexplode("amn").alias("mm", "_st"),
-    ).select(
-        "neighbor_id",
-        F.col("mm").cast("long").alias("m"),
-        F.col("_st.cid").alias("cid"),
-    )
-    t = _pq_sub_tables(probes_arr, pc_fin)
     adc = (
-        codes.join(F.broadcast(t), ["m", "cid"])
+        assign.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(t), ["m", "cid"])
         .filter(F.col("neighbor_id") != F.col("probe_id"))
         .groupBy("probe_id", "neighbor_id")
         .agg(F.sum("sub_d2").alias("adc_d2"))
@@ -1023,9 +937,19 @@ def emb_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQR_TOPK)
         .select("probe_id", "neighbor_id")
     )
-    # exact ground truth: map-only broadcast-probes fold (guide §2.4)
-    exact = _probe_pairs(
-        qarr, probes_arr, "d2", "probe_id", "neighbor_id", "d2"
+    p, v = probes.alias("p"), qv.alias("v")
+    exact = (
+        p.join(v, F.col("p.d") == F.col("v.d"))
+        .filter(F.col("v.vec_id") != F.col("p.vec_id"))
+        .groupBy(
+            F.col("p.vec_id").alias("probe_id"),
+            F.col("v.vec_id").alias("neighbor_id"),
+        )
+        .agg(
+            F.sum(
+                (F.col("p.q") - F.col("v.q")) * (F.col("p.q") - F.col("v.q"))
+            ).alias("d2")
+        )
     )
     w_ex = Window.partitionBy("probe_id").orderBy("d2", "neighbor_id")
     exact_top = (

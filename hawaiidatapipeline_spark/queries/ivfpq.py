@@ -23,25 +23,16 @@ from hawaiidatapipeline_spark.queries.emb_extra import (
     _adc_stride,
     _adc_stride_subquery,
     _ADC_TOPK,
-    _cent_row,
-    _coarse_k,
-    _fold_d2,
     _KM_ROUNDS,
-    _km_assign_from,
-    _km_train_arr,
-    _kmeans_ctes,
     _PQ_K,
     _PQ_M_DIMS,
     _PQ_ROUNDS,
-    _pq_assign_from,
-    _pq_cent_row,
-    _pq_ctes,
-    _pq_exploded_views,
-    _pq_sub_tables,
-    _probe_pairs,
     _PQR_TOPK,
-    _pq_train_arr,
-    _quant_arrays,
+    _kmeans_assign,
+    _kmeans_ctes,
+    _pq_ctes,
+    _pq_rounds,
+    _pq_train,
 )
 
 QUERIES, ORACLES, q = new_module_registry()
@@ -98,73 +89,30 @@ class _IvfpqCtx:
     with their coarse cell)."""
 
     def __init__(self, spark: SparkSession, sf_dir: str):
-        import math
-
-        from hawaiidatapipeline_spark.queries.emb_extra import (
-            _ADC_PROBE_TARGET,
-            _ADC_STRIDE,
-            _KM_K,
-            _KM_TARGET,
-        )
-        from hawaiidatapipeline_spark.registry import load_table
-
-        W = _PQ_M_DIMS
-        qarr = _quant_arrays(spark, sf_dir)
-        self.qarr = qarr
-        # one count serves both corpus-scaled knobs (was two scan jobs)
-        n = load_table(spark, sf_dir, "embeddings").count()
-        k = max(_KM_K, math.ceil(n / _KM_TARGET))
-        stride = max(_ADC_STRIDE, math.ceil(n / _ADC_PROBE_TARGET))
+        _, self.coarse, self.ccent = _kmeans_assign(spark, sf_dir)
+        qv, assign, cent = _pq_train(spark, sf_dir)
+        self.qv = qv
+        codes = assign.select("vec_id", "m", "cid")
+        stride = _adc_stride(spark, sf_dir)
         self.stride = stride
-        kc_prev, kc_fin = _km_train_arr(qarr, k)
-        pc_prev, pc_fin = _pq_train_arr(qarr)
-        # ONE fused map-only pass computes both assignments per vector
-        # (coarse cell + all M PQ codes) — the old path trained each and
-        # then JOINED two corpus-sized tables to tag codes with cells.
-        both = materialize(
-            _pq_assign_from(
-                _km_assign_from(qarr, kc_prev)
-                .withColumnRenamed("cid", "cell")
-                .drop("dist"),
-                pc_prev,
+        self.probes = qv.filter(F.col("vec_id") % stride == 0)
+        self.t = (
+            self.probes.join(F.broadcast(cent), ["d", "m"])
+            .groupBy(F.col("vec_id").alias("probe_id"), "m", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("sub_d2")
             )
         )
-        self.coarse = both.select("vec_id", F.col("cell").alias("cid"))
-        self.ccent = kc_fin.select("cid", F.posexplode("carr").alias("d", "cq"))
-        self.qv = (
-            qarr.select("vec_id", F.posexplode("qarr").alias("d", "q"))
-            .select(
-                "vec_id", "d", (F.col("d") / W).cast("long").alias("m"), "q"
-            )
-        )
-        probes_arr = both.filter(F.col("vec_id") % stride == 0).select(
-            "vec_id", "qarr", "cell"
-        )
-        self.probes_arr = probes_arr
-        self.probes = self.qv.filter(F.col("vec_id") % stride == 0)
-        # probe ADC lookup tables: map-only fold against the broadcast
-        # FINAL codebooks (pc_R, as in the oracle's t CTE) — the old path
-        # paid a (d, m)-keyed join + (probe, m, cid) hash aggregate.
-        self.t = _pq_sub_tables(probes_arr, pc_fin)
-        self.pcell = probes_arr.select(
-            F.col("vec_id").alias("probe_id"), "cell"
-        )
-        self._kc_fin = kc_fin
+        self.pcell = self.coarse.filter(
+            F.col("vec_id") % stride == 0
+        ).select(F.col("vec_id").alias("probe_id"), F.col("cid").alias("cell"))
         # codes tagged with their coarse cell: the (m, cid, cell) equi-join
         # in adc_for is the IVF read path — only cell-mates are ever scored
-        self.ncodes = (
-            both.select(
-                F.col("vec_id").alias("neighbor_id"),
-                "cell",
-                F.posexplode("amn").alias("mm", "_st"),
-            )
-            .select(
-                "neighbor_id",
-                F.col("mm").cast("long").alias("m"),
-                F.col("_st.cid").alias("cid"),
-                "cell",
-            )
-        )
+        self.ncodes = codes.join(
+            self.coarse.withColumnRenamed("cid", "cell"), "vec_id"
+        ).withColumnRenamed("vec_id", "neighbor_id")
 
     def adc_for(self, admitted: DataFrame) -> DataFrame:
         """Cell-pruned ADC scores for an admitted (probe_id, cell) set —
@@ -186,21 +134,15 @@ class _IvfpqCtx:
         of the nprobe=1 set, so recall can only improve. Probe-to-
         centroid distances are a probe x K table (K coarse cells —
         tiny); nothing corpus-sized."""
-        pdexpr = (
-            "transform(_cs, c -> struct(c.cid AS cid, "
-            + _fold_d2("qarr", "c.carr")
-            + " AS d2))"
-        )
         pd2 = (
-            self.probes_arr.crossJoin(_cent_row(self._kc_fin))
-            .select(
-                F.col("vec_id").alias("probe_id"),
-                F.explode(F.expr(pdexpr)).alias("_s"),
-            )
-            .select(
-                "probe_id",
-                F.col("_s.cid").alias("cid"),
-                F.col("_s.d2").cast("long").alias("d2"),
+            self.probes.join(F.broadcast(self.ccent), "d")
+            .groupBy(F.col("vec_id").alias("probe_id"), "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                )
+                .cast("long")
+                .alias("d2")
             )
         )
         own = self.pcell
@@ -312,9 +254,20 @@ def emb_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQR_TOPK)
         .select("probe_id", "neighbor_id")
     )
-    # exact ground truth: map-only broadcast-probes fold (guide §2.4)
-    exact = _probe_pairs(
-        ctx.qarr, ctx.probes_arr, "d2", "probe_id", "neighbor_id", "d2"
+    probes = qv.filter(F.col("vec_id") % ctx.stride == 0)
+    p, v = probes.alias("p"), qv.alias("v")
+    exact = (
+        p.join(v, F.col("p.d") == F.col("v.d"))
+        .filter(F.col("v.vec_id") != F.col("p.vec_id"))
+        .groupBy(
+            F.col("p.vec_id").alias("probe_id"),
+            F.col("v.vec_id").alias("neighbor_id"),
+        )
+        .agg(
+            F.sum(
+                (F.col("p.q") - F.col("v.q")) * (F.col("p.q") - F.col("v.q"))
+            ).alias("d2")
+        )
     )
     w_ex = Window.partitionBy("probe_id").orderBy("d2", "neighbor_id")
     exact_top = (
@@ -401,35 +354,20 @@ def emb_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("adc_rnk") <= _RR_SHORTLIST)
         .select("probe_id", "neighbor_id", "adc_rnk")
     )
-    # exact re-rank: shortlist rows fetch their neighbor ARRAY via a
-    # broadcast join (shortlist is probes x 30 rows), probe arrays ride a
-    # second broadcast, d2 is one zip_with fold — the old path shuffled
-    # the exploded corpus (N·d rows) on neighbor_id (guide §2.3).
+    nb = ctx.qv.select(
+        F.col("vec_id").alias("neighbor_id"), "d", F.col("q").alias("nq")
+    )
+    pv = ctx.probes.select(
+        F.col("vec_id").alias("probe_id"), "d", F.col("q").alias("pq")
+    )
     ex = (
-        ctx.qarr.join(
-            F.broadcast(short),
-            ctx.qarr["vec_id"] == short["neighbor_id"],
-        )
-        .select("probe_id", "neighbor_id", "adc_rnk", "qarr")
-        .join(
-            F.broadcast(
-                ctx.probes_arr.select(
-                    F.col("vec_id").alias("probe_id"),
-                    F.col("qarr").alias("_parr"),
-                )
-            ),
-            "probe_id",
-        )
-        .select(
-            "probe_id",
-            "neighbor_id",
-            "adc_rnk",
-            F.expr(
-                "aggregate(zip_with(qarr, _parr, (x, y) -> (x - y) * (x - y)),"
-                " cast(0 as bigint), (s, v) -> s + v)"
-            )
+        short.join(nb, "neighbor_id")
+        .join(F.broadcast(pv), ["probe_id", "d"])
+        .groupBy("probe_id", "neighbor_id", "adc_rnk")
+        .agg(
+            F.sum((F.col("pq") - F.col("nq")) * (F.col("pq") - F.col("nq")))
             .cast("long")
-            .alias("exact_d2"),
+            .alias("exact_d2")
         )
     )
     w_ex = Window.partitionBy("probe_id").orderBy("exact_d2", "neighbor_id")
@@ -542,9 +480,19 @@ def emb_ivfpq_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders; oracle unrolls both trainings and both probe sets as CTEs
     and matches bit-for-bit."""
     ctx = _IvfpqCtx(spark, sf_dir)
-    # exact ground truth: map-only broadcast-probes fold (guide §2.4)
-    exact = _probe_pairs(
-        ctx.qarr, ctx.probes_arr, "d2", "probe_id", "neighbor_id", "d2"
+    exact = (
+        ctx.probes.alias("p")
+        .join(ctx.qv.alias("v"), F.col("p.d") == F.col("v.d"))
+        .filter(F.col("v.vec_id") != F.col("p.vec_id"))
+        .groupBy(
+            F.col("p.vec_id").alias("probe_id"),
+            F.col("v.vec_id").alias("neighbor_id"),
+        )
+        .agg(
+            F.sum(
+                (F.col("p.q") - F.col("v.q")) * (F.col("p.q") - F.col("v.q"))
+            ).alias("d2")
+        )
     )
     w_ex = Window.partitionBy("probe_id").orderBy("d2", "neighbor_id")
     exact_top = materialize(
@@ -661,32 +609,20 @@ def _residual_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     residuals. Returns the final (vec_id, m, cid, dist) code assignment —
     exposed separately so tests can compare total quantization error
     against the raw-vector codes."""
-    qarr = _quant_arrays(spark, sf_dir)
-    kc_prev, kc_fin = _km_train_arr(qarr, _coarse_k(spark, sf_dir))
-    # residual arrays: assignment (vs c_{R-1}, as the oracle's a{R}) joined
-    # to the FINAL centroid (c_R) by cid, subtracted element-wise — one
-    # broadcast join + zip_with, no exploded three-way join.
-    resid_arr = materialize(
-        _km_assign_from(qarr, kc_prev)
-        .select("vec_id", "qarr", "cid")
-        .join(
-            F.broadcast(kc_fin.withColumnRenamed("carr", "_carr")), "cid"
-        )
+    qv_c, coarse, ccent = _kmeans_assign(spark, sf_dir)
+    resid = (
+        qv_c.join(coarse, "vec_id")
+        .join(F.broadcast(ccent), ["cid", "d"])
         .select(
             "vec_id",
-            F.expr("zip_with(qarr, _carr, (x, y) -> x - y)").alias("qarr"),
+            "d",
+            (F.col("d") / _PQ_M_DIMS).cast("long").alias("m"),
+            (F.col("q") - F.col("cq")).alias("q"),
         )
     )
-    r_prev, _ = _pq_train_arr(resid_arr)
-    assign_arr = _pq_assign_from(resid_arr, r_prev)
-    return assign_arr.select(
-        "vec_id", F.posexplode("amn").alias("mm", "_st")
-    ).select(
-        "vec_id",
-        F.col("mm").cast("long").alias("m"),
-        F.col("_st.cid").alias("cid"),
-        F.col("_st.dist").alias("dist"),
-    )
+    resid = materialize(resid)
+    assign, _ = _pq_rounds(resid)
+    return assign
 
 
 def _residual_codes_sql() -> str:
@@ -777,40 +713,26 @@ def emb_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic all-pairs definition is O(N²·d) and exists only as a
     fixture-tier oracle elsewhere. Distances are exact int64; s is one
     float division, so 6-dp rounding hash-matches."""
-    qarr = _quant_arrays(spark, sf_dir)
-    kc_prev, kc_fin = _km_train_arr(qarr, _coarse_k(spark, sf_dir))
-    # ONE fused map-only pass: per vector its assignment (vs c_{R-1}) AND
-    # its distance to EVERY final centroid — a_dist/b_dist fall out of the
-    # same per-row scan, no N·K distance table is ever shuffled (the old
-    # path paid a d-keyed join, a (vec, cid) aggregate, and a corpus join).
-    dexpr = (
-        "transform(_cs, c -> struct(c.cid AS cid, "
-        + _fold_d2("qarr", "c._carr")
-        + " AS dist))"
+    qv, assign, cent = _kmeans_assign(spark, sf_dir)
+    dist_f = (
+        qv.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("dist")
+        )
     )
     ab = (
-        _km_assign_from(qarr, kc_prev)
-        .select("vec_id", "qarr", "cid")
-        .crossJoin(
-            F.broadcast(
-                kc_fin.agg(
-                    F.collect_list(
-                        F.struct("cid", F.col("carr").alias("_carr"))
-                    ).alias("_cs")
-                )
-            )
-        )
-        .select("vec_id", "cid", F.expr(dexpr).alias("_ds"))
-        .select(
-            "vec_id",
-            "cid",
-            F.expr(
-                "array_max(transform(filter(_ds, s -> s.cid = cid),"
-                " s -> s.dist))"
+        assign.alias("a")
+        .join(dist_f.alias("d"), F.col("d.vec_id") == F.col("a.vec_id"))
+        .groupBy(F.col("a.vec_id"), F.col("a.cid"))
+        .agg(
+            F.max(
+                F.when(F.col("d.cid") == F.col("a.cid"), F.col("dist"))
             ).alias("a_dist"),
-            F.expr(
-                "array_min(transform(filter(_ds, s -> s.cid != cid),"
-                " s -> s.dist))"
+            F.min(
+                F.when(F.col("d.cid") != F.col("a.cid"), F.col("dist"))
             ).alias("b_dist"),
         )
     )
@@ -879,29 +801,17 @@ def emb_ivf_nprobe_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded divisions at the end. Scale: probe×K distance table (K
     coarse cells — tiny), cell sizes from the assignment aggregate —
     nothing corpus-pair-sized anywhere."""
-    qarr = _quant_arrays(spark, sf_dir)
-    kc_prev, kc_fin = _km_train_arr(qarr, _coarse_k(spark, sf_dir))
-    assign = materialize(
-        _km_assign_from(qarr, kc_prev).select("vec_id", "qarr", "cid")
-    )
+    qv, assign, cent = _kmeans_assign(spark, sf_dir)
     sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("csize"))
     corpus = assign.count()  # scalar for the pct denominator
-    pdexpr = (
-        "transform(_cs, c -> struct(c.cid AS cid, "
-        + _fold_d2("qarr", "c.carr")
-        + " AS d2))"
-    )
     pd2 = (
-        assign.filter(F.col("vec_id") % _adc_stride(spark, sf_dir) == 0)
-        .crossJoin(_cent_row(kc_fin))
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            F.explode(F.expr(pdexpr)).alias("_s"),
-        )
-        .select(
-            "probe_id",
-            F.col("_s.cid").alias("cid"),
-            F.col("_s.d2").cast("long").alias("d2"),
+        qv.filter(F.col("vec_id") % _adc_stride(spark, sf_dir) == 0)
+        .join(F.broadcast(cent), "d")
+        .groupBy(F.col("vec_id").alias("probe_id"), "cid")
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .cast("long")
+            .alias("d2")
         )
     )
     w = Window.partitionBy("probe_id").orderBy("d2", "cid")
