@@ -22,19 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
-from hawaiidatapipeline_spark.operators.materialize import materialize
 from hawaiidatapipeline_spark.queries.emb_extra import (
-    _fold_d2,
-    _fold_dot,
-    _KM_K,
     _KM_ROUNDS,
-    _KM_TARGET,
-    _km_assign_from,
-    _km_train_arr,
     _kmeans_assign,
     _kmeans_ctes,
-    _quant_arrays,
-    _srp_sign_rows,
 )
 from hawaiidatapipeline_spark.queries.llm import _EMB_TAU
 from hawaiidatapipeline_spark.registry import load_table
@@ -81,46 +72,58 @@ def _semdedup_bucket_ctes() -> str:
                 FROM cells c JOIN ssig s ON s.vec_id = c.vec_id)"""
 
 
-def _semdedup_ctx(spark: SparkSession, sf_dir: str):
-    """Shared array-native SemDeDup context (r14 optimization): ONE
-    quantization + ONE k-means training serve every consumer, and the
-    SRP sub-bucket signature is a per-row fold over the broadcast sign
-    matrix — the old path exploded vectors and joined on the dimension
-    key, then joined signatures back to assignments (three corpus-sized
-    shuffles; the final llm_semdedup_cells plan carried 66 Exchanges
-    from the duplicated subtrees). Returns (assign_arr, cent_fin, bkts,
-    n): assign_arr = materialized (vec_id, qarr, cid), cent_fin = final
-    centroids (cid, carr), bkts = materialized (vec_id, cell, bkt)."""
+def _semdedup_buckets(spark: SparkSession, qv: DataFrame, assign: DataFrame) -> DataFrame:
+    """Spark twin of ``_semdedup_bucket_ctes``: (vec_id, cell, bkt)."""
     import math
 
-    qarr = _quant_arrays(spark, sf_dir)
-    n = load_table(spark, sf_dir, "embeddings").count()
-    k = max(_KM_K, math.ceil(n / _KM_TARGET))
-    c_prev, c_fin = _km_train_arr(qarr, k)
-    assign_arr = materialize(
-        _km_assign_from(qarr, c_prev).select("vec_id", "qarr", "cid")
-    )
+    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+
+    n = assign.count()
     m = max(1, math.ceil(n / _SD_TARGET))
-    srp = spark.createDataFrame(
-        _srp_sign_rows(_SD_SRP_BITS), "j bigint, rarr array<bigint>"
-    )
-    srp_row = F.broadcast(
-        srp.agg(F.collect_list(F.struct("j", "rarr")).alias("_ps"))
-    )
-    sig_expr = (
-        "aggregate(_ps, cast(0 as bigint), (acc, p) -> acc + IF("
-        + _fold_dot("p.rarr", "qarr")
-        + " > 0, shiftleft(cast(1 as bigint), cast(p.j as int)), "
-        "cast(0 as bigint)))"
-    )
-    bkts = materialize(
-        assign_arr.crossJoin(srp_row).select(
-            "vec_id",
-            F.col("cid").alias("cell"),
-            (F.expr(sig_expr) % m).alias("bkt"),
+    proj = (
+        spark.range(_SD_SRP_BITS)
+        .select(F.col("id").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("d")))
+        .select(
+            "j",
+            "d",
+            F.when(
+                portable_hash64(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("d").cast("string"),
+                    ),
+                    "srp",
+                )
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("r"),
         )
     )
-    return assign_arr, c_fin, bkts, n
+    sig = (
+        qv.join(F.broadcast(proj), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("q") * F.col("r")).alias("dot"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot") > 0, F.pow(F.lit(2), F.col("j")).cast("long")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("sig")
+        )
+    )
+    return (
+        assign.select("vec_id", F.col("cid").alias("cell"))
+        .join(sig, "vec_id")
+        .select("vec_id", "cell", (F.col("sig") % m).alias("bkt"))
+    )
 
 
 def _semdedup_cells_sql() -> str:
@@ -169,17 +172,18 @@ def llm_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs so bucket membership matches bit-for-bit; the cosine contract
     is llm_dedup_embedding's. Hash-verified at sf0.01 (m=1) AND sf0.1
     (m=10)."""
+    qv, assign, _ = _kmeans_assign(spark, sf_dir)
     from hawaiidatapipeline_spark.operators.similarity import (
         as_double_vec,
         cosine_pairs_in_cells,
     )
 
-    assign_arr, _, bkts, _ = _semdedup_ctx(spark, sf_dir)
+    bkts = _semdedup_buckets(spark, qv, assign)
     e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
     edges = cosine_pairs_in_cells(e, bkts, cell_col=("cell", "bkt")).filter(
         F.col("cos_sim") >= _EMB_TAU
     )
-    sizes = assign_arr.groupBy(F.col("cid").alias("cell")).agg(
+    sizes = assign.groupBy(F.col("cid").alias("cell")).agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors")
     )
     ec = edges.groupBy("cell").agg(F.count(F.lit(1)).alias("n_edges"))
@@ -250,14 +254,15 @@ def llm_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle shares the unrolled k-means CTEs."""
     import math
 
+    qv, assign, _ = _kmeans_assign(spark, sf_dir)
     from hawaiidatapipeline_spark.operators.similarity import (
         as_double_vec,
         cosine_pairs_exact,
     )
 
-    _, _, bkts, n = _semdedup_ctx(spark, sf_dir)
+    bkts = _semdedup_buckets(spark, qv, assign)
     e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
-    stride = max(1, math.ceil(n / _SD_RECALL_SAMPLE))
+    stride = max(1, math.ceil(e.count() / _SD_RECALL_SAMPLE))
     exact = (
         cosine_pairs_exact(e.filter(F.col("vec_id") % stride == 0))
         .filter(F.col("cos_sim") >= _EMB_TAU)
@@ -301,6 +306,7 @@ def semdedup_drop_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the corpus, so consumers can broadcast this for an
     anti-join. Shared by llm_semdedup_survivors and the v6 corpus
     pipeline."""
+    qv, assign, cent = _kmeans_assign(spark, sf_dir)
     from hawaiidatapipeline_spark.operators.dedup import connected_components
     from hawaiidatapipeline_spark.operators.similarity import (
         as_double_vec,
@@ -308,7 +314,7 @@ def semdedup_drop_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    assign_arr, cent_fin, bkts, _ = _semdedup_ctx(spark, sf_dir)
+    bkts = _semdedup_buckets(spark, qv, assign)
     e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
     edges = cosine_pairs_in_cells(e, bkts, cell_col=("cell", "bkt")).filter(
         F.col("cos_sim") >= _EMB_TAU
@@ -316,15 +322,19 @@ def semdedup_drop_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(edges, a_col="vec_a", b_col="vec_b").select(
         F.col("node").alias("vec_id"), F.col("comp").alias("cluster_id")
     )
-    # centroid distance: one broadcast join + zip_with fold (was an
-    # exploded three-way join + per-vector aggregate — guide §2.4)
-    dist = assign_arr.join(F.broadcast(cent_fin), "cid").select(
-        "vec_id",
-        F.expr(_fold_d2("qarr", "carr")).cast("long").alias("d2"),
+    dist = (
+        qv.join(assign, "vec_id")
+        .join(F.broadcast(cent), ["cid", "d"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .cast("long")
+            .alias("d2")
+        )
     )
-    m = comp.join(
-        assign_arr.select("vec_id", F.col("cid").alias("cell")), "vec_id"
-    ).join(dist, "vec_id")
+    m = comp.join(assign.withColumnRenamed("cid", "cell"), "vec_id").join(
+        dist, "vec_id"
+    )
     w = Window.partitionBy("cluster_id").orderBy(F.col("d2").desc(), "vec_id")
     return (
         m.withColumn("rn", F.row_number().over(w))
@@ -404,13 +414,14 @@ def llm_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     training) matches bit-for-bit. Scale: CC is O(diameter) narrow joins
     on the cell-bounded edge set; the keep-rule is one window over
     cluster-sized partitions."""
+    qv, assign, cent = _kmeans_assign(spark, sf_dir)
     from hawaiidatapipeline_spark.operators.dedup import connected_components
     from hawaiidatapipeline_spark.operators.similarity import (
         as_double_vec,
         cosine_pairs_in_cells,
     )
 
-    assign_arr, cent_fin, bkts, _ = _semdedup_ctx(spark, sf_dir)
+    bkts = _semdedup_buckets(spark, qv, assign)
     e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
     edges = cosine_pairs_in_cells(e, bkts, cell_col=("cell", "bkt")).filter(
         F.col("cos_sim") >= _EMB_TAU
@@ -418,15 +429,19 @@ def llm_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(edges, a_col="vec_a", b_col="vec_b").select(
         F.col("node").alias("vec_id"), F.col("comp").alias("cluster_id")
     )
-    # centroid distance: one broadcast join + zip_with fold (was an
-    # exploded three-way join + per-vector aggregate — guide §2.4)
-    dist = assign_arr.join(F.broadcast(cent_fin), "cid").select(
-        "vec_id",
-        F.expr(_fold_d2("qarr", "carr")).cast("long").alias("d2"),
+    dist = (
+        qv.join(assign, "vec_id")
+        .join(F.broadcast(cent), ["cid", "d"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .cast("long")
+            .alias("d2")
+        )
     )
-    m = comp.join(
-        assign_arr.select("vec_id", F.col("cid").alias("cell")), "vec_id"
-    ).join(dist, "vec_id")
+    m = comp.join(assign.withColumnRenamed("cid", "cell"), "vec_id").join(
+        dist, "vec_id"
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id").orderBy(F.col("d2").desc(), "vec_id")
