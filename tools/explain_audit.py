@@ -267,7 +267,11 @@ AUDITS: dict[str, list[str]] = {
     "llm_vocab_coverage_curve": ["take_ordered", "partial_agg", "generate_exec", "broadcast_any", "codegen"],
     # (final plan scans the last squaring's checkpoint — the per-round
     # matrix-multiply shape is asserted by the numpy cross-check test)
-    "emb_pca_power_iteration": ["no_cartesian", "partial_agg"],
+    # r14: the d² S-matrix partial aggregate runs in the collect job that
+    # feeds the driver-side squaring ladder; the FINAL plan is only the
+    # local-relation output + sort, so partial_agg is no longer visible
+    # here (the aggregate itself is unchanged — see OPTIMIZATION_r14.md §4)
+    "emb_pca_power_iteration": ["no_cartesian"],
     "events_attribution_linear": ["smj_or_bhj", "window_exec", "partial_agg", "pruning", "no_cartesian", "codegen"],
     "events_forecast_naive_mae": ["smj_or_bhj", "partial_agg", "pruning", "no_cartesian", "codegen"],
     "events_anomaly_iqr": ["partial_agg", "broadcast_any", "pruning", "codegen"],
