@@ -87,26 +87,26 @@ _MODULES = (
 # tools/rotate_window.py with all CORRECTNESS_r*.json files — it rewrites
 # this tuple to fail-on-record keys first, then never-checked keys.
 #
-# Current window (tool-rewritten): 50 keys — 0 failed-to-reprove, 13 never-checked,
-# then the 37 stalest greens (earliest last-checked round first).
+# Current window (tool-rewritten): 50 keys — 0 failed-to-reprove, 0 never-checked,
+# then the 50 stalest greens (earliest last-checked round first).
 _FRONT: tuple[str, ...] = (
-    'llm_heaps_law', 'llm_term_burstiness', 'llm_softdedup_weights',
-    'llm_moe_router_balance', 'llm_context_chunking', 'sample_neyman_allocation',
-    'emb_knn_graph_health', 'multimodal_audio_clipping', 'dq_uniqueness_profile',
-    'graph_reciprocity', 'llm_heldout_perplexity', 'emb_centroid_drift',
-    'ts_hurst_exponent', 'stream_sliding', 'stream_session',
-    'stream_dedup', 'ts_resample', 'ts_fill_forward',
-    'llm_dedup_exact', 'llm_dedup_jaccard', 'llm_dedup_minhash',
-    'llm_dedup_jaccard_ngram', 'llm_dedup_embedding', 'llm_simhash_buckets',
-    'llm_cosine_topk', 'llm_cosine_ivf', 'llm_knn_label',
-    'llm_tfidf_topterms', 'llm_text_stats', 'llm_lang_id',
-    'llm_quality_score', 'llm_token_count_bpe', 'llm_fingerprint',
-    'multimodal_features', 'udf_python_scalar', 'udf_pandas_scalar',
-    'udf_grouped_map', 'udf_grouped_agg', 'udtf_python',
-    'scan_csv_roundtrip', 'scan_jsonlines', 'catalog_list',
-    'sink_parquet_partitioned', 'fn_money_decimal', 'fn_timezone',
-    'llm_lang_source_matrix', 'multimodal_image_decode', 'multimodal_audio_decode',
-    'soql_aggregate', 'soql_date_functions',
+    'soql_full_query_string', 'soql_chained_pipeline', 'soql_fulltext_paged',
+    'scan_orc_roundtrip', 'scan_text_lines', 'scan_csv_malformed',
+    'scan_schema_evolution', 'udf_cogrouped_map', 'udf_arrow_batch',
+    'tpch_q3_shipping_priority', 'tpch_q5_local_supplier_volume', 'tpch_q10_returned_items',
+    'tpch_q6_forecast_revenue', 'tpch_q14_promo_effect', 'tpch_q18_large_orders',
+    'fn_geo_within_box', 'fn_geo_box_then_circle', 'sample_bernoulli',
+    'sample_stratified', 'sample_weighted', 'agg_heavy_hitters_cms',
+    'mine_frequent_pairs', 'mine_association_rules', 'llm_inverted_index',
+    'llm_ngram_counts', 'emb_quantize_int8', 'emb_label_centroids',
+    'join_interval_binned', 'layout_zorder_key', 'scan_bucketed_join',
+    'sink_sorted_export', 'graph_pagerank_copurchase', 'llm_pii_scrub',
+    'llm_decontaminate', 'llm_repetition_filter', 'llm_pack_sequences',
+    'llm_mixture_sample', 'llm_text_normalize', 'llm_chunk_documents',
+    'llm_vocab_coverage', 'llm_dedup_minhash_exact', 'llm_simhash_exact',
+    'agg_collect_sorted', 'fn_bitwise', 'ts_interpolate_linear',
+    'events_user_lifecycle', 'multimodal_decode_tolerant', 'scan_xml_roundtrip',
+    'fn_variant_json', 'llm_dedup_url',
 )
 
 
