@@ -202,7 +202,15 @@ def _probe_pairs(
     row folds against each probe — replaces the d-keyed self-join that
     materialized probes x corpus x d rows through a hash aggregate
     (guide §2.3/§2.4). Self-pairs are dropped, values are the identical
-    int64 sums the join produced. ``probes_arr`` needs (vec_id, qarr)."""
+    int64 sums the join produced. ``probes_arr`` needs (vec_id, qarr).
+
+    Bound (ADVICE r14): the whole probe slice lands in ONE array cell,
+    so Spark's ~2 GiB single-value / Integer.MAX_VALUE element limits
+    cap it at roughly 4M probe vectors of d=64 int64 — far above the
+    corpus-scaled ~65-probe strides every caller uses (the stride grows
+    with the corpus precisely so the probe count stays ~constant). A
+    caller with an unbounded probe set must chunk the list into
+    fixed-size bucket rows before folding."""
     fold = _fold_dot if metric == "dot" else _fold_d2
     row = F.broadcast(
         probes_arr.select("vec_id", "qarr").agg(
@@ -279,140 +287,332 @@ def _quant_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cent_row(cent_arr: DataFrame):
-    """Collapse a (cid, carr) centroid table into ONE broadcast row with
-    an array<struct<cid, carr>> — the per-row argmin scans it in codegen.
-    Same broadcast economics as the old F.broadcast(exploded centroids)."""
-    return F.broadcast(
-        cent_arr.agg(F.collect_list(F.struct("cid", "carr")).alias("_cs"))
-    )
+# ------------------------------------------------------------------
+# Vectorized-native Lloyd training (guide §4.2): Spark distributes the
+# corpus and runs ONE map-only ArrowEval pass per round; the per-task
+# distance/argmin work runs in exact numpy int64 (whole batches at a
+# time — no per-element interpreted HOF lambdas, the r14 lesson), and
+# only the (cid, d)-grain partial sums cross an exchange. The K·d
+# centroid rows round-trip through the driver each round — EXACTLY the
+# rows F.broadcast(centroids) already pulled through the driver in the
+# join form, so the driver footprint is unchanged (the MLlib-kmeans
+# centroid round-trip).
+
+_KM_CID_BLOCK = 256  # centroid block size for the chunked argmin
 
 
-def _km_assign_from(qarr: DataFrame, cent_arr: DataFrame) -> DataFrame:
-    """Map-only Lloyd assignment: (vec_id, qarr, cid, dist) via the
-    (dist, cid) lexicographic argmin over the broadcast centroid list —
-    no shuffle at all (the old path paid a d-keyed join plus a window)."""
-    mn = (
-        "array_min(transform(_cs, c -> struct("
-        + _fold_d2("qarr", "c.carr")
-        + " AS dist, c.cid AS cid)))"
-    )
-    return (
-        qarr.crossJoin(_cent_row(cent_arr))
-        .select("vec_id", "qarr", F.expr(mn).alias("_mn"))
-        .select(
-            "vec_id",
-            "qarr",
-            F.col("_mn.cid").alias("cid"),
-            F.col("_mn.dist").alias("dist"),
-        )
-    )
+def _np_stack(col):
+    """Stack an Arrow list<int64> pandas column into an (n, d) int64
+    matrix."""
+    import numpy as np
+
+    return np.stack([np.asarray(v, dtype=np.int64) for v in col])
 
 
-_CENT_SCHEMA = "cid bigint, carr array<bigint>"
+def _nearest_block(Q, C):
+    """Exact int64 (dist, index)-lexicographic argmin of rows Q (n, d)
+    against centroid rows C (K, d). Centroids are processed in blocks of
+    ``_KM_CID_BLOCK`` so per-batch memory stays n×block×d; ties keep the
+    EARLIER index because only a strictly smaller distance replaces the
+    running best — with centroid rows sorted by cid ascending this is
+    the (dist, cid) total order of the SQL window. Returns
+    (best_index, best_dist) int64 arrays."""
+    import numpy as np
+
+    n = Q.shape[0]
+    best_d = None
+    best_i = None
+    for lo in range(0, C.shape[0], _KM_CID_BLOCK):
+        Cb = C[lo : lo + _KM_CID_BLOCK]
+        diff = Q[:, None, :] - Cb[None, :, :]
+        dist = np.einsum("nkd,nkd->nk", diff, diff)  # exact int64
+        bi = np.argmin(dist, axis=1)  # first min -> lowest cid in block
+        bd = dist[np.arange(n), bi]
+        if best_d is None:
+            best_d, best_i = bd, bi + lo
+        else:
+            upd = bd < best_d
+            best_d = np.where(upd, bd, best_d)
+            best_i = np.where(upd, bi + lo, best_i)
+    return best_i, best_d
 
 
-def _local_cent(spark, rows) -> DataFrame:
-    """Centroids as a driver-local relation (LocalTableScan): the next
-    round's broadcast builds from it with no job and no checkpoint. The
-    K·d values are EXACTLY the rows F.broadcast(centroids) already pulls
-    through the driver, so the driver footprint is unchanged — this is
-    the MLlib-kmeans centroid round-trip, which is what makes each Lloyd
-    round a single Spark job."""
-    return spark.createDataFrame(rows, _CENT_SCHEMA)
+def _floor_mean_rows(agg_rows):
+    """floor(sum * 1.0 / count) per (cid, d) from collected partial-sum
+    rows — the same IEEE double division the SQL/DuckDB update performs
+    (int64→double conversion then one correctly-rounded divide), so the
+    centroid values are bit-identical. Returns [(cid, [cq..])] sorted by
+    cid."""
+    import math
 
-
-def _km_train_arr(qarr: DataFrame, k: int):
-    """Fixed-point Lloyd rounds on array vectors. Per round ONE job: the
-    map-only assignment (broadcast centroids, no shuffle) feeds a
-    (cid, d)-grain partial-aggregated centroid update whose K·d result
-    rows are collected and re-issued as a local relation — zero
-    corpus-sized exchanges and zero per-round checkpoints. Returns
-    (cent_for_assign, cent_final) = (c_{R-1}, c_R): the caller's
-    assignment pairs with c_{R-1}, exactly like the unrolled oracle
-    (a{R} is argmin vs c{R-1})."""
-    spark = qarr.sparkSession
-    rows = [
-        (r["cid"], list(r["carr"]))
-        for r in qarr.filter(F.col("vec_id") < k)
-        .select(F.col("vec_id").alias("cid"), F.col("qarr").alias("carr"))
-        .collect()
+    by_cid: dict = {}
+    for r in agg_rows:
+        by_cid.setdefault(r["cid"], {})[r["d"]] = math.floor(r["s"] / r["n"])
+    return [
+        (cid, [ds[d] for d in sorted(ds)]) for cid, ds in sorted(by_cid.items())
     ]
-    cent = _local_cent(spark, rows)
-    prev = cent
-    for _ in range(_KM_ROUNDS):
-        prev = cent
-        upd = (
-            _km_assign_from(qarr, cent)
-            .select("cid", F.posexplode("qarr").alias("d", "q"))
-            .groupBy("cid", "d")
-            .agg(
-                F.floor(F.sum("q") * 1.0 / F.count(F.lit(1)))
-                .cast("long")
-                .alias("cq")
+
+
+def _km_update_np(qarr: DataFrame, cids, C):
+    """ONE Lloyd round as ONE Spark job: map-only numpy assignment over
+    the broadcast centroid matrix, K×d per-task partial sums, one tiny
+    (cid, d) aggregate collected and floor-averaged on the driver.
+    Returns (cids, C) for the next round (dead cells drop out, exactly
+    like the join+groupBy update)."""
+    import numpy as np
+
+    spark = qarr.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (list(cids), np.array(C, dtype=np.int64))
+    )
+
+    def part(it):
+        import numpy as np
+        import pandas as pd
+
+        cid_l, Cn = bc.value
+        d = Cn.shape[1]
+        sums: dict = {}
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = _np_stack(pdf["qarr"])
+            bi, _ = _nearest_block(Q, Cn)
+            for i in np.unique(bi):
+                sel = Q[bi == i]
+                s, n = sums.get(i, (np.zeros(d, dtype=np.int64), 0))
+                sums[i] = (s + sel.sum(axis=0, dtype=np.int64), n + len(sel))
+        out_cid, out_d, out_s, out_n = [], [], [], []
+        for i, (s, n) in sums.items():
+            cid = cid_l[i]
+            for dd in range(d):
+                out_cid.append(cid)
+                out_d.append(dd)
+                out_s.append(int(s[dd]))
+                out_n.append(n)
+        if out_cid:
+            yield pd.DataFrame(
+                {"cid": out_cid, "d": out_d, "s": out_s, "n": out_n}
             )
-            .collect()
-        )
-        by_cid: dict = {}
-        for r in upd:
-            by_cid.setdefault(r["cid"], {})[r["d"]] = r["cq"]
-        cent = _local_cent(
-            spark,
-            [
-                (cid, [ds[d] for d in sorted(ds)])
-                for cid, ds in sorted(by_cid.items())
-            ],
-        )
-    return prev, cent
+
+    agg = (
+        qarr.select("qarr")
+        .mapInPandas(part, "cid bigint, d bigint, s bigint, n bigint")
+        .groupBy("cid", "d")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    rows = _floor_mean_rows(agg)
+    return [cid for cid, _ in rows], [arr for _, arr in rows]
 
 
-def _kmeans_assign(spark: SparkSession, sf_dir: str):
-    """Milli-quantized vectors + 3-round fixed-point Lloyd assignment —
-    the Spark twin of ``_kmeans_ctes()``. Returns (qv, assign,
-    centroids): qv = (vec_id, d, q) exploded integer vectors, assign =
-    (vec_id, cid) after the final round, centroids = (cid, d, cq).
-    Every intermediate is reliably materialized (operators/
-    materialize.py) so callers can fan multiple consumers off each."""
+def _km_train_np(qarr: DataFrame, k: int):
+    """Fixed-point Lloyd rounds in vectorized-native form: R one-job
+    rounds. Returns ((cids_prev, C_prev), (cids_fin, C_fin)) =
+    (c_{R-1}, c_R) as driver lists: the caller's assignment pairs with
+    c_{R-1}, exactly like the unrolled oracle (a{R} is argmin vs
+    c{R-1})."""
+    init = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["qarr"]])
+        for r in qarr.filter(F.col("vec_id") < k).collect()
+    )
+    cids = [cid for cid, _ in init]
+    C = [arr for _, arr in init]
+    prev = (cids, C)
+    for _ in range(_KM_ROUNDS):
+        prev = (cids, C)
+        cids, C = _km_update_np(qarr, cids, C)
+    return prev, (cids, C)
+
+
+def _km_assign_np(qarr: DataFrame, cids, C) -> DataFrame:
+    """Map-only final Lloyd assignment: (vec_id, cid) via the exact
+    numpy (dist, cid) argmin against the broadcast centroid matrix — no
+    shuffle at all (the old path paid a d-keyed join, a (vec, cid)
+    aggregate and a window)."""
+    import numpy as np
+
+    spark = qarr.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (list(cids), np.array(C, dtype=np.int64))
+    )
+
+    def part(it):
+        import numpy as np
+        import pandas as pd
+
+        cid_l, Cn = bc.value
+        cid_arr = np.array(cid_l, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = _np_stack(pdf["qarr"])
+            bi, _ = _nearest_block(Q, Cn)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "cid": cid_arr[bi]}
+            )
+
+    return qarr.select("vec_id", "qarr").mapInPandas(
+        part, "vec_id bigint, cid bigint"
+    )
+
+
+def _cent_frame(spark: SparkSession, cids, C) -> DataFrame:
+    """Centroids as a driver-local relation (LocalTableScan) in the
+    exploded (cid, d, cq) shape consumers broadcast-join against."""
+    rows = [
+        (int(cid), d, int(cq))
+        for cid, arr in zip(cids, C)
+        for d, cq in enumerate(arr)
+    ]
+    return spark.createDataFrame(rows, "cid bigint, d bigint, cq bigint")
+
+
+def _km_ctx(spark: SparkSession, sf_dir: str, qarr: DataFrame | None = None):
+    """Shared coarse-quantizer training context: (qarr, assign, prev,
+    fin) where prev/fin are the driver-side (cids, C) centroid lists
+    c_{R-1}/c_R. Callers that also train PQ pass the same ``qarr`` so
+    the corpus arrays materialize once."""
     import math
 
     e = load_table(spark, sf_dir, "embeddings")
     k = max(_KM_K, math.ceil(e.count() / _KM_TARGET))
-    qv = e.select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
-    ).select(
-        "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
-    )
-    qv = materialize(qv)
-    centroids = (
-        qv.filter(F.col("vec_id") < k)
-        .select(F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
-    )
-    centroids = materialize(centroids)
-    assign = None
-    for _ in range(_KM_ROUNDS):
-        dists = (
-            qv.join(F.broadcast(centroids), "d")
-            .groupBy("vec_id", "cid")
-            .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("dist"))
+    if qarr is None:
+        qarr = _quant_arrays(spark, sf_dir)
+    prev, fin = _km_train_np(qarr, k)
+    assign = materialize(_km_assign_np(qarr, *prev))
+    return qarr, assign, prev, fin
+
+
+def _kmeans_assign(
+    spark: SparkSession, sf_dir: str, qarr: DataFrame | None = None
+):
+    """Milli-quantized vectors + 3-round fixed-point Lloyd assignment —
+    the Spark twin of ``_kmeans_ctes()``. Returns (qv, assign,
+    centroids): qv = (vec_id, d, q) exploded integer vectors, assign =
+    (vec_id, cid) after the final round, centroids = (cid, d, cq).
+    Training runs in the vectorized-native form (guide §4.2): per round
+    ONE map-only ArrowEval job over the materialized (vec_id, qarr)
+    base with exact numpy int64 distances, only the K·d partial sums
+    crossing an exchange — the old per-round d-keyed join + (vec, cid)
+    aggregate + argmin window + centroid shuffle (2 corpus-sized
+    exchanges × R rounds) is gone. Values are bit-identical: same
+    quantization, same exact int64 distances, same (dist, cid) argmin
+    total order, same floor-of-double centroid update."""
+    qarr, assign, prev, fin = _km_ctx(spark, sf_dir, qarr)
+    qv = qarr.select("vec_id", F.posexplode("qarr").alias("d", "q"))
+    return qv, assign, _cent_frame(spark, *fin)
+
+
+def _km_assign_dist_np(qarr: DataFrame, prev, fin) -> DataFrame:
+    """Map-only (vec_id, cid, d2) pass: argmin assignment against
+    c_{R-1} plus the exact int64 squared distance to the FINAL c_R
+    centroid of the assigned cell — the (assign ⋈ cent)-then-aggregate
+    chain the SemDeDup keep-rule used, without the corpus-sized join
+    and (vec, d)-grain aggregate."""
+    import numpy as np
+
+    spark = qarr.sparkSession
+    pc, pC = prev
+    fc, fC = fin
+    fin_idx = {cid: i for i, cid in enumerate(fc)}
+    p2f = [fin_idx.get(cid, -1) for cid in pc]
+    bc = spark.sparkContext.broadcast(
+        (
+            np.array(pc, dtype=np.int64),
+            np.array(pC, dtype=np.int64),
+            np.array(p2f, dtype=np.int64),
+            np.array(fC, dtype=np.int64),
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        assign = (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid")
-        )
-        assign = materialize(assign)
-        centroids = (
-            assign.join(qv, "vec_id")
-            .groupBy("cid", "d")
-            .agg(
-                F.floor(F.sum("q") * 1.0 / F.count(F.lit(1)))
-                .cast("long")
-                .alias("cq")
+    )
+
+    def part(it):
+        import numpy as np
+        import pandas as pd
+
+        cid_arr, pCn, p2fn, fCn = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = _np_stack(pdf["qarr"])
+            bi, _ = _nearest_block(Q, pCn)
+            diff = Q - fCn[p2fn[bi]]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "cid": cid_arr[bi],
+                    "d2": np.einsum("nd,nd->n", diff, diff),
+                }
             )
+
+    return qarr.select("vec_id", "qarr").mapInPandas(
+        part, "vec_id bigint, cid bigint, d2 bigint"
+    )
+
+
+def _km_ctx_dist(spark: SparkSession, sf_dir: str):
+    """Coarse training + ONE materialized (vec_id, cid, d2) frame: the
+    final assignment with the exact distance to the assigned cell's
+    final centroid — what the SemDeDup keep-rule consumes. Returns
+    (qarr, ad, fin)."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k = max(_KM_K, math.ceil(e.count() / _KM_TARGET))
+    qarr = _quant_arrays(spark, sf_dir)
+    prev, fin = _km_train_np(qarr, k)
+    ad = materialize(_km_assign_dist_np(qarr, prev, fin))
+    return qarr, ad, fin
+
+
+def _km_residual_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer residual vectors as arrays — the ``rqv`` CTE in
+    one map-only pass: each vector is argmin-assigned against c_{R-1}
+    (the same pairing the a{R} CTE uses) and its FINAL cell centroid
+    c_R is subtracted in exact int64. Every assigned cid has members by
+    construction, so the c_R lookup never misses. Used by the residual
+    PQ training in queries/ivfpq.py."""
+    import math
+
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k = max(_KM_K, math.ceil(e.count() / _KM_TARGET))
+    qarr = _quant_arrays(spark, sf_dir)
+    (pc, pC), (fc, fC) = _km_train_np(qarr, k)
+    fin_idx = {cid: i for i, cid in enumerate(fc)}
+    # c_R is the aggregate of exactly this argmin-vs-c_{R-1} assignment,
+    # so every cid the assignment picks has a c_R row; a c_{R-1} cell no
+    # vector picked has none — map it to -1, which is never indexed.
+    prev_to_fin = [fin_idx.get(cid, -1) for cid in pc]
+    bc = spark.sparkContext.broadcast(
+        (
+            np.array(pC, dtype=np.int64),
+            np.array(prev_to_fin, dtype=np.int64),
+            np.array(fC, dtype=np.int64),
         )
-        centroids = materialize(centroids)
-    return qv, assign, centroids
+    )
+
+    def part(it):
+        import numpy as np
+        import pandas as pd
+
+        pCn, p2f, fCn = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = _np_stack(pdf["qarr"])
+            bi, _ = _nearest_block(Q, pCn)
+            R = Q - fCn[p2f[bi]]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "qarr": list(R)}
+            )
+
+    return materialize(
+        qarr.select("vec_id", "qarr").mapInPandas(
+            part, "vec_id bigint, qarr array<bigint>"
+        )
+    )
 
 
 def _kmeans_ctes() -> str:
@@ -611,67 +811,197 @@ _PQ_K = 4  # codebook size per subspace (2 bits; 8 subspaces pack into 16 bits)
 _PQ_ROUNDS = 2
 
 
-def _pq_train(spark: SparkSession, sf_dir: str):
+def _pq_cents_init(qarr: DataFrame):
+    """Initial PQ codebooks from the first ``_PQ_K`` vectors' subvectors:
+    list over m of (cids, C rows) — the pc0 CTE as driver lists."""
+    rows = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["qarr"]])
+        for r in qarr.filter(F.col("vec_id") < _PQ_K).collect()
+    )
+    n_m = len(rows[0][1]) // _PQ_M_DIMS
+    cents = []
+    for m in range(n_m):
+        cents.append(
+            (
+                [cid for cid, _ in rows],
+                [
+                    arr[m * _PQ_M_DIMS : (m + 1) * _PQ_M_DIMS]
+                    for _, arr in rows
+                ],
+            )
+        )
+    return cents
+
+
+def _pq_bc(spark: SparkSession, cents):
+    import numpy as np
+
+    return spark.sparkContext.broadcast(
+        [(list(cids), np.array(C, dtype=np.int64)) for cids, C in cents]
+    )
+
+
+def _pq_update_np(qarr: DataFrame, cents):
+    """ONE PQ Lloyd round over all M codebooks as ONE Spark job — the
+    kmeans ``_km_update_np`` with the subspace threaded through: per
+    task, exact numpy argmin per subspace and (m, cid)-grain partial
+    sums; one tiny (m, cid, d) aggregate collected and floor-averaged
+    on the driver. Returns the next cents list."""
+    spark = qarr.sparkSession
+    bc = _pq_bc(spark, cents)
+    D = _PQ_M_DIMS
+
+    def part(it):
+        import numpy as np
+        import pandas as pd
+
+        cents_l = bc.value
+        sums: dict = {}
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = _np_stack(pdf["qarr"])
+            for m, (cid_l, Cn) in enumerate(cents_l):
+                Qm = Q[:, m * D : (m + 1) * D]
+                bi, _ = _nearest_block(Qm, Cn)
+                for i in np.unique(bi):
+                    sel = Qm[bi == i]
+                    key = (m, int(cid_l[i]))
+                    s, n = sums.get(key, (np.zeros(D, dtype=np.int64), 0))
+                    sums[key] = (
+                        s + sel.sum(axis=0, dtype=np.int64),
+                        n + len(sel),
+                    )
+        out = {"m": [], "cid": [], "d": [], "s": [], "n": []}
+        for (m, cid), (s, n) in sums.items():
+            for j in range(D):
+                out["m"].append(m)
+                out["cid"].append(cid)
+                out["d"].append(m * D + j)
+                out["s"].append(int(s[j]))
+                out["n"].append(n)
+        if out["m"]:
+            yield pd.DataFrame(out)
+
+    agg = (
+        qarr.select("qarr")
+        .mapInPandas(
+            part, "m bigint, cid bigint, d bigint, s bigint, n bigint"
+        )
+        .groupBy("m", "cid", "d")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    import math
+
+    by_m: dict = {}
+    for r in agg:
+        by_m.setdefault(r["m"], {}).setdefault(r["cid"], {})[
+            r["d"]
+        ] = math.floor(r["s"] / r["n"])
+    cents_new = []
+    for m in range(len(cents)):
+        per = by_m.get(m, {})
+        cids = sorted(per)
+        cents_new.append(
+            (cids, [[per[c][d] for d in sorted(per[c])] for c in cids])
+        )
+    return cents_new
+
+
+def _pq_train_rounds_np(qarr: DataFrame):
+    """R one-job PQ rounds. Returns (cents_prev, cents_fin) =
+    (pc_{R-1}, pc_R); assignments pair with pc_{R-1} exactly like the
+    unrolled oracle (pa{R} is argmin vs pc{R-1})."""
+    cents = _pq_cents_init(qarr)
+    prev = cents
+    for _ in range(_PQ_ROUNDS):
+        prev = cents
+        cents = _pq_update_np(qarr, cents)
+    return prev, cents
+
+
+def _pq_assign_np(qarr: DataFrame, cents) -> DataFrame:
+    """Map-only final PQ assignment: (vec_id, m, cid, dist) — M rows per
+    vector, exact numpy int64 subspace distances, no shuffle."""
+    spark = qarr.sparkSession
+    bc = _pq_bc(spark, cents)
+    D = _PQ_M_DIMS
+
+    def part(it):
+        import numpy as np
+        import pandas as pd
+
+        cents_l = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = _np_stack(pdf["qarr"])
+            vec = pdf["vec_id"].values
+            frames = []
+            for m, (cid_l, Cn) in enumerate(cents_l):
+                cid_arr = np.array(cid_l, dtype=np.int64)
+                bi, bd = _nearest_block(Q[:, m * D : (m + 1) * D], Cn)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": vec,
+                            "m": np.full(len(vec), m, dtype=np.int64),
+                            "cid": cid_arr[bi],
+                            "dist": bd,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return qarr.select("vec_id", "qarr").mapInPandas(
+        part, "vec_id bigint, m bigint, cid bigint, dist bigint"
+    )
+
+
+def _pq_cent_frame(spark: SparkSession, cents) -> DataFrame:
+    """Final codebooks as a driver-local relation in the exploded
+    (m, cid, d, cq) shape consumers broadcast-join against (d global)."""
+    D = _PQ_M_DIMS
+    rows = [
+        (m, int(cid), m * D + j, int(cq))
+        for m, (cids, C) in enumerate(cents)
+        for cid, arr in zip(cids, C)
+        for j, cq in enumerate(arr)
+    ]
+    return spark.createDataFrame(
+        rows, "m bigint, cid bigint, d bigint, cq bigint"
+    )
+
+
+def _pq_train(
+    spark: SparkSession, sf_dir: str, qarr: DataFrame | None = None
+):
     """Milli-quantized subspace vectors + fixed-point PQ codebook training —
-    the ``_kmeans_assign`` idiom with the subspace m = d div 8 threaded
-    through every step so all M codebooks train in ONE relational pass.
-    Shared by the emb_pq_* family and queries/ivfpq.py. Returns (qv,
-    assign, cent): qv = (vec_id, d, m, q) exploded integer vectors,
-    assign = final-round (vec_id, m, cid, dist) code assignments, cent =
-    final codebooks (m, cid, d, cq). Every intermediate is reliably
-    materialized so callers can fan multiple consumers off each."""
-    e = load_table(spark, sf_dir, "embeddings")
-    qv = e.select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
+    all M codebooks per round in ONE map-only ArrowEval job (guide §4.2:
+    exact numpy int64 inside the batch, only the M·k·d partial sums cross
+    an exchange; the old per-round (d, m)-keyed join + (vec, m, cid)
+    aggregate + argmin window + centroid shuffle is gone). Shared by the
+    emb_pq_* family and queries/ivfpq.py. Returns (qv, assign, cent):
+    qv = (vec_id, d, m, q) exploded integer vectors, assign = final-round
+    (vec_id, m, cid, dist) code assignments (materialized), cent = final
+    codebooks (m, cid, d, cq) as a driver-local relation — the same
+    M·k·d rows F.broadcast(cent) always round-tripped through the
+    driver. Values are bit-identical to the join form (same argmin
+    total order, same floor-of-double update)."""
+    if qarr is None:
+        qarr = _quant_arrays(spark, sf_dir)
+    qv = qarr.select(
+        "vec_id", F.posexplode("qarr").alias("d", "q")
     ).select(
         "vec_id",
         "d",
         (F.col("d") / _PQ_M_DIMS).cast("long").alias("m"),
-        F.round(F.col("x") * 1000).cast("long").alias("q"),
+        "q",
     )
-    qv = materialize(qv)
-    return (qv, *_pq_rounds(qv))
-
-
-def _pq_rounds(qv: DataFrame):
-    """The fixed-point PQ Lloyd rounds over an already-exploded
-    (vec_id, d, m, q) integer frame — factored out so queries/ivfpq.py
-    can train codebooks on coarse-quantizer RESIDUALS with the exact
-    same contract. Returns (assign, cent)."""
-    cent = (
-        qv.filter(F.col("vec_id") < _PQ_K)
-        .select("m", F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
-    )
-    cent = materialize(cent)
-    assign = None
-    for _ in range(_PQ_ROUNDS):
-        dists = (
-            qv.join(F.broadcast(cent), ["d", "m"])
-            .groupBy("vec_id", "m", "cid")
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-                ).alias("dist")
-            )
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
-        assign = (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "cid", "dist")
-        )
-        assign = materialize(assign)
-        cent = (
-            assign.join(qv, ["vec_id", "m"])
-            .groupBy("m", "cid", "d")
-            .agg(
-                F.floor(F.sum("q") * 1.0 / F.count(F.lit(1)))
-                .cast("long")
-                .alias("cq")
-            )
-        )
-        cent = materialize(cent)
-    return assign, cent
+    prev, fin = _pq_train_rounds_np(qarr)
+    assign = materialize(_pq_assign_np(qarr, prev))
+    return qv, assign, _pq_cent_frame(spark, fin)
 
 
 def _pq_ctes() -> str:
@@ -1786,43 +2116,69 @@ def emb_knn_dist_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape shared with emb_mips_topk); at 100 TB the 5-NN distance comes
     from the ANN tiers (IVF/Hamming candidates + exact re-rank — the
     recall audits in this family price that substitution), and the
-    outlier rank is a TakeOrdered over per-vector scalars."""
-    from hawaiidatapipeline_spark.operators.materialize import materialize
+    outlier rank is a TakeOrdered over per-vector scalars.
 
-    e = load_table(spark, sf_dir, "embeddings")
-    qv = e.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("d", "x")
-    ).select(
-        "vec_id", "d", F.round(F.col("x") * 1000).cast("long").alias("q")
+    r15: the exact leg runs as the broadcast-index blocked GEMM of
+    operators/similarity.py (guide §2.3/§4.2) instead of the d-keyed
+    self-join that pushed N²·d rows through a hash aggregate: the
+    quantized corpus broadcasts once (budget-guarded like
+    cosine_topk_gemm), each Arrow batch takes one matmul against it and
+    emits ONE scalar per vector — the k-th smallest masked distance,
+    which is tie-order-free because only the k-th VALUE is reported.
+    All products/sums stay far below 2^53, so the float64 BLAS matmul
+    is exact integer arithmetic; results are bit-identical."""
+    import numpy as np
+
+    from hawaiidatapipeline_spark.operators.similarity import (
+        _index_row_budget,
     )
-    d2 = (
-        qv.alias("a")
-        .join(
-            qv.alias("b"),
-            (F.col("a.d") == F.col("b.d"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+
+    qarr = _quant_arrays(spark, sf_dir)
+    budget = _index_row_budget(qarr, "qarr", 4_000_000, 4 << 30)
+    idx_rows = qarr.select("vec_id", "qarr").collect()
+    if len(idx_rows) > budget:
+        raise ValueError(
+            f"emb_knn_dist_outliers: {len(idx_rows)} index rows exceed the "
+            f"broadcast budget {budget}; at that scale the 5-NN distance "
+            "comes from the ANN tiers (see docstring)"
         )
-        .groupBy(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
-        .agg(
-            F.sum(
-                (F.col("a.q") - F.col("b.q")) * (F.col("a.q") - F.col("b.q"))
-            ).alias("dist2")
-        )
+    ids = np.array([r["vec_id"] for r in idx_rows], dtype=np.int64)
+    mat = np.stack(
+        [np.asarray(r["qarr"], dtype=np.int64) for r in idx_rows]
     )
-    w = Window.partitionBy("va").orderBy("dist2", "vb")
-    kth = (
-        d2.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == _OUTLIER_KNN_K)
-        .select("va", "dist2")
+    assert int(np.abs(mat).max()) < (1 << 21)  # keeps f64 GEMM exact
+    pos = {int(v): i for i, v in enumerate(ids)}
+    bc = spark.sparkContext.broadcast((pos, mat))
+    kcol = f"knn{_OUTLIER_KNN_K}_dist2_milli"
+    K = _OUTLIER_KNN_K
+
+    def block(it):
+        import pandas as pd
+
+        pos_l, M = bc.value
+        Mf = M.astype(np.float64)
+        sq = np.einsum("nd,nd->n", M, M)
+        big = np.int64(2**62)
+        for pdf in it:
+            if not len(pdf) or M.shape[0] - 1 < K:
+                continue
+            Q = _np_stack(pdf["qarr"])
+            qid = pdf["vec_id"].values
+            G = (Q.astype(np.float64) @ Mf.T).astype(np.int64)  # exact
+            D = (
+                np.einsum("nd,nd->n", Q, Q)[:, None]
+                + sq[None, :]
+                - 2 * G
+            )
+            self_cols = np.array([pos_l[int(v)] for v in qid])
+            D[np.arange(len(qid)), self_cols] = big  # drop self-pairs
+            kth = np.partition(D, K - 1, axis=1)[:, K - 1]
+            yield pd.DataFrame({"vec_id": qid, kcol: kth})
+
+    kth_df = qarr.select("vec_id", "qarr").mapInPandas(
+        block, f"vec_id bigint, {kcol} bigint"
     )
-    return (
-        kth.select(
-            F.col("va").alias("vec_id"),
-            F.col("dist2").alias(f"knn{_OUTLIER_KNN_K}_dist2_milli"),
-        )
-        .orderBy(F.col(f"knn{_OUTLIER_KNN_K}_dist2_milli").desc(), "vec_id")
-        .limit(20)
-    )
+    return kth_df.orderBy(F.col(kcol).desc(), "vec_id").limit(20)
 
 
 @q(

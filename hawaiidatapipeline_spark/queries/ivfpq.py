@@ -24,15 +24,18 @@ from hawaiidatapipeline_spark.queries.emb_extra import (
     _adc_stride_subquery,
     _ADC_TOPK,
     _KM_ROUNDS,
+    _km_residual_arr,
     _PQ_K,
     _PQ_M_DIMS,
     _PQ_ROUNDS,
     _PQR_TOPK,
     _kmeans_assign,
     _kmeans_ctes,
+    _pq_assign_np,
     _pq_ctes,
-    _pq_rounds,
     _pq_train,
+    _pq_train_rounds_np,
+    _quant_arrays,
 )
 
 QUERIES, ORACLES, q = new_module_registry()
@@ -89,8 +92,12 @@ class _IvfpqCtx:
     with their coarse cell)."""
 
     def __init__(self, spark: SparkSession, sf_dir: str):
-        _, self.coarse, self.ccent = _kmeans_assign(spark, sf_dir)
-        qv, assign, cent = _pq_train(spark, sf_dir)
+        # both trainings run over ONE materialized (vec_id, qarr) base
+        # (the coarse cells and the PQ codebooks are independent reads
+        # of the same quantized corpus — guide §5: one pass, not two)
+        qarr = _quant_arrays(spark, sf_dir)
+        _, self.coarse, self.ccent = _kmeans_assign(spark, sf_dir, qarr)
+        qv, assign, cent = _pq_train(spark, sf_dir, qarr)
         self.qv = qv
         codes = assign.select("vec_id", "m", "cid")
         stride = _adc_stride(spark, sf_dir)
@@ -608,21 +615,13 @@ def _residual_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarse-assign, subtract the cell centroid, train PQ on the
     residuals. Returns the final (vec_id, m, cid, dist) code assignment —
     exposed separately so tests can compare total quantization error
-    against the raw-vector codes."""
-    qv_c, coarse, ccent = _kmeans_assign(spark, sf_dir)
-    resid = (
-        qv_c.join(coarse, "vec_id")
-        .join(F.broadcast(ccent), ["cid", "d"])
-        .select(
-            "vec_id",
-            "d",
-            (F.col("d") / _PQ_M_DIMS).cast("long").alias("m"),
-            (F.col("q") - F.col("cq")).alias("q"),
-        )
-    )
-    resid = materialize(resid)
-    assign, _ = _pq_rounds(resid)
-    return assign
+    against the raw-vector codes. Residuals are built in one map-only
+    numpy pass (``_km_residual_arr``) and the PQ rounds run in the
+    vectorized-native one-job-per-round form (guide §4.2) — the old
+    exploded join + per-round shuffles are gone; values bit-identical."""
+    rarr = _km_residual_arr(spark, sf_dir)
+    prev, _ = _pq_train_rounds_np(rarr)
+    return materialize(_pq_assign_np(rarr, prev))
 
 
 def _residual_codes_sql() -> str:

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 from hawaiidatapipeline_spark.queries._registry import new_module_registry
 from hawaiidatapipeline_spark.queries.emb_extra import (
     _KM_ROUNDS,
-    _kmeans_assign,
+    _km_ctx,
+    _km_ctx_dist,
     _kmeans_ctes,
 )
 from hawaiidatapipeline_spark.queries.llm import _EMB_TAU
@@ -72,57 +73,24 @@ def _semdedup_bucket_ctes() -> str:
                 FROM cells c JOIN ssig s ON s.vec_id = c.vec_id)"""
 
 
-def _semdedup_buckets(spark: SparkSession, qv: DataFrame, assign: DataFrame) -> DataFrame:
-    """Spark twin of ``_semdedup_bucket_ctes``: (vec_id, cell, bkt)."""
+def _semdedup_buckets(spark: SparkSession, qarr: DataFrame, assign: DataFrame) -> DataFrame:
+    """Spark twin of ``_semdedup_bucket_ctes``: (vec_id, cell, bkt).
+    The 16-bit SRP signature is a per-row fold of the array vector
+    against the driver-computed sign matrix (emb_extra._with_srp_sig —
+    the r14 srp_recall form), replacing the d-keyed join + two
+    corpus x bits aggregates; bit j is set iff the exact int64 dot with
+    hyperplane j is > 0, identical values."""
     import math
 
-    from hawaiidatapipeline_spark.operators.dedup import portable_hash64
+    from hawaiidatapipeline_spark.queries.emb_extra import _with_srp_sig
 
     n = assign.count()
     m = max(1, math.ceil(n / _SD_TARGET))
-    proj = (
-        spark.range(_SD_SRP_BITS)
-        .select(F.col("id").alias("j"))
-        .crossJoin(spark.range(64).select(F.col("id").alias("d")))
-        .select(
-            "j",
-            "d",
-            F.when(
-                portable_hash64(
-                    F.concat(
-                        F.col("j").cast("string"),
-                        F.lit(":"),
-                        F.col("d").cast("string"),
-                    ),
-                    "srp",
-                )
-                % 2
-                == 0,
-                1,
-            )
-            .otherwise(-1)
-            .alias("r"),
-        )
-    )
-    sig = (
-        qv.join(F.broadcast(proj), "d")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("q") * F.col("r")).alias("dot"))
-        .groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("dot") > 0, F.pow(F.lit(2), F.col("j")).cast("long")
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("sig")
-        )
-    )
+    sig = _with_srp_sig(qarr, _SD_SRP_BITS).select("vec_id", "srp_sig")
     return (
         assign.select("vec_id", F.col("cid").alias("cell"))
         .join(sig, "vec_id")
-        .select("vec_id", "cell", (F.col("sig") % m).alias("bkt"))
+        .select("vec_id", "cell", (F.col("srp_sig") % m).alias("bkt"))
     )
 
 
@@ -172,13 +140,13 @@ def llm_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs so bucket membership matches bit-for-bit; the cosine contract
     is llm_dedup_embedding's. Hash-verified at sf0.01 (m=1) AND sf0.1
     (m=10)."""
-    qv, assign, _ = _kmeans_assign(spark, sf_dir)
+    qarr, assign, _, _ = _km_ctx(spark, sf_dir)
     from hawaiidatapipeline_spark.operators.similarity import (
         as_double_vec,
         cosine_pairs_in_cells,
     )
 
-    bkts = _semdedup_buckets(spark, qv, assign)
+    bkts = _semdedup_buckets(spark, qarr, assign)
     e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
     edges = cosine_pairs_in_cells(e, bkts, cell_col=("cell", "bkt")).filter(
         F.col("cos_sim") >= _EMB_TAU
@@ -254,13 +222,13 @@ def llm_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle shares the unrolled k-means CTEs."""
     import math
 
-    qv, assign, _ = _kmeans_assign(spark, sf_dir)
+    qarr, assign, _, _ = _km_ctx(spark, sf_dir)
     from hawaiidatapipeline_spark.operators.similarity import (
         as_double_vec,
         cosine_pairs_exact,
     )
 
-    bkts = _semdedup_buckets(spark, qv, assign)
+    bkts = _semdedup_buckets(spark, qarr, assign)
     e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
     stride = max(1, math.ceil(e.count() / _SD_RECALL_SAMPLE))
     exact = (
@@ -306,15 +274,21 @@ def semdedup_drop_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the corpus, so consumers can broadcast this for an
     anti-join. Shared by llm_semdedup_survivors and the v6 corpus
     pipeline."""
-    qv, assign, cent = _kmeans_assign(spark, sf_dir)
+    from pyspark.sql import Window
+
     from hawaiidatapipeline_spark.operators.dedup import connected_components
     from hawaiidatapipeline_spark.operators.similarity import (
         as_double_vec,
         cosine_pairs_in_cells,
     )
-    from pyspark.sql import Window
 
-    bkts = _semdedup_buckets(spark, qv, assign)
+    # ONE materialized (vec_id, cid, d2) frame carries both the cell
+    # assignment and the keep-rule distance (emb_extra._km_ctx_dist):
+    # the old exploded-qv ⋈ assign ⋈ centroid join + (vec)-grain
+    # aggregate is a map-only numpy pass now (guide §4.2).
+    qarr, ad, _ = _km_ctx_dist(spark, sf_dir)
+    assign = ad.select("vec_id", "cid")
+    bkts = _semdedup_buckets(spark, qarr, assign)
     e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
     edges = cosine_pairs_in_cells(e, bkts, cell_col=("cell", "bkt")).filter(
         F.col("cos_sim") >= _EMB_TAU
@@ -322,18 +296,11 @@ def semdedup_drop_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(edges, a_col="vec_a", b_col="vec_b").select(
         F.col("node").alias("vec_id"), F.col("comp").alias("cluster_id")
     )
-    dist = (
-        qv.join(assign, "vec_id")
-        .join(F.broadcast(cent), ["cid", "d"])
-        .groupBy("vec_id")
-        .agg(
-            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
-            .cast("long")
-            .alias("d2")
-        )
-    )
-    m = comp.join(assign.withColumnRenamed("cid", "cell"), "vec_id").join(
-        dist, "vec_id"
+    m = comp.join(
+        ad.select(
+            "vec_id", F.col("cid").alias("cell"), "d2"
+        ),
+        "vec_id",
     )
     w = Window.partitionBy("cluster_id").orderBy(F.col("d2").desc(), "vec_id")
     return (
@@ -414,14 +381,18 @@ def llm_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     training) matches bit-for-bit. Scale: CC is O(diameter) narrow joins
     on the cell-bounded edge set; the keep-rule is one window over
     cluster-sized partitions."""
-    qv, assign, cent = _kmeans_assign(spark, sf_dir)
+    from pyspark.sql import Window
+
     from hawaiidatapipeline_spark.operators.dedup import connected_components
     from hawaiidatapipeline_spark.operators.similarity import (
         as_double_vec,
         cosine_pairs_in_cells,
     )
 
-    bkts = _semdedup_buckets(spark, qv, assign)
+    # same one-frame assignment+distance shape as semdedup_drop_set
+    qarr, ad, _ = _km_ctx_dist(spark, sf_dir)
+    assign = ad.select("vec_id", "cid")
+    bkts = _semdedup_buckets(spark, qarr, assign)
     e = as_double_vec(load_table(spark, sf_dir, "embeddings"))
     edges = cosine_pairs_in_cells(e, bkts, cell_col=("cell", "bkt")).filter(
         F.col("cos_sim") >= _EMB_TAU
@@ -429,20 +400,9 @@ def llm_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(edges, a_col="vec_a", b_col="vec_b").select(
         F.col("node").alias("vec_id"), F.col("comp").alias("cluster_id")
     )
-    dist = (
-        qv.join(assign, "vec_id")
-        .join(F.broadcast(cent), ["cid", "d"])
-        .groupBy("vec_id")
-        .agg(
-            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
-            .cast("long")
-            .alias("d2")
-        )
+    m = comp.join(
+        ad.select("vec_id", F.col("cid").alias("cell"), "d2"), "vec_id"
     )
-    m = comp.join(assign.withColumnRenamed("cid", "cell"), "vec_id").join(
-        dist, "vec_id"
-    )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id").orderBy(F.col("d2").desc(), "vec_id")
     sel = (
