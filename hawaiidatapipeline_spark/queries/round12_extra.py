@@ -157,86 +157,174 @@ def _qc_train(spark: SparkSession, d: DataFrame):
     return _qc_train_from(spark, docf, lab)
 
 
+def _qc_score_frame(darr: DataFrame, w_list) -> DataFrame:
+    """Map-only model scoring over the per-doc feature vectors: one
+    exact int64 dot per document against the closure-held weight
+    vector — no join, no shuffle (guide §4.2)."""
+    import numpy as np
+
+    from hawaiidatapipeline_spark.queries.emb_extra import _np_stack
+
+    spark = darr.sparkSession
+    bc = spark.sparkContext.broadcast(np.array(w_list, dtype=np.int64))
+
+    def part(it):
+        import pandas as pd
+
+        w = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = _np_stack(pdf["varr"])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "s": V @ w}
+            )
+
+    return darr.select("doc_id", "varr").mapInPandas(
+        part, "doc_id bigint, s bigint"
+    )
+
+
 def _qc_train_from(spark: SparkSession, docf: DataFrame, lab: DataFrame):
     """Trainer over featurized inputs: returns (dense, lab, n, weights,
-    per-round scores). Weights and scores are materialized per round so
-    the plan never deepens (SCALE.md round-5 rule for iterative
-    operators). ``dense`` is docs x B centered milli features plus a bias
-    row per doc — linear in corpus size; the weight vector is <= B + 1
-    rows at any scale, always broadcast."""
+    per-round scores). The docs x (B + 1) centered milli feature rows
+    live as ONE (doc_id, y, varr) vector frame, materialized once from
+    the sparse featurizer output with a single doc-keyed exchange; each
+    GD round is then ONE map-only ArrowEval job — per task an exact
+    int64 matmul scores the batch, the libm sigmoid residual is floored
+    to micro units per doc, and only the <= B + 1 per-task gradient
+    partials cross an exchange before the driver takes the floor-of-
+    double step (guide §4.2/§5; the old form paid a docs x B join +
+    doc-keyed aggregate + f-keyed aggregate shuffle per round). The
+    weight vector round-trips as a <= B + 1-row local relation — the
+    same rows F.broadcast(w) always pulled through the driver. ``dense``
+    and the per-round score frames are map-only projections of the
+    vector frame with bit-identical rows, so every consumer (scores
+    key, AUC, the v8 gate, the streaming curve) reads the exact values
+    the old join form produced. The sigmoid is the single
+    transcendental, evaluated with C libm ``math.exp`` per doc — the
+    same libm the DuckDB oracle calls (numpy's SIMD exp is deliberately
+    NOT used: it can differ by 1 ulp)."""
+    import math
+
+    import numpy as np
+
     docf = materialize(docf)
     lab = materialize(lab)
     n = lab.count()
-    means = materialize(
-        docf.groupBy("f").agg(
-            F.floor(F.sum("c") * 1000.0 / F.lit(float(n)))
-            .cast("long")
-            .alias("m")
-        )
+    # per-bucket corpus means: B rows — collected once, reused for the
+    # vector build, the w0 feature list, and the returned dense mapping
+    means_rows = sorted(
+        (int(r["f"]), math.floor(int(r["s"]) * 1000.0 / float(n)))
+        for r in docf.groupBy("f")
+        .agg(F.sum("c").cast("long").alias("s"))
+        .collect()
     )
-    ids = lab.select("doc_id")
-    dense = materialize(
-        ids.crossJoin(F.broadcast(means))
-        .join(docf, ["doc_id", "f"], "left")
+    feats = [f for f, _ in means_rows] + [-1]
+    f_pos = {f: i for i, f in enumerate(feats)}
+    base_vec = np.array(
+        [-m for _, m in means_rows] + [1000], dtype=np.int64
+    )  # v(f) = 0*1000 - m; bias slot fixed at 1000
+    pos_bc = spark.sparkContext.broadcast((dict(f_pos), base_vec))
+
+    def build(it):
+        import pandas as pd
+
+        f_pos_l, base = pos_bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            rows = []
+            for fs, cs in zip(pdf["_fs"], pdf["_cs"]):
+                v = base.copy()
+                if fs is not None and len(fs):
+                    for f, c in zip(fs, cs):
+                        v[f_pos_l[int(f)]] += int(c) * 1000
+                rows.append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "y": pdf["y"].values,
+                    "varr": rows,
+                }
+            )
+
+    sparse = docf.groupBy("doc_id").agg(
+        F.collect_list("f").alias("_fs"), F.collect_list("c").alias("_cs")
+    )
+    darr = materialize(
+        lab.select("doc_id", "y")
+        .join(sparse, "doc_id", "left")
+        .mapInPandas(build, "doc_id bigint, y bigint, varr array<bigint>")
+    )
+    # returned dense: the exploded (doc_id, f, v) projection of the
+    # vector frame — map-only per consumer, bit-identical rows
+    feats_lit = F.array(*[F.lit(int(f)).cast("long") for f in feats])
+    dense = (
+        darr.select("doc_id", F.posexplode("varr").alias("_i", "v"))
         .select(
             "doc_id",
-            "f",
-            (F.coalesce(F.col("c"), F.lit(0)) * 1000 - F.col("m"))
-            .cast("long")
-            .alias("v"),
-        )
-        .unionByName(
-            ids.select(
-                "doc_id",
-                F.lit(-1).cast("long").alias("f"),
-                F.lit(1000).cast("long").alias("v"),
-            )
+            F.element_at(feats_lit, F.col("_i") + 1).alias("f"),
+            "v",
         )
     )
-    w = materialize(
-        means.select("f")
-        .unionByName(spark.range(1).select(F.lit(-1).cast("long").alias("f")))
-        .withColumn("w", F.lit(0).cast("long"))
-    )
+    w_np = np.zeros(len(feats), dtype=np.int64)
+    den = float(n * _QC_LR_DEN)
     scores = []
     for _ in range(_QC_ROUNDS):
-        s = materialize(
-            dense.join(F.broadcast(w), "f")
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("v") * F.col("w")).cast("long").alias("s"))
-        )
-        scores.append(s)
-        resid = s.join(lab, "doc_id").select(
-            "doc_id",
-            (
-                F.col("y") * 1000000
-                - F.floor(
-                    1000000.0
-                    / (1.0 + F.exp(-(F.col("s") / 1000000000.0)))
+        scores.append(_qc_score_frame(darr, list(w_np)))
+        w_bc = spark.sparkContext.broadcast(w_np.copy())
+
+        def grad_part(it):
+            import pandas as pd
+
+            w = w_bc.value
+            acc = None
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                from hawaiidatapipeline_spark.queries.emb_extra import (
+                    _np_stack,
                 )
-            )
-            .cast("long")
-            .alias("resid"),
-        )
-        grad = (
-            dense.join(resid, "doc_id")
-            .groupBy("f")
-            .agg(F.sum(F.col("resid") * F.col("v")).cast("long").alias("g"))
-        )
-        w = materialize(
-            w.join(grad, "f", "left").select(
-                "f",
-                (
-                    F.col("w")
-                    + F.floor(
-                        F.coalesce(F.col("g"), F.lit(0))
-                        / F.lit(float(n * _QC_LR_DEN))
-                    )
+
+                V = _np_stack(pdf["varr"])
+                s = V @ w
+                # per-doc libm sigmoid, floored to micro units — the
+                # expression F.floor(1e6 / (1 + exp(-(s/1e9)))) verbatim
+                sig = np.fromiter(
+                    (
+                        math.floor(
+                            1000000.0 / (1.0 + math.exp(-(x / 1000000000.0)))
+                        )
+                        for x in s
+                    ),
+                    dtype=np.int64,
+                    count=len(s),
                 )
-                .cast("long")
-                .alias("w"),
-            )
+                resid = pdf["y"].values * 1000000 - sig
+                g = resid @ V
+                acc = g if acc is None else acc + g
+            if acc is not None:
+                yield pd.DataFrame(
+                    {"i": np.arange(len(acc), dtype=np.int64), "g": acc}
+                )
+
+        grad_rows = (
+            darr.select("y", "varr")
+            .mapInPandas(grad_part, "i bigint, g bigint")
+            .groupBy("i")
+            .agg(F.sum("g").cast("long").alias("g"))
+            .collect()
         )
+        grads = {int(r["i"]): int(r["g"]) for r in grad_rows}
+        w_np = w_np + np.array(
+            [math.floor(grads.get(i, 0) / den) for i in range(len(feats))],
+            dtype=np.int64,
+        )
+    w = spark.createDataFrame(
+        [(int(f), int(w_np[i])) for i, f in enumerate(feats)],
+        "f bigint, w bigint",
+    )
     return dense, lab, n, w, scores
 
 
