@@ -426,17 +426,25 @@ def llm_corpus_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     prefix = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
-    w_pfx = Window.partitionBy(prefix)
+    # the prefix rides as a REAL column so both dedup windows key on the
+    # same attribute: the exact-dedup window partitions by
+    # (_pfx, md5(text)) — identical groups to md5(text) alone, since
+    # equal text implies an equal 8-token prefix — and the existing
+    # hashpartitioning(_pfx) already satisfies that clustering, so the
+    # second window reuses the first's exchange (guide §2.4): ONE corpus
+    # shuffle for both dedup stages instead of two.
+    w_pfx = Window.partitionBy("_pfx")
     pfx_kept = (
-        d.withColumn("_canon", F.min("doc_id").over(w_pfx))
+        d.withColumn("_pfx", prefix)
+        .withColumn("_canon", F.min("doc_id").over(w_pfx))
         .filter(F.col("doc_id") == F.col("_canon"))
         .drop("_canon")
     )
-    w_md5 = Window.partitionBy(F.md5("text"))
+    w_md5 = Window.partitionBy("_pfx", F.md5("text"))
     exact_kept = (
         pfx_kept.withColumn("_canon", F.min("doc_id").over(w_md5))
         .filter(F.col("doc_id") == F.col("_canon"))
-        .drop("_canon")
+        .drop("_canon", "_pfx")
     )
     sized = exact_kept.filter(F.col("n_chars").between(50, 2000))
     shard = F.pmod(portable_hash64(F.col("doc_id").cast("string"), 7), F.lit(8))
@@ -464,17 +472,22 @@ def _v6_sem_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     prefix = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
-    w_pfx = Window.partitionBy(prefix)
+    # prefix as a REAL shared column; the exact-dedup window keys on
+    # (_pfx, md5(text)) — identical groups, equal text implies equal
+    # prefix — so it reuses the prefix window's exchange (guide §2.4):
+    # one corpus shuffle for both dedup stages.
+    w_pfx = Window.partitionBy("_pfx")
     pfx_kept = (
-        d.withColumn("_canon", F.min("doc_id").over(w_pfx))
+        d.withColumn("_pfx", prefix)
+        .withColumn("_canon", F.min("doc_id").over(w_pfx))
         .filter(F.col("doc_id") == F.col("_canon"))
         .drop("_canon")
     )
-    w_md5 = Window.partitionBy(F.md5("text"))
+    w_md5 = Window.partitionBy("_pfx", F.md5("text"))
     exact_kept = (
         pfx_kept.withColumn("_canon", F.min("doc_id").over(w_md5))
         .filter(F.col("doc_id") == F.col("_canon"))
-        .drop("_canon")
+        .drop("_canon", "_pfx")
     )
     sized = exact_kept.filter(F.col("n_chars").between(50, 2000))
     drops = semdedup_drop_set(spark, sf_dir).withColumnRenamed(
