@@ -501,6 +501,7 @@ def incremental_minhash_candidates(
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
     corpus_sig: DataFrame | None = None,
+    batch_sig: DataFrame | None = None,
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental LSH dedup: near-dup candidates TOUCHING A NEW BATCH —
@@ -547,7 +548,12 @@ def incremental_minhash_candidates(
         )
 
     sig_c = corpus_sig if corpus_sig is not None else sigs(corpus)
-    sig_b = sigs(batch)
+    # ``batch_sig``: same reuse idiom as corpus_sig for callers that
+    # already hold the batch's signature+band rows (e.g. one shared
+    # signature build split by membership) — signatures are a pure
+    # per-document function, so a slice of a shared build is identical
+    # to a fresh build over the slice.
+    sig_b = batch_sig if batch_sig is not None else sigs(batch)
     bands_c = _band_rows(sig_c, n_bands, id_col, id_col)
     bands_b = _band_rows(sig_b, n_bands, id_col, id_col)
 

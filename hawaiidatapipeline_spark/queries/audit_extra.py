@@ -783,6 +783,13 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def normalize(x: "np.ndarray") -> "np.ndarray":
         m = int(np.abs(x).max())
+        if m == 0:
+            # ADVICE r14: numpy floor_divide-by-zero would return 0 with
+            # a warning, silently diverging from the SQL div/NULL path —
+            # an all-zero co-moment matrix must fail loudly instead.
+            raise ValueError(
+                "emb_pca_power_iteration: degenerate all-zero matrix"
+            )
         return (np.abs(x) * _PCA_NORM // m) * np.sign(x)
 
     a = normalize(mat)
@@ -790,6 +797,8 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = normalize(a @ a)
     wr = a.sum(axis=1)
     mw = int(np.abs(wr).max())
+    if mw == 0:
+        raise ValueError("emb_pca_power_iteration: degenerate zero loadings")
     w = (np.abs(wr) * 1000 // mw) * np.sign(wr)
     out = spark.createDataFrame(
         [(int(i), int(w[i])) for i in range(d)], "i bigint, w bigint"
@@ -1271,15 +1280,37 @@ def llm_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     never corpus² — the only LSH maintenance shape that works when the
     corpus is 100 TB and the daily batch is 0.1%."""
     from hawaiidatapipeline_spark.operators.dedup import (
+        _band_columns,
         incremental_minhash_candidates,
+        minhash_signatures,
+        shingles_distinct,
     )
+    from hawaiidatapipeline_spark.operators.materialize import materialize
 
     d = load_table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     batch = d.filter(F.col("doc_id") % 10 == 0)
+    # ONE shared signature build split by batch membership instead of two
+    # independent builds (guide §2.4): signatures are a pure per-document
+    # function, so the slices are bit-identical to per-side builds, and
+    # the corpus pays one shingle-distinct exchange + one signature
+    # aggregate instead of two of each. (In production corpus_sig is the
+    # persisted table — this shares the fixture rebuild the same way.)
+    sig_all = materialize(
+        _band_columns(
+            minhash_signatures(
+                shingles_distinct(d), _ILSH_N, hash_fn="md5"
+            ),
+            _ILSH_N,
+            _ILSH_BANDS,
+            "md5",
+        )
+    )
     pairs = incremental_minhash_candidates(
         corpus, batch, tau=0.6, n_hashes=_ILSH_N, n_bands=_ILSH_BANDS,
         hash_fn="md5",
+        corpus_sig=sig_all.filter(F.col("doc_id") % 10 != 0),
+        batch_sig=sig_all.filter(F.col("doc_id") % 10 == 0),
     )
     return pairs.select(
         "doc_a", "doc_b", "pair_kind",
