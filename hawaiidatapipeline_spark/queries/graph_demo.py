@@ -603,15 +603,23 @@ def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("node"), F.min("nbr")).cast("long").alias("l")
         )
     )
+    # least(min(ls), min(ln)) with ls constant per node is
+    # least(l1[node], min over nbrs of l1[nbr]) — so the node's own label
+    # joins AFTER the aggregate at node grain instead of riding every
+    # edge row through the nbr join (guide §2.3: one fewer edge-sized
+    # shuffle, identical values).
     l2 = materialize(
-        adj.join(l1.withColumnRenamed("node", "node_s"), F.col("node_s") == F.col("node"))
-        .withColumnRenamed("l", "ls")
-        .join(
+        adj.join(
             l1.select(F.col("node").alias("nbr"), F.col("l").alias("ln")),
             "nbr",
         )
         .groupBy("node")
-        .agg(F.least(F.min("ls"), F.min("ln")).cast("long").alias("l"))
+        .agg(F.min("ln").alias("_mn"))
+        .join(l1, "node")
+        .select(
+            "node",
+            F.least(F.col("l"), F.col("_mn")).cast("long").alias("l"),
+        )
     )
     m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
     intra = (

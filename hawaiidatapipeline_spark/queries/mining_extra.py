@@ -417,6 +417,12 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     edges = materialize(copurchase_edges(li))
+    # r15 note: an Observation-based variant (counts riding per-round
+    # keep/edge materializations) was built and MEASURED SLOWER at sf0.1
+    # (3.18 vs 2.19 best-pass): the graph is tiny, the duplicated keep
+    # subtrees below are already shared by AQE exchange reuse at runtime,
+    # and the extra per-round checkpoint job + Observation polling cost
+    # more than the recomputation they saved. Kept in the join form.
     out = None
     for r in range(1, 5):
         deg = (
